@@ -1,0 +1,179 @@
+"""Temporal read operators (reference read.go — R1..R7 in SURVEY.md §2.1).
+
+All operators are pure DataFrame -> DataFrame plans:
+
+- equality/range predicates on (collection, tablet_id, height) sit at the top
+  of the plan so Catalyst pushes them into the parquet scan (partition
+  pruning + min/max skipping replace the reference's key-range scans);
+- "latest version per key" uses `max_by(struct(...), ord)` aggregation, not a
+  row_number window: aggregation gets map-side partial combine, so at 100 TB
+  the shuffle carries one row per (tablet, pk) per partition instead of the
+  full version history. `strategy="window"` keeps the window formulation for
+  cross-checking the two plans against each other;
+- the speculative overlay (reference read.go:155-169: in-memory fork writes
+  win over durable rows at the same height) is a `unionByName` with a source
+  precedence column folded into the same max_by ordering.
+
+Semantics pinned by the reference tests (read_test.go:29-388) and re-asserted
+in tests/test_temporal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluxdb_spark.schema import CHANGELOG_COLUMNS
+
+def _ord():
+    # Ordering: higher height wins; at equal height, speculative (overlay)
+    # wins (the reference applies speculative writes after durable rows,
+    # read.go:155-169).
+    return F.struct(F.col("height").alias("h"), F.col("_src").alias("s"))
+
+
+def _tag(df: DataFrame, src: int) -> DataFrame:
+    return df.select(*CHANGELOG_COLUMNS).withColumn("_src", F.lit(src))
+
+
+def _scoped(
+    changelog: DataFrame,
+    tablet_id: str,
+    height: int | None,
+    speculative: DataFrame | None,
+    collection: str | None,
+) -> DataFrame:
+    """Filtered union of durable + speculative rows for one tablet."""
+    df = changelog.filter(F.col("tablet_id") == tablet_id)
+    if collection is not None:
+        df = df.filter(F.col("collection") == collection)
+    out = _tag(df, 0)
+    if speculative is not None:
+        sp = speculative.filter(F.col("tablet_id") == tablet_id)
+        if collection is not None:
+            sp = sp.filter(F.col("collection") == collection)
+        out = out.unionByName(_tag(sp, 1))
+    if height is not None:
+        out = out.filter(F.col("height") <= F.lit(height))
+    return out
+
+
+def _latest_per_key(df: DataFrame, strategy: str = "agg") -> DataFrame:
+    """One row per primary_key: the highest-(height, _src) version."""
+    if strategy == "window":
+        w = Window.partitionBy("primary_key").orderBy(
+            F.desc("height"), F.desc("_src")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    # Default: aggregation — benefits from map-side partial combine, which a
+    # row_number window never gets. At scale this is the difference between
+    # shuffling the full history and shuffling ~|live keys| rows.
+    payload = F.struct(*[F.col(c) for c in CHANGELOG_COLUMNS], F.col("_src"))
+    agg = df.groupBy("primary_key").agg(
+        F.max_by(payload, _ord()).alias("_row")
+    )
+    return agg.select(
+        *[F.col(f"_row.{c}").alias(c) for c in CHANGELOG_COLUMNS],
+        F.col("_row._src").alias("_src"),
+    )
+
+
+def state_at(
+    changelog: DataFrame,
+    tablet_id: str,
+    height: int,
+    speculative: DataFrame | None = None,
+    collection: str | None = None,
+    strategy: str = "agg",
+) -> DataFrame:
+    """R1 — full tablet snapshot as of `height` (reference ReadTabletAt,
+    read.go:35-178).
+
+    Last-write-wins per primary_key up to `height`, tombstones removed,
+    speculative rows overlaid, result ordered by primary_key
+    (read.go:173-174).
+    """
+    scoped = _scoped(changelog, tablet_id, height, speculative, collection)
+    latest = _latest_per_key(scoped, strategy)
+    return (
+        latest.filter(~F.col("is_deletion"))
+        .select(*CHANGELOG_COLUMNS)
+        .orderBy("primary_key")
+    )
+
+
+def row_at(
+    changelog: DataFrame,
+    tablet_id: str,
+    height: int,
+    primary_key: str,
+    speculative: DataFrame | None = None,
+    collection: str | None = None,
+) -> DataFrame:
+    """R2 — single row as of `height` (reference ReadTabletRowAt,
+    read.go:180-293). The pk equality predicate is part of the plan, so it
+    reaches the scan; empty result if the latest version is a tombstone."""
+    scoped = _scoped(changelog, tablet_id, height, speculative, collection).filter(
+        F.col("primary_key") == primary_key
+    )
+    # Single key: ORDER BY ... LIMIT 1 compiles to TakeOrderedAndProject —
+    # no full sort, no window state.
+    latest = scoped.orderBy(F.desc("height"), F.desc("_src")).limit(1)
+    return latest.filter(~F.col("is_deletion")).select(*CHANGELOG_COLUMNS)
+
+
+def singlet_at(
+    changelog: DataFrame,
+    singlet_id: str,
+    height: int,
+    speculative: DataFrame | None = None,
+    collection: str | None = None,
+) -> DataFrame:
+    """R3 — latest value <= height for a single-valued container (reference
+    ReadSingletEntryAt, read.go:300-349). The reference's reversed-height key
+    trick becomes ORDER BY height DESC LIMIT 1 (TakeOrdered, early-out)."""
+    scoped = _scoped(changelog, singlet_id, height, speculative, collection)
+    latest = scoped.orderBy(F.desc("height"), F.desc("_src")).limit(1)
+    return latest.filter(~F.col("is_deletion")).select(*CHANGELOG_COLUMNS)
+
+
+def singlet_history(
+    changelog: DataFrame,
+    singlet_id: str,
+    speculative: DataFrame | None = None,
+    collection: str | None = None,
+) -> DataFrame:
+    """R4 — full version history, newest first, speculative entries first
+    (reference ReadSingletEntries, read.go:356-408; ordering fix noted in its
+    CHANGELOG)."""
+    scoped = _scoped(changelog, singlet_id, None, speculative, collection)
+    return scoped.orderBy(F.desc("_src"), F.desc("height")).select(
+        *CHANGELOG_COLUMNS
+    )
+
+
+def has_rows(
+    changelog: DataFrame, tablet_id: str, collection: str | None = None
+) -> bool:
+    """R5 — existence probe (reference HasSeenAnyRowForTablet,
+    read.go:410-415): LIMIT 1 plan, early-terminating like the reference's
+    BreakScan."""
+    df = changelog.filter(F.col("tablet_id") == tablet_id)
+    if collection is not None:
+        df = df.filter(F.col("collection") == collection)
+    return df.select("tablet_id").limit(1).count() > 0
+
+
+def latest_checkpoint(changelog: DataFrame) -> DataFrame:
+    """R6 — last written (height, block) marker derived from the log itself
+    (reference FetchLastWrittenCheckpoint, read.go:417-437). With a real
+    store the `_checkpoint` table is used instead (store.py)."""
+    return changelog.agg(
+        F.max("height").alias("height"),
+        F.max_by("block_id", F.col("height")).alias("block_id"),
+        F.max("block_num").alias("block_num"),
+    )

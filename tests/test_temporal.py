@@ -1,0 +1,179 @@
+"""Semantic spec for the temporal operators, ported scenario-by-scenario from
+the reference's read_test.go (see FIXTURES.md §A3). Each test states the
+reference case it mirrors."""
+
+from __future__ import annotations
+
+import pytest
+
+from fluxdb_spark.operators import (
+    has_rows,
+    row_at,
+    singlet_at,
+    singlet_history,
+    state_at,
+)
+
+
+def rows_of(df, *cols):
+    cols = cols or ("primary_key", "height", "value")
+    return [tuple(getattr(r, c) for c in cols) for r in df.collect()]
+
+
+@pytest.mark.parametrize("strategy", ["agg", "window"])
+class TestStateAt:
+    def test_speculative_delete_wins(self, mk, mkspec, strategy):
+        # read_test.go:29-48: durable (123, 002, abc); speculative delete at
+        # 124 -> state_at(124) is empty.
+        log = mk([("tbl", 123, "002", "abc")])
+        spec = mkspec([("tbl", 124, "002", "")])
+        assert rows_of(state_at(log, "tbl", 124, spec, strategy=strategy)) == []
+
+    def test_speculative_only(self, mk, mkspec, strategy):
+        # read_test.go:50-65: no durable rows; speculative insert visible.
+        log = mk([]) if False else mk([("other", 1, "001", "x")])
+        spec = mkspec([("tbl", 124, "002", "abc")])
+        assert rows_of(state_at(log, "tbl", 124, spec, strategy=strategy)) == [
+            ("002", 124, "abc")
+        ]
+
+    def test_plain_snapshot(self, mk, strategy):
+        # read_test.go:67-87 (index-hit case reduces to this without index).
+        log = mk([("tbl", 123, "002", "abc")])
+        assert rows_of(state_at(log, "tbl", 124, strategy=strategy)) == [
+            ("002", 123, "abc")
+        ]
+
+    def test_delete_then_read_above(self, mk, strategy):
+        # read_test.go:89-113: row deleted at 124 -> state_at(125) empty.
+        log = mk([("tbl", 123, "002", "abc"), ("tbl", 124, "002", "")])
+        assert rows_of(state_at(log, "tbl", 125, strategy=strategy)) == []
+
+    def test_delete_then_speculative_reinsert(self, mk, mkspec, strategy):
+        # read_test.go:115-144: delete at 124, speculative insert "def" at
+        # 125 -> state_at(125) sees the reinserted row.
+        log = mk([("tbl", 123, "002", "abc"), ("tbl", 124, "002", "")])
+        spec = mkspec([("tbl", 125, "002", "def")])
+        assert rows_of(state_at(log, "tbl", 125, spec, strategy=strategy)) == [
+            ("002", 125, "def")
+        ]
+
+    def test_last_write_wins_and_sort(self, mk, strategy):
+        log = mk(
+            [
+                ("tbl", 1, "b", "b1"),
+                ("tbl", 3, "b", "b3"),
+                ("tbl", 2, "a", "a2"),
+                ("tbl", 5, "a", "a5"),  # above read height
+            ]
+        )
+        assert rows_of(state_at(log, "tbl", 4, strategy=strategy)) == [
+            ("a", 2, "a2"),
+            ("b", 3, "b3"),
+        ]
+
+    def test_same_height_speculative_wins(self, mk, mkspec, strategy):
+        # reference applies speculative writes after durable (read.go:155-169)
+        log = mk([("tbl", 10, "001", "durable")])
+        spec = mkspec([("tbl", 10, "001", "spec")])
+        assert rows_of(state_at(log, "tbl", 10, spec, strategy=strategy)) == [
+            ("001", 10, "spec")
+        ]
+
+    def test_height_zero(self, mk, strategy):
+        # read_test.go:168-182: reads at height 0 work.
+        log = mk([("tbl", 0, "001", "zero"), ("tbl", 1, "001", "one")])
+        assert rows_of(state_at(log, "tbl", 0, strategy=strategy)) == [
+            ("001", 0, "zero")
+        ]
+
+
+class TestRowAt:
+    def test_point_read(self, mk):
+        # read_test.go:146-166: index maps 002->100, row stored at 100.
+        log = mk([("tbl", 100, "002", "abc"), ("tbl", 101, "001", "zzz")])
+        assert rows_of(row_at(log, "tbl", 124, "002")) == [("002", 100, "abc")]
+
+    def test_deleted_row_empty(self, mk):
+        log = mk([("tbl", 100, "002", "abc"), ("tbl", 110, "002", "")])
+        assert rows_of(row_at(log, "tbl", 124, "002")) == []
+        # but reading below the delete still sees it
+        assert rows_of(row_at(log, "tbl", 105, "002")) == [("002", 100, "abc")]
+
+    def test_missing_key(self, mk):
+        log = mk([("tbl", 100, "002", "abc")])
+        assert rows_of(row_at(log, "tbl", 124, "404")) == []
+
+
+class TestSingletAt:
+    # read_test.go:184-282 as-of matrix: versions at {3,5}; query heights
+    # {0,2,3,4,5,6} expect: none, none, v3, v3, v5, v5.
+    @pytest.mark.parametrize(
+        "h,expect",
+        [
+            (0, []),
+            (2, []),
+            (3, [("", 3, "v3")]),
+            (4, [("", 3, "v3")]),
+            (5, [("", 5, "v5")]),
+            (6, [("", 5, "v5")]),
+        ],
+    )
+    def test_asof_matrix(self, mk, h, expect):
+        log = mk([("sg1", 3, "", "v3"), ("sg1", 5, "", "v5")])
+        assert rows_of(singlet_at(log, "sg1", h)) == expect
+
+    def test_asof_with_height_zero_version(self, mk):
+        # read_test.go variant {0,1,5}
+        log = mk([("sg1", 0, "", "v0"), ("sg1", 1, "", "v1"), ("sg1", 5, "", "v5")])
+        assert rows_of(singlet_at(log, "sg1", 0)) == [("", 0, "v0")]
+        assert rows_of(singlet_at(log, "sg1", 4)) == [("", 1, "v1")]
+
+    def test_tombstone_asof(self, mk):
+        log = mk([("sg1", 3, "", "v3"), ("sg1", 5, "", "")])
+        assert rows_of(singlet_at(log, "sg1", 6)) == []
+        assert rows_of(singlet_at(log, "sg1", 4)) == [("", 3, "v3")]
+
+    def test_speculative_replaces(self, mk, mkspec):
+        # read_test.go:284-338: speculative write overrides durable as-of.
+        log = mk([("sg1", 3, "", "v3")])
+        spec = mkspec([("sg1", 4, "", "v4spec")])
+        assert rows_of(singlet_at(log, "sg1", 5, spec)) == [("", 4, "v4spec")]
+
+
+class TestSingletHistory:
+    def test_newest_first_speculative_first(self, mk, mkspec):
+        # read_test.go:339-365: durable {0,1,2} + speculative {3} ->
+        # newest-first with speculative entries before durable ones.
+        log = mk([("sg1", 0, "", "v0"), ("sg1", 1, "", "v1"), ("sg1", 2, "", "v2")])
+        spec = mkspec([("sg1", 3, "", "v3")])
+        assert rows_of(singlet_history(log, "sg1", spec)) == [
+            ("", 3, "v3"),
+            ("", 2, "v2"),
+            ("", 1, "v1"),
+            ("", 0, "v0"),
+        ]
+
+    def test_speculative_only_history(self, mk, mkspec):
+        # read_test.go:367-388
+        log = mk([("other", 1, "", "x")])
+        spec = mkspec([("sg1", 5, "", "a"), ("sg1", 7, "", "b")])
+        assert rows_of(singlet_history(log, "sg1", spec)) == [
+            ("", 7, "b"),
+            ("", 5, "a"),
+        ]
+
+    def test_history_includes_tombstones(self, mk):
+        # history is the raw version log — deletions are visible entries
+        log = mk([("sg1", 1, "", "v1"), ("sg1", 2, "", "")])
+        assert rows_of(singlet_history(log, "sg1"), "height", "is_deletion") == [
+            (2, True),
+            (1, False),
+        ]
+
+
+class TestHasRows:
+    def test_probe(self, mk):
+        log = mk([("tbl", 1, "001", "x")])
+        assert has_rows(log, "tbl") is True
+        assert has_rows(log, "nope") is False
