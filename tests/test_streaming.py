@@ -1,0 +1,123 @@
+"""Fork-aware ingest: speculative overlay, fork switch, LIB advance —
+the reference's hardest correctness area (pipeline.go:330-439), plus the
+ForkDB bookkeeping itself."""
+
+from __future__ import annotations
+
+import pytest
+
+from fluxdb_spark.forkdb import BlockRef, ForkDB, SpeculativeBlock
+from fluxdb_spark.streaming.ingest import FluxEngine
+
+
+def clrow(tablet, height, pk, value, block_id, collection="tst"):
+    return (
+        collection,
+        tablet,
+        height,
+        pk,
+        value,
+        value == "" or value is None,
+        block_id,
+        height,
+    )
+
+
+class TestForkDB:
+    def test_linear_segment(self):
+        db = ForkDB(BlockRef("b0", 0))
+        db.add_block(SpeculativeBlock(BlockRef("b1", 1), "b0"))
+        db.add_block(SpeculativeBlock(BlockRef("b2", 2), "b1"))
+        seg = db.reversible_segment("b2")
+        assert [b.ref.id for b in seg] == ["b1", "b2"]
+
+    def test_fork_choice(self):
+        # two children of b1: b2a and b2b — segment follows the queried head
+        db = ForkDB(BlockRef("b0", 0))
+        db.add_block(SpeculativeBlock(BlockRef("b1", 1), "b0"))
+        db.add_block(SpeculativeBlock(BlockRef("b2a", 2), "b1"))
+        db.add_block(SpeculativeBlock(BlockRef("b2b", 2), "b1"))
+        assert [b.ref.id for b in db.reversible_segment("b2a")] == ["b1", "b2a"]
+        assert [b.ref.id for b in db.reversible_segment("b2b")] == ["b1", "b2b"]
+
+    def test_unknown_head_empty(self):
+        db = ForkDB(BlockRef("b0", 0))
+        assert db.reversible_segment("nope") == []
+
+    def test_advance_lib_purges(self):
+        db = ForkDB(BlockRef("b0", 0))
+        db.add_block(SpeculativeBlock(BlockRef("b1", 1), "b0"))
+        db.add_block(SpeculativeBlock(BlockRef("b2", 2), "b1"))
+        db.advance_lib(BlockRef("b1", 1))
+        assert db.block("b1") is None
+        assert db.block("b2") is not None
+        assert [b.ref.id for b in db.reversible_segment("b2")] == ["b2"]
+
+    def test_at_or_below_lib_ignored(self):
+        db = ForkDB(BlockRef("b5", 5))
+        db.add_block(SpeculativeBlock(BlockRef("old", 4), "x"))
+        assert db.block("old") is None
+
+
+class TestEngineOverlay:
+    @pytest.fixture()
+    def engine(self, spark, tmp_path):
+        return FluxEngine(spark, str(tmp_path / "db"))
+
+    def seed(self, spark, engine, rows):
+        from fluxdb_spark.schema import CHANGELOG_SCHEMA
+
+        engine.store.write_batch(spark.createDataFrame(rows, CHANGELOG_SCHEMA))
+        # re-seed pipeline LIB from the fresh checkpoint
+        ckpt = engine.store.checkpoint()
+        engine.pipeline.forkdb.lib = BlockRef(ckpt.block_id, ckpt.height)
+
+    def test_speculative_read_through_engine(self, spark, engine):
+        # read_test.go:29-48 end-to-end: durable row, speculative delete
+        self.seed(spark, engine, [clrow("tbl", 123, "002", "abc", "b123")])
+        engine.pipeline.process_new_block(
+            "b124", 124, "b123", [clrow("tbl", 124, "002", "", "b124")]
+        )
+        assert engine.state_at("tbl", 124, collection="tst").count() == 0
+        # below the speculative delete the durable row is still visible
+        got = engine.state_at("tbl", 123, collection="tst").collect()
+        assert [(r.primary_key, r.value) for r in got] == [("002", "abc")]
+
+    def test_fork_switch_changes_visibility(self, spark, engine):
+        self.seed(spark, engine, [clrow("tbl", 100, "001", "base", "b100")])
+        p = engine.pipeline
+        p.process_new_block(
+            "b101a", 101, "b100", [clrow("tbl", 101, "001", "forkA", "b101a")]
+        )
+        p.process_new_block(
+            "b101b", 101, "b100", [clrow("tbl", 101, "001", "forkB", "b101b")]
+        )
+        # head is now b101b (last processed) — reads see fork B
+        got = engine.state_at("tbl", 101, collection="tst").collect()
+        assert [r.value for r in got] == ["forkB"]
+        # explicit fork-A read via speculative_writes(head_id=...)
+        from fluxdb_spark.operators import state_at
+
+        spec_a = p.speculative_writes(head_id="b101a")
+        got_a = state_at(
+            engine.store.changelog(), "tbl", 101, spec_a, collection="tst"
+        ).collect()
+        assert [r.value for r in got_a] == ["forkA"]
+
+    def test_irreversible_flush_then_overlay_gone(self, spark, engine):
+        self.seed(spark, engine, [clrow("tbl", 1, "001", "v1", "b1")])
+        p = engine.pipeline
+        p.process_new_block("b2", 2, "b1", [clrow("tbl", 2, "001", "v2", "b2")])
+        p.process_irreversible("b2", 2)
+        p.flush()
+        assert engine.store.checkpoint().height == 2
+        assert p.speculative_writes() is None
+        got = engine.state_at("tbl", 2, collection="tst").collect()
+        assert [r.value for r in got] == [("v2")]
+
+    def test_reversible_block_lookup(self, spark, engine):
+        self.seed(spark, engine, [clrow("tbl", 1, "001", "v1", "b1")])
+        p = engine.pipeline
+        p.process_new_block("b2", 2, "b1", [clrow("tbl", 2, "001", "v2", "b2")])
+        blk = p.forkdb.block("b2")
+        assert blk is not None and blk.ref.num == 2
