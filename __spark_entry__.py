@@ -1,38 +1,66 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the fluxdb_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship temporal query (snapshot-at-height) on sf0.001.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2 +
+  the training-data pipeline layer), from fluxdb_spark.catalog.
+- ``oracle_sql()``: the DuckDB twin of each query (omitted only for
+  genuinely non-SQL-expressible ops: LSH-ANN bucketing, mapInPandas
+  binary plumbing — the driver records a rows-only check for those).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from fluxdb_spark.catalog import catalog  # noqa: E402
+
+
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply the session settings the engine relies on (UTC, nanos handling).
+
+    Most settings are session-level and applied via conf; the parquet-nanos
+    flag must be set before the first read of events.parquet.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; loader still works if preset
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: snapshot-at-height temporal read over sf0.001."""
+    from fluxdb_spark.catalog import flux_state_at
+
+    _configure(spark)
+    return flux_state_at(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for spec in catalog():
+        out[spec.name] = (
+            lambda spark, sf_dir, _fn=spec.spark: _fn(
+                _configure(spark), sf_dir
+            )
+        )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        spec.name: spec.oracle
+        for spec in catalog()
+        if spec.oracle is not None
+    }

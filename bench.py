@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fluxdb_spark import get_spark  # noqa: E402
+from fluxdb_spark.catalog import catalog  # noqa: E402
+
+# Headline set: temporal core, snapshot-indexed read, heavy relational,
+# streaming-ish windows, and the pipeline operators that matter at scale.
+HEADLINE = [
+    "flux_state_at",
+    "flux_state_at_indexed",
+    "flux_tablet_stats",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "region_revenue",
+    "asof_join",
+    "sessionization",
+    "tumbling_hourly",
+    "dedup_ngram",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="fluxdb_spark_bench")
+    specs = {s.name: s for s in catalog()}
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup.
+    specs["flux_checkpoint"].spark(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].spark
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if name != "bench_collect" else len(df.collect())
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

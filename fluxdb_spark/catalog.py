@@ -1,0 +1,1208 @@
+"""The query catalog: every operator the engine claims, as a named
+(spark_builder, oracle_sql) pair.
+
+Each entry's Spark side is the engine's own operator plan; the oracle side is
+independent ANSI SQL DuckDB runs over the same parquet tables. The driver
+hashes both results (column names sorted, order-insensitive), so every
+computed column is aliased identically on both sides, every float is rounded
+identically, and every timestamp is emitted as a formatted string.
+
+Heights/constants are fixed so results are deterministic at any scale factor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fluxdb_spark.functions import dedup as dd
+from fluxdb_spark.functions import similarity as sim
+from fluxdb_spark.functions import text as tx
+from fluxdb_spark.functions.hashing import hash60, hash60_sql
+from fluxdb_spark.operators import temporal as tp
+from fluxdb_spark.operators import sharding as sh
+from fluxdb_spark.operators import snapshot as sn
+from fluxdb_spark.sources.changelog import (
+    CHANGELOG_CTE,
+    SINGLET_CTE,
+    changelog_from_events,
+    singlet_log_from_events,
+)
+from fluxdb_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    category: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible, rows-only check
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def _q(name: str, category: str, oracle: str | None):
+    def deco(fn):
+        _SPECS.append(QuerySpec(name, category, fn, oracle))
+        return fn
+
+    return deco
+
+
+def catalog() -> list[QuerySpec]:
+    return list(_SPECS)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# 1. Temporal engine operators (SURVEY §2.1/§2.4/§2.5)
+# =========================================================================
+
+_STATE_COLS = ["tablet_id", "primary_key", "height", "value", "block_num"]
+
+
+def _dedup_sql(tablet: str, height: int, cols: str = "tablet_id, primary_key, height, value, block_num") -> str:
+    return f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+  FROM changelog WHERE tablet_id = '{tablet}' AND height <= {height})
+SELECT {cols} FROM ranked WHERE rn = 1 AND NOT is_deletion
+"""
+
+
+@_q("flux_state_at", "temporal", _dedup_sql("click", 700))
+def flux_state_at(spark, sf_dir):
+    """R1 — snapshot-at-height read (reference ReadTabletAt, read.go:35-178)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.state_at(log, "click", 700).select(*_STATE_COLS)
+
+
+@_q("flux_state_at_indexed", "temporal", _dedup_sql("click", 800))
+def flux_state_at_indexed(spark, sf_dir):
+    """R1 via snapshot-index: build the index at 500, read at 800 as
+    snapshot-union-delta; must equal the plain window answer (the oracle)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    idx = sn.build_tablet_index(log, "click", 500)
+    return sn.state_at_with_index(log, idx, "click", 800).select(*_STATE_COLS)
+
+
+@_q(
+    "flux_row_at",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY height DESC) AS rn
+  FROM changelog
+  WHERE tablet_id = 'view' AND primary_key = '3' AND height <= 900)
+SELECT tablet_id, primary_key, height, value, block_num
+FROM ranked WHERE rn = 1 AND NOT is_deletion
+""",
+)
+def flux_row_at(spark, sf_dir):
+    """R2 — single-row point read (reference ReadTabletRowAt)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.row_at(log, "view", 900, "3").select(*_STATE_COLS)
+
+
+@_q(
+    "flux_singlet_asof",
+    "temporal",
+    f"""
+WITH {SINGLET_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY height DESC) AS rn
+  FROM changelog WHERE tablet_id = 'user#3' AND height <= 850)
+SELECT tablet_id, height, value FROM ranked WHERE rn = 1 AND NOT is_deletion
+""",
+)
+def flux_singlet_asof(spark, sf_dir):
+    """R3 — latest-<=-height singlet read (reference ReadSingletEntryAt)."""
+    log = singlet_log_from_events(_t(spark, sf_dir, "events"))
+    return tp.singlet_at(log, "user#3", 850).select(
+        "tablet_id", "height", "value"
+    )
+
+
+@_q(
+    "flux_singlet_history",
+    "temporal",
+    f"""
+WITH {SINGLET_CTE}
+SELECT height, value, is_deletion FROM changelog WHERE tablet_id = 'user#5'
+""",
+)
+def flux_singlet_history(spark, sf_dir):
+    """R4 — full version history (reference ReadSingletEntries)."""
+    log = singlet_log_from_events(_t(spark, sf_dir, "events"))
+    return tp.singlet_history(log, "user#5").select(
+        "height", "value", "is_deletion"
+    )
+
+
+@_q(
+    "flux_has_rows",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE}
+SELECT (count(*) > 0) AS has_rows FROM changelog WHERE tablet_id = 'purchase'
+""",
+)
+def flux_has_rows(spark, sf_dir):
+    """R5 — existence probe, as a 1-row relation for the oracle check."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    exists = tp.has_rows(log, "purchase")
+    return spark.createDataFrame([(exists,)], "has_rows boolean")
+
+
+@_q(
+    "flux_checkpoint",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE}
+SELECT max(height) AS height, arg_max(block_id, height) AS block_id,
+       max(block_num) AS block_num
+FROM changelog
+""",
+)
+def flux_checkpoint(spark, sf_dir):
+    """R6 — last written (height, block) marker."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.latest_checkpoint(log)
+
+
+@_q(
+    "flux_tablet_index",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+  FROM changelog WHERE tablet_id = 'click' AND height <= 500)
+SELECT primary_key, height FROM ranked WHERE rn = 1 AND NOT is_deletion
+""",
+)
+def flux_tablet_index(spark, sf_dir):
+    """I1/I2 — snapshot index build: the live pk -> height map at height 500."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return sn.build_tablet_index(log, "click", 500).select(
+        "primary_key", "height"
+    )
+
+
+_ENTITY_SQL = "concat(collection, chr(31), tablet_id)"
+
+
+@_q(
+    "flux_shard_assignment",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+singlet_log AS (
+  SELECT 'sgl' AS collection,
+         concat('user#', CAST(user_id AS VARCHAR)) AS tablet_id
+  FROM events),
+entities AS (
+  SELECT DISTINCT collection, tablet_id FROM changelog
+  UNION
+  SELECT DISTINCT collection, tablet_id FROM singlet_log)
+SELECT collection, tablet_id,
+       ({hash60_sql(_ENTITY_SQL)} % 8) AS shard
+FROM entities
+""",
+)
+def flux_shard_assignment(spark, sf_dir):
+    """P1 — deterministic entity -> shard map (reference goesToShard)."""
+    ev = _t(spark, sf_dir, "events")
+    log = changelog_from_events(ev)
+    slog = singlet_log_from_events(ev)
+    entities = (
+        log.select("collection", "tablet_id")
+        .union(slog.select("collection", "tablet_id"))
+        .distinct()
+    )
+    return sh.assign_shards(entities, 8).select(
+        "collection", "tablet_id", "shard"
+    )
+
+
+@_q(
+    "flux_shard_progress",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+sharded AS (
+  SELECT *, ({hash60_sql(_ENTITY_SQL)} % 4) AS shard FROM changelog)
+SELECT shard, max(height) AS height, arg_max(block_id, height) AS block_id,
+       count(*) AS row_count
+FROM sharded GROUP BY shard
+""",
+)
+def flux_shard_progress(spark, sf_dir):
+    """W4 — per-shard checkpoint stats (reference VerifyAllShardsWritten)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return sh.shard_progress(sh.assign_shards(log, 4))
+
+
+@_q(
+    "flux_gap_check",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+heights AS (SELECT DISTINCT tablet_id, height FROM changelog),
+seq AS (
+  SELECT tablet_id, height,
+         lag(height) OVER (PARTITION BY tablet_id ORDER BY height) AS prev_height
+  FROM heights)
+SELECT tablet_id, prev_height, height, (height - prev_height - 1) AS missing
+FROM seq WHERE prev_height IS NOT NULL AND height > prev_height + 1
+""",
+)
+def flux_gap_check(spark, sf_dir):
+    """P4 — hole detection over per-tablet height sequences."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return sh.detect_holes(log, ["tablet_id"])
+
+
+@_q(
+    "flux_tablet_stats",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE}
+SELECT tablet_id, count(*) AS n_rows,
+       count(DISTINCT primary_key) AS n_keys,
+       max(height) AS max_height,
+       sum(CASE WHEN is_deletion THEN 1 ELSE 0 END) AS n_tombstones
+FROM changelog GROUP BY tablet_id
+""",
+)
+def flux_tablet_stats(spark, sf_dir):
+    """W2 — per-tablet write statistics (reference size-stats logging)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return log.groupBy("tablet_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("primary_key").alias("n_keys"),
+        F.max("height").alias("max_height"),
+        F.sum(F.when(F.col("is_deletion"), 1).otherwise(0)).alias(
+            "n_tombstones"
+        ),
+    )
+
+
+# =========================================================================
+# 2. Relational / SQL layer (the general query surface the reference lacks;
+#    SURVEY §2.6 — joins, aggs, windows, set ops, scalar fns — all native)
+# =========================================================================
+
+
+@_q(
+    "tpch_q1",
+    "relational",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary: the canonical scan+agg; stays entirely in
+    whole-stage codegen with map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3",
+    "relational",
+    """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-03-15'
+  AND l.l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey ASC
+LIMIT 10
+""",
+)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: selective join + agg + top-k. The customer
+    dim is broadcast; top-k compiles to TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "tpch_q5",
+    "relational",
+    """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+""",
+)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier revenue: 6-way join; dims broadcast, fact
+    tables shuffle once on orderkey."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "region_revenue",
+    "relational",
+    """
+SELECT r.r_name, round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def region_revenue(spark, sf_dir):
+    """Broadcast-chain star join: all three dims broadcast, zero fact
+    shuffles before the final 5-group agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@_q(
+    "running_total",
+    "relational",
+    """
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders WHERE o_custkey < 20
+""",
+)
+def running_total(spark, sf_dir):
+    """Window running aggregate per customer."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@_q(
+    "rollup_pricing",
+    "relational",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_pricing(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+_Y95 = "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'"
+_Y96 = "SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"
+
+
+@_q(
+    "set_ops",
+    "relational",
+    f"""
+SELECT 'both' AS tag, o_custkey FROM ({_Y95} INTERSECT {_Y96})
+UNION ALL
+SELECT 'only_1995' AS tag, o_custkey FROM ({_Y95} EXCEPT {_Y96})
+UNION ALL
+SELECT 'only_1996' AS tag, o_custkey FROM ({_Y96} EXCEPT {_Y95})
+""",
+)
+def set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL over yearly customer cohorts."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year(1995), year(1996)
+    tag = lambda df, t: df.select(F.lit(t).alias("tag"), "o_custkey")  # noqa: E731
+    return (
+        tag(y95.intersect(y96), "both")
+        .unionAll(tag(y95.exceptAll(y96), "only_1995"))
+        .unionAll(tag(y96.exceptAll(y95), "only_1996"))
+    )
+
+
+@_q(
+    "distinct_counts",
+    "relational",
+    """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def distinct_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_q(
+    "topk_orders",
+    "relational",
+    """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+)
+def topk_orders(spark, sf_dir):
+    """Global top-k — TakeOrderedAndProject, no full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@_q(
+    "scalar_showcase",
+    "relational",
+    """
+SELECT p_partkey,
+       upper(substr(p_name, 1, 10)) AS name_prefix,
+       length(p_name) AS name_len,
+       regexp_extract(p_name, '^[a-z]+') AS first_word,
+       round(p_retailprice * 1.1, 2) AS marked_up,
+       (p_size % 7) AS size_mod,
+       concat(p_brand, ':', p_type) AS brand_type
+FROM part
+""",
+)
+def scalar_showcase(spark, sf_dir):
+    """Scalar function surface: string / regex / math / concat."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 10)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", "^[a-z]+", 0).alias("first_word"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+    )
+
+
+@_q(
+    "date_funcs",
+    "relational",
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date
+FROM orders WHERE o_orderkey < 100
+""",
+)
+def date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
+
+
+@_q(
+    "asof_join",
+    "relational",
+    """
+WITH tagged AS (
+  SELECT event_id, user_id, ts, value, event_type FROM events
+  WHERE event_type IN ('click', 'purchase')),
+w AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value
+  FROM tagged)
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(value, 2) AS purchase_value,
+       round(last_click_value, 2) AS last_click_value
+FROM w WHERE event_type = 'purchase'
+""",
+)
+def asof_join(spark, sf_dir):
+    """As-of join (purchase -> latest strictly-prior click per user) via the
+    union+window pattern — the shuffle-once scalable form (no per-key merge
+    loop, no range explosion)."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lastc = F.last(
+        F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_click_value", lastc)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.round("value", 2).alias("purchase_value"),
+            F.round("last_click_value", 2).alias("last_click_value"),
+        )
+    )
+
+
+@_q(
+    "tumbling_hourly",
+    "relational",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def tumbling_hourly(spark, sf_dir):
+    """Tumbling event-time window aggregate (batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@_q(
+    "sliding_windows",
+    "relational",
+    """
+WITH offsets AS (SELECT unnest([0, 1]) AS off),
+win AS (
+  SELECT date_trunc('hour', e.ts) - to_hours(o.off) AS w_start, e.value
+  FROM events e, offsets o)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM win GROUP BY 1
+""",
+)
+def sliding_windows(spark, sf_dir):
+    """Sliding window (2h window, 1h slide) via Spark's native window()."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@_q(
+    "sessionization",
+    "relational",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new, us
+  FROM ordered),
+sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_idx, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_idx)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       round(avg(n_events), 4) AS avg_session_events
+FROM per_session GROUP BY user_id
+""",
+)
+def sessionization(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions via lag + running-sum windows."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > 30 * 60 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.select(
+        "user_id", F.sum("is_new").over(w2).alias("session_idx")
+    )
+    per = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+    )
+
+
+@_q(
+    "pivot_status",
+    "relational",
+    """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_finished
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def pivot_status(spark, sf_dir):
+    """Pivot (linestatus -> columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0)),
+            2,
+        ).alias("qty_open"),
+        F.round(
+            F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0)),
+            2,
+        ).alias("qty_finished"),
+    )
+
+
+# =========================================================================
+# 3. Training-data pipeline operators (dedup / similarity / text / multimodal)
+# =========================================================================
+
+
+@_q(
+    "text_stats",
+    "pipeline",
+    f"""
+SELECT doc_id,
+       {tx.sql_token_count('text')} AS n_tokens,
+       len(regexp_extract_all(lower(text), '{tx.WORD_RE}')) AS n_wordpieces,
+       length(text) AS n_chars,
+       {tx.sql_marker_hits('text', tx.STOPWORDS)} AS n_stopwords
+FROM documents
+""",
+)
+def text_stats(spark, sf_dir):
+    """Token counting + basic text statistics (JVM-side expressions only)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.wordpiece_count(F.col("text")).alias("n_wordpieces"),
+        F.length("text").alias("n_chars"),
+        tx.marker_hits(F.col("text"), tx.STOPWORDS).alias("n_stopwords"),
+    )
+
+
+@_q(
+    "text_quality",
+    "pipeline",
+    f"""
+SELECT doc_id, lang,
+       floor((0.5 * least({tx.sql_token_count('text')} / 100.0, 1.0)
+            + 0.5 * ({tx.sql_marker_hits('text', tx.STOPWORDS)}
+                     * 1.0 / {tx.sql_token_count('text')})) * 10000) / 10000.0
+         AS quality,
+       {tx.sql_lang_id('text')} AS lang_pred
+FROM documents
+""",
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring + language-ID heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@_q(
+    "lang_distribution",
+    "pipeline",
+    f"""
+SELECT {tx.sql_lang_id('text')} AS lang_pred, count(*) AS n
+FROM documents GROUP BY 1
+""",
+)
+def lang_distribution(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(tx.lang_id(F.col("text")).alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "doc_fingerprint",
+    "pipeline",
+    f"""
+SELECT doc_id, md5(text) AS md5_hex,
+       {hash60_sql('text')} AS content_hash,
+       list_min(list_transform(range(1, length(text) - 6),
+                i -> CAST(concat('0x', substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)))
+         AS min_gram_hash
+FROM documents
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Content fingerprints: md5, 60-bit hash, and min-8-gram rolling-window
+    fingerprint (the winnowing building block) — all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    idx = F.sequence(F.lit(1), F.length("text") - 7, F.lit(1))
+    min_gram = F.array_min(
+        F.transform(idx, lambda i: hash60(F.col("text").substr(i, F.lit(8))))
+    )
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        hash60(F.col("text")).alias("content_hash"),
+        min_gram.alias("min_gram_hash"),
+    )
+
+
+@_q(
+    "dedup_exact",
+    "pipeline",
+    f"""
+SELECT {hash60_sql('text')} AS content_hash, count(*) AS n_docs,
+       min(doc_id) AS keep_doc
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy with map-side combine; keeps min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(hash60(F.col("text")).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+_JACCARD_SQL = f"""
+WITH {dd.sql_shingles_ctes()},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT d1, d2,
+         round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+  FROM inter
+  JOIN shsize sa ON sa.doc_id = d1
+  JOIN shsize sb ON sb.doc_id = d2)
+SELECT d1, d2, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
+@_q("dedup_ngram", "pipeline", _JACCARD_SQL)
+def dedup_ngram(spark, sf_dir):
+    """N-gram (3-word shingle) Jaccard near-dup pairs at >= 0.8."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(d, 0.8)
+
+
+def _minhash_sql() -> str:
+    k = dd.MINHASH_K
+    chunks = dd.sql_shingle_hash_chunks("shingle", k)
+    hash_cols = ", ".join(f"{c} AS h{i}" for i, c in enumerate(chunks))
+    sig_cols = ", ".join(f"min(h{i}) AS sig{i}" for i in range(k))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, sig{2 * b} AS h0, sig{2 * b + 1} AS h1 FROM sigs"
+        for b in range(k // 2)
+    )
+    return f"""
+WITH {dd.sql_shingles_ctes()},
+shingle_hashes AS (
+  SELECT shingle, {hash_cols} FROM (SELECT DISTINCT shingle FROM sh)),
+sigs AS (
+  SELECT doc_id, {sig_cols}
+  FROM sh JOIN shingle_hashes USING (shingle) GROUP BY doc_id),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+verified AS (
+  SELECT i.d1, i.d2, round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN shsize sa ON sa.doc_id = i.d1
+  JOIN shsize sb ON sb.doc_id = i.d2)
+SELECT c.d1, c.d2, v.jaccard
+FROM cands c JOIN verified v ON c.d1 = v.d1 AND c.d2 = v.d2
+WHERE v.jaccard >= 0.8
+"""
+
+
+@_q("dedup_minhash_lsh", "pipeline", _minhash_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(8) + LSH(4 bands x 2 rows) candidates, exact-Jaccard verified.
+    The full shingle->minhash->band->bucket-join pipeline, oracle-checked."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_dedup(d, 0.8)
+
+
+@_q("dedup_simhash", "pipeline", dd.sql_simhash())
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (pure aggregation, map-side combine)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash(d)
+
+
+_DOT_SQL = """
+  sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+"""
+_NORM_Q = "sqrt(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+_NORM_C = "sqrt(sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"
+
+
+@_q(
+    "embed_topk",
+    "pipeline",
+    f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 4) AS score
+  FROM q, c, idx
+  WHERE q.vec_id != c.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def embed_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors (exact ANN baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q(
+    "embed_neardup",
+    "pipeline",
+    f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+scored AS (
+  SELECT q.vec_id AS d1, c.vec_id AS d2,
+         round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 4) AS score
+  FROM e q, e c, idx
+  WHERE q.label = c.label AND q.vec_id < c.vec_id
+  GROUP BY q.vec_id, c.vec_id)
+SELECT d1, d2, score FROM scored WHERE score >= 0.35
+""",
+)
+def embed_neardup(spark, sf_dir):
+    """Embedding near-dup pairs, blocked by label (equi-join blocking keeps
+    the pair space linear at scale)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.blocked_neardup_pairs(e, 0.35)
+
+
+@_q("embed_ann_lsh", "pipeline", None)  # LSH planes not SQL-reproducible
+def embed_ann_lsh(spark, sf_dir):
+    """ANN via random-hyperplane LSH (bucket equi-join + exact re-rank).
+    Recall vs brute force is property-tested in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+@_q(
+    "multimodal_meta",
+    "pipeline",
+    """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       (ascii(substr(text, 1, 1)) % 64 + 1) AS width,
+       (ascii(substr(text, length(text), 1)) % 64 + 1) AS height
+FROM documents
+""",
+)
+def multimodal_meta(spark, sf_dir):
+    """Typed metadata over an opaque binary payload column (schema plumbing
+    for image/audio/video; real decode is stubbed — see functions/multimodal)."""
+    from fluxdb_spark.functions.multimodal import with_binary_payload
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        (F.ascii(F.substring("text", 1, 1)) % 64 + 1).alias("width"),
+        (F.ascii(F.col("text").substr(F.length("text"), F.lit(1))) % 64 + 1).alias(
+            "height"
+        ),
+    )
+
+
+@_q("multimodal_decode", "pipeline", None)  # mapInPandas stub, rows-only
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched decode->metadata via mapInPandas (stubbed decoder)."""
+    from fluxdb_spark.functions.multimodal import (
+        decode_metadata,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return decode_metadata(d)
+
+
+@_q("multimodal_frames", "pipeline", None)  # binary frames, rows-only
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling over binary payloads via mapInPandas."""
+    from fluxdb_spark.functions.multimodal import (
+        frame_sample,
+        with_binary_payload,
+    )
+
+    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    return frame_sample(d).select(
+        "doc_id", "frame_idx", F.octet_length("frame_bytes").alias("n_bytes")
+    )
+
+
+# =========================================================================
+# 4. Structured Streaming (the ingest path run as a stream)
+# =========================================================================
+
+
+@_q(
+    "stream_tumbling",
+    "streaming",
+    """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark, sf_dir):
+    """The tumbling-hourly aggregate computed through Structured Streaming
+    (file source -> availableNow trigger -> memory sink), oracle-checked
+    against the batch SQL answer."""
+    import uuid
+
+    from fluxdb_spark.sources.tables import load_table
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    agg = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

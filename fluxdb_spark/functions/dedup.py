@@ -1,0 +1,292 @@
+"""Deduplication operators for the training-data pipeline layer.
+
+Scale design (the point of doing this on Spark):
+
+- exact dedup: hash-groupBy — one shuffle on a 60-bit content hash, map-side
+  combine keeps the shuffle at |distinct| rows;
+- n-gram Jaccard: shingle -> explode -> self-equi-join on shingle ->
+  group-count. The join is an equi-join on the shingle hash, so Spark
+  shuffles shingles once and never materializes the O(n^2) pair space —
+  only pairs that share at least one shingle appear;
+- MinHash + LSH: k independent 60-bit min-hashes per doc, banded into
+  (band_idx, h1, h2) bucket keys; candidate pairs come from an equi-join on
+  the bucket key (again: no cross join), then exact Jaccard verifies.
+
+Everything is built-in expressions (higher-order array functions) — no
+Python in the hot path — and every step is reproducible in DuckDB via the
+portable md5-based `hash60` (functions/hashing.py), so the whole pipeline is
+oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fluxdb_spark.functions.hashing import hash60, hash60_sql
+
+SHINGLE_WORDS = 3
+MINHASH_K = 8
+LSH_BANDS = 4  # rows-per-band = MINHASH_K // LSH_BANDS = 2
+
+
+def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
+    """Distinct n-word shingles of lowercased text (JVM-side transform)."""
+    toks = F.split(F.lower(text), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+    # guard docs shorter than n tokens (sequence would run backwards)
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_shingles_ctes(n: int = SHINGLE_WORDS, source: str = "documents") -> str:
+    """DuckDB twin of `word_shingles`, as CTEs producing `sh(doc_id, shingle)`
+    (one row per distinct shingle) and `shsize(doc_id, n)`."""
+    parts = ", ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM {source}),
+    shingle_lists AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - {n - 2}),
+                           i -> concat_ws(' ', {parts}))) AS shingles
+      FROM toks WHERE len(t) >= {n}),
+    sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingle_lists),
+    shsize AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def exploded_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col("text"))).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """All (d1 < d2) pairs with shingle-set Jaccard >= threshold.
+
+    The exploded shingle relation feeds three plan branches (two join sides
+    + the size agg); persist it so shingle construction runs once — at scale
+    this relation is the inverted index you would materialize anyway."""
+    sh = exploded_shingles(docs, id_col).persist()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("d1") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("d2") == F.col(f"sb.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def shingle_hash_chunks(shingle: Column, k: int = MINHASH_K) -> list[Column]:
+    """k 32-bit hashes per shingle from ceil(k/4) md5 evaluations: each md5
+    yields four 8-hex-char chunks. Hashing is the dominant cost of MinHash at
+    scale — this computes 2 digests per shingle instead of k."""
+    out: list[Column] = []
+    for d in range((k + 3) // 4):
+        digest = F.md5(
+            shingle if d == 0 else F.concat(F.lit(f"{d}|"), shingle)
+        )
+        for c in range(4):
+            if len(out) < k:
+                out.append(
+                    F.conv(F.substring(digest, 1 + 8 * c, 8), 16, 10).cast(
+                        "long"
+                    )
+                )
+    return out
+
+
+def sql_shingle_hash_chunks(expr: str, k: int = MINHASH_K) -> list[str]:
+    """DuckDB twin of `shingle_hash_chunks` (same bits)."""
+    out: list[str] = []
+    for d in range((k + 3) // 4):
+        digest = f"md5({expr})" if d == 0 else f"md5(concat('{d}|', {expr}))"
+        for c in range(4):
+            if len(out) < k:
+                out.append(
+                    f"CAST(concat('0x', substr({digest}, {1 + 8 * c}, 8)) AS BIGINT)"
+                )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id"
+) -> DataFrame:
+    """k 32-bit min-hashes per doc as columns sig0..sig{k-1}.
+
+    Hashes the corpus's *distinct* shingles once (typically ~10x fewer rows
+    than shingle occurrences), joins back, and min-aggregates with map-side
+    combine — the shuffle carries |docs| signature rows."""
+    with_sh = docs.select(
+        F.col(id_col), word_shingles(F.col("text")).alias("shingles")
+    )
+    return _signatures_from_arrays(with_sh, k, id_col)
+
+
+def _signatures_from_arrays(
+    with_sh: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id"
+) -> DataFrame:
+    """minhash_signatures over a pre-built (id, shingles array) relation."""
+    sh = with_sh.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    chunks = shingle_hash_chunks(F.col("shingle"), k)
+    hashes = (
+        sh.select("shingle")
+        .distinct()
+        .select("shingle", *[c.alias(f"h{i}") for i, c in enumerate(chunks)])
+    )
+    return (
+        sh.join(hashes, on="shingle")
+        .groupBy(id_col)
+        .agg(*[F.min(f"h{i}").alias(f"sig{i}") for i in range(k)])
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band bucket.
+
+    Buckets are the tuple (band_idx, sig values of the band) — an equi-join
+    key, so candidates come out of a shuffle on bucket, never a cross join.
+    """
+    rows_per_band = k // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[
+                    F.col(f"sig{b * rows_per_band + r}").alias(f"h{r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    # |docs| x (k+1) — tiny; persist so the self-join doesn't recompute the
+    # whole hash->min pipeline on both sides.
+    banded = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("bucket")
+    ).persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: LSH candidates, then exact-Jaccard
+    verification of ONLY those candidates.
+
+    Verification joins the candidate pairs back to the per-doc shingle
+    *arrays* and scores with array_intersect/array_union — O(|candidates|)
+    work, never the all-pairs shingle join. At scale this is the whole point
+    of LSH: the shuffle carries |docs| signatures + |candidates| pairs.
+    """
+    with_sh = docs.select(
+        F.col(id_col), word_shingles(F.col("text")).alias("shingles")
+    ).persist()
+    sigs = _signatures_from_arrays(with_sh, k, id_col)
+    cands = lsh_candidate_pairs(sigs, k, bands, id_col)
+    s1 = with_sh.select(
+        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1")
+    )
+    s2 = with_sh.select(
+        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2")
+    )
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    return (
+        cands.join(s1, on="d1")
+        .join(s2, on="d2")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint over tokens: bit b is set iff more token-hashes
+    have bit b set than not (tie -> 0). Pure aggregation — map-side combine,
+    one shuffle of 'bits' partial counts per doc."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    ).withColumn("h", hash60(F.col("token")))
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+        ).alias(f"c{b}")
+        for b in range(bits)
+    ]
+    counted = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return counted.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def sql_simhash(bits: int = 32) -> str:
+    """DuckDB twin of `simhash` (FROM documents; doc_id/text columns)."""
+    h = hash60_sql("token")
+    sums = ", ".join(
+        f"sum(CASE WHEN ({h} & {1 << b}) != 0 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    counted AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM counted
+    """

@@ -1,0 +1,42 @@
+"""The local replica of the driver's correctness gate: every catalog entry
+with an oracle must hash-match DuckDB at sf0.001; rows-only entries must at
+least run and return rows."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from fluxdb_spark.catalog import catalog
+from tools.check_entry import TABLES, result_hash
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect(":memory:")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+SPECS = {s.name: s for s in catalog()}
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(spark, duck, name):
+    spec = SPECS[name]
+    df = spec.spark(spark, SF_DIR)
+    rows = [tuple(r) for r in df.collect()]
+    if spec.oracle is None:
+        assert len(rows) > 0, f"{name}: rows-only query returned nothing"
+        return
+    res = duck.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert sorted(df.columns) == sorted(d_cols), f"{name}: schema mismatch"
+    assert result_hash(df.columns, rows) == result_hash(d_cols, d_rows), (
+        f"{name}: value hash mismatch ({len(rows)} vs {len(d_rows)} rows)"
+    )
