@@ -1206,3 +1206,202 @@ def stream_tumbling(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# =========================================================================
+# 5. Extended relational coverage (grouping sets, semi/anti joins, stats,
+#    ranking windows, percentiles, subqueries, typed-view decoding)
+# =========================================================================
+
+
+@_q(
+    "grouping_sets",
+    "relational",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (flag-only, status-only, grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@_q(
+    "semi_anti_join",
+    "relational",
+    """
+SELECT 'with_orders' AS tag, count(*) AS n FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'without_orders' AS tag, count(*) AS n FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def semi_anti_join(spark, sf_dir):
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return spark.createDataFrame(
+        [("with_orders", semi.count()), ("without_orders", anti.count())],
+        "tag string, n long",
+    )
+
+
+@_q(
+    "stats_aggs",
+    "relational",
+    """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def stats_aggs(spark, sf_dir):
+    """Statistical aggregates (sample stddev/variance, corr, covar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@_q(
+    "window_ranks",
+    "relational",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER w AS BIGINT) AS rn,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order
+FROM orders
+WHERE o_custkey < 10
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_ranks(spark, sf_dir):
+    """Ranking / navigation window functions."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 10)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@_q(
+    "percentiles",
+    "relational",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def percentiles(spark, sf_dir):
+    """Exact continuous percentiles (interpolated, both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@_q(
+    "scalar_subquery",
+    "relational",
+    """
+SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def scalar_subquery(spark, sf_dir):
+    """Scalar subquery in a predicate."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        FROM orders_sq
+        WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_sq)
+        """
+    )
+
+
+@_q(
+    "typed_view_decode",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE}
+SELECT tablet_id, height,
+       CAST(json_extract_string(value, '$.k') AS BIGINT) AS k
+FROM changelog WHERE tablet_id = 'signup' AND height <= 300
+""",
+)
+def typed_view_decode(spark, sf_dir):
+    """Typed-view layer: a registered collection decoder turns the opaque
+    `value` into typed columns (registry.typed_view; the point where this
+    engine exceeds the reference, which never looks inside values)."""
+    from pyspark.sql import types as T
+
+    from fluxdb_spark.registry import Collection, default_registry
+
+    reg = default_registry()
+    reg.register(
+        Collection(
+            0x0001,
+            "evt",
+            decoder=lambda v: F.from_json(
+                v, T.StructType([T.StructField("k", T.LongType())])
+            ),
+        )
+    )
+    log = changelog_from_events(_t(spark, sf_dir, "events")).filter(
+        (F.col("tablet_id") == "signup") & (F.col("height") <= 300)
+    )
+    return reg.typed_view(log, "evt").select(
+        "tablet_id", "height", F.col("decoded.k").alias("k")
+    )
