@@ -20,7 +20,7 @@ Nothing here is a port: the reference (Go, ~6.3k LoC) is cited in docstrings
 only to pin down *semantics* (reference file:line), never implementation.
 """
 
-from fluxdb_spark.session import get_spark
+from fluxdb_spark.session import get_spark, spread
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "spread"]
 __version__ = "0.1.0"

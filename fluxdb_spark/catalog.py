@@ -32,6 +32,7 @@ from fluxdb_spark.sources.changelog import (
     singlet_log_from_events,
 )
 from fluxdb_spark.sources.tables import load_table
+from fluxdb_spark.session import spread
 
 
 @dataclass(frozen=True)
@@ -59,6 +60,13 @@ def catalog() -> list[QuerySpec]:
 
 def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
+
+
+def _td(spark, sf_dir, name="documents"):
+    """Reader for CPU-heavy pipeline inputs: `spread` splits a small
+    single-row-group scan across cores (no-op when the scan is already
+    parallel, i.e. at real scale)."""
+    return spread(load_table(spark, sf_dir, name))
 
 
 # =========================================================================
@@ -865,7 +873,7 @@ FROM documents
 )
 def text_stats(spark, sf_dir):
     """Token counting + basic text statistics (JVM-side expressions only)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select(
         "doc_id",
         tx.token_count(F.col("text")).alias("n_tokens"),
@@ -890,7 +898,7 @@ FROM documents
 )
 def text_quality(spark, sf_dir):
     """Quality scoring + language-ID heuristic."""
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select(
         "doc_id",
         "lang",
@@ -908,7 +916,7 @@ FROM documents GROUP BY 1
 """,
 )
 def lang_distribution(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.groupBy(tx.lang_id(F.col("text")).alias("lang_pred")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -929,7 +937,7 @@ FROM documents
 def doc_fingerprint(spark, sf_dir):
     """Content fingerprints: md5, 60-bit hash, and min-8-gram rolling-window
     fingerprint (the winnowing building block) — all JVM-side."""
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     idx = F.sequence(F.lit(1), F.length("text") - 7, F.lit(1))
     min_gram = F.array_min(
         F.transform(idx, lambda i: hash60(F.col("text").substr(i, F.lit(8))))
@@ -953,7 +961,7 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy with map-side combine; keeps min doc_id."""
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return (
         d.groupBy(hash60(F.col("text")).alias("content_hash"))
         .agg(
@@ -1118,7 +1126,7 @@ def multimodal_meta(spark, sf_dir):
     for image/audio/video; real decode is stubbed — see functions/multimodal)."""
     from fluxdb_spark.functions.multimodal import with_binary_payload
 
-    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    d = with_binary_payload(_td(spark, sf_dir))
     return d.select(
         "doc_id",
         F.octet_length("payload").alias("n_bytes"),
@@ -1137,7 +1145,7 @@ def multimodal_decode(spark, sf_dir):
         with_binary_payload,
     )
 
-    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    d = with_binary_payload(_td(spark, sf_dir))
     return decode_metadata(d)
 
 
@@ -1149,7 +1157,7 @@ def multimodal_frames(spark, sf_dir):
         with_binary_payload,
     )
 
-    d = with_binary_payload(_t(spark, sf_dir, "documents"))
+    d = with_binary_payload(_td(spark, sf_dir))
     return frame_sample(d).select(
         "doc_id", "frame_idx", F.octet_length("frame_bytes").alias("n_bytes")
     )
@@ -1174,8 +1182,6 @@ def stream_tumbling(spark, sf_dir):
     (file source -> availableNow trigger -> memory sink), oracle-checked
     against the batch SQL answer."""
     import uuid
-
-    from fluxdb_spark.sources.tables import load_table
 
     raw = (
         spark.readStream.schema(

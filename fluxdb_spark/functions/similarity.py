@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fluxdb_spark.session import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -46,7 +48,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
@@ -74,7 +76,7 @@ def blocked_neardup_pairs(
     """Embedding near-dup pairs within equi-join blocks (here: `label`) —
     the blocked form of cosine dedup: the block key keeps the pair space
     linear-ish instead of O(n^2)."""
-    a = corpus.select(
+    a = spread(corpus).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("v1"),
@@ -127,7 +129,7 @@ def lsh_topk(
     Approximate: recall vs `brute_force_topk` is property-tested, not
     oracle-hashed (the bucketing is not SQL-reproducible)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         lsh_signature(F.col(vec_col), planes).alias("bucket"),

@@ -12,6 +12,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def spread(df, min_partitions: int | None = None):
+    """Ensure `df` has enough partitions for CPU-bound per-row work.
+
+    Small local parquet files (one row group) scan as a single task, which
+    serializes expression-heavy operators (shingling, hashing, cosine) onto
+    one core. Repartition up to the session's default parallelism ONLY when
+    the scan is narrower than that — on a real cluster a 100-TB input
+    already arrives in thousands of splits and this is a no-op, so no shuffle
+    is added at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "fluxdb_spark",
     master: str | None = None,
