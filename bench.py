@@ -25,6 +25,9 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q18",
     "region_revenue",
     "asof_join",
     "sessionization",

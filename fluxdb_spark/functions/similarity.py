@@ -114,33 +114,165 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return bits.cast("long")
 
 
+def _lsh_buckets(
+    vec: Column, tables: list[list[list[float]]]
+) -> Column:
+    """array<struct<tbl,bucket>> — one sign-bit bucket per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_signature(vec, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN via random-hyperplane LSH: bucket equi-join + exact re-rank.
+    """ANN via MULTI-TABLE random-hyperplane LSH: `n_tables` independent
+    sign-bit hash tables; a corpus vector is a candidate if it collides with
+    the query in ANY table (the standard OR-amplification — one table alone
+    is too selective for useful recall). Candidates equi-join on
+    (table, bucket), exact cosine re-ranks.
 
-    Approximate: recall vs `brute_force_topk` is property-tested, not
-    oracle-hashed (the bucketing is not SQL-reproducible)."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    Approximate: recall vs `brute_force_topk` is property-tested
+    (tests/test_similarity.py), not oracle-hashed (the bucketing is not
+    SQL-reproducible)."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    c = (
+        spread(corpus)
+        .select(
+            F.col(id_col).alias("match_id"),
+            F.col(vec_col).alias("cvec"),
+            F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
+        )
+        .select("match_id", "cvec", "tb.tbl", "tb.bucket")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
+        )
+        .select("query_id", "qvec", "tb.tbl", "tb.bucket")
+    )
+    # a pair colliding in several tables must score once: distinct first
+    cand = (
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select("query_id", "qvec", "match_id", "cvec")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cand.withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )
+
+
+def _kmeans_centroids(
+    sample: list[list[float]], k: int, iters: int = 5, seed: int = 42
+) -> list[list[float]]:
+    """Tiny driver-side k-means over a bounded sample (numpy, fixed seed) —
+    the coarse quantizer training step of IVF. The sample is O(k) rows no
+    matter the corpus size, so collecting it is scale-safe."""
+    import numpy as np
+
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.tolist()
+
+
+def _centroid_scores(vec: Column, cents: list[list[float]]) -> Column:
+    """array<struct<score,idx>> of -||v-c||^2 (up to a v-only constant):
+    v.c - ||c||^2/2 per centroid, as pure JVM expressions."""
+    entries = []
+    for i, c in enumerate(cents):
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        bias = float(sum(x * x for x in c) / 2.0)
+        entries.append(
+            F.struct(
+                (dot(vec, lit_c) - F.lit(bias)).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 512,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization: k-means centroids on
+    a bounded sample, corpus partitioned into centroid cells in one map
+    stage, each query probes its `n_probe` nearest cells, exact cosine
+    re-ranks the cell candidates.
+
+    The scale path: the corpus is scanned once to assign cells (centroids are
+    plan literals — broadcast for free), and per-query work is
+    |corpus| * n_probe / n_centroids instead of |corpus|. Approximate, so
+    recall vs `brute_force_topk` is property-tested (tests/test_similarity.py)
+    rather than oracle-hashed."""
+    sample_rows = (
+        corpus.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    cents = _kmeans_centroids([r[0] for r in sample_rows], n_centroids, seed=seed)
+
+    best_cell = F.sort_array(
+        _centroid_scores(F.col(vec_col), cents), False
+    )[0]["idx"]
     c = spread(corpus).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        best_cell.alias("cell"),
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.sort_array(_centroid_scores(F.col(vec_col), cents), False),
+            1,
+            n_probe,
+        ),
+        lambda s: s["idx"],
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        F.explode(probe_cells).alias("cell"),
     )
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on="cell")
         .filter(F.col("match_id") != F.col("query_id"))
         .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
     )

@@ -1,3 +1,4 @@
 from fluxdb_spark.streaming.ingest import IngestPipeline
+from fluxdb_spark.streaming.stateful import sessionize_stream
 
-__all__ = ["IngestPipeline"]
+__all__ = ["IngestPipeline", "sessionize_stream"]

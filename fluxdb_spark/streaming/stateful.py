@@ -1,0 +1,128 @@
+"""Custom stateful streaming operators (`applyInPandasWithState`).
+
+The reference's only stateful streaming operator is the fork-aware
+ProcessBlock handler (pipeline.go:330-439), covered by streaming/ingest.py.
+This module supplies the *general* arbitrary-state surface the Spark build
+exposes beyond the reference (SURVEY §2.6 "stateful ops" row): per-key
+session state carried across micro-batches in a GroupState, the pattern the
+built-in windowed aggregates can't express.
+
+Scale notes: the grouped stream shuffles once on the key; state lives in the
+executor state store (RocksDB on a real cluster), sized O(|active keys|) —
+one small fixed-width tuple per user here. The per-group pandas fold is
+vectorized (cumsum over gap flags), not row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+# (last_us, open_session_events, closed_sessions, closed_max, total_events)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("cur_n", LongType()),
+        StructField("closed", LongType()),
+        StructField("closed_max", LongType()),
+        StructField("total", LongType()),
+    ]
+)
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("max_session_events", LongType()),
+        StructField("avg_session_events", DoubleType()),
+    ]
+)
+
+
+def _round_half_up(x: float, digits: int = 4) -> float:
+    scale = 10**digits
+    return math.floor(x * scale + 0.5) / scale
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    last_us, cur_n, closed, closed_max, total = (
+        state.get if state.exists else (None, 0, 0, 0, 0)
+    )
+    rows = pd.concat(list(pdfs)).sort_values(["us", "event_id"])
+    if len(rows):
+        us = rows["us"].to_numpy()
+        prev = rows["us"].shift(1)
+        prev.iloc[0] = last_us if last_us is not None else float("nan")
+        gaps = prev.isna().to_numpy() | (
+            (us - prev.to_numpy()) > SESSION_GAP_US
+        )
+        # ordered run lengths between session starts (vectorized fold)
+        seg_sizes = (
+            pd.Series(1, index=rows.index).groupby(gaps.cumsum()).sum()
+        )
+        starts_new = gaps[0]
+        for i, cnt in enumerate(seg_sizes):
+            if i == 0 and not starts_new:
+                cur_n += int(cnt)
+            else:
+                if cur_n > 0:
+                    closed += 1
+                    closed_max = max(closed_max, cur_n)
+                cur_n = int(cnt)
+        total += len(rows)
+        last_us = int(us[-1])
+    state.update((last_us, cur_n, closed, closed_max, total))
+    n_sessions = closed + (1 if cur_n > 0 else 0)
+    if n_sessions == 0:
+        return
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "max_session_events": [max(closed_max, cur_n)],
+            "avg_session_events": [_round_half_up(total / n_sessions)],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user 30-min-gap session stats over a *streaming* events frame.
+
+    Emits, per micro-batch and per active user, the user's cumulative
+    (n_sessions, max_session_events, avg_session_events) — identical to the
+    batch `sessionization` catalog query once the stream is drained, which is
+    exactly how it is oracle-checked. The open session is counted (as the
+    batch form does); it simply keeps extending in state until a later batch
+    crosses the gap.
+    """
+    assert gap_minutes == 30, "gap is fixed to match the oracle query"
+    prepared = events.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

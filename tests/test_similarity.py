@@ -1,0 +1,102 @@
+"""Similarity-search operators: exactness of the brute-force baseline and
+recall properties of the approximate (LSH / IVF) scale paths.
+
+The approximate operators can't be oracle-hashed (their bucketing isn't
+SQL-reproducible), so this file is their correctness gate: recall@k against
+`brute_force_topk` on the driver-generated embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluxdb_spark.functions import similarity as sim
+from fluxdb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 10
+N_QUERIES = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return load_table(spark, SF, "embeddings").persist()
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("vec_id") < N_QUERIES)
+
+
+@pytest.fixture(scope="module")
+def exact(corpus, queries):
+    out = sim.brute_force_topk(corpus, queries, k=K).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.match_id)
+    return by_q
+
+
+def _recall(approx_rows, exact_by_q) -> float:
+    by_q: dict[int, set[int]] = {}
+    for r in approx_rows:
+        by_q.setdefault(r.query_id, set()).add(r.match_id)
+    recs = [
+        len(by_q.get(q, set()) & hits) / len(hits)
+        for q, hits in exact_by_q.items()
+    ]
+    return sum(recs) / len(recs)
+
+
+class TestBruteForce:
+    def test_topk_is_exact_and_ranked(self, corpus, queries, exact):
+        rows = sim.brute_force_topk(corpus, queries, k=K).collect()
+        assert len(rows) == N_QUERIES * K
+        for q in range(N_QUERIES):
+            ranked = sorted(
+                (r for r in rows if r.query_id == q), key=lambda r: r.rank
+            )
+            scores = [r.score for r in ranked]
+            assert scores == sorted(scores, reverse=True)
+            assert all(r.match_id != q for r in ranked)
+
+    def test_cosine_self_is_one(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0, 3.0],)], "v array<double>"
+        ).select(sim.cosine(F.col("v"), F.col("v")).alias("c"))
+        assert df.first().c == 1.0
+
+
+class TestLsh:
+    def test_recall_vs_brute_force(self, corpus, queries, exact):
+        rows = sim.lsh_topk(corpus, queries, k=K).collect()
+        assert _recall(rows, exact) >= 0.3  # 8 planes -> 256 buckets on 200 vecs
+
+    def test_scores_are_exact_for_returned_pairs(self, corpus, queries, exact):
+        # approximate in WHICH pairs come back, exact in their scores
+        bf = {
+            (r.query_id, r.match_id): r.score
+            for r in sim.brute_force_topk(corpus, queries, k=2000).collect()
+        }
+        for r in sim.lsh_topk(corpus, queries, k=K).collect():
+            assert bf[(r.query_id, r.match_id)] == r.score
+
+
+class TestIvf:
+    def test_recall_vs_brute_force(self, corpus, queries, exact):
+        rows = sim.ivf_topk(
+            corpus, queries, k=K, n_centroids=8, n_probe=4
+        ).collect()
+        assert _recall(rows, exact) >= 0.5  # probing half the cells
+
+    def test_full_probe_equals_brute_force(self, corpus, queries, exact):
+        # probing EVERY cell must recover the exact answer set
+        rows = sim.ivf_topk(
+            corpus, queries, k=K, n_centroids=8, n_probe=8
+        ).collect()
+        assert _recall(rows, exact) == 1.0
+
+    def test_deterministic(self, corpus, queries):
+        a = sorted(map(tuple, sim.ivf_topk(corpus, queries, k=K).collect()))
+        b = sorted(map(tuple, sim.ivf_topk(corpus, queries, k=K).collect()))
+        assert a == b

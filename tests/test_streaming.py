@@ -121,3 +121,70 @@ class TestEngineOverlay:
         p.process_new_block("b2", 2, "b1", [clrow("tbl", 2, "001", "v2", "b2")])
         blk = p.forkdb.block("b2")
         assert blk is not None and blk.ref.num == 2
+
+
+class TestStatefulSessionize:
+    """applyInPandasWithState sessionization (streaming/stateful.py)."""
+
+    def test_matches_batch_sessionization(self, spark):
+        from fluxdb_spark.catalog import catalog
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.user_id: (r.n_sessions, r.max_session_events, r.avg_session_events)
+            for r in specs["stream_sessionize"].spark(spark, sf).collect()
+        }
+        want = {
+            r.user_id: (r.n_sessions, r.max_session_events, r.avg_session_events)
+            for r in specs["sessionization"].spark(spark, sf).collect()
+        }
+        assert got == want
+
+    def test_state_carries_across_batches(self):
+        """Feed the group fold two successive 'micro-batches' and check the
+        open session is continued, not restarted."""
+        import pandas as pd
+
+        from fluxdb_spark.streaming.stateful import (
+            SESSION_GAP_US,
+            _sessionize_group,
+        )
+
+        class FakeState:
+            def __init__(self):
+                self.exists = False
+                self._t = None
+
+            @property
+            def get(self):
+                return self._t
+
+            def update(self, t):
+                self._t = t
+                self.exists = True
+
+        st = FakeState()
+        mk = lambda uss: pd.DataFrame(
+            {"user_id": 7, "event_id": range(len(uss)), "us": uss}
+        )
+        # batch 1: two events 1 min apart -> one open session
+        out1 = list(_sessionize_group((7,), iter([mk([0, 60_000_000])]), st))
+        assert out1[0].iloc[0].to_dict() == {
+            "user_id": 7,
+            "n_sessions": 1,
+            "max_session_events": 2,
+            "avg_session_events": 2.0,
+        }
+        # batch 2: one event inside the gap (continues), one far beyond (new)
+        out2 = list(
+            _sessionize_group(
+                (7,),
+                iter([mk([60_000_000 + 1000, 60_000_000 + SESSION_GAP_US * 2])]),
+                st,
+            )
+        )
+        row = out2[0].iloc[0].to_dict()
+        assert row["n_sessions"] == 2
+        assert row["max_session_events"] == 3
+        assert row["avg_session_events"] == 2.0
