@@ -1,0 +1,105 @@
+"""Physical-plan invariants: the properties that make the operators hold up
+at 100 TB, asserted on `.explain("formatted")` output so a regression that
+silently de-optimizes a plan (lost pushdown, lost broadcast, Python in a hot
+path) fails CI rather than only showing up as a slow cluster.
+
+What is asserted and why it matters at scale:
+
+- PushedFilters reaching the parquet scan => row-group skipping does the
+  pruning, not Spark;
+- ReadSchema pruned to used columns => a 100-TB scan reads only the bytes
+  the query needs;
+- BroadcastHashJoin on dimension joins => no shuffle of the fact table
+  against small sides;
+- no BatchEvalPython / ArrowEvalPython in expression-only operators => the
+  hot path stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from fluxdb_spark.catalog import catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return {s.name: s for s in catalog()}
+
+
+def plan_of(spark, specs, name: str) -> str:
+    df = specs[name].spark(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestPushdownAndPruning:
+    def test_q6_predicates_reach_scan(self, spark, specs):
+        p = plan_of(spark, specs, "tpch_q6")
+        pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+        assert pushed and "l_shipdate" in pushed[0]
+        assert "GreaterThanOrEqual(l_discount,0.05)" in pushed[0]
+
+    def test_q6_column_pruning(self, spark, specs):
+        p = plan_of(spark, specs, "tpch_q6")
+        read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+        assert "l_extendedprice" in read
+        # untouched wide columns must NOT be read
+        assert "l_returnflag" not in read and "l_orderkey" not in read
+
+    def test_temporal_read_pushes_through_changelog_view(self, spark, specs):
+        """state_at's (tablet, height) predicates must reach the raw events
+        scan even though the query is written against the derived changelog
+        view — this is what replaces the reference's key-range scans
+        (read.go:52-53) with data skipping."""
+        p = plan_of(spark, specs, "flux_state_at")
+        pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+        assert "EqualTo(event_type,click)" in pushed
+        assert "LessThanOrEqual(event_id,700)" in pushed
+
+
+class TestJoinStrategy:
+    @pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5", "tpch_q10"])
+    def test_dimension_joins_broadcast(self, spark, specs, name):
+        assert "BroadcastHashJoin" in plan_of(spark, specs, name)
+
+    def test_semi_join_for_in_subquery(self, spark, specs):
+        p = plan_of(spark, specs, "tpch_q18")
+        assert "LeftSemi" in p
+
+    def test_anti_join_for_not_exists(self, spark, specs):
+        p = plan_of(spark, specs, "tpch_q22")
+        assert "LeftAnti" in p
+
+
+class TestNoPythonInHotPath:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "tpch_q1",
+            "flux_state_at",
+            "text_stats",
+            "text_quality",
+            "dedup_simhash",
+            "dedup_exact",
+            "embed_topk",
+            "doc_fingerprint",
+        ],
+    )
+    def test_expression_only(self, spark, specs, name):
+        p = plan_of(spark, specs, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_codegen_covers_q1(self, spark, specs):
+        df = specs["tpch_q1"].spark(spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+        assert "WholeStageCodegen" in buf.getvalue()
