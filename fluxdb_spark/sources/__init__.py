@@ -5,6 +5,11 @@ from fluxdb_spark.sources.changelog import (
     CHANGELOG_CTE,
     SINGLET_CTE,
 )
+from fluxdb_spark.sources.blocks import (
+    parse_json_blocks,
+    map_blocks_with_pandas,
+    BLOCK_PAYLOAD_SCHEMA,
+)
 
 __all__ = [
     "load_table",
@@ -13,4 +18,7 @@ __all__ = [
     "singlet_log_from_events",
     "CHANGELOG_CTE",
     "SINGLET_CTE",
+    "parse_json_blocks",
+    "map_blocks_with_pandas",
+    "BLOCK_PAYLOAD_SCHEMA",
 ]
