@@ -89,11 +89,20 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All (d1 < d2) pairs with shingle-set Jaccard >= threshold.
 
-    The exploded shingle relation feeds three plan branches (two join sides
-    + the size agg); persist it so shingle construction runs once — at scale
-    this relation is the inverted index you would materialize anyway."""
-    sh = exploded_shingle_hashes(spread(docs), id_col).persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    Per-doc set sizes come straight from the (already-distinct) shingle
+    arrays with `F.size` — no aggregation branch at all; only the
+    intersection counts need a shuffle (the shingle-hash self-join). The
+    persisted per-doc shingle relation is the inverted index you would
+    materialize anyway at scale."""
+    with_sh = (
+        spread(docs)
+        .select(F.col(id_col), word_shingles(F.col("text")).alias("shingles"))
+        .persist()
+    )
+    sh = with_sh.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).select(F.col(id_col), F.xxhash64("s").alias("shingle"))
+    sizes = with_sh.select(F.col(id_col), F.size("shingles").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
