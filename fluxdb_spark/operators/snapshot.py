@@ -75,14 +75,18 @@ def build_tablet_index(
             scoped.select("primary_key", "height", "is_deletion")
         )
     live = folded.filter(~F.col("is_deletion"))
-    squelch = scoped.count()  # rows a reader can now skip (reference SquelchCount)
-    return live.select(
+    # rows a reader can now skip (reference SquelchCount) — computed as a
+    # lazy 1-row agg broadcast into the plan, NOT an eager .count() job
+    squelch = scoped.agg(
+        F.count(F.lit(1)).cast("long").alias("squelch_count")
+    )
+    return live.crossJoin(F.broadcast(squelch)).select(
         F.lit(collection).alias("collection"),
         F.lit(tablet_id).alias("tablet_id"),
         F.lit(at_height).cast("long").alias("snapshot_height"),
         "primary_key",
         "height",
-        F.lit(squelch).cast("long").alias("squelch_count"),
+        "squelch_count",
     )
 
 
