@@ -124,6 +124,7 @@ class ChangelogStore:
             F.max("height").alias("hi"),
             F.max_by("block_id", F.col("height")).alias("block_id"),
             F.max("block_num").alias("block_num"),
+            F.count(F.lit(1)).alias("n"),
         ).collect()[0]
         if bounds.lo is None:
             return ckpt if ckpt is not None else Checkpoint(-1, None, None)
@@ -134,9 +135,18 @@ class ChangelogStore:
                 f"hole detected: batch starts at height {bounds.lo} but "
                 f"checkpoint is at {ckpt.height}"
             )
+        # File sizing: streaming micro-batches (reference flushes at 5,000
+        # rows, pipeline.go:374-382) land as one height-sorted file; large
+        # backfill batches scale out to ~500K-row files clustered by
+        # tablet_id so per-tablet temporal reads touch few files.
+        n_files = max(1, min(64, -(-int(bounds.n) // 500_000)))
+        clustered = (
+            rows.repartition(n_files, "tablet_id")
+            if n_files > 1
+            else rows.repartition(1)
+        )
         (
-            rows.repartition(1)
-            .sortWithinPartitions("collection", "tablet_id", "height")
+            clustered.sortWithinPartitions("collection", "tablet_id", "height")
             .write.mode("append")
             .partitionBy("collection")
             .parquet(self._data_dir)
