@@ -118,11 +118,17 @@ def state_at_with_index(
         on=["primary_key", "height"],
         how="inner",
     )
-    snapshot_height = F.col("snapshot_height")
-    delta = scoped.join(
-        F.broadcast(idx.select("snapshot_height").distinct()), how="cross"
-    ).filter(
-        (F.col("height") > snapshot_height)
+    # The delta lower bound must survive an EMPTY index (a tablet whose keys
+    # are all tombstoned at the index height has an index with no rows): a
+    # 1-row agg with a -1 fallback makes the read degrade to the full scan,
+    # exactly the reference's no-index path (read.go:47-53).
+    snap_h = idx.agg(
+        F.coalesce(F.max("snapshot_height"), F.lit(-1).cast("long")).alias(
+            "snapshot_height"
+        )
+    )
+    delta = scoped.join(F.broadcast(snap_h), how="cross").filter(
+        (F.col("height") > F.col("snapshot_height"))
         & (F.col("height") <= F.lit(height))
     )
     unioned = base.drop("snapshot_height").unionByName(

@@ -1,0 +1,142 @@
+"""Property-based equivalence tests (hypothesis) for the temporal core.
+
+The reference's semantics are pinned by example-based ports of its test
+matrix (test_temporal.py); these properties check the *algebraic* claims on
+randomized change-logs:
+
+- `state_at` == a naive per-key latest-<=H model (last-write-wins +
+  tombstones), for any log and any height;
+- snapshot-union-delta (`state_at_with_index`) == plain `state_at` for ANY
+  index height <= read height — the §7 "snapshot ⋃ delta ≡ full window
+  dedup" obligation;
+- `singlet_at` == the same model restricted to one key.
+
+Examples are kept small (each runs real Spark jobs) but the shapes are
+adversarial: duplicate heights per key are excluded (the reference keys rows
+by (height, pk); two writes to the same pk at the same height cannot exist,
+tablet.go:251-278)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fluxdb_spark.operators.snapshot import build_tablet_index, state_at_with_index
+from fluxdb_spark.operators.temporal import singlet_at, state_at
+from fluxdb_spark.schema import CHANGELOG_SCHEMA
+
+PKS = ["a", "b", "c"]
+HEIGHTS = list(range(1, 9))
+
+
+@st.composite
+def changelogs(draw):
+    """A random tablet history: per (pk, height) at most one row."""
+    cells = draw(
+        st.lists(
+            st.tuples(st.sampled_from(PKS), st.sampled_from(HEIGHTS)),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        )
+    )
+    rows = []
+    for pk, h in cells:
+        is_del = draw(st.booleans())
+        rows.append(
+            (
+                "tst",
+                "tab",
+                h,
+                pk,
+                None if is_del else f"v{h}{pk}",
+                is_del,
+                f"{h:08x}",
+                h,
+            )
+        )
+    return rows
+
+
+def model_state(rows, height):
+    """Naive last-write-wins + tombstone model."""
+    latest: dict[str, tuple] = {}
+    for r in sorted(rows, key=lambda r: r[2]):
+        if r[2] <= height:
+            latest[r[3]] = r
+    return {
+        r[3]: r[4] for r in latest.values() if not r[5]
+    }
+
+
+@pytest.fixture(scope="module")
+def mk_df(spark):
+    def f(rows):
+        return spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+
+    return f
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=changelogs(), height=st.sampled_from(HEIGHTS))
+def test_state_at_matches_model(mk_df, rows, height):
+    got = {
+        r.primary_key: r.value
+        for r in state_at(mk_df(rows), "tab", height, collection="tst").collect()
+    }
+    assert got == model_state(rows, height)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=changelogs(),
+    heights=st.tuples(
+        st.sampled_from(HEIGHTS), st.sampled_from(HEIGHTS)
+    ).map(sorted),
+)
+def test_snapshot_union_delta_equals_window_dedup(mk_df, rows, heights):
+    idx_h, read_h = heights
+    log = mk_df(rows)
+    idx = build_tablet_index(log, "tab", idx_h, collection="tst")
+    via_index = {
+        r.primary_key: r.value
+        for r in state_at_with_index(
+            log, idx, "tab", read_h, collection="tst"
+        ).collect()
+    }
+    plain = {
+        r.primary_key: r.value
+        for r in state_at(log, "tab", read_h, collection="tst").collect()
+    }
+    assert via_index == plain
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=changelogs(), height=st.sampled_from(HEIGHTS))
+def test_singlet_at_matches_model(mk_df, rows, height):
+    # treat each pk's history independently as a singlet keyed by tablet_id
+    singlet_rows = [
+        (r[0], f"sgl#{r[3]}", r[2], "", r[4], r[5], r[6], r[7]) for r in rows
+    ]
+    model = model_state(rows, height)
+    df = mk_df(singlet_rows)
+    for pk in PKS:
+        got = singlet_at(df, f"sgl#{pk}", height, collection="tst").collect()
+        if pk in model:
+            assert len(got) == 1 and got[0].value == model[pk]
+        else:
+            assert got == []

@@ -188,3 +188,48 @@ class TestStatefulSessionize:
         assert row["n_sessions"] == 2
         assert row["max_session_events"] == 3
         assert row["avg_session_events"] == 2.0
+
+
+class TestBindStream:
+    """bind_stream: Structured-Streaming micro-batches through the guarded
+    durable write path (S3/S9: checkpointed resume comes from the stream's
+    own checkpoint; the store checkpoint tracks the written heights)."""
+
+    def test_streamed_ingest_equals_batch(self, spark, tmp_path):
+        from fluxdb_spark.sources import changelog_from_events, load_table
+        from fluxdb_spark.store import ChangelogStore
+        from fluxdb_spark.streaming.ingest import IngestPipeline
+
+        sf = "/root/testdata/sf0.001"
+        store = ChangelogStore(spark, str(tmp_path / "store"))
+        pipe = IngestPipeline(store)
+
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf}/events.parquet").schema
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        q = pipe.bind_stream(
+            changelog_from_events(raw), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination()
+
+        batch = changelog_from_events(load_table(spark, sf, "events"))
+        want_max = batch.agg({"height": "max"}).first()[0]
+        assert store.checkpoint().height == want_max
+        assert pipe.forkdb.lib.num == want_max
+        assert store.changelog().count() == batch.count()
+        # temporal read over the streamed store == read over the batch log
+        from fluxdb_spark.operators import state_at
+
+        a = sorted(
+            (r.primary_key, r.height, r.value)
+            for r in state_at(store.changelog(), "click", 700).collect()
+        )
+        b = sorted(
+            (r.primary_key, r.height, r.value)
+            for r in state_at(batch, "click", 700).collect()
+        )
+        assert a == b
