@@ -1550,6 +1550,40 @@ WHERE v.jaccard >= 0.8
 """
 
 
+_CLUSTERS_SQL = f"""
+WITH {dd.sql_shingles_ctes()},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN shsize sa ON sa.doc_id = d1 JOIN shsize sb ON sb.doc_id = d2
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  -- transitive closure: component = min reachable node id
+  WITH RECURSIVE r(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach)
+  SELECT node, min(reach) AS component FROM r GROUP BY node)
+SELECT node AS doc_id, component FROM reach
+"""
+
+
+@_q("dedup_clusters", "pipeline", _CLUSTERS_SQL)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> dedup clusters via iterative min-label propagation
+    (distributed connected components); the DuckDB oracle computes the same
+    components with a recursive-CTE transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, 0.8)
+    return dd.connected_components(pairs)
+
+
 @_q("dedup_minhash_lsh", "pipeline", _minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(8) + LSH(4 bands x 2 rows) candidates, exact-Jaccard verified.

@@ -338,3 +338,84 @@ def sql_simhash(bits: int = 32) -> str:
     counted AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
     SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM counted
     """
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(d1, d2) near-dup pairs -> (doc_id, component) via iterative
+    min-label propagation — the step that turns pairwise matches into dedup
+    clusters with one canonical survivor (min doc id) each.
+
+    Each iteration is one join + one aggregate: every node adopts the
+    smallest label among itself and its neighbors. Converges in
+    O(diameter) iterations (near-dup clusters are small and dense, so
+    usually 2-3); iteration happens driver-side but ALL data stays
+    distributed — the loop only chains DataFrame ops and checks a scalar
+    convergence count. localCheckpoint() truncates the growing lineage so
+    plan size stays constant across iterations.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("component").alias("nbr_label")
+                ),
+                on="b",
+            )
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def dedup_survivors(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Full dedup decision: cluster the near-dup pairs, keep the min-id doc
+    of each cluster, pass through every unpaired doc. Returns (doc_id, keep,
+    component)."""
+    comp = connected_components(pairs)
+    keep_flag = (F.col("component") == F.col(id_col)).alias("keep")
+    clustered = comp.select(F.col("doc_id"), F.col("component")).withColumn(
+        "keep", keep_flag
+    )
+    unpaired = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, on="doc_id", how="left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component"),
+            F.lit(True).alias("keep"),
+        )
+    )
+    return clustered.unionByName(unpaired)

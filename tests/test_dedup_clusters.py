@@ -1,0 +1,62 @@
+"""Connected-components dedup clustering (functions/dedup.py): iterative
+min-label propagation vs a local union-find reference, plus survivor
+selection semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluxdb_spark.functions.dedup import connected_components, dedup_survivors
+
+
+def union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+CASES = [
+    [(1, 2)],
+    [(1, 2), (2, 3), (4, 5)],
+    [(1, 2), (3, 4), (2, 3)],  # chain merging two clusters
+    [(10, 1), (9, 2), (1, 9)],  # min label must traverse
+    [(i, i + 1) for i in range(1, 12)],  # long path (tests iteration depth)
+]
+
+
+@pytest.mark.parametrize("pairs", CASES)
+def test_matches_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {
+        r.doc_id: r.component for r in connected_components(df).collect()
+    }
+    assert got == union_find(pairs)
+
+
+def test_survivors(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "d1 long, d2 long")
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long"
+    )
+    out = {r.doc_id: (r.component, r.keep) for r in
+           dedup_survivors(pairs, docs).collect()}
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        5: (5, True),   # unpaired doc passes through
+        7: (7, True),
+        9: (7, False),
+    }
