@@ -1,4 +1,10 @@
 from fluxdb_spark.streaming.ingest import IngestPipeline
 from fluxdb_spark.streaming.stateful import sessionize_stream
+from fluxdb_spark.streaming.metrics import IngestMetricsListener, observe_ingest
 
-__all__ = ["IngestPipeline", "sessionize_stream"]
+__all__ = [
+    "IngestPipeline",
+    "sessionize_stream",
+    "IngestMetricsListener",
+    "observe_ingest",
+]

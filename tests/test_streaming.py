@@ -233,3 +233,59 @@ class TestBindStream:
             for r in state_at(batch, "click", 700).collect()
         )
         assert a == b
+
+
+class TestIngestMetrics:
+    """Observed metrics + listener (streaming/metrics.py): the reference's
+    head-block-number / drift metrics and readiness gate."""
+
+    def test_listener_captures_head_and_rows(self, spark, tmp_path):
+        import time as _time
+        import uuid
+
+        from fluxdb_spark.sources import changelog_from_events
+        from fluxdb_spark.streaming.metrics import (
+            IngestMetricsListener,
+            observe_ingest,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        listener = IngestMetricsListener()
+        spark.streams.addListener(listener)
+        try:
+            raw = (
+                spark.readStream.schema(
+                    spark.read.parquet(f"{sf}/events.parquet").schema
+                )
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf)
+            )
+            log = observe_ingest(changelog_from_events(raw))
+            name = f"metrics_{uuid.uuid4().hex[:6]}"
+            q = (
+                log.writeStream.format("noop")
+                .queryName(name)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # listener events are delivered asynchronously
+            deadline = _time.time() + 30
+            while listener.progress.total_rows == 0 and _time.time() < deadline:
+                _time.sleep(0.5)
+        finally:
+            spark.streams.removeListener(listener)
+
+        batch = changelog_from_events(
+            spark.read.parquet(f"{sf}/events.parquet")
+        )
+        assert listener.progress.head_height == batch.agg(
+            {"height": "max"}
+        ).first()[0]
+        assert listener.progress.total_rows == batch.count()
+        assert listener.progress.total_tombstones == batch.filter(
+            "is_deletion"
+        ).count()
+        assert listener.is_near_realtime(threshold_s=60.0)
+        assert listener.seconds_behind() < 60.0
