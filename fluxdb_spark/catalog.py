@@ -103,6 +103,38 @@ def flux_state_at_indexed(spark, sf_dir):
 
 
 @_q(
+    "flux_state_diff",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+s1 AS (
+  SELECT primary_key, value, height FROM (
+    SELECT *, row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) rn
+    FROM changelog WHERE tablet_id = 'click' AND height <= 600)
+  WHERE rn = 1 AND NOT is_deletion),
+s2 AS (
+  SELECT primary_key, value, height FROM (
+    SELECT *, row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) rn
+    FROM changelog WHERE tablet_id = 'click' AND height <= 800)
+  WHERE rn = 1 AND NOT is_deletion)
+SELECT coalesce(s1.primary_key, s2.primary_key) AS primary_key,
+       CASE WHEN s1.height IS NULL THEN 'added'
+            WHEN s2.height IS NULL THEN 'deleted'
+            ELSE 'updated' END AS change,
+       s1.value AS old_value, s2.value AS new_value,
+       s1.height AS old_height, s2.height AS new_height
+FROM s1 FULL OUTER JOIN s2 ON s1.primary_key = s2.primary_key
+WHERE s1.height IS NULL OR s2.height IS NULL OR s1.height != s2.height
+""",
+)
+def flux_state_diff(spark, sf_dir):
+    """Beyond-reference temporal diff: keys added/updated/deleted between
+    two snapshot heights (full-outer join of two R1 reads)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.state_diff(log, "click", 600, 800)
+
+
+@_q(
     "flux_row_at",
     "temporal",
     f"""
@@ -442,6 +474,75 @@ def tpch_q5(spark, sf_dir):
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
+        )
+    )
+
+
+@_q(
+    "tpch_q4",
+    "relational",
+    """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+""",
+)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 order-priority checking (adapted: the reduced schema has no
+    commit/receipt dates, so 'late' = any line shipped after the order
+    date). The EXISTS compiles to a left-semi join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate),
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "tpch_q12",
+    "relational",
+    """
+SELECT l.l_returnflag AS shipmode,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+""",
+)
+def tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shipping modes vs priority (adapted: return flag plays the
+    ship-mode column): conditional counts over the fact join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 

@@ -5,10 +5,12 @@ from fluxdb_spark.operators.temporal import (
     singlet_at,
     singlet_history,
     state_at,
+    state_diff,
 )
 
 __all__ = [
     "state_at",
+    "state_diff",
     "row_at",
     "singlet_at",
     "singlet_history",

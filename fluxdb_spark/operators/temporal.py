@@ -177,3 +177,52 @@ def latest_checkpoint(changelog: DataFrame) -> DataFrame:
         F.max_by("block_id", F.col("height")).alias("block_id"),
         F.max("block_num").alias("block_num"),
     )
+
+
+def state_diff(
+    changelog: DataFrame,
+    tablet_id: str,
+    from_height: int,
+    to_height: int,
+    collection: str | None = None,
+) -> DataFrame:
+    """Beyond-reference temporal operator: which keys changed between two
+    snapshot heights, and how.
+
+    A full-outer join of the two snapshots on primary_key, classified into
+    added / deleted / updated (value change). Both snapshots share one scan
+    of the change-log (the filter differs only in the height bound, so the
+    source scan is read once per side but prunes identically); output is one
+    row per changed key.
+    """
+    before = state_at(changelog, tablet_id, from_height, collection=collection)
+    after = state_at(changelog, tablet_id, to_height, collection=collection)
+    b = before.select(
+        F.col("primary_key"),
+        F.col("value").alias("old_value"),
+        F.col("height").alias("old_height"),
+    )
+    a = after.select(
+        F.col("primary_key"),
+        F.col("value").alias("new_value"),
+        F.col("height").alias("new_height"),
+    )
+    joined = b.join(a, on="primary_key", how="full_outer")
+    change = (
+        F.when(F.col("old_height").isNull(), F.lit("added"))
+        .when(F.col("new_height").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("updated"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(
+            F.col("old_height").isNull()
+            | F.col("new_height").isNull()
+            | (F.col("old_height") != F.col("new_height"))
+        )
+        .select(
+            "primary_key", "change", "old_value", "new_value",
+            "old_height", "new_height",
+        )
+        .orderBy("primary_key")
+    )
