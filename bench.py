@@ -63,10 +63,18 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].spark
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if name != "bench_collect" else len(df.collect())
-        times[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        # min of 2 runs: single-JVM timings carry multi-second GC/scheduling
+        # noise; the minimum is the steady-state cost a cluster would see.
+        # Cache is cleared per run so operators that persist intermediates
+        # pay for them inside their own timing.
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count() if name != "bench_collect" else len(df.collect())
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)

@@ -99,6 +99,9 @@ def jaccard_pairs(
         .select(F.col(id_col), word_shingles(F.col("text")).alias("shingles"))
         .persist()
     )
+    with_sh.count()  # materialize BEFORE branching: AQE runs independent
+    # stages as concurrent jobs, and branches racing to fill an un-built
+    # cache each recompute it (observed 2-5x latency swings)
     sh = with_sh.select(
         F.col(id_col), F.explode("shingles").alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("shingle"))
@@ -250,6 +253,7 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(band_structs).alias("bucket")
     ).persist()
+    banded.count()  # materialize before the self-join branches
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -280,6 +284,8 @@ def minhash_lsh_dedup(
     with_sh = spread(docs).select(
         F.col(id_col), word_shingles(F.col("text")).alias("shingles")
     ).persist()
+    with_sh.count()  # materialize before the 4 consumer branches (see
+    # jaccard_pairs: concurrent AQE jobs race on an un-built cache)
     sigs = _signatures_from_arrays(with_sh, k, id_col)
     cands = lsh_candidate_pairs(sigs, k, bands, id_col)
     s1 = with_sh.select(
