@@ -1336,6 +1336,55 @@ def asof_join(spark, sf_dir):
 
 
 @_q(
+    "asof_join_generic",
+    "relational",
+    """
+SELECT p.event_id, p.user_id,
+       round(p.value, 2) AS purchase_value,
+       round(c.value, 2) AS click_value,
+       c.event_id AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+)
+def asof_join_generic(spark, sf_dir):
+    """The general as-of join operator (operators/asof.py), oracle-checked
+    against DuckDB's NATIVE `ASOF LEFT JOIN` — exact-match backward mode:
+    each purchase gets the latest click at ts <= purchase ts."""
+    from fluxdb_spark.operators.asof import asof_join as asof_op
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value_raw"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    out = asof_op(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["click_value_raw", "click_event_id"],
+        direction="backward",
+        allow_exact_matches=True,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("purchase_value"),
+        F.round("click_value_raw", 2).alias("click_value"),
+        "click_event_id",
+    )
+
+
+@_q(
     "tumbling_hourly",
     "relational",
     """

@@ -1,3 +1,5 @@
+from fluxdb_spark.operators.asof import asof_join
+from fluxdb_spark.operators.skew import salted_agg, salted_join
 from fluxdb_spark.operators.temporal import (
     has_rows,
     latest_checkpoint,
@@ -16,4 +18,7 @@ __all__ = [
     "singlet_history",
     "has_rows",
     "latest_checkpoint",
+    "asof_join",
+    "salted_agg",
+    "salted_join",
 ]

@@ -1,0 +1,112 @@
+"""General as-of join — the temporal-lookup primitive (the reference's
+"latest value ≤ height" singlet read, read.go:300-349, generalized to any
+left/right relation pair on event time).
+
+Implementation is the union+window form, the shuffle-once scalable shape:
+
+    tag right rows, union with left, one window per partition key ordered by
+    (time, tag), pick the last right payload in the frame.
+
+One shuffle total (the window partitioning), no per-key merge loops, no
+range-condition join (which Spark would execute as a broadcast-nested-loop
+or an exploding range join). Tie semantics are encoded purely in the sort
+tag order:
+
+- strict (right.ts <  left.ts): left sorts BEFORE right at equal ts, so an
+  equal-ts right row falls outside the [start, current-1] frame;
+- exact  (right.ts <= left.ts): right sorts before left, so it falls inside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TAG = "__asof_tag"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = False,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest (backward) or
+    earliest (forward) right row within the same `on` group whose time is
+    before/after (or equal, with `allow_exact_matches`) the left row's time.
+
+    Returns all left columns plus `payload_cols` (null when no match).
+    `tiebreak` names a column (used on whichever side has it) that makes
+    ordering total when times repeat within one side: backward picks the
+    LARGEST tiebreak among equal-time matches, forward the smallest.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in on and c != right_time
+    ]
+    overlap = [c for c in payload_cols if c in left.columns]
+    if overlap:
+        raise ValueError(f"payload columns collide with left side: {overlap}")
+
+    # tag order encodes the tie rule (see module docstring); forward flips it
+    right_first = allow_exact_matches if direction == "backward" else not allow_exact_matches
+    right_tag, left_tag = (0, 1) if right_first else (1, 0)
+
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_time).alias("__t"),
+        F.lit(right_tag).alias(_TAG),
+        F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD),
+        (
+            F.col(tiebreak)
+            if tiebreak and tiebreak in right.columns
+            else F.lit(0)
+        ).alias("__tb"),
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_time).alias("__t"),
+        F.lit(left_tag).alias(_TAG),
+        F.lit(None)
+        .cast(r.schema[_PAYLOAD].dataType)
+        .alias(_PAYLOAD),
+        (
+            F.col(tiebreak)
+            if tiebreak and tiebreak in left.columns
+            else F.lit(0)
+        ).alias("__tb"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    order = [F.col("__t"), F.col(_TAG), F.col("__tb")]
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        pick = F.last(_PAYLOAD, ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order)
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        pick = F.first(_PAYLOAD, ignorenulls=True).over(w)
+
+    out = (
+        r.unionByName(l)
+        .withColumn("__match", pick)
+        .filter(F.col(_TAG) == F.lit(left_tag))
+    )
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c) for c in payload_cols],
+    )

@@ -1,0 +1,80 @@
+"""General as-of join operator (operators/asof.py): strict/exact tie rules
+and backward/forward directions against a naive local model, including
+equal-timestamp adversarial cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from fluxdb_spark.operators.asof import asof_join
+
+# (key, t, rv) right rows / (key, t) left rows — t ints for clarity
+RIGHT = [("a", 1, 10.0), ("a", 3, 30.0), ("a", 3, 31.0), ("a", 7, 70.0),
+         ("b", 5, 50.0)]
+LEFT = [("a", 0), ("a", 3), ("a", 4), ("a", 9), ("b", 5), ("c", 2)]
+
+
+def model(direction: str, exact: bool):
+    out = {}
+    for key, t in LEFT:
+        cands = []
+        for rk, rt, rv in RIGHT:
+            if rk != key:
+                continue
+            if direction == "backward":
+                ok = rt <= t if exact else rt < t
+            else:
+                ok = rt >= t if exact else rt > t
+            if ok:
+                cands.append((rt, rv))
+        if not cands:
+            out[(key, t)] = None
+        elif direction == "backward":
+            best_t = max(c[0] for c in cands)
+            # operator picks the last row in (t, tiebreak) order
+            out[(key, t)] = max(c for c in cands if c[0] == best_t)[1]
+        else:
+            best_t = min(c[0] for c in cands)
+            # forward picks the FIRST row in (t, tiebreak) order
+            out[(key, t)] = min(c for c in cands if c[0] == best_t)[1]
+    return out
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    right = spark.createDataFrame(RIGHT, "k string, t long, rv double")
+    left = spark.createDataFrame(LEFT, "k string, t long")
+    return left, right
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("exact", [False, True])
+def test_matches_model(frames, direction, exact):
+    left, right = frames
+    got = {
+        (r.k, r.t): r.rv
+        for r in asof_join(
+            left,
+            right,
+            on=["k"],
+            left_time="t",
+            right_time="t",
+            payload_cols=["rv"],
+            direction=direction,
+            allow_exact_matches=exact,
+            tiebreak="rv",  # orders the two t=3 right rows deterministically
+        ).collect()
+    }
+    assert got == model(direction, exact)
+
+
+def test_preserves_left_row_count(frames):
+    left, right = frames
+    out = asof_join(left, right, ["k"], "t", "t", ["rv"])
+    assert out.count() == len(LEFT)
+
+
+def test_payload_collision_rejected(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "t", "t", payload_cols=["t"])
