@@ -951,23 +951,22 @@ LIMIT 100
 """,
 )
 def tpch_q18(spark, sf_dir):
-    """TPC-H Q18 large-volume customers: the IN-subquery becomes a semi join
-    against the big-order aggregate (quantities are integral doubles, so the
-    HAVING sum is exact in both engines)."""
+    """TPC-H Q18 large-volume customers. The IN-subquery (orders whose line
+    quantities sum > 150) is computed as a window sum over l_orderkey, so
+    lineitem shuffles ONCE — the agg+semi-join form shuffles it twice
+    (quantities are integral doubles, so the sum is exact in both engines).
+    The orders join is left to AQE: the filtered line set is tiny at
+    runtime, so it broadcasts — but only the statistics, not the plan,
+    say so."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("tot_qty"))
-        .filter(F.col("tot_qty") > 150)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
-    )
+    w = Window.partitionBy("l_orderkey")
+    big_lines = li.withColumn(
+        "tot_qty", F.sum("l_quantity").over(w)
+    ).filter(F.col("tot_qty") > 150)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(
-            big, F.col("o_orderkey") == F.col("big_orderkey"), "leftsemi"
-        )
+        big_lines.join(o, big_lines.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))

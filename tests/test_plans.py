@@ -70,8 +70,8 @@ class TestJoinStrategy:
     def test_dimension_joins_broadcast(self, spark, specs, name):
         assert "BroadcastHashJoin" in plan_of(spark, specs, name)
 
-    def test_semi_join_for_in_subquery(self, spark, specs):
-        p = plan_of(spark, specs, "tpch_q18")
+    def test_semi_join_for_exists(self, spark, specs):
+        p = plan_of(spark, specs, "tpch_q4")
         assert "LeftSemi" in p
 
     def test_anti_join_for_not_exists(self, spark, specs):
