@@ -1067,6 +1067,286 @@ def tpch_q22(spark, sf_dir):
 
 
 @_q(
+    "tpch_q2",
+    "relational",
+    """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         round(min(l_extendedprice / l_quantity), 2) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eur AS (
+  SELECT ps.l_partkey, ps.supply_cost, s.s_acctbal, s.s_name, n.n_name
+  FROM ps
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+mincost AS (SELECT l_partkey, min(supply_cost) AS min_cost
+            FROM eur GROUP BY l_partkey)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name, e.supply_cost
+FROM eur e
+JOIN mincost m ON m.l_partkey = e.l_partkey AND e.supply_cost = m.min_cost
+JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+""",
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost supplier (adapted: testdata has no partsupp, so
+    the supplier-part catalog is derived from lineitem — supply cost is the
+    min unit price each supplier ever charged for the part; p_type equality
+    instead of the '%BRASS' suffix match).
+
+    The correlated min-cost subquery is decorrelated into a per-part
+    aggregate joined back (the scale-correct plan). The derived ps relation
+    aggregates lineitem once on (partkey, suppkey) — map-side combine keeps
+    the shuffle at |pairs| rows; dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+            "supply_cost"
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", "supply_cost", "s_acctbal", "s_name", "n_name")
+    )
+    mincost = eur.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        eur.join(
+            mincost,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+    )
+
+
+@_q(
+    "tpch_q11",
+    "relational",
+    """
+WITH val AS (
+  SELECT l.l_partkey, round(sum(l.l_extendedprice * l.l_quantity), 2) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_7', 'NATION_8')
+  GROUP BY l.l_partkey)
+SELECT l_partkey AS partkey, part_value FROM val
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM val)
+""",
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 important stock (adapted: no partsupp, so per-part "value"
+    is shipped extendedprice*quantity from suppliers of two nations).
+
+    Shape preserved: group-agg + scalar-aggregate subquery threshold. The
+    grouped relation is persisted and reused for both the total and the
+    filter, so lineitem is scanned and shuffled exactly once; the 1-row
+    total broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8")
+    )
+    val = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2
+            ).alias("part_value")
+        )
+        .persist()
+    )
+    val.count()  # materialize before the two consumer branches (AQE race)
+    total = val.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return val.join(
+        F.broadcast(total), F.col("part_value") > F.col("threshold")
+    ).select("partkey", "part_value")
+
+
+@_q(
+    "tpch_q16",
+    "relational",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#23' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 parts/supplier relationship (adapted: supplier-part pairs
+    from lineitem; the 'customer complaints' exclusion becomes negative
+    account balance).
+
+    NOT IN over a provably non-null key column is a left-anti join here (the
+    null-semantics trap doesn't apply); the part filter broadcasts; distinct
+    supplier count shuffles once on the group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "tpch_q20",
+    "relational",
+    """
+WITH shipped AS (
+  SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey),
+totals AS (SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY l_partkey),
+dominant AS (
+  SELECT DISTINCT sh.l_suppkey FROM shipped sh
+  JOIN totals t ON t.l_partkey = sh.l_partkey
+  WHERE sh.qty > 0.3 * t.total_qty)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+  AND s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+""",
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential part promotion (adapted: no partsupp/availqty, so
+    'excess stock' becomes 'dominant supplier' — shipped >30% of a small-part's
+    1996 volume; nation filter widened to three nations for signal).
+
+    The nested IN-subquery chain is two stacked left-semi joins. `shipped`
+    is aggregated once and reused for per-part totals (persist +
+    materialize); the dominant-supplier set is tiny and broadcast into the
+    semi-join."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .persist()
+    )
+    shipped.count()  # materialize before branching (AQE race)
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(totals, shipped.l_partkey == totals.t_partkey)
+        .filter(F.col("qty") > 0.3 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_4", "NATION_5")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(dominant), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@_q(
+    "tpch_q21",
+    "relational",
+    """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F' AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+SELECT s.s_name, count(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+""",
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: testdata has no
+    l_commitdate/l_receiptdate, so 'late' = shipped >90 days after the order
+    date; same EXISTS + NOT EXISTS correlation shape).
+
+    The two correlated subqueries become a left-semi join (another supplier
+    touched the order) and a left-anti join (no OTHER supplier was late on
+    it) — both non-equi on the supplier inequality, expressed as equi-joins
+    on orderkey with the <> predicate in the join condition so Spark still
+    hash-shuffles on orderkey instead of falling back to a nested loop.
+    `late` is persisted: it is both the driving relation and the anti-join
+    probe side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .persist()
+    )
+    late.count()  # materialize before branching (AQE race)
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
     "region_revenue",
     "relational",
     """
