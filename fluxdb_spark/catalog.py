@@ -2295,14 +2295,19 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
 )
 def semi_anti_join(spark, sf_dir):
-    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins."""
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins, combined into
+    ONE distributed plan (union of the two counts) — no driver-side
+    `.count()` round-trips, so the whole thing is a single job."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
     anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-    return spark.createDataFrame(
-        [("with_orders", semi.count()), ("without_orders", anti.count())],
-        "tag string, n long",
+    return semi.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("with_orders").alias("tag"), "n"
+    ).unionAll(
+        anti.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("without_orders").alias("tag"), "n"
+        )
     )
 
 

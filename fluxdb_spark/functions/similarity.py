@@ -103,15 +103,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket signature: bit p = 1 iff vec . plane_p > 0. Planes are
-    literal arrays — evaluated JVM-side, no Python in the loop."""
-    bits = None
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        d = dot(vec, lit_plane)
-        bit = F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
-    return bits.cast("long")
+    """Sign-bit bucket signature: bit p = 1 iff vec . plane_p > 0.
+
+    All planes ride in ONE nested-array literal walked with higher-order
+    functions — a single Literal node in the plan instead of n_planes * dim
+    unrolled literals. That keeps codegen size (janino compile time) constant
+    in the plane count, which is what lets a real deployment use wide
+    signatures without paying minutes of plan compilation; evaluation is
+    still JVM-side and map-only."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    return F.aggregate(
+        F.transform(
+            planes_lit,
+            lambda p, i: F.when(
+                dot(vec, p) > 0,
+                F.pow(F.lit(2.0), i).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
 
 
 def _lsh_buckets(
@@ -210,18 +221,21 @@ def _kmeans_centroids(
 
 def _centroid_scores(vec: Column, cents: list[list[float]]) -> Column:
     """array<struct<score,idx>> of -||v-c||^2 (up to a v-only constant):
-    v.c - ||c||^2/2 per centroid, as pure JVM expressions."""
-    entries = []
-    for i, c in enumerate(cents):
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
-        bias = float(sum(x * x for x in c) / 2.0)
-        entries.append(
-            F.struct(
-                (dot(vec, lit_c) - F.lit(bias)).alias("score"),
-                F.lit(i).alias("idx"),
-            )
-        )
-    return F.array(*entries)
+    v.c - ||c||^2/2 per centroid.
+
+    Centroids and their norm-biases ride in TWO literal nodes (one nested
+    array, one flat) walked with a higher-order transform — plan/codegen
+    size is constant in n_centroids, so an IVF with thousands of cells
+    compiles as fast as one with 16. Evaluation stays JVM-side, map-only."""
+    cents_lit = F.lit([[float(x) for x in c] for c in cents])
+    biases_lit = F.lit([float(sum(x * x for x in c) / 2.0) for c in cents])
+    return F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            (dot(vec, c) - F.element_at(biases_lit, i + 1)).alias("score"),
+            i.alias("idx"),
+        ),
+    )
 
 
 def ivf_topk(
