@@ -96,9 +96,15 @@ def flux_state_at(spark, sf_dir):
 @_q("flux_state_at_indexed", "temporal", _dedup_sql("click", 800))
 def flux_state_at_indexed(spark, sf_dir):
     """R1 via snapshot-index: build the index at 500, read at 800 as
-    snapshot-union-delta; must equal the plain window answer (the oracle)."""
+    snapshot-union-delta; must equal the plain window answer (the oracle).
+
+    The index is persisted+materialized before the read — the in-session
+    stand-in for what is a durable materialized table in a real deployment
+    (reference stores it as a singlet entry, indexing.go:621-643); without
+    it the read's two index consumers would each re-run the build job."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
-    idx = sn.build_tablet_index(log, "click", 500)
+    idx = sn.build_tablet_index(log, "click", 500).persist()
+    idx.count()
     return sn.state_at_with_index(log, idx, "click", 800).select(*_STATE_COLS)
 
 
