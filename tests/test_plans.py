@@ -78,6 +78,27 @@ class TestJoinStrategy:
         p = plan_of(spark, specs, "tpch_q22")
         assert "LeftAnti" in p
 
+    @pytest.mark.parametrize("name", ["tpch_q2", "tpch_q16", "tpch_q20"])
+    def test_new_tpch_dimension_joins_broadcast(self, spark, specs, name):
+        assert "BroadcastHashJoin" in plan_of(spark, specs, name)
+
+    def test_q21_semi_and_anti_no_nested_loop(self, spark, specs):
+        """Q21's EXISTS/NOT EXISTS with the supplier inequality must still
+        hash-partition on orderkey (inequality as residual condition), not
+        fall back to a nested-loop/cartesian plan."""
+        p = plan_of(spark, specs, "tpch_q21")
+        assert "LeftSemi" in p and "LeftAnti" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    @pytest.mark.parametrize(
+        "name", ["tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21"]
+    )
+    def test_new_tpch_no_python_no_cartesian(self, spark, specs, name):
+        p = plan_of(spark, specs, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+
 
 class TestNoPythonInHotPath:
     @pytest.mark.parametrize(
