@@ -1670,6 +1670,50 @@ def asof_join_generic(spark, sf_dir):
 
 
 @_q(
+    "range_join_incidents",
+    "relational",
+    """
+WITH inc AS (
+  SELECT event_id AS incident_id, epoch_us(ts) AS w_start,
+         epoch_us(ts) + 3600000000 AS w_end
+  FROM events WHERE event_type = 'error' AND value > 100),
+clicks AS (SELECT epoch_us(ts) AS us, value FROM events
+           WHERE event_type = 'click')
+SELECT i.incident_id, count(*) AS n_clicks,
+       round(sum(c.value), 2) AS click_value
+FROM inc i JOIN clicks c ON c.us >= i.w_start AND c.us < i.w_end
+GROUP BY i.incident_id
+""",
+)
+def range_join_incidents(spark, sf_dir):
+    """General range join (operators/ranges.py): clicks landing inside
+    1-hour 'incident' windows opened by high-value errors. The oracle is
+    DuckDB's native non-equi join; the Spark side bin-buckets the windows so
+    the plan is an equi-join on bucket + residual filter — never a
+    nested-loop (asserted in tests/test_ranges.py)."""
+    from fluxdb_spark.operators.ranges import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    inc = ev.filter((F.col("event_type") == "error") & (F.col("value") > 100)).select(
+        F.col("event_id").alias("incident_id"),
+        us.alias("w_start"),
+        (us + F.lit(3_600_000_000)).alias("w_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        us.alias("us"), F.col("value").alias("click_val")
+    )
+    return (
+        range_join(clicks, inc, "us", "w_start", "w_end", 3_600_000_000)
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("click_val"), 2).alias("click_value"),
+        )
+    )
+
+
+@_q(
     "tumbling_hourly",
     "relational",
     """

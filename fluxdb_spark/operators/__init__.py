@@ -1,4 +1,5 @@
 from fluxdb_spark.operators.asof import asof_join
+from fluxdb_spark.operators.ranges import range_join
 from fluxdb_spark.operators.skew import salted_agg, salted_join
 from fluxdb_spark.operators.temporal import (
     has_rows,
@@ -19,6 +20,7 @@ __all__ = [
     "has_rows",
     "latest_checkpoint",
     "asof_join",
+    "range_join",
     "salted_agg",
     "salted_join",
 ]
