@@ -2256,6 +2256,81 @@ def stream_tumbling(spark, sf_dir):
 
 
 @_q(
+    "stream_stream_join",
+    "streaming",
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       round(p.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+""",
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with event-time bounds: purchases within one
+    hour of a click by the same user, both sides `readStream` with
+    watermarks (file source -> availableNow -> append memory sink). The
+    time-range condition is what lets Spark bound the join state — without
+    it a stream-stream join buffers forever. Oracle is the equivalent batch
+    SQL join."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def stream_side(event_type):
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        ).filter(F.col("event_type") == event_type)
+
+    clicks = (
+        stream_side("click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_side("purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.round("p_value", 2).alias("purchase_value"),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@_q(
     "stream_sessionize",
     "streaming",
     _SESSIONIZE_SQL,
