@@ -4,10 +4,10 @@ Scale design (the point of doing this on Spark):
 
 - exact dedup: hash-groupBy — one shuffle on a 60-bit content hash, map-side
   combine keeps the shuffle at |distinct| rows;
-- n-gram Jaccard: shingle -> explode -> self-equi-join on shingle ->
-  group-count. The join is an equi-join on the shingle hash, so Spark
-  shuffles shingles once and never materializes the O(n^2) pair space —
-  only pairs that share at least one shingle appear;
+- n-gram Jaccard: EXACT via PPJoin-style prefix filtering — only each
+  doc's rarest `n - ceil(t*n) + 1` shingles (by global doc-frequency) join,
+  so hot shingles never generate candidate pairs (the quadratic hot-key
+  cliff of a naive shingle self-join); exact array_intersect verifies;
 - MinHash + LSH: k independent 60-bit min-hashes per doc, banded into
   (band_idx, h1, h2) bucket keys; candidate pairs come from an equi-join on
   the bucket key (again: no cross join), then exact Jaccard verifies.
@@ -20,7 +20,7 @@ oracle-checkable end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fluxdb_spark.functions.hashing import hash60, hash60_sql
@@ -87,13 +87,24 @@ def exploded_shingle_hashes(
 def jaccard_pairs(
     docs: DataFrame, threshold: float, id_col: str = "doc_id"
 ) -> DataFrame:
-    """All (d1 < d2) pairs with shingle-set Jaccard >= threshold.
+    """All (d1 < d2) pairs with shingle-set Jaccard >= threshold — EXACT,
+    via PPJoin-style prefix filtering (Bayardo et al. WWW'07 / Xiao et al.
+    PPJoin), not a full shingle self-join.
 
-    Per-doc set sizes come straight from the (already-distinct) shingle
-    arrays with `F.size` — no aggregation branch at all; only the
-    intersection counts need a shuffle (the shingle-hash self-join). The
-    persisted per-doc shingle relation is the inverted index you would
-    materialize anyway at scale."""
+    Why: a naive self-equi-join on shingle does O(sum_s freq(s)^2) work — a
+    single stopword shingle appearing in 100k docs creates 10^10 candidate
+    pairs, the hot-key cliff that kills corpus-scale dedup. Prefix
+    filtering is the standard exact fix: order every doc's shingles by
+    ascending global document frequency (rare first) and join only each
+    doc's first `n - ceil(t*n) + 1` shingles. Two sets with Jaccard >= t
+    must share at least one prefix token under a common total order, so no
+    qualifying pair is lost (the dedup_ngram oracle — the naive SQL join —
+    verifies exactly that at every scale factor), while hot shingles sort
+    to the back of every prefix and stop generating candidates.
+
+    Candidates are then verified with an exact `array_intersect` on the
+    string shingle arrays — O(|candidates|), and the verification dominates
+    only when the candidate set is small, which is the point."""
     with_sh = (
         spread(docs)
         .select(F.col(id_col), word_shingles(F.col("text")).alias("shingles"))
@@ -105,27 +116,47 @@ def jaccard_pairs(
     sh = with_sh.select(
         F.col(id_col), F.explode("shingles").alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("shingle"))
-    sizes = with_sh.select(F.col(id_col), F.size("shingles").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, on="shingle")
+    w_ord = Window.partitionBy(id_col).orderBy("df", "shingle")
+    w_all = Window.partitionBy(id_col)
+    prefix = (
+        ranked.select(
+            F.col(id_col),
+            "shingle",
+            F.row_number().over(w_ord).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select(F.col(id_col), "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(b, on="shingle")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
+    va = with_sh.select(
+        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1")
+    )
+    vb = with_sh.select(
+        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2")
+    )
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     return (
-        inter.join(sa, F.col("d1") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("d2") == F.col(f"sb.{id_col}"))
+        cand.join(va, on="d1")
+        .join(vb, on="d2")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("inter")
-                / (F.col("sa.n") + F.col("sb.n") - F.col("inter")),
+                inter / (F.size("sh1") + F.size("sh2") - inter),
                 4,
             ),
         )
