@@ -23,13 +23,16 @@ HEADLINE = [
     "flux_state_at_indexed",
     "flux_tablet_stats",
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
     "tpch_q9",
     "tpch_q18",
+    "tpch_q21",
     "region_revenue",
     "asof_join",
+    "range_join_incidents",
     "sessionization",
     "tumbling_hourly",
     "dedup_ngram",

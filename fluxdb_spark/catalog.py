@@ -1852,6 +1852,40 @@ def pivot_status(spark, sf_dir):
     )
 
 
+@_q(
+    "unpivot_pricing",
+    "relational",
+    """
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(l_extendedprice), 2) AS gross,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS discounted,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charged
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, amount FROM agg
+UNPIVOT (amount FOR metric IN (gross, discounted, charged))
+""",
+)
+def unpivot_pricing(spark, sf_dir):
+    """Unpivot (wide metric columns -> long (metric, amount) rows) via the
+    native `DataFrame.unpivot` — the inverse of `pivot_status`, a map-only
+    expression expansion (no shuffle beyond the feeding aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    gross = F.col("l_extendedprice")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(gross), 2).alias("gross"),
+        F.round(F.sum(disc), 2).alias("discounted"),
+        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("charged"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["gross", "discounted", "charged"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    )
+
+
 # =========================================================================
 # 3. Training-data pipeline operators (dedup / similarity / text / multimodal)
 # =========================================================================
