@@ -140,6 +140,64 @@ def flux_state_diff(spark, sf_dir):
     return tp.state_diff(log, "click", 600, 800)
 
 
+_SPEC_ROWS = [
+    # (primary_key, value, is_deletion) at heights H-2, H-1, H
+    ("42", '{"spec": 1}', False),
+    ("7", '{"spec": 2}', False),
+    ("3", "", True),  # tombstone: key 3 must vanish from the snapshot
+]
+_SPEC_H = 10_000_000  # far above any durable height at every scale factor
+
+
+@_q(
+    "flux_state_at_speculative",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+spec AS (
+  SELECT * FROM (VALUES
+    ('evt', 'click', {_SPEC_H - 2}, '42', '{{"spec": 1}}', FALSE, 'spec0', {_SPEC_H - 2}),
+    ('evt', 'click', {_SPEC_H - 1}, '7',  '{{"spec": 2}}', FALSE, 'spec1', {_SPEC_H - 1}),
+    ('evt', 'click', {_SPEC_H},     '3',  '',              TRUE,  'spec2', {_SPEC_H})
+  ) AS t(collection, tablet_id, height, primary_key, value, is_deletion,
+         block_id, block_num)),
+merged AS (SELECT * FROM changelog UNION ALL SELECT * FROM spec),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY primary_key ORDER BY height DESC) AS rn
+  FROM merged WHERE tablet_id = 'click' AND height <= {_SPEC_H})
+SELECT tablet_id, primary_key, height, value, block_num
+FROM ranked WHERE rn = 1 AND NOT is_deletion
+""",
+)
+def flux_state_at_speculative(spark, sf_dir):
+    """R1 with the fork-aware speculative overlay (reference ReadTabletAt
+    step 4, read.go:155-169): not-yet-final writes — here a deterministic
+    3-row head segment carrying an upsert of a new key, an update of an
+    existing key, and a tombstone — union into the change-log BEFORE the
+    last-write-wins window, so the overlay needs no special-case logic at
+    all; higher speculative heights win and tombstones delete. The oracle
+    replays the identical union in SQL."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    spec = spark.createDataFrame(
+        [
+            (
+                "evt",
+                "click",
+                _SPEC_H - 2 + i,
+                pk,
+                val,
+                is_del,
+                f"spec{i}",
+                _SPEC_H - 2 + i,
+            )
+            for i, (pk, val, is_del) in enumerate(_SPEC_ROWS)
+        ],
+        schema=log.schema,
+    )
+    merged = log.unionByName(spec)
+    return tp.state_at(merged, "click", _SPEC_H).select(*_STATE_COLS)
+
+
 @_q(
     "flux_row_at",
     "temporal",
