@@ -1911,6 +1911,41 @@ def pivot_status(spark, sf_dir):
 
 
 @_q(
+    "skew_salted_agg",
+    "relational",
+    """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py) on a deliberately
+    hot key (3 order statuses over the whole table): partials per
+    (key, salt) bound any single reducer, the merge folds the partials.
+    Must equal the plain one-phase GROUP BY — the oracle."""
+    from fluxdb_spark.operators.skew import salted_agg
+
+    o = _t(spark, sf_dir, "orders")
+    out = salted_agg(
+        o,
+        ["o_orderstatus"],
+        {
+            "n_orders": ("o_orderkey", "count"),
+            "revenue": ("o_totalprice", "sum"),
+            "max_price": ("o_totalprice", "max"),
+        },
+    )
+    return out.select(
+        "o_orderstatus",
+        "n_orders",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@_q(
     "unpivot_pricing",
     "relational",
     """
