@@ -1914,6 +1914,51 @@ def sessionization(spark, sf_dir):
 
 
 @_q(
+    "session_windows",
+    "relational",
+    """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, sid
+""",
+)
+def session_windows(spark, sf_dir):
+    """Native `session_window` (30-min gap) — the built-in dynamic-gap
+    session operator (vs `sessionization`/`stream_sessionize`, which build
+    the same thing by hand). A session closes when the NEXT event is >= gap
+    after the previous one; the oracle replays that with lag + running sum."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@_q(
     "pivot_status",
     "relational",
     """
