@@ -131,13 +131,19 @@ def jaccard_pairs(
             F.col("rn")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select(F.col(id_col), "shingle")
+        .select(F.col(id_col), "shingle", "n")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # length filter (also standard): J(x,y) >= t forces t*|x| <= |y| <= |x|/t,
+    # so wildly different-sized sets never reach verification
     cand = (
         a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")))
+            & (F.col("b.n") * F.lit(threshold) <= F.col("a.n"))
+        )
         .select(
             F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
         )
