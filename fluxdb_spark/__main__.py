@@ -1,0 +1,157 @@
+"""CLI facade: the reference's four mutually-exclusive operating modes
+(app/fluxdb/app.go:123-135) driven over the driver-generated test tables.
+
+    python -m fluxdb_spark inject        --sf-dir DIR --store DIR
+    python -m fluxdb_spark server        --store DIR --tablet T --height H
+    python -m fluxdb_spark reproc-shard  --sf-dir DIR --out DIR --shards N
+    python -m fluxdb_spark reproc-inject --out DIR --store DIR --shard K
+    python -m fluxdb_spark reproc-inject --out DIR --store DIR --finalize
+
+inject (app.go:181-189): map the events table through the BlockMapper analog
+and append to the durable change-log store with the monotonic-height guard.
+
+server (app.go:191-197): answer a snapshot-at-height read (R1) from the
+store, speculative overlay included via FluxEngine.
+
+reproc-shard (app.go:204-247): phase A of the parallel backfill — hash-
+scatter the change-log into N shards (the shuffle IS the transport) and
+write per-shard files.
+
+reproc-inject (app.go:261-329): phase B — ordered, hole-checked injection of
+one shard with a per-shard checkpoint; `--finalize` replays the reference's
+last-finisher reconciliation (VerifyAllShardsWritten +
+WriteShardingFinalCheckpoint, write.go:82-103, 183-194).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark() -> SparkSession:
+    from fluxdb_spark.session import get_spark
+
+    return get_spark(app_name="fluxdb_spark_cli")
+
+
+def cmd_inject(args, spark: SparkSession) -> int:
+    from fluxdb_spark.sources.changelog import changelog_from_events
+    from fluxdb_spark.sources.tables import load_table
+    from fluxdb_spark.store import ChangelogStore
+
+    store = ChangelogStore(spark, args.store)
+    log = changelog_from_events(load_table(spark, args.sf_dir, "events"))
+    ckpt = store.write_batch(log)
+    print(f"injected up to height {ckpt.height} (block {ckpt.block_id})")
+    return 0
+
+
+def cmd_server(args, spark: SparkSession) -> int:
+    from fluxdb_spark.streaming.ingest import FluxEngine
+
+    engine = FluxEngine(spark, args.store)
+    rows = (
+        engine.state_at(args.tablet, args.height)
+        .select("primary_key", "height", "value")
+        .orderBy("primary_key")
+        .collect()
+    )
+    for r in rows[: args.limit]:
+        print(f"{r.primary_key}\t{r.height}\t{r.value}")
+    print(f"# {len(rows)} live keys in '{args.tablet}' at height {args.height}")
+    return 0
+
+
+def cmd_reproc_shard(args, spark: SparkSession) -> int:
+    from fluxdb_spark.operators.sharding import scatter
+    from fluxdb_spark.sources.changelog import changelog_from_events
+    from fluxdb_spark.sources.tables import load_table
+
+    log = changelog_from_events(load_table(spark, args.sf_dir, "events"))
+    sharded = scatter(log, args.shards)
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(args.out)
+    print(f"scattered into {args.shards} shards at {args.out}")
+    return 0
+
+
+def cmd_reproc_inject(args, spark: SparkSession) -> int:
+    from fluxdb_spark.store import ChangelogStore, WriteConsistencyError
+
+    store = ChangelogStore(spark, args.store)
+    if args.finalize:
+        heights = []
+        for s in range(args.shards):
+            ckpt = store.checkpoint(str(s))
+            if ckpt is None:
+                print(f"shard {s} missing its checkpoint", file=sys.stderr)
+                return 1
+            heights.append(ckpt.height)
+        # min-of-max: the height to which every entity is complete (same
+        # rule as operators/sharding.reconcile_checkpoint; the reference's
+        # equal-heights requirement is the special case where every shard
+        # got a record per block, sharder.go:153-160)
+        final = min(heights)
+        store._write_checkpoint(final, None, final)
+        store.delete_shard_checkpoints()
+        print(f"final checkpoint written at height {final}")
+        return 0
+    if args.shard is None:
+        print("--shard K or --finalize required", file=sys.stderr)
+        return 2
+    if store.checkpoint(str(args.shard)) is None and args.shard == 0:
+        # reference CheckCleanDBForSharding (read.go:439-452): only a clean
+        # store may begin shard injection
+        try:
+            store.check_clean_for_sharding()
+        except WriteConsistencyError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+    rows = spark.read.parquet(args.out).filter(F.col("shard") == args.shard)
+    ckpt = store.write_batch(rows.drop("shard"), shard=str(args.shard), force=True)
+    print(f"shard {args.shard} injected up to height {ckpt.height}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fluxdb_spark")
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    i = sub.add_parser("inject")
+    i.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    i.add_argument("--store", required=True)
+    i.set_defaults(fn=cmd_inject)
+
+    s = sub.add_parser("server")
+    s.add_argument("--store", required=True)
+    s.add_argument("--tablet", default="click")
+    s.add_argument("--height", type=int, required=True)
+    s.add_argument("--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_server)
+
+    rs = sub.add_parser("reproc-shard")
+    rs.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    rs.add_argument("--out", required=True)
+    rs.add_argument("--shards", type=int, default=2)
+    rs.set_defaults(fn=cmd_reproc_shard)
+
+    ri = sub.add_parser("reproc-inject")
+    ri.add_argument("--out", required=True)
+    ri.add_argument("--store", required=True)
+    ri.add_argument("--shard", type=int, default=None)
+    ri.add_argument("--shards", type=int, default=2)
+    ri.add_argument("--finalize", action="store_true")
+    ri.set_defaults(fn=cmd_reproc_inject)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args, spark or _spark())
+
+
+if __name__ == "__main__":
+    sys.exit(main())

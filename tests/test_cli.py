@@ -1,0 +1,113 @@
+"""End-to-end drive of the four CLI operating modes (reference
+app/fluxdb/app.go:123-135) against sf0.001, sharing the test session."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluxdb_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    return {
+        "store": str(base / "store"),
+        "store2": str(base / "store2"),
+        "shards": str(base / "shards"),
+    }
+
+
+def test_inject_then_server(spark, dirs, capsys):
+    assert main(["inject", "--sf-dir", SF, "--store", dirs["store"]], spark) == 0
+    assert main(
+        [
+            "server",
+            "--store",
+            dirs["store"],
+            "--tablet",
+            "click",
+            "--height",
+            "700",
+        ],
+        spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "live keys in 'click' at height 700" in out
+    # the served snapshot must equal the direct operator answer
+    from fluxdb_spark.operators import state_at
+    from fluxdb_spark.sources.changelog import changelog_from_events
+    from fluxdb_spark.sources.tables import load_table
+
+    want = (
+        state_at(changelog_from_events(load_table(spark, SF, "events")), "click", 700)
+        .count()
+    )
+    assert f"# {want} live keys" in out
+
+
+def test_scatter_inject_finalize_roundtrip(spark, dirs, capsys):
+    assert main(
+        ["reproc-shard", "--sf-dir", SF, "--out", dirs["shards"], "--shards", "2"],
+        spark,
+    ) == 0
+    for k in ("0", "1"):
+        assert main(
+            [
+                "reproc-inject",
+                "--out",
+                dirs["shards"],
+                "--store",
+                dirs["store2"],
+                "--shard",
+                k,
+            ],
+            spark,
+        ) == 0
+    assert main(
+        [
+            "reproc-inject",
+            "--out",
+            dirs["shards"],
+            "--store",
+            dirs["store2"],
+            "--finalize",
+            "--shards",
+            "2",
+        ],
+        spark,
+    ) == 0
+    assert "final checkpoint written" in capsys.readouterr().out
+
+    # the backfilled store must hold exactly the rows of the direct mapping
+    from fluxdb_spark.sources.changelog import changelog_from_events
+    from fluxdb_spark.sources.tables import load_table
+    from fluxdb_spark.store import ChangelogStore
+
+    store2 = ChangelogStore(spark, dirs["store2"])
+    got = store2.changelog().count()
+    want = changelog_from_events(load_table(spark, SF, "events")).count()
+    assert got == want
+    assert store2.checkpoint() is not None
+    # shard checkpoints were cleaned up by finalize (W5)
+    assert store2.checkpoint("0") is None and store2.checkpoint("1") is None
+
+
+def test_finalize_refuses_missing_shard(spark, dirs, tmp_path, capsys):
+    assert main(
+        [
+            "reproc-inject",
+            "--out",
+            dirs["shards"],
+            "--store",
+            str(tmp_path / "empty_store"),
+            "--finalize",
+            "--shards",
+            "2",
+        ],
+        spark,
+    ) == 1
+    assert "missing its checkpoint" in capsys.readouterr().err
