@@ -1160,10 +1160,11 @@ def tpch_q2(spark, sf_dir):
     min unit price each supplier ever charged for the part; p_type equality
     instead of the '%BRASS' suffix match).
 
-    The correlated min-cost subquery is decorrelated into a per-part
-    aggregate joined back (the scale-correct plan). The derived ps relation
-    aggregates lineitem once on (partkey, suppkey) — map-side combine keeps
-    the shuffle at |pairs| rows; dims broadcast."""
+    The correlated min-cost subquery becomes a min-over-partition window on
+    the one shared `eur` relation — lineitem is scanned and aggregated
+    exactly ONCE (the decorrelated join-back alternative would compute the
+    whole ps+dims subtree twice). The derived ps relation aggregates
+    lineitem on (partkey, suppkey) with map-side combine; dims broadcast."""
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
@@ -1179,18 +1180,13 @@ def tpch_q2(spark, sf_dir):
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("l_partkey", "supply_cost", "s_acctbal", "s_name", "n_name")
     )
-    mincost = eur.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("supply_cost").alias("min_cost")
-    )
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
+    w = Window.partitionBy("l_partkey")
     return (
-        eur.join(
-            mincost,
-            (F.col("l_partkey") == F.col("m_partkey"))
-            & (F.col("supply_cost") == F.col("min_cost")),
-        )
+        eur.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
     )
