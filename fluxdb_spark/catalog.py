@@ -953,7 +953,8 @@ def tpch_q15(spark, sf_dir):
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("total_revenue")
-    )
+    ).persist()
+    revenue.count()  # materialize: both the max-agg and the join consume it
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     s = _t(spark, sf_dir, "supplier")
     return (
