@@ -398,6 +398,9 @@ def connected_components(
     convergence count. localCheckpoint() truncates the growing lineage so
     plan size stays constant across iterations.
     """
+    pairs = pairs.persist()
+    pairs.count()  # materialize: both union branches below consume it, and
+    # pairs is typically an expensive similarity pipeline
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
