@@ -140,3 +140,96 @@ def test_singlet_at_matches_model(mk_df, rows, height):
             assert len(got) == 1 and got[0].value == model[pk]
         else:
             assert got == []
+
+
+# --- range join: bucketed equi-join == naive non-equi join ------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(st.integers(-50, 50), min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.sampled_from([1, 3, 7, 25, 200]),
+)
+def test_range_join_matches_naive(spark, points, intervals, width):
+    from fluxdb_spark.operators.ranges import range_join
+
+    p = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(points)], "pid long, x long"
+    )
+    iv = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(intervals)],
+        "iid long, s long, e long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(p, iv, "x", "s", "e", width).collect()
+    }
+    want = {
+        (pi, ii)
+        for pi, x in enumerate(points)
+        for ii, (s, e) in enumerate(intervals)
+        if s <= x < e
+    }
+    assert got == want
+
+
+# --- prefix-filtered Jaccard: lossless vs brute force -----------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=3,
+            max_size=12,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_jaccard_prefix_filter_is_lossless(spark, docs, threshold):
+    """The PPJoin prefix filter must find EVERY pair at >= threshold — the
+    candidate pruning may only drop pairs that could not qualify. Compared
+    against a brute-force python model over the same shingle sets."""
+    from fluxdb_spark.functions.dedup import jaccard_pairs, SHINGLE_WORDS
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in jaccard_pairs(df, threshold).collect()
+    }
+
+    def shingles(t):
+        toks = t.lower().split(" ")
+        return {
+            " ".join(toks[i : i + SHINGLE_WORDS])
+            for i in range(len(toks) - SHINGLE_WORDS + 1)
+        }
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = shingles(docs[i]), shingles(docs[j])
+            if not a or not b:
+                continue
+            jac = round(len(a & b) / len(a | b), 4)
+            if jac >= threshold:
+                want[(i, j)] = jac
+    assert got == want
