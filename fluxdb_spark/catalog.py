@@ -2275,6 +2275,27 @@ def dedup_simhash(spark, sf_dir):
     return dd.simhash(d)
 
 
+@_q(
+    "dedup_simhash_pairs",
+    "pipeline",
+    f"""
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM ({dd.sql_simhash()}) a JOIN ({dd.sql_simhash()}) b
+  ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS at Hamming <= 3 via pigeonhole block-banding
+    (4 blocks of 8 bits; a pair within distance 3 must agree on a full
+    block, so candidates are an equi-join on block bits, never an all-pairs
+    XOR scan). The oracle IS the all-pairs scan — proving the banding
+    lossless at every scale factor."""
+    d = _td(spark, sf_dir)
+    return dd.simhash_pairs(d, max_distance=3)
+
+
 _DOT_SQL = """
   sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
 """

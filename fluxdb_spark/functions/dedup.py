@@ -364,6 +364,64 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFram
     return counted.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    bits: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= max_distance between SimHash
+    fingerprints — EXACT, via the standard pigeonhole banding: split the
+    b-bit fingerprint into (max_distance + 1) blocks; two fingerprints
+    within distance d <= max_distance must agree exactly on at least one
+    block, so candidates come from an equi-join on (block_idx, block_bits)
+    — never an all-pairs XOR scan — and `bit_count(xor)` verifies.
+
+    The same shape as LSH-banded MinHash but lossless: the block join finds
+    every qualifying pair, the verify only removes false candidates."""
+    n_blocks = max_distance + 1
+    if bits % n_blocks:
+        raise ValueError(
+            f"bits={bits} must divide evenly into {n_blocks} blocks"
+        )
+    w = bits // n_blocks
+    mask = (1 << w) - 1
+    sigs = simhash(docs, bits, id_col).persist()
+    sigs.count()  # materialize before the self-join branches
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(b, on=["blk", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 def sql_simhash(bits: int = 32) -> str:
     """DuckDB twin of `simhash` (FROM documents; doc_id/text columns)."""
     h = hash60_sql("token")
