@@ -54,8 +54,81 @@ def _q(name: str, category: str, oracle: str | None):
     return deco
 
 
+# The driver consumes the catalog in order and may budget-cap how many
+# entries receive a correctness row per round, so ordering is coverage
+# policy: unique operator surfaces (temporal engine, dedup/similarity/
+# text/multimodal pipeline, streaming) come first, and the mutually
+# redundant TPC-H scan/join/agg variants come last (q1/q9/q12/q21-class
+# representatives are kept early).  Names not listed keep registration
+# order after the listed ones.
+_PRIORITY: list[str] = [
+    # temporal engine (flagship layer, SURVEY §2.1/§2.4/§2.5)
+    "flux_state_at",
+    "flux_state_at_indexed",
+    "flux_state_diff",
+    "flux_state_at_speculative",
+    "flux_row_at",
+    "flux_singlet_asof",
+    "flux_singlet_history",
+    "flux_has_rows",
+    "flux_checkpoint",
+    "flux_tablet_index",
+    "flux_shard_assignment",
+    "flux_shard_progress",
+    "flux_gap_check",
+    "flux_tablet_stats",
+    "typed_view_decode",
+    # dedup / similarity / text / multimodal pipeline layer
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embed_topk",
+    "embed_neardup",
+    "embed_ann_lsh",
+    "embed_ann_ivf",
+    "text_stats",
+    "text_quality",
+    "lang_distribution",
+    "doc_fingerprint",
+    "multimodal_meta",
+    "multimodal_decode",
+    "multimodal_frames",
+    # streaming + sessionization layer
+    "stream_tumbling",
+    "stream_stream_join",
+    "stream_sessionize",
+    "sessionization",
+    "session_windows",
+    # relational operators with no redundant twin
+    "grouping_sets",
+    "semi_anti_join",
+    "stats_aggs",
+    "window_ranks",
+    "percentiles",
+    "scalar_subquery",
+    "pivot_status",
+    "skew_salted_agg",
+    "unpivot_pricing",
+    # TPC-H representatives (scan+agg, deep join tree, conditional-count
+    # agg, semi+anti join); the remaining TPC-H variants follow in
+    # registration order as redundant coverage
+    "tpch_q1",
+    "tpch_q9",
+    "tpch_q12",
+    "tpch_q21",
+]
+
+
 def catalog() -> list[QuerySpec]:
-    return list(_SPECS)
+    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    tail = len(_PRIORITY)
+    return sorted(
+        _SPECS,
+        key=lambda s: rank.get(s.name, tail + _SPECS.index(s)),
+    )
 
 
 def _t(spark, sf_dir, name):
@@ -384,7 +457,7 @@ WITH {CHANGELOG_CTE}
 SELECT tablet_id, count(*) AS n_rows,
        count(DISTINCT primary_key) AS n_keys,
        max(height) AS max_height,
-       sum(CASE WHEN is_deletion THEN 1 ELSE 0 END) AS n_tombstones
+       CAST(sum(CASE WHEN is_deletion THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones
 FROM changelog GROUP BY tablet_id
 """,
 )
@@ -395,9 +468,9 @@ def flux_tablet_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("primary_key").alias("n_keys"),
         F.max("height").alias("max_height"),
-        F.sum(F.when(F.col("is_deletion"), 1).otherwise(0)).alias(
-            "n_tombstones"
-        ),
+        F.sum(F.when(F.col("is_deletion"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tombstones"),
     )
 
 
@@ -582,10 +655,10 @@ def tpch_q4(spark, sf_dir):
     "relational",
     """
 SELECT l.l_returnflag AS shipmode,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate < TIMESTAMP '1997-01-01'
@@ -605,8 +678,12 @@ def tpch_q12(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("l_returnflag").alias("shipmode"))
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
         )
     )
 
@@ -1853,17 +1930,17 @@ def sliding_windows(spark, sf_dir):
 
 _SESSIONIZE_SQL = """
 WITH ordered AS (
-  SELECT user_id, ts, epoch_us(ts) AS us,
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
   FROM events),
 flagged AS (
-  SELECT user_id,
+  SELECT user_id, event_id,
          CASE WHEN prev_us IS NULL OR us - prev_us > 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS is_new, us
   FROM ordered),
 sess AS (
   SELECT user_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM flagged),
 per_session AS (
@@ -1883,6 +1960,7 @@ def sessionization(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
+        "event_id",
         us.alias("us"),
         F.when(
             F.lag(us).over(w).isNull()
@@ -1894,7 +1972,7 @@ def sessionization(spark, sf_dir):
     )
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = flagged.select(
@@ -1915,7 +1993,7 @@ def sessionization(spark, sf_dir):
     "relational",
     """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS is_new
@@ -1923,7 +2001,7 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged)
 SELECT user_id,
@@ -2149,16 +2227,29 @@ def doc_fingerprint(spark, sf_dir):
     "dedup_exact",
     "pipeline",
     f"""
-SELECT {hash60_sql('text')} AS content_hash, count(*) AS n_docs,
+WITH keyed AS (
+  SELECT doc_id,
+         lower(array_to_string((string_split(text, ' '))[1:8], ' ')) AS norm_key
+  FROM documents)
+SELECT {hash60_sql('norm_key')} AS content_hash, count(*) AS n_docs,
        min(doc_id) AS keep_doc
-FROM documents GROUP BY 1 HAVING count(*) > 1
+FROM keyed GROUP BY 1 HAVING count(*) > 1
 """,
 )
 def dedup_exact(spark, sf_dir):
-    """Exact dedup: hash-groupBy with map-side combine; keeps min doc_id."""
+    """Exact dedup: hash-groupBy with map-side combine; keeps min doc_id.
+
+    The dedup key is a normalized content prefix (lowercased first 8
+    whitespace tokens) rather than the raw text — the standard
+    "exact dedup on a canonicalized key" pipeline stage, and a key the
+    synthetic corpus actually collides on (raw-text hashing matches zero
+    rows at every SF, which would make this check vacuous)."""
     d = _td(spark, sf_dir)
+    norm_key = F.lower(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    )
     return (
-        d.groupBy(hash60(F.col("text")).alias("content_hash"))
+        d.groupBy(hash60(norm_key).alias("content_hash"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_doc"),
