@@ -500,6 +500,14 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    else:
+        # A silent early exit would split chain-shaped clusters longer than
+        # max_iterations hops into wrong components with no signal.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; the pair graph has a path longer than that "
+            "(raise max_iterations — cost is O(diameter) joins)"
+        )
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "component")
 

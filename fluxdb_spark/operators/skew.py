@@ -78,8 +78,19 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: salt the (hot) left side, replicate the right
-    side across all salts, join on key+salt. Row multiplicity is preserved
-    exactly; only the shuffle distribution changes."""
+    side across all salts, join on key+salt. For the supported join types
+    (inner / left / left_semi / left_anti) row multiplicity is preserved
+    exactly; only the shuffle distribution changes. right/full joins are
+    rejected: an unmatched right row appears once per salt replica, so
+    those types cannot be salted by left-side salting.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; got {how!r} "
+            "(right/full would multiply unmatched right rows n_salts times)"
+        )
     non_key = [c for c in left.columns if c not in on]
     l_salted = left.withColumn(
         _SALT, _salt_col(non_key or on, n_salts)

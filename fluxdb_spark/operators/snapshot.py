@@ -96,11 +96,25 @@ def state_at_with_index(
     tablet_id: str,
     height: int,
     collection: str = "evt",
+    ignore_range: tuple[int, int] | None = None,
 ) -> DataFrame:
     """R1 via snapshot-union-delta (reference ReadTabletAt with an index,
-    read.go:47-142): fetch the indexed versions (a join on (pk, height) —
-    the declarative form of the reference's 5,000-key multi-gets), then
-    last-write-wins-fold the delta rows in (snapshot_height, height] on top.
+    read.go:47-142): pick the single best snapshot — the greatest
+    snapshot_height at-or-below the read height — fetch its versions (a
+    join on (pk, height), the declarative form of the reference's 5,000-key
+    multi-gets), then last-write-wins-fold the delta rows in
+    (snapshot_height, height] on top.
+
+    Restricting to ONE snapshot matters when the stored index relation
+    holds several (its durable form): joining across all of them would
+    resurrect keys deleted between two snapshots and could pull versions
+    newer than `height` from a snapshot above the read height.
+
+    `ignore_range` (I7, reference indexing.go:304-327 / fluxdb.go:179-182)
+    declares a [lo, hi] height range whose snapshots are corrupt: they are
+    skipped and the read falls back to the newest OLDER snapshot, or to the
+    plain full fold when none survives — the reference's recurse-to-an-
+    older-index behavior.
 
     Must be result-equivalent to plain `state_at` — property-checked in
     tests/test_snapshot.py.
@@ -108,32 +122,40 @@ def state_at_with_index(
     scoped = changelog.filter(
         (F.col("collection") == collection) & (F.col("tablet_id") == tablet_id)
     )
-    idx = index.filter(
-        (F.col("collection") == collection) & (F.col("tablet_id") == tablet_id)
+    eligible = index.filter(
+        (F.col("collection") == collection)
+        & (F.col("tablet_id") == tablet_id)
+        & (F.col("snapshot_height") <= F.lit(height))
     )
-    # Indexed base rows: the exact (pk, height) versions the index points at.
-    # The index side is small (|live keys|) => Catalyst broadcasts it.
-    base = scoped.join(
-        F.broadcast(idx.select("primary_key", "height", "snapshot_height")),
-        on=["primary_key", "height"],
-        how="inner",
-    )
-    # The delta lower bound must survive an EMPTY index (a tablet whose keys
-    # are all tombstoned at the index height has an index with no rows): a
-    # 1-row agg with a -1 fallback makes the read degrade to the full scan,
-    # exactly the reference's no-index path (read.go:47-53).
-    snap_h = idx.agg(
+    if ignore_range is not None:
+        lo, hi = ignore_range
+        eligible = eligible.filter(
+            ~F.col("snapshot_height").between(F.lit(lo), F.lit(hi))
+        )
+    # The delta lower bound must survive an EMPTY eligible set (no snapshot
+    # at-or-below the read height, all snapshots ignored, or a tablet whose
+    # keys are all tombstoned at the index height): a 1-row agg with a -1
+    # fallback makes the read degrade to the full scan, exactly the
+    # reference's no-index path (read.go:47-53).
+    best_h = eligible.agg(
         F.coalesce(F.max("snapshot_height"), F.lit(-1).cast("long")).alias(
             "snapshot_height"
         )
     )
-    delta = scoped.join(F.broadcast(snap_h), how="cross").filter(
+    idx = (
+        eligible.join(F.broadcast(best_h), on="snapshot_height", how="inner")
+        .select("primary_key", "height")
+    )
+    # Indexed base rows: the exact (pk, height) versions the best snapshot
+    # points at. The index side is small (|live keys|) => broadcast.
+    base = scoped.join(
+        F.broadcast(idx), on=["primary_key", "height"], how="inner"
+    )
+    delta = scoped.join(F.broadcast(best_h), how="cross").filter(
         (F.col("height") > F.col("snapshot_height"))
         & (F.col("height") <= F.lit(height))
     )
-    unioned = base.drop("snapshot_height").unionByName(
-        delta.drop("snapshot_height")
-    )
+    unioned = base.unionByName(delta.drop("snapshot_height"))
     latest = unioned.groupBy("primary_key").agg(
         F.max_by(
             F.struct(*[F.col(c) for c in CHANGELOG_COLUMNS]), F.col("height")

@@ -5,8 +5,13 @@ designed so swapping `_append_parquet` for a Delta `MERGE`/append is a
 one-function change). What the reference guarantees and we preserve:
 
 - **monotonic height guard** (reference isNextBlock, write.go:331-347): a
-  batch at height H is rejected unless last_height >= H-1; same-height
-  rewrites are allowed (reorg replays);
+  batch at height H is rejected unless last_height >= H-1. Heights at or
+  below the checkpoint are dropped as idempotent replays — NOT rewritten:
+  unlike the reference's KV store (where a reorg replay overwrites
+  same-height keys in place), this store is append-only and only receives
+  rows already final (past LIB); reorg rewrites live in the fork-aware
+  speculative overlay (streaming/forkdb.py) until finality, so a
+  same-height rewrite of durable data cannot legitimately occur;
 - **checkpoint written with the data** (reference flushes the checkpoint
   table last in the same batch, store/kv/store.go:418-424): we write data
   files first, then the checkpoint file — a crash leaves data without a
@@ -113,8 +118,11 @@ class ChangelogStore:
 
         `rows` must conform to CHANGELOG_SCHEMA. Heights already at or below
         the checkpoint are dropped (idempotent replay, reference
-        shardinject.go:153-155); the remaining batch must start at
-        checkpoint+1 or below (no holes).
+        shardinject.go:153-155) — never rewritten: the durable log is
+        append-only and holds only finalized rows, so reorg rewrites are
+        resolved in the speculative overlay before reaching this path (see
+        module docstring). The remaining batch must start at checkpoint+1
+        (no holes).
         """
         ckpt = self.checkpoint(shard)
         if ckpt is not None:

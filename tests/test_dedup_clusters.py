@@ -60,3 +60,13 @@ def test_survivors(spark):
         7: (7, True),
         9: (7, False),
     }
+
+
+def test_raises_when_chain_exceeds_iteration_budget(spark):
+    # a 6-hop chain cannot finish min-label propagation in 2 iterations;
+    # a silent early exit would return wrongly split components
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)

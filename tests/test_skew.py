@@ -75,3 +75,10 @@ class TestSaltedJoin:
         out = salted_join(skewed, dim, on=["k"], how="left", n_salts=4)
         assert out.filter(F.col("w").isNull()).count() == 1000
         assert out.count() == 10000
+
+    def test_rejects_right_and_full(self, spark, skewed):
+        # an unmatched right row would appear once per salt replica
+        dim = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+        for how in ("right", "full", "outer", "right_outer", "full_outer"):
+            with pytest.raises(ValueError):
+                salted_join(skewed, dim, on=["k"], how=how)

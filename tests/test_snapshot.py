@@ -74,6 +74,83 @@ class TestIndexBuild:
         )
         assert got == [("c", 4), ("d", 6)]
 
+    def _multi_snapshot_index(self, spark, log):
+        """Stored-form index: several snapshot heights in one relation."""
+        idx = build_tablet_index(log, "tbl", 2, collection="tst")
+        for h in (5, 7):
+            idx = idx.unionByName(
+                build_tablet_index(log, "tbl", h, collection="tst")
+            )
+        return idx
+
+    def test_multi_snapshot_no_resurrection(self, spark):
+        # b is live in the h=2 snapshot but tombstoned at 5: a read at 6
+        # over the MULTI-snapshot relation must use only the h=5 snapshot,
+        # not resurrect b@2 from the older one.
+        log = mk_log(spark, LOG_ROWS)
+        idx = self._multi_snapshot_index(spark, log)
+        got = sorted(
+            (r.primary_key, r.height)
+            for r in state_at_with_index(
+                log, idx, "tbl", 6, collection="tst"
+            ).collect()
+        )
+        plain = sorted(
+            (r.primary_key, r.height)
+            for r in state_at(log, "tbl", 6, collection="tst").collect()
+        )
+        assert got == plain == [("a", 3), ("c", 4), ("d", 6)]
+
+    def test_snapshot_above_read_height_ignored(self, spark):
+        # Read at 3 with snapshots at 2/5/7 available: only h=2 is eligible;
+        # the h=5/7 snapshots must not leak versions newer than the read.
+        log = mk_log(spark, LOG_ROWS)
+        idx = self._multi_snapshot_index(spark, log)
+        got = sorted(
+            (r.primary_key, r.height)
+            for r in state_at_with_index(
+                log, idx, "tbl", 3, collection="tst"
+            ).collect()
+        )
+        plain = sorted(
+            (r.primary_key, r.height)
+            for r in state_at(log, "tbl", 3, collection="tst").collect()
+        )
+        assert got == plain == [("a", 3), ("b", 2)]
+
+    def test_ignore_range_falls_back_to_older_snapshot(self, spark):
+        # I7 (reference indexing.go:304-327): snapshots inside the corrupt
+        # range [4, 6] are skipped; the read at 7 falls back to the h=2
+        # snapshot and still matches the plain fold.
+        log = mk_log(spark, LOG_ROWS)
+        idx = self._multi_snapshot_index(spark, log)
+        got = sorted(
+            (r.primary_key, r.height)
+            for r in state_at_with_index(
+                log, idx, "tbl", 7, collection="tst", ignore_range=(4, 6)
+            ).collect()
+        )
+        plain = sorted(
+            (r.primary_key, r.height)
+            for r in state_at(log, "tbl", 7, collection="tst").collect()
+        )
+        assert got == plain
+
+    def test_ignore_range_covering_all_degrades_to_full_scan(self, spark):
+        log = mk_log(spark, LOG_ROWS)
+        idx = self._multi_snapshot_index(spark, log)
+        got = sorted(
+            (r.primary_key, r.height)
+            for r in state_at_with_index(
+                log, idx, "tbl", 7, collection="tst", ignore_range=(0, 100)
+            ).collect()
+        )
+        plain = sorted(
+            (r.primary_key, r.height)
+            for r in state_at(log, "tbl", 7, collection="tst").collect()
+        )
+        assert got == plain
+
 
 class TestShouldIndex:
     # reference indexing_test.go:79-218 matrix
