@@ -223,31 +223,37 @@ class IndexScheduler:
 def prune_indexes(
     index: DataFrame, prune_frequency: int
 ) -> DataFrame:
-    """I6 — keep the first and last snapshot per tablet plus every
-    `prune_frequency`-th one (reference PruneTabletIndexes,
-    indexing.go:329-398). Returns the retained index rows."""
+    """I6 — retention selection matching reference PruneTabletIndexes
+    (indexing.go:329-398): per tablet, always keep the oldest and newest
+    snapshot; sort the middle ones newest-first and DELETE every
+    `prune_frequency`-th of them; tablets with <= prune_frequency + 2
+    snapshots are untouched. Each run reclaims ~1/frequency of the middle
+    snapshots, so repeated maintenance runs converge to frequency + 2
+    snapshots per tablet. Returns the retained index rows.
+    """
+    if prune_frequency <= 1:
+        raise ValueError(
+            f"prune frequency must be greater than 1, got {prune_frequency}"
+        )
     from pyspark.sql import Window as W
 
+    part = W.partitionBy("collection", "tablet_id")
     heights = (
         index.select("collection", "tablet_id", "snapshot_height")
         .distinct()
         .withColumn(
+            # rank 1 = newest snapshot; middles sit at ranks 2..n-1 and the
+            # reference's desc position (i+1) for a middle is rank - 1
             "_rank",
-            F.row_number().over(
-                W.partitionBy("collection", "tablet_id").orderBy(
-                    "snapshot_height"
-                )
-            ),
+            F.row_number().over(part.orderBy(F.desc("snapshot_height"))),
         )
-        .withColumn(
-            "_max_rank",
-            F.max("_rank").over(W.partitionBy("collection", "tablet_id")),
-        )
+        .withColumn("_n", F.count(F.lit(1)).over(part))
     )
     keep = heights.filter(
-        (F.col("_rank") == 1)
-        | (F.col("_rank") == F.col("_max_rank"))
-        | (F.col("_rank") % prune_frequency == 0)
+        (F.col("_n") <= prune_frequency + 2)
+        | (F.col("_rank") == 1)
+        | (F.col("_rank") == F.col("_n"))
+        | ((F.col("_rank") - 1) % prune_frequency != 0)
     ).select("collection", "tablet_id", "snapshot_height")
     return index.join(
         F.broadcast(keep), on=["collection", "tablet_id", "snapshot_height"]

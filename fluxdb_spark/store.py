@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -177,3 +178,62 @@ class ChangelogStore:
         return self.checkpoint() is None and not any(
             True for _ in os.scandir(self._data_dir)
         )
+
+
+class IndexStore:
+    """Durable home of the tablet-index relation (TABLET_INDEX_SCHEMA) +
+    the physical prune job (reference PruneTabletIndexes, indexing.go:
+    329-398, which deletes superseded snapshots via batch.PurgeRow).
+
+    Append-only parquet like the changelog; pruning is a copy-on-write
+    rewrite — retained rows land in a fresh directory that atomically
+    replaces the old one, the parquet analog of the reference's in-place
+    KV deletes (and the same shape a Delta/Iceberg `DELETE` would take).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._dir = os.path.join(root, "tablet_index")
+        os.makedirs(self._dir, exist_ok=True)
+
+    def write(self, index_df: DataFrame) -> None:
+        """Append freshly built snapshot rows (build_tablet_index output)."""
+        index_df.write.mode("append").parquet(self._dir)
+
+    def read(self) -> DataFrame:
+        from fluxdb_spark.schema import TABLET_INDEX_SCHEMA
+
+        try:
+            df = self.spark.read.schema(TABLET_INDEX_SCHEMA).parquet(self._dir)
+            df.isEmpty()  # force file listing so an empty dir falls back
+            return df
+        except Exception:
+            return self.spark.createDataFrame([], TABLET_INDEX_SCHEMA)
+
+    def prune(self, prune_frequency: int) -> int:
+        """I6 maintenance — physically remove superseded snapshots, keeping
+        `prune_indexes`' retained set. Returns the number of snapshot
+        (collection, tablet_id, snapshot_height) groups deleted.
+
+        Write-then-swap: retained rows are fully written to a side
+        directory before the old one is replaced, so a crash leaves either
+        the old or the new index complete — reads never see a half-pruned
+        relation.
+        """
+        from fluxdb_spark.operators.snapshot import prune_indexes
+
+        current = self.read()
+        keys = ["collection", "tablet_id", "snapshot_height"]
+        before = current.select(*keys).distinct().count()
+        retained = prune_indexes(current, prune_frequency)
+        after = retained.select(*keys).distinct().count()
+        if after == before:
+            return 0
+        tmp = self._dir + f".rewrite-{uuid.uuid4().hex}"
+        retained.write.mode("overwrite").parquet(tmp)
+        old = self._dir + f".old-{uuid.uuid4().hex}"
+        os.rename(self._dir, old)
+        os.rename(tmp, self._dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return before - after

@@ -139,8 +139,10 @@ class IngestPipeline:
 
 
 class FluxEngine:
-    """Facade = reference FluxDB struct (fluxdb.go): durable store + live
-    overlay behind the temporal read API."""
+    """Facade = reference FluxDB struct (fluxdb.go:104-154): durable store +
+    live overlay behind ALL seven temporal read ops — every read is
+    overlay-aware, so a server-mode caller sees speculative head-fork rows
+    exactly as the reference's serving path does (read.go:155-169)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -153,6 +155,16 @@ class FluxEngine:
         spec = self.pipeline.speculative_writes(up_to_height=height)
         return state_at(self.store.changelog(), tablet_id, height, spec, **kw)
 
+    def row_at(
+        self, tablet_id: str, height: int, primary_key: str, **kw
+    ) -> DataFrame:
+        from fluxdb_spark.operators import row_at
+
+        spec = self.pipeline.speculative_writes(up_to_height=height)
+        return row_at(
+            self.store.changelog(), tablet_id, height, primary_key, spec, **kw
+        )
+
     def singlet_at(self, singlet_id: str, height: int, **kw) -> DataFrame:
         from fluxdb_spark.operators import singlet_at
 
@@ -160,3 +172,27 @@ class FluxEngine:
         return singlet_at(
             self.store.changelog(), singlet_id, height, spec, **kw
         )
+
+    def singlet_history(self, singlet_id: str, **kw) -> DataFrame:
+        from fluxdb_spark.operators import singlet_history
+
+        spec = self.pipeline.speculative_writes()
+        return singlet_history(self.store.changelog(), singlet_id, spec, **kw)
+
+    def has_rows(self, tablet_id: str, collection: str | None = None) -> bool:
+        from fluxdb_spark.operators import has_rows
+
+        log = self.store.changelog()
+        spec = self.pipeline.speculative_writes()
+        if spec is not None:
+            log = log.unionByName(spec)
+        return has_rows(log, tablet_id, collection=collection)
+
+    def checkpoint(self):
+        """R6 — last durable (height, block); the overlay never moves it."""
+        return self.store.checkpoint()
+
+    def reversible_block(self, block_id: str):
+        """S7 — point lookup of a not-yet-final block in the fork overlay
+        (reference pipeline.go:218-226)."""
+        return self.pipeline.forkdb.block(block_id)

@@ -210,5 +210,27 @@ class TestPrune:
             r.snapshot_height
             for r in kept.select("snapshot_height").distinct().collect()
         )
-        # ranks 1..7; keep rank 1 (h=1), rank7 (h=7), ranks 3,6 (h=3,6)
-        assert heights == [1, 3, 6, 7]
+        # reference semantics (indexing.go:366-381): keep oldest (1) and
+        # newest (7); middles desc [6,5,4,3,2] at positions 1..5, delete
+        # every 3rd position -> h=4 only
+        assert heights == [1, 2, 3, 5, 6, 7]
+
+    def test_small_tablet_untouched(self, spark):
+        rows = [("tst", "tbl", h, "a", f"v{h}") for h in range(1, 6)]
+        log = mk_log(spark, rows)
+        idx = build_tablet_index(log, "tbl", 1, collection="tst")
+        for h in range(2, 6):
+            idx = idx.unionByName(
+                build_tablet_index(log, "tbl", h, collection="tst")
+            )
+        # 5 snapshots <= prune_frequency + 2 -> nothing to do
+        kept = prune_indexes(idx, prune_frequency=3)
+        assert kept.select("snapshot_height").distinct().count() == 5
+
+    def test_rejects_frequency_one(self, spark):
+        import pytest as _pytest
+
+        rows = [("tst", "tbl", 1, "a", "v1")]
+        idx = build_tablet_index(mk_log(spark, rows), "tbl", 1, collection="tst")
+        with _pytest.raises(ValueError):
+            prune_indexes(idx, prune_frequency=1)

@@ -71,3 +71,72 @@ class TestWritePath:
         store.write_batch(batch(spark, [1]))
         with pytest.raises(WriteConsistencyError, match="non-clean"):
             store.check_clean_for_sharding()
+
+
+class TestIndexStore:
+    """IndexStore.prune — the PHYSICAL index-prune maintenance job
+    (reference PruneTabletIndexes, indexing.go:329-398): pruned snapshots
+    are gone from storage, and indexed reads still succeed through the
+    surviving snapshots."""
+
+    def _seed(self, spark, tmp_path):
+        from fluxdb_spark.operators.snapshot import build_tablet_index
+        from fluxdb_spark.store import IndexStore
+
+        rows = [("tst", "tbl", h, "a", f"v{h}") for h in range(1, 8)]
+        log = make_changelog(spark, rows)
+        ixs = IndexStore(spark, str(tmp_path / "ix"))
+        for h in range(1, 8):
+            ixs.write(build_tablet_index(log, "tbl", h, collection="tst"))
+        return log, ixs
+
+    def test_prune_physically_removes_snapshots(self, spark, tmp_path):
+        log, ixs = self._seed(spark, tmp_path)
+        removed = ixs.prune(prune_frequency=3)
+        # keep oldest+newest; middles desc [6,5,4,3,2] -> delete every 3rd
+        # position = h4
+        assert removed == 1
+        heights = sorted(
+            r.snapshot_height
+            for r in ixs.read().select("snapshot_height").distinct().collect()
+        )
+        assert heights == [1, 2, 3, 5, 6, 7]
+
+    def test_reads_survive_pruning(self, spark, tmp_path):
+        from fluxdb_spark.operators.snapshot import state_at_with_index
+
+        log, ixs = self._seed(spark, tmp_path)
+        ixs.prune(prune_frequency=3)
+        # height 5's own snapshot was pruned: the read falls back to the
+        # h=3 snapshot + delta and still matches the plain fold
+        for h in (2, 4, 5, 7):
+            got = sorted(
+                (r.primary_key, r.height)
+                for r in state_at_with_index(
+                    log, ixs.read(), "tbl", h, collection="tst"
+                ).collect()
+            )
+            want = sorted(
+                (r.primary_key, r.height)
+                for r in state_at(log, "tbl", h, collection="tst").collect()
+            )
+            assert got == want
+
+    def test_repeated_prune_converges(self, spark, tmp_path):
+        # each run reclaims ~1/freq of the middles until freq+2 remain
+        log, ixs = self._seed(spark, tmp_path)
+        assert ixs.prune(prune_frequency=3) == 1  # drops h4
+        assert ixs.prune(prune_frequency=3) == 1  # drops h3
+        assert ixs.prune(prune_frequency=3) == 0  # 5 left == freq+2: stop
+        heights = sorted(
+            r.snapshot_height
+            for r in ixs.read().select("snapshot_height").distinct().collect()
+        )
+        assert heights == [1, 2, 5, 6, 7]
+
+    def test_empty_store_reads_empty(self, spark, tmp_path):
+        from fluxdb_spark.store import IndexStore
+
+        ixs = IndexStore(spark, str(tmp_path / "fresh"))
+        assert ixs.read().count() == 0
+        assert ixs.prune(prune_frequency=2) == 0

@@ -122,6 +122,62 @@ class TestEngineOverlay:
         blk = p.forkdb.block("b2")
         assert blk is not None and blk.ref.num == 2
 
+    def test_row_at_through_overlay(self, spark, engine):
+        # the single-row read must see the head fork's speculative update
+        # at its height and the durable version below it (fluxdb.go facade)
+        self.seed(spark, engine, [clrow("tbl", 10, "k", "old", "b10")])
+        engine.pipeline.process_new_block(
+            "b11", 11, "b10", [clrow("tbl", 11, "k", "new", "b11")]
+        )
+        got = engine.row_at("tbl", 11, "k", collection="tst").collect()
+        assert [r.value for r in got] == ["new"]
+        got = engine.row_at("tbl", 10, "k", collection="tst").collect()
+        assert [r.value for r in got] == ["old"]
+
+    def test_row_at_speculative_tombstone_hides_row(self, spark, engine):
+        self.seed(spark, engine, [clrow("tbl", 10, "k", "old", "b10")])
+        engine.pipeline.process_new_block(
+            "b11", 11, "b10", [clrow("tbl", 11, "k", "", "b11")]
+        )
+        assert engine.row_at("tbl", 11, "k", collection="tst").count() == 0
+
+    def test_singlet_history_speculative_first(self, spark, engine):
+        self.seed(
+            spark,
+            engine,
+            [
+                clrow("cfg", 1, "only", "v1", "b1"),
+                clrow("cfg", 2, "only", "v2", "b2"),
+            ],
+        )
+        engine.pipeline.process_new_block(
+            "b3", 3, "b2", [clrow("cfg", 3, "only", "v3", "b3")]
+        )
+        got = [
+            r.value
+            for r in engine.singlet_history("cfg", collection="tst").collect()
+        ]
+        # speculative entry first, then durable newest-first (read.go:356-408)
+        assert got == ["v3", "v2", "v1"]
+
+    def test_has_rows_sees_overlay_only_tablet(self, spark, engine):
+        self.seed(spark, engine, [clrow("tbl", 1, "001", "v1", "b1")])
+        engine.pipeline.process_new_block(
+            "b2", 2, "b1", [clrow("fresh", 2, "x", "v", "b2")]
+        )
+        assert engine.has_rows("fresh", collection="tst") is True
+        assert engine.has_rows("tbl", collection="tst") is True
+        assert engine.has_rows("absent", collection="tst") is False
+
+    def test_checkpoint_and_block_lookup_via_facade(self, spark, engine):
+        self.seed(spark, engine, [clrow("tbl", 5, "001", "v", "b5")])
+        engine.pipeline.process_new_block(
+            "b6", 6, "b5", [clrow("tbl", 6, "001", "w", "b6")]
+        )
+        assert engine.checkpoint().height == 5  # overlay never moves it
+        assert engine.reversible_block("b6").ref.num == 6
+        assert engine.reversible_block("nope") is None
+
 
 class TestStatefulSessionize:
     """applyInPandasWithState sessionization (streaming/stateful.py)."""
@@ -233,6 +289,61 @@ class TestBindStream:
             for r in state_at(batch, "click", 700).collect()
         )
         assert a == b
+
+
+class TestBackfillThenLive:
+    """S3 — the live+historical merge pattern (reference pipeline.go:64-150
+    ForkableHub): a batch backfill seeds the store, the checkpointed stream
+    resumes on top WITHOUT duplicating backfilled heights, and fork blocks
+    arriving through process_new_block overlay the merged log."""
+
+    def test_stream_resumes_over_backfill_and_overlays_forks(
+        self, spark, tmp_path
+    ):
+        from fluxdb_spark.operators import state_at
+        from fluxdb_spark.sources import changelog_from_events, load_table
+        from fluxdb_spark.store import ChangelogStore
+        from fluxdb_spark.streaming.ingest import IngestPipeline
+
+        sf = "/root/testdata/sf0.001"
+        batch = changelog_from_events(load_table(spark, sf, "events"))
+        h_mid = int(batch.agg({"height": "max"}).first()[0]) // 2
+
+        # phase 1: batch backfill of the lower half
+        store = ChangelogStore(spark, str(tmp_path / "store"))
+        store.write_batch(batch.filter(f"height <= {h_mid}"))
+        assert store.checkpoint().height == h_mid
+
+        # phase 2: the live stream replays EVERYTHING; the guarded write
+        # path must drop the already-backfilled heights (idempotent resume)
+        pipe = IngestPipeline(store)
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf}/events.parquet").schema
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        q = pipe.bind_stream(changelog_from_events(raw), str(tmp_path / "ck"))
+        q.awaitTermination()
+
+        want_max = int(batch.agg({"height": "max"}).first()[0])
+        assert store.checkpoint().height == want_max
+        assert store.changelog().count() == batch.count()  # no duplicates
+
+        # phase 3: a reversible block on top of the merged log
+        pipe.process_new_block(
+            "live1",
+            want_max + 1,
+            store.checkpoint().block_id,
+            [("evt", "click", want_max + 1, "live_pk", "live_v", False,
+              "live1", want_max + 1)],
+        )
+        spec = pipe.speculative_writes()
+        got = state_at(
+            store.changelog(), "click", want_max + 1, spec
+        ).filter("primary_key = 'live_pk'").collect()
+        assert [r.value for r in got] == ["live_v"]
 
 
 class TestIngestMetrics:
