@@ -2487,9 +2487,29 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-@_q("multimodal_decode", "pipeline", None)  # mapInPandas stub, rows-only
+@_q(
+    "multimodal_decode",
+    "pipeline",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CASE WHEN length(text) >= 1 THEN ascii(substring(text, 1, 1))
+            ELSE 0 END AS magic,
+       CAST(
+         CASE WHEN length(text) >= 1 THEN ascii(substring(text, 1, 1)) ELSE 0 END * 16777216
+       + CASE WHEN length(text) >= 2 THEN ascii(substring(text, 2, 1)) ELSE 0 END * 65536
+       + CASE WHEN length(text) >= 3 THEN ascii(substring(text, 3, 1)) ELSE 0 END * 256
+       + CASE WHEN length(text) >= 4 THEN ascii(substring(text, 4, 1)) ELSE 0 END
+       AS BIGINT) AS header_word,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS checksum
+FROM documents
+""",
+)
 def multimodal_decode(spark, sf_dir):
-    """Arrow-batched decode->metadata via mapInPandas (stubbed decoder)."""
+    """Arrow-batched bytes-level decode via mapInPandas: real header parse
+    (magic byte, big-endian first word) + full-content md5 checksum. The
+    oracle replays the byte math with DuckDB string functions (exact on
+    this ASCII corpus — the payload is the text's utf-8 bytes)."""
     from fluxdb_spark.functions.multimodal import (
         decode_metadata,
         with_binary_payload,
@@ -2499,9 +2519,25 @@ def multimodal_decode(spark, sf_dir):
     return decode_metadata(d)
 
 
-@_q("multimodal_frames", "pipeline", None)  # binary frames, rows-only
+@_q(
+    "multimodal_frames",
+    "pipeline",
+    """
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(range(0, octet_length(encode(text)), 128)) AS g
+  FROM documents)
+SELECT doc_id,
+       CAST(g / 128 AS INT) AS frame_idx,
+       octet_length(encode(substring(text, CAST(g AS INT) + 1, 64))) AS n_bytes,
+       CAST(concat('0x', substr(md5(substring(text, CAST(g AS INT) + 1, 64)), 1, 15)) AS BIGINT) AS frame_hash
+FROM g
+""",
+)
 def multimodal_frames(spark, sf_dir):
-    """Frame sampling over binary payloads via mapInPandas."""
+    """Frame sampling over binary payloads via mapInPandas (64-byte frames
+    every 128 bytes), projected to per-frame length + content hash so the
+    oracle can replay the slicing byte-for-byte."""
     from fluxdb_spark.functions.multimodal import (
         frame_sample,
         with_binary_payload,
@@ -2509,7 +2545,12 @@ def multimodal_frames(spark, sf_dir):
 
     d = with_binary_payload(_td(spark, sf_dir))
     return frame_sample(d).select(
-        "doc_id", "frame_idx", F.octet_length("frame_bytes").alias("n_bytes")
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").alias("n_bytes"),
+        F.conv(F.substring(F.md5("frame_bytes"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("frame_hash"),
     )
 
 

@@ -1,24 +1,38 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Design per the brief: image/audio/video travel as `binary` columns with typed
-metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched Pandas functions over `mapInPandas`. The decode itself is
-STUBBED (no image/audio libs in this container): with Pillow/soundfile
-absent, a clearly-marked deterministic fake decoder produces metadata from
-the bytes, so the Spark-side plumbing — schema, batch iteration, UDF
-signatures, partitioning — is real and tested while the pixel math is not
-pretended.
+Design per the brief: image/audio/video travel as `binary` columns with
+typed metadata; decode / feature-extract / frame-sample run as
+Arrow-batched Pandas functions over `mapInPandas`.
+
+No imaging/audio libraries exist in this container, so the PIXEL decode
+(Image.open & co.) is gated behind an import-try and raises a
+clearly-marked NotImplementedError if ever reached. Everything else is a
+REAL bytes-level transform, not a fake:
+
+- `decode_metadata` parses actual header bytes (magic byte, big-endian
+  first-word) and computes a full-content md5-derived checksum — the same
+  shape as parsing a BMP/WAV header + integrity hash, and every field has
+  an exact DuckDB twin (catalog `multimodal_decode`);
+- `frame_sample` slices the payload into fixed-size frames at a stride —
+  the partition/batch shape of a real frame sampler, also oracle-twinned
+  byte-for-byte (catalog `multimodal_frames`).
+
+The payload here is utf-8 text bytes standing in for media bytes; the
+oracle equivalence relies on the corpus being ASCII (asserted in
+tests/test_multimodal.py) so DuckDB's string functions mirror byte
+offsets exactly.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # real decoder if ever available; not in this image
+try:  # real pixel decoder if ever available; not in this image
     from PIL import Image  # noqa: F401
 
     _HAVE_PIL = True
@@ -26,7 +40,7 @@ except Exception:
     _HAVE_PIL = False
 
 DECODE_SCHEMA = (
-    "doc_id long, n_bytes long, width int, height int, checksum long"
+    "doc_id long, n_bytes long, magic int, header_word long, checksum long"
 )
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
 
@@ -37,38 +51,45 @@ def with_binary_payload(docs: DataFrame, col: str = "text") -> DataFrame:
     return docs.withColumn("payload", F.encode(F.col(col), "utf-8"))
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for image decode. NOT a real decoder."""
+def parse_payload(payload: bytes) -> tuple[int, int, int, int]:
+    """REAL bytes-level parse of one payload:
+
+    - n_bytes: exact byte length;
+    - magic: the first byte (the 'format magic' slot of any container);
+    - header_word: big-endian uint32 of the first 4 bytes, zero-padded —
+      the way BMP/PNG/WAV headers encode dimensions/rates;
+    - checksum: full-content integrity hash = first 60 bits of md5.
+    """
     n = len(payload)
-    width = (payload[0] % 64 + 1) if n else 0
-    height = (payload[-1] % 64 + 1) if n else 0
-    checksum = 0
-    for i in range(0, n, max(1, n // 32)):  # sampled rolling checksum
-        checksum = (checksum * 31 + payload[i]) % (1 << 60)
-    return width, height, checksum
+    magic = payload[0] if n else 0
+    header_word = int.from_bytes(payload[:4].ljust(4, b"\0"), "big")
+    checksum = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return n, magic, header_word, checksum
 
 
 def decode_metadata(df: DataFrame) -> DataFrame:
     """Arrow-batched decode of payload -> typed metadata via mapInPandas.
 
-    With a real imaging lib this is where Image.open(BytesIO(...)) would
-    run; here the fake decoder keeps the batch shape and schema honest.
+    With an imaging lib present this is where pixel decode would run
+    (gated NotImplementedError below so a library appearing can't silently
+    change results); the bytes-level header parse + checksum are real and
+    oracle-checked either way.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if _HAVE_PIL:
                 raise NotImplementedError(
-                    "real image decode path not implemented in this build"
+                    "pixel decode path not implemented in this build"
                 )
-            decoded = pdf["payload"].map(_fake_decode)
+            parsed = pdf["payload"].map(parse_payload)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["payload"].map(len),
-                    "width": decoded.map(lambda t: t[0]),
-                    "height": decoded.map(lambda t: t[1]),
-                    "checksum": decoded.map(lambda t: t[2]),
+                    "n_bytes": parsed.map(lambda t: t[0]),
+                    "magic": parsed.map(lambda t: t[1]),
+                    "header_word": parsed.map(lambda t: t[2]),
+                    "checksum": parsed.map(lambda t: t[3]),
                 }
             )
 

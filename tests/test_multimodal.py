@@ -1,17 +1,21 @@
 """Multimodal column plumbing (functions/multimodal.py): binary payload
-columns + Arrow-batched mapInPandas decode / frame-sample. The decode is a
-deterministic stub (no imaging libs in this container) — these tests pin the
-Spark-side contract: schemas, batch iteration, row expansion, determinism."""
+columns + Arrow-batched mapInPandas decode / frame-sample. The pixel decode
+is unavailable (no imaging libs in this container) but the bytes-level
+header parse + checksum are real — these tests pin the Spark-side contract
+(schemas, batch iteration, row expansion, determinism) and the byte math
+against a plain-Python reference."""
 
 from __future__ import annotations
+
+import hashlib
 
 import pytest
 from pyspark.sql import functions as F
 
 from fluxdb_spark.functions.multimodal import (
-    _fake_decode,
     decode_metadata,
     frame_sample,
+    parse_payload,
     with_binary_payload,
 )
 from fluxdb_spark.sources.tables import load_table
@@ -28,18 +32,35 @@ class TestDecode:
     def test_schema(self, docs):
         out = decode_metadata(docs)
         assert [f.name for f in out.schema.fields] == [
-            "doc_id", "n_bytes", "width", "height", "checksum",
+            "doc_id", "n_bytes", "magic", "header_word", "checksum",
         ]
+
+    def test_corpus_is_ascii(self, docs):
+        # the DuckDB oracle mirrors byte offsets with string functions;
+        # that equivalence requires ASCII payloads — pin it
+        assert (
+            docs.filter(
+                F.octet_length("payload") != F.length("text")
+            ).count()
+            == 0
+        )
 
     def test_matches_local_reference(self, docs):
         sample = {r.doc_id: bytes(r.payload) for r in docs.limit(5).collect()}
         got = {
-            r.doc_id: (r.width, r.height, r.checksum, r.n_bytes)
+            r.doc_id: (r.n_bytes, r.magic, r.header_word, r.checksum)
             for r in decode_metadata(docs).collect()
         }
         for doc_id, payload in sample.items():
-            w, h, c = _fake_decode(payload)
-            assert got[doc_id] == (w, h, c, len(payload))
+            assert got[doc_id] == parse_payload(payload)
+
+    def test_parse_payload_bytes_math(self):
+        # real header semantics: big-endian first word, zero padded
+        assert parse_payload(b"") == (0, 0, 0, int(
+            hashlib.md5(b"").hexdigest()[:15], 16))
+        n, magic, word, _ = parse_payload(b"AB")
+        assert (n, magic) == (2, ord("A"))
+        assert word == (ord("A") << 24) | (ord("B") << 16)
 
     def test_deterministic(self, docs):
         a = sorted(map(tuple, decode_metadata(docs).collect()))
