@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_simhash",
     "embed_topk",
     "text_stats",
+    "skew_salted_join",
+    "multimodal_decode",
 ]
 
 
@@ -70,8 +72,13 @@ def main() -> None:
         # min of 2 runs: single-JVM timings carry multi-second GC/scheduling
         # noise; the minimum is the steady-state cost a cluster would see.
         # Cache is cleared per run so operators that persist intermediates
-        # pay for them inside their own timing.
-        for _ in range(2):
+        # pay for them inside their own timing. A query still slow after
+        # two runs gets a third: shared-host CPU throttling has produced
+        # 10x+ one-off swings, and one more sample usually recovers the
+        # steady state.
+        for run in range(3):
+            if run == 2 and best < 2.0:
+                break
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)

@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_ngram",
     "dedup_clusters",
+    "dedup_survivors",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
@@ -111,14 +112,15 @@ _PRIORITY: list[str] = [
     "scalar_subquery",
     "pivot_status",
     "skew_salted_agg",
+    "skew_salted_join",
     "unpivot_pricing",
-    # TPC-H representatives (scan+agg, deep join tree, conditional-count
-    # agg, semi+anti join); the remaining TPC-H variants follow in
-    # registration order as redundant coverage
+    # TPC-H representatives (canonical scan+agg; q12 carries the
+    # conditional-count BIGINT-cast fix). The remaining TPC-H variants
+    # follow in registration order — all already have green driver
+    # correctness rows from round 1, so fresh never-checked entries
+    # outrank them here.
     "tpch_q1",
-    "tpch_q9",
     "tpch_q12",
-    "tpch_q21",
 ]
 
 
@@ -2094,6 +2096,38 @@ def skew_salted_agg(spark, sf_dir):
 
 
 @_q(
+    "skew_salted_join",
+    "relational",
+    """
+SELECT p.p_type,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+""",
+)
+def skew_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (operators/skew.py): the fact side is
+    salted, the dim side replicated across salts, so one hot part key
+    can't pin a single reducer. Must equal the plain join — the oracle."""
+    from fluxdb_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = salted_join(li, p, on=["p_partkey"], n_salts=8)
+    return joined.groupBy("p_type").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@_q(
     "unpivot_pricing",
     "relational",
     """
@@ -2385,6 +2419,43 @@ def dedup_simhash_pairs(spark, sf_dir):
     lossless at every scale factor."""
     d = _td(spark, sf_dir)
     return dd.simhash_pairs(d, max_distance=3)
+
+
+_SURVIVORS_SQL = f"""
+WITH {dd.sql_shingles_ctes()},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN shsize sa ON sa.doc_id = d1 JOIN shsize sb ON sb.doc_id = d2
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach)
+  SELECT node, min(reach) AS component FROM r GROUP BY node)
+SELECT node AS doc_id, component, (node = component) AS keep FROM reach
+UNION ALL
+SELECT doc_id, doc_id AS component, TRUE AS keep
+FROM documents WHERE doc_id NOT IN (SELECT node FROM reach)
+"""
+
+
+@_q("dedup_survivors", "pipeline", _SURVIVORS_SQL)
+def dedup_survivors(spark, sf_dir):
+    """The full dedup DECISION: near-dup pairs -> clusters -> keep the
+    min-id doc per cluster, pass every unpaired doc through — the exact
+    relation a training-data pipeline filters on. One row per document:
+    (doc_id, component, keep)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, 0.8)
+    return dd.dedup_survivors(pairs, d)
 
 
 _DOT_SQL = """
