@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fluxdb_spark.functions import curation as cu
 from fluxdb_spark.functions import dedup as dd
 from fluxdb_spark.functions import similarity as sim
 from fluxdb_spark.functions import text as tx
@@ -67,11 +68,8 @@ _PRIORITY: list[str] = [
     "flux_state_at_indexed",
     "flux_state_diff",
     "flux_state_at_speculative",
-    "flux_row_at",
-    "flux_singlet_asof",
     "flux_singlet_history",
     "flux_has_rows",
-    "flux_checkpoint",
     "flux_tablet_index",
     "flux_shard_assignment",
     "flux_shard_progress",
@@ -94,6 +92,9 @@ _PRIORITY: list[str] = [
     "text_quality",
     "lang_distribution",
     "doc_fingerprint",
+    "stratified_sample",
+    "decontaminate",
+    "seq_packing",
     "multimodal_meta",
     "multimodal_decode",
     "multimodal_frames",
@@ -2456,6 +2457,90 @@ def dedup_survivors(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(d, 0.8)
     return dd.dedup_survivors(pairs, d)
+
+
+@_q(
+    "stratified_sample",
+    "pipeline",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE {cu.sql_bucket('doc_id', 'sample')}
+      < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3500
+                  WHEN 'fr' THEN 2500 WHEN 'es' THEN 2500
+                  WHEN 'zh' THEN 1000 ELSE 0 END
+""",
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sampling (training-mix
+    rebalancing): a salted content-key hash decides membership, so the
+    sample is identical on every run/cluster size and nested across
+    fraction changes — a pure map-side filter, no shuffle, no rand()."""
+    d = _t(spark, sf_dir, "documents")
+    return cu.stratified_sample(
+        d,
+        "lang",
+        {"en": 0.5, "de": 0.35, "fr": 0.25, "es": 0.25, "zh": 0.1},
+        key_col="doc_id",
+    ).select("doc_id", "lang")
+
+
+_DECONTAM_8GRAM = ", ".join(f"t[i+{j}]" for j in range(8))
+
+@_q(
+    "decontaminate",
+    "pipeline",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 6),
+                       i -> concat_ws(' ', {_DECONTAM_8GRAM}))) AS s
+  FROM toks WHERE len(t) >= 8),
+sh AS (SELECT doc_id, unnest(s) AS shingle FROM sl),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 10 != 0
+GROUP BY 1
+""",
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 8-word
+    shingle with the benchmark pool (here: every 10th doc stands in for
+    the eval set — wide enough that real collisions exist at every SF, so
+    the check can't pass vacuously). The pool deduplicates then BROADCASTS
+    — the corpus side streams through the join unshuffled, the shape that
+    survives a 100 TB corpus against a fixed eval set."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return cu.decontaminate(spread(train), bench, n=8)
+
+
+@_q(
+    "seq_packing",
+    "pipeline",
+    """
+WITH toks AS (
+  SELECT source AS shard, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+cum AS (
+  SELECT shard, doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM toks)
+SELECT shard, CAST(floor(prev / 256) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM cum GROUP BY 1, 2
+""",
+)
+def seq_packing(spark, sf_dir):
+    """Greedy contiguous sequence packing: per-shard (source) prefix sums
+    assign each doc to the 256-token training sequence its preceding
+    cumulative count falls in — concat-then-chunk packing whose window
+    parallelizes across shards instead of serializing the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return cu.pack_sequences(d, budget=256, shard_col="source")
 
 
 _DOT_SQL = """

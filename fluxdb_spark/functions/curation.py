@@ -1,0 +1,144 @@
+"""Dataset-curation operators for the training-data pipeline layer:
+deterministic sampling, benchmark decontamination, and sequence packing.
+
+Scale design:
+
+- `hash_sample` / `stratified_sample`: pure map-side filters on a salted
+  content-key hash — no shuffle, no rand() (stable under retries,
+  repartitioning, and cluster resizing, which `DataFrame.sample` is not),
+  and the acceptance predicate pushes down to the scan;
+- `decontaminate`: training-vs-benchmark n-gram collision via an
+  equi-join on the shingle — the benchmark side is the small one (eval
+  sets are thousands of docs, the corpus is billions) so it broadcasts,
+  and no all-pairs comparison ever forms;
+- `pack_sequences`: greedy contiguous packing of documents into
+  fixed-token-budget training sequences, computed per shard (window
+  partitioned by the shard column) so the prefix sums parallelize —
+  the standard "concat then chunk" packing, not a global sequential scan.
+
+Everything is built-in JVM expressions with exact DuckDB twins via the
+portable md5-based `hash60`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fluxdb_spark.functions.hashing import hash60, hash60_sql
+from fluxdb_spark.functions.text import token_count
+
+SAMPLE_BUCKETS = 10_000
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, SAMPLE_BUCKETS) from a salted key hash."""
+    return F.pmod(hash60(key.cast("string"), seed=salt), F.lit(SAMPLE_BUCKETS))
+
+
+def sql_bucket(expr: str, salt: str) -> str:
+    """DuckDB twin of `_bucket` (hash60 is non-negative, so % == pmod)."""
+    return f"({hash60_sql(f'CAST({expr} AS VARCHAR)', salt)} % {SAMPLE_BUCKETS})"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic Bernoulli sampling: keep a row iff its salted key hash
+    falls in the first `fraction` of the bucket space. Same row set on
+    every run, every cluster size, every retry."""
+    return df.filter(
+        _bucket(F.col(key_col), salt) < int(fraction * SAMPLE_BUCKETS)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing for a
+    training mix): each stratum keeps its own fraction, keyed on the same
+    salted hash so the samples are nested (raising a fraction only ADDS
+    rows — stable ablations)."""
+    rate = F.lit(int(default_fraction * SAMPLE_BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        rate = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * SAMPLE_BUCKETS))
+        ).otherwise(rate)
+    return df.filter(_bucket(F.col(key_col), salt) < rate)
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training doc sharing at least
+    one distinct n-word shingle with the benchmark pool. Returns one row
+    per contaminated doc: (doc_id, n_hits = distinct shared shingles).
+
+    The benchmark shingle pool is deduplicated then broadcast (eval sets
+    are small relative to the corpus); training shingles stream through a
+    broadcast-hash join with no shuffle of the training side.
+    """
+    from fluxdb_spark.functions.dedup import word_shingles
+
+    def sh(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col("text"), n)).alias("shingle"),
+        )
+
+    pool = sh(benchmark).select("shingle").distinct()
+    return (
+        sh(train)
+        .join(F.broadcast(pool), on="shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: within each shard, documents in
+    id order fill fixed-token-budget training sequences; a document joins
+    the sequence its PRECEDING cumulative token count falls in (spillover
+    allowed — the standard concat-then-chunk packing). Returns one row per
+    packed sequence: (shard, seq_id, n_docs, n_tokens).
+
+    Packing per shard keeps the prefix sum parallel (one window partition
+    per shard); a global ordering would serialize the whole corpus through
+    one partition.
+    """
+    toks = docs.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    assigned = toks.withColumn(
+        "seq_id",
+        F.floor(
+            F.coalesce(
+                F.sum("n_tok").over(
+                    Window.partitionBy("shard")
+                    .orderBy(id_col)
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            / budget
+        ).cast("long"),
+    )
+    return assigned.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )

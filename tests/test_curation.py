@@ -1,0 +1,128 @@
+"""Dataset-curation operators (functions/curation.py): deterministic
+sampling, benchmark decontamination, sequence packing — semantics plus the
+scale-critical plan shapes (no shuffle in sampling, broadcast in
+decontamination)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluxdb_spark.functions.curation import (
+    decontaminate,
+    hash_sample,
+    pack_sequences,
+    stratified_sample,
+)
+from fluxdb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").persist()
+
+
+class TestHashSample:
+    def test_deterministic(self, docs):
+        a = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect())
+        b = sorted(r.doc_id for r in hash_sample(docs, "doc_id", 0.3).collect())
+        assert a == b and a  # non-empty and stable
+
+    def test_nested_fractions(self, docs):
+        # raising the fraction must only ADD rows (stable ablations)
+        small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+        big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.6).collect()}
+        assert small <= big
+
+    def test_salt_changes_sample(self, docs):
+        a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, salt="x").collect()}
+        b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, salt="y").collect()}
+        assert a != b
+
+    def test_no_shuffle_in_plan(self, docs):
+        plan = hash_sample(docs, "doc_id", 0.3)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure map-side filter
+
+
+class TestStratifiedSample:
+    def test_respects_per_stratum_rates(self, docs):
+        out = stratified_sample(
+            docs, "lang", {"en": 1.0, "de": 0.0}, key_col="doc_id"
+        )
+        langs = {r.lang for r in out.collect()}
+        n_en = docs.filter(F.col("lang") == "en").count()
+        assert langs == {"en"}
+        assert out.count() == n_en  # fraction 1.0 keeps every en doc
+
+    def test_nested_across_fraction_change(self, docs):
+        lo = {r.doc_id for r in stratified_sample(
+            docs, "lang", {"en": 0.2}, key_col="doc_id").collect()}
+        hi = {r.doc_id for r in stratified_sample(
+            docs, "lang", {"en": 0.7}, key_col="doc_id").collect()}
+        assert lo <= hi
+
+
+class TestDecontaminate:
+    def test_flags_exact_overlap(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),   # shares 8-gram with bench
+                (2, "totally different words with no overlap at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "x a b c d e f g h y")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.n_hits for r in decontaminate(train, bench).collect()}
+        # train doc 1 contains 'a b c d e f g h' which bench also contains
+        assert got == {1: 1}
+
+    def test_short_docs_never_flagged(self, spark):
+        train = spark.createDataFrame(
+            [(1, "too short")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(100, "too short")], "doc_id long, text string"
+        )
+        assert decontaminate(train, bench).count() == 0
+
+    def test_pool_is_broadcast(self, docs):
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        plan = decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestPackSequences:
+    def test_concat_then_chunk_semantics(self, spark):
+        # shard A: docs of 100/100/100 tokens, budget 150:
+        #   doc1 prev=0   -> seq 0
+        #   doc2 prev=100 -> seq 0 (spillover past 150 allowed)
+        #   doc3 prev=200 -> seq 1
+        rows = [
+            ("A", 1, " ".join(["w"] * 100)),
+            ("A", 2, " ".join(["w"] * 100)),
+            ("A", 3, " ".join(["w"] * 100)),
+            ("B", 4, " ".join(["w"] * 10)),
+        ]
+        df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+        got = {
+            (r.shard, r.seq_id): (r.n_docs, r.n_tokens)
+            for r in pack_sequences(df, budget=150).collect()
+        }
+        assert got == {
+            ("A", 0): (2, 200),
+            ("A", 1): (1, 100),
+            ("B", 0): (1, 10),
+        }
+
+    def test_total_tokens_conserved(self, docs):
+        packed = pack_sequences(docs, budget=256)
+        total = packed.agg(F.sum("n_tokens")).first()[0]
+        want = docs.select(
+            F.size(F.split("text", " ")).alias("n")
+        ).agg(F.sum("n")).first()[0]
+        assert total == want
