@@ -68,7 +68,6 @@ _PRIORITY: list[str] = [
     "flux_state_at_indexed",
     "flux_state_diff",
     "flux_state_at_speculative",
-    "flux_singlet_history",
     "flux_has_rows",
     "flux_tablet_index",
     "flux_shard_assignment",
@@ -88,6 +87,7 @@ _PRIORITY: list[str] = [
     "embed_neardup",
     "embed_ann_lsh",
     "embed_ann_ivf",
+    "embed_ann_ivf_exact",
     "text_stats",
     "text_quality",
     "lang_distribution",
@@ -2615,6 +2615,39 @@ def embed_ann_ivf(spark, sf_dir):
     tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+
+
+@_q(
+    "embed_ann_ivf_exact",
+    "pipeline",
+    f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 4) AS score
+  FROM q, c, idx
+  WHERE q.vec_id != c.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def embed_ann_ivf_exact(spark, sf_dir):
+    """IVF at full probe (n_probe = n_centroids): every query scans every
+    cell, so the result is EXACTLY brute-force top-k — which makes the IVF
+    machinery (cell assignment, probe join, re-rank) oracle-hashable, not
+    just recall-tested. The approximate configuration is `embed_ann_ivf`."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=16
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @_q(
