@@ -42,6 +42,9 @@ HEADLINE = [
     "text_stats",
     "skew_salted_join",
     "multimodal_decode",
+    "stratified_sample",
+    "decontaminate",
+    "seq_packing",
 ]
 
 

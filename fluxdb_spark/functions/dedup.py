@@ -32,20 +32,30 @@ LSH_BANDS = 4  # rows-per-band = MINHASH_K // LSH_BANDS = 2
 
 
 def word_shingles(text: Column, n: int = SHINGLE_WORDS) -> Column:
-    """Distinct n-word shingles of lowercased text (JVM-side transform)."""
-    toks = F.split(F.lower(text), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1), F.lit(1))
-    shingles = F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
+    """Distinct n-word shingles of lowercased text (JVM-side transform).
+
+    The token array is bound ONCE per row as a lambda variable (transform
+    over a singleton array): subexpressions inside a higher-order-function
+    lambda are re-evaluated per element and invisible to Spark's
+    common-subexpression elimination, so inlining `split(lower(text))` into
+    the per-shingle lambda re-split the document once per shingle per
+    referenced token — O(n * len^2) work per doc (measured 19x slower at
+    sf0.1 for n=8). Shingles come from one `slice` of the bound array each.
+    """
+
+    def _shingles(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1), F.lit(1))
+        body = F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
         )
-    )
-    # guard docs shorter than n tokens (sequence would run backwards)
-    return F.when(F.size(toks) >= n, shingles).otherwise(
-        F.array().cast("array<string>")
+        # guard docs shorter than n tokens (sequence would run backwards;
+        # CaseWhen evaluates the branch lazily)
+        return F.when(F.size(toks) >= n, body).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.lower(text), " ")), _shingles), 1
     )
 
 
