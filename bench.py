@@ -45,6 +45,9 @@ HEADLINE = [
     "stratified_sample",
     "decontaminate",
     "seq_packing",
+    "quality_filter",
+    "repetition_stats",
+    "pii_scrub",
 ]
 
 

@@ -90,6 +90,9 @@ _PRIORITY: list[str] = [
     "embed_ann_ivf_exact",
     "text_stats",
     "text_quality",
+    "quality_filter",
+    "repetition_stats",
+    "pii_scrub",
     "lang_distribution",
     "doc_fingerprint",
     "stratified_sample",
@@ -100,6 +103,7 @@ _PRIORITY: list[str] = [
     "multimodal_frames",
     # streaming + sessionization layer
     "stream_tumbling",
+    "stream_dedup",
     "stream_stream_join",
     "stream_sessionize",
     "sessionization",
@@ -2230,6 +2234,116 @@ def lang_distribution(spark, sf_dir):
     )
 
 
+_QF_SQL = tx.sql_quality_rules("text")
+
+@_q(
+    "quality_filter",
+    "pipeline",
+    f"""
+SELECT doc_id,
+       CAST({_QF_SQL['n_words']} AS BIGINT) AS n_words,
+       {_QF_SQL['mean_word_len']} AS mean_word_len,
+       CAST({_QF_SQL['n_distinct_stopwords']} AS BIGINT) AS n_distinct_stopwords,
+       {_QF_SQL['ok_len']} AS ok_len,
+       {_QF_SQL['ok_mean_len']} AS ok_mean_len,
+       {_QF_SQL['ok_stopwords']} AS ok_stopwords,
+       {_QF_SQL['keep']} AS keep
+FROM documents
+""",
+)
+def quality_filter(spark, sf_dir):
+    """Gopher/C4-style quality filtering: per-document rule booleans
+    (word-count bounds, mean word length in [3,10], >= 2 distinct
+    stopwords) and the conjunctive keep decision. Map-side only — the
+    filter runs at scan speed on any corpus size. Line/paragraph rules are
+    deliberately absent: this corpus is single-line, so they would pass
+    vacuously and verify nothing."""
+    d = _td(spark, sf_dir)
+    rules = tx.quality_rules(F.col("text"))
+    return d.select(
+        "doc_id",
+        rules["n_words"].cast("long").alias("n_words"),
+        rules["mean_word_len"].alias("mean_word_len"),
+        rules["n_distinct_stopwords"].cast("long").alias(
+            "n_distinct_stopwords"
+        ),
+        rules["ok_len"].alias("ok_len"),
+        rules["ok_mean_len"].alias("ok_mean_len"),
+        rules["ok_stopwords"].alias("ok_stopwords"),
+        rules["keep"].alias("keep"),
+    )
+
+
+_PII_SQL = tx.sql_pii_stats("text")
+
+@_q(
+    "pii_scrub",
+    "pipeline",
+    f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       CAST({_PII_SQL['n_emails']} AS BIGINT) AS n_emails,
+       CAST({_PII_SQL['n_phones']} AS BIGINT) AS n_phones,
+       md5({_PII_SQL['redacted']}) AS redacted_md5
+FROM injected
+""",
+)
+def pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails, phone numbers) with
+    dialect-portable regexes. The corpus is synthetic word-salad with no
+    natural PII, so both engines deterministically inject doc_id-derived
+    emails (every 7th doc) and phones (every 11th) inside the query —
+    a broken detector or redactor then actually fails the hash (the
+    de-vacuation pattern from dedup_exact). Output carries md5(redacted)
+    so the full transformed text is hash-checked without shipping it."""
+    d = _td(spark, sf_dir)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    p = tx.pii_stats(injected)
+    return d.select(
+        "doc_id",
+        p["n_emails"].cast("long").alias("n_emails"),
+        p["n_phones"].cast("long").alias("n_phones"),
+        F.md5(p["redacted"]).alias("redacted_md5"),
+    )
+
+
+@_q("repetition_stats", "pipeline", tx.SQL_REPETITION_STATS)
+def repetition_stats(spark, sf_dir):
+    """Gopher repetition rules (word/n-gram form): duplicate-word fraction,
+    top-word fraction, top-2-gram coverage fraction per document — the
+    signals that catch boilerplate and degenerate generations. Two
+    explode->groupBy aggregations keyed (doc, term); fractions depend only
+    on counts, so no tie-breaking order is needed for determinism."""
+    return tx.repetition_stats(_td(spark, sf_dir))
+
+
 @_q(
     "doc_fingerprint",
     "pipeline",
@@ -2785,6 +2899,52 @@ def stream_tumbling(spark, sf_dir):
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@_q(
+    "stream_dedup",
+    "streaming",
+    """
+SELECT event_id, event_type FROM events
+""",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: the event stream unioned with ITSELF (so
+    every event genuinely arrives twice) flows through a watermarked
+    `dropDuplicates` on event_id; the memory sink must hold each event
+    exactly once — the batch relation is the oracle. The watermark bounds
+    the dedup state in a continuous deployment (keys older than the
+    horizon are evicted), which is what makes exact stream dedup viable at
+    100 TB/day; in this availableNow run the single batch sees all data,
+    so the result is exactly DISTINCT."""
+    import uuid
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    doubled = ev.unionByName(ev)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -352,24 +352,51 @@ def minhash_lsh_dedup(
     )
 
 
+_SIMHASH_FIELD_BITS = 21  # 3 packed ones-counters per long; a counter
+# overflows only past 2^21 tokens in ONE document, far beyond any real doc
+
+
 def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint over tokens: bit b is set iff more token-hashes
     have bit b set than not (tie -> 0). Pure aggregation — map-side combine,
-    one shuffle of 'bits' partial counts per doc."""
+    one shuffle of the packed partial counts per doc.
+
+    The per-bit ones-counts are PACKED three-per-long into 21-bit fields:
+    a 32-bit simhash aggregates ceil(32/3)+1 = 12 buffers instead of 32
+    scalar conditional sums (hash-agg update cost scales with the buffer
+    count). Bit b is set iff 2*ones_b > n_tokens — algebraically identical
+    to +/-1 counting; the DuckDB oracle keeps the 32-sum form, so the two
+    independent derivations cross-check each other."""
+    fields_per_long = 63 // _SIMHASH_FIELD_BITS
+    n_groups = -(-bits // fields_per_long)
     tok = spread(docs).select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
     ).withColumn("h", hash60(F.col("token")))
-    aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
-        ).alias(f"c{b}")
-        for b in range(bits)
-    ]
-    counted = tok.groupBy(id_col).agg(*aggs)
+    packed_aggs = []
+    for g in range(n_groups):
+        term = None
+        for j in range(fields_per_long):
+            b = g * fields_per_long + j
+            if b >= bits:
+                break
+            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+            shifted = bit * F.lit(1 << (_SIMHASH_FIELD_BITS * j))
+            term = shifted if term is None else term + shifted
+        packed_aggs.append(F.sum(term).alias(f"s{g}"))
+    counted = tok.groupBy(id_col).agg(
+        *packed_aggs, F.count(F.lit(1)).alias("n_tok")
+    )
+    mask = (1 << _SIMHASH_FIELD_BITS) - 1
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        g, j = divmod(b, fields_per_long)
+        ones = F.shiftright(
+            F.col(f"s{g}"), _SIMHASH_FIELD_BITS * j
+        ).bitwiseAND(F.lit(mask))
+        term = F.when(2 * ones > F.col("n_tok"), F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
         fp = term if fp is None else fp + term
     return counted.select(F.col(id_col), fp.cast("long").alias("simhash"))
 

@@ -111,3 +111,216 @@ def sql_lang_id(expr: str) -> str:
       WHEN {s['de']} >= {s['fr']} AND {s['de']} > 0 THEN 'de'
       WHEN {s['fr']} > 0 THEN 'fr'
       ELSE 'und' END"""
+
+
+# --- quality filtering (Gopher/C4-style rules) -----------------------------
+
+# Rule thresholds (the Gopher paper's word-level subset; the line/paragraph
+# rules are omitted because this corpus is single-line synthetic text —
+# they would pass vacuously on every document).
+QF_MIN_WORDS = 50
+QF_MAX_WORDS = 100_000
+QF_MIN_MEAN_LEN = 3.0
+QF_MAX_MEAN_LEN = 10.0
+QF_MIN_DISTINCT_STOPWORDS = 2
+
+
+def floor4(c: Column) -> Column:
+    """Truncate to 4 decimals with floor — bit-identical across engines,
+    unlike decimal rounding at .xxxx5 boundaries (see quality_score)."""
+    return F.floor(c * 10000) / 10000.0
+
+
+def distinct_stopword_count(text: Column) -> Column:
+    """How many DISTINCT stopwords appear (Gopher's 'at least 2 of the stop
+    set' rule needs distinct membership, not occurrence counts)."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(text))),
+            F.array(*[F.lit(w) for w in STOPWORDS]),
+        )
+    )
+
+
+def quality_rules(text: Column) -> dict[str, Column]:
+    """The per-document rule columns of `quality_filter`: raw statistics,
+    one boolean per rule, and the conjunctive keep decision. Pure map-side
+    JVM expressions — the filter runs at scan speed on any corpus size."""
+    n = token_count(text)
+    # mean word length over the RAW double; floor4 only when emitting
+    total_len = F.aggregate(
+        tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = total_len / n
+    n_stop = distinct_stopword_count(text)
+    ok_len = (n >= QF_MIN_WORDS) & (n <= QF_MAX_WORDS)
+    ok_mean = (mean_len >= QF_MIN_MEAN_LEN) & (mean_len <= QF_MAX_MEAN_LEN)
+    ok_stop = n_stop >= QF_MIN_DISTINCT_STOPWORDS
+    return {
+        "n_words": n,
+        "mean_word_len": floor4(mean_len),
+        "n_distinct_stopwords": n_stop,
+        "ok_len": ok_len,
+        "ok_mean_len": ok_mean,
+        "ok_stopwords": ok_stop,
+        "keep": ok_len & ok_mean & ok_stop,
+    }
+
+
+def sql_quality_rules(expr: str) -> dict[str, str]:
+    """DuckDB twin of `quality_rules` (same columns, same bits)."""
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n = sql_token_count(expr)
+    total = f"list_sum(list_transform(string_split({expr}, ' '), t -> length(t)))"
+    mean = f"({total} * 1.0 / {n})"
+    n_stop = (
+        f"len(list_intersect(list_distinct(string_split(lower({expr}), ' ')),"
+        f" [{lst}]))"
+    )
+    ok_len = f"({n} >= {QF_MIN_WORDS} AND {n} <= {QF_MAX_WORDS})"
+    ok_mean = f"({mean} >= {QF_MIN_MEAN_LEN} AND {mean} <= {QF_MAX_MEAN_LEN})"
+    ok_stop = f"({n_stop} >= {QF_MIN_DISTINCT_STOPWORDS})"
+    return {
+        "n_words": n,
+        "mean_word_len": f"floor({mean} * 10000) / 10000.0",
+        "n_distinct_stopwords": n_stop,
+        "ok_len": ok_len,
+        "ok_mean_len": ok_mean,
+        "ok_stopwords": ok_stop,
+        "keep": f"({ok_len} AND {ok_mean} AND {ok_stop})",
+    }
+
+
+# --- repetition detection (Gopher repetition rules) ------------------------
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """ALL n-word grams of lowercased text, duplicates KEPT (frequency
+    counting needs multiplicity — `word_shingles` deduplicates). Token
+    array bound once via the singleton-array transform (see word_shingles:
+    HOF lambdas get no common-subexpression elimination)."""
+
+    def _grams(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1), F.lit(1))
+        body = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+        )
+        return F.when(F.size(toks) >= n, body).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.lower(text), " ")), _grams), 1
+    )
+
+
+def repetition_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document repetition profile (the Gopher repetition-rule family,
+    restricted to word/n-gram form — this corpus has no line structure):
+
+    - dup_word_frac:   1 - |distinct words| / |words|
+    - top_word_frac:   occurrences of the most frequent word / |words|
+    - top_2gram_frac:  words covered by the most frequent 2-gram / |words|
+
+    The fractions depend only on COUNTS (not on which gram wins a tie), so
+    the result is deterministic without a tie-breaking total order.
+
+    Scale shape: two explode->groupBy aggregations keyed (doc, term) — the
+    shuffle carries one row per distinct term occurrence class, map-side
+    combine keeps it at |distinct (doc, term)| rows, and no step is
+    quadratic in document length or corpus size."""
+    from fluxdb_spark.session import spread
+
+    d = spread(docs)
+    words = d.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("w")
+    )
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    per_word = wc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_w"),
+    )
+    grams = d.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("g"),
+    )
+    per_gram = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_g"))
+    )
+    n_words = F.col("n_words")
+    return (
+        per_word.join(per_gram, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            n_words,
+            F.col("n_distinct"),
+            floor4(1 - F.col("n_distinct") / n_words).alias("dup_word_frac"),
+            floor4(F.col("top_w") / n_words).alias("top_word_frac"),
+            floor4(
+                F.coalesce(F.col("top_g"), F.lit(0)) * 2 / n_words
+            ).alias("top_2gram_frac"),
+        )
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+words AS (SELECT doc_id, unnest(t) AS w FROM toks),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+pw AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              count(*) AS n_distinct, max(c) AS top_w
+       FROM wc GROUP BY 1),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> concat_ws(' ', t[i], t[i+1]))) AS g
+  FROM toks WHERE len(t) >= 2),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+pg AS (SELECT doc_id, max(c) AS top_g FROM gc GROUP BY 1)
+SELECT pw.doc_id, n_words, n_distinct,
+       floor((1 - n_distinct * 1.0 / n_words) * 10000) / 10000.0 AS dup_word_frac,
+       floor((top_w * 1.0 / n_words) * 10000) / 10000.0 AS top_word_frac,
+       floor((coalesce(top_g, 0) * 2.0 / n_words) * 10000) / 10000.0 AS top_2gram_frac
+FROM pw LEFT JOIN pg USING (doc_id)
+"""
+
+
+# --- PII detection / redaction ---------------------------------------------
+
+# Dialect-portable patterns (identical semantics under Java regex and RE2:
+# plain character classes and counted repetition only — no lookaround, no
+# \b, no backreferences).
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
+
+
+def pii_stats(text: Column) -> dict[str, Column]:
+    """Detection counts + redacted text. Redaction order is fixed
+    (emails first, then phones) so both engines transform identically;
+    all regexp work is JVM-side, map-only."""
+    n_emails = F.regexp_count(text, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(text, F.lit(PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return {
+        "n_emails": n_emails,
+        "n_phones": n_phones,
+        "redacted": redacted,
+    }
+
+
+def sql_pii_stats(expr: str) -> dict[str, str]:
+    """DuckDB twin of `pii_stats` (same patterns, same order)."""
+    return {
+        "n_emails": f"len(regexp_extract_all({expr}, '{EMAIL_RE}'))",
+        "n_phones": f"len(regexp_extract_all({expr}, '{PHONE_RE}'))",
+        "redacted": (
+            f"regexp_replace(regexp_replace({expr}, '{EMAIL_RE}', '<EMAIL>', 'g'),"
+            f" '{PHONE_RE}', '<PHONE>', 'g')"
+        ),
+    }
