@@ -20,11 +20,14 @@ one-function change). What the reference guarantees and we preserve:
 - **per-shard checkpoints** (`shard-NNN`, reference read.go:454-464) for
   parallel backfill, reconciled into the global one (write.go:82-194).
 
-Physical layout (scales: one directory per collection, files partitioned by
-height range, so temporal predicates prune whole files):
+Physical layout (scales: Hive-partitioned by collection AND height band, so
+a `state_at(H)` scan PARTITION-PRUNES every band above H // band_size before
+any file is opened — at 100 TB the changelog holds years of history but a
+read at height H touches only the bands at or below it; within a band,
+files are height-sorted so row-group min/max stats prune further):
 
     root/
-      changelog/collection=<name>/part-*.parquet   (height-sorted within file)
+      changelog/collection=<name>/height_band=<h // band>/part-*.parquet
       _checkpoint/<shard>.json
 """
 
@@ -54,10 +57,19 @@ class Checkpoint:
     block_num: int | None
 
 
+DEFAULT_HEIGHT_BAND = 100_000
+
+
 class ChangelogStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        height_band: int = DEFAULT_HEIGHT_BAND,
+    ):
         self.spark = spark
         self.root = root
+        self.height_band = height_band
         self._data_dir = os.path.join(root, "changelog")
         self._ckpt_dir = os.path.join(root, "_checkpoint")
         os.makedirs(self._data_dir, exist_ok=True)
@@ -156,8 +168,14 @@ class ChangelogStore:
         )
         (
             clustered.sortWithinPartitions("collection", "tablet_id", "height")
+            .withColumn(
+                "height_band",
+                F.floor(F.col("height") / F.lit(self.height_band)).cast(
+                    "long"
+                ),
+            )
             .write.mode("append")
-            .partitionBy("collection")
+            .partitionBy("collection", "height_band")
             .parquet(self._data_dir)
         )
         self._write_checkpoint(bounds.hi, bounds.block_id, bounds.block_num, shard)
@@ -165,14 +183,31 @@ class ChangelogStore:
 
     # --- read path ---------------------------------------------------------
 
-    def changelog(self) -> DataFrame:
-        """The canonical change-log relation over everything durable."""
+    def changelog(self, max_height: int | None = None) -> DataFrame:
+        """The canonical change-log relation over everything durable.
+
+        `max_height` bounds the read: the band predicate is a PARTITION
+        filter (whole directories skipped before any file I/O — the scan
+        shape that keeps a height-H read O(H) instead of O(history) on a
+        100 TB log), and the row predicate handles the partial band at the
+        boundary. Only the store can add the band predicate, because only
+        it knows the band size — callers just pass the height."""
+        from pyspark.sql import types as T
+
+        read_schema = T.StructType(
+            CHANGELOG_SCHEMA.fields
+            + [T.StructField("height_band", T.LongType(), True)]
+        )
         try:
-            return self.spark.read.schema(CHANGELOG_SCHEMA).parquet(
-                self._data_dir
-            )
+            df = self.spark.read.schema(read_schema).parquet(self._data_dir)
         except Exception:
             return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
+        if max_height is not None:
+            df = df.filter(
+                (F.col("height_band") <= max_height // self.height_band)
+                & (F.col("height") <= max_height)
+            )
+        return df.drop("height_band")
 
     def is_empty(self) -> bool:
         return self.checkpoint() is None and not any(

@@ -153,7 +153,12 @@ class FluxEngine:
         from fluxdb_spark.operators import state_at
 
         spec = self.pipeline.speculative_writes(up_to_height=height)
-        return state_at(self.store.changelog(), tablet_id, height, spec, **kw)
+        # max_height turns the height bound into a PARTITION filter on the
+        # band-partitioned store — a read at H never lists bands above it
+        return state_at(
+            self.store.changelog(max_height=height), tablet_id, height, spec,
+            **kw,
+        )
 
     def row_at(
         self, tablet_id: str, height: int, primary_key: str, **kw
@@ -162,7 +167,8 @@ class FluxEngine:
 
         spec = self.pipeline.speculative_writes(up_to_height=height)
         return row_at(
-            self.store.changelog(), tablet_id, height, primary_key, spec, **kw
+            self.store.changelog(max_height=height), tablet_id, height,
+            primary_key, spec, **kw,
         )
 
     def singlet_at(self, singlet_id: str, height: int, **kw) -> DataFrame:
@@ -170,7 +176,8 @@ class FluxEngine:
 
         spec = self.pipeline.speculative_writes(up_to_height=height)
         return singlet_at(
-            self.store.changelog(), singlet_id, height, spec, **kw
+            self.store.changelog(max_height=height), singlet_id, height, spec,
+            **kw,
         )
 
     def singlet_history(self, singlet_id: str, **kw) -> DataFrame:

@@ -73,6 +73,59 @@ class TestWritePath:
             store.check_clean_for_sharding()
 
 
+class TestHeightBandPartitioning:
+    """The band-partitioned layout: a height-bounded read must prune whole
+    height_band partitions at plan time (the scan shape that keeps a read
+    at height H independent of total history size)."""
+
+    def test_layout_has_band_directories(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, list(range(1, 35))))
+        bands = sorted(
+            d.name
+            for d in (tmp_path / "db" / "changelog" / "collection=tst").iterdir()
+            if d.is_dir()
+        )
+        assert bands == [
+            "height_band=0", "height_band=1", "height_band=2", "height_band=3"
+        ]
+
+    def test_bounded_read_returns_exact_rows(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, list(range(1, 35))))
+        assert st.changelog().count() == 34
+        got = sorted(r.height for r in st.changelog(max_height=17).collect())
+        assert got == list(range(1, 18))
+        assert st.changelog(max_height=17).columns == st.changelog().columns
+
+    def test_bounded_read_partition_prunes(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, list(range(1, 35))))
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            st.changelog(max_height=17).explain(True)
+        plan = buf.getvalue()
+        assert "height_band" in plan and "PartitionFilters" in plan
+        # the band predicate must sit in PartitionFilters, not the data filter
+        part = plan[plan.index("PartitionFilters"):]
+        assert "height_band" in part.split("]")[0]
+
+    def test_engine_reads_are_height_bounded(self, spark, tmp_path):
+        from fluxdb_spark.streaming.ingest import FluxEngine
+
+        eng = FluxEngine(spark, str(tmp_path / "db"))
+        eng.store.height_band = 10
+        eng.store.write_batch(batch(spark, list(range(1, 25))))
+        got = [
+            (r.height, r.value)
+            for r in eng.state_at("tbl", 13, collection="tst").collect()
+        ]
+        assert got == [(13, "v13")]
+
+
 class TestIndexStore:
     """IndexStore.prune — the PHYSICAL index-prune maintenance job
     (reference PruneTabletIndexes, indexing.go:329-398): pruned snapshots
