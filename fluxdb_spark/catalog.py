@@ -32,7 +32,7 @@ from fluxdb_spark.sources.changelog import (
     changelog_from_events,
     singlet_log_from_events,
 )
-from fluxdb_spark.sources.tables import load_table
+from fluxdb_spark.sources.tables import load_table, normalize_event_ts
 from fluxdb_spark.session import spread
 
 
@@ -2884,9 +2884,7 @@ def stream_tumbling(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = normalize_event_ts(raw)
     agg = ev.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
@@ -2933,9 +2931,7 @@ def stream_dedup(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = normalize_event_ts(raw)
     doubled = ev.unionByName(ev)
     deduped = (
         doubled.withWatermark("ts", "1 hour")
@@ -2983,9 +2979,9 @@ def stream_stream_join(spark, sf_dir):
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
-        return raw.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        ).filter(F.col("event_type") == event_type)
+        return normalize_event_ts(raw).filter(
+            F.col("event_type") == event_type
+        )
 
     clicks = (
         stream_side("click")
@@ -3051,9 +3047,7 @@ def stream_sessionize(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    ev = normalize_event_ts(raw)
     out = sessionize_stream(ev)
     name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
     q = (

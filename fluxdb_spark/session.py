@@ -57,10 +57,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # The driver-generated events.parquet uses TIMESTAMP(NANOS), which
-        # vanilla Spark rejects; read it as a long (ns) and normalize in the
-        # loader (fluxdb_spark.sources.tables) — no precision is lost, the
-        # generator emits whole microseconds.
+        # Older driver-generated events.parquet used TIMESTAMP(NANOS), which
+        # vanilla Spark rejects; this flag reads those as a long (ns). Newer
+        # generations ship timestamp[us] (surfaced as TIMESTAMP_NTZ), which
+        # this flag does not affect. Either way the loader
+        # (fluxdb_spark.sources.tables.normalize_event_ts) normalizes `ts`
+        # by inspecting the actual dtype, so both vintages work.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:

@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -22,16 +23,30 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events `ts` column to session-zoned TIMESTAMP.
+
+    The driver-generated parquet has shipped `ts` both as TIMESTAMP(NANOS)
+    (which Spark surfaces as a raw nanosecond long under nanosAsLong) and as
+    TIMESTAMP_NTZ micros; accept long, timestamp_ntz, and timestamp so a
+    testdata regeneration can't change the type out from under every
+    downstream reader. All sessions run UTC (session.py), so the
+    NTZ -> TIMESTAMP cast relabels the identical microsecond value.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    if dtype == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as raw nanoseconds (see session.py nanosAsLong); the
-        # data carries whole microseconds, so this conversion is lossless.
-        from pyspark.sql import functions as F
-
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        df = normalize_event_ts(df)
     return df
 
 

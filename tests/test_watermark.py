@@ -18,6 +18,8 @@ from datetime import timedelta
 import pytest
 from pyspark.sql import functions as F
 
+from fluxdb_spark.sources.tables import normalize_event_ts
+
 SF = "/root/testdata/sf0.001"
 DELAY = timedelta(hours=1)
 WINDOW = timedelta(hours=1)
@@ -26,8 +28,7 @@ WINDOW = timedelta(hours=1)
 @pytest.fixture(scope="module")
 def events(spark):
     return (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
         .persist()
     )
 
