@@ -142,3 +142,30 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-group document cap (e.g. "at most K pages per domain", the
+    standard web-corpus anti-domination rule): keep the K rows of each
+    group with the smallest salted key hash — a deterministic uniform
+    sample of the group, stable across runs and cluster sizes. Returns the
+    input columns plus `rn` (the row's rank within its group).
+
+    Scale shape: `row_number <= K` compiles to WindowGroupLimit, so each
+    map task keeps only its local top-K per group BEFORE the shuffle —
+    a billion-page domain ships K rows per input split, not a billion,
+    and the post-shuffle state per group is bounded by K * num_splits.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash60(F.col(key_col).cast("string"), seed=salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

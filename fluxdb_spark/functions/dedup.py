@@ -568,3 +568,92 @@ def dedup_survivors(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id") -
         )
     )
     return clustered.unionByName(unpaired)
+
+
+# --- exact-substring duplication at chunk granularity -----------------------
+
+CHUNK_WORDS = 10
+
+
+def doc_chunks(text: Column, chunk: int = CHUNK_WORDS) -> Column:
+    """Consecutive non-overlapping `chunk`-word windows of lowercased text
+    (the last window may be shorter). Unlike shingles these tile the
+    document, so corpus-wide chunk counting approximates the
+    exact-substring-dedup signal (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better") at 1/chunk the explode factor — the
+    property that makes it affordable at 100 TB. Token array bound once
+    via the singleton-array transform (see word_shingles)."""
+
+    def _chunks(toks: Column) -> Column:
+        n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk))).cast("int")
+        idx = F.sequence(F.lit(0), n_chunks - 1, F.lit(1))
+        return F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(toks, i * chunk + 1, chunk), " "),
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.lower(text), " ")), _chunks), 1
+    )
+
+
+def chunk_dup_stats(
+    docs: DataFrame, chunk: int = CHUNK_WORDS, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document exact-substring duplication profile: how many of the
+    document's `chunk`-word tiles occur more than once corpus-wide.
+    Returns (doc_id, n_chunks, n_dup_chunks, dup_ratio).
+
+    Scale shape: tiles join on their portable 60-bit hash, not the string —
+    the shuffle carries 8-byte keys; duplicate detection is one
+    hash-groupBy with map-side combine (|distinct tiles| rows); the
+    per-doc rollup is a second combine-friendly groupBy. No all-pairs
+    comparison, no Python, no skew cliff (a viral tile inflates one
+    count, not a candidate-pair blowup).
+    """
+    tiles = spread(docs).select(
+        F.col(id_col),
+        F.explode(doc_chunks(F.col("text"), chunk)).alias("tile"),
+    ).select(F.col(id_col), hash60(F.col("tile"), seed="chunk").alias("h"))
+    dup = (
+        tiles.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("h")
+    )
+    flagged = tiles.join(dup.withColumn("_dup", F.lit(1)), on="h", how="left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_chunks"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+                / F.count(F.lit(1))
+                * 10000
+            )
+            / 10000.0
+        ).alias("dup_ratio"),
+    )
+
+
+def sql_chunk_dup_stats(chunk: int = CHUNK_WORDS) -> str:
+    """DuckDB twin of `chunk_dup_stats` (same tiling, same hash60 keys)."""
+    h = hash60_sql("tile", "chunk")
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+tiles AS (
+  SELECT doc_id,
+         {h.replace('tile', f"array_to_string(t[(i*{chunk}+1):(i*{chunk}+{chunk})], ' ')")} AS h
+  FROM toks,
+       UNNEST(range(0, CAST(ceil(len(t) / {chunk}.0) AS BIGINT))) AS u(i)),
+dup AS (SELECT h FROM tiles GROUP BY h HAVING count(*) > 1),
+flagged AS (SELECT t.doc_id, t.h, (d.h IS NOT NULL) AS is_dup
+            FROM tiles t LEFT JOIN dup d USING (h))
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       floor(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000)
+         / 10000.0 AS dup_ratio
+FROM flagged GROUP BY doc_id
+"""

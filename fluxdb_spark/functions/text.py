@@ -7,7 +7,7 @@ codegen'd) — no Python UDFs. Each primitive has a DuckDB-SQL twin in
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Marker stopword sets for the n-gram/stopword language-ID heuristic.
@@ -324,3 +324,130 @@ def sql_pii_stats(expr: str) -> dict[str, str]:
             f" '{PHONE_RE}', '<PHONE>', 'g')"
         ),
     }
+
+
+# --- corpus-level language-model scoring + vocabulary statistics ------------
+
+
+def bigram_structs(text: Column) -> Column:
+    """All adjacent token pairs of lowercased text as struct<w1,w2>, in
+    order, duplicates kept (LM counting needs multiplicity). Token array
+    bound once via the singleton-array transform (see word_shingles)."""
+
+    def _pairs(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - 1, F.lit(1))
+        body = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+        return F.when(F.size(toks) >= 2, body).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.lower(text), " ")), _pairs), 1
+    )
+
+
+def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document average log-likelihood under a corpus-trained bigram
+    MLE model — the classic cheap fluency/quality signal (KenLM-style
+    perplexity filtering, reduced to an exact in-corpus bigram model so it
+    needs no external artifact): score(d) = mean over adjacent pairs of
+    ln c(w1,w2)/c(w1,·), where counts come from the corpus itself.
+
+    Scale shape: one explode->groupBy builds the model (shuffle carries
+    |distinct bigrams| rows after map-side combine); context totals come
+    from a window over the *model* table, not the corpus; scoring is one
+    equi-join of the bigram stream against the model on (w1, w2) — no
+    all-pairs step, no Python, no driver-side state."""
+    from fluxdb_spark.session import spread
+
+    bg = spread(docs).select(
+        F.col(id_col),
+        F.explode(bigram_structs(F.col(text_col))).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    model = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn(
+            "logp",
+            F.ln(F.col("c12") / F.sum("c12").over(Window.partitionBy("w1"))),
+        )
+    )
+    return bg.join(model, on=["w1", "w2"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        floor4(F.avg("logp")).alias("avg_logp"),
+    )
+
+
+SQL_BIGRAM_LM = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM toks, UNNEST(range(1, len(t))) AS u(i)
+       WHERE len(t) >= 2),
+model AS (
+  SELECT w1, w2,
+         ln(c12 / sum(c12) OVER (PARTITION BY w1)) AS logp
+  FROM (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2)),
+scored AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         floor(avg(logp) * 10000) / 10000.0 AS avg_logp
+  FROM bg JOIN model USING (w1, w2) GROUP BY doc_id)
+SELECT doc_id, n_bigrams, avg_logp FROM scored
+"""
+
+
+def heavy_hitters(docs, k: int = 20, text_col: str = "text"):
+    """Corpus-wide top-k terms with frequency share — the vocabulary
+    heavy-hitter profile a mix designer reads before setting filters.
+
+    Scale shape: explode->groupBy with map-side combine (shuffle is
+    |vocab|, not corpus size); the global rank runs on the already-reduced
+    vocabulary relation; the 1-row total joins back by broadcast."""
+    from fluxdb_spark.session import spread
+
+    counts = (
+        spread(docs)
+        .select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # two consumers (top-k and the total) — materialize the reduced
+        # |vocab| relation so the corpus explode runs once
+        .persist()
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    # orderBy().limit(k) compiles to TakeOrdered (per-partition top-k, then
+    # a k*partitions merge) — no global single-partition window over the
+    # vocabulary; the row_number window then ranks only the k survivors.
+    topk = counts.orderBy(F.desc("cnt"), F.col("term")).limit(k)
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("term"))),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "term",
+        "cnt",
+        (F.floor(F.col("cnt") / F.col("total") * 1000000) / 1000000.0).alias(
+            "share"
+        ),
+    )
+
+
+def sql_heavy_hitters(k: int = 20) -> str:
+    return f"""
+WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+r AS (SELECT term, cnt,
+             row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c)
+SELECT rank, term, cnt,
+       floor(cnt * 1.0 / (SELECT total FROM t) * 1000000) / 1000000.0 AS share
+FROM r WHERE rank <= {k}
+"""

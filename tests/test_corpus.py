@@ -1,0 +1,112 @@
+"""Behavioral tests for the round-3 corpus operators: per-group caps,
+bigram-LM scoring, chunk-level exact-substring duplication, and vocabulary
+heavy hitters. (Oracle parity at sf0.001 is covered for every catalog entry
+by test_catalog_parity; these tests pin the SEMANTICS on hand-built inputs
+where the right answer is known by construction.)"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from fluxdb_spark.functions.curation import cap_per_group
+from fluxdb_spark.functions.dedup import chunk_dup_stats
+from fluxdb_spark.functions.text import bigram_lm_scores, heavy_hitters
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+class TestCapPerGroup:
+    def test_cap_bound_and_determinism(self, spark):
+        df = docs_df(
+            spark,
+            [(f"doc {i}", f"src{i % 3}") for i in range(30)],
+        )
+        capped = cap_per_group(df, "source", 4, key_col="doc_id")
+        per_group = (
+            capped.groupBy("source").count().collect()
+        )
+        assert all(r["count"] == 4 for r in per_group)
+        assert {r.source for r in per_group} == {"src0", "src1", "src2"}
+        # deterministic: same subset on a re-run
+        again = cap_per_group(df, "source", 4, key_col="doc_id")
+        assert sorted(r.doc_id for r in capped.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
+    def test_groups_below_cap_pass_through(self, spark):
+        df = docs_df(spark, [("a", "only"), ("b", "only")])
+        out = cap_per_group(df, "source", 10, key_col="doc_id")
+        assert out.count() == 2
+        assert {r.rn for r in out.collect()} == {1, 2}
+
+
+class TestBigramLM:
+    def test_repeated_bigram_scores_higher(self, spark):
+        # "a b" appears 3x as a context-'a' bigram; "a c" once. A doc made
+        # of the frequent bigram must outscore one with the rare bigram.
+        df = docs_df(
+            spark,
+            [("a b", "s"), ("a b", "s"), ("a b", "s"), ("a c", "s")],
+        )
+        out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+        assert out[0].avg_logp == out[1].avg_logp == out[2].avg_logp
+        assert out[0].avg_logp > out[3].avg_logp
+        # exact MLE values: P(b|a)=3/4, P(c|a)=1/4
+        assert math.isclose(out[0].avg_logp, math.log(0.75), abs_tol=1e-4)
+        assert math.isclose(out[3].avg_logp, math.log(0.25), abs_tol=1e-4)
+
+    def test_single_token_doc_has_no_bigrams(self, spark):
+        df = docs_df(spark, [("solo", "s"), ("a b", "s")])
+        out = bigram_lm_scores(df)
+        assert {r.doc_id for r in out.collect()} == {1}
+
+
+class TestChunkDup:
+    def test_duplicate_tiles_detected(self, spark):
+        tile = " ".join(f"w{i}" for i in range(10))
+        unique = " ".join(f"u{i}" for i in range(10))
+        df = docs_df(
+            spark,
+            [
+                (tile + " " + unique, "s"),  # doc0: 1 dup tile, 1 unique
+                (tile, "s"),  # doc1: its only tile is shared
+                ("totally different words here", "s"),  # doc2: clean
+            ],
+        )
+        out = {r.doc_id: r for r in chunk_dup_stats(df).collect()}
+        assert out[0].n_chunks == 2 and out[0].n_dup_chunks == 1
+        assert out[0].dup_ratio == 0.5
+        assert out[1].n_chunks == 1 and out[1].n_dup_chunks == 1
+        assert out[2].n_dup_chunks == 0
+
+    def test_intra_doc_repetition_counts(self, spark):
+        # the same tile twice WITHIN one doc is corpus-occurrence 2
+        tile = " ".join(f"w{i}" for i in range(10))
+        df = docs_df(spark, [(tile + " " + tile, "s")])
+        out = chunk_dup_stats(df).collect()[0]
+        assert out.n_chunks == 2 and out.n_dup_chunks == 2
+
+
+class TestHeavyHitters:
+    def test_rank_counts_and_share(self, spark):
+        df = docs_df(spark, [("x x x y y z", "s")])
+        out = {r.rank: r for r in heavy_hitters(df, k=2).collect()}
+        assert len(out) == 2
+        assert out[1].term == "x" and out[1].cnt == 3
+        assert out[2].term == "y" and out[2].cnt == 2
+        assert out[1].share == 0.5  # 3 of 6 tokens
+
+    def test_tie_broken_by_term(self, spark):
+        df = docs_df(spark, [("b a b a", "s")])
+        out = heavy_hitters(df, k=2).collect()
+        assert [r.term for r in sorted(out, key=lambda r: r.rank)] == [
+            "a",
+            "b",
+        ]
