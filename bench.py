@@ -48,6 +48,10 @@ HEADLINE = [
     "quality_filter",
     "repetition_stats",
     "pii_scrub",
+    "source_caps",
+    "lm_score",
+    "chunk_dedup",
+    "heavy_hitters",
 ]
 
 

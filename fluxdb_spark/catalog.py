@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "lm_score",
     "chunk_dedup",
     "heavy_hitters",
+    "flux_state_at_ignore_range",
     # -- never driver-checked (added after r01's snapshot of the first 50;
     #    q12 carries the conditional-count BIGINT-cast fix, q1 is the
     #    canonical scan+agg representative)
@@ -113,7 +114,6 @@ _PRIORITY: list[str] = [
     "embed_topk",
     "embed_neardup",
     "embed_ann_lsh",
-    "embed_ann_ivf",
     "embed_ann_ivf_exact",
     "text_stats",
     "text_quality",
@@ -129,6 +129,9 @@ _PRIORITY: list[str] = [
     "multimodal_decode",
     "multimodal_frames",
     # ---- position 51+ from here: green r02 rows, rotated out ----
+    # (embed_ann_ivf is rows-only and its machinery is hash-verified by
+    # embed_ann_ivf_exact, so it cedes its slot to the I7 entry)
+    "embed_ann_ivf",
     "grouping_sets",
     "semi_anti_join",
     "stats_aggs",
@@ -197,6 +200,26 @@ def flux_state_at_indexed(spark, sf_dir):
     idx = sn.build_tablet_index(log, "click", 500).persist()
     idx.count()
     return sn.state_at_with_index(log, idx, "click", 800).select(*_STATE_COLS)
+
+
+@_q("flux_state_at_ignore_range", "temporal", _dedup_sql("click", 800))
+def flux_state_at_ignore_range(spark, sf_dir):
+    """I7 — indexed read with a corrupt-height ignore range (reference
+    indexing.go:304-327, fluxdb.go:179-182): two snapshots exist (400 and
+    600); the read at 800 declares [500, 700] corrupt, so the 600 snapshot
+    is skipped and the read recurses to the 400 snapshot + a wider delta
+    fold. The oracle is the plain window answer — the fallback must be
+    invisible in the result."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    idx = (
+        sn.build_tablet_index(log, "click", 400)
+        .unionByName(sn.build_tablet_index(log, "click", 600))
+        .persist()
+    )
+    idx.count()
+    return sn.state_at_with_index(
+        log, idx, "click", 800, ignore_range=(500, 700)
+    ).select(*_STATE_COLS)
 
 
 @_q(

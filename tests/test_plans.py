@@ -124,3 +124,30 @@ class TestNoPythonInHotPath:
         with contextlib.redirect_stdout(buf):
             df.explain("codegen")
         assert "WholeStageCodegen" in buf.getvalue()
+
+
+class TestCorpusOpPlans:
+    """Round-3 corpus operators: the plan properties that keep them viable
+    when one domain holds a billion pages or the vocabulary is huge."""
+
+    def test_source_caps_group_limit_before_shuffle(self, spark, specs):
+        """row_number <= K must compile to a Partial WindowGroupLimit below
+        the exchange — each map task ships at most K rows per group, so a
+        mega-domain cannot flood a reducer."""
+        p = plan_of(spark, specs, "source_caps")
+        assert "WindowGroupLimit" in p and "Partial" in p
+
+    def test_heavy_hitters_takeordered_not_global_window(self, spark, specs):
+        """Top-k must be TakeOrdered (per-partition top-k + k*partitions
+        merge); a global single-partition Window over the vocabulary would
+        serialize |vocab| rows through one task."""
+        p = plan_of(spark, specs, "heavy_hitters")
+        assert "TakeOrderedAndProject" in p
+
+    @pytest.mark.parametrize(
+        "name", ["source_caps", "lm_score", "chunk_dedup", "heavy_hitters"]
+    )
+    def test_corpus_ops_no_python_no_cartesian(self, spark, specs, name):
+        p = plan_of(spark, specs, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
