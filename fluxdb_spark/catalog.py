@@ -2800,12 +2800,16 @@ def embed_neardup(spark, sf_dir):
     return sim.blocked_neardup_pairs(e, 0.35)
 
 
-@_q("embed_ann_lsh", "pipeline", None)  # LSH planes not SQL-reproducible
+@_q("embed_ann_lsh", "pipeline", sim.sql_lsh_topk(k=10))
 def embed_ann_lsh(spark, sf_dir):
     """ANN via random-hyperplane LSH (bucket equi-join + exact re-rank).
-    Recall vs brute force is property-tested in tests/test_similarity.py."""
+    Fully oracle-hashed: the seeded hyperplanes are inlined into the
+    DuckDB twin as literals, so bucketing, candidate generation, and the
+    re-rank reproduce exactly; recall vs brute force is additionally
+    property-tested in tests/test_similarity.py."""
     e = _t(spark, sf_dir, "embeddings")
-    return sim.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    out = sim.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 @_q("embed_ann_ivf", "pipeline", None)  # kmeans cells not SQL-reproducible

@@ -157,9 +157,10 @@ def lsh_topk(
     is too selective for useful recall). Candidates equi-join on
     (table, bucket), exact cosine re-ranks.
 
-    Approximate: recall vs `brute_force_topk` is property-tested
-    (tests/test_similarity.py), not oracle-hashed (the bucketing is not
-    SQL-reproducible)."""
+    Approximate by design, yet still oracle-hashed: the seeded planes are
+    plan literals, so `sql_lsh_topk` reproduces the exact bucketing in
+    DuckDB; recall vs `brute_force_topk` is additionally property-tested
+    (tests/test_similarity.py)."""
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
@@ -298,3 +299,63 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )
+
+
+def sql_lsh_topk(
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB twin of `lsh_topk`: the hyperplanes are seeded literals, so
+    the exact bucketing IS SQL-reproducible — the planes are inlined into
+    the query as a nested list literal (repr round-trips every double).
+    Both engines compute each dot product as an in-order double fold over
+    identical operands, so the sign tests agree; candidate generation,
+    dedup, exact re-rank, and tie-breaks mirror the Spark plan 1:1."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    planes_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(repr(w) for w in p) + "]" for p in tbl) + "]"
+            for tbl in tables
+        )
+        + "]"
+    )
+    return f"""
+WITH pl AS (SELECT {planes_lit} AS hp),
+e AS (SELECT vec_id, embedding FROM embeddings),
+sig AS (
+  SELECT e.vec_id, t.tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * hp[t.tbl + 1][pr.p + 1][i])) > 0
+                  THEN CAST(pow(2, pr.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, pl, range(0, {n_tables}) t(tbl), range(0, {n_planes}) pr(p)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+  FROM sig c JOIN (SELECT * FROM sig WHERE {query_pred}) q
+    ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.vec_id != q.vec_id),
+idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+scored AS (
+  SELECT cand.query_id, cand.match_id,
+         round(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+            * sqrt(sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))), 4) AS score
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.match_id
+  CROSS JOIN idx
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
