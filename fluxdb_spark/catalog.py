@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "chunk_dedup",
     "heavy_hitters",
     "flux_state_at_ignore_range",
+    "stream_simhash_dedup",
     # -- never driver-checked (added after r01's snapshot of the first 50;
     #    q12 carries the conditional-count BIGINT-cast fix, q1 is the
     #    canonical scan+agg representative)
@@ -127,10 +128,11 @@ _PRIORITY: list[str] = [
     "seq_packing",
     "multimodal_meta",
     "multimodal_decode",
-    "multimodal_frames",
     # ---- position 51+ from here: green r02 rows, rotated out ----
     # (embed_ann_ivf is rows-only and its machinery is hash-verified by
-    # embed_ann_ivf_exact, so it cedes its slot to the I7 entry)
+    # embed_ann_ivf_exact; multimodal_frames shares its mapInPandas
+    # plumbing with the two multimodal entries kept inside the 50)
+    "multimodal_frames",
     "embed_ann_ivf",
     "grouping_sets",
     "semi_anti_join",
@@ -3029,6 +3031,53 @@ def stream_dedup(spark, sf_dir):
         .select("event_id", "event_type")
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@_q(
+    "stream_simhash_dedup",
+    "streaming",
+    f"SELECT DISTINCT simhash FROM ({dd.sql_simhash()})",
+)
+def stream_simhash_dedup(spark, sf_dir):
+    """Streaming NEAR-dup dedup: documents flow through a map-only SimHash
+    projection (`simhash_col` — no aggregation, so the fingerprint rides
+    the stream statelessly) into `dropDuplicatesWithinWatermark` keyed on
+    the fingerprint. Docs whose 32-bit SimHash collides exactly are
+    near-identical token multisets; the watermark bounds the dedup state
+    for a continuous deployment. The memory sink must hold each distinct
+    fingerprint once — the oracle is DISTINCT over the batch SimHash
+    relation (independently derived via the 32-sum form)."""
+    import uuid
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    fp = raw.select(
+        dd.simhash_col(F.col("text")).alias("simhash"),
+        # synthetic event time (documents carry none): doc_id seconds,
+        # offset a day past the epoch — a row AT the initial watermark
+        # (epoch 0) would be discarded as late before any state exists
+        F.timestamp_micros((F.col("doc_id") + 86400) * 1000000).alias("ts"),
+    )
+    deduped = (
+        fp.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["simhash"])
+        .select("simhash")
+    )
+    name = f"stream_simhash_dedup_{uuid.uuid4().hex[:8]}"
     q = (
         deduped.writeStream.outputMode("append")
         .format("memory")

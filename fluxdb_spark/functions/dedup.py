@@ -657,3 +657,32 @@ SELECT doc_id, count(*) AS n_chunks,
          / 10000.0 AS dup_ratio
 FROM flagged GROUP BY doc_id
 """
+
+
+def simhash_col(text: Column, bits: int = 32) -> Column:
+    """Per-row SimHash fingerprint — the same value `simhash()` computes by
+    explode+groupBy, as a pure stateless projection (higher-order functions
+    over the token array). This is the STREAMING form: a fingerprint that
+    needs no aggregation can ride any readStream as a map-only column and
+    feed watermarked dedup state directly. Token hashes are bound once via
+    the singleton-array transform (HOF lambdas get no common-subexpression
+    elimination, see word_shingles); equivalence with the batch form is
+    pinned in tests/test_corpus.py."""
+
+    def _fp(hs: Column) -> Column:
+        n = F.size(hs)
+        fp = None
+        for b in range(bits):
+            ones = F.size(
+                F.filter(
+                    hs, lambda h: h.bitwiseAND(F.lit(1 << b)) != F.lit(0)
+                )
+            )
+            term = F.when(2 * ones > n, F.lit(1 << b)).otherwise(F.lit(0))
+            fp = term if fp is None else fp + term
+        return fp.cast("long")
+
+    hashes = F.transform(
+        F.split(F.lower(text), " "), lambda t: hash60(t)
+    )
+    return F.element_at(F.transform(F.array(hashes), _fp), 1)

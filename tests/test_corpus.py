@@ -94,6 +94,25 @@ class TestChunkDup:
         assert out.n_chunks == 2 and out.n_dup_chunks == 2
 
 
+class TestSimhashCol:
+    def test_matches_batch_simhash(self, spark):
+        """The stateless per-row form must produce bit-identical
+        fingerprints to the explode+groupBy batch form on real data."""
+        from fluxdb_spark.functions.dedup import simhash, simhash_col
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(200)
+        batch = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+        streaming_form = {
+            r.doc_id: r.fp
+            for r in docs.select(
+                "doc_id", simhash_col(F.col("text")).alias("fp")
+            ).collect()
+        }
+        assert batch == streaming_form
+
+
 class TestHeavyHitters:
     def test_rank_counts_and_share(self, spark):
         df = docs_df(spark, [("x x x y y z", "s")])
