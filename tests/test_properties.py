@@ -233,3 +233,138 @@ def test_jaccard_prefix_filter_is_lossless(spark, docs, threshold):
             if jac >= threshold:
                 want[(i, j)] = jac
     assert got == want
+
+
+# --- round-3 corpus operators: model equivalence on random corpora ---------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.integers(min_value=0, max_value=999),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[1],
+    ),
+    k=st.sampled_from([1, 2, 5]),
+)
+def test_cap_per_group_is_min_k_group_size(spark, rows, k):
+    """Every group keeps exactly min(K, |group|) rows, the kept set is a
+    subset of the group, and rn is 1..kept with no gaps."""
+    from collections import Counter
+
+    from fluxdb_spark.functions.curation import cap_per_group
+
+    df = spark.createDataFrame(
+        [(d, f"text {d}", s) for s, d in rows],
+        "doc_id long, text string, source string",
+    )
+    out = cap_per_group(df, "source", k, key_col="doc_id").collect()
+    sizes = Counter(s for s, _ in rows)
+    kept = Counter(r.source for r in out)
+    for src, n in sizes.items():
+        assert kept[src] == min(k, n)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.rn)
+    for src, rns in by_src.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee".split()),
+            min_size=2,
+            max_size=10,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bigram_lm_matches_python_model(spark, docs):
+    """avg_logp must equal the exact python bigram-MLE model (to the floor4
+    truncation both engines share)."""
+    import math
+    from collections import Counter
+
+    from fluxdb_spark.functions.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in bigram_lm_scores(df).collect()}
+
+    big = Counter()
+    ctx = Counter()
+    per_doc = {}
+    for i, t in enumerate(docs):
+        ws = t.split(" ")
+        pairs = list(zip(ws, ws[1:]))
+        per_doc[i] = pairs
+        big.update(pairs)
+        ctx.update(w1 for w1, _ in pairs)
+    for i, pairs in per_doc.items():
+        if not pairs:
+            assert i not in got
+            continue
+        avg = sum(math.log(big[p] / ctx[p[0]]) for p in pairs) / len(pairs)
+        want = math.floor(avg * 10000) / 10000.0
+        assert got[i][0] == len(pairs)
+        assert abs(got[i][1] - want) < 2e-4  # float-order slack at the floor
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd".split()), min_size=1, max_size=30
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunk_dup_matches_python_model(spark, docs):
+    """n_chunks / n_dup_chunks must equal the brute-force tiling model."""
+    from collections import Counter
+
+    from fluxdb_spark.functions.dedup import CHUNK_WORDS, chunk_dup_stats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_dup_chunks)
+        for r in chunk_dup_stats(df).collect()
+    }
+
+    def tiles(t):
+        ws = t.lower().split(" ")
+        return [
+            " ".join(ws[i : i + CHUNK_WORDS])
+            for i in range(0, len(ws), CHUNK_WORDS)
+        ]
+
+    occ = Counter()
+    for t in docs:
+        occ.update(tiles(t))
+    for i, t in enumerate(docs):
+        ts = tiles(t)
+        dup = sum(1 for x in ts if occ[x] > 1)
+        assert got[i] == (len(ts), dup)
