@@ -8,6 +8,7 @@ from fluxdb_spark.sources.changelog import (
 from fluxdb_spark.sources.blocks import (
     parse_json_blocks,
     map_blocks_with_pandas,
+    map_blocks_with_udtf,
     BLOCK_PAYLOAD_SCHEMA,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "SINGLET_CTE",
     "parse_json_blocks",
     "map_blocks_with_pandas",
+    "map_blocks_with_udtf",
     "BLOCK_PAYLOAD_SCHEMA",
 ]

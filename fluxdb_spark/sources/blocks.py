@@ -122,3 +122,47 @@ def map_blocks_with_pandas(
     from fluxdb_spark.schema import CHANGELOG_SCHEMA
 
     return raw.mapInPandas(op, CHANGELOG_SCHEMA)
+
+
+def map_blocks_with_udtf(
+    spark,
+    raw: DataFrame,
+    decoder: BlockDecoder,
+    payload_col: str = "payload",
+    collection: str = "blk",
+) -> DataFrame:
+    """The BlockMapper as a registered Python UDTF — the SQL-native form of
+    the same extension point: `LATERAL block_mapper(payload)` composes with
+    arbitrary SQL around it, which is how a SQL-first user would consume a
+    custom block decoder (the reference's BlockMapper is Go-API-only;
+    types.go:40-42). Must yield exactly the rows the mapInPandas tier
+    yields — pinned in tests/test_blocks.py."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    from fluxdb_spark.schema import CHANGELOG_SCHEMA
+
+    @udtf(returnType=CHANGELOG_SCHEMA)
+    class BlockMapperUDTF:
+        def eval(self, payload: str):
+            blk = decoder(payload)
+            for r in blk.get("rows", []):
+                yield (
+                    collection,
+                    r["tablet_id"],
+                    int(blk["block_num"]),
+                    r.get("primary_key", ""),
+                    r.get("value"),
+                    bool(r.get("is_deletion", False)),
+                    blk["block_id"],
+                    int(blk["block_num"]),
+                )
+
+    fn = f"block_mapper_{uuid.uuid4().hex[:8]}"
+    view = f"raw_blocks_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn, BlockMapperUDTF)
+    raw.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT m.* FROM {view} b, LATERAL {fn}(b.{payload_col}) m"
+    )

@@ -122,3 +122,27 @@ class TestPandasPath:
         by_pk = {r.primary_key: r for r in out}
         assert by_pk["alice"].value == "42" and not by_pk["alice"].is_deletion
         assert by_pk["bob"].is_deletion and by_pk["bob"].height == 7
+
+
+class TestUdtfPath:
+    def test_matches_other_tiers(self, spark, raw):
+        """The registered-UDTF tier (SQL LATERAL form) must produce exactly
+        the mapInPandas/from_json rows."""
+        from fluxdb_spark.sources import map_blocks_with_udtf
+
+        via_udtf = map_blocks_with_udtf(spark, raw, json.loads)
+        declarative = parse_json_blocks(raw)
+        a = sorted(map(tuple, via_udtf.collect()))
+        b = sorted(map(tuple, declarative.collect()))
+        assert a == b
+
+    def test_composes_in_sql(self, spark, raw):
+        """The point of the UDTF form: plain SQL around the mapper."""
+        from fluxdb_spark.sources import map_blocks_with_udtf
+
+        log = map_blocks_with_udtf(spark, raw, json.loads)
+        log.createOrReplaceTempView("udtf_log")
+        n = spark.sql(
+            "SELECT count(*) AS n FROM udtf_log WHERE is_deletion"
+        ).first()["n"]
+        assert n == 1
