@@ -25,6 +25,16 @@ def duck():
 SPECS = {s.name: s for s in catalog()}
 
 
+def test_priority_names_all_exist():
+    """A typo in the registration-priority list would silently demote the
+    query it meant to promote out of the driver's checked window."""
+    from fluxdb_spark.catalog import _PRIORITY
+
+    unknown = [n for n in _PRIORITY if n not in SPECS]
+    assert not unknown, f"priority names with no spec: {unknown}"
+    assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate priority names"
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, duck, name):
     spec = SPECS[name]

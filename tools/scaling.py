@@ -1,0 +1,68 @@
+"""Scaling evidence: wall-time of representative operators across the three
+driver scale factors (10x input growth per step) on the same local[N]
+session. Near-linear growth between sf0.01 and sf0.1 is the local proxy for
+the shapes that matter at cluster scale (no superlinear candidate blowup in
+the dedup family, no per-query full rescans in the temporal reads).
+
+    python tools/scaling.py            # prints one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fluxdb_spark import get_spark  # noqa: E402
+from fluxdb_spark.catalog import catalog  # noqa: E402
+
+OPS = [
+    "flux_state_at",
+    "tpch_q1",
+    "tpch_q9",
+    "dedup_ngram",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "chunk_dedup",
+    "lm_score",
+    "text_stats",
+    "seq_packing",
+]
+
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def main() -> None:
+    spark = get_spark(app_name="fluxdb_spark_scaling")
+    specs = {s.name: s for s in catalog()}
+    # Warm plans at the smallest SF so JIT/janino constants drop out.
+    for name in OPS:
+        specs[name].spark(spark, "/root/testdata/sf0.001").count()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in OPS:
+        out[name] = {}
+        for sf in SFS:
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                specs[name].spark(spark, f"/root/testdata/sf{sf}").count()
+                best = min(best, time.time() - t0)
+            out[name][sf] = round(best, 3)
+        r = out[name]
+        ratio = r["0.1"] / max(r["0.01"], 1e-9)
+        print(
+            f"# {name}: {r['0.001']}s / {r['0.01']}s / {r['0.1']}s"
+            f"  (10x data -> {ratio:.1f}x time)",
+            file=sys.stderr,
+        )
+    print(json.dumps({"metric": "scaling", "ops": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
