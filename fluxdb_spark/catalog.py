@@ -95,6 +95,8 @@ _PRIORITY: list[str] = [
     "heavy_hitters",
     "flux_state_at_ignore_range",
     "stream_simhash_dedup",
+    "flux_collection_state",
+    "token_budget_mix",
     # -- never driver-checked (added after r01's snapshot of the first 50;
     #    q12 carries the conditional-count BIGINT-cast fix, q1 is the
     #    canonical scan+agg representative)
@@ -121,9 +123,7 @@ _PRIORITY: list[str] = [
     "quality_filter",
     "repetition_stats",
     "pii_scrub",
-    "lang_distribution",
     "doc_fingerprint",
-    "stratified_sample",
     "decontaminate",
     "seq_packing",
     "multimodal_meta",
@@ -131,7 +131,11 @@ _PRIORITY: list[str] = [
     # ---- position 51+ from here: green r02 rows, rotated out ----
     # (embed_ann_ivf is rows-only and its machinery is hash-verified by
     # embed_ann_ivf_exact; multimodal_frames shares its mapInPandas
-    # plumbing with the two multimodal entries kept inside the 50)
+    # plumbing with the two multimodal entries kept inside the 50;
+    # lang_distribution's lang_id expression also feeds text_quality;
+    # stratified_sample's salted bucket is exercised by token_budget_mix)
+    "stratified_sample",
+    "lang_distribution",
     "multimodal_frames",
     "embed_ann_ivf",
     "grouping_sets",
@@ -202,6 +206,27 @@ def flux_state_at_indexed(spark, sf_dir):
     idx = sn.build_tablet_index(log, "click", 500).persist()
     idx.count()
     return sn.state_at_with_index(log, idx, "click", 800).select(*_STATE_COLS)
+
+
+@_q(
+    "flux_collection_state",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tablet_id, primary_key
+                               ORDER BY height DESC) AS rn
+  FROM changelog WHERE height <= 700)
+SELECT tablet_id, primary_key, height, value, block_num
+FROM ranked WHERE rn = 1 AND NOT is_deletion
+""",
+)
+def flux_collection_state(spark, sf_dir):
+    """Whole-collection snapshot at height 700 (bulk state export): every
+    tablet's last-write-wins state in ONE grouped aggregation — the read
+    the reference would serve as one ReadTabletAt per tablet."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.collection_state_at(log, 700).select(*_STATE_COLS)
 
 
 @_q("flux_state_at_ignore_range", "temporal", _dedup_sql("click", 800))
@@ -2691,6 +2716,42 @@ def seq_packing(spark, sf_dir):
     parallelizes across shards instead of serializing the corpus."""
     d = _t(spark, sf_dir, "documents")
     return cu.pack_sequences(d, budget=256, shard_col="source")
+
+
+@_q(
+    "token_budget_mix",
+    "pipeline",
+    f"""
+WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok,
+         CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
+                     WHEN 'src2' THEN 500  WHEN 'src3' THEN 250
+                     ELSE 400 END AS budget,
+         {cu.sql_bucket("doc_id", "mix")} AS ord
+  FROM documents),
+cum AS (
+  SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+              PARTITION BY source ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before,
+         budget
+  FROM toks)
+SELECT source, doc_id, n_tok, cum_before FROM cum WHERE cum_before < budget
+""",
+)
+def token_budget_mix(spark, sf_dir):
+    """Token-aware mix construction: each source contributes hash-ordered
+    documents until its TOKEN budget is spent (spillover allowed) — the
+    step after doc-level weighting when the target is a token mix. One
+    running-sum window per source, prefix sums parallel across sources."""
+    d = _t(spark, sf_dir, "documents")
+    out = cu.token_budget_mix(
+        d,
+        {"src0": 2000, "src1": 1000, "src2": 500, "src3": 250},
+        default_budget=400,
+    )
+    return out.withColumn("n_tok", F.col("n_tok").cast("long"))
 
 
 @_q(

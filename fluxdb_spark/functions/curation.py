@@ -169,3 +169,52 @@ def cap_per_group(
         df.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-aware mix construction: each source contributes documents (in
+    salted-hash order — a deterministic uniform sample of the source) until
+    its TOKEN budget is exhausted. A document is kept iff the tokens
+    preceding it in its source's order are still under budget (spillover
+    allowed, mirroring `pack_sequences`), so every source with a positive
+    budget contributes at least one document and the mix is stable across
+    runs, retries, and cluster sizes.
+
+    This is the step after `stratified_sample`-style doc-level weighting
+    when the target is a TOKEN mix (the unit training actually consumes).
+    Returns (source, doc_id, n_tok, cum_before).
+
+    Scale shape: one running-sum window per source — prefix sums
+    parallelize across sources exactly like `pack_sequences`; no shuffle
+    beyond the per-source partition, no driver state."""
+    budget = F.lit(int(default_budget))
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(int(b))).otherwise(
+            budget
+        )
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(key_col),
+        token_count(F.col("text")).alias("n_tok"),
+        budget.alias("_budget"),
+        _bucket(F.col(key_col), salt).alias("_ord"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_ord", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long"),
+    )
+    return cum.filter(F.col("cum_before") < F.col("_budget")).select(
+        "source", key_col, "n_tok", "cum_before"
+    )

@@ -226,3 +226,35 @@ def state_diff(
         )
         .orderBy("primary_key")
     )
+
+
+def collection_state_at(
+    changelog: DataFrame,
+    height: int,
+    collection: str = "evt",
+    speculative: DataFrame | None = None,
+) -> DataFrame:
+    """Whole-collection snapshot at `height`: last-write-wins per
+    (tablet_id, primary_key) across EVERY tablet, tombstones removed —
+    the bulk-export read (state dump at a block height) the reference
+    serves one ReadTabletAt call per tablet for (read.go:35-178); one
+    grouped aggregation serves all tablets in a single shuffle here.
+
+    Same map-side-combine shape as `state_at`, keyed on the compound key:
+    at 100 TB the shuffle carries one row per live (tablet, pk) per map
+    partition, not the version history."""
+    df = changelog.filter(F.col("collection") == collection)
+    out = _tag(df, 0)
+    if speculative is not None:
+        sp = speculative.filter(F.col("collection") == collection)
+        out = out.unionByName(_tag(sp, 1))
+    out = out.filter(F.col("height") <= F.lit(height))
+    payload = F.struct(*[F.col(c) for c in CHANGELOG_COLUMNS], F.col("_src"))
+    agg = out.groupBy("tablet_id", "primary_key").agg(
+        F.max_by(payload, _ord()).alias("_row")
+    )
+    return (
+        agg.select(*[F.col(f"_row.{c}").alias(c) for c in CHANGELOG_COLUMNS])
+        .filter(~F.col("is_deletion"))
+        .orderBy("tablet_id", "primary_key")
+    )

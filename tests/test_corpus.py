@@ -129,3 +129,78 @@ class TestHeavyHitters:
             "a",
             "b",
         ]
+
+
+class TestTokenBudgetMix:
+    def test_budget_respected_with_spillover(self, spark):
+        from fluxdb_spark.functions.curation import token_budget_mix
+
+        # 6 docs of 10 tokens each per source
+        rows = [
+            (s * 10 + i, " ".join(["w"] * 10), f"s{s}")
+            for s in range(2)
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = token_budget_mix(df, {"s0": 25, "s1": 1}).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        # s0: docs kept while cum_before < 25 -> 3 docs (0,10,20), 30 tokens
+        assert len(by_src["s0"]) == 3
+        assert sum(r.n_tok for r in by_src["s0"]) == 30
+        # s1: minimum one doc even though budget < doc length
+        assert len(by_src["s1"]) == 1
+
+    def test_zero_default_excludes_unlisted_sources(self, spark):
+        from fluxdb_spark.functions.curation import token_budget_mix
+
+        df = spark.createDataFrame(
+            [(0, "a b c", "s0"), (1, "a b c", "s1")],
+            "doc_id long, text string, source string",
+        )
+        out = token_budget_mix(df, {"s0": 100}).collect()
+        assert {r.source for r in out} == {"s0"}
+
+    def test_deterministic_and_nested(self, spark):
+        """Raising a budget only ADDS documents (stable ablations)."""
+        from fluxdb_spark.functions.curation import token_budget_mix
+
+        rows = [
+            (i, " ".join(["w"] * (5 + i % 7)), "s0") for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        small = {r.doc_id for r in token_budget_mix(df, {"s0": 60}).collect()}
+        big = {r.doc_id for r in token_budget_mix(df, {"s0": 120}).collect()}
+        assert small <= big
+
+
+class TestCollectionState:
+    def test_matches_per_tablet_state_at(self, spark):
+        """The one-shuffle whole-collection snapshot must equal the union
+        of per-tablet state_at reads at the same height."""
+        from fluxdb_spark.operators.temporal import (
+            collection_state_at,
+            state_at,
+        )
+        from fluxdb_spark.sources import changelog_from_events, load_table
+
+        sf = "/root/testdata/sf0.001"
+        log = changelog_from_events(load_table(spark, sf, "events"))
+        h = 700
+        whole = {
+            (r.tablet_id, r.primary_key): (r.height, r.value)
+            for r in collection_state_at(log, h).collect()
+        }
+        tablets = [
+            r.tablet_id for r in log.select("tablet_id").distinct().collect()
+        ]
+        per_tablet = {}
+        for t in tablets:
+            for r in state_at(log, t, h).collect():
+                per_tablet[(r.tablet_id, r.primary_key)] = (r.height, r.value)
+        assert whole == per_tablet
