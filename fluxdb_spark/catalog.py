@@ -63,13 +63,71 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-3 slot policy (driver checked exactly the first 50 in r01/r02):
-    # 1) everything that ERRORED in round 2 (the events.ts dtype break) so
-    #    each gets a fresh green row, 2) operators added this round,
-    # 3) never-driver-checked entries, 4) the pipeline layer for
-    #    re-confirmation. The relational singles rotate out — all carry
-    #    green r02 rows.
-    # -- errored in r02: temporal engine (SURVEY §2.1/§2.4/§2.5)
+    # Round-4 slot policy: the driver checks exactly the first 50 entries
+    # per round, so the window rotates to give every entry a driver row
+    # within the last two rounds.  The 50 entries below last saw driver
+    # testdata in r02 (r03 re-proved the temporal/streaming/pipeline
+    # layers, all 50/50 green) — and r02 proved testdata can drift between
+    # rounds, so these 50 rotate back in for r04.
+    # -- relational / TPC-H layer (green r01/r02 + local parity)
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "region_revenue",
+    # -- relational singles (aggs / windows / sets / scalars)
+    "stats_aggs",
+    "percentiles",
+    "distinct_counts",
+    "grouping_sets",
+    "rollup_pricing",
+    "cube_orders",
+    "window_ranks",
+    "running_total",
+    "topk_orders",
+    "set_ops",
+    "semi_anti_join",
+    "scalar_subquery",
+    "scalar_showcase",
+    "date_funcs",
+    "pivot_status",
+    "skew_salted_agg",
+    # -- temporal singles rotated out of r03's window
+    "flux_row_at",
+    "flux_singlet_asof",
+    "flux_singlet_history",
+    "flux_checkpoint",
+    # -- joins beyond equi (as-of / range)
+    "asof_join",
+    "asof_join_generic",
+    "range_join_incidents",
+    # -- streaming-window batch twins
+    "tumbling_hourly",
+    "sliding_windows",
+    # -- pipeline entries rotated out of r03's window
+    "stratified_sample",
+    "lang_distribution",
+    "multimodal_frames",
+    "embed_ann_ivf",
+    # ---- position 51+ from here: all carry green r03 driver rows ----
+    # New entries added in r04 sit right after the window boundary so the
+    # r05 rotation picks them up first.
     "flux_state_at",
     "flux_state_at_indexed",
     "flux_state_diff",
@@ -81,14 +139,12 @@ _PRIORITY: list[str] = [
     "flux_gap_check",
     "flux_tablet_stats",
     "typed_view_decode",
-    # -- errored in r02: streaming + sessionization layer
     "stream_tumbling",
     "stream_dedup",
     "stream_stream_join",
     "stream_sessionize",
     "sessionization",
     "session_windows",
-    # -- new this round
     "source_caps",
     "lm_score",
     "chunk_dedup",
@@ -97,16 +153,10 @@ _PRIORITY: list[str] = [
     "stream_simhash_dedup",
     "flux_collection_state",
     "token_budget_mix",
-    # -- never driver-checked (added after r01's snapshot of the first 50;
-    #    q12 carries the conditional-count BIGINT-cast fix, q1 is the
-    #    canonical scan+agg representative)
     "skew_salted_join",
     "unpivot_pricing",
     "tpch_q1",
     "tpch_q12",
-    # -- dedup / similarity / text / multimodal pipeline layer (green in
-    #    r02; kept inside the 50 because they are the engine's
-    #    beyond-reference surface and regress silently otherwise)
     "dedup_exact",
     "dedup_ngram",
     "dedup_clusters",
@@ -128,24 +178,6 @@ _PRIORITY: list[str] = [
     "seq_packing",
     "multimodal_meta",
     "multimodal_decode",
-    # ---- position 51+ from here: green r02 rows, rotated out ----
-    # (embed_ann_ivf is rows-only and its machinery is hash-verified by
-    # embed_ann_ivf_exact; multimodal_frames shares its mapInPandas
-    # plumbing with the two multimodal entries kept inside the 50;
-    # lang_distribution's lang_id expression also feeds text_quality;
-    # stratified_sample's salted bucket is exercised by token_budget_mix)
-    "stratified_sample",
-    "lang_distribution",
-    "multimodal_frames",
-    "embed_ann_ivf",
-    "grouping_sets",
-    "semi_anti_join",
-    "stats_aggs",
-    "window_ranks",
-    "percentiles",
-    "scalar_subquery",
-    "pivot_status",
-    "skew_salted_agg",
 ]
 
 
@@ -238,12 +270,12 @@ def flux_state_at_ignore_range(spark, sf_dir):
     fold. The oracle is the plain window answer — the fallback must be
     invisible in the result."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
-    idx = (
-        sn.build_tablet_index(log, "click", 400)
-        .unionByName(sn.build_tablet_index(log, "click", 600))
-        .persist()
+    # the two-snapshot index union is broadcast-sized at any SF (live keys
+    # of one tablet); no persist — a cached relation here leaked across
+    # bench/parity repeat runs and the eager count skewed timings
+    idx = sn.build_tablet_index(log, "click", 400).unionByName(
+        sn.build_tablet_index(log, "click", 600)
     )
-    idx.count()
     return sn.state_at_with_index(
         log, idx, "click", 800, ignore_range=(500, 700)
     ).select(*_STATE_COLS)
@@ -3128,10 +3160,14 @@ def stream_simhash_dedup(spark, sf_dir):
     )
     fp = raw.select(
         dd.simhash_col(F.col("text")).alias("simhash"),
-        # synthetic event time (documents carry none): doc_id seconds,
-        # offset a day past the epoch — a row AT the initial watermark
-        # (epoch 0) would be discarded as late before any state exists
-        F.timestamp_micros((F.col("doc_id") + 86400) * 1000000).alias("ts"),
+        # synthetic CONSTANT event time (documents carry none), a day past
+        # the epoch (a row AT the initial watermark would be discarded as
+        # late before any state exists). Constant so dedup state can never
+        # be watermark-evicted between micro-batches: if the driver ever
+        # regenerates documents.parquet as multiple files, per-doc_id
+        # times would let duplicates >1h apart in different batches both
+        # emit, breaking the DISTINCT oracle.
+        F.timestamp_micros(F.lit(86400 * 1000000)).alias("ts"),
     )
     deduped = (
         fp.withWatermark("ts", "1 hour")

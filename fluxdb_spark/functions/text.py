@@ -407,28 +407,33 @@ def heavy_hitters(docs, k: int = 20, text_col: str = "text"):
 
     Scale shape: explode->groupBy with map-side combine (shuffle is
     |vocab|, not corpus size); the global rank runs on the already-reduced
-    vocabulary relation; the 1-row total joins back by broadcast."""
+    vocabulary relation; the 1-row total joins back by broadcast. The
+    token total is a map-only second scan of the text column (sum of
+    per-doc token counts) rather than a second consumer of the vocabulary
+    relation — a persist() there leaked a cached relation per call."""
     from fluxdb_spark.session import spread
 
+    docs = spread(docs)
+    toks = tokens(F.lower(F.col(text_col)))
     counts = (
-        spread(docs)
-        .select(
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
-        )
+        docs.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # two consumers (top-k and the total) — materialize the reduced
-        # |vocab| relation so the corpus explode runs once
-        .persist()
     )
-    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    # greatest(·, 0) absorbs both size(NULL) conventions (-1 or NULL) so a
+    # null/empty document contributes 0, exactly like its empty explode
+    total = docs.select(
+        F.greatest(F.size(toks), F.lit(0)).alias("n_tok")
+    ).agg(F.sum("n_tok").cast("long").alias("total"))
     # orderBy().limit(k) compiles to TakeOrdered (per-partition top-k, then
     # a k*partitions merge) — no global single-partition window over the
     # vocabulary; the row_number window then ranks only the k survivors.
     topk = counts.orderBy(F.desc("cnt"), F.col("term")).limit(k)
     ranked = topk.withColumn(
         "rank",
-        F.row_number().over(Window.orderBy(F.desc("cnt"), F.col("term"))),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.col("term")))
+        .cast("long"),
     )
     return ranked.crossJoin(F.broadcast(total)).select(
         "rank",

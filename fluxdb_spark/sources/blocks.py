@@ -136,9 +136,14 @@ def map_blocks_with_udtf(
     arbitrary SQL around it, which is how a SQL-first user would consume a
     custom block decoder (the reference's BlockMapper is Go-API-only;
     types.go:40-42). Must yield exactly the rows the mapInPandas tier
-    yields — pinned in tests/test_blocks.py."""
-    import uuid
+    yields — pinned in tests/test_blocks.py.
 
+    Registration uses FIXED names with replace semantics (uuid-per-call
+    names accumulated catalog entries for a long-lived session's lifetime);
+    the temp view is dropped once the returned plan is analyzed, so only
+    the UDTF registration remains, overwritten by the next call. Not safe
+    for concurrent callers on one session — each call briefly owns the
+    shared view name."""
     from pyspark.sql.functions import udtf
 
     from fluxdb_spark.schema import CHANGELOG_SCHEMA
@@ -159,10 +164,15 @@ def map_blocks_with_udtf(
                     int(blk["block_num"]),
                 )
 
-    fn = f"block_mapper_{uuid.uuid4().hex[:8]}"
-    view = f"raw_blocks_{uuid.uuid4().hex[:8]}"
+    fn = "flux_block_mapper"
+    view = "flux_raw_blocks"
     spark.udtf.register(fn, BlockMapperUDTF)
     raw.createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT m.* FROM {view} b, LATERAL {fn}(b.{payload_col}) m"
-    )
+    try:
+        # spark.sql analyzes eagerly; the returned plan holds the resolved
+        # relation, so the view can be dropped immediately
+        return spark.sql(
+            f"SELECT m.* FROM {view} b, LATERAL {fn}(b.{payload_col}) m"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
