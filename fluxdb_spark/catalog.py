@@ -128,6 +128,7 @@ _PRIORITY: list[str] = [
     # ---- position 51+ from here: all carry green r03 driver rows ----
     # New entries added in r04 sit right after the window boundary so the
     # r05 rotation picks them up first.
+    "typed_view_protobuf",
     "flux_state_at",
     "flux_state_at_indexed",
     "flux_state_diff",
@@ -3506,4 +3507,65 @@ def typed_view_decode(spark, sf_dir):
     )
     return reg.typed_view(log, "evt").select(
         "tablet_id", "height", F.col("decoded.k").alias("k")
+    )
+
+
+@_q(
+    "typed_view_protobuf",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE}
+SELECT tablet_id, height,
+       CAST(json_extract_string(value, '$.k') AS BIGINT) AS k,
+       tablet_id AS src,
+       CAST(json_extract_string(value, '$.k') AS BIGINT) - height AS delta,
+       (height * 2654435761) % 4294967296 AS crc
+FROM changelog
+WHERE tablet_id = 'signup' AND height <= 300 AND NOT is_deletion
+  AND json_extract_string(value, '$.k') IS NOT NULL
+""",
+)
+def typed_view_protobuf(spark, sf_dir):
+    """Typed view over PROTOBUF-encoded values — the reference's actual
+    value encoding (types.go:44-50). Values are serialized to proto3 wire
+    bytes (varint / zigzag / length-delimited / fixed32) and decoded back
+    through the registry's tiered protobuf decoder: JVM `from_protobuf`
+    when the spark-protobuf jar is loaded, else an Arrow-batched wire
+    parser (functions/protowire.py — encoder and decoder are independent
+    implementations pinned to spec byte vectors, so the oracle computing
+    the fields directly from JSON is a real inversion check: a varint or
+    zigzag bug would hash-mismatch on multi-byte / negative values)."""
+    from fluxdb_spark.functions import protowire as pw
+    from fluxdb_spark.registry import Collection, default_registry
+
+    log = changelog_from_events(_t(spark, sf_dir, "events")).filter(
+        (F.col("tablet_id") == "signup")
+        & (F.col("height") <= 300)
+        & (~F.col("is_deletion"))
+    )
+    k = F.get_json_object("value", "$.k").cast("long")
+    wire = log.filter(k.isNotNull()).withColumn(
+        "value",
+        pw.encode_demo_udf()(
+            k,
+            F.col("tablet_id"),
+            k - F.col("height"),
+            (F.col("height") * F.lit(2654435761)) % F.lit(4294967296),
+        ),
+    )
+    reg = default_registry()
+    reg.register(
+        Collection(
+            0x0002,
+            "evt",
+            decoder=lambda v: pw.decode_protobuf_col(spark, v),
+        )
+    )
+    return reg.typed_view(wire, "evt").select(
+        "tablet_id",
+        "height",
+        F.col("decoded.k").alias("k"),
+        F.col("decoded.src").alias("src"),
+        F.col("decoded.delta").alias("delta"),
+        F.col("decoded.crc").alias("crc"),
     )

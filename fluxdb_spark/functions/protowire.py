@@ -1,0 +1,306 @@
+"""Protobuf wire-format codec for typed views.
+
+The reference stores protobuf-encoded values (types.go:44-50 — tablet rows
+carry opaque proto bytes that app code decodes). This module gives the
+engine the same typed-decode capability in two tiers:
+
+1. **JVM tier** — `pyspark.sql.protobuf.functions.from_protobuf` with a
+   compiled descriptor set, when the `spark-protobuf` connector jar is
+   loaded (`jvm_protobuf_available` probes the session once). The sandbox
+   image ships pyspark 4.1.2 WITHOUT that jar (probe raises
+   `PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE`), so in-image this tier is
+   dormant but one `--packages org.apache.spark:spark-protobuf_2.13` away.
+2. **Arrow tier** — a pure-Python implementation of the protobuf wire
+   format (varint / zigzag / length-delimited / fixed32, unknown-field
+   skipping) behind a struct-returning pandas UDF. Arrow-batched, no
+   row-at-a-time Python UDF, and no dependency on google.protobuf (also
+   absent from the image).
+
+Encoder and decoder are deliberately independent implementations (the
+encoder builds bytes forward, the decoder is a cursor parser), and both
+are pinned against byte vectors from the protobuf encoding spec in
+tests/test_protowire.py, so a matched-bug round-trip cannot pass.
+
+The demo message (proto3):
+
+    package flux;
+    message DemoValue { int64 k = 1; string src = 2;
+                        sint64 delta = 3; fixed32 crc = 5; }
+
+`demo_descriptor_set()` emits the `FileDescriptorSet` for it — itself a
+protobuf message, built with the same primitives (descriptor.proto field
+numbers from the public protobuf sources).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_U64 = (1 << 64) - 1
+
+# ---------------------------------------------------------------------------
+# primitives (encode side)
+# ---------------------------------------------------------------------------
+
+
+def varint(n: int) -> bytes:
+    """Unsigned base-128 little-endian varint; negatives are encoded as
+    their 64-bit two's complement (10 bytes), per the spec."""
+    n &= _U64
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag(n: int) -> int:
+    return ((n << 1) ^ (n >> 63)) & _U64
+
+
+def tag(field_no: int, wire_type: int) -> bytes:
+    return varint((field_no << 3) | wire_type)
+
+
+def _ld(data: bytes) -> bytes:
+    """Length-delimited payload (wire type 2 body)."""
+    return varint(len(data)) + data
+
+
+def encode_demo(k: int, src: str, delta: int, crc: int) -> bytes:
+    """proto3 serialization of DemoValue: zero/empty fields are omitted
+    (proto3 default elision), fields in ascending number order."""
+    buf = bytearray()
+    if k:
+        buf += tag(1, 0) + varint(k)
+    if src:
+        buf += tag(2, 2) + _ld(src.encode("utf-8"))
+    if delta:
+        buf += tag(3, 0) + varint(zigzag(delta))
+    if crc:
+        buf += tag(5, 5) + struct.pack("<I", crc & 0xFFFFFFFF)
+    return bytes(buf)
+
+
+# ---------------------------------------------------------------------------
+# primitives (decode side — independent cursor parser)
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(data: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    val = 0
+    while True:
+        if i >= len(data):
+            raise ValueError("truncated varint")
+        b = data[i]
+        i += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return val & _U64, i
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 64 bits")
+
+
+def _to_int64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _unzigzag(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def decode_demo(data: bytes | None) -> dict | None:
+    """Parse DemoValue wire bytes; unknown field numbers and wire types
+    0/1/2/5 are skipped (forward compatibility, like a real protobuf
+    runtime); absent fields yield proto3 defaults."""
+    if data is None:
+        return None
+    out = {"k": 0, "src": "", "delta": 0, "crc": 0}
+    i = 0
+    while i < len(data):
+        tagv, i = _read_varint(data, i)
+        fno, wt = tagv >> 3, tagv & 7
+        if wt == 0:
+            raw, i = _read_varint(data, i)
+        elif wt == 1:
+            raw, i = data[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _read_varint(data, i)
+            raw, i = data[i : i + ln], i + ln
+        elif wt == 5:
+            raw, i = data[i : i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        if fno == 1 and wt == 0:
+            out["k"] = _to_int64(raw)
+        elif fno == 2 and wt == 2:
+            out["src"] = raw.decode("utf-8")
+        elif fno == 3 and wt == 0:
+            out["delta"] = _unzigzag(raw)
+        elif fno == 5 and wt == 5:
+            out["crc"] = struct.unpack("<I", raw)[0]
+        # any other field: skipped
+    return out
+
+
+# ---------------------------------------------------------------------------
+# descriptor set (for the JVM from_protobuf tier)
+# ---------------------------------------------------------------------------
+
+# FieldDescriptorProto.Type values (descriptor.proto, public protobuf repo)
+_TYPE_INT64 = 3
+_TYPE_FIXED32 = 7
+_TYPE_STRING = 9
+_TYPE_SINT64 = 18
+_LABEL_OPTIONAL = 1
+
+
+def demo_descriptor_set() -> bytes:
+    """FileDescriptorSet bytes for DemoValue, hand-assembled with the wire
+    primitives above (field numbers per descriptor.proto:
+    FileDescriptorSet.file=1; FileDescriptorProto{name=1, package=2,
+    message_type=4, syntax=12}; DescriptorProto{name=1, field=2};
+    FieldDescriptorProto{name=1, number=3, label=4, type=5})."""
+
+    def field_desc(name: str, number: int, ftype: int) -> bytes:
+        body = (
+            tag(1, 2)
+            + _ld(name.encode())
+            + tag(3, 0)
+            + varint(number)
+            + tag(4, 0)
+            + varint(_LABEL_OPTIONAL)
+            + tag(5, 0)
+            + varint(ftype)
+        )
+        return tag(2, 2) + _ld(body)
+
+    msg = (
+        tag(1, 2)
+        + _ld(b"DemoValue")
+        + field_desc("k", 1, _TYPE_INT64)
+        + field_desc("src", 2, _TYPE_STRING)
+        + field_desc("delta", 3, _TYPE_SINT64)
+        + field_desc("crc", 5, _TYPE_FIXED32)
+    )
+    file_body = (
+        tag(1, 2)
+        + _ld(b"demo_value.proto")
+        + tag(2, 2)
+        + _ld(b"flux")
+        + tag(4, 2)
+        + _ld(msg)
+        + tag(12, 2)
+        + _ld(b"proto3")
+    )
+    return tag(1, 2) + _ld(file_body)
+
+
+# ---------------------------------------------------------------------------
+# Column-level tiers
+# ---------------------------------------------------------------------------
+
+DEMO_STRUCT = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("delta", T.LongType()),
+        T.StructField("crc", T.LongType()),
+    ]
+)
+
+
+def encode_demo_udf() -> Column:
+    """Arrow-batched encoder: (k, src, delta, crc) -> wire bytes."""
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(
+        k: pd.Series, src: pd.Series, delta: pd.Series, crc: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if pd.isna(kk)
+                else encode_demo(int(kk), str(ss), int(dd), int(cc))
+                for kk, ss, dd, cc in zip(k, src, delta, crc)
+            ]
+        )
+
+    return enc
+
+
+def decode_demo_udf():
+    """Arrow-batched wire decoder: bytes -> DemoValue struct. Usable as a
+    registry Collection decoder (Column -> Column). NULL input yields the
+    all-null-fields struct (a struct pandas UDF cannot emit a top-level
+    null struct), where the JVM from_protobuf tier would yield NULL —
+    callers that must distinguish should filter nulls before decoding."""
+
+    @F.pandas_udf(DEMO_STRUCT)
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        rows = [decode_demo(v) for v in vals]
+        return pd.DataFrame(
+            [
+                {"k": None, "src": None, "delta": None, "crc": None}
+                if r is None
+                else r
+                for r in rows
+            ],
+            columns=["k", "src", "delta", "crc"],
+        )
+
+    return dec
+
+
+_JVM_PROBE: dict[int, bool] = {}
+
+
+def jvm_protobuf_available(spark) -> bool:
+    """One probe per session: analyze a from_protobuf projection and see
+    whether the spark-protobuf connector answers."""
+    key = id(spark)
+    if key not in _JVM_PROBE:
+        try:
+            from pyspark.sql.protobuf.functions import from_protobuf
+
+            spark.range(1).select(
+                from_protobuf(
+                    F.lit(b""),
+                    "flux.DemoValue",
+                    binaryDescriptorSet=demo_descriptor_set(),
+                )
+            ).collect()
+            _JVM_PROBE[key] = True
+        except Exception:
+            _JVM_PROBE[key] = False
+    return _JVM_PROBE[key]
+
+
+def decode_protobuf_col(spark, col: Column) -> Column:
+    """The tiered typed-view decoder: JVM from_protobuf when the connector
+    jar is loaded, else the Arrow wire decoder. Both yield DEMO_STRUCT."""
+    if jvm_protobuf_available(spark):
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        decoded = from_protobuf(
+            col, "flux.DemoValue", binaryDescriptorSet=demo_descriptor_set()
+        )
+        # align with DEMO_STRUCT's long-typed crc (fixed32 maps to int)
+        return F.struct(
+            decoded["k"].cast("long").alias("k"),
+            decoded["src"].alias("src"),
+            decoded["delta"].cast("long").alias("delta"),
+            decoded["crc"].cast("long").alias("crc"),
+        )
+    return decode_demo_udf()(col)
