@@ -13,10 +13,16 @@ one-function change). What the reference guarantees and we preserve:
   speculative overlay (streaming/forkdb.py) until finality, so a
   same-height rewrite of durable data cannot legitimately occur;
 - **checkpoint written with the data** (reference flushes the checkpoint
-  table last in the same batch, store/kv/store.go:418-424): we write data
-  files first, then the checkpoint file — a crash leaves data without a
-  checkpoint, and the idempotent replay path (filter height > checkpoint)
-  makes that safe;
+  table last in the same batch, store/kv/store.go:418-424): the batch is
+  staged to a side directory, a MANIFEST naming every target file is
+  written atomically, the files are moved into the band directories, and
+  only then does the checkpoint advance — the checkpoint write IS the
+  commit point, exactly like the reference's same-batch atomicity. A crash
+  anywhere before the checkpoint leaves a manifest whose `hi` exceeds the
+  checkpoint; `recover()` rolls the torn batch back (deletes the listed
+  files) so the idempotent replay re-writes it whole. Without the
+  manifest, a torn multi-file move would leave orphan rows above the
+  checkpoint that replay cannot dedup;
 - **per-shard checkpoints** (`shard-NNN`, reference read.go:454-464) for
   parallel backfill, reconciled into the global one (write.go:82-194).
 
@@ -29,6 +35,8 @@ files are height-sorted so row-group min/max stats prune further):
     root/
       changelog/collection=<name>/height_band=<h // band>/part-*.parquet
       _checkpoint/<shard>.json
+      _manifests/batch-<id>.json     (present only for in-flight batches)
+      _staging/batch-<id>/...        (Spark output before the move)
 """
 
 from __future__ import annotations
@@ -72,8 +80,13 @@ class ChangelogStore:
         self.height_band = height_band
         self._data_dir = os.path.join(root, "changelog")
         self._ckpt_dir = os.path.join(root, "_checkpoint")
+        self._manifest_dir = os.path.join(root, "_manifests")
+        self._staging_dir = os.path.join(root, "_staging")
         os.makedirs(self._data_dir, exist_ok=True)
         os.makedirs(self._ckpt_dir, exist_ok=True)
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        os.makedirs(self._staging_dir, exist_ok=True)
+        self.recover()
 
     # --- checkpoints -------------------------------------------------------
 
@@ -166,6 +179,8 @@ class ChangelogStore:
             if n_files > 1
             else rows.repartition(1)
         )
+        batch_id = uuid.uuid4().hex
+        stage = os.path.join(self._staging_dir, f"batch-{batch_id}")
         (
             clustered.sortWithinPartitions("collection", "tablet_id", "height")
             .withColumn(
@@ -174,12 +189,157 @@ class ChangelogStore:
                     "long"
                 ),
             )
-            .write.mode("append")
+            .write.mode("overwrite")
             .partitionBy("collection", "height_band")
-            .parquet(self._data_dir)
+            .parquet(stage)
         )
+        # manifest BEFORE any file reaches the band directories: lists every
+        # target path, so recover() can roll a torn move back in full
+        moves = []
+        for dirpath, _dirnames, filenames in os.walk(stage):
+            rel = os.path.relpath(dirpath, stage)
+            for fname in filenames:
+                if not fname.endswith(".parquet"):
+                    continue  # _SUCCESS markers, .crc sidecars
+                moves.append(
+                    (
+                        os.path.join(dirpath, fname),
+                        os.path.join(
+                            self._data_dir, rel, f"b{batch_id[:8]}-{fname}"
+                        ),
+                    )
+                )
+        manifest = os.path.join(self._manifest_dir, f"batch-{batch_id}.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "hi": int(bounds.hi),
+                    "shard": shard,
+                    "targets": [dst for _src, dst in moves],
+                    "staging": stage,
+                },
+                f,
+            )
+        os.replace(tmp, manifest)  # atomic on POSIX
+        for src, dst in moves:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+        # the checkpoint write is the COMMIT POINT (reference writes the
+        # checkpoint in the same KV batch, store/kv/store.go:418-424)
         self._write_checkpoint(bounds.hi, bounds.block_id, bounds.block_num, shard)
+        os.remove(manifest)
+        shutil.rmtree(stage, ignore_errors=True)
         return Checkpoint(bounds.hi, bounds.block_id, bounds.block_num)
+
+    def recover(self) -> int:
+        """Roll back torn batches; called at open and safe to call anytime.
+
+        For each leftover manifest: if the batch's `hi` is at or below its
+        shard's checkpoint, the commit point was reached — the manifest is
+        stale cleanup debris and only the staging dir is removed. Otherwise
+        the batch is TORN (crash before the checkpoint advanced): every
+        listed target file is deleted, so no orphan rows above the
+        checkpoint survive and the idempotent replay re-writes the batch
+        whole. Returns the number of torn batches rolled back."""
+        rolled = 0
+        for fname in sorted(os.listdir(self._manifest_dir)):
+            if not fname.endswith(".json") or fname.endswith(".tmp"):
+                continue
+            path = os.path.join(self._manifest_dir, fname)
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                os.remove(path)  # torn manifest write: nothing was moved
+                continue
+            ckpt = self.checkpoint(m.get("shard"))
+            committed = ckpt is not None and m["hi"] <= ckpt.height
+            if not committed:
+                for target in m["targets"]:
+                    if os.path.exists(target):
+                        os.remove(target)
+                rolled += 1
+            shutil.rmtree(m.get("staging", ""), ignore_errors=True)
+            os.remove(path)
+        return rolled
+
+    # --- maintenance -------------------------------------------------------
+
+    def compact(
+        self, target_rows_per_file: int = 500_000, min_files: int = 4
+    ) -> dict:
+        """Coalesce small files within each (collection, height_band)
+        partition — the OPTIMIZE/auto-compaction analog this parquet store
+        otherwise lacks (the reference amortizes via KV write batching;
+        here many streaming `write_batch` flushes land many tiny files,
+        and at 100 TB the scan-time file listing becomes the bottleneck).
+
+        Per-band write-then-swap, same crash shape as IndexStore.prune: the
+        replacement directory is fully written before two renames swap it
+        in, so a reader never sees a half-compacted band; rows are
+        re-clustered by tablet_id and height-sorted, restoring the
+        row-group pruning layout of a single large batch. The checkpoint
+        protocol is untouched — compaction moves no height boundaries.
+
+        Refuses to run over an in-flight batch (pending manifest) since
+        rewriting a band would orphan that manifest's rollback targets.
+        """
+        if any(
+            f.endswith(".json") for f in os.listdir(self._manifest_dir)
+        ):
+            raise WriteConsistencyError(
+                "pending write manifest: run recover() before compacting"
+            )
+        stats = {"bands": 0, "files_before": 0, "files_after": 0}
+        for coll_entry in sorted(os.scandir(self._data_dir), key=lambda e: e.path):
+            if not coll_entry.is_dir():
+                continue
+            for band_entry in sorted(
+                os.scandir(coll_entry.path), key=lambda e: e.path
+            ):
+                if not band_entry.is_dir():
+                    continue
+                files = [
+                    f
+                    for f in os.listdir(band_entry.path)
+                    if f.endswith(".parquet")
+                ]
+                if len(files) < min_files:
+                    continue
+                # reading the band dir directly (no basePath) yields the
+                # file columns only — exactly what partitionBy wrote
+                band_df = self.spark.read.parquet(band_entry.path)
+                n_rows = band_df.count()
+                n_out = max(1, -(-n_rows // target_rows_per_file))
+                rewritten = (
+                    band_df.repartition(n_out, "tablet_id")
+                    if n_out > 1
+                    else band_df.coalesce(1)
+                )
+                tmp = band_entry.path + f".compact-{uuid.uuid4().hex}"
+                (
+                    rewritten.sortWithinPartitions("tablet_id", "height")
+                    .write.mode("overwrite")
+                    .parquet(tmp)
+                )
+                for junk in os.listdir(tmp):  # _SUCCESS / .crc sidecars
+                    if not junk.endswith(".parquet"):
+                        os.remove(os.path.join(tmp, junk))
+                old = band_entry.path + f".old-{uuid.uuid4().hex}"
+                os.rename(band_entry.path, old)
+                os.rename(tmp, band_entry.path)
+                shutil.rmtree(old, ignore_errors=True)
+                stats["bands"] += 1
+                stats["files_before"] += len(files)
+                stats["files_after"] += len(
+                    [
+                        f
+                        for f in os.listdir(band_entry.path)
+                        if f.endswith(".parquet")
+                    ]
+                )
+        return stats
 
     # --- read path ---------------------------------------------------------
 

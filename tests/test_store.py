@@ -193,3 +193,168 @@ class TestIndexStore:
         ixs = IndexStore(spark, str(tmp_path / "fresh"))
         assert ixs.read().count() == 0
         assert ixs.prune(prune_frequency=2) == 0
+
+
+def _parquet_files(root):
+    import os
+
+    out = []
+    for dirpath, _d, files in os.walk(root):
+        out += [
+            os.path.join(dirpath, f)
+            for f in files
+            if f.endswith(".parquet") and "_staging" not in dirpath
+        ]
+    return out
+
+
+class TestExactlyOnceCommit:
+    """The manifest commit protocol (reference writes the checkpoint in the
+    same KV batch, store/kv/store.go:418-443): a crash ANYWHERE before the
+    checkpoint advance must leave no orphan rows above the checkpoint after
+    recover(), so the idempotent replay converges to exactly-once."""
+
+    def test_crash_before_checkpoint_rolls_back(
+        self, spark, tmp_path, monkeypatch
+    ):
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, [1, 2]))
+
+        def boom(*a, **k):
+            raise RuntimeError("simulated crash before checkpoint")
+
+        monkeypatch.setattr(st, "_write_checkpoint", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            st.write_batch(batch(spark, [3, 4]))
+        monkeypatch.undo()
+        # torn state on disk: files moved, manifest present, checkpoint old.
+        # WITHOUT recovery these rows would survive the replay filter
+        # (height > 2) and duplicate.
+        assert st.changelog().filter("height > 2").count() > 0
+
+        st2 = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        assert st2.checkpoint().height == 2
+        assert st2.changelog().filter("height > 2").count() == 0
+        st2.write_batch(batch(spark, [3, 4]))  # replay converges
+        got = sorted(r.height for r in st2.changelog().collect())
+        assert got == [1, 2, 3, 4]
+
+    def test_crash_mid_move_rolls_back(self, spark, tmp_path, monkeypatch):
+        import fluxdb_spark.store as store_mod
+
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, [1]))
+        real_rename = store_mod.os.rename
+        calls = {"n": 0}
+
+        def flaky_rename(src, dst):
+            # the batch below spans 3 height bands => >= 3 file moves;
+            # die after the first, leaving a PARTIAL move
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise OSError("simulated crash mid-move")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(store_mod.os, "rename", flaky_rename)
+        with pytest.raises(OSError, match="mid-move"):
+            st.write_batch(batch(spark, list(range(2, 30))))
+        monkeypatch.undo()
+
+        st2 = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        assert st2.checkpoint().height == 1
+        assert st2.changelog().filter("height > 1").count() == 0
+        st2.write_batch(batch(spark, list(range(2, 30))))
+        assert sorted(r.height for r in st2.changelog().collect()) == list(
+            range(1, 30)
+        )
+
+    def test_committed_manifest_is_not_rolled_back(self, spark, tmp_path):
+        """Crash AFTER the checkpoint but before manifest cleanup: the
+        batch is committed, recover() must keep its files."""
+        import json
+        import os
+
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, [1, 2, 3]))
+        files = _parquet_files(st._data_dir)
+        stale = os.path.join(st._manifest_dir, "batch-stale.json")
+        with open(stale, "w") as f:
+            json.dump(
+                {"hi": 3, "shard": None, "targets": files, "staging": ""}, f
+            )
+        assert st.recover() == 0
+        assert not os.path.exists(stale)
+        assert sorted(r.height for r in st.changelog().collect()) == [1, 2, 3]
+
+    def test_recover_noop_on_clean_store(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "db"))
+        st.write_batch(batch(spark, [1]))
+        assert st.recover() == 0
+        assert st.checkpoint().height == 1
+
+
+class TestCompaction:
+    """compact() — the OPTIMIZE analog: many small streaming flushes
+    coalesce into few height-sorted files per band, with identical reads
+    and an untouched checkpoint protocol."""
+
+    def _many_small_batches(self, spark, tmp_path, n=12, band=100):
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=band)
+        for h in range(1, n + 1):
+            st.write_batch(batch(spark, [h]))
+        return st
+
+    def test_compact_reduces_files_identical_reads(self, spark, tmp_path):
+        st = self._many_small_batches(spark, tmp_path)
+        before_rows = sorted(
+            (r.height, r.tablet_id, r.primary_key, r.value, r.is_deletion,
+             r.block_id, r.block_num)
+            for r in st.changelog().collect()
+        )
+        n_before = len(_parquet_files(st._data_dir))
+        assert n_before >= 12
+        stats = st.compact(min_files=2)
+        assert stats["bands"] == 1
+        assert stats["files_before"] == n_before
+        assert stats["files_after"] == 1  # 12 rows << target_rows_per_file
+        after_rows = sorted(
+            (r.height, r.tablet_id, r.primary_key, r.value, r.is_deletion,
+             r.block_id, r.block_num)
+            for r in st.changelog().collect()
+        )
+        assert after_rows == before_rows
+        assert st.checkpoint().height == 12
+
+    def test_writes_continue_after_compaction(self, spark, tmp_path):
+        st = self._many_small_batches(spark, tmp_path)
+        st.compact(min_files=2)
+        st.write_batch(batch(spark, [13]))
+        assert sorted(r.height for r in st.changelog().collect()) == list(
+            range(1, 14)
+        )
+        # and the bounded read still partition-prunes identically
+        assert st.changelog(max_height=5).count() == 5
+
+    def test_compact_spans_bands_independently(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=5)
+        for h in range(1, 11):
+            st.write_batch(batch(spark, [h]))
+        stats = st.compact(min_files=2)
+        # bands 0 (h1-4, 4 files) and 1 (h5-9, 5 files) compact; band 2
+        # (h10, single file) is under min_files and is left alone
+        assert stats["bands"] == 2
+        assert sorted(r.height for r in st.changelog().collect()) == list(
+            range(1, 11)
+        )
+
+    def test_compact_refuses_pending_manifest(self, spark, tmp_path):
+        import json
+        import os
+
+        st = self._many_small_batches(spark, tmp_path, n=4)
+        with open(
+            os.path.join(st._manifest_dir, "batch-x.json"), "w"
+        ) as f:
+            json.dump({"hi": 99, "shard": None, "targets": [], "staging": ""}, f)
+        with pytest.raises(WriteConsistencyError, match="pending"):
+            st.compact()
