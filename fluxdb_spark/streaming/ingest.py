@@ -137,6 +137,55 @@ class IngestPipeline:
             .start()
         )
 
+    def bind_live_blocks(
+        self,
+        control: DataFrame,
+        checkpoint_dir: str,
+        trigger_seconds: float = 0.25,
+    ):
+        """S3 live tier — a CONTINUOUSLY-RUNNING block-control stream (the
+        shape a live gRPC source delivers: one StepNew / StepIrreversible
+        signal per block, reference pipeline.go:64-150 / 330-439) routed
+        through the fork-aware handler under real micro-batch timing.
+
+        Control rows are block-granular and tiny, so the driver collect is
+        O(blocks per micro-batch), never O(data rows) — the reference's
+        live path is likewise block-at-a-time through its process loop.
+        Bulk row traffic belongs to `bind_stream`'s fully-distributed
+        path; the two compose as backfill-then-live (tested in
+        TestBackfillThenLive, mirroring the ForkableHub join).
+
+        Expected columns: seq (total order), step ('new'|'irreversible'),
+        block_id, block_num, parent_id, rows_json (JSON array of
+        CHANGELOG_SCHEMA tuples carried by the block).
+        """
+        import json as _json
+
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            for r in sorted(batch_df.collect(), key=lambda row: row.seq):
+                if r.step == "new":
+                    rows = [
+                        tuple(t) for t in _json.loads(r.rows_json or "[]")
+                    ]
+                    self.process_new_block(
+                        r.block_id, int(r.block_num), r.parent_id or "", rows
+                    )
+                elif r.step == "irreversible":
+                    self.process_irreversible(r.block_id, int(r.block_num))
+                else:
+                    raise ValueError(f"unknown step {r.step!r}")
+            # micro-batch cadence doubles as the reference's 1 s flush timer
+            self.flush()
+
+        return (
+            control.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(
+                processingTime=f"{int(trigger_seconds * 1000)} milliseconds"
+            )
+            .start()
+        )
+
 
 class FluxEngine:
     """Facade = reference FluxDB struct (fluxdb.go:104-154): durable store +
