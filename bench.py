@@ -52,6 +52,13 @@ HEADLINE = [
     "lm_score",
     "chunk_dedup",
     "heavy_hitters",
+    # round-4 additions: whole-collection snapshot, curation mix, a REAL
+    # streaming query (rate-limited file stream -> stateful dedup sink),
+    # and the protobuf typed-view encode->decode round trip
+    "flux_collection_state",
+    "token_budget_mix",
+    "stream_simhash_dedup",
+    "typed_view_protobuf",
 ]
 
 

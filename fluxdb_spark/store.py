@@ -42,6 +42,7 @@ files are height-sorted so row-group min/max stats prune further):
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -56,6 +57,12 @@ from fluxdb_spark.schema import CHANGELOG_SCHEMA
 
 class WriteConsistencyError(RuntimeError):
     pass
+
+
+# Same env-var name the reference uses to gate its per-write size logging
+# (write.go:274-329): when set, each batch logs its top tablets by bytes.
+SIZE_STATS_ENV = "STATEDB_SIZE_STATS"
+_log = logging.getLogger("fluxdb_spark.store")
 
 
 @dataclass(frozen=True)
@@ -179,6 +186,7 @@ class ChangelogStore:
             if n_files > 1
             else rows.repartition(1)
         )
+        self._maybe_size_stats(clustered)
         batch_id = uuid.uuid4().hex
         stage = os.path.join(self._staging_dir, f"batch-{batch_id}")
         (
@@ -231,6 +239,44 @@ class ChangelogStore:
         os.remove(manifest)
         shutil.rmtree(stage, ignore_errors=True)
         return Checkpoint(bounds.hi, bounds.block_id, bounds.block_num)
+
+    def _maybe_size_stats(self, rows: DataFrame) -> None:
+        """Per-tablet write-size observability (reference write.go:274-329,
+        gated by the same STATEDB_SIZE_STATS env var): when enabled, each
+        batch logs its top-5 tablets by logical bytes (key + value octet
+        lengths, the same quantity the reference sums per WriteRequest).
+        Opt-in because it costs one extra aggregation job over the batch
+        plan; the result is also kept on `last_write_stats` for tooling."""
+        if not os.environ.get(SIZE_STATS_ENV):
+            self.last_write_stats = None
+            return
+        top = (
+            rows.groupBy("collection", "tablet_id")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(
+                    F.coalesce(F.octet_length("value"), F.lit(0))
+                    + F.coalesce(F.octet_length("primary_key"), F.lit(0))
+                ).alias("bytes"),
+            )
+            .orderBy(F.desc("bytes"), "tablet_id")
+            .limit(5)
+            .collect()
+        )
+        self.last_write_stats = [
+            {
+                "collection": r.collection,
+                "tablet_id": r.tablet_id,
+                "rows": int(r.rows),
+                "bytes": int(r.bytes),
+            }
+            for r in top
+        ]
+        for s in self.last_write_stats:
+            _log.info(
+                "write size stats: collection=%s tablet=%s rows=%d bytes=%d",
+                s["collection"], s["tablet_id"], s["rows"], s["bytes"],
+            )
 
     def recover(self) -> int:
         """Roll back torn batches; called at open and safe to call anytime.

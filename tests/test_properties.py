@@ -368,3 +368,108 @@ def test_chunk_dup_matches_python_model(spark, docs):
         ts = tiles(t)
         dup = sum(1 for x in ts if occ[x] > 1)
         assert got[i] == (len(ts), dup)
+
+
+# ---------------------------------------------------------------------------
+# Fork-fuzz: randomized reorg sequences vs a naive chain-replay model
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def fork_scenarios(draw):
+    """A random reversible-block DAG plus a finality prefix: every block
+    forks off one of the last few blocks (the reference buffers forks near
+    the head, pipeline.go:110), writes/deletes a few keys, and LIB then
+    advances a random distance along the final head chain."""
+    n_blocks = draw(st.integers(min_value=3, max_value=9))
+    nums = {"": -1}
+    ids = [""]
+    blocks = []
+    for i in range(n_blocks):
+        parent = draw(st.sampled_from(ids[-3:]))
+        bid = f"b{i}"
+        nums[bid] = nums[parent] + 1
+        ids.append(bid)
+        pks = draw(
+            st.lists(st.sampled_from(["p", "q", "r"]), max_size=2, unique=True)
+        )
+        rows = [(pk, draw(st.booleans())) for pk in pks]
+        blocks.append((bid, nums[bid], parent, rows))
+    n_final = draw(st.integers(min_value=0, max_value=n_blocks))
+    return blocks, n_final
+
+
+def _canonical_chain(blocks, head_id):
+    by_id = {bid: (bid, num, parent, rows) for bid, num, parent, rows in blocks}
+    chain, cur = [], head_id
+    while cur != "":
+        chain.append(by_id[cur])
+        cur = by_id[cur][2]
+    chain.reverse()
+    return chain
+
+
+def _model_replay(chain, height):
+    """Naive Python model: apply the canonical chain's rows oldest-first,
+    last-write-wins with tombstones, up to `height`."""
+    state = {}
+    for bid, num, _parent, rows in chain:
+        if num > height:
+            break
+        for pk, is_del in rows:
+            if is_del:
+                state.pop(pk, None)
+            else:
+                state[pk] = (f"v{bid}{pk}", num)
+    return state
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(scenario=fork_scenarios())
+def test_fork_fuzz_engine_matches_chain_replay(spark, tmp_path_factory, scenario):
+    """Verdict-r3 #7 — FluxEngine.state_at over ANY random fork/finality
+    sequence == the naive chain replay, at every interesting height: the
+    overlay (reversible segment), the durable store (finalized prefix),
+    and their union must compose to exactly the canonical chain."""
+    from fluxdb_spark.streaming.ingest import FluxEngine
+
+    blocks, n_final = scenario
+    root = tmp_path_factory.mktemp("forkfuzz")
+    eng = FluxEngine(spark, str(root / "db"))
+    pipe = eng.pipeline
+
+    for bid, num, parent, rows in blocks:
+        tuples = [
+            (
+                "tst",
+                "tab",
+                num,
+                pk,
+                None if is_del else f"v{bid}{pk}",
+                is_del,
+                bid,
+                num,
+            )
+            for pk, is_del in rows
+        ]
+        pipe.process_new_block(bid, num, parent, tuples)
+
+    head_id, head_num = blocks[-1][0], blocks[-1][1]
+    chain = _canonical_chain(blocks, head_id)
+    for bid, num, _parent, _rows in chain[: min(n_final, len(chain))]:
+        pipe.process_irreversible(bid, num)
+    pipe.flush()
+
+    for h in sorted({0, head_num // 2, head_num}):
+        got = {
+            r.primary_key: (r.value, r.height)
+            for r in eng.state_at("tab", h, collection="tst").collect()
+        }
+        assert got == _model_replay(chain, h), (
+            f"mismatch at height {h}: finalized {n_final} of "
+            f"{[b[0] for b in chain]}"
+        )

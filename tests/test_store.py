@@ -358,3 +358,31 @@ class TestCompaction:
             json.dump({"hi": 99, "shard": None, "targets": [], "staging": ""}, f)
         with pytest.raises(WriteConsistencyError, match="pending"):
             st.compact()
+
+
+class TestWriteSizeStats:
+    """Per-tablet write-size logging (reference write.go:274-329, gated by
+    the same STATEDB_SIZE_STATS env var)."""
+
+    def test_disabled_by_default(self, spark, store, monkeypatch):
+        monkeypatch.delenv("STATEDB_SIZE_STATS", raising=False)
+        store.write_batch(batch(spark, [1, 2]))
+        assert store.last_write_stats is None
+
+    def test_top_tablets_by_bytes(self, spark, tmp_path, monkeypatch):
+        monkeypatch.setenv("STATEDB_SIZE_STATS", "1")
+        st = ChangelogStore(spark, str(tmp_path / "db2"))
+        rows = make_changelog(
+            spark,
+            [("tst", "big", 1, "k1", "x" * 100),
+             ("tst", "big", 2, "k2", "x" * 100),
+             ("tst", "small", 3, "k", "y")],
+        )
+        st.write_batch(rows)
+        stats = st.last_write_stats
+        assert [s["tablet_id"] for s in stats] == ["big", "small"]
+        assert stats[0]["rows"] == 2
+        assert stats[0]["bytes"] == 2 * (100 + 2)  # value + key octets
+        assert stats[1] == {
+            "collection": "tst", "tablet_id": "small", "rows": 1, "bytes": 2,
+        }
