@@ -116,6 +116,28 @@ def cmd_reproc_inject(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_maintain(args, spark: SparkSession) -> int:
+    """Maintenance mode (beyond the reference's four: its KV store
+    amortizes small writes internally; the parquet store needs an explicit
+    OPTIMIZE pass): roll back torn batches, compact small files per height
+    band, and optionally prune superseded index snapshots."""
+    from fluxdb_spark.store import ChangelogStore, IndexStore
+
+    store = ChangelogStore(spark, args.store)
+    rolled = store.recover()
+    stats = store.compact(
+        target_rows_per_file=args.target_rows, min_files=args.min_files
+    )
+    print(
+        f"recovered {rolled} torn batch(es); compacted {stats['bands']} "
+        f"band(s): {stats['files_before']} -> {stats['files_after']} files"
+    )
+    if args.index is not None:
+        removed = IndexStore(spark, args.index).prune(args.prune_frequency)
+        print(f"pruned {removed} superseded index snapshot(s)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fluxdb_spark")
     sub = p.add_subparsers(dest="mode", required=True)
@@ -145,6 +167,14 @@ def build_parser() -> argparse.ArgumentParser:
     ri.add_argument("--shards", type=int, default=2)
     ri.add_argument("--finalize", action="store_true")
     ri.set_defaults(fn=cmd_reproc_inject)
+
+    m = sub.add_parser("maintain")
+    m.add_argument("--store", required=True)
+    m.add_argument("--target-rows", type=int, default=500_000)
+    m.add_argument("--min-files", type=int, default=4)
+    m.add_argument("--index", default=None)
+    m.add_argument("--prune-frequency", type=int, default=3)
+    m.set_defaults(fn=cmd_maintain)
     return p
 
 

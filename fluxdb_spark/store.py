@@ -389,8 +389,31 @@ class ChangelogStore:
 
     # --- read path ---------------------------------------------------------
 
+    def _uncommitted_targets(self) -> set[str]:
+        """Target files of batches whose commit point (the checkpoint
+        advance) has not been reached — the manifest doubles as a
+        poor-man's transaction log, so readers get SNAPSHOT ISOLATION
+        against in-flight writers: a concurrent (or torn) batch's files
+        are invisible until its checkpoint lands."""
+        out: set[str] = set()
+        for fname in os.listdir(self._manifest_dir):
+            if not fname.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._manifest_dir, fname)) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # half-written manifest: its files never moved
+            ckpt = self.checkpoint(m.get("shard"))
+            if ckpt is None or m["hi"] > ckpt.height:
+                out.update(m["targets"])
+        return out
+
     def changelog(self, max_height: int | None = None) -> DataFrame:
-        """The canonical change-log relation over everything durable.
+        """The canonical change-log relation over everything durable AND
+        committed (uncommitted manifest targets are excluded, see
+        `_uncommitted_targets` — the common no-writer case costs one
+        directory listing and keeps the plain directory scan).
 
         `max_height` bounds the read: the band predicate is a PARTITION
         filter (whole directories skipped before any file I/O — the scan
@@ -404,8 +427,26 @@ class ChangelogStore:
             CHANGELOG_SCHEMA.fields
             + [T.StructField("height_band", T.LongType(), True)]
         )
+        pending = self._uncommitted_targets()
         try:
-            df = self.spark.read.schema(read_schema).parquet(self._data_dir)
+            if pending:
+                files = []
+                for dirpath, _d, fnames in os.walk(self._data_dir):
+                    for fn in fnames:
+                        p = os.path.join(dirpath, fn)
+                        if fn.endswith(".parquet") and p not in pending:
+                            files.append(p)
+                if not files:
+                    return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
+                df = (
+                    self.spark.read.option("basePath", self._data_dir)
+                    .schema(read_schema)
+                    .parquet(*files)
+                )
+            else:
+                df = self.spark.read.schema(read_schema).parquet(
+                    self._data_dir
+                )
         except Exception:
             return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
         if max_height is not None:

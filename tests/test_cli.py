@@ -111,3 +111,24 @@ def test_finalize_refuses_missing_shard(spark, dirs, tmp_path, capsys):
         spark,
     ) == 1
     assert "missing its checkpoint" in capsys.readouterr().err
+
+
+def test_maintain_mode(spark, tmp_path, capsys):
+    """maintain: recover + compact through the CLI; reads unchanged."""
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "mstore")
+    st = ChangelogStore(spark, root)
+    for h in range(1, 9):
+        st.write_batch(
+            make_changelog(spark, [("tst", "tbl", h, "k", f"v{h}")])
+        )
+    assert main(["maintain", "--store", root, "--min-files", "2"], spark) == 0
+    out = capsys.readouterr().out
+    assert "compacted 1 band(s): 8 -> 1 files" in out
+    st2 = ChangelogStore(spark, root)
+    assert sorted(r.height for r in st2.changelog().collect()) == list(
+        range(1, 9)
+    )
+    assert st2.checkpoint().height == 8

@@ -228,9 +228,12 @@ class TestExactlyOnceCommit:
             st.write_batch(batch(spark, [3, 4]))
         monkeypatch.undo()
         # torn state on disk: files moved, manifest present, checkpoint old.
-        # WITHOUT recovery these rows would survive the replay filter
-        # (height > 2) and duplicate.
-        assert st.changelog().filter("height > 2").count() > 0
+        # The raw directory holds the orphan rows — but the manifest-aware
+        # read hides them (snapshot isolation): readers never see an
+        # uncommitted batch, even before recover() runs.
+        raw = spark.read.parquet(st._data_dir)
+        assert raw.filter("height > 2").count() > 0
+        assert st.changelog().filter("height > 2").count() == 0
 
         st2 = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
         assert st2.checkpoint().height == 2
@@ -386,3 +389,59 @@ class TestWriteSizeStats:
         assert stats[1] == {
             "collection": "tst", "tablet_id": "small", "rows": 1, "bytes": 2,
         }
+
+
+class TestSnapshotIsolation:
+    """The manifest doubles as a transaction log for readers: files of a
+    batch whose checkpoint has not landed are invisible to changelog(),
+    including from a CONCURRENT second store handle on the same root."""
+
+    def test_concurrent_reader_never_sees_uncommitted(
+        self, spark, tmp_path, monkeypatch
+    ):
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, [1, 2]))
+        # a second handle opened BEFORE the in-flight write (recover() at
+        # its open sees a clean store, so it rolls nothing back)
+        reader = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+
+        observed = {}
+
+        def spy_checkpoint(height, block_id, block_num, shard=None):
+            # moment-in-time read WHILE the writer is between its file
+            # moves and its commit point
+            observed["mid_write"] = sorted(
+                r.height for r in reader.changelog().collect()
+            )
+            return ChangelogStore._write_checkpoint(
+                st, height, block_id, block_num, shard
+            )
+
+        monkeypatch.setattr(st, "_write_checkpoint", spy_checkpoint)
+        st.write_batch(batch(spark, [3, 4]))
+        monkeypatch.undo()
+
+        assert observed["mid_write"] == [1, 2]  # isolation held mid-write
+        assert sorted(r.height for r in reader.changelog().collect()) == [
+            1, 2, 3, 4,
+        ]  # and the commit made the batch visible
+
+    def test_bounded_read_still_partition_prunes_with_pending(
+        self, spark, tmp_path
+    ):
+        """The explicit-file-list fallback keeps partition columns (via
+        basePath) so height_band pruning and bounded reads survive."""
+        import json
+        import os
+
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, list(range(1, 25))))
+        # fake an in-flight manifest naming a nonexistent target
+        with open(os.path.join(st._manifest_dir, "batch-x.json"), "w") as f:
+            json.dump(
+                {"hi": 99, "shard": None, "targets": ["/nope"], "staging": ""},
+                f,
+            )
+        got = sorted(r.height for r in st.changelog(max_height=13).collect())
+        assert got == list(range(1, 14))
+        os.remove(os.path.join(st._manifest_dir, "batch-x.json"))
