@@ -132,6 +132,12 @@ def cmd_maintain(args, spark: SparkSession) -> int:
         f"recovered {rolled} torn batch(es); compacted {stats['bands']} "
         f"band(s): {stats['files_before']} -> {stats['files_after']} files"
     )
+    if args.expire_before is not None:
+        r = store.expire_bands(args.expire_before)
+        print(
+            f"expired {r['bands_dropped']} band(s): {r['rows_dropped']} "
+            f"row(s) dropped, {r['rows_rebased']} live-tail row(s) rebased"
+        )
     if args.index is not None:
         removed = IndexStore(spark, args.index).prune(args.prune_frequency)
         print(f"pruned {removed} superseded index snapshot(s)")
@@ -174,6 +180,7 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--min-files", type=int, default=4)
     m.add_argument("--index", default=None)
     m.add_argument("--prune-frequency", type=int, default=3)
+    m.add_argument("--expire-before", type=int, default=None)
     m.set_defaults(fn=cmd_maintain)
     return p
 

@@ -312,6 +312,128 @@ class ChangelogStore:
 
     # --- maintenance -------------------------------------------------------
 
+    def retention_horizon(self) -> int:
+        """First height with full history (0 until expire_bands runs)."""
+        path = os.path.join(self.root, "_retention.json")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return int(json.load(f)["horizon"])
+
+    def expire_bands(self, before_height: int) -> dict:
+        """Retention via checkpoint-and-truncate — the job that BOUNDS
+        total storage at 100 TB (compaction shrinks file counts, not
+        history; without this the changelog grows without limit).
+
+        Whole bands strictly below the horizon band are first FOLDED to
+        their live tail — the latest non-deleted version of every key
+        written in the doomed region, values included, original heights
+        preserved — and the tail is rebased into the first retained band's
+        directory before the doomed bands are dropped (the log-compaction
+        construction). Every read at or above the horizon then
+        reconstructs EXACTLY, plain `state_at` included: unlike the
+        pointer-only tablet index (pk -> height, resolved by joining back
+        into the changelog — which is precisely why index coverage cannot
+        license history deletion), the rebased rows carry their values.
+        Superseded-by-retained tails are harmless: last-write-wins folds
+        ignore them. What is deliberately given up is time travel below
+        the horizon — bounded reads below it raise, and `changelog()`
+        records the horizon in `_retention.json`.
+
+        Granularity is the band (a partially-doomed band is never
+        touched). Crash shape: tail files land under deterministic
+        `rebase-h<hmax>-` names and a re-run first clears them, so the
+        job is idempotent; a crash between rebase and drop leaves
+        duplicate rows that LWW reads absorb and the re-run removes."""
+        if any(f.endswith(".json") for f in os.listdir(self._manifest_dir)):
+            raise WriteConsistencyError(
+                "pending write manifest: run recover() before expiring"
+            )
+        horizon_band = before_height // self.height_band
+        horizon = horizon_band * self.height_band
+        hmax = horizon - 1
+        per_coll: dict[str, list[str]] = {}
+        n_bands = 0
+        for coll_entry in sorted(os.scandir(self._data_dir), key=lambda e: e.path):
+            if not coll_entry.is_dir() or "=" not in coll_entry.name:
+                continue
+            coll = coll_entry.name.split("=", 1)[1]
+            for band_entry in os.scandir(coll_entry.path):
+                if not band_entry.is_dir() or "=" not in band_entry.name:
+                    continue
+                if int(band_entry.name.split("=", 1)[1]) < horizon_band:
+                    per_coll.setdefault(coll, []).append(band_entry.path)
+                    n_bands += 1
+        if not per_coll:
+            return {"bands_dropped": 0, "rows_dropped": 0, "rows_rebased": 0}
+
+        rows_doomed = 0
+        rows_rebased = 0
+        for coll, paths in sorted(per_coll.items()):
+            doomed_df = self.spark.read.parquet(*paths)
+            rows_doomed += doomed_df.count()
+            cols = doomed_df.columns
+            tail = (
+                doomed_df.groupBy("tablet_id", "primary_key")
+                .agg(
+                    F.max_by(F.struct(*cols), F.col("height")).alias("_v")
+                )
+                .select("_v.*")
+                .filter(~F.col("is_deletion"))
+            )
+            target = os.path.join(
+                self._data_dir,
+                f"collection={coll}",
+                f"height_band={horizon_band}",
+            )
+            os.makedirs(target, exist_ok=True)
+            # idempotent re-run: clear a previous (possibly torn) rebase
+            for f in os.listdir(target):
+                if f.startswith(f"rebase-h{hmax}-"):
+                    os.remove(os.path.join(target, f))
+            tmp = os.path.join(
+                self._staging_dir, f"rebase-{uuid.uuid4().hex}"
+            )
+            (
+                tail.coalesce(1)
+                .sortWithinPartitions("tablet_id", "height")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(tmp, f),
+                        os.path.join(target, f"rebase-h{hmax}-{f}"),
+                    )
+            shutil.rmtree(tmp, ignore_errors=True)
+        # count the rebased tail (cheap: it is the live-key set)
+        for coll, _paths in sorted(per_coll.items()):
+            target = os.path.join(
+                self._data_dir,
+                f"collection={coll}",
+                f"height_band={horizon_band}",
+            )
+            rebase_files = [
+                os.path.join(target, f)
+                for f in os.listdir(target)
+                if f.startswith(f"rebase-h{hmax}-")
+            ]
+            if rebase_files:
+                rows_rebased += self.spark.read.parquet(*rebase_files).count()
+        for _coll, paths in per_coll.items():
+            for p in paths:
+                shutil.rmtree(p, ignore_errors=True)
+        tmp = os.path.join(self.root, "_retention.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"horizon": horizon}, f)
+        os.replace(tmp, os.path.join(self.root, "_retention.json"))
+        return {
+            "bands_dropped": n_bands,
+            "rows_dropped": rows_doomed - rows_rebased,
+            "rows_rebased": rows_rebased,
+        }
+
     def compact(
         self, target_rows_per_file: int = 500_000, min_files: int = 4
     ) -> dict:
@@ -423,6 +545,13 @@ class ChangelogStore:
         it knows the band size — callers just pass the height."""
         from pyspark.sql import types as T
 
+        if max_height is not None:
+            horizon = self.retention_horizon()
+            if max_height < horizon:
+                raise WriteConsistencyError(
+                    f"read at height {max_height} is below the retention "
+                    f"horizon {horizon}: that history was expired"
+                )
         read_schema = T.StructType(
             CHANGELOG_SCHEMA.fields
             + [T.StructField("height_band", T.LongType(), True)]

@@ -445,3 +445,91 @@ class TestSnapshotIsolation:
         got = sorted(r.height for r in st.changelog(max_height=13).collect())
         assert got == list(range(1, 14))
         os.remove(os.path.join(st._manifest_dir, "batch-x.json"))
+
+
+class TestRetention:
+    """expire_bands — checkpoint-and-truncate retention: the doomed
+    region's live tail (values included, original heights preserved) is
+    rebased into the first retained band before the bands drop, so EVERY
+    read at or above the horizon reconstructs exactly — plain state_at
+    included, no index required. Time travel below the horizon raises."""
+
+    def _seed(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        rows = [("tst", "tbl", h, f"k{h % 4}", f"v{h}") for h in range(1, 31)]
+        # k0..k3 rotate above the horizon too, but k_old is written ONCE
+        # at h=2 and never again — the key naive truncation loses; and
+        # k_del's only history is write-then-tombstone inside the doomed
+        # region — its tail must NOT be resurrected
+        rows.append(("tst", "tbl", 2, "k_old", "ancient"))
+        rows.append(("tst", "tbl", 3, "k_del", "doomed"))
+        rows.append(("tst", "tbl", 5, "k_del", None))  # tombstone
+        st.write_batch(
+            make_changelog(spark, sorted(rows, key=lambda r: r[2]))
+        )
+        return st
+
+    def test_expire_then_plain_read_reconstructs(self, spark, tmp_path):
+        st = self._seed(spark, tmp_path)
+        want = sorted(
+            (r.primary_key, r.height, r.value)
+            for r in state_at(
+                st.changelog(), "tbl", 25, collection="tst"
+            ).collect()
+        )
+        stats = st.expire_bands(20)
+        assert stats["bands_dropped"] == 2  # bands 0 and 1
+        # live tail = latest doomed version of k0..k3 + k_old (k_del's
+        # tail is a tombstone: dropped, not rebased)
+        assert stats["rows_rebased"] == 5
+        # h1..h19 history (19 rows) + k_old@2 + k_del@3 + tombstone@5 is
+        # 22 doomed rows; 5 live-tail rows survive as the rebase
+        assert stats["rows_dropped"] == 22 - 5
+        got = sorted(
+            (r.primary_key, r.height, r.value)
+            for r in state_at(
+                st.changelog(), "tbl", 25, collection="tst"
+            ).collect()
+        )
+        assert got == want
+        assert ("k_old", 2, "ancient") in got
+        assert not any(pk == "k_del" for pk, _h, _v in got)
+
+    def test_below_horizon_bounded_read_raises(self, spark, tmp_path):
+        st = self._seed(spark, tmp_path)
+        st.expire_bands(20)
+        assert st.retention_horizon() == 20
+        with pytest.raises(WriteConsistencyError, match="retention horizon"):
+            st.changelog(max_height=15)
+        # at the horizon and above: fine
+        assert st.changelog(max_height=20).count() > 0
+
+    def test_partial_band_never_dropped_and_idempotent(self, spark, tmp_path):
+        st = self._seed(spark, tmp_path)
+        # 25 is mid-band: only bands 0 and 1 (heights <= 19) may go
+        stats = st.expire_bands(25)
+        assert stats["bands_dropped"] == 2
+        assert sorted(
+            set(
+                r.height
+                for r in st.changelog().filter("height >= 20").collect()
+            )
+        ) == list(range(20, 31))
+        # re-run: nothing left below the horizon band
+        again = st.expire_bands(25)
+        assert again == {
+            "bands_dropped": 0, "rows_dropped": 0, "rows_rebased": 0,
+        }
+
+    def test_writes_continue_after_expiry(self, spark, tmp_path):
+        st = self._seed(spark, tmp_path)
+        st.expire_bands(20)
+        st.write_batch(batch(spark, [31], tablet="tbl"))
+        assert st.checkpoint().height == 31
+        got = {
+            r.primary_key: r.value
+            for r in state_at(
+                st.changelog(), "tbl", 31, collection="tst"
+            ).collect()
+        }
+        assert got["001"] == "v31" and got["k_old"] == "ancient"
