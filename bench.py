@@ -59,6 +59,7 @@ HEADLINE = [
     "token_budget_mix",
     "stream_simhash_dedup",
     "typed_view_protobuf",
+    "embed_neardup_lsh",
 ]
 
 

@@ -129,6 +129,7 @@ _PRIORITY: list[str] = [
     # New entries added in r04 sit right after the window boundary so the
     # r05 rotation picks them up first.
     "typed_view_protobuf",
+    "embed_neardup_lsh",
     "flux_state_at",
     "flux_state_at_indexed",
     "flux_state_diff",
@@ -2894,6 +2895,49 @@ def embed_neardup(spark, sf_dir):
     the pair space linear at scale)."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.blocked_neardup_pairs(e, 0.35)
+
+
+_TWIN_CTE = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 10000 AS vec_id,
+       CAST(list_transform(range(1, 65),
+            i -> embedding[i] * (1 + ((vec_id * 31 + (i - 1)) % 7) * 0.002))
+            AS FLOAT[]) AS embedding
+FROM embeddings WHERE vec_id < 25
+"""
+
+
+@_q(
+    "embed_neardup_lsh",
+    "pipeline",
+    sim.sql_lsh_neardup(0.99, source_cte=_TWIN_CTE.strip()),
+)
+def embed_neardup_lsh(spark, sf_dir):
+    """WHOLE-CORPUS embedding near-dup via multi-table sign-bit LSH — the
+    no-block-key scale path for semantic dedup (blocked_neardup_pairs
+    needs a domain key; at 100 TB you rarely have one). The synthetic
+    embeddings carry no natural near-dups (max pair cosine ~0.51), so 25
+    near-identical twins are PLANTED in-query with a pure-arithmetic
+    perturbation computed identically on both sides (the injected-PII
+    pattern: non-vacuous at every SF) — the operator must recover exactly
+    the 25 planted pairs at cosine >= 0.99 through bucket collision +
+    exact verify, while all natural pairs stay far below threshold."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * (
+                1
+                + ((F.col("vec_id") * 31 + i) % 7).cast("double") * 0.002
+            ),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    return sim.lsh_neardup_pairs(e.unionByName(twins), 0.99)
 
 
 @_q("embed_ann_lsh", "pipeline", sim.sql_lsh_topk(k=10))

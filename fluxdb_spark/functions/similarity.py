@@ -199,6 +199,109 @@ def lsh_topk(
     )
 
 
+def lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """WHOLE-CORPUS embedding near-dup pairs — no block key required: the
+    scale path for semantic dedup. Multi-table sign-bit LSH buckets
+    generate candidates by self-equi-join (a pair qualifies if it collides
+    in ANY table — OR-amplification), exact cosine verifies survivors at
+    >= threshold. Pair space is sum over buckets of |bucket|^2 instead of
+    n^2; for genuinely near-identical vectors (theta -> 0) the per-table
+    collision probability (1 - theta/pi)^n_planes stays near 1, so recall
+    at dedup-grade thresholds is essentially total while unrelated vectors
+    land in disjoint buckets. Complements `blocked_neardup_pairs` (which
+    needs a domain block key) the way `dedup_minhash_lsh` complements the
+    exact n-gram path for text."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    sigs = (
+        spread(corpus)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
+        )
+        .select("vid", "vec", "tb.tbl", "tb.bucket")
+    )
+    a = sigs.select(
+        F.col("vid").alias("d1"), F.col("vec").alias("v1"), "tbl", "bucket"
+    )
+    b = sigs.select(
+        F.col("vid").alias("d2"), F.col("vec").alias("v2"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "v1", "d2", "v2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    return (
+        cand.withColumn("score", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("score") >= threshold)
+        .select("d1", "d2", "score")
+    )
+
+
+def sql_lsh_neardup(
+    threshold: float,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    source_cte: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """DuckDB twin of `lsh_neardup_pairs` over an arbitrary vector CTE:
+    seeded planes inlined as literals reproduce the exact bucketing (same
+    construction as `sql_lsh_topk`)."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    planes_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(repr(w) for w in p) + "]" for p in tbl) + "]"
+            for tbl in tables
+        )
+        + "]"
+    )
+    return f"""
+WITH pl AS (SELECT {planes_lit} AS hp),
+e AS ({source_cte}),
+sig AS (
+  SELECT e.vec_id, t.tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * hp[t.tbl + 1][pr.p + 1][i])) > 0
+                  THEN CAST(pow(2, pr.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, pl, range(0, {n_tables}) t(tbl), range(0, {n_planes}) pr(p)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id),
+idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+scored AS (
+  SELECT cand.d1, cand.d2,
+         round(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+            * sqrt(sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))), 4) AS score
+  FROM cand
+  JOIN e q ON q.vec_id = cand.d1
+  JOIN e c ON c.vec_id = cand.d2
+  CROSS JOIN idx
+  GROUP BY 1, 2)
+SELECT d1, d2, score FROM scored WHERE score >= {threshold}
+"""
+
+
 def _kmeans_centroids(
     sample: list[list[float]], k: int, iters: int = 5, seed: int = 42
 ) -> list[list[float]]:

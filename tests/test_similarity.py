@@ -100,3 +100,46 @@ class TestIvf:
         a = sorted(map(tuple, sim.ivf_topk(corpus, queries, k=K).collect()))
         b = sorted(map(tuple, sim.ivf_topk(corpus, queries, k=K).collect()))
         assert a == b
+
+
+class TestLshNeardup:
+    """Whole-corpus LSH near-dup (no block key): planted near-identical
+    twins must all be recovered through bucket collision + exact verify,
+    and the candidate generator must be an equi-join, never a cross join."""
+
+    def _with_twins(self, corpus):
+        e = corpus.select("vec_id", "embedding")
+        twins = e.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                * (1 + ((F.col("vec_id") * 31 + i) % 7).cast("double") * 0.002),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        return e.unionByName(twins)
+
+    def test_recovers_all_planted_pairs(self, corpus):
+        out = sim.lsh_neardup_pairs(self._with_twins(corpus), 0.99).collect()
+        got = sorted((r.d1, r.d2) for r in out)
+        assert got == [(i, i + 10000) for i in range(25)]
+        assert all(r.score >= 0.99 for r in out)
+
+    def test_no_cartesian_product(self, corpus):
+        plan = sim.lsh_neardup_pairs(
+            self._with_twins(corpus), 0.99
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_natural_corpus_has_no_neardups(self, corpus):
+        # the synthetic embeddings top out near cosine 0.51: without the
+        # planted twins the operator must return nothing at 0.99
+        assert (
+            sim.lsh_neardup_pairs(
+                corpus.select("vec_id", "embedding"), 0.99
+            ).count()
+            == 0
+        )
