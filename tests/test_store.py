@@ -533,3 +533,80 @@ class TestRetention:
             ).collect()
         }
         assert got["001"] == "v31" and got["k_old"] == "ancient"
+
+
+class TestStoreLifecycle:
+    """End-to-end maintenance lifecycle on one store: streaming-style
+    ingest -> adaptive index builds -> compaction -> retention, with the
+    engine read exact after EVERY stage — the composition a long-running
+    deployment actually executes, not just each job in isolation."""
+
+    def test_full_lifecycle_reads_stay_exact(self, spark, tmp_path):
+        from fluxdb_spark.operators.snapshot import (
+            build_tablet_index,
+            state_at_with_index,
+        )
+        from fluxdb_spark.store import IndexStore
+
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=20)
+        ixs = IndexStore(spark, str(tmp_path / "ix"))
+
+        # stage 1: 60 single-height flushes (many tiny files), an index
+        # snapshot every 20 heights — k_rare is written once, early
+        def rows_at(h):
+            out = [("tst", "tbl", h, f"k{h % 5}", f"v{h}")]
+            if h == 3:
+                out.append(("tst", "tbl", 3, "k_rare", "early"))
+            return out
+
+        for h in range(1, 61):
+            st.write_batch(make_changelog(spark, rows_at(h)))
+            if h % 20 == 0:
+                ixs.write(
+                    build_tablet_index(
+                        st.changelog(), "tbl", h, collection="tst"
+                    )
+                )
+
+        def read_plain(h):
+            return sorted(
+                (r.primary_key, r.height, r.value)
+                for r in state_at(
+                    st.changelog(max_height=h), "tbl", h, collection="tst"
+                ).collect()
+            )
+
+        def read_indexed(h):
+            return sorted(
+                (r.primary_key, r.height, r.value)
+                for r in state_at_with_index(
+                    st.changelog(), ixs.read(), "tbl", h, collection="tst"
+                ).collect()
+            )
+
+        want_60 = read_plain(60)
+        assert ("k_rare", 3, "early") in want_60
+
+        # stage 2: compact — reads identical, fewer files
+        stats = st.compact(min_files=2)
+        assert stats["bands"] >= 3
+        assert read_plain(60) == want_60
+        assert read_indexed(60) == want_60
+
+        # stage 3: prune superseded index snapshots — indexed reads survive
+        ixs.prune(prune_frequency=2)
+        assert read_indexed(60) == want_60
+
+        # stage 4: expire history below 40 — both read paths still exact
+        # (k_rare now lives only as a rebased tail row)
+        r = st.expire_bands(40)
+        assert r["bands_dropped"] == 2
+        assert read_plain(60) == want_60
+        assert read_indexed(60) == want_60
+        with pytest.raises(WriteConsistencyError, match="retention horizon"):
+            st.changelog(max_height=10)
+
+        # stage 5: ingest continues on top of the maintained store
+        st.write_batch(make_changelog(spark, rows_at(61)))
+        got = read_plain(61)
+        assert ("k1", 61, "v61") in got and ("k_rare", 3, "early") in got
