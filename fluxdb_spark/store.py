@@ -371,7 +371,8 @@ class ChangelogStore:
         rows_rebased = 0
         for coll, paths in sorted(per_coll.items()):
             doomed_df = self.spark.read.parquet(*paths)
-            rows_doomed += doomed_df.count()
+            n_doomed = doomed_df.count()
+            rows_doomed += n_doomed
             cols = doomed_df.columns
             tail = (
                 doomed_df.groupBy("tablet_id", "primary_key")
@@ -381,6 +382,10 @@ class ChangelogStore:
                 .select("_v.*")
                 .filter(~F.col("is_deletion"))
             )
+            # file sizing like write_batch: the live tail is bounded by the
+            # doomed row count, so a huge expired region still writes
+            # through many tasks, clustered by tablet for later pruning
+            n_out = max(1, min(64, -(-n_doomed // 500_000)))
             target = os.path.join(
                 self._data_dir,
                 f"collection={coll}",
@@ -395,7 +400,11 @@ class ChangelogStore:
                 self._staging_dir, f"rebase-{uuid.uuid4().hex}"
             )
             (
-                tail.coalesce(1)
+                (
+                    tail.repartition(n_out, "tablet_id")
+                    if n_out > 1
+                    else tail.coalesce(1)
+                )
                 .sortWithinPartitions("tablet_id", "height")
                 .write.mode("overwrite")
                 .parquet(tmp)
