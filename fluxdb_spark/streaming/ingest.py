@@ -40,6 +40,8 @@ class IngestPipeline:
         store: ChangelogStore,
         lib: BlockRef | None = None,
         flush_rows: int = FLUSH_ROWS,
+        index_store=None,
+        collection: str = "evt",
     ):
         self.store = store
         ckpt = store.checkpoint()
@@ -54,6 +56,18 @@ class IngestPipeline:
         self.flush_rows = flush_rows
         self._pending: list[tuple] = []  # irreversible rows awaiting flush
         self._pending_hi: BlockRef | None = None
+        # optional adaptive indexing driven by the write path (reference
+        # indexCache, indexing.go:486-525: every write feeds the mutation
+        # counters; tablets crossing the shouldIndex thresholds get a
+        # fresh snapshot built right after the flush that tipped them)
+        self.index_store = index_store
+        self.collection = collection
+        if index_store is not None:
+            from fluxdb_spark.operators.snapshot import IndexScheduler
+
+            self.indexer = IndexScheduler()
+        else:
+            self.indexer = None
 
     # --- StepNew -----------------------------------------------------------
 
@@ -85,13 +99,50 @@ class IngestPipeline:
 
     def flush(self) -> None:
         """Write the staged irreversible rows as one atomic batch (reference
-        flush at >5,000 rows / 1 s, pipeline.go:371-383)."""
+        flush at >5,000 rows / 1 s, pipeline.go:371-383), then run any
+        index builds the batch's mutation counts made due."""
         if self._pending_hi is None:
             return
         df = self.store.spark.createDataFrame(self._pending, CHANGELOG_SCHEMA)
+        if self.indexer is not None:
+            from collections import Counter
+
+            # rows are driver-side tuples here: counting is free
+            counts = Counter(r[1] for r in self._pending)
+            for tablet, n in counts.items():
+                self.indexer.record_mutations(
+                    tablet, n, self._pending_hi.num
+                )
         self.store.write_batch(df)
         self._pending = []
         self._pending_hi = None
+        self._run_due_indexing()
+
+    def _run_due_indexing(self) -> None:
+        """Build + persist snapshots for every tablet the scheduler marked
+        due (reference's background indexer, indexing.go:225-302, driven
+        here synchronously after the tipping flush)."""
+        if self.indexer is None:
+            return
+        from fluxdb_spark.operators.snapshot import build_tablet_index
+
+        for tablet, h in self.indexer.pop_scheduled().items():
+            idx = build_tablet_index(
+                self.store.changelog(max_height=h),
+                tablet,
+                h,
+                collection=self.collection,
+            )
+            self.index_store.write(idx)
+            n_rows = (
+                self.index_store.read()
+                .filter(
+                    (F.col("tablet_id") == tablet)
+                    & (F.col("snapshot_height") == h)
+                )
+                .count()
+            )
+            self.indexer.mark_indexed(tablet, n_rows)
 
     # --- serve-side overlay ------------------------------------------------
 
@@ -129,6 +180,18 @@ class IngestPipeline:
                 self.forkdb.advance_lib(
                     BlockRef(ckpt.block_id or "", ckpt.height)
                 )
+            if self.indexer is not None and ckpt.height >= 0:
+                # O(tablets) driver rows — the same accounting the
+                # reference's indexCache does per write
+                for r in (
+                    batch_df.groupBy("tablet_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                ):
+                    self.indexer.record_mutations(
+                        r.tablet_id, int(r.n), ckpt.height
+                    )
+                self._run_due_indexing()
 
         return (
             stream_df.writeStream.foreachBatch(handle)

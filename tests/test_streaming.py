@@ -502,3 +502,62 @@ class TestLiveForkStream:
             assert pipe.forkdb.lib.num == 1
         finally:
             q.stop()
+
+
+class TestAdaptiveIndexingFromIngest:
+    """The write path drives the adaptive index cadence (reference
+    indexCache: every write feeds mutation counters; crossing a
+    shouldIndex threshold triggers a snapshot build right after the
+    tipping flush). A hot tablet crossing 25K mutations gets a snapshot;
+    a cold one does not; the snapshot answers indexed reads exactly."""
+
+    def test_hot_tablet_gets_indexed_cold_does_not(self, spark, tmp_path):
+        from fluxdb_spark.operators import state_at
+        from fluxdb_spark.operators.snapshot import state_at_with_index
+        from fluxdb_spark.store import ChangelogStore, IndexStore
+        from fluxdb_spark.streaming.ingest import IngestPipeline
+
+        store = ChangelogStore(spark, str(tmp_path / "db"))
+        ixs = IndexStore(spark, str(tmp_path / "ix"))
+        pipe = IngestPipeline(
+            store, index_store=ixs, collection="tst", flush_rows=10**9
+        )
+
+        rows = [
+            ("tst", "hot", h, f"k{h % 97}", f"v{h}", False, f"b{h}", h)
+            for h in range(1, 26_001)
+        ] + [
+            ("tst", "cold", h, "c", f"v{h}", False, f"b{h}", h)
+            for h in range(1, 101)
+        ]
+        rows.sort(key=lambda r: r[2])
+        pipe.process_irreversible("b26000", 26_000, rows)
+        pipe.flush()
+
+        idx = ixs.read()
+        hot_snaps = sorted(
+            r.snapshot_height
+            for r in idx.filter("tablet_id = 'hot'")
+            .select("snapshot_height")
+            .distinct()
+            .collect()
+        )
+        assert hot_snaps == [26_000]
+        assert idx.filter("tablet_id = 'cold'").count() == 0
+        # counters reset after the build; the scheduler knows the size
+        assert pipe.indexer.counters["hot"] == 0
+        assert pipe.indexer.last_index_rows["hot"] == 97
+
+        got = sorted(
+            (r.primary_key, r.height)
+            for r in state_at_with_index(
+                store.changelog(), idx, "hot", 26_000, collection="tst"
+            ).collect()
+        )
+        want = sorted(
+            (r.primary_key, r.height)
+            for r in state_at(
+                store.changelog(), "hot", 26_000, collection="tst"
+            ).collect()
+        )
+        assert got == want and len(got) == 97
