@@ -47,6 +47,7 @@ import os
 import shutil
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,10 +82,14 @@ class ChangelogStore:
         spark: SparkSession,
         root: str,
         height_band: int = DEFAULT_HEIGHT_BAND,
+        lease_timeout_s: float = 30.0,
+        lease_stale_s: float = 300.0,
     ):
         self.spark = spark
         self.root = root
         self.height_band = height_band
+        self.lease_timeout_s = lease_timeout_s
+        self.lease_stale_s = lease_stale_s
         self._data_dir = os.path.join(root, "changelog")
         self._ckpt_dir = os.path.join(root, "_checkpoint")
         self._manifest_dir = os.path.join(root, "_manifests")
@@ -94,6 +99,96 @@ class ChangelogStore:
         os.makedirs(self._manifest_dir, exist_ok=True)
         os.makedirs(self._staging_dir, exist_ok=True)
         self.recover()
+
+    # --- writer leases -----------------------------------------------------
+
+    def _lock_path(self, key: str) -> str:
+        return os.path.join(self.root, f"_writer-{key}.lock")
+
+    def _other_locks(self, exclude: str) -> list[str]:
+        return [
+            f
+            for f in os.listdir(self.root)
+            if f.startswith("_writer-")
+            and f.endswith(".lock")
+            and f != f"_writer-{exclude}.lock"
+        ]
+
+    @contextmanager
+    def _writer_lease(self, key: str, drain_others: bool = False):
+        """Concurrent-writer safety (the half of a transactional table
+        format the manifest protocol alone does not give): each checkpoint
+        stream (global, or one shard) is single-writer via an O_EXCL lock
+        file, so two writers cannot interleave the read-checkpoint /
+        write-data / advance-checkpoint sequence. Parallel SHARD injection
+        stays parallel — each shard key is its own lease. Maintenance ops
+        pass drain_others=True: they acquire their lease first, then wait
+        for in-flight writer leases to drain (writers never wait on
+        maintenance mid-operation, so the ordering cannot deadlock). A
+        lease older than lease_stale_s is a crashed holder and is taken
+        over."""
+        path = self._lock_path(key)
+        deadline = time.monotonic() + self.lease_timeout_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                try:
+                    os.write(
+                        fd,
+                        json.dumps(
+                            {"pid": os.getpid(), "ts": time.time()}
+                        ).encode(),
+                    )
+                finally:
+                    os.close(fd)
+                break
+            except FileExistsError:
+                stale = False
+                try:
+                    with open(path) as f:
+                        stale = (
+                            time.time() - json.load(f).get("ts", 0)
+                            > self.lease_stale_s
+                        )
+                except (OSError, json.JSONDecodeError):
+                    pass  # holder mid-write or gone; retry below
+                if stale:
+                    try:
+                        os.remove(path)
+                    except FileNotFoundError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise WriteConsistencyError(
+                        f"writer lease {key!r} is held by another process"
+                    )
+                time.sleep(0.05)
+        try:
+            if drain_others:
+                while self._other_locks(key):
+                    if time.monotonic() > deadline:
+                        held = ", ".join(self._other_locks(key))
+                        raise WriteConsistencyError(
+                            f"maintenance lease acquired but writers still "
+                            f"active: {held}"
+                        )
+                    time.sleep(0.05)
+            else:
+                # new writers yield to a maintenance op already holding its
+                # lease (it is waiting for us to never start)
+                while os.path.exists(self._lock_path("maintenance")):
+                    if time.monotonic() > deadline:
+                        raise WriteConsistencyError(
+                            "maintenance in progress: writer lease "
+                            f"{key!r} timed out waiting"
+                        )
+                    time.sleep(0.05)
+            yield
+        finally:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
 
     # --- checkpoints -------------------------------------------------------
 
@@ -156,7 +251,17 @@ class ChangelogStore:
         resolved in the speculative overlay before reaching this path (see
         module docstring). The remaining batch must start at checkpoint+1
         (no holes).
+
+        Runs under the stream's writer lease: the checkpoint read, the
+        data write, and the checkpoint advance are one critical section
+        per (global | shard) stream.
         """
+        with self._writer_lease("global" if shard is None else f"shard-{shard}"):
+            return self._write_batch_locked(rows, shard, force)
+
+    def _write_batch_locked(
+        self, rows: DataFrame, shard: str | None, force: bool
+    ) -> Checkpoint:
         ckpt = self.checkpoint(shard)
         if ckpt is not None:
             rows = rows.filter(F.col("height") > F.lit(ckpt.height))
@@ -345,6 +450,10 @@ class ChangelogStore:
         `rebase-h<hmax>-` names and a re-run first clears them, so the
         job is idempotent; a crash between rebase and drop leaves
         duplicate rows that LWW reads absorb and the re-run removes."""
+        with self._writer_lease("maintenance", drain_others=True):
+            return self._expire_bands_locked(before_height)
+
+    def _expire_bands_locked(self, before_height: int) -> dict:
         if any(f.endswith(".json") for f in os.listdir(self._manifest_dir)):
             raise WriteConsistencyError(
                 "pending write manifest: run recover() before expiring"
@@ -462,6 +571,10 @@ class ChangelogStore:
         Refuses to run over an in-flight batch (pending manifest) since
         rewriting a band would orphan that manifest's rollback targets.
         """
+        with self._writer_lease("maintenance", drain_others=True):
+            return self._compact_locked(target_rows_per_file, min_files)
+
+    def _compact_locked(self, target_rows_per_file: int, min_files: int) -> dict:
         if any(
             f.endswith(".json") for f in os.listdir(self._manifest_dir)
         ):

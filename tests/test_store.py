@@ -610,3 +610,76 @@ class TestStoreLifecycle:
         st.write_batch(make_changelog(spark, rows_at(61)))
         got = read_plain(61)
         assert ("k1", 61, "v61") in got and ("k_rare", 3, "early") in got
+
+
+class TestWriterLease:
+    """Concurrent-writer safety: one writer per checkpoint stream, shard
+    streams stay parallel, maintenance drains writers, stale leases from
+    crashed holders are taken over."""
+
+    def _lock(self, st, key, ts=None):
+        import json
+        import os
+        import time as _t
+
+        with open(st._lock_path(key), "w") as f:
+            json.dump({"pid": 0, "ts": ts if ts is not None else _t.time()}, f)
+
+    def test_second_writer_blocked_on_same_stream(self, spark, tmp_path):
+        st = ChangelogStore(
+            spark, str(tmp_path / "db"), lease_timeout_s=0.3
+        )
+        self._lock(st, "global")
+        with pytest.raises(WriteConsistencyError, match="lease"):
+            st.write_batch(batch(spark, [1]))
+
+    def test_shard_streams_are_independent(self, spark, tmp_path):
+        st = ChangelogStore(
+            spark, str(tmp_path / "db"), lease_timeout_s=0.3
+        )
+        self._lock(st, "shard-0")  # shard 0's actual stream lease is held
+        st.write_batch(batch(spark, [1, 2]), shard="1")  # shard 1 proceeds
+        assert st.checkpoint("1").height == 2
+        with pytest.raises(WriteConsistencyError, match="lease"):
+            st.write_batch(batch(spark, [1, 2]), shard="0")  # shard 0 blocks
+
+    def test_stale_lease_taken_over(self, spark, tmp_path):
+        st = ChangelogStore(
+            spark, str(tmp_path / "db"),
+            lease_timeout_s=0.5, lease_stale_s=0.01,
+        )
+        self._lock(st, "global", ts=0)  # ancient: crashed holder
+        st.write_batch(batch(spark, [1]))
+        assert st.checkpoint().height == 1
+
+    def test_maintenance_waits_out_active_writer(self, spark, tmp_path):
+        import os
+
+        st = ChangelogStore(
+            spark, str(tmp_path / "db"), lease_timeout_s=0.3
+        )
+        st.write_batch(batch(spark, [1, 2]))
+        self._lock(st, "global")  # an in-flight writer
+        with pytest.raises(WriteConsistencyError, match="writers still"):
+            st.compact(min_files=1)
+        os.remove(st._lock_path("global"))
+        st.compact(min_files=1)  # drains cleanly once the writer is gone
+
+    def test_writer_yields_to_maintenance(self, spark, tmp_path):
+        st = ChangelogStore(
+            spark, str(tmp_path / "db"), lease_timeout_s=0.3
+        )
+        self._lock(st, "maintenance")
+        with pytest.raises(WriteConsistencyError, match="maintenance"):
+            st.write_batch(batch(spark, [1]))
+
+    def test_leases_released_after_ops(self, spark, tmp_path):
+        import os
+
+        st = ChangelogStore(spark, str(tmp_path / "db"))
+        st.write_batch(batch(spark, [1, 2, 3]))
+        st.compact(min_files=1)
+        st.expire_bands(1)
+        assert not [
+            f for f in os.listdir(st.root) if f.startswith("_writer-")
+        ]

@@ -30,6 +30,9 @@ OPS = [
     "lm_score",
     "text_stats",
     "seq_packing",
+    "embed_neardup_lsh",
+    "typed_view_protobuf",
+    "flux_collection_state",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
