@@ -114,6 +114,17 @@ class ChangelogStore:
             and f != f"_writer-{exclude}.lock"
         ]
 
+    def _lease_is_fresh(self, key: str) -> bool:
+        """A live (non-stale) lease exists for this stream."""
+        try:
+            with open(self._lock_path(key)) as f:
+                return (
+                    time.time() - json.load(f).get("ts", 0)
+                    <= self.lease_stale_s
+                )
+        except (OSError, json.JSONDecodeError):
+            return False
+
     @contextmanager
     def _writer_lease(self, key: str, drain_others: bool = False):
         """Concurrent-writer safety (the half of a transactional table
@@ -392,7 +403,12 @@ class ChangelogStore:
         the batch is TORN (crash before the checkpoint advanced): every
         listed target file is deleted, so no orphan rows above the
         checkpoint survive and the idempotent replay re-writes the batch
-        whole. Returns the number of torn batches rolled back."""
+        whole. Returns the number of torn batches rolled back.
+
+        A manifest whose stream's writer lease is still FRESH is an
+        IN-FLIGHT batch from a live writer, not a torn one — it is left
+        alone (rolling it back from a second process opening the store
+        would corrupt the live writer's commit)."""
         rolled = 0
         for fname in sorted(os.listdir(self._manifest_dir)):
             if not fname.endswith(".json") or fname.endswith(".tmp"):
@@ -406,6 +422,10 @@ class ChangelogStore:
                 continue
             ckpt = self.checkpoint(m.get("shard"))
             committed = ckpt is not None and m["hi"] <= ckpt.height
+            if not committed and self._lease_is_fresh(
+                "global" if m.get("shard") is None else f"shard-{m['shard']}"
+            ):
+                continue  # live writer mid-commit
             if not committed:
                 for target in m["targets"]:
                     if os.path.exists(target):

@@ -683,3 +683,40 @@ class TestWriterLease:
         assert not [
             f for f in os.listdir(st.root) if f.startswith("_writer-")
         ]
+
+
+class TestRecoverRespectsLiveWriter:
+    """recover() from a second process must not roll back an IN-FLIGHT
+    batch whose writer lease is still fresh — only truly torn batches
+    (no lease, or a stale one from a crashed holder) are rolled back."""
+
+    def test_fresh_lease_shields_inflight_manifest(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import json
+        import os
+        import time as _t
+
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+        st.write_batch(batch(spark, [1, 2]))
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before checkpoint")
+
+        monkeypatch.setattr(st, "_write_checkpoint", boom)
+        with pytest.raises(RuntimeError):
+            st.write_batch(batch(spark, [3, 4]))
+        monkeypatch.undo()
+        # simulate the writer still being alive mid-commit
+        with open(st._lock_path("global"), "w") as f:
+            json.dump({"pid": 0, "ts": _t.time()}, f)
+        assert st.recover() == 0  # shielded
+        assert len(os.listdir(st._manifest_dir)) == 1
+        # writer dies: lease goes stale -> the rollback happens
+        with open(st._lock_path("global"), "w") as f:
+            json.dump({"pid": 0, "ts": 0}, f)
+        assert st.recover() == 1
+        os.remove(st._lock_path("global"))
+        assert st.changelog().filter("height > 2").count() == 0
+        st.write_batch(batch(spark, [3, 4]))
+        assert sorted(r.height for r in st.changelog().collect()) == [1, 2, 3, 4]
