@@ -1,8 +1,11 @@
 """ChangelogStore — the durable write path (reference write.go, SURVEY §2.2).
 
-Parquet-backed (Delta/Iceberg jars aren't in this image; the layout is
-designed so swapping `_append_parquet` for a Delta `MERGE`/append is a
-one-function change). What the reference guarantees and we preserve:
+Parquet-backed (Delta/Iceberg jars aren't in this image): the manifest
+commit, uncommitted-file exclusion, and writer leases below re-create the
+transactional-table behaviors a Delta append would provide, and the whole
+stage/manifest/move sequence collapses to one `df.write` if a
+transactional format is ever available. What the reference guarantees and
+we preserve:
 
 - **monotonic height guard** (reference isNextBlock, write.go:331-347): a
   batch at height H is rejected unless last_height >= H-1. Heights at or
@@ -37,6 +40,8 @@ files are height-sorted so row-group min/max stats prune further):
       _checkpoint/<shard>.json
       _manifests/batch-<id>.json     (present only for in-flight batches)
       _staging/batch-<id>/...        (Spark output before the move)
+      _writer-<stream>.lock          (single-writer lease per stream)
+      _retention.json                (horizon written by expire_bands)
 """
 
 from __future__ import annotations
