@@ -103,6 +103,13 @@ class ChangelogStore:
         os.makedirs(self._ckpt_dir, exist_ok=True)
         os.makedirs(self._manifest_dir, exist_ok=True)
         os.makedirs(self._staging_dir, exist_ok=True)
+        # the band size is PHYSICAL layout: once the first batch lands, the
+        # stored value wins over the constructor argument, so maintenance
+        # tools opening the store with defaults still see the real bands
+        meta_path = os.path.join(root, "_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self.height_band = int(json.load(f)["height_band"])
         self.recover()
 
     # --- writer leases -----------------------------------------------------
@@ -308,6 +315,12 @@ class ChangelogStore:
             else rows.repartition(1)
         )
         self._maybe_size_stats(clustered)
+        meta_path = os.path.join(self.root, "_meta.json")
+        if not os.path.exists(meta_path):
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
+                json.dump({"height_band": self.height_band}, f)
+            os.replace(tmp_meta, meta_path)
         batch_id = uuid.uuid4().hex
         stage = os.path.join(self._staging_dir, f"batch-{batch_id}")
         (

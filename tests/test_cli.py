@@ -132,3 +132,27 @@ def test_maintain_mode(spark, tmp_path, capsys):
         range(1, 9)
     )
     assert st2.checkpoint().height == 8
+
+
+def test_maintain_expire(spark, tmp_path, capsys):
+    """maintain --expire-before: retention through the CLI."""
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "estore")
+    st = ChangelogStore(spark, root, height_band=10)
+    st.write_batch(
+        make_changelog(
+            spark, [("tst", "tbl", h, f"k{h % 3}", f"v{h}") for h in range(1, 31)]
+        )
+    )
+    rc = main(
+        ["maintain", "--store", root, "--min-files", "99",
+         "--expire-before", "20"],
+        spark,
+    )
+    assert rc == 0
+    assert "expired 2 band(s)" in capsys.readouterr().out
+    st2 = ChangelogStore(spark, root, height_band=10)
+    assert st2.retention_horizon() == 20
+    assert st2.changelog().filter("height >= 20").count() == 11
