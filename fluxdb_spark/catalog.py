@@ -63,73 +63,19 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-4 slot policy: the driver checks exactly the first 50 entries
+    # Round-5 slot policy: the driver checks exactly the first 50 entries
     # per round, so the window rotates to give every entry a driver row
-    # within the last two rounds.  The 50 entries below last saw driver
-    # testdata in r02 (r03 re-proved the temporal/streaming/pipeline
-    # layers, all 50/50 green) — and r02 proved testdata can drift between
-    # rounds, so these 50 rotate back in for r04.
-    # -- relational / TPC-H layer (green r01/r02 + local parity)
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "region_revenue",
-    # -- relational singles (aggs / windows / sets / scalars)
-    "stats_aggs",
-    "percentiles",
-    "distinct_counts",
-    "grouping_sets",
-    "rollup_pricing",
-    "cube_orders",
-    "window_ranks",
-    "running_total",
-    "topk_orders",
-    "set_ops",
-    "semi_anti_join",
-    "scalar_subquery",
-    "scalar_showcase",
-    "date_funcs",
-    "pivot_status",
-    "skew_salted_agg",
-    # -- temporal singles rotated out of r03's window
-    "flux_row_at",
-    "flux_singlet_asof",
-    "flux_singlet_history",
-    "flux_checkpoint",
-    # -- joins beyond equi (as-of / range)
-    "asof_join",
-    "asof_join_generic",
-    "range_join_incidents",
-    # -- streaming-window batch twins
-    "tumbling_hourly",
-    "sliding_windows",
-    # -- pipeline entries rotated out of r03's window
-    "stratified_sample",
-    "lang_distribution",
-    "multimodal_frames",
-    "embed_ann_ivf",
-    # ---- position 51+ from here: all carry green r03 driver rows ----
-    # New entries added in r04 sit right after the window boundary so the
-    # r05 rotation picks them up first.
+    # within the last two rounds.  The window leads with the only two
+    # entries that have never had a driver row (added in r04 at positions
+    # 51-52), followed by 48 of the temporal/streaming/pipeline entries
+    # whose newest driver row is r03.  The relational/TPC-H block that
+    # went green in r04 rotates to the back; the two r03 entries that
+    # don't fit (multimodal_meta/decode) sit at positions 51-52 to lead
+    # the r06 window.
+    # -- never driver-checked (added r04)
     "typed_view_protobuf",
     "embed_neardup_lsh",
+    # -- temporal / streaming / pipeline layer (newest driver row: r03)
     "flux_state_at",
     "flux_state_at_indexed",
     "flux_state_diff",
@@ -178,8 +124,67 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "decontaminate",
     "seq_packing",
+    # ---- position 51+ from here ----
+    # The two r03-row entries that didn't fit the 50-slot window; they
+    # lead the r06 rotation.
     "multimodal_meta",
     "multimodal_decode",
+    # -- relational / TPC-H layer (green r04; rotates back in for r06+)
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "region_revenue",
+    # -- relational singles (aggs / windows / sets / scalars)
+    "stats_aggs",
+    "percentiles",
+    "distinct_counts",
+    "grouping_sets",
+    "rollup_pricing",
+    "cube_orders",
+    "window_ranks",
+    "running_total",
+    "topk_orders",
+    "set_ops",
+    "semi_anti_join",
+    "scalar_subquery",
+    "scalar_showcase",
+    "date_funcs",
+    "pivot_status",
+    "skew_salted_agg",
+    # -- temporal singles (green r04)
+    "flux_row_at",
+    "flux_singlet_asof",
+    "flux_singlet_history",
+    "flux_checkpoint",
+    # -- joins beyond equi (as-of / range)
+    "asof_join",
+    "asof_join_generic",
+    "range_join_incidents",
+    # -- streaming-window batch twins
+    "tumbling_hourly",
+    "sliding_windows",
+    # -- pipeline entries (green r04)
+    "stratified_sample",
+    "lang_distribution",
+    "multimodal_frames",
+    "embed_ann_ivf",
 ]
 
 
