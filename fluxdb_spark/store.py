@@ -50,6 +50,7 @@ import json
 import logging
 import os
 import shutil
+import threading
 import time
 import uuid
 from contextlib import contextmanager
@@ -63,6 +64,187 @@ from fluxdb_spark.schema import CHANGELOG_SCHEMA
 
 class WriteConsistencyError(RuntimeError):
     pass
+
+
+class WriterLease:
+    """A cross-process single-writer lease on one lock file.
+
+    The checkpoint stream invariant (read-checkpoint / write-data /
+    advance-checkpoint is one critical section) needs mutual exclusion
+    across PROCESSES, not just threads, so the lease is an O_EXCL lock
+    file whose payload carries a unique `token` identifying the holder.
+    Three rules make it safe under contention:
+
+    - **Takeover is claim-then-verify, never remove-then-recreate.** A
+      contender that judges the lease stale atomically `os.rename`s the
+      lock aside to a private claim path (only one racer's rename can
+      succeed — the others get FileNotFoundError and go back to the
+      acquire loop) and only removes it after re-reading the claimed
+      bytes and confirming they are the SAME stale payload it judged.
+      If the bytes changed — a fresh holder re-created the lock between
+      the staleness read and the rename — the claim is linked back into
+      place untouched. Remove-then-recreate has a TOCTOU hole: two
+      contenders both judge stale, both remove, and the second remove
+      deletes the winner's fresh lock, yielding two live holders.
+    - **The holder heartbeats.** A background thread re-writes the
+      payload's `ts` every `stale_s / 3` (atomic replace, only after
+      re-reading its own token), so a long write/compact job — a Spark
+      stage can easily outlive any fixed staleness window — never looks
+      crashed to a contender. If the heartbeat ever finds a foreign
+      token the lease was lost (a contender legitimately took over
+      after a >stale_s stall) and `lost` latches True; the holder must
+      treat its critical section as void.
+    - **Release verifies the token.** The holder only removes the lock
+      if it still carries its own token, so a holder that lost the
+      lease can never delete its successor's lock.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        timeout_s: float = 30.0,
+        stale_s: float = 300.0,
+        heartbeat: bool = True,
+    ):
+        self.path = path
+        self.timeout_s = timeout_s
+        self.stale_s = stale_s
+        self.token = uuid.uuid4().hex
+        self.lost = False
+        self._heartbeat = heartbeat
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _payload(self) -> bytes:
+        return json.dumps(
+            {"pid": os.getpid(), "ts": time.time(), "token": self.token}
+        ).encode()
+
+    def _read(self) -> bytes | None:
+        try:
+            with open(self.path, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    @staticmethod
+    def _is_stale(raw: bytes | None, stale_s: float, path: str) -> bool:
+        if raw is None:
+            return False
+        try:
+            return time.time() - json.loads(raw).get("ts", 0) > stale_s
+        except (ValueError, AttributeError):
+            # unparseable (holder died mid-write): fall back to mtime
+            try:
+                return time.time() - os.path.getmtime(path) > stale_s
+            except OSError:
+                return False
+
+    def acquire(self, deadline: float | None = None) -> None:
+        if deadline is None:
+            deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(
+                    self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                )
+                try:
+                    os.write(fd, self._payload())
+                finally:
+                    os.close(fd)
+                break
+            except FileExistsError:
+                observed = self._read()
+                if self._is_stale(observed, self.stale_s, self.path):
+                    self._take_over(observed)
+                    continue
+                if time.monotonic() > deadline:
+                    raise WriteConsistencyError(
+                        f"writer lease {os.path.basename(self.path)!r} is "
+                        "held by another process"
+                    )
+                time.sleep(0.05)
+        self.lost = False
+        if self._heartbeat:
+            self._stop.clear()
+            self._thread = threading.Thread(
+                target=self._heartbeat_loop, daemon=True
+            )
+            self._thread.start()
+
+    def _take_over(self, observed: bytes | None) -> None:
+        """Atomically claim a stale lock: rename it aside, verify it is
+        still the payload we judged stale, and only then delete it. Exactly
+        one of N racing contenders wins the rename; a fresh lock that
+        appeared in the window is restored via os.link (which fails if the
+        path was re-occupied — then the new occupant simply wins)."""
+        claim = f"{self.path}.claim-{uuid.uuid4().hex}"
+        try:
+            os.rename(self.path, claim)
+        except FileNotFoundError:
+            return  # another contender claimed it first
+        try:
+            with open(claim, "rb") as f:
+                claimed = f.read()
+        except OSError:
+            claimed = None
+        if claimed == observed:
+            os.remove(claim)  # confirmed stale: the path is now free
+            return
+        # the lock changed between our staleness read and the rename —
+        # we yanked a LIVE lock; put the same inode back if the path is
+        # still free, then stand down
+        try:
+            os.link(claim, self.path)
+        except (FileExistsError, OSError):
+            pass
+        try:
+            os.remove(claim)
+        except FileNotFoundError:
+            pass
+
+    def _heartbeat_loop(self) -> None:
+        interval = max(0.05, self.stale_s / 3.0)
+        while not self._stop.wait(interval):
+            if not self._refresh():
+                self.lost = True
+                return
+
+    def _refresh(self) -> bool:
+        raw = self._read()
+        try:
+            if raw is None or json.loads(raw).get("token") != self.token:
+                return False
+        except ValueError:
+            return False
+        tmp = f"{self.path}.hb-{uuid.uuid4().hex}"
+        try:
+            with open(tmp, "wb") as f:
+                f.write(self._payload())
+            os.replace(tmp, self.path)
+        except OSError:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+            return False
+        return True
+
+    def release(self) -> None:
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join()
+            self._thread = None
+        raw = self._read()
+        try:
+            mine = raw is not None and json.loads(raw).get("token") == self.token
+        except ValueError:
+            mine = False
+        if mine:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
 
 
 # Same env-var name the reference uses to gate its per-write size logging
@@ -128,90 +310,72 @@ class ChangelogStore:
 
     def _lease_is_fresh(self, key: str) -> bool:
         """A live (non-stale) lease exists for this stream."""
+        path = self._lock_path(key)
         try:
-            with open(self._lock_path(key)) as f:
-                return (
-                    time.time() - json.load(f).get("ts", 0)
-                    <= self.lease_stale_s
-                )
-        except (OSError, json.JSONDecodeError):
+            with open(path, "rb") as f:
+                raw = f.read()
+        except OSError:
             return False
+        return not WriterLease._is_stale(raw, self.lease_stale_s, path)
 
     @contextmanager
     def _writer_lease(self, key: str, drain_others: bool = False):
         """Concurrent-writer safety (the half of a transactional table
         format the manifest protocol alone does not give): each checkpoint
-        stream (global, or one shard) is single-writer via an O_EXCL lock
-        file, so two writers cannot interleave the read-checkpoint /
+        stream (global, or one shard) is single-writer via a WriterLease
+        (token-identified lock file, heartbeated, claim-then-verify stale
+        takeover), so two writers cannot interleave the read-checkpoint /
         write-data / advance-checkpoint sequence. Parallel SHARD injection
-        stays parallel — each shard key is its own lease. Maintenance ops
-        pass drain_others=True: they acquire their lease first, then wait
-        for in-flight writer leases to drain (writers never wait on
-        maintenance mid-operation, so the ordering cannot deadlock). A
-        lease older than lease_stale_s is a crashed holder and is taken
-        over."""
-        path = self._lock_path(key)
+        stays parallel — each shard key is its own lease.
+
+        Maintenance ops pass drain_others=True: they acquire their lease
+        first, then wait for in-flight writer leases to drain (stale
+        writer locks from crashed holders are ignored, not waited on).
+        Writers NEVER wait while holding their own lock: a writer checks
+        for a live maintenance lease before acquiring, and if maintenance
+        began in the acquire window it releases its lock and goes back to
+        waiting — so the writer/maintenance pair cannot circular-wait."""
+        lease = WriterLease(
+            self._lock_path(key), self.lease_timeout_s, self.lease_stale_s
+        )
         deadline = time.monotonic() + self.lease_timeout_s
-        while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                try:
-                    os.write(
-                        fd,
-                        json.dumps(
-                            {"pid": os.getpid(), "ts": time.time()}
-                        ).encode(),
-                    )
-                finally:
-                    os.close(fd)
-                break
-            except FileExistsError:
-                stale = False
-                try:
-                    with open(path) as f:
-                        stale = (
-                            time.time() - json.load(f).get("ts", 0)
-                            > self.lease_stale_s
-                        )
-                except (OSError, json.JSONDecodeError):
-                    pass  # holder mid-write or gone; retry below
-                if stale:
-                    try:
-                        os.remove(path)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                if time.monotonic() > deadline:
-                    raise WriteConsistencyError(
-                        f"writer lease {key!r} is held by another process"
-                    )
-                time.sleep(0.05)
         try:
             if drain_others:
-                while self._other_locks(key):
+                lease.acquire(deadline)
+                while True:
+                    live = [
+                        f
+                        for f in self._other_locks(key)
+                        if self._lease_is_fresh(
+                            f[len("_writer-"):-len(".lock")]
+                        )
+                    ]
+                    if not live:
+                        break
                     if time.monotonic() > deadline:
-                        held = ", ".join(self._other_locks(key))
                         raise WriteConsistencyError(
                             f"maintenance lease acquired but writers still "
-                            f"active: {held}"
+                            f"active: {', '.join(live)}"
                         )
                     time.sleep(0.05)
             else:
-                # new writers yield to a maintenance op already holding its
-                # lease (it is waiting for us to never start)
-                while os.path.exists(self._lock_path("maintenance")):
-                    if time.monotonic() > deadline:
-                        raise WriteConsistencyError(
-                            "maintenance in progress: writer lease "
-                            f"{key!r} timed out waiting"
-                        )
-                    time.sleep(0.05)
+                while True:
+                    while self._lease_is_fresh("maintenance"):
+                        if time.monotonic() > deadline:
+                            raise WriteConsistencyError(
+                                "maintenance in progress: writer lease "
+                                f"{key!r} timed out waiting"
+                            )
+                        time.sleep(0.05)
+                    lease.acquire(deadline)
+                    if not self._lease_is_fresh("maintenance"):
+                        break
+                    # maintenance started while we acquired: back off so
+                    # its drain loop can make progress, then re-wait
+                    lease.release()
             yield
         finally:
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
+            lease.release()
 
     # --- checkpoints -------------------------------------------------------
 
@@ -370,7 +534,12 @@ class ChangelogStore:
         # the checkpoint write is the COMMIT POINT (reference writes the
         # checkpoint in the same KV batch, store/kv/store.go:418-424)
         self._write_checkpoint(bounds.hi, bounds.block_id, bounds.block_num, shard)
-        os.remove(manifest)
+        try:
+            # a concurrent open's recover() may clean the now-committed
+            # manifest before we do
+            os.remove(manifest)
+        except FileNotFoundError:
+            pass
         shutil.rmtree(stage, ignore_errors=True)
         return Checkpoint(bounds.hi, bounds.block_id, bounds.block_num)
 
@@ -436,7 +605,13 @@ class ChangelogStore:
                 with open(path) as f:
                     m = json.load(f)
             except (OSError, json.JSONDecodeError):
-                os.remove(path)  # torn manifest write: nothing was moved
+                # torn manifest write: nothing was moved. Two processes
+                # opening the store race recover() concurrently, so every
+                # removal here tolerates the other side winning first.
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
                 continue
             ckpt = self.checkpoint(m.get("shard"))
             committed = ckpt is not None and m["hi"] <= ckpt.height
@@ -446,11 +621,16 @@ class ChangelogStore:
                 continue  # live writer mid-commit
             if not committed:
                 for target in m["targets"]:
-                    if os.path.exists(target):
+                    try:
                         os.remove(target)
+                    except FileNotFoundError:
+                        pass
                 rolled += 1
             shutil.rmtree(m.get("staging", ""), ignore_errors=True)
-            os.remove(path)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
         return rolled
 
     # --- maintenance -------------------------------------------------------

@@ -720,3 +720,209 @@ class TestRecoverRespectsLiveWriter:
         assert st.changelog().filter("height > 2").count() == 0
         st.write_batch(batch(spark, [3, 4]))
         assert sorted(r.height for r in st.changelog().collect()) == [1, 2, 3, 4]
+
+
+class TestWriterLeaseProtocol:
+    """The WriterLease primitive itself: token-verified release,
+    claim-then-verify stale takeover, heartbeat refresh, and — the
+    property the whole design exists for — cross-process mutual
+    exclusion under contended stale-lease takeover (two racers may NOT
+    both win; remove-then-recreate had exactly that TOCTOU hole)."""
+
+    def test_acquire_release_roundtrip(self, tmp_path):
+        from fluxdb_spark.store import WriterLease
+
+        path = str(tmp_path / "x.lock")
+        lease = WriterLease(path, timeout_s=0.2, stale_s=5.0)
+        lease.acquire()
+        import json
+        import os
+
+        with open(path) as f:
+            assert json.load(f)["token"] == lease.token
+        lease.release()
+        assert not os.path.exists(path)
+
+    def test_release_never_deletes_successor_lock(self, tmp_path):
+        """A holder that lost its lease (usurped after a stall) must not
+        remove the usurper's lock on release."""
+        import json
+        import os
+
+        from fluxdb_spark.store import WriterLease
+
+        path = str(tmp_path / "x.lock")
+        loser = WriterLease(path, timeout_s=0.2, stale_s=5.0, heartbeat=False)
+        loser.acquire()
+        # a usurper replaces the lock (as takeover does after staleness)
+        with open(path, "w") as f:
+            json.dump({"pid": 0, "ts": 9e12, "token": "usurper"}, f)
+        loser.release()
+        assert os.path.exists(path)
+        with open(path) as f:
+            assert json.load(f)["token"] == "usurper"
+
+    def test_takeover_restores_fresh_lock_seen_late(self, tmp_path):
+        """If the lock changes between the staleness read and the claim
+        rename (a fresh holder re-created it), the claim is put back and
+        the contender stands down."""
+        import json
+        import os
+        import time
+
+        from fluxdb_spark.store import WriterLease
+
+        path = str(tmp_path / "x.lock")
+        stale_payload = json.dumps({"pid": 0, "ts": 0, "token": "dead"}).encode()
+        fresh_payload = json.dumps(
+            {"pid": 1, "ts": time.time() + 9e9, "token": "alive"}
+        ).encode()
+        with open(path, "wb") as f:
+            f.write(fresh_payload)
+        contender = WriterLease(path, timeout_s=0.2, stale_s=5.0)
+        # simulate: contender judged the OLD payload stale, but the file
+        # now holds a fresh one
+        contender._take_over(stale_payload)
+        assert os.path.exists(path)
+        with open(path, "rb") as f:
+            assert f.read() == fresh_payload
+        assert not [p for p in os.listdir(tmp_path) if ".claim-" in p]
+
+    def test_heartbeat_keeps_lease_fresh(self, tmp_path):
+        import json
+        import time
+
+        from fluxdb_spark.store import WriterLease
+
+        path = str(tmp_path / "x.lock")
+        lease = WriterLease(path, timeout_s=0.2, stale_s=0.15)
+        lease.acquire()
+        try:
+            time.sleep(0.4)  # several staleness windows
+            with open(path) as f:
+                d = json.load(f)
+            assert time.time() - d["ts"] <= 0.15
+            assert d["token"] == lease.token
+            assert not lease.lost
+        finally:
+            lease.release()
+
+    def test_heartbeat_detects_loss(self, tmp_path):
+        import json
+        import time
+
+        from fluxdb_spark.store import WriterLease
+
+        path = str(tmp_path / "x.lock")
+        lease = WriterLease(path, timeout_s=0.2, stale_s=0.15)
+        lease.acquire()
+        with open(path, "w") as f:
+            json.dump({"pid": 0, "ts": 9e12, "token": "usurper"}, f)
+        deadline = time.time() + 2.0
+        while not lease.lost and time.time() < deadline:
+            time.sleep(0.02)
+        assert lease.lost
+        lease.release()
+        with open(path) as f:
+            assert json.load(f)["token"] == "usurper"
+
+    def test_contended_stale_takeover_cross_process(self, tmp_path):
+        """Four processes race a manufactured stale lease, each cycling
+        acquire -> critical section -> release. The critical section is
+        guarded by an O_EXCL sentinel: any overlap (two holders at once)
+        is recorded as a violation. Exactly zero violations allowed."""
+        import json
+        import os
+        import subprocess
+        import sys
+
+        path = str(tmp_path / "x.lock")
+        sentinel = str(tmp_path / "critical.sentinel")
+        outdir = tmp_path / "out"
+        outdir.mkdir()
+        with open(path, "w") as f:
+            json.dump({"pid": 0, "ts": 0, "token": "crashed"}, f)
+
+        script = r"""
+import json, os, sys, time
+sys.path.insert(0, sys.argv[4])
+from fluxdb_spark.store import WriterLease, WriteConsistencyError
+
+path, sentinel, out = sys.argv[1], sys.argv[2], sys.argv[3]
+wins = violations = 0
+for _ in range(5):
+    lease = WriterLease(path, timeout_s=8.0, stale_s=60.0)
+    try:
+        lease.acquire()
+    except WriteConsistencyError:
+        continue
+    try:
+        try:
+            fd = os.open(sentinel, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            violations += 1
+        else:
+            time.sleep(0.05)
+            os.remove(sentinel)
+        wins += 1
+    finally:
+        lease.release()
+with open(out, "w") as f:
+    json.dump({"wins": wins, "violations": violations}, f)
+"""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-c",
+                    script,
+                    path,
+                    sentinel,
+                    str(outdir / f"p{i}.json"),
+                    repo,
+                ]
+            )
+            for i in range(4)
+        ]
+        for p in procs:
+            assert p.wait(timeout=60) == 0
+        results = [
+            json.loads((outdir / f"p{i}.json").read_text()) for i in range(4)
+        ]
+        assert sum(r["violations"] for r in results) == 0
+        assert sum(r["wins"] for r in results) >= 4  # real contention ran
+        assert not os.path.exists(path)  # last holder released cleanly
+
+    def test_writer_backs_off_never_deadlocks_maintenance(
+        self, spark, tmp_path
+    ):
+        """A writer arriving DURING maintenance must not hold its own
+        lock while waiting (the circular wait the old protocol allowed):
+        maintenance drains, the writer waits, and once maintenance ends
+        the writer proceeds."""
+        import json
+        import threading
+        import time
+
+        st = ChangelogStore(
+            spark, str(tmp_path / "db"), lease_timeout_s=5.0
+        )
+        st.write_batch(batch(spark, [1]))
+        # hold the maintenance lease by hand for 0.5 s, then release
+        mpath = st._lock_path("maintenance")
+        with open(mpath, "w") as f:
+            json.dump({"pid": 0, "ts": time.time(), "token": "m"}, f)
+
+        def end_maintenance():
+            time.sleep(0.5)
+            import os
+
+            os.remove(mpath)
+
+        t = threading.Thread(target=end_maintenance)
+        t.start()
+        st.write_batch(batch(spark, [2]))  # must not deadlock or raise
+        t.join()
+        assert st.checkpoint().height == 2
