@@ -56,6 +56,7 @@ import uuid
 from contextlib import contextmanager
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -601,6 +602,9 @@ class ChangelogStore:
             if not fname.endswith(".json") or fname.endswith(".tmp"):
                 continue
             path = os.path.join(self._manifest_dir, fname)
+            if fname.startswith("compact-"):
+                self._recover_compact_swap(path)
+                continue
             try:
                 with open(path) as f:
                     m = json.load(f)
@@ -632,6 +636,45 @@ class ChangelogStore:
             except FileNotFoundError:
                 pass
         return rolled
+
+    def _recover_compact_swap(self, journal: str) -> None:
+        """Complete or roll back a compaction band swap that crashed
+        between its two renames (see _compact_locked). The journal
+        pins (band, new, old); the state machine is unambiguous because
+        each rename is atomic:
+
+        - band present, old absent  -> crash before the swap started (or
+          after it fully finished): discard the staged `new`.
+        - band absent,  old present -> crash mid-swap: complete with the
+          staged `new` if it exists, else roll the original back.
+        - band present, old present -> crash after the second rename:
+          the band IS the compacted data; discard `old`.
+
+        Skipped while a live maintenance lease is fresh (the compactor is
+        mid-swap right now, not crashed)."""
+        if self._lease_is_fresh("maintenance"):
+            return
+        try:
+            with open(journal) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            try:
+                os.remove(journal)
+            except FileNotFoundError:
+                pass
+            return
+        band, new, old = m["band"], m["new"], m["old"]
+        if not os.path.exists(band):
+            if os.path.exists(new):
+                os.rename(new, band)
+            elif os.path.exists(old):
+                os.rename(old, band)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(new, ignore_errors=True)
+        try:
+            os.remove(journal)
+        except FileNotFoundError:
+            pass
 
     # --- maintenance -------------------------------------------------------
 
@@ -672,7 +715,10 @@ class ChangelogStore:
             return self._expire_bands_locked(before_height)
 
     def _expire_bands_locked(self, before_height: int) -> dict:
-        if any(f.endswith(".json") for f in os.listdir(self._manifest_dir)):
+        if any(
+            f.startswith("batch-") and f.endswith(".json")
+            for f in os.listdir(self._manifest_dir)
+        ):
             raise WriteConsistencyError(
                 "pending write manifest: run recover() before expiring"
             )
@@ -779,12 +825,18 @@ class ChangelogStore:
         here many streaming `write_batch` flushes land many tiny files,
         and at 100 TB the scan-time file listing becomes the bottleneck).
 
-        Per-band write-then-swap, same crash shape as IndexStore.prune: the
-        replacement directory is fully written before two renames swap it
-        in, so a reader never sees a half-compacted band; rows are
-        re-clustered by tablet_id and height-sorted, restoring the
-        row-group pruning layout of a single large batch. The checkpoint
-        protocol is untouched — compaction moves no height boundaries.
+        Per-band write-then-swap: the replacement directory is fully
+        written under _staging/ (never inside the partitioned data dir,
+        so concurrent partition discovery can't trip over a non-band
+        suffix), a swap journal is recorded in _manifests/, and two
+        atomic renames exchange the band. A reader sees either the old
+        band or the new one — the only exposure is the microsecond gap
+        between the renames, and a crash anywhere is healed by
+        recover() (complete if the new band was staged, else roll back;
+        see _recover_compact_swap). Rows are re-clustered by tablet_id
+        and height-sorted, restoring the row-group pruning layout of a
+        single large batch. The checkpoint protocol is untouched —
+        compaction moves no height boundaries.
 
         Refuses to run over an in-flight batch (pending manifest) since
         rewriting a band would orphan that manifest's rollback targets.
@@ -794,7 +846,8 @@ class ChangelogStore:
 
     def _compact_locked(self, target_rows_per_file: int, min_files: int) -> dict:
         if any(
-            f.endswith(".json") for f in os.listdir(self._manifest_dir)
+            f.startswith("batch-") and f.endswith(".json")
+            for f in os.listdir(self._manifest_dir)
         ):
             raise WriteConsistencyError(
                 "pending write manifest: run recover() before compacting"
@@ -825,18 +878,42 @@ class ChangelogStore:
                     if n_out > 1
                     else band_df.coalesce(1)
                 )
-                tmp = band_entry.path + f".compact-{uuid.uuid4().hex}"
+                # Every intermediate directory lives under _staging/ — a
+                # concurrent reader's partition discovery over the data
+                # dir must never see a non-castable `height_band=N.xyz`
+                # suffix (which would fail the whole scan, not just this
+                # band).
+                swap_id = uuid.uuid4().hex
+                new = os.path.join(self._staging_dir, f"compact-{swap_id}")
+                old = os.path.join(
+                    self._staging_dir, f"compact-{swap_id}-old"
+                )
                 (
                     rewritten.sortWithinPartitions("tablet_id", "height")
                     .write.mode("overwrite")
-                    .parquet(tmp)
+                    .parquet(new)
                 )
-                for junk in os.listdir(tmp):  # _SUCCESS / .crc sidecars
+                for junk in os.listdir(new):  # _SUCCESS / .crc sidecars
                     if not junk.endswith(".parquet"):
-                        os.remove(os.path.join(tmp, junk))
-                old = band_entry.path + f".old-{uuid.uuid4().hex}"
+                        os.remove(os.path.join(new, junk))
+                # journal BEFORE the swap so recover() can complete or
+                # roll back a crash at any point between the two renames
+                # (the old scheme stranded the band as `.old-*` forever)
+                journal = os.path.join(
+                    self._manifest_dir, f"compact-{swap_id}.json"
+                )
+                jtmp = journal + ".tmp"
+                with open(jtmp, "w") as f:
+                    json.dump(
+                        {"band": band_entry.path, "new": new, "old": old},
+                        f,
+                    )
+                os.replace(jtmp, journal)
+                # the swap: the band path is absent only between these
+                # two renames (microseconds, heals via recover())
                 os.rename(band_entry.path, old)
-                os.rename(tmp, band_entry.path)
+                os.rename(new, band_entry.path)
+                os.remove(journal)
                 shutil.rmtree(old, ignore_errors=True)
                 stats["bands"] += 1
                 stats["files_before"] += len(files)
@@ -859,8 +936,8 @@ class ChangelogStore:
         are invisible until its checkpoint lands."""
         out: set[str] = set()
         for fname in os.listdir(self._manifest_dir):
-            if not fname.endswith(".json"):
-                continue
+            if not fname.startswith("batch-") or not fname.endswith(".json"):
+                continue  # compact-*.json swap journals carry no targets
             try:
                 with open(os.path.join(self._manifest_dir, fname)) as f:
                     m = json.load(f)
@@ -916,7 +993,10 @@ class ChangelogStore:
                 df = self.spark.read.schema(read_schema).parquet(
                     self._data_dir
                 )
-        except Exception:
+        except AnalysisException:
+            # empty store (no files yet): everything else — a corrupt
+            # file, a broken partition layout — must surface, not read
+            # as silently empty
             return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
         if max_height is not None:
             df = df.filter(

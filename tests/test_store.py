@@ -926,3 +926,170 @@ with open(out, "w") as f:
         st.write_batch(batch(spark, [2]))  # must not deadlock or raise
         t.join()
         assert st.checkpoint().height == 2
+
+
+class TestCompactionCrashRecovery:
+    """The compaction band swap is journaled: a crash at ANY point
+    between (or around) the two renames is healed at the next open —
+    completed if the staged replacement exists, rolled back otherwise.
+    The old scheme left `.old-*` junk inside the partitioned data dir,
+    which both broke concurrent partition discovery and stranded the
+    band permanently on a mid-swap crash."""
+
+    def _store_one_band(self, spark, tmp_path):
+        import os
+
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=100)
+        for h in range(1, 5):
+            st.write_batch(batch(spark, [h]))
+        band = os.path.join(
+            st._data_dir, "collection=tst", "height_band=0"
+        )
+        assert os.path.isdir(band)
+        return st, band
+
+    def _stage_swap(self, st, band, with_new=True):
+        """Reproduce the compactor's state right before the swap."""
+        import json
+        import os
+        import shutil
+
+        swap_id = "deadbeef"
+        new = os.path.join(st._staging_dir, f"compact-{swap_id}")
+        old = os.path.join(st._staging_dir, f"compact-{swap_id}-old")
+        if with_new:
+            shutil.copytree(band, new)
+        journal = os.path.join(st._manifest_dir, f"compact-{swap_id}.json")
+        with open(journal, "w") as f:
+            json.dump({"band": band, "new": new, "old": old}, f)
+        return new, old, journal
+
+    def _reopen(self, spark, tmp_path):
+        return ChangelogStore(spark, str(tmp_path / "db"))
+
+    def test_crash_mid_swap_completes_with_staged_band(
+        self, spark, tmp_path
+    ):
+        import os
+
+        st, band = self._store_one_band(spark, tmp_path)
+        new, old, journal = self._stage_swap(st, band)
+        os.rename(band, old)  # crash after the first rename
+        st2 = self._reopen(spark, tmp_path)
+        assert os.path.isdir(band)
+        assert sorted(r.height for r in st2.changelog().collect()) == [1, 2, 3, 4]
+        assert not os.path.exists(journal)
+        assert not os.path.exists(old) and not os.path.exists(new)
+
+    def test_crash_mid_swap_without_staged_band_rolls_back(
+        self, spark, tmp_path
+    ):
+        import os
+
+        st, band = self._store_one_band(spark, tmp_path)
+        new, old, journal = self._stage_swap(st, band, with_new=False)
+        os.rename(band, old)  # crash: replacement never finished staging
+        st2 = self._reopen(spark, tmp_path)
+        assert os.path.isdir(band)
+        assert sorted(r.height for r in st2.changelog().collect()) == [1, 2, 3, 4]
+        assert not os.path.exists(journal)
+
+    def test_crash_after_swap_cleans_up(self, spark, tmp_path):
+        import os
+        import shutil
+
+        st, band = self._store_one_band(spark, tmp_path)
+        new, old, journal = self._stage_swap(st, band)
+        os.rename(band, old)
+        os.rename(new, band)  # crash after the second rename
+        st2 = self._reopen(spark, tmp_path)
+        assert sorted(r.height for r in st2.changelog().collect()) == [1, 2, 3, 4]
+        assert not os.path.exists(journal)
+        assert not os.path.exists(old)
+
+    def test_crash_before_swap_discards_staged_output(
+        self, spark, tmp_path
+    ):
+        import os
+
+        st, band = self._store_one_band(spark, tmp_path)
+        new, old, journal = self._stage_swap(st, band)
+        # crash before the first rename: band untouched
+        st2 = self._reopen(spark, tmp_path)
+        assert sorted(r.height for r in st2.changelog().collect()) == [1, 2, 3, 4]
+        assert not os.path.exists(journal)
+        assert not os.path.exists(new)
+
+    def test_live_compactor_shielded_from_recover(self, spark, tmp_path):
+        import json
+        import os
+        import time
+
+        st, band = self._store_one_band(spark, tmp_path)
+        new, old, journal = self._stage_swap(st, band)
+        os.rename(band, old)  # compactor is mid-swap...
+        with open(st._lock_path("maintenance"), "w") as f:
+            json.dump({"pid": 0, "ts": time.time(), "token": "m"}, f)
+        assert st.recover() == 0
+        assert os.path.exists(journal)  # untouched: compactor is live
+        # compactor dies: lease goes stale, recover heals the swap
+        with open(st._lock_path("maintenance"), "w") as f:
+            json.dump({"pid": 0, "ts": 0, "token": "m"}, f)
+        st.recover()
+        os.remove(st._lock_path("maintenance"))
+        assert os.path.isdir(band)
+        assert not os.path.exists(journal)
+
+    def test_no_swap_litter_inside_data_dir_during_compact(
+        self, spark, tmp_path
+    ):
+        """While a compaction is writing, a concurrent reader's partition
+        discovery over the data dir must only ever see height_band=N
+        directories."""
+        import os
+
+        st, band = self._store_one_band(spark, tmp_path)
+        orig_write = type(st.spark.read).parquet
+        seen = []
+
+        def snapshot_dirs():
+            coll = os.path.dirname(band)
+            return [
+                d for d in os.listdir(coll)
+                if not d.split("=", 1)[-1].isdigit()
+            ]
+
+        # run a real compact and snapshot the data dir right after it
+        # finishes staging (cheap proxy: snapshot after compact returns
+        # plus assert staging/journals are clean)
+        st.compact(min_files=2)
+        assert snapshot_dirs() == []
+        assert [
+            f for f in os.listdir(st._manifest_dir) if f.startswith("compact-")
+        ] == []
+        assert [
+            f for f in os.listdir(st._staging_dir) if f.startswith("compact-")
+        ] == []
+        assert sorted(r.height for r in st.changelog().collect()) == [1, 2, 3, 4]
+
+
+class TestChangelogErrorSurface:
+    def test_empty_store_reads_empty(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "db"))
+        assert st.changelog().count() == 0
+        assert st.is_empty()
+
+    def test_corrupt_parquet_raises_not_empty(self, spark, tmp_path):
+        """A broken file must surface as an error — the old blanket
+        `except Exception` turned ANY read failure into a silently empty
+        changelog."""
+        import os
+
+        st = ChangelogStore(spark, str(tmp_path / "db"), height_band=100)
+        st.write_batch(batch(spark, [1, 2]))
+        band = os.path.join(st._data_dir, "collection=tst", "height_band=0")
+        victim = [f for f in os.listdir(band) if f.endswith(".parquet")][0]
+        with open(os.path.join(band, victim), "wb") as f:
+            f.write(b"this is not parquet")
+        with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+            st.changelog().collect()
