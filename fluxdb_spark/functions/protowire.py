@@ -296,11 +296,14 @@ def decode_protobuf_col(spark, col: Column) -> Column:
         decoded = from_protobuf(
             col, "flux.DemoValue", binaryDescriptorSet=demo_descriptor_set()
         )
-        # align with DEMO_STRUCT's long-typed crc (fixed32 maps to int)
+        # align with DEMO_STRUCT's long-typed crc: from_protobuf maps
+        # fixed32 to a SIGNED int, so crc values >= 2^31 would surface
+        # negative — pmod by 2^32 restores the unsigned value the Arrow
+        # tier (struct.unpack('<I')) and the oracle produce
         return F.struct(
             decoded["k"].cast("long").alias("k"),
             decoded["src"].alias("src"),
             decoded["delta"].cast("long").alias("delta"),
-            decoded["crc"].cast("long").alias("crc"),
+            F.pmod(decoded["crc"].cast("long"), F.lit(2**32)).alias("crc"),
         )
     return decode_demo_udf()(col)

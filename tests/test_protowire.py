@@ -152,6 +152,27 @@ class TestColumnTiers:
         ).collect()[0]
         assert (row.d.k, row.d.src, row.d.delta, row.d.crc) == (150, "s", -1, 9)
 
+    def test_jvm_tier_crc_sign_normalization(self, spark):
+        """The JVM tier's post-decode projection must map a SIGNED
+        fixed32 (what from_protobuf yields) back to the unsigned value
+        the Arrow tier and the oracle produce. The jar is absent here,
+        so pin the normalization expression itself: a crc that decoded
+        as int32 -1 must surface as 2^32 - 1."""
+        df = spark.createDataFrame(
+            [(-1,), (-2147483648,), (9,), (2147483647,)], "crc int"
+        )
+        got = [
+            r.u
+            for r in df.select(
+                F.pmod(F.col("crc").cast("long"), F.lit(2**32)).alias("u")
+            ).collect()
+        ]
+        assert got == [2**32 - 1, 2**31, 9, 2**31 - 1]
+        # and the Arrow tier round-trips the same high-bit value unsigned
+        wire = pw.encode_demo(1, "s", 0, 0xDEADBEEF)
+        out = pw.decode_demo(wire)
+        assert out["crc"] == 0xDEADBEEF == 3735928559
+
     def test_registry_integration_matches_from_json_tier(self, spark, mk):
         """Same data through the from_json tier and the protowire tier must
         agree on the typed value (test_blocks-style tier pinning)."""
