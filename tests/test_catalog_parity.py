@@ -50,3 +50,23 @@ def test_query_matches_oracle(spark, duck, name):
     assert result_hash(df.columns, rows) == result_hash(d_cols, d_rows), (
         f"{name}: value hash mismatch ({len(rows)} vs {len(d_rows)} rows)"
     )
+
+
+def test_catalog_calls_leave_no_session_cache(spark):
+    """Catalog entries that materialize an intermediate (q11/q15/q20/q21,
+    flux_state_at_indexed) use eager localCheckpoint, NOT persist: the
+    session CacheManager must stay empty after each call, so parity
+    sweeps and best-of-N bench loops don't accumulate cached relations
+    for the session lifetime."""
+    sf = "/root/testdata/sf0.001"
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    by_name = {s.name: s for s in catalog()}
+    for name in (
+        "tpch_q11",
+        "tpch_q15",
+        "tpch_q20",
+        "tpch_q21",
+        "flux_state_at_indexed",
+    ):
+        by_name[name].spark(spark, sf).collect()
+        assert jcm.isEmpty(), f"{name} left a cached relation behind"
