@@ -31,6 +31,38 @@ from fluxdb_spark.store import ChangelogStore
 FLUSH_ROWS = 5_000  # reference pipeline.go:374-382
 FLUSH_SECONDS = 1.0
 
+# block payloads above this size are parsed executor-side (JVM from_json
+# + explode) instead of through driver json.loads — see bind_live_blocks
+DISTRIBUTED_PARSE_BYTES = 65_536
+
+
+def parsed_block_rows(control_df: DataFrame) -> DataFrame:
+    """Executor-side parse of `rows_json` (a JSON array of
+    CHANGELOG_SCHEMA tuples, i.e. array-of-arrays on the wire) into one
+    typed row per change-log tuple, keyed by the block's `seq`.
+
+    Pure JVM: from_json coerces every tuple element to string and the
+    positional casts restore the schema types — no Python UDF, no
+    driver json.loads. This is the scale path for a high-throughput
+    live stream whose blocks carry large payloads."""
+    t = F.col("t")
+    return control_df.select(
+        "seq",
+        F.explode(
+            F.from_json("rows_json", "array<array<string>>")
+        ).alias("t"),
+    ).select(
+        "seq",
+        t[0].alias("collection"),
+        t[1].alias("tablet_id"),
+        t[2].cast("long").alias("height"),
+        t[3].alias("primary_key"),
+        t[4].alias("value"),
+        t[5].cast("boolean").alias("is_deletion"),
+        t[6].alias("block_id"),
+        t[7].cast("long").alias("block_num"),
+    )
+
 
 class IngestPipeline:
     """S5 — the fork-aware stateful ingest operator."""
@@ -205,6 +237,7 @@ class IngestPipeline:
         control: DataFrame,
         checkpoint_dir: str,
         trigger_seconds: float = 0.25,
+        distributed_parse_bytes: int = DISTRIBUTED_PARSE_BYTES,
     ):
         """S3 live tier — a CONTINUOUSLY-RUNNING block-control stream (the
         shape a live gRPC source delivers: one StepNew / StepIrreversible
@@ -214,8 +247,14 @@ class IngestPipeline:
         Control rows are block-granular and tiny, so the driver collect is
         O(blocks per micro-batch), never O(data rows) — the reference's
         live path is likewise block-at-a-time through its process loop.
-        Bulk row traffic belongs to `bind_stream`'s fully-distributed
-        path; the two compose as backfill-then-live (tested in
+        Payload parsing is TIERED: blocks whose `rows_json` is at or
+        below `distributed_parse_bytes` decode via driver json.loads
+        (one small string per block); larger payloads are parsed
+        executor-side through `parsed_block_rows` (JVM from_json +
+        explode), so a high-throughput stream never funnels bulk row
+        decoding through the driver's Python JSON parser. Bulk row
+        traffic belongs to `bind_stream`'s fully-distributed path; the
+        two compose as backfill-then-live (tested in
         TestBackfillThenLive, mirroring the ForkableHub join).
 
         Expected columns: seq (total order), step ('new'|'irreversible'),
@@ -225,11 +264,58 @@ class IngestPipeline:
         import json as _json
 
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
-            for r in sorted(batch_df.collect(), key=lambda row: row.seq):
+            sized = batch_df.withColumn(
+                "_nbytes",
+                F.coalesce(F.octet_length("rows_json"), F.lit(0)),
+            )
+            # one collect for control + small payloads (big payloads are
+            # masked out and never reach the driver as raw JSON)
+            meta = sized.select(
+                "seq",
+                "step",
+                "block_id",
+                "block_num",
+                "parent_id",
+                "_nbytes",
+                F.when(
+                    F.col("_nbytes") <= F.lit(distributed_parse_bytes),
+                    F.col("rows_json"),
+                ).alias("rows_small"),
+            ).collect()
+            big_seqs = {
+                r.seq
+                for r in meta
+                if r.step == "new" and r._nbytes > distributed_parse_bytes
+            }
+            parsed_big: dict[int, list[tuple]] = {}
+            if big_seqs:
+                big_rows = parsed_block_rows(
+                    sized.filter(
+                        F.col("_nbytes") > F.lit(distributed_parse_bytes)
+                    )
+                ).collect()
+                for br in big_rows:
+                    parsed_big.setdefault(br.seq, []).append(
+                        (
+                            br.collection,
+                            br.tablet_id,
+                            br.height,
+                            br.primary_key,
+                            br.value,
+                            br.is_deletion,
+                            br.block_id,
+                            br.block_num,
+                        )
+                    )
+            for r in sorted(meta, key=lambda row: row.seq):
                 if r.step == "new":
-                    rows = [
-                        tuple(t) for t in _json.loads(r.rows_json or "[]")
-                    ]
+                    if r.seq in big_seqs:
+                        rows = parsed_big.get(r.seq, [])
+                    else:
+                        rows = [
+                            tuple(t)
+                            for t in _json.loads(r.rows_small or "[]")
+                        ]
                     self.process_new_block(
                         r.block_id, int(r.block_num), r.parent_id or "", rows
                     )
