@@ -2,9 +2,13 @@
 
 Parquet-backed (Delta/Iceberg jars aren't in this image): the manifest
 commit, uncommitted-file exclusion, and writer leases below re-create the
-transactional-table behaviors a Delta append would provide, and the whole
-stage/manifest/move sequence collapses to one `df.write` if a
-transactional format is ever available. What the reference guarantees and
+transactional-table behaviors a Delta append would provide. The physical
+protocol is isolated behind the `StoreBackend` seam (the analog of the
+reference's store DSN, store.go:31-39) with `ParquetChangelogBackend` as
+the only concrete backend — a transactional format drops in by
+implementing `append_and_commit` (where the whole stage/manifest/move
+sequence collapses to one native transactional write),
+`committed_relation`, and `recover`. What the reference guarantees and
 we preserve:
 
 - **monotonic height guard** (reference isNextBlock, write.go:331-347): a
@@ -254,6 +258,260 @@ SIZE_STATS_ENV = "STATEDB_SIZE_STATS"
 _log = logging.getLogger("fluxdb_spark.store")
 
 
+class StoreBackend:
+    """The physical append/visibility/recovery seam — the analog of the
+    reference's store DSN (store.go:31-39, `badger://` local vs Bigtable
+    `bigkv://`; resolved in store/kv/store.go:46-56): ChangelogStore owns
+    the checkpoint-stream semantics (monotonic guard, idempotent replay,
+    leases, per-shard checkpoints) and delegates the bytes-on-storage
+    protocol here.
+
+    The contract every backend must keep:
+
+    - `append_and_commit` durably writes the batch, invokes `advance`
+      (the checkpoint write) at the COMMIT POINT, and guarantees a crash
+      anywhere leaves either nothing visible or everything + checkpoint.
+      On a transactional table format (Delta/Iceberg) this whole method
+      collapses to one native transactional append with the checkpoint
+      folded in (e.g. a txn app-id version); the parquet implementation
+      below re-creates that with stage -> manifest -> move ->
+      checkpoint -> cleanup.
+    - `committed_relation` returns only rows whose batch reached its
+      commit point (snapshot isolation against in-flight writers).
+    - `recover` rolls back (or completes) whatever a crash left behind.
+
+    Maintenance (compaction, retention) is deliberately NOT part of the
+    protocol: it is storage-format-specific (a Delta backend would use
+    OPTIMIZE/VACUUM) and lives with the concrete backend.
+    """
+
+    def append_and_commit(self, clustered, batch_id, bounds, shard, advance):
+        raise NotImplementedError
+
+    def committed_relation(self, read_schema, checkpoint_of):
+        raise NotImplementedError
+
+    def recover(self, checkpoint_of, lease_is_fresh) -> int:
+        raise NotImplementedError
+
+
+class ParquetChangelogBackend(StoreBackend):
+    """Plain-parquet backend: Hive-partitioned band layout plus a
+    manifest protocol that re-creates transactional-append atomicity
+    (see module docstring). The only backend in this image — Delta and
+    Iceberg jars aren't available — but everything format-specific about
+    the write path lives here, behind StoreBackend."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.data_dir = os.path.join(root, "changelog")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        self.staging_dir = os.path.join(root, "_staging")
+        self.height_band = DEFAULT_HEIGHT_BAND  # store syncs from _meta
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.staging_dir, exist_ok=True)
+
+    def append_and_commit(self, clustered, batch_id, bounds, shard, advance):
+        stage = os.path.join(self.staging_dir, f"batch-{batch_id}")
+        (
+            clustered.sortWithinPartitions("collection", "tablet_id", "height")
+            .withColumn(
+                "height_band",
+                F.floor(F.col("height") / F.lit(self.height_band)).cast(
+                    "long"
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("collection", "height_band")
+            .parquet(stage)
+        )
+        # manifest BEFORE any file reaches the band directories: lists every
+        # target path, so recover() can roll a torn move back in full
+        moves = []
+        for dirpath, _dirnames, filenames in os.walk(stage):
+            rel = os.path.relpath(dirpath, stage)
+            for fname in filenames:
+                if not fname.endswith(".parquet"):
+                    continue  # _SUCCESS markers, .crc sidecars
+                moves.append(
+                    (
+                        os.path.join(dirpath, fname),
+                        os.path.join(
+                            self.data_dir, rel, f"b{batch_id[:8]}-{fname}"
+                        ),
+                    )
+                )
+        manifest = os.path.join(self.manifest_dir, f"batch-{batch_id}.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "hi": int(bounds.hi),
+                    "shard": shard,
+                    "targets": [dst for _src, dst in moves],
+                    "staging": stage,
+                },
+                f,
+            )
+        os.replace(tmp, manifest)  # atomic on POSIX
+        for src, dst in moves:
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+        # the checkpoint write is the COMMIT POINT (reference writes the
+        # checkpoint in the same KV batch, store/kv/store.go:418-424)
+        advance()
+        try:
+            # a concurrent open's recover() may clean the now-committed
+            # manifest before we do
+            os.remove(manifest)
+        except FileNotFoundError:
+            pass
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _uncommitted_targets(self, checkpoint_of) -> set[str]:
+        """Target files of batches whose commit point (the checkpoint
+        advance) has not been reached — the manifest doubles as a
+        poor-man's transaction log, so readers get SNAPSHOT ISOLATION
+        against in-flight writers: a concurrent (or torn) batch's files
+        are invisible until its checkpoint lands."""
+        out: set[str] = set()
+        for fname in os.listdir(self.manifest_dir):
+            if not fname.startswith("batch-") or not fname.endswith(".json"):
+                continue  # compact-*.json swap journals carry no targets
+            try:
+                with open(os.path.join(self.manifest_dir, fname)) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # half-written manifest: its files never moved
+            ckpt = checkpoint_of(m.get("shard"))
+            if ckpt is None or m["hi"] > ckpt.height:
+                out.update(m["targets"])
+        return out
+
+    def committed_relation(self, read_schema, checkpoint_of):
+        """The committed rows as a DataFrame (None = empty store). The
+        common no-writer case costs one directory listing and keeps the
+        plain directory scan Spark partition-prunes natively."""
+        pending = self._uncommitted_targets(checkpoint_of)
+        try:
+            if pending:
+                files = []
+                for dirpath, _d, fnames in os.walk(self.data_dir):
+                    for fn in fnames:
+                        p = os.path.join(dirpath, fn)
+                        if fn.endswith(".parquet") and p not in pending:
+                            files.append(p)
+                if not files:
+                    return None
+                return (
+                    self.spark.read.option("basePath", self.data_dir)
+                    .schema(read_schema)
+                    .parquet(*files)
+                )
+            return self.spark.read.schema(read_schema).parquet(self.data_dir)
+        except AnalysisException:
+            # empty store (no files yet): everything else — a corrupt
+            # file, a broken partition layout — must surface, not read
+            # as silently empty
+            return None
+
+    def recover(self, checkpoint_of, lease_is_fresh) -> int:
+        """Roll back torn batches and heal interrupted compaction swaps.
+
+        For each leftover batch manifest: if the batch's `hi` is at or
+        below its shard's checkpoint, the commit point was reached — the
+        manifest is stale cleanup debris and only the staging dir is
+        removed. Otherwise the batch is TORN (crash before the checkpoint
+        advanced): every listed target file is deleted, so no orphan rows
+        above the checkpoint survive and the idempotent replay re-writes
+        the batch whole. Returns the number of torn batches rolled back.
+
+        A manifest whose stream's writer lease is still FRESH is an
+        IN-FLIGHT batch from a live writer, not a torn one — it is left
+        alone (rolling it back from a second process opening the store
+        would corrupt the live writer's commit)."""
+        rolled = 0
+        for fname in sorted(os.listdir(self.manifest_dir)):
+            if not fname.endswith(".json") or fname.endswith(".tmp"):
+                continue
+            path = os.path.join(self.manifest_dir, fname)
+            if fname.startswith("compact-"):
+                self._recover_compact_swap(path, lease_is_fresh)
+                continue
+            try:
+                with open(path) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                # torn manifest write: nothing was moved. Two processes
+                # opening the store race recover() concurrently, so every
+                # removal here tolerates the other side winning first.
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            ckpt = checkpoint_of(m.get("shard"))
+            committed = ckpt is not None and m["hi"] <= ckpt.height
+            if not committed and lease_is_fresh(
+                "global" if m.get("shard") is None else f"shard-{m['shard']}"
+            ):
+                continue  # live writer mid-commit
+            if not committed:
+                for target in m["targets"]:
+                    try:
+                        os.remove(target)
+                    except FileNotFoundError:
+                        pass
+                rolled += 1
+            shutil.rmtree(m.get("staging", ""), ignore_errors=True)
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        return rolled
+
+    def _recover_compact_swap(self, journal: str, lease_is_fresh) -> None:
+        """Complete or roll back a compaction band swap that crashed
+        between its two renames (see ChangelogStore._compact_locked). The
+        journal pins (band, new, old); the state machine is unambiguous
+        because each rename is atomic:
+
+        - band present, old absent  -> crash before the swap started (or
+          after it fully finished): discard the staged `new`.
+        - band absent,  old present -> crash mid-swap: complete with the
+          staged `new` if it exists, else roll the original back.
+        - band present, old present -> crash after the second rename:
+          the band IS the compacted data; discard `old`.
+
+        Skipped while a live maintenance lease is fresh (the compactor is
+        mid-swap right now, not crashed)."""
+        if lease_is_fresh("maintenance"):
+            return
+        try:
+            with open(journal) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            try:
+                os.remove(journal)
+            except FileNotFoundError:
+                pass
+            return
+        band, new, old = m["band"], m["new"], m["old"]
+        if not os.path.exists(band):
+            if os.path.exists(new):
+                os.rename(new, band)
+            elif os.path.exists(old):
+                os.rename(old, band)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(new, ignore_errors=True)
+        try:
+            os.remove(journal)
+        except FileNotFoundError:
+            pass
+
+
 @dataclass(frozen=True)
 class Checkpoint:
     height: int
@@ -275,17 +533,17 @@ class ChangelogStore:
     ):
         self.spark = spark
         self.root = root
-        self.height_band = height_band
         self.lease_timeout_s = lease_timeout_s
         self.lease_stale_s = lease_stale_s
-        self._data_dir = os.path.join(root, "changelog")
+        # the storage-format seam: semantics live on this class, bytes
+        # live on the backend (see StoreBackend)
+        self._backend = ParquetChangelogBackend(spark, root)
+        self._backend.height_band = height_band
+        self._data_dir = self._backend.data_dir
+        self._manifest_dir = self._backend.manifest_dir
+        self._staging_dir = self._backend.staging_dir
         self._ckpt_dir = os.path.join(root, "_checkpoint")
-        self._manifest_dir = os.path.join(root, "_manifests")
-        self._staging_dir = os.path.join(root, "_staging")
-        os.makedirs(self._data_dir, exist_ok=True)
         os.makedirs(self._ckpt_dir, exist_ok=True)
-        os.makedirs(self._manifest_dir, exist_ok=True)
-        os.makedirs(self._staging_dir, exist_ok=True)
         # the band size is PHYSICAL layout: once the first batch lands, the
         # stored value wins over the constructor argument, so maintenance
         # tools opening the store with defaults still see the real bands
@@ -294,6 +552,16 @@ class ChangelogStore:
             with open(meta_path) as f:
                 self.height_band = int(json.load(f)["height_band"])
         self.recover()
+
+    @property
+    def height_band(self) -> int:
+        # single source of truth: the band size is PHYSICAL layout, so it
+        # lives with the backend that writes the partitions
+        return self._backend.height_band
+
+    @height_band.setter
+    def height_band(self, value: int) -> None:
+        self._backend.height_band = int(value)
 
     # --- writer leases -----------------------------------------------------
 
@@ -486,62 +754,15 @@ class ChangelogStore:
             with open(tmp_meta, "w") as f:
                 json.dump({"height_band": self.height_band}, f)
             os.replace(tmp_meta, meta_path)
-        batch_id = uuid.uuid4().hex
-        stage = os.path.join(self._staging_dir, f"batch-{batch_id}")
-        (
-            clustered.sortWithinPartitions("collection", "tablet_id", "height")
-            .withColumn(
-                "height_band",
-                F.floor(F.col("height") / F.lit(self.height_band)).cast(
-                    "long"
-                ),
-            )
-            .write.mode("overwrite")
-            .partitionBy("collection", "height_band")
-            .parquet(stage)
+        self._backend.append_and_commit(
+            clustered,
+            uuid.uuid4().hex,
+            bounds,
+            shard,
+            advance=lambda: self._write_checkpoint(
+                bounds.hi, bounds.block_id, bounds.block_num, shard
+            ),
         )
-        # manifest BEFORE any file reaches the band directories: lists every
-        # target path, so recover() can roll a torn move back in full
-        moves = []
-        for dirpath, _dirnames, filenames in os.walk(stage):
-            rel = os.path.relpath(dirpath, stage)
-            for fname in filenames:
-                if not fname.endswith(".parquet"):
-                    continue  # _SUCCESS markers, .crc sidecars
-                moves.append(
-                    (
-                        os.path.join(dirpath, fname),
-                        os.path.join(
-                            self._data_dir, rel, f"b{batch_id[:8]}-{fname}"
-                        ),
-                    )
-                )
-        manifest = os.path.join(self._manifest_dir, f"batch-{batch_id}.json")
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "hi": int(bounds.hi),
-                    "shard": shard,
-                    "targets": [dst for _src, dst in moves],
-                    "staging": stage,
-                },
-                f,
-            )
-        os.replace(tmp, manifest)  # atomic on POSIX
-        for src, dst in moves:
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
-        # the checkpoint write is the COMMIT POINT (reference writes the
-        # checkpoint in the same KV batch, store/kv/store.go:418-424)
-        self._write_checkpoint(bounds.hi, bounds.block_id, bounds.block_num, shard)
-        try:
-            # a concurrent open's recover() may clean the now-committed
-            # manifest before we do
-            os.remove(manifest)
-        except FileNotFoundError:
-            pass
-        shutil.rmtree(stage, ignore_errors=True)
         return Checkpoint(bounds.hi, bounds.block_id, bounds.block_num)
 
     def _maybe_size_stats(self, rows: DataFrame) -> None:
@@ -583,98 +804,14 @@ class ChangelogStore:
             )
 
     def recover(self) -> int:
-        """Roll back torn batches; called at open and safe to call anytime.
-
-        For each leftover manifest: if the batch's `hi` is at or below its
-        shard's checkpoint, the commit point was reached — the manifest is
-        stale cleanup debris and only the staging dir is removed. Otherwise
-        the batch is TORN (crash before the checkpoint advanced): every
-        listed target file is deleted, so no orphan rows above the
-        checkpoint survive and the idempotent replay re-writes the batch
-        whole. Returns the number of torn batches rolled back.
-
-        A manifest whose stream's writer lease is still FRESH is an
-        IN-FLIGHT batch from a live writer, not a torn one — it is left
-        alone (rolling it back from a second process opening the store
-        would corrupt the live writer's commit)."""
-        rolled = 0
-        for fname in sorted(os.listdir(self._manifest_dir)):
-            if not fname.endswith(".json") or fname.endswith(".tmp"):
-                continue
-            path = os.path.join(self._manifest_dir, fname)
-            if fname.startswith("compact-"):
-                self._recover_compact_swap(path)
-                continue
-            try:
-                with open(path) as f:
-                    m = json.load(f)
-            except (OSError, json.JSONDecodeError):
-                # torn manifest write: nothing was moved. Two processes
-                # opening the store race recover() concurrently, so every
-                # removal here tolerates the other side winning first.
-                try:
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
-                continue
-            ckpt = self.checkpoint(m.get("shard"))
-            committed = ckpt is not None and m["hi"] <= ckpt.height
-            if not committed and self._lease_is_fresh(
-                "global" if m.get("shard") is None else f"shard-{m['shard']}"
-            ):
-                continue  # live writer mid-commit
-            if not committed:
-                for target in m["targets"]:
-                    try:
-                        os.remove(target)
-                    except FileNotFoundError:
-                        pass
-                rolled += 1
-            shutil.rmtree(m.get("staging", ""), ignore_errors=True)
-            try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
-        return rolled
-
-    def _recover_compact_swap(self, journal: str) -> None:
-        """Complete or roll back a compaction band swap that crashed
-        between its two renames (see _compact_locked). The journal
-        pins (band, new, old); the state machine is unambiguous because
-        each rename is atomic:
-
-        - band present, old absent  -> crash before the swap started (or
-          after it fully finished): discard the staged `new`.
-        - band absent,  old present -> crash mid-swap: complete with the
-          staged `new` if it exists, else roll the original back.
-        - band present, old present -> crash after the second rename:
-          the band IS the compacted data; discard `old`.
-
-        Skipped while a live maintenance lease is fresh (the compactor is
-        mid-swap right now, not crashed)."""
-        if self._lease_is_fresh("maintenance"):
-            return
-        try:
-            with open(journal) as f:
-                m = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            try:
-                os.remove(journal)
-            except FileNotFoundError:
-                pass
-            return
-        band, new, old = m["band"], m["new"], m["old"]
-        if not os.path.exists(band):
-            if os.path.exists(new):
-                os.rename(new, band)
-            elif os.path.exists(old):
-                os.rename(old, band)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(new, ignore_errors=True)
-        try:
-            os.remove(journal)
-        except FileNotFoundError:
-            pass
+        """Roll back torn batches and heal interrupted maintenance swaps;
+        called at open and safe to call anytime. The mechanics live with
+        the backend (ParquetChangelogBackend.recover); this class supplies
+        the two semantic inputs — which batches are committed (their `hi`
+        reached the shard's checkpoint) and which writer leases are still
+        fresh (live writers whose in-flight batches must not be rolled
+        back)."""
+        return self._backend.recover(self.checkpoint, self._lease_is_fresh)
 
     # --- maintenance -------------------------------------------------------
 
@@ -928,31 +1065,12 @@ class ChangelogStore:
 
     # --- read path ---------------------------------------------------------
 
-    def _uncommitted_targets(self) -> set[str]:
-        """Target files of batches whose commit point (the checkpoint
-        advance) has not been reached — the manifest doubles as a
-        poor-man's transaction log, so readers get SNAPSHOT ISOLATION
-        against in-flight writers: a concurrent (or torn) batch's files
-        are invisible until its checkpoint lands."""
-        out: set[str] = set()
-        for fname in os.listdir(self._manifest_dir):
-            if not fname.startswith("batch-") or not fname.endswith(".json"):
-                continue  # compact-*.json swap journals carry no targets
-            try:
-                with open(os.path.join(self._manifest_dir, fname)) as f:
-                    m = json.load(f)
-            except (OSError, json.JSONDecodeError):
-                continue  # half-written manifest: its files never moved
-            ckpt = self.checkpoint(m.get("shard"))
-            if ckpt is None or m["hi"] > ckpt.height:
-                out.update(m["targets"])
-        return out
-
     def changelog(self, max_height: int | None = None) -> DataFrame:
         """The canonical change-log relation over everything durable AND
-        committed (uncommitted manifest targets are excluded, see
-        `_uncommitted_targets` — the common no-writer case costs one
-        directory listing and keeps the plain directory scan).
+        committed (uncommitted manifest targets are excluded by the
+        backend's committed_relation — snapshot isolation against
+        in-flight writers; the common no-writer case costs one directory
+        listing and keeps the plain directory scan).
 
         `max_height` bounds the read: the band predicate is a PARTITION
         filter (whole directories skipped before any file I/O — the scan
@@ -973,30 +1091,8 @@ class ChangelogStore:
             CHANGELOG_SCHEMA.fields
             + [T.StructField("height_band", T.LongType(), True)]
         )
-        pending = self._uncommitted_targets()
-        try:
-            if pending:
-                files = []
-                for dirpath, _d, fnames in os.walk(self._data_dir):
-                    for fn in fnames:
-                        p = os.path.join(dirpath, fn)
-                        if fn.endswith(".parquet") and p not in pending:
-                            files.append(p)
-                if not files:
-                    return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
-                df = (
-                    self.spark.read.option("basePath", self._data_dir)
-                    .schema(read_schema)
-                    .parquet(*files)
-                )
-            else:
-                df = self.spark.read.schema(read_schema).parquet(
-                    self._data_dir
-                )
-        except AnalysisException:
-            # empty store (no files yet): everything else — a corrupt
-            # file, a broken partition layout — must surface, not read
-            # as silently empty
+        df = self._backend.committed_relation(read_schema, self.checkpoint)
+        if df is None:
             return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
         if max_height is not None:
             df = df.filter(

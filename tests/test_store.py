@@ -1093,3 +1093,46 @@ class TestChangelogErrorSurface:
             f.write(b"this is not parquet")
         with pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
             st.changelog().collect()
+
+
+class TestStoreBackendSeam:
+    """The storage-format seam (reference DSN, store.go:31-39): semantics
+    (guards, leases, checkpoints) live on ChangelogStore; the physical
+    append/visibility/recovery protocol lives behind StoreBackend, with
+    parquet as the only concrete backend in this image. A transactional
+    format drops in by implementing the three protocol methods."""
+
+    def test_append_flows_through_backend_with_commit_callback(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from fluxdb_spark.store import ParquetChangelogBackend
+
+        st = ChangelogStore(spark, str(tmp_path / "db"))
+        assert isinstance(st._backend, ParquetChangelogBackend)
+        seen = {}
+        orig = st._backend.append_and_commit
+
+        def spy(clustered, batch_id, bounds, shard, advance):
+            seen["hi"] = int(bounds.hi)
+            seen["shard"] = shard
+            # the checkpoint must not have advanced before the backend's
+            # commit point runs
+            seen["ckpt_before"] = st.checkpoint()
+            return orig(clustered, batch_id, bounds, shard, advance)
+
+        monkeypatch.setattr(st._backend, "append_and_commit", spy)
+        st.write_batch(batch(spark, [1, 2]))
+        assert seen == {"hi": 2, "shard": None, "ckpt_before": None}
+        assert st.checkpoint().height == 2
+
+    def test_protocol_base_is_abstract(self):
+        from fluxdb_spark.store import StoreBackend
+
+        b = StoreBackend()
+        for call in (
+            lambda: b.append_and_commit(None, "x", None, None, lambda: None),
+            lambda: b.committed_relation(None, lambda s: None),
+            lambda: b.recover(lambda s: None, lambda k: False),
+        ):
+            with pytest.raises(NotImplementedError):
+                call()
