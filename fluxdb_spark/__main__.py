@@ -54,15 +54,53 @@ def cmd_server(args, spark: SparkSession) -> int:
     from fluxdb_spark.streaming.ingest import FluxEngine
 
     engine = FluxEngine(spark, args.store)
-    rows = (
-        engine.state_at(args.tablet, args.height)
-        .select("primary_key", "height", "value")
-        .orderBy("primary_key")
-        .collect()
-    )
-    for r in rows[: args.limit]:
-        print(f"{r.primary_key}\t{r.height}\t{r.value}")
-    print(f"# {len(rows)} live keys in '{args.tablet}' at height {args.height}")
+    metrics_server = None
+    if args.metrics_port is not None:
+        # the reference's scrape endpoint (metrics/metrics.go:21-24): in
+        # server mode the head/drift gauges come from the durable
+        # checkpoint (no streaming query is attached here)
+        import time as _time
+
+        from fluxdb_spark.streaming.metrics import MetricsServer
+
+        started = _time.time()
+
+        def snapshot():
+            ckpt = engine.checkpoint()
+            return {
+                "fluxdb_head_block_number": (
+                    None if ckpt is None else ckpt.height
+                ),
+                "fluxdb_head_time_drift_seconds": round(
+                    _time.time() - started, 3
+                ),
+            }
+
+        metrics_server = MetricsServer(snapshot, port=args.metrics_port)
+        print(f"# metrics at {metrics_server.url}")
+    try:
+        rows = (
+            engine.state_at(args.tablet, args.height)
+            .select("primary_key", "height", "value")
+            .orderBy("primary_key")
+            .collect()
+        )
+        for r in rows[: args.limit]:
+            print(f"{r.primary_key}\t{r.height}\t{r.value}")
+        print(
+            f"# {len(rows)} live keys in '{args.tablet}' at height "
+            f"{args.height}"
+        )
+        if metrics_server is not None:
+            # prove the endpoint over a real HTTP round-trip before the
+            # one-shot read exits (long-running servers just keep it up)
+            from urllib.request import urlopen
+
+            with urlopen(metrics_server.url, timeout=10) as resp:
+                print(resp.read().decode(), end="")
+    finally:
+        if metrics_server is not None:
+            metrics_server.close()
     return 0
 
 
@@ -158,6 +196,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--tablet", default="click")
     s.add_argument("--height", type=int, required=True)
     s.add_argument("--limit", type=int, default=20)
+    s.add_argument(
+        "--metrics-port",
+        type=int,
+        default=None,
+        help="expose a Prometheus-style /metrics endpoint (0 = ephemeral)",
+    )
     s.set_defaults(fn=cmd_server)
 
     rs = sub.add_parser("reproc-shard")

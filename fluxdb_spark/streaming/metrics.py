@@ -82,6 +82,28 @@ class IngestMetricsListener(StreamingQueryListener):
     def onQueryTerminated(self, event):  # noqa: N802
         pass
 
+    def metrics(self) -> dict:
+        """The scrape view of the captured progress — names mirror the
+        reference's exported series (metrics/metrics.go:21-24)."""
+        p = self.progress
+        total_ms = sum(p.batch_durations_ms)
+        return {
+            "fluxdb_head_block_number": p.head_height,
+            "fluxdb_head_time_drift_seconds": (
+                None
+                if p.last_progress_ts == 0.0
+                else round(self.seconds_behind(), 3)
+            ),
+            "fluxdb_ingested_rows_total": p.total_rows,
+            "fluxdb_ingest_tombstones_total": p.total_tombstones,
+            "fluxdb_ingest_batches_total": p.batches,
+            "fluxdb_ingest_rows_per_second": (
+                round(p.total_rows / (total_ms / 1000.0), 3)
+                if total_ms > 0
+                else None
+            ),
+        }
+
     # -- readiness gate (reference isNearRealtime) ---------------------------
 
     def seconds_behind(self, now: float | None = None) -> float:
@@ -94,3 +116,75 @@ class IngestMetricsListener(StreamingQueryListener):
         """S8 — ready when the stream reported progress within the threshold
         (reference gate: head block < 15 s behind wall clock)."""
         return self.seconds_behind() < threshold_s
+
+
+# -- scrape endpoint ---------------------------------------------------------
+
+
+def prometheus_text(metrics: dict) -> str:
+    """Render a flat name->value dict in the Prometheus text exposition
+    format (gauges only — counters are monotonic values the scraper
+    rate()s). None values are skipped, exactly like an exporter omitting
+    a gauge that has no sample yet."""
+    lines = []
+    for name, value in sorted(metrics.items()):
+        if value is None:
+            continue
+        lines.append(f"# TYPE {name} gauge")
+        v = float(value)
+        lines.append(f"{name} {int(v) if v.is_integer() else v}")
+    return "\n".join(lines) + "\n"
+
+
+class MetricsServer:
+    """The reference's Prometheus scrape endpoint (metrics/metrics.go:21-24
+    exports head_block_number / head_time_drift; served by dmetrics over
+    HTTP): a daemon-thread HTTP server exposing GET /metrics from a
+    caller-supplied metrics source. The source is a zero-arg callable
+    returning a flat dict, so the same server fronts a streaming
+    listener (IngestMetricsListener.metrics) or a store snapshot
+    (server mode's checkpoint view)."""
+
+    def __init__(self, source, host: str = "127.0.0.1", port: int = 0):
+        import http.server
+        import threading
+
+        outer = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                if self.path.rstrip("/") not in ("", "/metrics"):
+                    self.send_error(404)
+                    return
+                try:
+                    body = prometheus_text(outer._source()).encode()
+                except Exception as e:  # surface scrape failures as 500s
+                    self.send_error(500, str(e))
+                    return
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        self._source = source
+        self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}/metrics"
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join()

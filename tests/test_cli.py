@@ -156,3 +156,70 @@ def test_maintain_expire(spark, tmp_path, capsys):
     st2 = ChangelogStore(spark, root, height_band=10)
     assert st2.retention_horizon() == 20
     assert st2.changelog().filter("height >= 20").count() == 11
+
+
+def test_server_metrics_scrape(spark, dirs, capsys):
+    """§2.7 observability — server mode exposes a Prometheus-style
+    /metrics endpoint (reference metrics/metrics.go:21-24) and the CLI
+    proves it with a real HTTP round-trip: head gauge = the durable
+    checkpoint height."""
+    assert main(
+        [
+            "server",
+            "--store",
+            dirs["store"],
+            "--tablet",
+            "click",
+            "--height",
+            "700",
+            "--metrics-port",
+            "0",
+        ],
+        spark,
+    ) == 0
+    out = capsys.readouterr().out
+    assert "# metrics at http://127.0.0.1:" in out
+    assert "# TYPE fluxdb_head_block_number gauge" in out
+    # the head gauge equals the injected checkpoint height
+    from fluxdb_spark.store import ChangelogStore
+
+    ckpt = ChangelogStore(spark, dirs["store"]).checkpoint()
+    assert f"\nfluxdb_head_block_number {ckpt.height}\n" in out
+    assert "fluxdb_head_time_drift_seconds" in out
+
+
+def test_metrics_server_serves_listener_metrics():
+    """MetricsServer over an IngestMetricsListener source: the captured
+    progress surfaces through a real HTTP scrape in exposition format,
+    and unknown paths 404."""
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    from fluxdb_spark.streaming.metrics import (
+        IngestMetricsListener,
+        MetricsServer,
+    )
+
+    listener = IngestMetricsListener()
+    listener.progress.head_height = 42
+    listener.progress.total_rows = 1000
+    listener.progress.batches = 7
+    listener.progress.batch_durations_ms = [200, 300]
+    srv = MetricsServer(listener.metrics)
+    try:
+        with urlopen(srv.url, timeout=10) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode()
+        assert "fluxdb_head_block_number 42" in body
+        assert "fluxdb_ingested_rows_total 1000" in body
+        assert "fluxdb_ingest_batches_total 7" in body
+        assert "fluxdb_ingest_rows_per_second 2000" in body
+        # drift gauge omitted: no progress timestamp yet (None sample)
+        assert "fluxdb_head_time_drift_seconds" not in body
+        try:
+            urlopen(srv.url.replace("/metrics", "/nope"), timeout=10)
+            raise AssertionError("expected 404")
+        except HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.close()
