@@ -470,7 +470,50 @@ class ParquetChangelogBackend(StoreBackend):
                 os.remove(path)
             except FileNotFoundError:
                 pass
+        self._sweep_orphaned_staging(lease_is_fresh)
         return rolled
+
+    def _sweep_orphaned_staging(self, lease_is_fresh) -> None:
+        """Bound _staging/ disk: a writer that crashed BEFORE writing its
+        manifest (or a compactor that crashed between journal removal and
+        old-dir cleanup) leaves staging directories no manifest references
+        — without this sweep they accumulate forever, which on a
+        long-lived 100 TB deployment is an unbounded disk leak.
+
+        Safety: a live writer's in-progress staging dir has no manifest
+        yet either, so batch dirs are only swept when NO writer lease on
+        the store is fresh, and compact dirs only when the maintenance
+        lease is not fresh (the respective owners would otherwise still
+        be mid-operation)."""
+        referenced: set[str] = set()
+        for fname in os.listdir(self.manifest_dir):
+            if not fname.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self.manifest_dir, fname)) as f:
+                    m = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            for key in ("staging", "new", "old"):
+                if m.get(key):
+                    referenced.add(os.path.normpath(m[key]))
+        writer_live = any(
+            lease_is_fresh(f[len("_writer-"):-len(".lock")])
+            for f in os.listdir(self.root)
+            if f.startswith("_writer-") and f.endswith(".lock")
+        )
+        maintenance_live = lease_is_fresh("maintenance")
+        for entry in os.listdir(self.staging_dir):
+            path = os.path.normpath(os.path.join(self.staging_dir, entry))
+            if path in referenced:
+                continue
+            if entry.startswith("batch-") and not writer_live:
+                shutil.rmtree(path, ignore_errors=True)
+            elif (
+                entry.startswith(("compact-", "rebase-"))
+                and not maintenance_live
+            ):
+                shutil.rmtree(path, ignore_errors=True)
 
     def _recover_compact_swap(self, journal: str, lease_is_fresh) -> None:
         """Complete or roll back a compaction band swap that crashed
@@ -1122,7 +1165,38 @@ class IndexStore:
         self.spark = spark
         self.root = root
         self._dir = os.path.join(root, "tablet_index")
+        self._journal = os.path.join(root, "_index_swap.json")
+        self._recover_swap()
         os.makedirs(self._dir, exist_ok=True)
+
+    def _recover_swap(self) -> None:
+        """Heal a prune() that crashed between its two renames (same
+        journal pattern as the changelog compaction swap): complete with
+        the staged rewrite if it exists, else roll the old index back,
+        then discard whatever side directories remain. Without this, a
+        mid-swap crash silently dropped every index snapshot (reads fell
+        back to the full fold — correct but unindexed — and the stranded
+        directories leaked disk)."""
+        if not os.path.exists(self._journal):
+            return
+        try:
+            with open(self._journal) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            m = {}
+        new, old = m.get("new", ""), m.get("old", "")
+        if not os.path.exists(self._dir):
+            if new and os.path.exists(new):
+                os.rename(new, self._dir)
+            elif old and os.path.exists(old):
+                os.rename(old, self._dir)
+        for side in (new, old):
+            if side:
+                shutil.rmtree(side, ignore_errors=True)
+        try:
+            os.remove(self._journal)
+        except FileNotFoundError:
+            pass
 
     def write(self, index_df: DataFrame) -> None:
         """Append freshly built snapshot rows (build_tablet_index output)."""
@@ -1146,7 +1220,9 @@ class IndexStore:
         Write-then-swap: retained rows are fully written to a side
         directory before the old one is replaced, so a crash leaves either
         the old or the new index complete — reads never see a half-pruned
-        relation.
+        relation. The swap is journaled (_index_swap.json) before the
+        renames, and the next open completes or rolls it back (see
+        _recover_swap).
         """
         from fluxdb_spark.operators.snapshot import prune_indexes
 
@@ -1157,10 +1233,19 @@ class IndexStore:
         after = retained.select(*keys).distinct().count()
         if after == before:
             return 0
-        tmp = self._dir + f".rewrite-{uuid.uuid4().hex}"
+        swap_id = uuid.uuid4().hex
+        tmp = self._dir + f".rewrite-{swap_id}"
         retained.write.mode("overwrite").parquet(tmp)
-        old = self._dir + f".old-{uuid.uuid4().hex}"
+        old = self._dir + f".old-{swap_id}"
+        jtmp = self._journal + ".tmp"
+        with open(jtmp, "w") as f:
+            json.dump({"new": tmp, "old": old}, f)
+        os.replace(jtmp, self._journal)
         os.rename(self._dir, old)
         os.rename(tmp, self._dir)
+        try:
+            os.remove(self._journal)
+        except FileNotFoundError:
+            pass
         shutil.rmtree(old, ignore_errors=True)
         return before - after

@@ -1136,3 +1136,129 @@ class TestStoreBackendSeam:
         ):
             with pytest.raises(NotImplementedError):
                 call()
+
+
+class TestStagingSweep:
+    """recover() bounds _staging disk: directories no manifest references
+    (writer crashed before its manifest landed; compactor crashed after
+    journal removal) are swept — but never while their owner's lease is
+    still fresh."""
+
+    def test_orphan_batch_staging_swept_when_no_writer_live(
+        self, spark, tmp_path
+    ):
+        import os
+
+        st = ChangelogStore(spark, str(tmp_path / "db"))
+        st.write_batch(batch(spark, [1]))
+        orphan = os.path.join(st._staging_dir, "batch-deadbeef")
+        os.makedirs(orphan)
+        st.recover()
+        assert not os.path.exists(orphan)
+
+    def test_orphan_staging_kept_while_writer_lease_fresh(
+        self, spark, tmp_path
+    ):
+        import json
+        import os
+        import time
+
+        st = ChangelogStore(spark, str(tmp_path / "db"))
+        orphan = os.path.join(st._staging_dir, "batch-deadbeef")
+        os.makedirs(orphan)
+        with open(st._lock_path("global"), "w") as f:
+            json.dump({"pid": 0, "ts": time.time(), "token": "w"}, f)
+        st.recover()
+        assert os.path.exists(orphan)  # a live writer may own it
+        with open(st._lock_path("global"), "w") as f:
+            json.dump({"pid": 0, "ts": 0, "token": "w"}, f)
+        st.recover()
+        os.remove(st._lock_path("global"))
+        assert not os.path.exists(orphan)  # writer died: swept
+
+    def test_live_writers_staging_survives_via_manifest_reference(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A mid-commit writer (manifest present, lease fresh) keeps its
+        staging dir through a concurrent recover()."""
+        import json
+        import os
+        import time
+
+        st = ChangelogStore(spark, str(tmp_path / "db"))
+        st.write_batch(batch(spark, [1]))
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before checkpoint")
+
+        monkeypatch.setattr(st, "_write_checkpoint", boom)
+        with pytest.raises(RuntimeError):
+            st.write_batch(batch(spark, [2]))
+        monkeypatch.undo()
+        with open(st._lock_path("global"), "w") as f:
+            json.dump({"pid": 0, "ts": time.time(), "token": "w"}, f)
+        staged = [
+            d for d in os.listdir(st._staging_dir) if d.startswith("batch-")
+        ]
+        assert len(staged) == 1
+        st.recover()
+        assert [
+            d for d in os.listdir(st._staging_dir) if d.startswith("batch-")
+        ] == staged
+        os.remove(st._lock_path("global"))
+
+
+class TestIndexStoreSwapRecovery:
+    """IndexStore.prune's directory swap is journaled: a crash between
+    the renames heals at the next open instead of silently dropping the
+    whole index relation."""
+
+    def _seeded(self, spark, tmp_path):
+        from fluxdb_spark.operators.snapshot import build_tablet_index
+        from fluxdb_spark.store import IndexStore
+
+        rows = [("tst", "tbl", h, "a", f"v{h}") for h in range(1, 6)]
+        log = make_changelog(spark, rows)
+        ixs = IndexStore(spark, str(tmp_path / "ix"))
+        for h in range(1, 6):
+            ixs.write(build_tablet_index(log, "tbl", h, collection="tst"))
+        return ixs
+
+    def test_crash_mid_swap_completes_with_rewrite(self, spark, tmp_path):
+        import json
+        import os
+        import shutil
+
+        from fluxdb_spark.store import IndexStore
+
+        ixs = self._seeded(spark, tmp_path)
+        n = ixs.read().count()
+        # reproduce prune's state after the first rename: index moved to
+        # old, rewrite staged, journal present
+        new = ixs._dir + ".rewrite-x"
+        old = ixs._dir + ".old-x"
+        shutil.copytree(ixs._dir, new)
+        with open(ixs._journal, "w") as f:
+            json.dump({"new": new, "old": old}, f)
+        os.rename(ixs._dir, old)
+        ix2 = IndexStore(spark, str(tmp_path / "ix"))
+        assert ix2.read().count() == n
+        assert not os.path.exists(ixs._journal)
+        assert not os.path.exists(new) and not os.path.exists(old)
+
+    def test_crash_before_rewrite_rolls_back(self, spark, tmp_path):
+        import json
+        import os
+
+        from fluxdb_spark.store import IndexStore
+
+        ixs = self._seeded(spark, tmp_path)
+        n = ixs.read().count()
+        new = ixs._dir + ".rewrite-x"  # never finished staging
+        old = ixs._dir + ".old-x"
+        with open(ixs._journal, "w") as f:
+            json.dump({"new": new, "old": old}, f)
+        os.rename(ixs._dir, old)
+        ix2 = IndexStore(spark, str(tmp_path / "ix"))
+        assert ix2.read().count() == n
+        assert not os.path.exists(ixs._journal)
