@@ -118,11 +118,12 @@ def jaccard_pairs(
     with_sh = (
         spread(docs)
         .select(F.col(id_col), word_shingles(F.col("text")).alias("shingles"))
-        .persist()
+        .localCheckpoint()  # materialize BEFORE branching: AQE runs
+        # independent stages as concurrent jobs, and branches racing to
+        # fill an un-built cache each recompute it (observed 2-5x latency
+        # swings); localCheckpoint, not persist, so nothing lingers in the
+        # session cache after the consumers finish
     )
-    with_sh.count()  # materialize BEFORE branching: AQE runs independent
-    # stages as concurrent jobs, and branches racing to fill an un-built
-    # cache each recompute it (observed 2-5x latency swings)
     sh = with_sh.select(
         F.col(id_col), F.explode("shingles").alias("s")
     ).select(F.col(id_col), F.xxhash64("s").alias("shingle"))
@@ -299,8 +300,7 @@ def lsh_candidate_pairs(
     # whole hash->min pipeline on both sides.
     banded = sigs.select(
         F.col(id_col), F.explode(band_structs).alias("bucket")
-    ).persist()
-    banded.count()  # materialize before the self-join branches
+    ).localCheckpoint()  # materialize before the self-join branches
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -330,8 +330,7 @@ def minhash_lsh_dedup(
     """
     with_sh = spread(docs).select(
         F.col(id_col), word_shingles(F.col("text")).alias("shingles")
-    ).persist()
-    with_sh.count()  # materialize before the 4 consumer branches (see
+    ).localCheckpoint()  # materialize before the 4 consumer branches (see
     # jaccard_pairs: concurrent AQE jobs race on an un-built cache)
     sigs = _signatures_from_arrays(with_sh, k, id_col)
     cands = lsh_candidate_pairs(sigs, k, bands, id_col)
@@ -423,8 +422,8 @@ def simhash_pairs(
         )
     w = bits // n_blocks
     mask = (1 << w) - 1
-    sigs = simhash(docs, bits, id_col).persist()
-    sigs.count()  # materialize before the self-join branches
+    sigs = simhash(docs, bits, id_col).localCheckpoint()
+    # (materialized before the self-join branches)
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -493,14 +492,14 @@ def connected_components(
     convergence count. localCheckpoint() truncates the growing lineage so
     plan size stays constant across iterations.
     """
-    pairs = pairs.persist()
-    pairs.count()  # materialize: both union branches below consume it, and
-    # pairs is typically an expensive similarity pipeline
+    pairs = pairs.localCheckpoint()
+    # materialized: both union branches below consume it, and pairs is
+    # typically an expensive similarity pipeline
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("node"))
@@ -545,7 +544,6 @@ def connected_components(
             "iterations; the pair graph has a path longer than that "
             "(raise max_iterations — cost is O(diameter) joins)"
         )
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 

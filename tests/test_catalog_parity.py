@@ -60,6 +60,9 @@ def test_catalog_calls_leave_no_session_cache(spark):
     for the session lifetime."""
     sf = "/root/testdata/sf0.001"
     jcm = spark._jsparkSession.sharedState().cacheManager()
+    # isolate from other suites sharing the session fixture: this test
+    # asserts catalog calls ADD nothing, not that the session is pristine
+    spark.catalog.clearCache()
     by_name = {s.name: s for s in catalog()}
     for name in (
         "tpch_q11",
@@ -67,6 +70,11 @@ def test_catalog_calls_leave_no_session_cache(spark):
         "tpch_q20",
         "tpch_q21",
         "flux_state_at_indexed",
+        "dedup_ngram",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_clusters",
+        "dedup_survivors",
     ):
         by_name[name].spark(spark, sf).collect()
         assert jcm.isEmpty(), f"{name} left a cached relation behind"
