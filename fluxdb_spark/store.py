@@ -309,6 +309,10 @@ class ParquetChangelogBackend(StoreBackend):
         self.manifest_dir = os.path.join(root, "_manifests")
         self.staging_dir = os.path.join(root, "_staging")
         self.height_band = DEFAULT_HEIGHT_BAND  # store syncs from _meta
+        # minimum orphan age before the staging sweep may touch a dir —
+        # closes the window where an owner acquired its lease after the
+        # sweep's lock listing (see _sweep_orphaned_staging)
+        self.sweep_min_age_s = 300.0
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.staging_dir, exist_ok=True)
@@ -480,11 +484,14 @@ class ParquetChangelogBackend(StoreBackend):
         — without this sweep they accumulate forever, which on a
         long-lived 100 TB deployment is an unbounded disk leak.
 
-        Safety: a live writer's in-progress staging dir has no manifest
-        yet either, so batch dirs are only swept when NO writer lease on
-        the store is fresh, and compact dirs only when the maintenance
-        lease is not fresh (the respective owners would otherwise still
-        be mid-operation)."""
+        Safety, twice over: a live writer's in-progress staging dir has
+        no manifest yet either, so batch dirs are only swept when NO
+        writer lease on the store is fresh (compact/rebase dirs: when the
+        maintenance lease is not fresh) — and, because a writer could
+        acquire its lease between our lock listing and the staging
+        listing, only directories whose mtime is already older than the
+        staleness window are touched. An in-progress staging write is by
+        construction younger than that."""
         referenced: set[str] = set()
         for fname in os.listdir(self.manifest_dir):
             if not fname.endswith(".json"):
@@ -503,9 +510,16 @@ class ParquetChangelogBackend(StoreBackend):
             if f.startswith("_writer-") and f.endswith(".lock")
         )
         maintenance_live = lease_is_fresh("maintenance")
+        now = time.time()
         for entry in os.listdir(self.staging_dir):
             path = os.path.normpath(os.path.join(self.staging_dir, entry))
             if path in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # already gone (concurrent recover)
+            if age <= self.sweep_min_age_s:
                 continue
             if entry.startswith("batch-") and not writer_live:
                 shutil.rmtree(path, ignore_errors=True)

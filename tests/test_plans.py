@@ -151,3 +151,16 @@ class TestCorpusOpPlans:
         p = plan_of(spark, specs, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
         assert "CartesianProduct" not in p
+
+
+class TestQ18Shape:
+    def test_q18_partial_agg_no_window(self, spark, specs):
+        """Q18's big-order subquery must be a partial-aggregated groupBy
+        (one row per orderkey crosses the shuffle), NOT a window sum that
+        carries full lineitem rows through the shuffle — the shape that
+        loses at 100x (A/B in the entry's docstring)."""
+        p = plan_of(spark, specs, "tpch_q18")
+        assert "Window" not in p
+        # map-side partial aggregation on the lineitem groupBy
+        assert "partial_sum" in p or "HashAggregate" in p
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

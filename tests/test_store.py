@@ -1154,6 +1154,9 @@ class TestStagingSweep:
         orphan = os.path.join(st._staging_dir, "batch-deadbeef")
         os.makedirs(orphan)
         st.recover()
+        assert os.path.exists(orphan)  # too young: could be a racer's
+        os.utime(orphan, (0, 0))  # age past the sweep threshold
+        st.recover()
         assert not os.path.exists(orphan)
 
     def test_orphan_staging_kept_while_writer_lease_fresh(
@@ -1166,10 +1169,11 @@ class TestStagingSweep:
         st = ChangelogStore(spark, str(tmp_path / "db"))
         orphan = os.path.join(st._staging_dir, "batch-deadbeef")
         os.makedirs(orphan)
+        os.utime(orphan, (0, 0))  # old enough to sweep...
         with open(st._lock_path("global"), "w") as f:
             json.dump({"pid": 0, "ts": time.time(), "token": "w"}, f)
         st.recover()
-        assert os.path.exists(orphan)  # a live writer may own it
+        assert os.path.exists(orphan)  # ...but a live writer may own it
         with open(st._lock_path("global"), "w") as f:
             json.dump({"pid": 0, "ts": 0, "token": "w"}, f)
         st.recover()
