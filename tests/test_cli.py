@@ -223,3 +223,66 @@ def test_metrics_server_serves_listener_metrics():
             assert e.code == 404
     finally:
         srv.close()
+
+
+def test_concurrent_cross_process_injects_stay_consistent(
+    spark, tmp_path_factory
+):
+    """End-to-end cross-process single-writer proof: two OS processes
+    (separate JVMs, separate SparkSessions) inject the same events into
+    one store concurrently. The writer lease serializes them; the loser
+    replays idempotently. The store must end exactly as a single inject
+    would — same rows, no duplicates, checkpoint at the max height."""
+    import os
+    import subprocess
+    import sys
+
+    store = str(tmp_path_factory.mktemp("xproc") / "store")
+    env = dict(
+        os.environ,
+        SPARK_DRIVER_MEMORY="8g",  # two extra JVMs beside the test session
+        SPARK_GRAFT_CPUS="8",
+    )
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "fluxdb_spark",
+                "inject",
+                "--sf-dir",
+                SF,
+                "--store",
+                store,
+            ],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all("injected up to height" in o for o in outs), outs
+
+    from fluxdb_spark.sources.changelog import changelog_from_events
+    from fluxdb_spark.sources.tables import load_table
+    from fluxdb_spark.store import ChangelogStore
+
+    st = ChangelogStore(spark, store)
+    want = changelog_from_events(load_table(spark, SF, "events"))
+    got = st.changelog()
+    assert got.count() == want.count()  # no duplicate replay rows
+    keys = ["collection", "tablet_id", "height", "primary_key"]
+    assert got.select(*keys).distinct().count() == want.count()
+    assert (
+        st.checkpoint().height
+        == want.agg({"height": "max"}).collect()[0][0]
+    )
+    # no lease or manifest debris survives
+    assert not [
+        f for f in os.listdir(store) if f.startswith("_writer-")
+    ]
+    assert os.listdir(os.path.join(store, "_manifests")) == []
