@@ -185,6 +185,9 @@ _PRIORITY: list[str] = [
     "lang_distribution",
     "multimodal_frames",
     "embed_ann_ivf",
+    # -- round-5 additions (no driver row yet; rotate forward in r06)
+    "hash_split",
+    "text_normalize",
 ]
 
 
@@ -3622,4 +3625,50 @@ def typed_view_protobuf(spark, sf_dir):
         F.col("decoded.src").alias("src"),
         F.col("decoded.delta").alias("delta"),
         F.col("decoded.crc").alias("crc"),
+    )
+
+
+@_q(
+    "hash_split",
+    "pipeline",
+    f"""
+SELECT doc_id, {cu.sql_hash_split('doc_id', 0.05, 0.05)} AS split
+FROM documents
+""",
+)
+def hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by salted key hash — the
+    split a training pipeline must reproduce forever: stable under
+    retries, cluster resizing, and corpus growth (new docs never move old
+    ones), and computable by any engine with md5. Pure map-side
+    expression, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return cu.hash_split(d, "doc_id", val_frac=0.05, test_frac=0.05).select(
+        "doc_id", "split"
+    )
+
+
+@_q(
+    "text_normalize",
+    "pipeline",
+    f"""
+SELECT doc_id,
+       {tx.sql_normalize_text('text')} AS norm,
+       length({tx.sql_normalize_text('text')}) AS norm_len
+FROM documents
+""",
+)
+def text_normalize(spark, sf_dir):
+    """Canonical text normalization (lowercase, control chars to spaces,
+    whitespace collapsed, trimmed) — the first stage of every dedup /
+    fingerprint pipeline, and a portability check in itself: Spark's Java
+    regex and DuckDB's RE2 must produce byte-identical strings, which is
+    why the character classes are explicit (\\s differs between the two
+    engines)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = tx.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.length(norm).cast("long").alias("norm_len"),
     )

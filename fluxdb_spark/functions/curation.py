@@ -218,3 +218,43 @@ def token_budget_mix(
     return cum.filter(F.col("cum_before") < F.col("_budget")).select(
         "source", key_col, "n_tok", "cum_before"
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split a training
+    pipeline must be able to reproduce forever: each row's salted key
+    hash picks its split, so membership is stable under retries, cluster
+    resizing, corpus growth (new docs never move old ones), and is
+    computable by any engine with md5. Pure map-side expression, no
+    shuffle, no rand()."""
+    b = _bucket(F.col(key_col), salt)
+    val_hi = int(val_frac * SAMPLE_BUCKETS)
+    test_hi = val_hi + int(test_frac * SAMPLE_BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def sql_hash_split(
+    expr: str,
+    val_frac: float = 0.01,
+    test_frac: float = 0.01,
+    salt: str = "split",
+) -> str:
+    """DuckDB twin of `hash_split`'s split expression."""
+    val_hi = int(val_frac * SAMPLE_BUCKETS)
+    test_hi = val_hi + int(test_frac * SAMPLE_BUCKETS)
+    b = sql_bucket(expr, salt)
+    return (
+        f"CASE WHEN {b} < {val_hi} THEN 'val' "
+        f"WHEN {b} < {test_hi} THEN 'test' ELSE 'train' END"
+    )

@@ -533,3 +533,32 @@ SELECT doc_id, list(tid ORDER BY pos) AS ids,
        CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM enc GROUP BY doc_id
 """
+
+
+# Explicit character classes so the Java (Spark) and RE2 (DuckDB) regex
+# engines agree byte-for-byte: \s differs between them (Java includes
+# \x0B, RE2 does not), so normalization never uses shorthand classes.
+_CTRL_CLASS = "[\\x00-\\x1f\\x7f]"
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0b]+"
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, control characters to spaces, runs of whitespace collapsed
+    to one space, trimmed. Deterministic, pure JVM, and reproduced
+    exactly by the DuckDB twin (sql_normalize_text) because both engines
+    evaluate the same explicit character classes."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, _CTRL_CLASS, " ")
+    c = F.regexp_replace(c, _WS_CLASS, " ")
+    return F.trim(c)
+
+
+def sql_normalize_text(expr: str) -> str:
+    """DuckDB twin of `normalize_text` (RE2 'g' flag = replace-all, which
+    is Spark's regexp_replace default)."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower("
+        + expr
+        + "), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
+    )

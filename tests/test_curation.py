@@ -126,3 +126,65 @@ class TestPackSequences:
             F.size(F.split("text", " ")).alias("n")
         ).agg(F.sum("n")).first()[0]
         assert total == want
+
+
+class TestHashSplit:
+    def test_split_fractions_and_stability(self, spark, docs):
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.functions import curation as cu
+
+        out = cu.hash_split(docs, "doc_id", val_frac=0.1, test_frac=0.1)
+        counts = {
+            r.split: r.n
+            for r in out.groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        assert set(counts) <= {"train", "val", "test"}
+        # ~10% each for val/test at 500 docs (hash-uniform, loose bounds)
+        assert 0.04 < counts.get("val", 0) / total < 0.18
+        assert 0.04 < counts.get("test", 0) / total < 0.18
+        # deterministic: same assignment on re-run
+        again = {
+            (r.doc_id, r.split)
+            for r in cu.hash_split(docs, "doc_id", 0.1, 0.1)
+            .select("doc_id", "split").collect()
+        }
+        first = {
+            (r.doc_id, r.split)
+            for r in out.select("doc_id", "split").collect()
+        }
+        assert first == again
+
+    def test_growth_stability(self, spark, docs):
+        """New docs must never move existing docs between splits: the
+        assignment on a subset equals the assignment on the full set."""
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.functions import curation as cu
+
+        full = {
+            (r.doc_id, r.split)
+            for r in cu.hash_split(docs, "doc_id", 0.1, 0.1)
+            .select("doc_id", "split").collect()
+        }
+        subset = {
+            (r.doc_id, r.split)
+            for r in cu.hash_split(
+                docs.filter(F.col("doc_id") < 100), "doc_id", 0.1, 0.1
+            ).select("doc_id", "split").collect()
+        }
+        assert subset <= full
+
+    def test_no_shuffle_in_plan(self, spark, docs):
+        import contextlib
+        import io
+
+        from fluxdb_spark.functions import curation as cu
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cu.hash_split(docs, "doc_id").explain()
+        assert "Exchange" not in buf.getvalue()
