@@ -1266,3 +1266,134 @@ class TestIndexStoreSwapRecovery:
         ix2 = IndexStore(spark, str(tmp_path / "ix"))
         assert ix2.read().count() == n
         assert not os.path.exists(ixs._journal)
+
+
+class _CrashHere(BaseException):
+    """Injected crash: BaseException so no except Exception arm absorbs it."""
+
+
+class _FileOpCrasher:
+    """Raise _CrashHere on the n-th Python filesystem mutation inside the
+    store's commit path (rename/replace/remove), simulating a process
+    dying at that exact point. Spark's JVM-side writes are unaffected —
+    which is the point: the manifest protocol's crash windows are exactly
+    the Python-side op sequence."""
+
+    def __init__(self, monkeypatch, crash_at: int):
+        import os as _os
+
+        self.remaining = crash_at
+        for name in ("rename", "replace", "remove"):
+            real = getattr(_os, name)
+
+            def wrapper(*a, _real=real, **kw):
+                self.remaining -= 1
+                if self.remaining < 0:
+                    raise _CrashHere()
+                return _real(*a, **kw)
+
+            monkeypatch.setattr(_os, name, wrapper)
+
+
+class TestCrashFuzzStore:
+    """Crash-fuzz the exactly-once commit protocol (the storage analog of
+    the fork-fuzz property test): inject a crash at EVERY possible
+    Python-side filesystem op of a write_batch, reopen the store
+    (recover), replay the batch, and require the exact committed state —
+    each height exactly once, checkpoint at the max, no debris. Then the
+    same for compact's journaled swap."""
+
+    def _heights(self, st):
+        return sorted(r.height for r in st.changelog().collect())
+
+    def test_write_crash_at_every_fileop_then_replay(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        crash_at = 0
+        exhausted = False
+        while not exhausted and crash_at < 30:
+            root = str(tmp_path / f"db-{crash_at}")
+            st = ChangelogStore(spark, root, height_band=5)
+            st.write_batch(batch(spark, [1, 2, 3]))
+            with monkeypatch.context() as mp:
+                _FileOpCrasher(mp, crash_at)
+                try:
+                    st.write_batch(batch(spark, [4, 5, 6, 7]))
+                    exhausted = True  # op count of the path: done fuzzing
+                except _CrashHere:
+                    pass
+            # the writer process died; its lease heartbeat died with it —
+            # simulate staleness so the next open may roll back
+            lock = st._lock_path("global")
+            if os.path.exists(lock):
+                os.utime(lock, (0, 0))
+                import json as _json
+
+                with open(lock) as f:
+                    d = _json.load(f)
+                d["ts"] = 0
+                with open(lock, "w") as f:
+                    _json.dump(d, f)
+            st2 = ChangelogStore(spark, root, height_band=5)
+            if os.path.exists(lock):
+                os.remove(lock)
+            # replay is idempotent whether the crash landed before or
+            # after the commit point
+            st2.write_batch(batch(spark, [4, 5, 6, 7]))
+            assert self._heights(st2) == [1, 2, 3, 4, 5, 6, 7], (
+                f"crash_at={crash_at}"
+            )
+            assert st2.checkpoint().height == 7
+            assert [
+                f
+                for f in os.listdir(st2._manifest_dir)
+                if f.endswith(".json")
+            ] == [], f"crash_at={crash_at}"
+            crash_at += 1
+        assert exhausted, "never exercised the full op sequence"
+        assert crash_at >= 5  # the path really has multiple crash windows
+
+    def test_compact_crash_at_every_fileop_reads_stay_exact(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import os
+
+        crash_at = 0
+        exhausted = False
+        while not exhausted and crash_at < 30:
+            root = str(tmp_path / f"cdb-{crash_at}")
+            st = ChangelogStore(spark, root, height_band=100)
+            for h in range(1, 5):
+                st.write_batch(batch(spark, [h]))
+            with monkeypatch.context() as mp:
+                _FileOpCrasher(mp, crash_at)
+                try:
+                    st.compact(min_files=2)
+                    exhausted = True
+                except _CrashHere:
+                    pass
+            lock = st._lock_path("maintenance")
+            if os.path.exists(lock):
+                import json as _json
+
+                with open(lock) as f:
+                    d = _json.load(f)
+                d["ts"] = 0
+                with open(lock, "w") as f:
+                    _json.dump(d, f)
+            st2 = ChangelogStore(spark, root, height_band=100)
+            if os.path.exists(lock):
+                os.remove(lock)
+            assert self._heights(st2) == [1, 2, 3, 4], f"crash_at={crash_at}"
+            # the store stays fully operational: maintenance re-runs and
+            # writes continue
+            st2.compact(min_files=2)
+            st2.write_batch(batch(spark, [5]))
+            assert self._heights(st2) == [1, 2, 3, 4, 5], (
+                f"crash_at={crash_at}"
+            )
+            crash_at += 1
+        assert exhausted
+        assert crash_at >= 4
