@@ -258,6 +258,128 @@ SIZE_STATS_ENV = "STATEDB_SIZE_STATS"
 _log = logging.getLogger("fluxdb_spark.store")
 
 
+class CommitLog:
+    """Versioned commit history for the parquet backend — the
+    transaction-log half of a transactional table format, re-created on a
+    plain filesystem.
+
+    Every durable mutation of the data directory — a committed append
+    batch, a compaction or DML band swap, a retention truncation — is
+    recorded as one numbered JSON entry under `_commits/`. A version is
+    claimed with PUT-IF-ABSENT semantics: the entry is fully written to a
+    private temp file and `os.link`ed to `v<version>.json`; the link is
+    atomic and fails with FileExistsError if a rival landed that version
+    first, in which case the claimer retries at the next number. No lock
+    is held while an entry is prepared, so this is cross-process
+    OPTIMISTIC concurrency — the same protocol a Delta-style table uses
+    for its `_delta_log` (put-if-absent commit files), and it gives the
+    store a total order of commits across all processes, streams, and
+    shards on top of the per-stream writer leases.
+
+    The log is commit METADATA, not the commit point: an append batch is
+    committed by its checkpoint advance (`append_and_commit`) and its log
+    entry lands immediately after; `recover()` heals the entry for a
+    writer that crashed in the gap (the surviving committed manifest
+    names the batch). Entry shape:
+
+        {"version": N, "ts": ..., "action": "append" | "rewrite",
+         "kind": "write_batch" | "compact" | "expire" | "purge" | "redact",
+         "add": [relpaths], "remove": [relpaths], ...}
+
+    Two capabilities fall out:
+
+    - **history()** — the DESCRIBE HISTORY analog: an audited, totally
+      ordered record of every mutation.
+    - **time travel** — `changelog(at_version=V)` reconstructs version
+      V's exact file set (adds minus removes of entries <= V). Rewrites
+      vacuum eagerly (replaced files are deleted, not tombstoned), so
+      reads below the newest rewrite's version raise loudly instead of
+      resolving to missing files.
+    """
+
+    def __init__(self, root: str):
+        self.dir = os.path.join(root, "_commits")
+        os.makedirs(self.dir, exist_ok=True)
+
+    @staticmethod
+    def _name(version: int) -> str:
+        return f"v{version:020d}.json"
+
+    def latest_version(self) -> int:
+        """Newest claimed version; 0 when the log is empty."""
+        vmax = 0
+        for fname in os.listdir(self.dir):
+            if fname.startswith("v") and fname.endswith(".json"):
+                try:
+                    vmax = max(vmax, int(fname[1:-5]))
+                except ValueError:
+                    pass
+        return vmax
+
+    def entries(self, up_to: int | None = None) -> list[dict]:
+        """All entries in version order (optionally only <= up_to)."""
+        out = []
+        for fname in sorted(os.listdir(self.dir)):
+            if not (fname.startswith("v") and fname.endswith(".json")):
+                continue
+            try:
+                version = int(fname[1:-5])
+            except ValueError:
+                continue
+            if up_to is not None and version > up_to:
+                break
+            with open(os.path.join(self.dir, fname)) as f:
+                entry = json.load(f)
+            entry["version"] = version
+            out.append(entry)
+        return out
+
+    def contains(self, key: str, value) -> bool:
+        """Has any entry already recorded `key == value`? (idempotence
+        guard for recovery-time healing)."""
+        return value is not None and any(
+            e.get(key) == value for e in self.entries()
+        )
+
+    def claim(self, entry: dict) -> int:
+        """Claim the next version for `entry`, optimistically.
+
+        The temp file carries the COMPLETE payload before the link, so
+        every visible `v*.json` is whole — a crash can only leave an
+        unlinked temp (swept by recover) or a fully committed entry."""
+        version = self.latest_version() + 1
+        tmp = os.path.join(self.dir, f".claim-{uuid.uuid4().hex}")
+        try:
+            while True:
+                with open(tmp, "w") as f:
+                    json.dump(dict(entry, version=version, ts=time.time()), f)
+                try:
+                    os.link(tmp, os.path.join(self.dir, self._name(version)))
+                    return version
+                except FileExistsError:
+                    version += 1  # lost the race: retry at the next slot
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+    def sweep_claims(self, min_age_s: float) -> None:
+        """Drop orphaned `.claim-*` temps from crashed claimers. Age-gated
+        so a live claimer's temp (written microseconds ago) is never
+        yanked between its write and its link."""
+        now = time.time()
+        for fname in os.listdir(self.dir):
+            if not fname.startswith(".claim-"):
+                continue
+            path = os.path.join(self.dir, fname)
+            try:
+                if now - os.path.getmtime(path) > min_age_s:
+                    os.remove(path)
+            except OSError:
+                pass
+
+
 class StoreBackend:
     """The physical append/visibility/recovery seam — the analog of the
     reference's store DSN (store.go:31-39, `badger://` local vs Bigtable
@@ -294,6 +416,14 @@ class StoreBackend:
     def recover(self, checkpoint_of, lease_is_fresh) -> int:
         raise NotImplementedError
 
+    def relation_at_version(self, read_schema, version):
+        """OPTIONAL capability — commit-level time travel: the committed
+        rows exactly as of commit `version`. A transactional format maps
+        this to native time travel (Delta `versionAsOf`); the parquet
+        backend resolves it from its CommitLog. Backends without a
+        commit history may leave it unimplemented."""
+        raise NotImplementedError
+
 
 class ParquetChangelogBackend(StoreBackend):
     """Plain-parquet backend: Hive-partitioned band layout plus a
@@ -316,6 +446,10 @@ class ParquetChangelogBackend(StoreBackend):
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.staging_dir, exist_ok=True)
+        self.commit_log = CommitLog(root)
+
+    def _rel(self, path: str) -> str:
+        return os.path.relpath(path, self.root)
 
     def append_and_commit(self, clustered, batch_id, bounds, shard, advance):
         stage = os.path.join(self.staging_dir, f"batch-{batch_id}")
@@ -354,6 +488,7 @@ class ParquetChangelogBackend(StoreBackend):
                 {
                     "hi": int(bounds.hi),
                     "shard": shard,
+                    "batch_id": batch_id,
                     "targets": [dst for _src, dst in moves],
                     "staging": stage,
                 },
@@ -366,6 +501,20 @@ class ParquetChangelogBackend(StoreBackend):
         # the checkpoint write is the COMMIT POINT (reference writes the
         # checkpoint in the same KV batch, store/kv/store.go:418-424)
         advance()
+        # history/time-travel metadata, not part of the commit point: a
+        # crash here leaves a committed manifest whose batch_id is absent
+        # from the log, and recover() heals the entry from the manifest
+        self.commit_log.claim(
+            {
+                "action": "append",
+                "kind": "write_batch",
+                "batch_id": batch_id,
+                "shard": shard,
+                "hi": int(bounds.hi),
+                "add": [self._rel(dst) for _src, dst in moves],
+                "remove": [],
+            }
+        )
         try:
             # a concurrent open's recover() may clean the now-committed
             # manifest before we do
@@ -421,6 +570,50 @@ class ParquetChangelogBackend(StoreBackend):
             # as silently empty
             return None
 
+    def files_at_version(self, version: int) -> list[str]:
+        """Resolve commit `version`'s exact file set from the log (adds
+        minus removes of every entry <= version). Rewrites vacuum the
+        files they replace eagerly, so any version below the newest
+        rewrite is unreconstructable — refused loudly, never resolved to
+        paths that no longer exist."""
+        entries = self.commit_log.entries()
+        if not entries:
+            raise WriteConsistencyError(
+                "store has no commit history: nothing to time-travel to"
+            )
+        latest = entries[-1]["version"]
+        if version > latest:
+            raise WriteConsistencyError(
+                f"version {version} does not exist yet (latest: {latest})"
+            )
+        floor = max(
+            (e["version"] for e in entries if e.get("action") == "rewrite"),
+            default=0,
+        )
+        if version < floor:
+            raise WriteConsistencyError(
+                f"version {version} predates rewrite commit {floor} "
+                f"({next(e for e in entries if e['version'] == floor).get('kind')}): "
+                "rewritten history is vacuumed eagerly and cannot be read"
+            )
+        files: set[str] = set()
+        for e in entries:
+            if e["version"] > version:
+                break
+            files.update(e.get("add", ()))
+            files.difference_update(e.get("remove", ()))
+        return sorted(os.path.join(self.root, p) for p in files)
+
+    def relation_at_version(self, read_schema, version: int):
+        paths = self.files_at_version(version)
+        if not paths:
+            return None
+        return (
+            self.spark.read.option("basePath", self.data_dir)
+            .schema(read_schema)
+            .parquet(*paths)
+        )
+
     def recover(self, checkpoint_of, lease_is_fresh) -> int:
         """Roll back torn batches and heal interrupted compaction swaps.
 
@@ -458,10 +651,15 @@ class ParquetChangelogBackend(StoreBackend):
                 continue
             ckpt = checkpoint_of(m.get("shard"))
             committed = ckpt is not None and m["hi"] <= ckpt.height
-            if not committed and lease_is_fresh(
+            if lease_is_fresh(
                 "global" if m.get("shard") is None else f"shard-{m['shard']}"
             ):
-                continue  # live writer mid-commit
+                # live writer mid-commit (uncommitted) or mid-cleanup
+                # (committed, between checkpoint and its own log claim +
+                # manifest removal): either way the writer finishes its
+                # own protocol — touching its manifest or claiming its
+                # log entry from here would race it
+                continue
             if not committed:
                 for target in m["targets"]:
                     try:
@@ -469,12 +667,30 @@ class ParquetChangelogBackend(StoreBackend):
                     except FileNotFoundError:
                         pass
                 rolled += 1
+            else:
+                # crash between checkpoint advance and commit-log claim:
+                # heal the append entry from the committed manifest
+                batch_id = m.get("batch_id") or fname[len("batch-"):-5]
+                if not self.commit_log.contains("batch_id", batch_id):
+                    self.commit_log.claim(
+                        {
+                            "action": "append",
+                            "kind": "write_batch",
+                            "batch_id": batch_id,
+                            "shard": m.get("shard"),
+                            "hi": m["hi"],
+                            "add": [self._rel(t) for t in m["targets"]],
+                            "remove": [],
+                            "healed": True,
+                        }
+                    )
             shutil.rmtree(m.get("staging", ""), ignore_errors=True)
             try:
                 os.remove(path)
             except FileNotFoundError:
                 pass
         self._sweep_orphaned_staging(lease_is_fresh)
+        self.commit_log.sweep_claims(self.sweep_min_age_s)
         return rolled
 
     def _sweep_orphaned_staging(self, lease_is_fresh) -> None:
@@ -524,7 +740,7 @@ class ParquetChangelogBackend(StoreBackend):
             if entry.startswith("batch-") and not writer_live:
                 shutil.rmtree(path, ignore_errors=True)
             elif (
-                entry.startswith(("compact-", "rebase-"))
+                entry.startswith(("compact-", "rebase-", "rewrite-"))
                 and not maintenance_live
             ):
                 shutil.rmtree(path, ignore_errors=True)
@@ -556,11 +772,33 @@ class ParquetChangelogBackend(StoreBackend):
                 pass
             return
         band, new, old = m["band"], m["new"], m["old"]
+        completed = False
         if not os.path.exists(band):
             if os.path.exists(new):
                 os.rename(new, band)
+                completed = True
             elif os.path.exists(old):
                 os.rename(old, band)
+        elif os.path.exists(old):
+            completed = True  # crash after the second rename
+        if (
+            completed
+            and "swap_id" in m
+            and not self.commit_log.contains("swap_id", m["swap_id"])
+        ):
+            # the swap reached the data dir but crashed before its
+            # commit-log claim: heal the rewrite entry from the journal
+            # so time travel's file resolution stays exact
+            self.commit_log.claim(
+                {
+                    "action": "rewrite",
+                    "kind": m.get("kind", "compact"),
+                    "swap_id": m["swap_id"],
+                    "add": m.get("add", []),
+                    "remove": m.get("remove", []),
+                    "healed": True,
+                }
+            )
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(new, ignore_errors=True)
         try:
@@ -936,6 +1174,7 @@ class ChangelogStore:
 
         rows_doomed = 0
         rows_rebased = 0
+        cleared_rel: list[str] = []
         for coll, paths in sorted(per_coll.items()):
             doomed_df = self.spark.read.parquet(*paths)
             n_doomed = doomed_df.count()
@@ -959,9 +1198,14 @@ class ChangelogStore:
                 f"height_band={horizon_band}",
             )
             os.makedirs(target, exist_ok=True)
-            # idempotent re-run: clear a previous (possibly torn) rebase
+            # idempotent re-run: clear a previous (possibly torn) rebase.
+            # A previous COMPLETED expire logged those files as adds, so
+            # they join the rewrite commit's remove list below
             for f in os.listdir(target):
                 if f.startswith(f"rebase-h{hmax}-"):
+                    cleared_rel.append(
+                        self._backend._rel(os.path.join(target, f))
+                    )
                     os.remove(os.path.join(target, f))
             tmp = os.path.join(
                 self._staging_dir, f"rebase-{uuid.uuid4().hex}"
@@ -984,6 +1228,8 @@ class ChangelogStore:
                     )
             shutil.rmtree(tmp, ignore_errors=True)
         # count the rebased tail (cheap: it is the live-key set)
+        add_rel: list[str] = []
+        remove_rel: list[str] = []
         for coll, _paths in sorted(per_coll.items()):
             target = os.path.join(
                 self._data_dir,
@@ -995,15 +1241,35 @@ class ChangelogStore:
                 for f in os.listdir(target)
                 if f.startswith(f"rebase-h{hmax}-")
             ]
+            add_rel.extend(self._backend._rel(p) for p in rebase_files)
             if rebase_files:
                 rows_rebased += self.spark.read.parquet(*rebase_files).count()
         for _coll, paths in per_coll.items():
             for p in paths:
+                for dirpath, _d, fnames in os.walk(p):
+                    remove_rel.extend(
+                        self._backend._rel(os.path.join(dirpath, fn))
+                        for fn in fnames
+                        if fn.endswith(".parquet")
+                    )
                 shutil.rmtree(p, ignore_errors=True)
         tmp = os.path.join(self.root, "_retention.json.tmp")
         with open(tmp, "w") as f:
             json.dump({"horizon": horizon}, f)
         os.replace(tmp, os.path.join(self.root, "_retention.json"))
+        # the truncation is a rewrite commit: it raises the time-travel
+        # floor (history below the horizon is gone by design). A crash
+        # before this claim leaves the floor too low; reads of the gap
+        # then fail loudly on the missing files rather than lying.
+        self._backend.commit_log.claim(
+            {
+                "action": "rewrite",
+                "kind": "expire",
+                "horizon": horizon,
+                "add": add_rel,
+                "remove": remove_rel + cleared_rel,
+            }
+        )
         return {
             "bands_dropped": n_bands,
             "rows_dropped": rows_doomed - rows_rebased,
@@ -1097,16 +1363,42 @@ class ChangelogStore:
                     self._manifest_dir, f"compact-{swap_id}.json"
                 )
                 jtmp = journal + ".tmp"
+                # add/remove pinned in the journal BEFORE the swap, so a
+                # crash at any later point can heal the commit-log entry
+                # with the exact file delta (see _recover_compact_swap)
+                rel = self._backend._rel
+                jentry = {
+                    "band": band_entry.path,
+                    "new": new,
+                    "old": old,
+                    "swap_id": swap_id,
+                    "kind": "compact",
+                    "remove": [
+                        rel(os.path.join(band_entry.path, fn))
+                        for fn in files
+                    ],
+                    "add": [
+                        rel(os.path.join(band_entry.path, fn))
+                        for fn in os.listdir(new)
+                        if fn.endswith(".parquet")
+                    ],
+                }
                 with open(jtmp, "w") as f:
-                    json.dump(
-                        {"band": band_entry.path, "new": new, "old": old},
-                        f,
-                    )
+                    json.dump(jentry, f)
                 os.replace(jtmp, journal)
                 # the swap: the band path is absent only between these
                 # two renames (microseconds, heals via recover())
                 os.rename(band_entry.path, old)
                 os.rename(new, band_entry.path)
+                self._backend.commit_log.claim(
+                    {
+                        "action": "rewrite",
+                        "kind": "compact",
+                        "swap_id": swap_id,
+                        "add": jentry["add"],
+                        "remove": jentry["remove"],
+                    }
+                )
                 os.remove(journal)
                 shutil.rmtree(old, ignore_errors=True)
                 stats["bands"] += 1
@@ -1120,9 +1412,172 @@ class ChangelogStore:
                 )
         return stats
 
+    # --- physical DML (copy-on-write rewrites) -----------------------------
+
+    def delete_where(self, condition) -> dict:
+        """Physical DELETE across ALL history — the user-level form of the
+        reference's `Batch.PurgeRow` (store/store.go:40-45, which it only
+        exercises internally for index pruning, indexing.go:378),
+        generalized to an arbitrary predicate. This is the GDPR / corrupt-
+        range tool: unlike a tombstone (which hides a key from reads at
+        or above its height but leaves every older version on disk), this
+        REWRITES the bands holding matching rows so the bytes are gone.
+
+        `condition` is a SQL boolean expression (or a Column) over the
+        changelog columns (collection, tablet_id, height, primary_key,
+        value, is_deletion, block_id, block_num). Copy-on-write at band
+        granularity: only bands that actually contain matching rows are
+        rewritten (everything else is untouched, file-identical), each
+        through the same journaled write-then-swap protocol as compact —
+        crash anywhere is healed by recover(), and each swap lands as a
+        `rewrite` commit in the history log. Checkpoints are untouched
+        (no height boundaries move). Snapshot indexes that referenced
+        purged keys stay consistent for reads (the join-back finds no
+        row) but callers deleting heavily should reindex afterwards."""
+        with self._writer_lease("maintenance", drain_others=True):
+            return self._rewrite_where_locked(condition, "purge", None)
+
+    def redact_where(self, condition, value_expr: str) -> dict:
+        """Physical UPDATE of `value` for matching rows across ALL history
+        — in-place PII redaction: every version of a matching row gets its
+        value REWRITTEN to `value_expr` (a SQL expression, cast to the
+        schema's value type; e.g. `'[REDACTED]'` or a
+        `regexp_replace(value, ...)` over the old value). Same
+        copy-on-write band machinery as
+        delete_where; row count, heights, and checkpoints unchanged."""
+        with self._writer_lease("maintenance", drain_others=True):
+            return self._rewrite_where_locked(condition, "redact", value_expr)
+
+    def purge_key(
+        self, collection: str, tablet_id: str, primary_key: str
+    ) -> dict:
+        """Erase one primary key's entire version history (delete_where
+        specialization — the exact PurgeRow shape)."""
+        cond = (
+            (F.col("collection") == F.lit(collection))
+            & (F.col("tablet_id") == F.lit(tablet_id))
+            & (F.col("primary_key") == F.lit(primary_key))
+        )
+        return self.delete_where(cond)
+
+    def _rewrite_where_locked(self, condition, kind: str, value_expr) -> dict:
+        if any(
+            f.startswith("batch-") and f.endswith(".json")
+            for f in os.listdir(self._manifest_dir)
+        ):
+            raise WriteConsistencyError(
+                "pending write manifest: run recover() before rewriting"
+            )
+        from pyspark.sql import types as T
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        read_schema = T.StructType(
+            CHANGELOG_SCHEMA.fields
+            + [T.StructField("height_band", T.LongType(), True)]
+        )
+        df = self._backend.committed_relation(read_schema, self.checkpoint)
+        stats = {"kind": kind, "bands_rewritten": 0, "rows_matched": 0}
+        if df is None:
+            return stats
+        # band-level pruning: one aggregation finds the (collection, band)
+        # partitions that actually hold matching rows — bounded by the
+        # partition count, never the row count
+        affected = (
+            df.filter(cond)
+            .groupBy("collection", "height_band")
+            .agg(F.count(F.lit(1)).alias("matched"))
+            .collect()
+        )
+        rel = self._backend._rel
+        for row in sorted(affected, key=lambda r: (r.collection, r.height_band)):
+            band_path = os.path.join(
+                self._data_dir,
+                f"collection={row.collection}",
+                f"height_band={int(row.height_band)}",
+            )
+            files = [
+                f for f in os.listdir(band_path) if f.endswith(".parquet")
+            ]
+            band_df = self.spark.read.parquet(band_path).withColumns(
+                {
+                    "collection": F.lit(row.collection),
+                    "height_band": F.lit(int(row.height_band)).cast("long"),
+                }
+            )
+            if kind == "purge":
+                out = band_df.filter(~F.coalesce(cond, F.lit(False)))
+            else:
+                value_type = CHANGELOG_SCHEMA["value"].dataType.simpleString()
+                out = band_df.withColumn(
+                    "value",
+                    F.when(
+                        F.coalesce(cond, F.lit(False)),
+                        F.expr(value_expr).cast(value_type),
+                    ).otherwise(F.col("value")),
+                )
+            out = out.drop("collection", "height_band")
+            n_kept = out.count()
+            n_out = max(1, min(64, -(-n_kept // 500_000)))
+            swap_id = uuid.uuid4().hex
+            new = os.path.join(self._staging_dir, f"rewrite-{swap_id}")
+            old = os.path.join(self._staging_dir, f"rewrite-{swap_id}-old")
+            (
+                (
+                    out.repartition(n_out, "tablet_id")
+                    if n_out > 1
+                    else out.coalesce(1)
+                )
+                .sortWithinPartitions("tablet_id", "height")
+                .write.mode("overwrite")
+                .parquet(new)
+            )
+            for junk in os.listdir(new):
+                if not junk.endswith(".parquet"):
+                    os.remove(os.path.join(new, junk))
+            jentry = {
+                "band": band_path,
+                "new": new,
+                "old": old,
+                "swap_id": swap_id,
+                "kind": kind,
+                "remove": [rel(os.path.join(band_path, fn)) for fn in files],
+                "add": [
+                    rel(os.path.join(band_path, fn))
+                    for fn in os.listdir(new)
+                    if fn.endswith(".parquet")
+                ],
+            }
+            journal = os.path.join(
+                self._manifest_dir, f"compact-{swap_id}.json"
+            )
+            jtmp = journal + ".tmp"
+            with open(jtmp, "w") as f:
+                json.dump(jentry, f)
+            os.replace(jtmp, journal)
+            os.rename(band_path, old)
+            os.rename(new, band_path)
+            self._backend.commit_log.claim(
+                {
+                    "action": "rewrite",
+                    "kind": kind,
+                    "swap_id": swap_id,
+                    "add": jentry["add"],
+                    "remove": jentry["remove"],
+                }
+            )
+            os.remove(journal)
+            shutil.rmtree(old, ignore_errors=True)
+            stats["bands_rewritten"] += 1
+            stats["rows_matched"] += int(row.matched)
+        return stats
+
     # --- read path ---------------------------------------------------------
 
-    def changelog(self, max_height: int | None = None) -> DataFrame:
+    def changelog(
+        self,
+        max_height: int | None = None,
+        at_version: int | None = None,
+    ) -> DataFrame:
         """The canonical change-log relation over everything durable AND
         committed (uncommitted manifest targets are excluded by the
         backend's committed_relation — snapshot isolation against
@@ -1134,7 +1589,15 @@ class ChangelogStore:
         shape that keeps a height-H read O(H) instead of O(history) on a
         100 TB log), and the row predicate handles the partial band at the
         boundary. Only the store can add the band predicate, because only
-        it knows the band size — callers just pass the height."""
+        it knows the band size — callers just pass the height.
+
+        `at_version` is COMMIT-level time travel (orthogonal to the
+        height axis, which is the data model's own time): the relation
+        exactly as of commit version V from `history()` — e.g. the store
+        as it stood before yesterday's backfill batch, regardless of the
+        heights it covered. Resolved from the backend's commit log;
+        versions below the newest rewrite commit (compact / expire / DML)
+        are refused because rewrites vacuum replaced files eagerly."""
         from pyspark.sql import types as T
 
         if max_height is not None:
@@ -1148,7 +1611,10 @@ class ChangelogStore:
             CHANGELOG_SCHEMA.fields
             + [T.StructField("height_band", T.LongType(), True)]
         )
-        df = self._backend.committed_relation(read_schema, self.checkpoint)
+        if at_version is not None:
+            df = self._backend.relation_at_version(read_schema, at_version)
+        else:
+            df = self._backend.committed_relation(read_schema, self.checkpoint)
         if df is None:
             return self.spark.createDataFrame([], CHANGELOG_SCHEMA)
         if max_height is not None:
@@ -1157,6 +1623,35 @@ class ChangelogStore:
                 & (F.col("height") <= max_height)
             )
         return df.drop("height_band")
+
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analog: one row per commit, in version order —
+        every append batch, compaction/DML band swap, and retention
+        truncation across all processes and shards, as recorded by the
+        backend's optimistically-claimed commit log."""
+        rows = [
+            (
+                e["version"],
+                e.get("action"),
+                e.get("kind"),
+                e.get("shard"),
+                e.get("hi"),
+                len(e.get("add", ())),
+                len(e.get("remove", ())),
+                bool(e.get("healed", False)),
+                float(e.get("ts", 0.0)),
+            )
+            for e in self._backend.commit_log.entries()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version LONG, action STRING, kind STRING, shard STRING, "
+            "hi LONG, files_added INT, files_removed INT, healed BOOLEAN, "
+            "ts DOUBLE",
+        )
+
+    def latest_commit_version(self) -> int:
+        return self._backend.commit_log.latest_version()
 
     def is_empty(self) -> bool:
         return self.checkpoint() is None and not any(

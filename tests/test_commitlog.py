@@ -1,0 +1,377 @@
+"""Commit-log protocol: optimistic version claims, history, commit-level
+time travel, and the physical DML rewrites recorded through it.
+
+The log is the transaction-log half of a transactional table format
+(Delta's `_delta_log` put-if-absent commits) re-created on a plain
+filesystem — see store.CommitLog. The reference has no analog (its KV
+batches are opaque); the closest semantics are the checkpoint-as-commit
+atomicity (store/kv/store.go:418-443) these entries trail, and
+`Batch.PurgeRow` (store/store.go:40-45) which `delete_where` generalizes
+to a user-level operation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluxdb_spark.store import ChangelogStore, CommitLog, WriteConsistencyError
+from fluxdb_spark.operators import state_at
+from tests.conftest import make_changelog
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ChangelogStore(spark, str(tmp_path / "db"), height_band=10)
+
+
+def batch(spark, heights, tablet="tbl", pk="001"):
+    return make_changelog(
+        spark, [("tst", tablet, h, pk, f"v{h}") for h in heights]
+    )
+
+
+class TestCommitLogClaims:
+    def test_versions_are_dense_and_ordered(self, tmp_path):
+        log = CommitLog(str(tmp_path))
+        for i in range(5):
+            v = log.claim({"action": "append", "kind": "write_batch", "i": i})
+            assert v == i + 1
+        entries = log.entries()
+        assert [e["version"] for e in entries] == [1, 2, 3, 4, 5]
+        assert [e["i"] for e in entries] == [0, 1, 2, 3, 4]
+
+    def test_entries_up_to(self, tmp_path):
+        log = CommitLog(str(tmp_path))
+        for i in range(4):
+            log.claim({"action": "append", "i": i})
+        assert [e["i"] for e in log.entries(up_to=2)] == [0, 1]
+
+    def test_claim_leaves_no_temp_files(self, tmp_path):
+        log = CommitLog(str(tmp_path))
+        log.claim({"action": "append"})
+        assert not [f for f in os.listdir(log.dir) if f.startswith(".claim-")]
+
+    def test_sweep_claims_age_gated(self, tmp_path):
+        log = CommitLog(str(tmp_path))
+        stray = os.path.join(log.dir, ".claim-deadbeef")
+        with open(stray, "w") as f:
+            f.write("{}")
+        log.sweep_claims(min_age_s=3600)  # too young: kept
+        assert os.path.exists(stray)
+        os.utime(stray, (0, 0))
+        log.sweep_claims(min_age_s=3600)  # ancient: swept
+        assert not os.path.exists(stray)
+
+    def test_contended_claims_cross_process(self, tmp_path):
+        """Four processes, five claims each, no locks — the put-if-absent
+        link is the only arbiter. Every claim must win a UNIQUE version
+        and the final log must be dense: 20 entries, versions 1..20,
+        every (proc, seq) pair present exactly once. This is the
+        optimistic-concurrency guarantee a Delta-style commit protocol
+        provides across writers."""
+        script = r"""
+import json, sys
+sys.path.insert(0, sys.argv[3])
+from fluxdb_spark.store import CommitLog
+
+log = CommitLog(sys.argv[1])
+me = sys.argv[2]
+won = [log.claim({"action": "append", "proc": me, "seq": i}) for i in range(5)]
+print(json.dumps(won))
+"""
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", script, str(tmp_path), f"p{i}", repo],
+                stdout=subprocess.PIPE,
+            )
+            for i in range(4)
+        ]
+        all_versions = []
+        for p in procs:
+            out, _ = p.communicate(timeout=60)
+            assert p.returncode == 0
+            all_versions.extend(json.loads(out))
+        assert sorted(all_versions) == list(range(1, 21))
+        log = CommitLog(str(tmp_path))
+        entries = log.entries()
+        assert [e["version"] for e in entries] == list(range(1, 21))
+        assert sorted((e["proc"], e["seq"]) for e in entries) == sorted(
+            (f"p{i}", s) for i in range(4) for s in range(5)
+        )
+
+
+class TestHistoryAndTimeTravel:
+    def test_append_history_and_time_travel(self, spark, store):
+        store.write_batch(batch(spark, [1, 2, 3]))
+        v1 = store.latest_commit_version()
+        store.write_batch(batch(spark, [4, 5]))
+        v2 = store.latest_commit_version()
+        assert (v1, v2) == (1, 2)
+        hist = store.history().collect()
+        assert [(r.version, r.action, r.kind, r.hi) for r in hist] == [
+            (1, "append", "write_batch", 3),
+            (2, "append", "write_batch", 5),
+        ]
+        assert sorted(
+            r.height for r in store.changelog(at_version=v1).collect()
+        ) == [1, 2, 3]
+        assert store.changelog(at_version=v2).count() == 5
+
+    def test_time_travel_composes_with_height_bound(self, spark, store):
+        store.write_batch(batch(spark, range(1, 25)))
+        v1 = store.latest_commit_version()
+        store.write_batch(batch(spark, [25, 26]))
+        got = store.changelog(max_height=15, at_version=v1)
+        assert sorted(r.height for r in got.collect()) == list(range(1, 16))
+
+    def test_future_version_refused(self, spark, store):
+        store.write_batch(batch(spark, [1]))
+        with pytest.raises(WriteConsistencyError, match="does not exist"):
+            store.changelog(at_version=99)
+
+    def test_empty_history_refused(self, spark, store):
+        with pytest.raises(WriteConsistencyError, match="no commit history"):
+            store.changelog(at_version=1)
+
+    def test_compact_is_a_rewrite_commit_and_raises_floor(
+        self, spark, store
+    ):
+        for h in range(1, 5):
+            store.write_batch(batch(spark, [h]))
+        v_before = store.latest_commit_version()
+        store.compact(min_files=2)
+        hist = store.history().collect()
+        assert hist[-1].action == "rewrite" and hist[-1].kind == "compact"
+        # versions below the rewrite are gone (vacuumed eagerly) — loud
+        with pytest.raises(WriteConsistencyError, match="predates rewrite"):
+            store.changelog(at_version=v_before)
+        # at and after the rewrite: exact
+        assert sorted(
+            r.height
+            for r in store.changelog(
+                at_version=store.latest_commit_version()
+            ).collect()
+        ) == [1, 2, 3, 4]
+
+    def test_time_travel_after_appends_over_rewrite(self, spark, store):
+        for h in range(1, 5):
+            store.write_batch(batch(spark, [h]))
+        store.compact(min_files=2)
+        v_compact = store.latest_commit_version()
+        store.write_batch(batch(spark, [5, 6]))
+        assert sorted(
+            r.height
+            for r in store.changelog(at_version=v_compact).collect()
+        ) == [1, 2, 3, 4]
+
+    def test_expire_is_a_rewrite_commit(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "edb"), height_band=5)
+        st.write_batch(batch(spark, range(1, 14)))
+        st.expire_bands(before_height=10)
+        last = st.history().collect()[-1]
+        assert (last.action, last.kind) == ("rewrite", "expire")
+        assert last.files_removed >= 1
+        # current state still reads exactly at the latest version
+        assert (
+            st.changelog(at_version=st.latest_commit_version()).count()
+            == st.changelog().count()
+        )
+
+    def test_shard_streams_share_one_total_order(self, spark, tmp_path):
+        st = ChangelogStore(spark, str(tmp_path / "sdb"))
+        st.write_batch(batch(spark, [1, 2]), shard="0")
+        st.write_batch(batch(spark, [1, 3], tablet="other"), shard="1")
+        hist = st.history().collect()
+        assert [r.version for r in hist] == [1, 2]
+        assert sorted(r.shard for r in hist) == ["0", "1"]
+
+
+class TestPhysicalDML:
+    def test_purge_key_erases_all_history(self, spark, store):
+        rows = make_changelog(
+            spark,
+            [("tst", "tbl", h, pk, f"{pk}@{h}") for h in range(1, 31)
+             for pk in ("aaa", "bbb")],
+        )
+        store.write_batch(rows)
+        assert store.changelog().count() == 60
+        stats = store.purge_key("tst", "tbl", "aaa")
+        # heights 1..30 at band size 10 span bands 0..3
+        assert stats["rows_matched"] == 30 and stats["bands_rewritten"] == 4
+        log = store.changelog()
+        assert log.count() == 30
+        assert log.filter(F.col("primary_key") == "aaa").count() == 0
+        # temporal reads no longer see the key at ANY height
+        assert [
+            r.primary_key
+            for r in state_at(log, "tbl", 30, collection="tst").collect()
+        ] == ["bbb"]
+        # checkpoint untouched: no height boundaries moved
+        assert store.checkpoint().height == 30
+
+    def test_untouched_bands_are_file_identical(self, spark, store):
+        store.write_batch(
+            make_changelog(
+                spark,
+                [("tst", "tbl", h, "low", f"v{h}") for h in range(1, 10)]
+                + [("tst", "tbl", 25, "hit", "x")]
+                + [("tst", "tbl", 26, "low2", "y")],
+            )
+        )
+        def files_of(band):
+            p = os.path.join(
+                store._data_dir, "collection=tst", f"height_band={band}"
+            )
+            return sorted(
+                (f, os.stat(os.path.join(p, f)).st_ino)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        band0_before = files_of(0)
+        stats = store.delete_where("primary_key = 'hit'")
+        assert stats["bands_rewritten"] == 1
+        # band 0 had no matching rows: same files, same inodes
+        assert files_of(0) == band0_before
+
+    def test_delete_where_arbitrary_predicate(self, spark, store):
+        store.write_batch(batch(spark, range(1, 21)))
+        stats = store.delete_where("height BETWEEN 5 AND 8")
+        assert stats["rows_matched"] == 4
+        assert sorted(r.height for r in store.changelog().collect()) == [
+            h for h in range(1, 21) if not 5 <= h <= 8
+        ]
+
+    def test_redact_where_rewrites_value_only(self, spark, store):
+        store.write_batch(batch(spark, range(1, 11)))
+        stats = store.redact_where(
+            "height <= 3", "'[GDPR]'"
+        )
+        assert stats["rows_matched"] == 3 and stats["kind"] == "redact"
+        got = {
+            r.height: r.value for r in store.changelog().collect()
+        }
+        assert {h: got[h] for h in (1, 2, 3)} == {h: "[GDPR]" for h in (1, 2, 3)}
+        assert got[4] == "v4"  # untouched rows keep their values
+        # row count, heights, checkpoint all unchanged
+        assert len(got) == 10 and store.checkpoint().height == 10
+
+    def test_redact_where_expression_over_old_value(self, spark, store):
+        store.write_batch(batch(spark, [1, 2]))
+        store.redact_where(
+            "height = 2", "regexp_replace(value, 'v', 'redacted-')"
+        )
+        got = {r.height: r.value for r in store.changelog().collect()}
+        assert got == {1: "v1", 2: "redacted-2"}
+
+    def test_dml_is_a_rewrite_commit(self, spark, store):
+        store.write_batch(batch(spark, [1, 2, 3]))
+        store.delete_where("height = 2")
+        last = store.history().collect()[-1]
+        assert (last.action, last.kind) == ("rewrite", "purge")
+        assert (
+            store.changelog(at_version=store.latest_commit_version()).count()
+            == 2
+        )
+
+    def test_delete_entire_band_leaves_store_consistent(self, spark, store):
+        store.write_batch(batch(spark, range(1, 25)))
+        store.delete_where("height BETWEEN 11 AND 20")  # all of band 1
+        assert sorted(r.height for r in store.changelog().collect()) == (
+            list(range(1, 11)) + list(range(21, 25))
+        )
+        store.write_batch(batch(spark, [25]))  # store stays writable
+        assert store.checkpoint().height == 25
+
+    def test_dml_refused_over_pending_manifest(self, spark, store):
+        store.write_batch(batch(spark, [1]))
+        pending = os.path.join(store._manifest_dir, "batch-dead.json")
+        with open(pending, "w") as f:
+            json.dump({"hi": 99, "shard": None, "targets": []}, f)
+        with pytest.raises(WriteConsistencyError, match="pending write"):
+            store.delete_where("height = 1")
+        os.remove(pending)
+
+    def test_null_predicate_rows_are_kept(self, spark, store):
+        """DELETE semantics: a NULL predicate is not a match — rows where
+        the condition can't evaluate true must survive."""
+        store.write_batch(
+            make_changelog(
+                spark,
+                [
+                    ("tst", "tbl", 1, "a", "xx"),
+                    ("tst", "tbl", 2, "b", None),  # tombstone: value NULL
+                ],
+            )
+        )
+        stats = store.delete_where("value = 'xx'")
+        assert stats["rows_matched"] == 1
+        assert [r.height for r in store.changelog().collect()] == [2]
+
+
+class TestDMLCrashRecovery:
+    def test_crash_at_every_fileop_heals_and_stays_exact(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash-fuzz delete_where's journaled swap at every Python-side
+        filesystem op (the same discipline as the write/compact fuzz):
+        after recover, the store is either fully pre-delete or fully
+        post-delete per band — never a half-rewritten band — and a re-run
+        converges to the exact post-delete state with a consistent log."""
+        from tests.test_store import _CrashHere, _FileOpCrasher
+
+        crash_at = 0
+        exhausted = False
+        while not exhausted and crash_at < 40:
+            root = str(tmp_path / f"ddb-{crash_at}")
+            st = ChangelogStore(spark, root, height_band=5)
+            st.write_batch(batch(spark, range(1, 13)))
+            with monkeypatch.context() as mp:
+                _FileOpCrasher(mp, crash_at)
+                try:
+                    st.delete_where("height IN (3, 7, 11)")
+                    exhausted = True
+                except _CrashHere:
+                    pass
+            lock = st._lock_path("maintenance")
+            if os.path.exists(lock):
+                with open(lock) as f:
+                    d = json.load(f)
+                d["ts"] = 0
+                with open(lock, "w") as f:
+                    json.dump(d, f)
+            st2 = ChangelogStore(spark, root, height_band=5)
+            if os.path.exists(lock):
+                os.remove(lock)
+            # every band is whole: each height present exactly once or,
+            # for the targeted heights, possibly already deleted
+            heights = sorted(r.height for r in st2.changelog().collect())
+            assert len(heights) == len(set(heights)), f"crash_at={crash_at}"
+            assert set(heights) | {3, 7, 11} == set(range(1, 13)), (
+                f"crash_at={crash_at}"
+            )
+            st2.delete_where("height IN (3, 7, 11)")  # idempotent re-run
+            assert sorted(r.height for r in st2.changelog().collect()) == [
+                h for h in range(1, 13) if h not in (3, 7, 11)
+            ], f"crash_at={crash_at}"
+            sids = [
+                e["swap_id"]
+                for e in st2._backend.commit_log.entries()
+                if "swap_id" in e
+            ]
+            assert sorted(sids) == sorted(set(sids)), f"crash_at={crash_at}"
+            assert (
+                st2.changelog(
+                    at_version=st2.latest_commit_version()
+                ).count()
+                == st2.changelog().count()
+            ), f"crash_at={crash_at}"
+            crash_at += 1
+        assert exhausted
+        assert crash_at >= 5

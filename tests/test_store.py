@@ -1283,7 +1283,7 @@ class _FileOpCrasher:
         import os as _os
 
         self.remaining = crash_at
-        for name in ("rename", "replace", "remove"):
+        for name in ("rename", "replace", "remove", "link"):
             real = getattr(_os, name)
 
             def wrapper(*a, _real=real, **kw):
@@ -1351,6 +1351,19 @@ class TestCrashFuzzStore:
                 for f in os.listdir(st2._manifest_dir)
                 if f.endswith(".json")
             ] == [], f"crash_at={crash_at}"
+            # the commit log healed to exactly one append entry per batch
+            # (crash before the claim -> recover heals it from the
+            # committed manifest; crash after -> no duplicate), and time
+            # travel at the newest version sees the full committed state
+            entries = st2._backend.commit_log.entries()
+            his = [e["hi"] for e in entries if e["action"] == "append"]
+            assert sorted(his) == sorted(set(his)), f"crash_at={crash_at}"
+            assert (
+                st2.changelog(
+                    at_version=st2.latest_commit_version()
+                ).count()
+                == st2.changelog().count()
+            ), f"crash_at={crash_at}"
             crash_at += 1
         assert exhausted, "never exercised the full op sequence"
         assert crash_at >= 5  # the path really has multiple crash windows
@@ -1394,6 +1407,18 @@ class TestCrashFuzzStore:
             assert self._heights(st2) == [1, 2, 3, 4, 5], (
                 f"crash_at={crash_at}"
             )
+            # a completed swap is logged exactly once (live claim or
+            # recovery healing, never both) and time travel at the
+            # newest version resolves to the exact post-swap file set
+            entries = st2._backend.commit_log.entries()
+            sids = [e["swap_id"] for e in entries if "swap_id" in e]
+            assert sorted(sids) == sorted(set(sids)), f"crash_at={crash_at}"
+            assert sorted(
+                r.height
+                for r in st2.changelog(
+                    at_version=st2.latest_commit_version()
+                ).collect()
+            ) == [1, 2, 3, 4, 5], f"crash_at={crash_at}"
             crash_at += 1
         assert exhausted
         assert crash_at >= 4
