@@ -46,6 +46,8 @@ files are height-sorted so row-group min/max stats prune further):
       _staging/batch-<id>/...        (Spark output before the move)
       _writer-<stream>.lock          (single-writer lease per stream)
       _retention.json                (horizon written by expire_bands)
+      _commits/v<version>.json       (optimistic commit log: history,
+                                      time travel — see CommitLog)
 """
 
 from __future__ import annotations
