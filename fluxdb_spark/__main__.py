@@ -158,7 +158,10 @@ def cmd_maintain(args, spark: SparkSession) -> int:
     """Maintenance mode (beyond the reference's four: its KV store
     amortizes small writes internally; the parquet store needs an explicit
     OPTIMIZE pass): roll back torn batches, compact small files per height
-    band, and optionally prune superseded index snapshots."""
+    band, and optionally prune superseded index snapshots, expire history,
+    run physical DML (--delete-where / --redact-where: GDPR erasure and
+    PII redaction via copy-on-write band rewrites), and print the commit
+    log (--history)."""
     from fluxdb_spark.store import ChangelogStore, IndexStore
 
     store = ChangelogStore(spark, args.store)
@@ -179,6 +182,25 @@ def cmd_maintain(args, spark: SparkSession) -> int:
     if args.index is not None:
         removed = IndexStore(spark, args.index).prune(args.prune_frequency)
         print(f"pruned {removed} superseded index snapshot(s)")
+    if args.delete_where is not None:
+        r = store.delete_where(args.delete_where)
+        print(
+            f"deleted {r['rows_matched']} row(s) across "
+            f"{r['bands_rewritten']} rewritten band(s)"
+        )
+    if args.redact_where is not None:
+        r = store.redact_where(args.redact_where, args.redact_to)
+        print(
+            f"redacted {r['rows_matched']} row(s) across "
+            f"{r['bands_rewritten']} rewritten band(s)"
+        )
+    if args.history:
+        for row in store.history().collect():
+            print(
+                f"v{row.version}\t{row.action}\t{row.kind}"
+                f"\t+{row.files_added}/-{row.files_removed}"
+                + (f"\thi={row.hi}" if row.hi is not None else "")
+            )
     return 0
 
 
@@ -225,6 +247,27 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--index", default=None)
     m.add_argument("--prune-frequency", type=int, default=3)
     m.add_argument("--expire-before", type=int, default=None)
+    m.add_argument(
+        "--delete-where",
+        default=None,
+        help="physical DELETE (GDPR erasure): SQL predicate over the "
+        "changelog columns; only bands with matching rows are rewritten",
+    )
+    m.add_argument(
+        "--redact-where",
+        default=None,
+        help="physical value rewrite (PII redaction): SQL predicate",
+    )
+    m.add_argument(
+        "--redact-to",
+        default="'[REDACTED]'",
+        help="SQL expression replacing `value` where --redact-where matches",
+    )
+    m.add_argument(
+        "--history",
+        action="store_true",
+        help="print the commit log (DESCRIBE HISTORY analog)",
+    )
     m.set_defaults(fn=cmd_maintain)
     return p
 

@@ -286,3 +286,42 @@ def test_concurrent_cross_process_injects_stay_consistent(
         f for f in os.listdir(store) if f.startswith("_writer-")
     ]
     assert os.listdir(os.path.join(store, "_manifests")) == []
+
+
+def test_maintain_dml_and_history(spark, tmp_path, capsys):
+    """maintain --delete-where / --redact-where / --history: the physical
+    DML and commit-log surfaces through the CLI."""
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "dstore")
+    st = ChangelogStore(spark, root, height_band=10)
+    st.write_batch(
+        make_changelog(
+            spark,
+            [("tst", "tbl", h, f"k{h % 3}", f"v{h}") for h in range(1, 13)],
+        )
+    )
+    rc = main(
+        ["maintain", "--store", root, "--min-files", "99",
+         "--delete-where", "primary_key = 'k0'",
+         "--redact-where", "primary_key = 'k1'",
+         "--redact-to", "'[GDPR]'",
+         "--history"],
+        spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "deleted 4 row(s)" in out
+    assert "redacted 4 row(s)" in out
+    # the history listing shows the appends and both rewrites in order
+    assert "v1\tappend\twrite_batch" in out
+    assert "rewrite\tpurge" in out and "rewrite\tredact" in out
+    st2 = ChangelogStore(spark, root, height_band=10)
+    log = st2.changelog()
+    assert log.filter(F.col("primary_key") == "k0").count() == 0
+    assert set(
+        r.value
+        for r in log.filter(F.col("primary_key") == "k1").collect()
+    ) == {"[GDPR]"}
+    assert st2.checkpoint().height == 12
