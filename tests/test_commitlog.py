@@ -375,3 +375,111 @@ class TestDMLCrashRecovery:
             crash_at += 1
         assert exhausted
         assert crash_at >= 5
+
+
+# --- property test: random op sequences vs a Python model ----------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st_h
+
+
+@st_h.composite
+def store_op_sequences(draw):
+    """A random interleaving of append / compact / delete_where ops.
+    Appends stay contiguous (the monotonic guard requires it); deletes
+    target either one height or one primary key below a height. Expire is
+    deliberately absent: its live-tail rebase is covered by TestRetention
+    and would fold the model's height axis."""
+    ops = []
+    next_h = 1
+    n_ops = draw(st_h.integers(min_value=3, max_value=7))
+    for _ in range(n_ops):
+        kind = draw(st_h.sampled_from(["append", "append", "compact", "delete"]))
+        if kind == "append":
+            k = draw(st_h.integers(min_value=1, max_value=4))
+            pks = [
+                draw(st_h.sampled_from(["a", "b"]))
+                for _ in range(k)
+            ]
+            ops.append(("append", [(next_h + i, pks[i]) for i in range(k)]))
+            next_h += k
+        elif kind == "compact":
+            ops.append(("compact", None))
+        else:
+            if next_h == 1:
+                continue  # nothing written yet
+            mode = draw(st_h.sampled_from(["height", "pk_below"]))
+            h = draw(st_h.integers(min_value=1, max_value=next_h - 1))
+            pk = draw(st_h.sampled_from(["a", "b"]))
+            ops.append(("delete", (mode, h, pk)))
+    return ops
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=store_op_sequences())
+def test_oplog_fuzz_time_travel_matches_model(spark, tmp_path_factory, ops):
+    """Any random append/compact/delete sequence: the live read matches a
+    naive Python model after every op, every recorded version at or above
+    the rewrite floor time-travels to EXACTLY the model state it was
+    recorded at, and every version below the floor refuses loudly."""
+    root = tmp_path_factory.mktemp("oplogfuzz")
+    st = ChangelogStore(spark, str(root / "db"), height_band=5)
+    model: set = set()  # {(height, pk)}
+    snapshots: list = []  # [(version, frozenset(model))]
+    had_rewrite_at: list = []  # versions claimed by rewrite ops
+
+    for kind, arg in ops:
+        if kind == "append":
+            st.write_batch(
+                make_changelog(
+                    spark, [("tst", "tbl", h, pk, f"v{h}{pk}") for h, pk in arg]
+                )
+            )
+            model |= {(h, pk) for h, pk in arg}
+        elif kind == "compact":
+            before = st.latest_commit_version()
+            st.compact(min_files=2)
+            if st.latest_commit_version() > before:
+                had_rewrite_at.append(st.latest_commit_version())
+        else:
+            mode, h, pk = arg
+            before = st.latest_commit_version()
+            if mode == "height":
+                st.delete_where(f"height = {h}")
+                model = {(mh, mpk) for mh, mpk in model if mh != h}
+            else:
+                st.delete_where(
+                    (F.col("primary_key") == pk) & (F.col("height") <= h)
+                )
+                model = {
+                    (mh, mpk)
+                    for mh, mpk in model
+                    if not (mpk == pk and mh <= h)
+                }
+            if st.latest_commit_version() > before:
+                had_rewrite_at.append(st.latest_commit_version())
+        got = {
+            (r.height, r.primary_key) for r in st.changelog().collect()
+        }
+        assert got == model, f"live read diverged after {kind} {arg}"
+        snapshots.append((st.latest_commit_version(), frozenset(model)))
+
+    floor = max(had_rewrite_at, default=0)
+    seen = set()
+    for version, expected in snapshots:
+        if version == 0 or version in seen:
+            continue
+        seen.add(version)
+        if version < floor:
+            with pytest.raises(WriteConsistencyError, match="predates"):
+                st.changelog(at_version=version).collect()
+        else:
+            got = {
+                (r.height, r.primary_key)
+                for r in st.changelog(at_version=version).collect()
+            }
+            assert got == set(expected), f"time travel to v{version} diverged"
