@@ -188,6 +188,7 @@ _PRIORITY: list[str] = [
     # -- round-5 additions (no driver row yet; rotate forward in r06)
     "hash_split",
     "text_normalize",
+    "doc_chunking",
 ]
 
 
@@ -3672,3 +3673,15 @@ def text_normalize(spark, sf_dir):
         norm.alias("norm"),
         F.length(norm).cast("long").alias("norm_len"),
     )
+
+
+@_q("doc_chunking", "pipeline", tx.sql_chunk_documents(32, 24))
+def doc_chunking(spark, sf_dir):
+    """RAG / context-window chunking: overlapping 32-word windows at
+    stride 24 per document, emission stopping once a window reaches the
+    document end (no window fully contained in another). Entirely
+    map-side — split -> sequence -> higher-order filter/transform ->
+    explode, explode factor ~n_words/24 per doc — so chunking a 100 TB
+    corpus runs at scan speed with zero shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(d, chunk_words=32, stride=24)

@@ -562,3 +562,74 @@ def sql_normalize_text(expr: str) -> str:
         + expr
         + "), '[\\x00-\\x1f\\x7f]', ' ', 'g'), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))"
     )
+
+
+def chunk_documents(
+    docs,
+    chunk_words: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Overlapping fixed-width word windows per document — the chunking
+    stage every RAG / context-window pipeline runs before embedding or
+    packing. Windows start every `stride` words (overlap = chunk_words -
+    stride) and generation stops once a window reaches the document end
+    (the return-overflowing-tokens rule): a window is emitted iff it is
+    the first, or its predecessor did not already cover the last word —
+    so no window is fully contained in another and short tails never
+    multiply.
+
+    Scale shape: pure per-row JVM expressions (split -> sequence ->
+    higher-order filter/transform -> explode). The explode factor is
+    ~n_words/stride per document — linear, known in advance, and entirely
+    map-side: chunking 100 TB is scan speed, no shuffle at all."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    kept = F.filter(
+        starts,
+        lambda s: (s == F.lit(0)) | (s + F.lit(chunk_words - stride) < n),
+    )
+    chunks = F.transform(
+        kept,
+        lambda s: F.struct(
+            (s / F.lit(stride)).cast("long").alias("chunk_id"),
+            s.cast("long").alias("chunk_start"),
+            F.slice(words, s + F.lit(1), F.lit(chunk_words)).alias("arr"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(chunks).alias("_c")
+    ).select(
+        F.col(id_col),
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.chunk_start").alias("chunk_start"),
+        F.size("_c.arr").cast("long").alias("chunk_len"),
+        F.array_join("_c.arr", " ").alias("chunk_text"),
+    )
+
+
+def sql_chunk_documents(chunk_words: int = 32, stride: int = 24) -> str:
+    """DuckDB twin of `chunk_documents` over the `documents` view (1-based
+    inclusive list slicing mirrors Spark's slice(arr, start, length))."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, words,
+         unnest(range(0, greatest(len(words), 1), {stride})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start / {stride} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS chunk_start,
+       CAST(len(words[start + 1 : start + {chunk_words}]) AS BIGINT)
+         AS chunk_len,
+       array_to_string(words[start + 1 : start + {chunk_words}], ' ')
+         AS chunk_text
+FROM s
+WHERE start = 0 OR start + {chunk_words - stride} < len(words)
+"""

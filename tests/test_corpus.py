@@ -204,3 +204,61 @@ class TestCollectionState:
             for r in state_at(log, t, h).collect():
                 per_tablet[(r.tablet_id, r.primary_key)] = (r.height, r.value)
         assert whole == per_tablet
+
+
+class TestDocChunking:
+    """chunk_documents: the RAG chunking rule — windows every `stride`
+    words, generation stops once a window reaches the document end, so no
+    window is fully contained in its predecessor."""
+
+    def test_edge_cases_pinned(self, spark):
+        from fluxdb_spark.functions.text import chunk_documents
+
+        tiny = spark.createDataFrame(
+            [
+                (1, " ".join(f"w{i}" for i in range(10))),  # < chunk
+                (2, " ".join(f"w{i}" for i in range(32))),  # == chunk
+                (3, " ".join(f"w{i}" for i in range(33))),  # chunk + 1
+                (4, " ".join(f"w{i}" for i in range(80))),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r.doc_id, r.chunk_id, r.chunk_start, r.chunk_len)
+            for r in chunk_documents(tiny, 32, 24).collect()
+        )
+        assert got == [
+            (1, 0, 0, 10),   # short doc: one partial chunk
+            (2, 0, 0, 32),   # exact fit: the window at 24 would add no
+            (3, 0, 0, 32),   # new words for doc 2 but does for doc 3
+            (3, 1, 24, 9),
+            (4, 0, 0, 32),
+            (4, 1, 24, 32),
+            (4, 2, 48, 32),  # window at 72 is contained in 48's: dropped
+        ]
+
+    def test_overlap_reconstructs_document(self, spark):
+        """Concatenating each chunk's non-overlapping tail re-yields the
+        original document exactly — the property packers rely on."""
+        from fluxdb_spark.functions.text import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(70))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        chunks = sorted(
+            (r.chunk_start, r.chunk_text)
+            for r in chunk_documents(df, 32, 24).collect()
+        )
+        words = []
+        for start, ctext in chunks:
+            cw = ctext.split(" ")
+            words.extend(cw if start == 0 else cw[len(words) - start:])
+        assert words == text.split(" ")
+
+    def test_plan_is_map_side_only(self, spark):
+        from fluxdb_spark.functions.text import chunk_documents
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e")], "doc_id long, text string"
+        )
+        plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # chunking shuffles nothing
