@@ -60,6 +60,8 @@ HEADLINE = [
     "stream_simhash_dedup",
     "typed_view_protobuf",
     "embed_neardup_lsh",
+    # round-5 addition: RAG chunking (map-side explode, scan-speed)
+    "doc_chunking",
 ]
 
 

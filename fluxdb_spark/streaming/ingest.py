@@ -347,9 +347,30 @@ class FluxEngine:
         self.store = ChangelogStore(spark, root)
         self.pipeline = IngestPipeline(self.store)
 
-    def state_at(self, tablet_id: str, height: int, **kw) -> DataFrame:
+    def state_at(
+        self,
+        tablet_id: str,
+        height: int,
+        at_version: int | None = None,
+        **kw,
+    ) -> DataFrame:
+        """R1 over the live store — or, with `at_version`, the AUDIT form:
+        the snapshot at height H exactly as the store could answer it at
+        commit version V ("what did we serve yesterday?"). The two time
+        axes compose: height is the data model's own time (reference
+        semantics), at_version is the storage commit history (store
+        CommitLog). Audit reads skip the speculative overlay — the
+        overlay is the live head, which by definition post-dates any
+        historical commit."""
         from fluxdb_spark.operators import state_at
 
+        if at_version is not None:
+            return state_at(
+                self.store.changelog(
+                    max_height=height, at_version=at_version
+                ),
+                tablet_id, height, None, **kw,
+            )
         spec = self.pipeline.speculative_writes(up_to_height=height)
         # max_height turns the height bound into a PARTITION filter on the
         # band-partitioned store — a read at H never lists bands above it

@@ -483,3 +483,38 @@ def test_oplog_fuzz_time_travel_matches_model(spark, tmp_path_factory, ops):
                 for r in st.changelog(at_version=version).collect()
             }
             assert got == set(expected), f"time travel to v{version} diverged"
+
+
+class TestAuditReads:
+    def test_state_at_at_version_answers_as_of_commit(self, spark, tmp_path):
+        """The audit form of R1: state_at(tablet, H, at_version=V) answers
+        from the store exactly as committed at version V — later batches
+        (even at lower heights than H) are invisible."""
+        from fluxdb_spark.streaming.ingest import FluxEngine
+
+        eng = FluxEngine(spark, str(tmp_path / "adb"))
+        eng.store.write_batch(
+            make_changelog(
+                spark,
+                [("tst", "tbl", 1, "a", "a1"), ("tst", "tbl", 2, "b", "b2")],
+            )
+        )
+        v1 = eng.store.latest_commit_version()
+        eng.store.write_batch(
+            make_changelog(spark, [("tst", "tbl", 3, "a", "a3")])
+        )
+        # live read at height 3 sees the newer version of 'a'
+        live = {
+            r.primary_key: r.value
+            for r in eng.state_at("tbl", 3, collection="tst").collect()
+        }
+        assert live == {"a": "a3", "b": "b2"}
+        # the audit read at v1 answers the SAME height from yesterday's
+        # store: 'a' is still a1
+        audit = {
+            r.primary_key: r.value
+            for r in eng.state_at(
+                "tbl", 3, at_version=v1, collection="tst"
+            ).collect()
+        }
+        assert audit == {"a": "a1", "b": "b2"}
