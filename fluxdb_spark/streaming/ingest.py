@@ -418,6 +418,44 @@ class FluxEngine:
         """R6 — last durable (height, block); the overlay never moves it."""
         return self.store.checkpoint()
 
+    def register_sql(self, prefix: str = "flux") -> list[str]:
+        """Expose the engine to pure Spark SQL (SURVEY §7.6): temp views
+        over the overlay-merged changelog, the commit history, and the
+        checkpoint, so a SQL-only consumer needs no DataFrame API at all.
+        The canonical temporal reads are then plain window queries — the
+        exact shapes the catalog's DuckDB oracles already use, e.g.
+        state-at-height H:
+
+            SELECT tablet_id, primary_key, height, value FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY collection, tablet_id, primary_key
+                       ORDER BY height DESC) AS rn
+              FROM flux_changelog WHERE height <= H
+            ) WHERE rn = 1 AND NOT is_deletion
+
+        Views capture the file listing at registration time (Spark's
+        InMemoryFileIndex is built when the DataFrame is created) — call
+        again after writes to refresh. Returns the registered names."""
+        log = self.store.changelog()
+        spec = self.pipeline.speculative_writes()
+        if spec is not None:
+            log = log.unionByName(spec)
+        ckpt = self.store.checkpoint()
+        ckpt_df = self.spark.createDataFrame(
+            []
+            if ckpt is None
+            else [(ckpt.height, ckpt.block_id, ckpt.block_num)],
+            "height LONG, block_id STRING, block_num LONG",
+        )
+        views = {
+            f"{prefix}_changelog": log,
+            f"{prefix}_history": self.store.history(),
+            f"{prefix}_checkpoint": ckpt_df,
+        }
+        for name, df in views.items():
+            df.createOrReplaceTempView(name)
+        return sorted(views)
+
     def reversible_block(self, block_id: str):
         """S7 — point lookup of a not-yet-final block in the fork overlay
         (reference pipeline.go:218-226)."""

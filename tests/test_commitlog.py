@@ -518,3 +518,51 @@ class TestAuditReads:
             ).collect()
         }
         assert audit == {"a": "a1", "b": "b2"}
+
+
+class TestSqlSurface:
+    def test_register_sql_reproduces_engine_reads(self, spark, tmp_path):
+        """SURVEY §7.6: a SQL-only consumer over the registered views gets
+        the same answers as the DataFrame API — overlay included."""
+        from fluxdb_spark.streaming.ingest import FluxEngine
+
+        eng = FluxEngine(spark, str(tmp_path / "sqldb"))
+        eng.store.write_batch(
+            make_changelog(
+                spark,
+                [("tst", "tbl", 1, "a", "a1"), ("tst", "tbl", 2, "b", "b2")],
+            )
+        )
+        # a speculative head block overlays a newer version of 'a'
+        eng.pipeline.process_new_block(
+            "f1", 3, "", [("tst", "tbl", 3, "a", "a3", False, "f1", 3)]
+        )
+        names = eng.register_sql()
+        assert names == ["flux_changelog", "flux_checkpoint", "flux_history"]
+        got = {
+            (r.primary_key): (r.height, r.value)
+            for r in spark.sql(
+                """
+                SELECT primary_key, height, value FROM (
+                  SELECT *, row_number() OVER (
+                           PARTITION BY collection, tablet_id, primary_key
+                           ORDER BY height DESC) AS rn
+                  FROM flux_changelog
+                  WHERE tablet_id = 'tbl' AND height <= 3
+                ) WHERE rn = 1 AND NOT is_deletion
+                """
+            ).collect()
+        }
+        want = {
+            r.primary_key: (r.height, r.value)
+            for r in eng.state_at("tbl", 3, collection="tst").collect()
+        }
+        assert got == want == {"a": (3, "a3"), "b": (2, "b2")}
+        assert spark.sql(
+            "SELECT height FROM flux_checkpoint"
+        ).collect()[0].height == 2
+        assert [
+            r.kind for r in spark.sql(
+                "SELECT kind FROM flux_history ORDER BY version"
+            ).collect()
+        ] == ["write_batch"]

@@ -33,6 +33,8 @@ OPS = [
     "embed_neardup_lsh",
     "typed_view_protobuf",
     "flux_collection_state",
+    "doc_chunking",
+    "hash_split",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
