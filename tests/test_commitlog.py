@@ -566,3 +566,98 @@ class TestSqlSurface:
                 "SELECT kind FROM flux_history ORDER BY version"
             ).collect()
         ] == ["write_batch"]
+
+
+class TestStoreFollower:
+    def _wait(self, cond, timeout=60):
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if cond():
+                return True
+            time.sleep(0.25)
+        return False
+
+    def test_follow_store_delivers_committed_rows_exactly_once(
+        self, spark, tmp_path
+    ):
+        """The outbound CDC feed: each committed batch's rows arrive at
+        the sink exactly once, in commit order; a restart from the same
+        checkpoint re-delivers nothing already seen."""
+        from fluxdb_spark.streaming.follow import follow_store
+
+        root = str(tmp_path / "fdb")
+        ckpt = str(tmp_path / "fckpt")
+        st = ChangelogStore(spark, root, height_band=10)
+        st.write_batch(batch(spark, [1, 2, 3]))
+
+        seen: list = []
+        q = follow_store(
+            spark, root,
+            lambda rows, bid: seen.extend(
+                r.height for r in rows.collect()
+            ),
+            ckpt, trigger_seconds=0.5,
+        )
+        try:
+            assert self._wait(lambda: sorted(seen) == [1, 2, 3]), seen
+            st.write_batch(batch(spark, [4, 5]))
+            assert self._wait(lambda: sorted(seen) == [1, 2, 3, 4, 5]), seen
+        finally:
+            q.stop()
+        # restart from the same checkpoint: only NEW commits flow
+        seen2: list = []
+        st.write_batch(batch(spark, [6]))
+        q2 = follow_store(
+            spark, root,
+            lambda rows, bid: seen2.extend(
+                r.height for r in rows.collect()
+            ),
+            ckpt, trigger_seconds=0.5,
+        )
+        try:
+            assert self._wait(lambda: sorted(seen2) == [6]), seen2
+        finally:
+            q2.stop()
+        assert sorted(seen) == [1, 2, 3, 4, 5]  # first run saw no more
+
+    def test_follower_ignores_rolled_back_batches(self, spark, tmp_path):
+        """A torn batch (files moved, commit point never reached) is
+        rolled back by recover() and earns no commit entry — the follower
+        must never see its rows."""
+        from fluxdb_spark.streaming.follow import follow_store
+
+        root = str(tmp_path / "fdb2")
+        st = ChangelogStore(spark, root, height_band=10)
+        st.write_batch(batch(spark, [1]))
+        # forge a torn batch: manifest present, files in place, but the
+        # checkpoint (commit point) never advanced
+        band = os.path.join(root, "changelog", "collection=tst", "height_band=0")
+        orphan = os.path.join(band, "borphan-part-0.parquet")
+        batch(spark, [2]).write.mode("overwrite").parquet(str(tmp_path / "tmpp"))
+        import glob as _glob
+        import shutil as _shutil
+
+        src = _glob.glob(str(tmp_path / "tmpp" / "*.parquet"))[0]
+        _shutil.copy(src, orphan)
+        with open(os.path.join(root, "_manifests", "batch-dead.json"), "w") as f:
+            json.dump(
+                {"hi": 2, "shard": None, "batch_id": "dead",
+                 "targets": [orphan], "staging": ""},
+                f,
+            )
+        # reopen: recover rolls the torn batch back (no fresh lease)
+        st2 = ChangelogStore(spark, root, height_band=10)
+        assert not os.path.exists(orphan)
+        seen: list = []
+        q = follow_store(
+            spark, root,
+            lambda rows, bid: seen.extend(r.height for r in rows.collect()),
+            str(tmp_path / "fckpt2"), trigger_seconds=0.5,
+        )
+        try:
+            assert self._wait(lambda: sorted(seen) == [1]), seen
+        finally:
+            q.stop()
+        assert sorted(seen) == [1]
