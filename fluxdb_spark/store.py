@@ -693,7 +693,42 @@ class ParquetChangelogBackend(StoreBackend):
                 pass
         self._sweep_orphaned_staging(lease_is_fresh)
         self.commit_log.sweep_claims(self.sweep_min_age_s)
+        self._heal_genesis()
         return rolled
+
+    def _heal_genesis(self) -> None:
+        """A store whose data predates the commit log (created by an older
+        build, or the log directory was lost) must not time-travel to
+        silently INCOMPLETE file sets — `files_at_version` resolves purely
+        from the log, so pre-log files would just be missing from every
+        version. Heal at open: if the log is empty but data exists, claim
+        a genesis entry capturing the current committed files, making the
+        log complete from version 1 onward."""
+        if self.commit_log.latest_version() > 0:
+            return
+        if any(
+            f.startswith("batch-") and f.endswith(".json")
+            for f in os.listdir(self.manifest_dir)
+        ):
+            return  # in-flight batch: its files are NOT committed yet
+        files = [
+            self._rel(os.path.join(dirpath, fn))
+            for dirpath, _d, fnames in os.walk(self.data_dir)
+            for fn in fnames
+            if fn.endswith(".parquet")
+        ]
+        if files:
+            self.commit_log.claim(
+                {
+                    "action": "append",
+                    "kind": "genesis",
+                    "batch_id": None,
+                    "shard": None,
+                    "hi": None,
+                    "add": sorted(files),
+                    "remove": [],
+                }
+            )
 
     def _sweep_orphaned_staging(self, lease_is_fresh) -> None:
         """Bound _staging/ disk: a writer that crashed BEFORE writing its

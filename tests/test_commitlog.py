@@ -569,16 +569,6 @@ class TestSqlSurface:
 
 
 class TestStoreFollower:
-    def _wait(self, cond, timeout=60):
-        import time
-
-        t0 = time.time()
-        while time.time() - t0 < timeout:
-            if cond():
-                return True
-            time.sleep(0.25)
-        return False
-
     def test_follow_store_delivers_committed_rows_exactly_once(
         self, spark, tmp_path
     ):
@@ -601,9 +591,11 @@ class TestStoreFollower:
             ckpt, trigger_seconds=0.5,
         )
         try:
-            assert self._wait(lambda: sorted(seen) == [1, 2, 3]), seen
+            q.processAllAvailable()  # deterministic: drain, don't poll
+            assert sorted(seen) == [1, 2, 3], seen
             st.write_batch(batch(spark, [4, 5]))
-            assert self._wait(lambda: sorted(seen) == [1, 2, 3, 4, 5]), seen
+            q.processAllAvailable()
+            assert sorted(seen) == [1, 2, 3, 4, 5], seen
         finally:
             q.stop()
         # restart from the same checkpoint: only NEW commits flow
@@ -617,7 +609,8 @@ class TestStoreFollower:
             ckpt, trigger_seconds=0.5,
         )
         try:
-            assert self._wait(lambda: sorted(seen2) == [6]), seen2
+            q2.processAllAvailable()
+            assert sorted(seen2) == [6], seen2
         finally:
             q2.stop()
         assert sorted(seen) == [1, 2, 3, 4, 5]  # first run saw no more
@@ -657,7 +650,33 @@ class TestStoreFollower:
             str(tmp_path / "fckpt2"), trigger_seconds=0.5,
         )
         try:
-            assert self._wait(lambda: sorted(seen) == [1]), seen
+            q.processAllAvailable()
         finally:
             q.stop()
         assert sorted(seen) == [1]
+
+
+class TestGenesisHealing:
+    def test_pre_log_store_heals_at_open(self, spark, tmp_path):
+        """A store whose data predates the commit log must not time-travel
+        to silently incomplete file sets: opening it claims a genesis
+        entry capturing the committed files, so version 1 is complete."""
+        import shutil
+
+        root = str(tmp_path / "gdb")
+        st = ChangelogStore(spark, root, height_band=10)
+        st.write_batch(batch(spark, [1, 2, 3]))
+        shutil.rmtree(os.path.join(root, "_commits"))  # simulate old store
+        st2 = ChangelogStore(spark, root, height_band=10)
+        hist = st2.history().collect()
+        assert [(r.version, r.action, r.kind) for r in hist] == [
+            (1, "append", "genesis")
+        ]
+        assert sorted(
+            r.height for r in st2.changelog(at_version=1).collect()
+        ) == [1, 2, 3]
+        # and the store continues accumulating normal history on top
+        st2.write_batch(batch(spark, [4]))
+        assert st2.changelog(
+            at_version=st2.latest_commit_version()
+        ).count() == 4
