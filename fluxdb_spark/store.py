@@ -308,12 +308,19 @@ class CommitLog:
         return f"v{version:020d}.json"
 
     def latest_version(self) -> int:
-        """Newest claimed version; 0 when the log is empty."""
+        """Newest claimed version; 0 when the log is empty. A log
+        checkpoint subsumes the entries pruned beneath it, so its version
+        counts even when every entry file is gone."""
         vmax = 0
         for fname in os.listdir(self.dir):
             if fname.startswith("v") and fname.endswith(".json"):
                 try:
                     vmax = max(vmax, int(fname[1:-5]))
+                except ValueError:
+                    pass
+            elif fname.startswith("ckpt-v") and fname.endswith(".json"):
+                try:
+                    vmax = max(vmax, int(fname[len("ckpt-v"):-5]))
                 except ValueError:
                     pass
         return vmax
@@ -380,6 +387,100 @@ class CommitLog:
                     os.remove(path)
             except OSError:
                 pass
+
+    # --- log checkpoints (bounding resolution cost at scale) --------------
+
+    def _ckpt_name(self, version: int) -> str:
+        return f"ckpt-v{version:020d}.json"
+
+    def newest_log_checkpoint(self) -> dict | None:
+        """Newest cumulative snapshot `{"version", "files", "floor"}`, or
+        None. Any checkpoint is valid (it is a pure function of the
+        entries at or below its version), so last-writer-wins races are
+        harmless."""
+        best = None
+        for fname in os.listdir(self.dir):
+            if not (fname.startswith("ckpt-v") and fname.endswith(".json")):
+                continue
+            try:
+                v = int(fname[len("ckpt-v"):-5])
+            except ValueError:
+                continue
+            if best is None or v > best[0]:
+                best = (v, fname)
+        if best is None:
+            return None
+        with open(os.path.join(self.dir, best[1])) as f:
+            return json.load(f)
+
+    def checkpoint_log(self) -> int:
+        """Snapshot the cumulative state at the newest version — the
+        Delta-checkpoint analog that keeps time-travel resolution O(new
+        entries) instead of O(all history): a year of micro-batch commits
+        must not be replayed from version 1 on every read. Run from
+        maintenance (compact does it automatically); concurrent claims
+        landing above the snapshot are unaffected, resolution just applies
+        them on top. Old checkpoints are pruned (the newest subsumes
+        them). Returns the checkpointed version (0 = empty log)."""
+        entries = self.entries()
+        if not entries:
+            return 0
+        version = entries[-1]["version"]
+        files: set[str] = set()
+        floor = 0
+        for e in entries:
+            files.update(e.get("add", ()))
+            files.difference_update(e.get("remove", ()))
+            if e.get("action") == "rewrite":
+                floor = e["version"]
+        tmp = os.path.join(self.dir, f".ckpt-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "files": sorted(files), "floor": floor},
+                f,
+            )
+        os.replace(tmp, os.path.join(self.dir, self._ckpt_name(version)))
+        for fname in os.listdir(self.dir):
+            if (
+                fname.startswith("ckpt-v")
+                and fname.endswith(".json")
+                and fname != self._ckpt_name(version)
+            ):
+                try:
+                    os.remove(os.path.join(self.dir, fname))
+                except FileNotFoundError:
+                    pass
+        return version
+
+    def prune_entries(self, keep_last: int = 1000) -> int:
+        """Drop entry files at or below the newest checkpoint, keeping the
+        newest `keep_last` regardless — bounds the log directory itself on
+        a long-lived store (listing a million tiny files is its own scan
+        problem). History below the cut then starts at the checkpoint
+        (resolution stays EXACT — the checkpoint is the cumulative state —
+        but per-commit detail is gone, as after Delta log cleanup). Do not
+        prune while an outbound follower (streaming/follow.py) may still
+        be behind the cut: the JSON file source cannot re-read removed
+        files. Returns the number pruned."""
+        ckpt = self.newest_log_checkpoint()
+        if ckpt is None:
+            return 0
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        protected = set(versions[-keep_last:]) if keep_last else set()
+        pruned = 0
+        for v in versions:
+            if v > ckpt["version"] or v in protected:
+                continue
+            try:
+                os.remove(os.path.join(self.dir, self._name(v)))
+                pruned += 1
+            except FileNotFoundError:
+                pass
+        return pruned
 
 
 class StoreBackend:
@@ -574,16 +675,22 @@ class ParquetChangelogBackend(StoreBackend):
 
     def files_at_version(self, version: int) -> list[str]:
         """Resolve commit `version`'s exact file set from the log (adds
-        minus removes of every entry <= version). Rewrites vacuum the
-        files they replace eagerly, so any version below the newest
-        rewrite is unreconstructable — refused loudly, never resolved to
-        paths that no longer exist."""
-        entries = self.commit_log.entries()
-        if not entries:
+        minus removes of every entry <= version), starting from the newest
+        log checkpoint at or below it so resolution costs O(entries since
+        the checkpoint), not O(all history). Rewrites vacuum the files
+        they replace eagerly, so any version below the newest rewrite is
+        unreconstructable — refused loudly, never resolved to paths that
+        no longer exist; likewise versions below a pruned log region."""
+        log = self.commit_log
+        ckpt = log.newest_log_checkpoint()
+        entries = log.entries()
+        latest = entries[-1]["version"] if entries else (
+            ckpt["version"] if ckpt else 0
+        )
+        if latest == 0:
             raise WriteConsistencyError(
                 "store has no commit history: nothing to time-travel to"
             )
-        latest = entries[-1]["version"]
         if version > latest:
             raise WriteConsistencyError(
                 f"version {version} does not exist yet (latest: {latest})"
@@ -592,16 +699,41 @@ class ParquetChangelogBackend(StoreBackend):
             (e["version"] for e in entries if e.get("action") == "rewrite"),
             default=0,
         )
+        if ckpt is not None:
+            floor = max(floor, ckpt.get("floor", 0))
         if version < floor:
+            kind = next(
+                (
+                    e.get("kind")
+                    for e in entries
+                    if e["version"] == floor
+                ),
+                "rewrite",
+            )
             raise WriteConsistencyError(
                 f"version {version} predates rewrite commit {floor} "
-                f"({next(e for e in entries if e['version'] == floor).get('kind')}): "
-                "rewritten history is vacuumed eagerly and cannot be read"
+                f"({kind}): rewritten history is vacuumed eagerly and "
+                "cannot be read"
             )
         files: set[str] = set()
-        for e in entries:
-            if e["version"] > version:
-                break
+        base_version = 0
+        if ckpt is not None and ckpt["version"] <= version:
+            files = set(ckpt["files"])
+            base_version = ckpt["version"]
+        tail = [e for e in entries if base_version < e["version"] <= version]
+        # versions are claimed densely, so the (base_version, version]
+        # range must hold exactly version - base_version entries — fewer
+        # means entry files beneath the log checkpoint were pruned
+        # (prune_entries) and resolving across the gap would silently
+        # drop adds
+        if len(tail) != version - base_version:
+            raise WriteConsistencyError(
+                f"version {version} is not resolvable: the commit entries "
+                f"between versions {base_version} and {version} were "
+                "pruned (time travel below the log checkpoint requires "
+                "the per-commit entries)"
+            )
+        for e in tail:
             files.update(e.get("add", ()))
             files.difference_update(e.get("remove", ()))
         return sorted(os.path.join(self.root, p) for p in files)
@@ -1447,6 +1579,10 @@ class ChangelogStore:
                         if f.endswith(".parquet")
                     ]
                 )
+        # maintenance also snapshots the commit log (Delta-checkpoint
+        # analog) so time-travel resolution stays O(entries since the
+        # snapshot) on a long-lived store
+        self._backend.commit_log.checkpoint_log()
         return stats
 
     # --- physical DML (copy-on-write rewrites) -----------------------------

@@ -680,3 +680,64 @@ class TestGenesisHealing:
         assert st2.changelog(
             at_version=st2.latest_commit_version()
         ).count() == 4
+
+
+class TestLogCheckpoints:
+    def test_checkpointed_resolution_is_identical(self, spark, store):
+        """A log checkpoint is pure optimization: resolution with and
+        without it yields the same file sets at every version."""
+        for h in range(1, 7):
+            store.write_batch(batch(spark, [h]))
+        log = store._backend.commit_log
+        before = {
+            v: store._backend.files_at_version(v) for v in range(1, 7)
+        }
+        assert log.checkpoint_log() == 6
+        after = {
+            v: store._backend.files_at_version(v) for v in range(1, 7)
+        }
+        assert after == before
+        # claims continue on top of the snapshot and resolve fine
+        store.write_batch(batch(spark, [7]))
+        assert store.changelog(at_version=7).count() == 7
+
+    def test_checkpoint_carries_the_rewrite_floor(self, spark, store):
+        store.write_batch(batch(spark, [1, 2]))
+        store.write_batch(batch(spark, [3]))
+        store.delete_where("height = 2")
+        log = store._backend.commit_log
+        log.checkpoint_log()
+        log.prune_entries(keep_last=0)  # only the snapshot remains
+        # the floor survives inside the checkpoint: pre-rewrite versions
+        # still refuse rather than resolving wrongly
+        with pytest.raises(WriteConsistencyError, match="predates rewrite"):
+            store.changelog(at_version=1)
+        # the checkpointed version itself resolves exactly
+        assert sorted(
+            r.height
+            for r in store.changelog(
+                at_version=store.latest_commit_version()
+            ).collect()
+        ) == [1, 3]
+
+    def test_pruned_gap_refuses_instead_of_lying(self, spark, store):
+        for h in range(1, 5):
+            store.write_batch(batch(spark, [h]))
+        log = store._backend.commit_log
+        log.checkpoint_log()
+        pruned = log.prune_entries(keep_last=1)
+        assert pruned == 3  # v1..v3 dropped, v4 kept
+        # versions inside the pruned region: loud refusal, never a
+        # silently partial file set
+        with pytest.raises(WriteConsistencyError, match="pruned"):
+            store.changelog(at_version=2)
+        assert store.changelog(at_version=4).count() == 4
+
+    def test_compact_auto_checkpoints_the_log(self, spark, store):
+        for h in range(1, 5):
+            store.write_batch(batch(spark, [h]))
+        store.compact(min_files=2)
+        ckpt = store._backend.commit_log.newest_log_checkpoint()
+        assert ckpt is not None
+        assert ckpt["version"] == store.latest_commit_version()
+        assert ckpt["floor"] == ckpt["version"]  # compact IS the rewrite
