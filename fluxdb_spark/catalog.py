@@ -189,6 +189,7 @@ _PRIORITY: list[str] = [
     "hash_split",
     "text_normalize",
     "doc_chunking",
+    "flux_state_series",
 ]
 
 
@@ -272,6 +273,39 @@ def flux_collection_state(spark, sf_dir):
     the reference would serve as one ReadTabletAt per tablet."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.collection_state_at(log, 700).select(*_STATE_COLS)
+
+
+@_q(
+    "flux_state_series",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900
+), v AS (
+  SELECT *, lead(height, 1, 901) OVER (
+              PARTITION BY primary_key ORDER BY height) AS next_h
+  FROM scoped
+), iv AS (
+  SELECT *,
+         100 + ((greatest(height - 100, 0) + 99) // 100) * 100 AS g_lo,
+         least(next_h - 1, 900) AS g_hi
+  FROM v WHERE NOT is_deletion
+)
+SELECT CAST(g AS BIGINT) AS as_of_height, primary_key, height, value
+FROM iv, unnest(generate_series(g_lo, g_hi, 100)) AS t(g)
+WHERE g_lo <= g_hi
+""",
+)
+def flux_state_series(spark, sf_dir):
+    """Snapshot time series: the tablet's full state at heights
+    100..900 step 100 in ONE scan — per version, the grid interval it is
+    live for ([height, next version) ∩ grid) exploded, instead of the
+    reference's one ReadTabletAt per grid point (read.go:35-178) or N
+    state_at shuffles of the same history. One per-key window shuffle +
+    a map-side explode, at any N."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.state_series(log, "click", 100, 900, 100)
 
 
 @_q("flux_state_at_ignore_range", "temporal", _dedup_sql("click", 800))

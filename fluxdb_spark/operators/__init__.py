@@ -9,11 +9,13 @@ from fluxdb_spark.operators.temporal import (
     singlet_history,
     state_at,
     state_diff,
+    state_series,
 )
 
 __all__ = [
     "state_at",
     "state_diff",
+    "state_series",
     "row_at",
     "singlet_at",
     "singlet_history",

@@ -258,3 +258,61 @@ def collection_state_at(
         .filter(~F.col("is_deletion"))
         .orderBy("tablet_id", "primary_key")
     )
+
+
+def state_series(
+    changelog: DataFrame,
+    tablet_id: str,
+    start: int,
+    stop: int,
+    step: int,
+    collection: str | None = None,
+) -> DataFrame:
+    """Snapshot TIME SERIES: the tablet's full state at every grid height
+    start, start+step, ..., stop — in ONE scan of the changelog.
+
+    The reference answers this with one ReadTabletAt per grid point
+    (read.go:35-178, N independent index+scan+merge passes); the naive
+    Spark translation is N `state_at` calls = N shuffles of the same
+    history. This computes instead, per VERSION, the half-open interval
+    it is live for — [height, next version's height) — intersects it
+    with the grid, and explodes the covered grid points: one per-key
+    window (the single shuffle) plus a map-side explode bounded by
+    versions x grid-points-covered. Tombstone versions emit nothing but
+    still truncate their predecessor's interval, so deletions drop the
+    key from later grid points exactly as N separate reads would.
+
+    Returns (as_of_height, primary_key, height, value): for each grid
+    height, the live keys with the version that was current there.
+    """
+    df = changelog
+    if collection is not None:
+        df = df.filter(F.col("collection") == collection)
+    df = df.filter(
+        (F.col("tablet_id") == tablet_id) & (F.col("height") <= F.lit(stop))
+    )
+    w = Window.partitionBy("primary_key").orderBy("height")
+    v = df.withColumn(
+        "_next_h", F.lead("height", 1, stop + 1).over(w)
+    ).filter(~F.col("is_deletion"))
+    # grid points covered by [height, _next_h): integer arithmetic only,
+    # so Spark and the DuckDB oracle agree bit-for-bit
+    v = v.withColumn(
+        "_g_lo",
+        F.expr(
+            f"{start} + CAST((greatest(height - {start}, 0) + {step - 1}) "
+            f"DIV {step} AS BIGINT) * {step}"
+        ),
+    ).withColumn("_g_hi", F.least(F.col("_next_h") - 1, F.lit(stop)))
+    return (
+        v.filter(F.col("_g_lo") <= F.col("_g_hi"))
+        .select(
+            F.explode(
+                F.sequence("_g_lo", "_g_hi", F.lit(step))
+            ).alias("as_of_height"),
+            "primary_key",
+            "height",
+            "value",
+        )
+        .orderBy("as_of_height", "primary_key")
+    )

@@ -177,3 +177,50 @@ class TestHasRows:
         log = mk([("tbl", 1, "001", "x")])
         assert has_rows(log, "tbl") is True
         assert has_rows(log, "nope") is False
+
+
+class TestStateSeries:
+    def test_series_equals_per_grid_state_at(self, spark):
+        """state_series ≡ one state_at per grid point — including a
+        tombstone dropping the key for later grid points and a
+        re-insert bringing it back."""
+        from fluxdb_spark.operators import state_at, state_series
+        from tests.conftest import make_changelog
+
+        log = make_changelog(
+            spark,
+            [
+                ("tbl", 5, "a", "a5"),
+                ("tbl", 12, "a", "a12"),
+                ("tbl", 23, "a", ""),     # tombstone: gone from 30 on
+                ("tbl", 38, "a", "a38"),  # re-insert: back at 40
+                ("tbl", 8, "b", "b8"),
+                ("tbl", 40, "c", "c40"),  # lands exactly on a grid point
+            ],
+        )
+        series = {
+            (r.as_of_height, r.primary_key): (r.height, r.value)
+            for r in state_series(log, "tbl", 10, 50, 10).collect()
+        }
+        naive = {}
+        for g in range(10, 51, 10):
+            for r in state_at(log, "tbl", g).collect():
+                naive[(g, r.primary_key)] = (r.height, r.value)
+        assert series == naive
+        assert (20, "a") in series and (30, "a") not in series
+        assert series[(40, "a")] == (38, "a38")
+        assert series[(40, "c")] == (40, "c40")
+
+    def test_single_shuffle_plan(self, spark):
+        """The whole series costs ONE exchange (the per-key window), not
+        one per grid point."""
+        from fluxdb_spark.operators import state_series
+        from tests.conftest import make_changelog
+
+        log = make_changelog(spark, [("tbl", h, "k", f"v{h}") for h in range(1, 9)])
+        plan = (
+            state_series(log, "tbl", 2, 8, 2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # exchanges: the window partitioning + the final presentation sort
+        assert plan.count("Exchange hashpartitioning") == 1
