@@ -190,6 +190,7 @@ _PRIORITY: list[str] = [
     "text_normalize",
     "doc_chunking",
     "flux_state_series",
+    "flux_time_weighted",
 ]
 
 
@@ -306,6 +307,43 @@ def flux_state_series(spark, sf_dir):
     a map-side explode, at any N."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.state_series(log, "click", 100, 900, 100)
+
+
+@_q(
+    "flux_time_weighted",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900
+), v AS (
+  SELECT *, lead(height, 1, 901) OVER (
+              PARTITION BY primary_key ORDER BY height) AS next_h
+  FROM scoped
+), iv AS (
+  SELECT primary_key,
+         least(next_h - 1, 900) - greatest(height, 100) + 1 AS w,
+         CAST(json_extract_string(value, '$.k') AS DOUBLE) AS x
+  FROM v
+  WHERE NOT is_deletion
+    AND least(next_h - 1, 900) - greatest(height, 100) + 1 > 0
+)
+SELECT primary_key,
+       CAST(sum(w) AS BIGINT) AS live_heights,
+       floor(sum(w * x) / sum(w) * 10000) / 10000 AS twa
+FROM iv GROUP BY primary_key
+""",
+)
+def flux_time_weighted(spark, sf_dir):
+    """Duration-weighted temporal aggregate (TWA) over heights [100, 900]:
+    each version of a key weighted by how long it was live, tombstone
+    gaps contributing nothing — "the average decoded metric over the
+    period". Single scan: one per-key window + a combine-friendly
+    grouped agg, vs walking every version client-side against the
+    reference."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    metric = F.get_json_object(F.col("value"), "$.k").cast("double")
+    return tp.time_weighted_avg(log, "click", 100, 900, metric)
 
 
 @_q("flux_state_at_ignore_range", "temporal", _dedup_sql("click", 800))

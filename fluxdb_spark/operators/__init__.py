@@ -10,12 +10,14 @@ from fluxdb_spark.operators.temporal import (
     state_at,
     state_diff,
     state_series,
+    time_weighted_avg,
 )
 
 __all__ = [
     "state_at",
     "state_diff",
     "state_series",
+    "time_weighted_avg",
     "row_at",
     "singlet_at",
     "singlet_history",

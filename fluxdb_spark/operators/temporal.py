@@ -20,7 +20,7 @@ in tests/test_temporal.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fluxdb_spark.schema import CHANGELOG_COLUMNS
@@ -315,4 +315,59 @@ def state_series(
             "value",
         )
         .orderBy("as_of_height", "primary_key")
+    )
+
+
+def time_weighted_avg(
+    changelog: DataFrame,
+    tablet_id: str,
+    start: int,
+    stop: int,
+    metric: Column,
+    collection: str | None = None,
+) -> DataFrame:
+    """Duration-weighted temporal aggregate (TWA) — "the average value
+    over the period", weighting each VERSION by how long it was live:
+    for every version, weight = the number of heights in [start, stop]
+    during which it was the current value ([height, next version) ∩
+    [start, stop]); tombstone intervals contribute nothing, so a deleted
+    key simply has no weight while absent.
+
+    The reference can only answer this by walking every version
+    client-side; here it is the same single-scan interval construction
+    as `state_series` — one per-key window (the only shuffle) and a
+    combine-friendly grouped aggregation, so a 100 TB history costs one
+    pass regardless of the period length.
+
+    Returns (primary_key, live_heights, twa): total heights the key was
+    live in the window, and the duration-weighted mean of `metric`.
+    """
+    df = changelog
+    if collection is not None:
+        df = df.filter(F.col("collection") == collection)
+    df = df.filter(
+        (F.col("tablet_id") == tablet_id) & (F.col("height") <= F.lit(stop))
+    )
+    w = Window.partitionBy("primary_key").orderBy("height")
+    v = (
+        df.withColumn("_next_h", F.lead("height", 1, stop + 1).over(w))
+        .filter(~F.col("is_deletion"))
+        .withColumn("_lo", F.greatest(F.col("height"), F.lit(start)))
+        .withColumn("_hi", F.least(F.col("_next_h") - 1, F.lit(stop)))
+        .withColumn("_w", F.col("_hi") - F.col("_lo") + 1)
+        .filter(F.col("_w") > 0)
+        .withColumn("_x", metric)
+    )
+    return (
+        v.groupBy("primary_key")
+        .agg(
+            F.sum("_w").cast("long").alias("live_heights"),
+            (
+                F.floor(
+                    F.sum(F.col("_w") * F.col("_x")) / F.sum("_w") * 10000
+                )
+                / 10000
+            ).alias("twa"),
+        )
+        .orderBy("primary_key")
     )

@@ -337,8 +337,15 @@ class CommitLog:
                 continue
             if up_to is not None and version > up_to:
                 break
-            with open(os.path.join(self.dir, fname)) as f:
-                entry = json.load(f)
+            try:
+                with open(os.path.join(self.dir, fname)) as f:
+                    entry = json.load(f)
+            except FileNotFoundError:
+                # pruned between the listing and the read (prune_entries
+                # from a concurrent maintenance run); the resulting gap is
+                # caught by files_at_version's dense-count check, never
+                # resolved silently
+                continue
             entry["version"] = version
             out.append(entry)
         return out
@@ -835,7 +842,9 @@ class ParquetChangelogBackend(StoreBackend):
         from the log, so pre-log files would just be missing from every
         version. Heal at open: if the log is empty but data exists, claim
         a genesis entry capturing the current committed files, making the
-        log complete from version 1 onward."""
+        log complete from version 1 onward. Two processes opening such a
+        store concurrently may both claim a genesis (identical file sets
+        at versions 1 and 2) — harmless, resolution unions add-sets."""
         if self.commit_log.latest_version() > 0:
             return
         if any(

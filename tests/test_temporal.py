@@ -224,3 +224,32 @@ class TestStateSeries:
         )
         # exchanges: the window partitioning + the final presentation sort
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestTimeWeightedAvg:
+    def test_matches_hand_model_with_tombstone_gap(self, spark):
+        """TWA over [10, 30]: weights are live-interval lengths clipped to
+        the window; a tombstone opens a zero-weight gap."""
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.operators import time_weighted_avg
+        from tests.conftest import make_changelog
+
+        log = make_changelog(
+            spark,
+            [
+                ("tbl", 5, "a", "2"),    # live [10, 14] in-window -> w=5
+                ("tbl", 15, "a", "4"),   # live [15, 19]          -> w=5
+                ("tbl", 20, "a", ""),    # tombstone: gap [20, 24]
+                ("tbl", 25, "a", "10"),  # live [25, 30]          -> w=6
+                ("tbl", 40, "b", "7"),   # enters after the window: absent
+            ],
+        )
+        got = {
+            r.primary_key: (r.live_heights, r.twa)
+            for r in time_weighted_avg(
+                log, "tbl", 10, 30, F.col("value").cast("double")
+            ).collect()
+        }
+        # a: (5*2 + 5*4 + 6*10) / 16 = 90/16 = 5.625
+        assert got == {"a": (16, 5.625)}
