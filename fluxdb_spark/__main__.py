@@ -194,6 +194,11 @@ def cmd_maintain(args, spark: SparkSession) -> int:
             f"redacted {r['rows_matched']} row(s) across "
             f"{r['bands_rewritten']} rewritten band(s)"
         )
+    if args.prune_log is not None:
+        log = store._backend.commit_log
+        log.checkpoint_log()
+        pruned = log.prune_entries(keep_last=args.prune_log)
+        print(f"checkpointed the commit log; pruned {pruned} entry file(s)")
     if args.history:
         for row in store.history().collect():
             print(
@@ -267,6 +272,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--history",
         action="store_true",
         help="print the commit log (DESCRIBE HISTORY analog)",
+    )
+    m.add_argument(
+        "--prune-log",
+        type=int,
+        default=None,
+        metavar="KEEP_LAST",
+        help="checkpoint the commit log and prune entry files beneath it, "
+        "keeping the newest KEEP_LAST (do not run while an outbound "
+        "follower may be behind the checkpoint)",
     )
     m.set_defaults(fn=cmd_maintain)
     return p

@@ -325,3 +325,25 @@ def test_maintain_dml_and_history(spark, tmp_path, capsys):
         for r in log.filter(F.col("primary_key") == "k1").collect()
     ) == {"[GDPR]"}
     assert st2.checkpoint().height == 12
+
+
+def test_maintain_prune_log(spark, tmp_path, capsys):
+    """maintain --prune-log: checkpoint + prune the commit log; time
+    travel to the latest version stays exact through the checkpoint."""
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "plstore")
+    st = ChangelogStore(spark, root, height_band=10)
+    for h in range(1, 6):
+        st.write_batch(
+            make_changelog(spark, [("tst", "tbl", h, "k", f"v{h}")])
+        )
+    rc = main(
+        ["maintain", "--store", root, "--min-files", "99", "--prune-log", "1"],
+        spark,
+    )
+    assert rc == 0
+    assert "pruned 4 entry file(s)" in capsys.readouterr().out
+    st2 = ChangelogStore(spark, root, height_band=10)
+    assert st2.changelog(at_version=st2.latest_commit_version()).count() == 5
