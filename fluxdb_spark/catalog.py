@@ -191,6 +191,7 @@ _PRIORITY: list[str] = [
     "doc_chunking",
     "flux_state_series",
     "flux_time_weighted",
+    "asof_join_tolerance",
 ]
 
 
@@ -2012,6 +2013,56 @@ def asof_join_generic(spark, sf_dir):
         "event_id",
         "user_id",
         F.round("value", 2).alias("purchase_value"),
+        F.round("click_value_raw", 2).alias("click_value"),
+        "click_event_id",
+    )
+
+
+@_q(
+    "asof_join_tolerance",
+    "relational",
+    """
+SELECT p.event_id, p.user_id,
+       CASE WHEN p.event_id - c.event_id <= 50
+            THEN round(c.value, 2) END AS click_value,
+       CASE WHEN p.event_id - c.event_id <= 50
+            THEN c.event_id END AS click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.event_id <= p.event_id
+""",
+)
+def asof_join_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (pandas merge_asof semantics): a
+    match further than 50 event-ids behind is nulled — a stale quote must
+    not attach to today's trade. Oracle = DuckDB's native ASOF JOIN with
+    the gap nulled in SQL; the operator applies the bound map-side after
+    the single window pick, no extra shuffle."""
+    from fluxdb_spark.operators.asof import asof_join as asof_op
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value_raw"),
+    )
+    out = asof_op(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="event_id",
+        right_time="click_event_id",
+        payload_cols=["click_value_raw", "click_event_id"],
+        direction="backward",
+        allow_exact_matches=True,
+        tolerance=50,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
         F.round("click_value_raw", 2).alias("click_value"),
         "click_event_id",
     )

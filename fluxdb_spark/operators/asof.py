@@ -36,6 +36,7 @@ def asof_join(
     direction: str = "backward",
     allow_exact_matches: bool = False,
     tiebreak: str | None = None,
+    tolerance=None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest (backward) or
     earliest (forward) right row within the same `on` group whose time is
@@ -45,6 +46,10 @@ def asof_join(
     `tiebreak` names a column (used on whichever side has it) that makes
     ordering total when times repeat within one side: backward picks the
     LARGEST tiebreak among equal-time matches, forward the smallest.
+    `tolerance` (pandas merge_asof's bound, in the time columns' own
+    numeric units) nulls the match when the gap |left - right| exceeds
+    it — a stale quote must not attach to today's trade. Applied AFTER
+    the pick, so it costs a map-side comparison, never a second window.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -63,7 +68,10 @@ def asof_join(
         *[F.col(c) for c in on],
         F.col(right_time).alias("__t"),
         F.lit(right_tag).alias(_TAG),
-        F.struct(*[F.col(c) for c in payload_cols]).alias(_PAYLOAD),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c) for c in payload_cols],
+        ).alias(_PAYLOAD),
         (
             F.col(tiebreak)
             if tiebreak and tiebreak in right.columns
@@ -106,6 +114,19 @@ def asof_join(
         .withColumn("__match", pick)
         .filter(F.col(_TAG) == F.lit(left_tag))
     )
+    if tolerance is not None:
+        gap = (
+            F.col("__t") - F.col("__match.__rt")
+            if direction == "backward"
+            else F.col("__match.__rt") - F.col("__t")
+        )
+        out = out.withColumn(
+            "__match",
+            F.when(
+                F.col("__match").isNotNull() & (gap <= F.lit(tolerance)),
+                F.col("__match"),
+            ),
+        )
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__match")[c].alias(c) for c in payload_cols],

@@ -78,3 +78,27 @@ def test_payload_collision_rejected(frames):
     left, right = frames
     with pytest.raises(ValueError):
         asof_join(left, right, ["k"], "t", "t", payload_cols=["t"])
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    """merge_asof-style tolerance: a match further than the bound is
+    nulled (payload entirely), an in-bound match survives, and the
+    boundary gap is inclusive."""
+    from fluxdb_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100), ("u", 210), ("u", 305)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u", 95, "fresh"), ("u", 200, "boundary")],
+        "k string, rt long, q string",
+    )
+    out = {
+        r.t: r.q
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="rt",
+            payload_cols=["q"], tolerance=10,
+        ).collect()
+    }
+    # 100-95=5 <= 10 keeps; 210-200=10 == bound keeps; 305-200=105 nulls
+    assert out == {100: "fresh", 210: "boundary", 305: None}
