@@ -102,3 +102,41 @@ def test_tolerance_nulls_stale_matches(spark):
     }
     # 100-95=5 <= 10 keeps; 210-200=10 == bound keeps; 305-200=105 nulls
     assert out == {100: "fresh", 210: "boundary", 305: None}
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("tol", [0, 2, 4, 100])
+def test_tolerance_matches_pandas_merge_asof(spark, frames, direction, tol):
+    """Tolerance semantics pinned against pandas.merge_asof — the de facto
+    reference implementation — across both directions and bounds from
+    degenerate (0) to unbounded-in-practice (100). Right times are
+    deduplicated first (merge_asof needs a total order; the operator's
+    tiebreak covers duplicates separately in test_matches_model)."""
+    import pandas as pd
+
+    left, right = frames
+    r_dedup = right.orderBy("k", "t", "rv").dropDuplicates(["k", "t"])
+    got = {
+        (r.k, r.t): r.rv
+        for r in asof_join(
+            left, r_dedup, on=["k"], left_time="t", right_time="t",
+            payload_cols=["rv"], direction=direction,
+            allow_exact_matches=True, tolerance=tol,
+        ).collect()
+    }
+    lp = pd.DataFrame(LEFT, columns=["k", "t"]).sort_values("t")
+    rp = (
+        pd.DataFrame(RIGHT, columns=["k", "t", "rv"])
+        .sort_values(["t", "rv"])
+        .drop_duplicates(["k", "t"], keep="first")
+        .sort_values("t")
+    )
+    m = pd.merge_asof(
+        lp, rp, on="t", by="k", direction=direction,
+        allow_exact_matches=True, tolerance=tol,
+    )
+    want = {
+        (row.k, row.t): (None if pd.isna(row.rv) else row.rv)
+        for row in m.itertuples()
+    }
+    assert got == want
