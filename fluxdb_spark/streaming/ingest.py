@@ -418,6 +418,46 @@ class FluxEngine:
         """R6 — last durable (height, block); the overlay never moves it."""
         return self.store.checkpoint()
 
+    def state_series(
+        self, tablet_id: str, start: int, stop: int, step: int, **kw
+    ) -> DataFrame:
+        """Snapshot time series over the overlay-merged log (see
+        operators/temporal.state_series): speculative head-fork rows
+        participate exactly as they do in `state_at`, so grid points at
+        or above the fork's heights reflect the current head."""
+        from fluxdb_spark.operators import state_series
+
+        return state_series(
+            self._overlaid(stop), tablet_id, start, stop, step, **kw
+        )
+
+    def time_weighted_avg(
+        self, tablet_id: str, start: int, stop: int, metric, **kw
+    ) -> DataFrame:
+        """Duration-weighted aggregate over the overlay-merged log (see
+        operators/temporal.time_weighted_avg)."""
+        from fluxdb_spark.operators import time_weighted_avg
+
+        return time_weighted_avg(
+            self._overlaid(stop), tablet_id, start, stop, metric, **kw
+        )
+
+    def _overlaid(self, max_height: int) -> DataFrame:
+        """Durable log with the speculative overlay merged for the
+        interval-based reads (state_series / TWA): those build per-key
+        version intervals with lead(), so a same-height reorg rewrite
+        must be resolved BEFORE the window — the speculative row replaces
+        its durable counterpart (broadcast anti-join on the tiny
+        reversible segment; the durable log itself never reshuffles)."""
+        log = self.store.changelog(max_height=max_height)
+        spec = self.pipeline.speculative_writes(up_to_height=max_height)
+        if spec is None:
+            return log
+        keys = ["collection", "tablet_id", "primary_key", "height"]
+        return log.join(
+            F.broadcast(spec.select(*keys)), keys, "left_anti"
+        ).unionByName(spec)
+
     def register_sql(self, prefix: str = "flux") -> list[str]:
         """Expose the engine to pure Spark SQL (SURVEY §7.6): temp views
         over the overlay-merged changelog, the commit history, and the

@@ -253,3 +253,44 @@ class TestTimeWeightedAvg:
         }
         # a: (5*2 + 5*4 + 6*10) / 16 = 90/16 = 5.625
         assert got == {"a": (16, 5.625)}
+
+
+class TestEngineSeriesOverlay:
+    def test_engine_series_and_twa_see_the_overlay(self, spark, tmp_path):
+        """Engine-level state_series/TWA ≡ per-grid engine.state_at with
+        the speculative head fork participating."""
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.streaming.ingest import FluxEngine
+        from tests.conftest import make_changelog
+
+        eng = FluxEngine(spark, str(tmp_path / "sdb"))
+        eng.store.write_batch(
+            make_changelog(
+                spark,
+                [("tst", "tbl", 5, "a", "3"), ("tst", "tbl", 12, "b", "7")],
+            )
+        )
+        # speculative head: a new version of 'a' at height 18
+        eng.pipeline.process_new_block(
+            "f1", 18, "", [("tst", "tbl", 18, "a", "9", False, "f1", 18)]
+        )
+        series = {
+            (r.as_of_height, r.primary_key): r.value
+            for r in eng.state_series("tbl", 10, 20, 5).collect()
+        }
+        naive = {}
+        for g in (10, 15, 20):
+            for r in eng.state_at("tbl", g, collection="tst").collect():
+                naive[(g, r.primary_key)] = r.value
+        assert series == naive
+        assert series[(20, "a")] == "9"  # the fork row is live at 20
+        twa = {
+            r.primary_key: (r.live_heights, r.twa)
+            for r in eng.time_weighted_avg(
+                "tbl", 10, 20, F.col("value").cast("double")
+            ).collect()
+        }
+        # a: v3 live [10,17] w=8, v9 live [18,20] w=3 -> (24+27)/11
+        assert twa["a"] == (11, 4.6363)
+        assert twa["b"] == (9, 7.0)
