@@ -60,8 +60,11 @@ HEADLINE = [
     "stream_simhash_dedup",
     "typed_view_protobuf",
     "embed_neardup_lsh",
-    # round-5 addition: RAG chunking (map-side explode, scan-speed)
+    # round-5 additions: RAG chunking (map-side explode, scan-speed) and
+    # the one-scan temporal analytics pair (snapshot series, TWA)
     "doc_chunking",
+    "flux_state_series",
+    "flux_time_weighted",
 ]
 
 
