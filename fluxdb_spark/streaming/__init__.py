@@ -1,7 +1,11 @@
 from fluxdb_spark.streaming.ingest import IngestPipeline
 from fluxdb_spark.streaming.stateful import sessionize_stream
 from fluxdb_spark.streaming.metrics import IngestMetricsListener, observe_ingest
-from fluxdb_spark.streaming.follow import follow_store, stream_commits
+from fluxdb_spark.streaming.follow import (
+    follow_store,
+    replicate_store,
+    stream_commits,
+)
 
 __all__ = [
     "IngestPipeline",
@@ -9,5 +13,6 @@ __all__ = [
     "IngestMetricsListener",
     "observe_ingest",
     "follow_store",
+    "replicate_store",
     "stream_commits",
 ]

@@ -108,3 +108,35 @@ def follow_store(
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
+
+
+def replicate_store(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+):
+    """Store-to-store replication — the cross-region story: follow the
+    source's commit log and write each batch into the destination through
+    the normal guarded write path. Exactly-once end-to-end WITHOUT any
+    sink-side bookkeeping: `write_batch`'s idempotent replay drops
+    heights at or below the destination checkpoint, so redelivery (a new
+    follower checkpoint, a restart replaying a micro-batch) is harmless,
+    and the monotonic-height guard keeps hole detection intact on the
+    replica. The replica is a full ChangelogStore — same temporal reads,
+    same commit log of its own.
+
+    Follows the source's global append stream; a sharded source should be
+    replicated after its final checkpoint reconciliation (per-shard
+    heights are only contiguous within their own stream)."""
+    from fluxdb_spark.store import ChangelogStore
+
+    dst = ChangelogStore(spark, dst_root)
+
+    def sink(rows: DataFrame, _batch_id: int) -> None:
+        dst.write_batch(rows.orderBy("height"))
+
+    return follow_store(
+        spark, src_root, sink, checkpoint_dir, trigger_seconds
+    )

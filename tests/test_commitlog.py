@@ -741,3 +741,51 @@ class TestLogCheckpoints:
         assert ckpt is not None
         assert ckpt["version"] == store.latest_commit_version()
         assert ckpt["floor"] == ckpt["version"]  # compact IS the rewrite
+
+
+class TestReplication:
+    def test_replicate_store_end_to_end_and_idempotent_redelivery(
+        self, spark, tmp_path
+    ):
+        """replicate_store mirrors the source exactly, keeps up with new
+        commits, and a full REDELIVERY (fresh follower checkpoint replays
+        every commit) changes nothing — exactly-once via the destination
+        guard, no sink bookkeeping."""
+        from fluxdb_spark.streaming.follow import replicate_store
+
+        src_root = str(tmp_path / "src")
+        dst_root = str(tmp_path / "dst")
+        src = ChangelogStore(spark, src_root, height_band=10)
+        src.write_batch(batch(spark, [1, 2, 3]))
+        src.write_batch(batch(spark, [4, 5]))
+
+        q = replicate_store(
+            spark, src_root, dst_root, str(tmp_path / "ck1"),
+            trigger_seconds=0.5,
+        )
+        try:
+            q.processAllAvailable()
+            src.write_batch(batch(spark, [6]))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        dst = ChangelogStore(spark, dst_root, height_band=10)
+        assert sorted(r.height for r in dst.changelog().collect()) == [
+            1, 2, 3, 4, 5, 6,
+        ]
+        assert dst.checkpoint().height == 6
+        # full redelivery from scratch: fresh follower checkpoint replays
+        # every commit; the replica's guard absorbs it all
+        q2 = replicate_store(
+            spark, src_root, dst_root, str(tmp_path / "ck2"),
+            trigger_seconds=0.5,
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        dst2 = ChangelogStore(spark, dst_root, height_band=10)
+        assert sorted(r.height for r in dst2.changelog().collect()) == [
+            1, 2, 3, 4, 5, 6,
+        ]
+        assert dst2.changelog().count() == 6  # no duplicates
