@@ -209,6 +209,31 @@ def cmd_maintain(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_replicate(args, spark: SparkSession) -> int:
+    """Replication mode (beyond the reference's four): follow the source
+    store's commit log and mirror every committed batch into a replica
+    through the guarded write path — exactly-once via idempotent replay.
+    Runs until the available commits are drained (one-shot catch-up);
+    long-running deployments keep the query alive instead."""
+    from fluxdb_spark.streaming.follow import replicate_store
+    from fluxdb_spark.store import ChangelogStore
+
+    q = replicate_store(
+        spark, args.src, args.dst, args.checkpoint, trigger_seconds=0.5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    dst = ChangelogStore(spark, args.dst)
+    ckpt = dst.checkpoint()
+    print(
+        "replica caught up to height "
+        f"{'-' if ckpt is None else ckpt.height}"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fluxdb_spark")
     sub = p.add_subparsers(dest="mode", required=True)
@@ -283,6 +308,12 @@ def build_parser() -> argparse.ArgumentParser:
         "follower may be behind the checkpoint)",
     )
     m.set_defaults(fn=cmd_maintain)
+
+    rep = sub.add_parser("replicate")
+    rep.add_argument("--src", required=True)
+    rep.add_argument("--dst", required=True)
+    rep.add_argument("--checkpoint", required=True)
+    rep.set_defaults(fn=cmd_replicate)
     return p
 
 

@@ -347,3 +347,24 @@ def test_maintain_prune_log(spark, tmp_path, capsys):
     assert "pruned 4 entry file(s)" in capsys.readouterr().out
     st2 = ChangelogStore(spark, root, height_band=10)
     assert st2.changelog(at_version=st2.latest_commit_version()).count() == 5
+
+
+def test_replicate_mode(spark, tmp_path, capsys):
+    """replicate: one-shot catch-up mirrors the source store exactly."""
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    src = str(tmp_path / "rsrc")
+    st = ChangelogStore(spark, src, height_band=10)
+    st.write_batch(
+        make_changelog(spark, [("tst", "tbl", h, "k", f"v{h}") for h in (1, 2, 3)])
+    )
+    rc = main(
+        ["replicate", "--src", src, "--dst", str(tmp_path / "rdst"),
+         "--checkpoint", str(tmp_path / "rck")],
+        spark,
+    )
+    assert rc == 0
+    assert "replica caught up to height 3" in capsys.readouterr().out
+    dst = ChangelogStore(spark, str(tmp_path / "rdst"))
+    assert sorted(r.height for r in dst.changelog().collect()) == [1, 2, 3]
