@@ -6,6 +6,10 @@
     python -m fluxdb_spark reproc-shard  --sf-dir DIR --out DIR --shards N
     python -m fluxdb_spark reproc-inject --out DIR --store DIR --shard K
     python -m fluxdb_spark reproc-inject --out DIR --store DIR --finalize
+    python -m fluxdb_spark maintain      --store DIR [--expire-before H]
+                                         [--delete-where P] [--redact-where P]
+                                         [--history] [--prune-log N]
+    python -m fluxdb_spark replicate     --src DIR --dst DIR --checkpoint DIR
 
 inject (app.go:181-189): map the events table through the BlockMapper analog
 and append to the durable change-log store with the monotonic-height guard.
