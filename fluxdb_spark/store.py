@@ -318,9 +318,9 @@ class CommitLog:
                     vmax = max(vmax, int(fname[1:-5]))
                 except ValueError:
                     pass
-            elif fname.startswith("ckpt-v") and fname.endswith(".json"):
+            elif fname.startswith("_ckpt-v") and fname.endswith(".json"):
                 try:
-                    vmax = max(vmax, int(fname[len("ckpt-v"):-5]))
+                    vmax = max(vmax, int(fname[len("_ckpt-v"):-5]))
                 except ValueError:
                     pass
         return vmax
@@ -398,7 +398,10 @@ class CommitLog:
     # --- log checkpoints (bounding resolution cost at scale) --------------
 
     def _ckpt_name(self, version: int) -> str:
-        return f"ckpt-v{version:020d}.json"
+        # underscore prefix: Hadoop's hidden-file convention, so the
+        # outbound follower's JSON file source (streaming/follow.py)
+        # never reads a log checkpoint as a commit entry
+        return f"_ckpt-v{version:020d}.json"
 
     def newest_log_checkpoint(self) -> dict | None:
         """Newest cumulative snapshot `{"version", "files", "floor"}`, or
@@ -407,10 +410,10 @@ class CommitLog:
         harmless."""
         best = None
         for fname in os.listdir(self.dir):
-            if not (fname.startswith("ckpt-v") and fname.endswith(".json")):
+            if not (fname.startswith("_ckpt-v") and fname.endswith(".json")):
                 continue
             try:
-                v = int(fname[len("ckpt-v"):-5])
+                v = int(fname[len("_ckpt-v"):-5])
             except ValueError:
                 continue
             if best is None or v > best[0]:
@@ -449,7 +452,7 @@ class CommitLog:
         os.replace(tmp, os.path.join(self.dir, self._ckpt_name(version)))
         for fname in os.listdir(self.dir):
             if (
-                fname.startswith("ckpt-v")
+                fname.startswith("_ckpt-v")
                 and fname.endswith(".json")
                 and fname != self._ckpt_name(version)
             ):

@@ -789,3 +789,35 @@ class TestReplication:
             1, 2, 3, 4, 5, 6,
         ]
         assert dst2.changelog().count() == 6  # no duplicates
+
+
+class TestFollowerIgnoresLogCheckpoints:
+    def test_checkpoint_files_invisible_to_the_stream(self, spark, tmp_path):
+        """Log checkpoints live beside the entries but are hidden files
+        (underscore prefix): the follower must deliver exactly the entry
+        rows, before and after checkpointing + pruning."""
+        from fluxdb_spark.streaming.follow import follow_store
+
+        root = str(tmp_path / "hdb")
+        st = ChangelogStore(spark, root, height_band=10)
+        st.write_batch(batch(spark, [1, 2]))
+        st.write_batch(batch(spark, [3]))
+        log = st._backend.commit_log
+        log.checkpoint_log()
+        assert log.prune_entries(keep_last=0) == 2  # both entries pruned
+        st.write_batch(batch(spark, [4]))
+        seen: list = []
+        q = follow_store(
+            spark, root,
+            lambda rows, bid: seen.extend(r.height for r in rows.collect()),
+            str(tmp_path / "hck"), trigger_seconds=0.5,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # only the SURVIVING entry's rows flow (the pruned entries' rows
+        # live in the checkpoint's cumulative state, which is a snapshot,
+        # not a change event) — and the hidden checkpoint file itself
+        # contributes nothing
+        assert sorted(seen) == [4]
