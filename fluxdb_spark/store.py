@@ -4,7 +4,7 @@ Parquet-backed (Delta/Iceberg jars aren't in this image): the manifest
 commit, uncommitted-file exclusion, and writer leases below re-create the
 transactional-table behaviors a Delta append would provide. The physical
 protocol is isolated behind the `StoreBackend` seam (the analog of the
-reference's store DSN, store.go:31-39) with `ParquetChangelogBackend` as
+reference's store DSN, store.go:31-39) with `FileChangelogBackend` as
 the only concrete backend — a transactional format drops in by
 implementing `append_and_commit` (where the whole stage/manifest/move
 sequence collapses to one native transactional write),
@@ -538,16 +538,25 @@ class StoreBackend:
         raise NotImplementedError
 
 
-class ParquetChangelogBackend(StoreBackend):
-    """Plain-parquet backend: Hive-partitioned band layout plus a
+class FileChangelogBackend(StoreBackend):
+    """File-format backend: Hive-partitioned band layout plus a
     manifest protocol that re-creates transactional-append atomicity
-    (see module docstring). The only backend in this image — Delta and
-    Iceberg jars aren't available — but everything format-specific about
-    the write path lives here, behind StoreBackend."""
+    (see module docstring). `data_format` selects the physical file
+    format through Spark's DataSource API — parquet and ORC both ship in
+    the image, and everything format-specific funnels through the
+    `_write`/`_read`/`data_suffix` hooks below, so the protocol
+    (staging, manifests, commit log, swaps, recovery) is written once.
+    This is the reference's store-DSN choice (store.go:31-39,
+    badger:// vs bigkv://) re-expressed as a format choice; a
+    transactional format (Delta/Iceberg) would instead implement
+    StoreBackend directly with native transactional appends."""
+
+    data_format = "parquet"
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self.data_suffix = "." + self.data_format  # .parquet / .orc
         self.data_dir = os.path.join(root, "changelog")
         self.manifest_dir = os.path.join(root, "_manifests")
         self.staging_dir = os.path.join(root, "_staging")
@@ -564,6 +573,22 @@ class ParquetChangelogBackend(StoreBackend):
     def _rel(self, path: str) -> str:
         return os.path.relpath(path, self.root)
 
+    def _write(self, writer, path: str) -> None:
+        writer.format(self.data_format).save(path)
+
+    def _read(self, *paths: str, schema=None, base_path: str | None = None):
+        r = self.spark.read
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        if schema is not None:
+            r = r.schema(schema)
+        # load() takes (path, format, schema) positionally — a path LIST,
+        # never varargs (unlike reader.parquet(*paths))
+        return r.format(self.data_format).load(list(paths))
+
+    def _is_data_file(self, fname: str) -> bool:
+        return fname.endswith(self.data_suffix)
+
     def append_and_commit(self, clustered, batch_id, bounds, shard, advance):
         stage = os.path.join(self.staging_dir, f"batch-{batch_id}")
         (
@@ -576,7 +601,8 @@ class ParquetChangelogBackend(StoreBackend):
             )
             .write.mode("overwrite")
             .partitionBy("collection", "height_band")
-            .parquet(stage)
+            .format(self.data_format)
+            .save(stage)
         )
         # manifest BEFORE any file reaches the band directories: lists every
         # target path, so recover() can roll a torn move back in full
@@ -584,7 +610,7 @@ class ParquetChangelogBackend(StoreBackend):
         for dirpath, _dirnames, filenames in os.walk(stage):
             rel = os.path.relpath(dirpath, stage)
             for fname in filenames:
-                if not fname.endswith(".parquet"):
+                if not self._is_data_file(fname):
                     continue  # _SUCCESS markers, .crc sidecars
                 moves.append(
                     (
@@ -667,16 +693,14 @@ class ParquetChangelogBackend(StoreBackend):
                 for dirpath, _d, fnames in os.walk(self.data_dir):
                     for fn in fnames:
                         p = os.path.join(dirpath, fn)
-                        if fn.endswith(".parquet") and p not in pending:
+                        if self._is_data_file(fn) and p not in pending:
                             files.append(p)
                 if not files:
                     return None
-                return (
-                    self.spark.read.option("basePath", self.data_dir)
-                    .schema(read_schema)
-                    .parquet(*files)
+                return self._read(
+                    *files, schema=read_schema, base_path=self.data_dir
                 )
-            return self.spark.read.schema(read_schema).parquet(self.data_dir)
+            return self._read(self.data_dir, schema=read_schema)
         except AnalysisException:
             # empty store (no files yet): everything else — a corrupt
             # file, a broken partition layout — must surface, not read
@@ -752,10 +776,8 @@ class ParquetChangelogBackend(StoreBackend):
         paths = self.files_at_version(version)
         if not paths:
             return None
-        return (
-            self.spark.read.option("basePath", self.data_dir)
-            .schema(read_schema)
-            .parquet(*paths)
+        return self._read(
+            *paths, schema=read_schema, base_path=self.data_dir
         )
 
     def recover(self, checkpoint_of, lease_is_fresh) -> int:
@@ -859,7 +881,7 @@ class ParquetChangelogBackend(StoreBackend):
             self._rel(os.path.join(dirpath, fn))
             for dirpath, _d, fnames in os.walk(self.data_dir)
             for fn in fnames
-            if fn.endswith(".parquet")
+            if self._is_data_file(fn)
         ]
         if files:
             self.commit_log.claim(
@@ -988,6 +1010,27 @@ class ParquetChangelogBackend(StoreBackend):
             pass
 
 
+class ParquetChangelogBackend(FileChangelogBackend):
+    """The default backend (columnar parquet, full pushdown/statistics)."""
+
+    data_format = "parquet"
+
+
+class OrcChangelogBackend(FileChangelogBackend):
+    """Alternate file format behind the same seam — the proof that the
+    protocol is backend-agnostic: every test-visible behavior (guarded
+    writes, exactly-once commit, compaction, retention, DML, time travel,
+    the CDC follower) runs unchanged over ORC."""
+
+    data_format = "orc"
+
+
+BACKENDS = {
+    "parquet": ParquetChangelogBackend,
+    "orc": OrcChangelogBackend,
+}
+
+
 @dataclass(frozen=True)
 class Checkpoint:
     height: int
@@ -1006,27 +1049,40 @@ class ChangelogStore:
         height_band: int = DEFAULT_HEIGHT_BAND,
         lease_timeout_s: float = 30.0,
         lease_stale_s: float = 300.0,
+        data_format: str = "parquet",
     ):
         self.spark = spark
         self.root = root
         self.lease_timeout_s = lease_timeout_s
         self.lease_stale_s = lease_stale_s
+        # band size AND file format are PHYSICAL layout: once the first
+        # batch lands, the stored values win over the constructor
+        # arguments, so maintenance tools (and followers) opening the
+        # store with defaults still see the real bands and format
+        meta_path = os.path.join(root, "_meta.json")
+        stored_band = None
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            stored_band = int(meta["height_band"])
+            data_format = meta.get("data_format", "parquet")
+        if data_format not in BACKENDS:
+            raise ValueError(
+                f"unknown data_format {data_format!r}; "
+                f"choose one of {sorted(BACKENDS)}"
+            )
         # the storage-format seam: semantics live on this class, bytes
-        # live on the backend (see StoreBackend)
-        self._backend = ParquetChangelogBackend(spark, root)
-        self._backend.height_band = height_band
+        # live on the backend (see StoreBackend); the format name is the
+        # reference's store-DSN choice (store.go:31-39)
+        self._backend = BACKENDS[data_format](spark, root)
+        self._backend.height_band = (
+            stored_band if stored_band is not None else height_band
+        )
         self._data_dir = self._backend.data_dir
         self._manifest_dir = self._backend.manifest_dir
         self._staging_dir = self._backend.staging_dir
         self._ckpt_dir = os.path.join(root, "_checkpoint")
         os.makedirs(self._ckpt_dir, exist_ok=True)
-        # the band size is PHYSICAL layout: once the first batch lands, the
-        # stored value wins over the constructor argument, so maintenance
-        # tools opening the store with defaults still see the real bands
-        meta_path = os.path.join(root, "_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                self.height_band = int(json.load(f)["height_band"])
         self.recover()
 
     @property
@@ -1228,7 +1284,13 @@ class ChangelogStore:
         if not os.path.exists(meta_path):
             tmp_meta = meta_path + ".tmp"
             with open(tmp_meta, "w") as f:
-                json.dump({"height_band": self.height_band}, f)
+                json.dump(
+                    {
+                        "height_band": self.height_band,
+                        "data_format": self._backend.data_format,
+                    },
+                    f,
+                )
             os.replace(tmp_meta, meta_path)
         self._backend.append_and_commit(
             clustered,
@@ -1282,7 +1344,7 @@ class ChangelogStore:
     def recover(self) -> int:
         """Roll back torn batches and heal interrupted maintenance swaps;
         called at open and safe to call anytime. The mechanics live with
-        the backend (ParquetChangelogBackend.recover); this class supplies
+        the backend (FileChangelogBackend.recover); this class supplies
         the two semantic inputs — which batches are committed (their `hi`
         reached the shard's checkpoint) and which writer leases are still
         fresh (live writers whose in-flight batches must not be rolled
@@ -1357,7 +1419,7 @@ class ChangelogStore:
         rows_rebased = 0
         cleared_rel: list[str] = []
         for coll, paths in sorted(per_coll.items()):
-            doomed_df = self.spark.read.parquet(*paths)
+            doomed_df = self._backend._read(*paths)
             n_doomed = doomed_df.count()
             rows_doomed += n_doomed
             cols = doomed_df.columns
@@ -1399,10 +1461,11 @@ class ChangelogStore:
                 )
                 .sortWithinPartitions("tablet_id", "height")
                 .write.mode("overwrite")
-                .parquet(tmp)
+                .format(self._backend.data_format)
+                .save(tmp)
             )
             for f in os.listdir(tmp):
-                if f.endswith(".parquet"):
+                if self._backend._is_data_file(f):
                     os.rename(
                         os.path.join(tmp, f),
                         os.path.join(target, f"rebase-h{hmax}-{f}"),
@@ -1424,14 +1487,14 @@ class ChangelogStore:
             ]
             add_rel.extend(self._backend._rel(p) for p in rebase_files)
             if rebase_files:
-                rows_rebased += self.spark.read.parquet(*rebase_files).count()
+                rows_rebased += self._backend._read(*rebase_files).count()
         for _coll, paths in per_coll.items():
             for p in paths:
                 for dirpath, _d, fnames in os.walk(p):
                     remove_rel.extend(
                         self._backend._rel(os.path.join(dirpath, fn))
                         for fn in fnames
-                        if fn.endswith(".parquet")
+                        if self._backend._is_data_file(fn)
                     )
                 shutil.rmtree(p, ignore_errors=True)
         tmp = os.path.join(self.root, "_retention.json.tmp")
@@ -1505,13 +1568,13 @@ class ChangelogStore:
                 files = [
                     f
                     for f in os.listdir(band_entry.path)
-                    if f.endswith(".parquet")
+                    if self._backend._is_data_file(f)
                 ]
                 if len(files) < min_files:
                     continue
                 # reading the band dir directly (no basePath) yields the
                 # file columns only — exactly what partitionBy wrote
-                band_df = self.spark.read.parquet(band_entry.path)
+                band_df = self._backend._read(band_entry.path)
                 n_rows = band_df.count()
                 n_out = max(1, -(-n_rows // target_rows_per_file))
                 rewritten = (
@@ -1532,10 +1595,11 @@ class ChangelogStore:
                 (
                     rewritten.sortWithinPartitions("tablet_id", "height")
                     .write.mode("overwrite")
-                    .parquet(new)
+                    .format(self._backend.data_format)
+                    .save(new)
                 )
                 for junk in os.listdir(new):  # _SUCCESS / .crc sidecars
-                    if not junk.endswith(".parquet"):
+                    if not self._backend._is_data_file(junk):
                         os.remove(os.path.join(new, junk))
                 # journal BEFORE the swap so recover() can complete or
                 # roll back a crash at any point between the two renames
@@ -1561,7 +1625,7 @@ class ChangelogStore:
                     "add": [
                         rel(os.path.join(band_entry.path, fn))
                         for fn in os.listdir(new)
-                        if fn.endswith(".parquet")
+                        if self._backend._is_data_file(fn)
                     ],
                 }
                 with open(jtmp, "w") as f:
@@ -1588,7 +1652,7 @@ class ChangelogStore:
                     [
                         f
                         for f in os.listdir(band_entry.path)
-                        if f.endswith(".parquet")
+                        if self._backend._is_data_file(f)
                     ]
                 )
         # maintenance also snapshots the commit log (Delta-checkpoint
@@ -1681,9 +1745,11 @@ class ChangelogStore:
                 f"height_band={int(row.height_band)}",
             )
             files = [
-                f for f in os.listdir(band_path) if f.endswith(".parquet")
+                f
+                for f in os.listdir(band_path)
+                if self._backend._is_data_file(f)
             ]
-            band_df = self.spark.read.parquet(band_path).withColumns(
+            band_df = self._backend._read(band_path).withColumns(
                 {
                     "collection": F.lit(row.collection),
                     "height_band": F.lit(int(row.height_band)).cast("long"),
@@ -1714,10 +1780,11 @@ class ChangelogStore:
                 )
                 .sortWithinPartitions("tablet_id", "height")
                 .write.mode("overwrite")
-                .parquet(new)
+                .format(self._backend.data_format)
+                .save(new)
             )
             for junk in os.listdir(new):
-                if not junk.endswith(".parquet"):
+                if not self._backend._is_data_file(junk):
                     os.remove(os.path.join(new, junk))
             jentry = {
                 "band": band_path,
@@ -1729,7 +1796,7 @@ class ChangelogStore:
                 "add": [
                     rel(os.path.join(band_path, fn))
                     for fn in os.listdir(new)
-                    if fn.endswith(".parquet")
+                    if self._backend._is_data_file(fn)
                 ],
             }
             journal = os.path.join(

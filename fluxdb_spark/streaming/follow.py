@@ -77,6 +77,15 @@ def follow_store(
         + [T.StructField("height_band", T.LongType(), True)]
     )
     data_dir = os.path.join(root, "changelog")
+    # the source store's physical format lives in its _meta.json, so a
+    # follower needs no out-of-band knowledge of the backend choice
+    data_format = "parquet"
+    meta_path = os.path.join(root, "_meta.json")
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            data_format = json.load(f).get("data_format", "parquet")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         # O(commits-in-batch) driver rows: version + file list only —
@@ -96,7 +105,8 @@ def follow_store(
         rows = (
             spark.read.option("basePath", data_dir)
             .schema(read_schema)
-            .parquet(*files)
+            .format(data_format)
+            .load(files)
             .drop("height_band")
         )
         sink(rows, batch_id)

@@ -1422,3 +1422,82 @@ class TestCrashFuzzStore:
             crash_at += 1
         assert exhausted
         assert crash_at >= 4
+
+
+class TestOrcBackend:
+    """The StoreBackend seam, proven with a second physical format: the
+    full lifecycle — guarded writes, idempotent replay, compaction,
+    retention, physical DML, time travel, outbound follower — runs
+    unchanged over ORC (reference analog: the store-DSN choice,
+    store.go:31-39)."""
+
+    def _store(self, spark, tmp_path, name="odb"):
+        return ChangelogStore(
+            spark, str(tmp_path / name), height_band=10, data_format="orc"
+        )
+
+    def test_lifecycle_write_compact_expire_purge_timetravel(
+        self, spark, tmp_path
+    ):
+        import os
+
+        st = self._store(spark, tmp_path)
+        for h in range(1, 5):
+            st.write_batch(batch(spark, [h]))
+        st.write_batch(batch(spark, range(5, 26)))
+        st.write_batch(batch(spark, [9, 10, 26]))  # replay dedups
+        assert sorted(r.height for r in st.changelog().collect()) == list(
+            range(1, 27)
+        )
+        # the physical files really are ORC
+        data_files = [
+            fn
+            for _d, _s, fns in os.walk(st._data_dir)
+            for fn in fns
+            if not fn.startswith(".")
+        ]
+        assert data_files and all(f.endswith(".orc") for f in data_files)
+        # maintenance: compact, retention, physical DML
+        c = st.compact(min_files=2)
+        assert c["bands"] >= 1
+        st.expire_bands(before_height=10)
+        assert st.changelog(max_height=15).count() > 0
+        p = st.purge_key("tst", "tbl", "001")
+        assert p["rows_matched"] > 0
+        assert st.changelog().count() == 0  # single-key fixture: all gone
+        st.write_batch(batch(spark, [27], pk="002"))  # still writable
+        # commit-level time travel resolves over ORC files
+        assert (
+            st.changelog(at_version=st.latest_commit_version()).count() == 1
+        )
+
+    def test_format_is_sticky_from_meta(self, spark, tmp_path):
+        st = self._store(spark, tmp_path, "sticky")
+        st.write_batch(batch(spark, [1]))
+        # reopen with DEFAULT args: stored format wins
+        st2 = ChangelogStore(spark, str(tmp_path / "sticky"))
+        assert st2._backend.data_format == "orc"
+        assert [r.height for r in st2.changelog().collect()] == [1]
+
+    def test_unknown_format_rejected(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="unknown data_format"):
+            ChangelogStore(
+                spark, str(tmp_path / "bad"), data_format="avrooo"
+            )
+
+    def test_follower_reads_orc_store(self, spark, tmp_path):
+        from fluxdb_spark.streaming.follow import follow_store
+
+        st = self._store(spark, tmp_path, "fdb")
+        st.write_batch(batch(spark, [1, 2]))
+        seen: list = []
+        q = follow_store(
+            spark, str(tmp_path / "fdb"),
+            lambda rows, bid: seen.extend(r.height for r in rows.collect()),
+            str(tmp_path / "fck"), trigger_seconds=0.5,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert sorted(seen) == [1, 2]
