@@ -47,7 +47,7 @@ def cmd_inject(args, spark: SparkSession) -> int:
     from fluxdb_spark.sources.tables import load_table
     from fluxdb_spark.store import ChangelogStore
 
-    store = ChangelogStore(spark, args.store)
+    store = ChangelogStore(spark, args.store, data_format=args.data_format)
     log = changelog_from_events(load_table(spark, args.sf_dir, "events"))
     ckpt = store.write_batch(log)
     print(f"injected up to height {ckpt.height} (block {ckpt.block_id})")
@@ -245,6 +245,13 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("inject")
     i.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     i.add_argument("--store", required=True)
+    i.add_argument(
+        "--data-format",
+        default="parquet",
+        choices=["parquet", "orc"],
+        help="physical file format for a NEW store (the store-DSN "
+        "choice; sticky in _meta.json once the first batch lands)",
+    )
     i.set_defaults(fn=cmd_inject)
 
     s = sub.add_parser("server")

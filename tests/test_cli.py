@@ -368,3 +368,30 @@ def test_replicate_mode(spark, tmp_path, capsys):
     assert "replica caught up to height 3" in capsys.readouterr().out
     dst = ChangelogStore(spark, str(tmp_path / "rdst"))
     assert sorted(r.height for r in dst.changelog().collect()) == [1, 2, 3]
+
+
+def test_inject_orc_format(spark, tmp_path, capsys):
+    """inject --data-format orc: the store-DSN choice from the CLI; the
+    server mode then reads it back with no format flag (sticky meta)."""
+    import os
+
+    store = str(tmp_path / "ostore")
+    rc = main(
+        ["inject", "--sf-dir", "/root/testdata/sf0.001",
+         "--store", store, "--data-format", "orc"],
+        spark,
+    )
+    assert rc == 0
+    data_files = [
+        fn
+        for _d, _s, fns in os.walk(os.path.join(store, "changelog"))
+        for fn in fns
+        if not fn.startswith(".")
+    ]
+    assert data_files and all(f.endswith(".orc") for f in data_files)
+    rc = main(
+        ["server", "--store", store, "--tablet", "click", "--height", "700"],
+        spark,
+    )
+    assert rc == 0
+    assert "live keys in 'click' at height 700" in capsys.readouterr().out
