@@ -1306,16 +1306,22 @@ class TestCrashFuzzStore:
     def _heights(self, st):
         return sorted(r.height for r in st.changelog().collect())
 
+    @pytest.mark.parametrize("fmt", ["parquet", "orc"])
     def test_write_crash_at_every_fileop_then_replay(
-        self, spark, tmp_path, monkeypatch
+        self, spark, tmp_path, monkeypatch, fmt
     ):
+        """Runs over BOTH file backends: the commit protocol's crash
+        windows are format-independent by construction, and this proves
+        it."""
         import os
 
         crash_at = 0
         exhausted = False
         while not exhausted and crash_at < 30:
             root = str(tmp_path / f"db-{crash_at}")
-            st = ChangelogStore(spark, root, height_band=5)
+            st = ChangelogStore(
+                spark, root, height_band=5, data_format=fmt
+            )
             st.write_batch(batch(spark, [1, 2, 3]))
             with monkeypatch.context() as mp:
                 _FileOpCrasher(mp, crash_at)
@@ -1336,7 +1342,9 @@ class TestCrashFuzzStore:
                 d["ts"] = 0
                 with open(lock, "w") as f:
                     _json.dump(d, f)
-            st2 = ChangelogStore(spark, root, height_band=5)
+            st2 = ChangelogStore(
+                spark, root, height_band=5, data_format=fmt
+            )
             if os.path.exists(lock):
                 os.remove(lock)
             # replay is idempotent whether the crash landed before or
