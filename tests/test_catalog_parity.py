@@ -75,6 +75,12 @@ def test_catalog_calls_leave_no_session_cache(spark):
         "dedup_simhash_pairs",
         "dedup_clusters",
         "dedup_survivors",
+        # round-5 additions: map-side / single-window plans, nothing to
+        # materialize — pinned so a future optimization can't regress
+        "doc_chunking",
+        "flux_state_series",
+        "flux_time_weighted",
+        "asof_join_tolerance",
     ):
         by_name[name].spark(spark, sf).collect()
         assert jcm.isEmpty(), f"{name} left a cached relation behind"
