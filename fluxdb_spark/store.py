@@ -573,8 +573,28 @@ class FileChangelogBackend(StoreBackend):
     def _rel(self, path: str) -> str:
         return os.path.relpath(path, self.root)
 
+    # Point-read columns that get per-file membership filters.  The
+    # reference serves R2/R3/R4 point reads as KV prefix gets
+    # (tablet.go:251-278 key layout) — the storage engine itself skips
+    # everything outside the prefix.  The columnar analog: appends and
+    # compaction already cluster files by (collection, tablet_id,
+    # height), so min/max row-group statistics prune most files, and the
+    # format-level bloom filters added here cover the remaining case —
+    # a file whose tablet_id/primary_key range STRADDLES the probed key
+    # without containing it (inevitable once keys are high-cardinality
+    # hashes, where every file's min/max spans the key space).  With
+    # them, a single-key read on a 100 TB log decodes only the row
+    # groups whose filter matches, not every straddling file.
+    BLOOM_COLUMNS = ("tablet_id", "primary_key")
+
+    def _bloom_options(self, writer):
+        """Format-specific membership-filter writer options (overridden
+        per format); base is a no-op so a format without bloom support
+        still works."""
+        return writer
+
     def _write(self, writer, path: str) -> None:
-        writer.format(self.data_format).save(path)
+        self._bloom_options(writer).format(self.data_format).save(path)
 
     def _read(self, *paths: str, schema=None, base_path: str | None = None):
         r = self.spark.read
@@ -591,7 +611,7 @@ class FileChangelogBackend(StoreBackend):
 
     def append_and_commit(self, clustered, batch_id, bounds, shard, advance):
         stage = os.path.join(self.staging_dir, f"batch-{batch_id}")
-        (
+        writer = (
             clustered.sortWithinPartitions("collection", "tablet_id", "height")
             .withColumn(
                 "height_band",
@@ -601,9 +621,8 @@ class FileChangelogBackend(StoreBackend):
             )
             .write.mode("overwrite")
             .partitionBy("collection", "height_band")
-            .format(self.data_format)
-            .save(stage)
         )
+        self._write(writer, stage)
         # manifest BEFORE any file reaches the band directories: lists every
         # target path, so recover() can roll a torn move back in full
         moves = []
@@ -1011,9 +1030,33 @@ class FileChangelogBackend(StoreBackend):
 
 
 class ParquetChangelogBackend(FileChangelogBackend):
-    """The default backend (columnar parquet, full pushdown/statistics)."""
+    """The default backend (columnar parquet, full pushdown/statistics).
+
+    Every data file carries bloom filters on the point-read columns
+    (BLOOM_COLUMNS).  parquet-mr is adaptive about it: a column chunk
+    that stays fully dictionary-encoded (few distinct tablets/keys per
+    file — the clustered-append common case) gets NO bloom filter,
+    because its dictionary page already serves as an exact membership
+    filter for row-group skipping; the bloom filter materializes exactly
+    when dictionary encoding falls back (high-cardinality keys), which
+    is when stats-based pruning stops working and a membership filter
+    pays for itself.  Spark's scan applies both row-group filters under
+    the default `spark.sql.parquet.filterPushdown`."""
 
     data_format = "parquet"
+    # sized for the ~500K-row files write_batch/compact target; parquet
+    # right-sizes downward per row group from observed distinct counts
+    BLOOM_NDV = 500_000
+
+    def _bloom_options(self, writer):
+        for col in self.BLOOM_COLUMNS:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{col}", "true"
+            ).option(
+                f"parquet.bloom.filter.expected.ndv#{col}",
+                str(self.BLOOM_NDV),
+            )
+        return writer
 
 
 class OrcChangelogBackend(FileChangelogBackend):
@@ -1023,6 +1066,12 @@ class OrcChangelogBackend(FileChangelogBackend):
     the CDC follower) runs unchanged over ORC."""
 
     data_format = "orc"
+
+    def _bloom_options(self, writer):
+        # ORC per-stripe bloom filters on the same point-read columns
+        return writer.option(
+            "orc.bloom.filter.columns", ",".join(self.BLOOM_COLUMNS)
+        )
 
 
 BACKENDS = {
@@ -1453,16 +1502,15 @@ class ChangelogStore:
             tmp = os.path.join(
                 self._staging_dir, f"rebase-{uuid.uuid4().hex}"
             )
-            (
+            self._backend._write(
                 (
                     tail.repartition(n_out, "tablet_id")
                     if n_out > 1
                     else tail.coalesce(1)
                 )
                 .sortWithinPartitions("tablet_id", "height")
-                .write.mode("overwrite")
-                .format(self._backend.data_format)
-                .save(tmp)
+                .write.mode("overwrite"),
+                tmp,
             )
             for f in os.listdir(tmp):
                 if self._backend._is_data_file(f):
@@ -1592,11 +1640,11 @@ class ChangelogStore:
                 old = os.path.join(
                     self._staging_dir, f"compact-{swap_id}-old"
                 )
-                (
-                    rewritten.sortWithinPartitions("tablet_id", "height")
-                    .write.mode("overwrite")
-                    .format(self._backend.data_format)
-                    .save(new)
+                self._backend._write(
+                    rewritten.sortWithinPartitions(
+                        "tablet_id", "height"
+                    ).write.mode("overwrite"),
+                    new,
                 )
                 for junk in os.listdir(new):  # _SUCCESS / .crc sidecars
                     if not self._backend._is_data_file(junk):
@@ -1772,16 +1820,15 @@ class ChangelogStore:
             swap_id = uuid.uuid4().hex
             new = os.path.join(self._staging_dir, f"rewrite-{swap_id}")
             old = os.path.join(self._staging_dir, f"rewrite-{swap_id}-old")
-            (
+            self._backend._write(
                 (
                     out.repartition(n_out, "tablet_id")
                     if n_out > 1
                     else out.coalesce(1)
                 )
                 .sortWithinPartitions("tablet_id", "height")
-                .write.mode("overwrite")
-                .format(self._backend.data_format)
-                .save(new)
+                .write.mode("overwrite"),
+                new,
             )
             for junk in os.listdir(new):
                 if not self._backend._is_data_file(junk):

@@ -1509,3 +1509,132 @@ class TestOrcBackend:
         finally:
             q.stop()
         assert sorted(seen) == [1, 2]
+
+
+class TestPointReadSkipping:
+    """Membership filters on the point-read columns (tablet_id,
+    primary_key): the columnar analog of the reference's KV prefix get
+    (tablet.go:251-278 — the storage engine never touches bytes outside
+    the probed prefix).  Appends cluster files by tablet/height so
+    min/max statistics prune most files; the bloom filters written by
+    the backend cover the straddling-file case that statistics cannot —
+    high-cardinality hashed keys whose per-file min/max spans the whole
+    key space."""
+
+    N = 60_000  # enough distinct pks to overflow the dictionary page,
+    # which is parquet-mr's (correct) condition for materializing the
+    # bloom filter instead of relying on the exact dictionary page
+
+    @staticmethod
+    def _hashed_batch(spark):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(1, TestPointReadSkipping.N + 1)
+            .select(
+                F.lit("tst").alias("collection"),
+                F.lit("tbl").alias("tablet_id"),
+                F.col("id").alias("height"),
+                F.md5(F.col("id").cast("string")).alias("primary_key"),
+                F.concat(F.lit("v"), F.col("id")).alias("value"),
+                F.lit(False).alias("is_deletion"),
+                F.format_string("%08xaa", F.col("id")).alias("block_id"),
+                F.col("id").alias("block_num"),
+            )
+        )
+
+    @staticmethod
+    def _bloom_offsets(spark, path):
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jvm.org.apache.hadoop.fs.Path(path), conf
+        )
+        rdr = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+        try:
+            rg = rdr.getFooter().getBlocks().get(0)
+            return {
+                rg.getColumns().get(i).getPath().toDotString():
+                    rg.getColumns().get(i).getBloomFilterOffset()
+                for i in range(rg.getColumns().size())
+            }
+        finally:
+            rdr.close()
+
+    @staticmethod
+    def _scan_output_rows(df) -> int:
+        """Sum of numOutputRows over the file-scan leaves of the EXECUTED
+        plan — 0 means every row group was skipped at the reader level
+        (the pushed filter never surfaced a row to Spark)."""
+        df.collect()
+        node = df._jdf.queryExecution().executedPlan()
+        total = 0
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if "AdaptiveSparkPlan" in n.nodeName():
+                stack.append(n.executedPlan())
+                continue
+            if n.nodeName().startswith("Scan "):
+                m = n.metrics()
+                if m.contains("numOutputRows"):
+                    total += m.apply("numOutputRows").value()
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return total
+
+    def _data_files(self, root):
+        import os
+
+        out = []
+        for dirpath, _d, fnames in os.walk(os.path.join(root, "changelog")):
+            out.extend(
+                os.path.join(dirpath, f)
+                for f in fnames
+                if f.endswith(".parquet")
+            )
+        return out
+
+    def test_bloom_filter_written_for_hashed_keys(self, spark, tmp_path):
+        root = str(tmp_path / "db")
+        st = ChangelogStore(spark, root)
+        st.write_batch(self._hashed_batch(spark))
+        files = self._data_files(root)
+        assert files
+        offsets = [self._bloom_offsets(spark, f) for f in files]
+        # high-cardinality primary_key -> bloom present; single-valued
+        # tablet_id stays dictionary-encoded -> parquet correctly skips
+        # the redundant bloom (the dictionary page IS an exact filter)
+        assert any(o.get("primary_key", -1) >= 0 for o in offsets)
+        assert all(o.get("tablet_id", -1) == -1 for o in offsets)
+
+    def test_absent_key_probe_skips_all_row_groups(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        root = str(tmp_path / "db")
+        st = ChangelogStore(spark, root)
+        st.write_batch(self._hashed_batch(spark))
+        # absent key: min/max stats CANNOT exclude it (hashed keys span
+        # the space) — only the bloom filter can skip the row group
+        absent = st.changelog().filter(
+            F.col("primary_key") == F.md5(F.lit("not-a-row"))
+        )
+        assert self._scan_output_rows(absent) == 0
+        # present key still found, and the scan surfaced just its group
+        present = st.changelog().filter(
+            F.col("primary_key") == F.md5(F.lit("123"))
+        )
+        assert [r.value for r in present.collect()] == ["v123"]
+
+    def test_compaction_rewrites_keep_bloom(self, spark, tmp_path):
+        root = str(tmp_path / "db")
+        st = ChangelogStore(spark, root)
+        st.write_batch(self._hashed_batch(spark))
+        st.compact(min_files=1, target_rows_per_file=self.N)
+        files = self._data_files(root)
+        assert files
+        assert any(
+            self._bloom_offsets(spark, f).get("primary_key", -1) >= 0
+            for f in files
+        )
