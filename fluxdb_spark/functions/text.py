@@ -633,3 +633,99 @@ SELECT doc_id,
 FROM s
 WHERE start = 0 OR start + {chunk_words - stride} < len(words)
 """
+
+
+def bm25_scores(
+    docs,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus BM25 retrieval: top-k documents for a bag-of-terms query —
+    the lexical ranking half of a retrieval/curation pipeline (pairs with
+    the embedding ANN operators in functions/similarity.py the way BM25 +
+    dense retrieval pair in a hybrid ranker).
+
+    score(d) = sum over query terms t of
+      IDF(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+      IDF(t) = ln((N - df + 0.5) / (df + 0.5) + 1)   (Robertson/Lucene form)
+
+    Scale shape: ONE explode of the corpus, with the query-term filter
+    applied before the shuffle, so the groupBy carries only (doc, matched
+    term) pairs — never the vocabulary; per-doc length rides through the
+    explode as a column (no second join against a lengths relation);
+    df/N/avgdl are tiny aggregates broadcast back; the final top-k is an
+    orderBy().limit() TakeOrdered, not a global sort. No Python, no
+    driver-side state beyond the query literal."""
+    toks = tokens(F.lower(F.col(text_col)))
+    stats = docs.select(
+        F.greatest(F.size(toks), F.lit(0)).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.ln(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col("dl") / (F.col("tot") / F.col("n_docs"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            floor4(F.sum("w")).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_bm25(query_terms: list[str], k: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+       WHERE term IN ({terms}) GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT doc_id,
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * (tf * (1.2 + 1.0))
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (tot * 1.0 / n_docs))) AS w
+       FROM tf JOIN dft USING (term), stats)
+SELECT doc_id, count(*) AS n_terms,
+       floor(sum(w) * 10000) / 10000.0 AS bm25
+FROM sc GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT {k}
+"""

@@ -262,3 +262,52 @@ class TestDocChunking:
         )
         plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # chunking shuffles nothing
+
+
+class TestBM25:
+    """BM25 semantics on hand-built corpora (oracle parity at sf0.001/0.01
+    is covered by test_catalog_parity for `bm25_rank`)."""
+
+    def test_rarer_term_outranks_common_term(self, spark):
+        from fluxdb_spark.functions.text import bm25_scores
+
+        # "rare" appears in 1 of 4 docs, "common" in all 4; equal tf and
+        # equal doc length -> the rare-term doc must rank first
+        d = docs_df(
+            spark,
+            [
+                ("rare alpha beta gamma", "a"),
+                ("common alpha beta gamma", "a"),
+                ("common delta beta gamma", "a"),
+                ("common delta epsilon gamma", "a"),
+            ],
+        )
+        got = bm25_scores(d, ["rare", "common"], k=4).collect()
+        assert got[0].doc_id == 0 and got[0].n_terms == 1
+        assert all(r.bm25 <= got[0].bm25 for r in got[1:])
+
+    def test_term_saturation_and_length_norm(self, spark):
+        from fluxdb_spark.functions.text import bm25_scores
+
+        # doc 0: tf=2 in 4 tokens; doc 1: tf=2 in 8 tokens (longer doc is
+        # length-penalized); doc 2: tf=4 but in 16 tokens
+        d = docs_df(
+            spark,
+            [
+                ("q q x x", "a"),
+                ("q q x x x x x x", "a"),
+                ("q q q q " + "x " * 11 + "x", "a"),
+            ],
+        )
+        got = {r.doc_id: r.bm25 for r in bm25_scores(d, ["q"], k=3).collect()}
+        # same tf, longer doc -> penalized (0 > 1); doubled tf doesn't
+        # double the score and can't outrun the length penalty vs doc 0
+        # (saturation: 0 > 2), but beats the same-tf longer doc (2 > 1)
+        assert got[0] > got[2] > got[1]
+
+    def test_no_match_no_row_and_k_bound(self, spark):
+        from fluxdb_spark.functions.text import bm25_scores
+
+        d = docs_df(spark, [("alpha beta", "a"), ("gamma delta", "a")])
+        assert bm25_scores(d, ["zzz"], k=5).count() == 0
+        assert bm25_scores(d, ["alpha", "gamma"], k=1).count() == 1
