@@ -192,6 +192,8 @@ _PRIORITY: list[str] = [
     "flux_state_series",
     "flux_time_weighted",
     "asof_join_tolerance",
+    "bm25_rank",
+    "embed_kmeans",
 ]
 
 
@@ -3808,3 +3810,29 @@ def doc_chunking(spark, sf_dir):
     corpus runs at scan speed with zero shuffle."""
     d = _t(spark, sf_dir, "documents")
     return tx.chunk_documents(d, chunk_words=32, stride=24)
+
+
+@_q("bm25_rank", "pipeline", tx.sql_bm25(["hash", "join", "spark"], 20))
+def bm25_rank(spark, sf_dir):
+    """Lexical retrieval ranking: top-20 documents by BM25 for a
+    bag-of-terms query — the sparse half of a hybrid (BM25 + dense ANN)
+    retrieval pipeline over the corpus. One explode with the query-term
+    filter applied BEFORE the shuffle (the groupBy carries only matched
+    (doc, term) pairs, never the vocabulary); doc length rides through
+    the explode; df / N / avgdl are broadcast 1-row or |q|-row aggregates;
+    the top-k compiles to TakeOrdered."""
+    return tx.bm25_scores(_td(spark, sf_dir), ["hash", "join", "spark"], 20)
+
+
+@_q("embed_kmeans", "pipeline", sim.sql_kmeans(4, 3))
+def embed_kmeans(spark, sf_dir):
+    """Whole-corpus k-means clustering of the embedding table (k=4, 3
+    Lloyd iterations over EVERY vector — the semantic-bucketing /
+    cluster-balanced-sampling backbone), in exact fixed-point arithmetic
+    so an iterative float algorithm is still hash-verifiable: quantize ->
+    integer distances -> floor(sum/count) centroid updates, bit-identical
+    to the oracle's unrolled CTE chain. Per iteration: one map-only
+    assignment pass (centroids are plan literals) + one combine-friendly
+    groupBy whose shuffle and driver collect are exactly k*dim rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.kmeans_clusters(e, k=4, iters=3)

@@ -462,3 +462,140 @@ ranked AS (
 SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def _quantize(vec: Column, scale: int) -> Column:
+    """Fixed-point quantization: float -> floor(x * scale) as long.
+    float->double is exact and floor-of-double is engine-portable, so the
+    quantized corpus is BIT-IDENTICAL across Spark and the SQL oracle —
+    every later step is integer arithmetic with no float-summation-order
+    ambiguity."""
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast(
+            "long"
+        ),
+    )
+
+
+def _nearest_int_centroid(q: Column, cents: list[list[int]]) -> Column:
+    """struct<dist,idx> of the nearest centroid by EXACT integer squared
+    distance; ties break to the lowest centroid index (struct sort order).
+    Centroids ride in one nested-array literal walked with a higher-order
+    transform — plan/codegen size is constant in k."""
+    cl = F.lit([[int(x) for x in c] for c in cents]).cast(
+        "array<array<bigint>>"
+    )
+    dists = F.transform(
+        cl,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(q, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            i.cast("long").alias("idx"),
+        ),
+    )
+    return F.sort_array(dists, True)[0]
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Whole-corpus k-means assignment: `iters` Lloyd iterations over the
+    ENTIRE embedding corpus (unlike `_kmeans_centroids`, the bounded-sample
+    trainer that seeds IVF), the cluster backbone of curation jobs —
+    cluster-balanced sampling, semantic bucketing, per-topic mix caps.
+
+    Exactness: embeddings are fixed-point-quantized (`_quantize`), so
+    assignment distances are exact integers and the centroid update is
+    floor(sum/count) of integers — deterministic and bit-identical to the
+    SQL oracle (`sql_kmeans`), which replays the same iterations; the one
+    float op per update (the sum-to-double division) is exact below 2^53,
+    i.e. up to ~10^9 rows per cluster at this scale factor.
+
+    Scale shape: per iteration, one map-only assignment pass (centroids
+    are plan literals, distance is a JVM higher-order fold) plus one
+    posexplode->groupBy whose shuffle carries k*dim rows after map-side
+    combine; the driver collects exactly k*dim longs per iteration (same
+    bounded-collect contract as ivf_topk's sample). Iterations are a
+    driver loop over bounded state, never over data. Empty clusters keep
+    their previous centroid."""
+    base = spread(corpus).select(
+        F.col(id_col), _quantize(F.col(vec_col), scale).alias("q")
+    )
+    seeds = base.orderBy(id_col).limit(k).collect()  # O(k) rows
+    cents = [list(r.q) for r in seeds]
+    dim = len(cents[0])
+    assigned = None
+    for _ in range(iters):
+        near = _nearest_int_centroid(F.col("q"), cents)
+        assigned = base.select(
+            F.col(id_col),
+            F.col("q"),
+            near["idx"].alias("cluster"),
+            near["dist"].alias("dist"),
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.floor(
+                    F.sum("val").cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()  # exactly k*dim rows
+        )
+        new = {(r.cluster, r.pos): r.cv for r in upd}
+        cents = [
+            [new.get((c, p), cents[c][p]) for p in range(dim)]
+            for c in range(k)
+        ]
+    return assigned.select(id_col, "cluster", "dist")
+
+
+def sql_kmeans(
+    k: int = 4, iters: int = 3, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of `kmeans_clusters`: the same seeded init and Lloyd
+    iterations unrolled as CTE chains over exact integers."""
+    head = f"""
+WITH qv AS (SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+            FROM embeddings),
+e AS (SELECT vec_id, i AS pos, q[i] AS val
+      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
+seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+         FROM qv ORDER BY vec_id LIMIT {k}),
+cent0 AS (SELECT s.cluster, e.pos, e.val AS cv
+          FROM seed s JOIN e USING (vec_id))"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        parts.append(f"""
+d{i} AS (SELECT e.vec_id, c.cluster,
+         sum((e.val - c.cv) * (e.val - c.cv)) AS d
+         FROM e JOIN {prev} c USING (pos) GROUP BY 1, 2),
+a{i} AS (SELECT vec_id, cluster, d FROM
+         (SELECT vec_id, cluster, d,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cluster) AS rn FROM d{i})
+         WHERE rn = 1),
+u{i} AS (SELECT a.cluster, e.pos,
+         CAST(floor(CAST(sum(e.val) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+         FROM a{i} a JOIN e USING (vec_id) GROUP BY 1, 2),
+cent{i} AS (SELECT p.cluster, p.pos, COALESCE(n.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN u{i} n USING (cluster, pos))""")
+    return ",".join(parts) + (
+        f"\nSELECT vec_id, cluster, CAST(d AS BIGINT) AS dist"
+        f" FROM a{iters} ORDER BY vec_id"
+    )

@@ -143,3 +143,57 @@ class TestLshNeardup:
             ).count()
             == 0
         )
+
+
+class TestKmeansClusters:
+    """Whole-corpus fixed-point k-means (`kmeans_clusters`): semantics on
+    hand-built geometry; oracle parity at sf0.001/0.01 is covered by
+    test_catalog_parity for `embed_kmeans`."""
+
+    @staticmethod
+    def _vecs(spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_separated_groups_recovered(self, spark):
+        lo = [[0.01 * i, 0.0] for i in range(4)]
+        hi = [[0.9 + 0.01 * i, 0.9] for i in range(4)]
+        out = sim.kmeans_clusters(
+            self._vecs(spark, lo + hi), k=2, iters=3
+        ).collect()
+        by_cluster: dict[int, set[int]] = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        assert sorted(map(sorted, by_cluster.values())) == [
+            [0, 1, 2, 3],
+            [4, 5, 6, 7],
+        ]
+
+    def test_deterministic_rerun(self, corpus):
+        a = sorted(map(tuple, sim.kmeans_clusters(corpus, k=3, iters=2).collect()))
+        b = sorted(map(tuple, sim.kmeans_clusters(corpus, k=3, iters=2).collect()))
+        assert a == b
+
+    def test_empty_cluster_keeps_previous_centroid(self, spark):
+        # all points identical -> after iter 1 every point lands in
+        # cluster 0 and the other centroid is never updated; the loop
+        # must not crash and everyone stays in cluster 0 at dist 0
+        out = sim.kmeans_clusters(
+            self._vecs(spark, [[0.5, 0.5]] * 5), k=2, iters=3
+        ).collect()
+        assert {(r.cluster, r.dist) for r in out} == {(0, 0)}
+
+    def test_distances_exact_integers(self, spark):
+        # two vectors at a known quantized offset: dist must equal the
+        # exact integer square (no float residue)
+        out = {
+            r.vec_id: r.dist
+            for r in sim.kmeans_clusters(
+                self._vecs(spark, [[0.0, 0.0], [0.25, 0.0]]), k=1, iters=1
+            ).collect()
+        }
+        # centroid after init = vec 0 quantized = [0, 0]; iter-1
+        # assignment measures against it: dist(v1) = 250000^2
+        assert out[0] == 0 and out[1] == 250_000**2
