@@ -821,3 +821,191 @@ class TestFollowerIgnoresLogCheckpoints:
         # not a change event) — and the hidden checkpoint file itself
         # contributes nothing
         assert sorted(seen) == [4]
+
+
+class TestAppendedBetween:
+    """`appended_between(v1, v2)` — the Delta-CDF-style incremental read:
+    O(delta) file resolution, loud refusal across rewrites and pruned
+    entry regions (never silently-partial rows)."""
+
+    def test_reads_exactly_the_delta(self, spark, store):
+        store.write_batch(batch(spark, [1, 2]))       # v1
+        v1 = store.latest_commit_version()
+        store.write_batch(batch(spark, [3]))          # v2
+        store.write_batch(batch(spark, [4, 5]))       # v3
+        v3 = store.latest_commit_version()
+        got = sorted(
+            r.height for r in store.appended_between(v1, v3).collect()
+        )
+        assert got == [3, 4, 5]
+        # open range defaults to latest
+        assert sorted(
+            r.height for r in store.appended_between(v1).collect()
+        ) == [3, 4, 5]
+        # empty range -> empty relation with the changelog schema
+        empty = store.appended_between(v3)
+        assert empty.count() == 0
+        assert [f.name for f in empty.schema.fields][:2] == [
+            "collection",
+            "tablet_id",
+        ]
+
+    def test_delta_equals_changelog_difference(self, spark, store):
+        store.write_batch(batch(spark, [1, 2, 3]))
+        v = store.latest_commit_version()
+        store.write_batch(batch(spark, [4, 5], tablet="other"))
+        whole = {
+            (r.tablet_id, r.height) for r in store.changelog().collect()
+        }
+        before = {
+            (r.tablet_id, r.height)
+            for r in store.changelog(at_version=v).collect()
+        }
+        delta = {
+            (r.tablet_id, r.height)
+            for r in store.appended_between(v).collect()
+        }
+        assert delta == whole - before
+
+    def test_refuses_range_across_rewrite(self, spark, store):
+        store.write_batch(batch(spark, [1, 2]))
+        v1 = store.latest_commit_version()
+        store.write_batch(batch(spark, [3]))
+        store.compact(min_files=1, target_rows_per_file=10)
+        store.write_batch(batch(spark, [4]))
+        with pytest.raises(WriteConsistencyError, match="rewrite"):
+            store.appended_between(v1)
+        # range entirely above the rewrite is still resolvable
+        rw = max(
+            r.version
+            for r in store.history().collect()
+            if r.action == "rewrite"
+        )
+        assert sorted(
+            r.height for r in store.appended_between(rw).collect()
+        ) == [4]
+
+    def test_refuses_pruned_entries_and_bad_range(self, spark, store):
+        store.write_batch(batch(spark, [1]))
+        store.write_batch(batch(spark, [2]))
+        store.write_batch(batch(spark, [3]))
+        latest = store.latest_commit_version()
+        with pytest.raises(WriteConsistencyError, match="invalid"):
+            store.appended_between(latest + 1)
+        with pytest.raises(WriteConsistencyError, match="invalid"):
+            store.appended_between(2, 1)
+        log = store._backend.commit_log
+        log.checkpoint_log()
+        log.prune_entries(keep_last=1)
+        with pytest.raises(WriteConsistencyError, match="pruned"):
+            store.appended_between(0)
+
+
+class TestMaterializedAggregate:
+    """Incremental aggregate maintenance (streaming/materialize.py):
+    refresh cost is O(delta)+O(groups), exactly-once anchored to commit
+    versions (not stream checkpoints), torn swaps recovered."""
+
+    AGGS = [
+        ("n_rows", "count(1)", "sum"),
+        ("max_height", "max(height)", "max"),
+        ("min_height", "min(height)", "min"),
+    ]
+
+    def _run(self, spark, root, dest, ck):
+        from fluxdb_spark.streaming.materialize import materialize_aggregate
+
+        q = materialize_aggregate(
+            spark, root, dest, ["tablet_id"], self.AGGS, ck,
+            trigger_seconds=0.5,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def _expect(self, store):
+        return {
+            (r.tablet_id, r.n_rows, r.max_height, r.min_height)
+            for r in store.changelog()
+            .groupBy("tablet_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max("height").alias("max_height"),
+                F.min("height").alias("min_height"),
+            )
+            .collect()
+        }
+
+    def _got(self, spark, dest):
+        from fluxdb_spark.streaming.materialize import read_aggregate
+
+        df = read_aggregate(spark, dest)
+        return (
+            set()
+            if df is None
+            else {
+                (r.tablet_id, r.n_rows, r.max_height, r.min_height)
+                for r in df.collect()
+            }
+        )
+
+    def test_incremental_equals_recompute(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+        store.write_batch(batch(spark, [1, 2]))
+        store.write_batch(batch(spark, [3], tablet="other"))
+        self._run(spark, str(store.root), dest, ck)
+        assert self._got(spark, dest) == self._expect(store)
+        # more appends -> the next run folds ONLY the delta, same answer
+        store.write_batch(batch(spark, [4, 5]))
+        store.write_batch(batch(spark, [6], tablet="third"))
+        self._run(spark, str(store.root), dest, ck)
+        assert self._got(spark, dest) == self._expect(store)
+
+    def test_checkpoint_loss_redelivery_changes_nothing(
+        self, spark, store, tmp_path
+    ):
+        import shutil as sh
+
+        dest, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+        store.write_batch(batch(spark, [1, 2, 3]))
+        self._run(spark, str(store.root), dest, ck)
+        before = self._got(spark, dest)
+        # blow away the stream checkpoint: the whole commit log
+        # redelivers, but the applied-version floor inside the table
+        # excludes every already-folded entry
+        sh.rmtree(ck)
+        self._run(spark, str(store.root), dest, str(tmp_path / "ck2"))
+        assert self._got(spark, dest) == before == self._expect(store)
+
+    def test_torn_swap_recovers(self, spark, store, tmp_path):
+        import os as _os
+
+        from fluxdb_spark.streaming.materialize import (
+            applied_version,
+            read_aggregate,
+        )
+
+        dest, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+        store.write_batch(batch(spark, [1, 2]))
+        self._run(spark, str(store.root), dest, ck)
+        before = self._got(spark, dest)
+        v = applied_version(dest)
+        # simulate a crash between the two swap renames: current table
+        # renamed away, replacement tmp still in flight
+        _os.rename(dest, dest + ".old-deadbeef")
+        _os.makedirs(dest + ".tmp-deadbeef")
+        assert self._got(spark, dest) == before
+        assert applied_version(dest) == v
+        assert not _os.path.exists(dest + ".tmp-deadbeef")
+        assert read_aggregate(spark, dest) is not None
+
+    def test_rejects_non_algebraic_merge(self, spark, store, tmp_path):
+        from fluxdb_spark.streaming.materialize import materialize_aggregate
+
+        with pytest.raises(ValueError, match="algebraic"):
+            materialize_aggregate(
+                spark, str(store.root), str(tmp_path / "agg"),
+                ["tablet_id"], [("m", "median(height)", "median")],
+                str(tmp_path / "ck"),
+            )
