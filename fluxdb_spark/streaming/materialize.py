@@ -1,0 +1,177 @@
+"""Incrementally-maintained aggregates over a ChangelogStore (IVM).
+
+A serving dashboard over a 100 TB changelog cannot re-scan the log to
+refresh "rows per collection" or "max height per tablet" — the refresh
+must cost O(newly committed rows) + O(aggregate table), not O(history).
+This module keeps a small aggregate table continuously up to date from
+the store's commit log, the materialized-view half of what the CDC
+follower (streaming/follow.py) provides as a raw row feed.
+
+Exactly-once is anchored to COMMIT VERSIONS, not stream batch ids: the
+applied-version floor travels INSIDE the aggregate table directory
+(`_mat_state.json`, swapped atomically with the data), so losing or
+resetting the stream checkpoint merely redelivers entries the floor
+already excludes — redelivery changes nothing, which the tests prove by
+deleting the checkpoint outright. The table swap itself is journal-free
+but recoverable: write tmp -> rename current away -> rename tmp in ->
+drop old, with `_recover` completing or rolling back a crash at any
+point (same staging discipline as the store's band swaps).
+
+Only algebraic aggregates can merge partial results (sum of sums, min
+of mins, max of maxes; counts merge as sums) — the same restriction any
+incremental/streaming aggregation has. Non-algebraic aggregates
+(median, exact distinct) need the raw feed instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluxdb_spark.schema import CHANGELOG_SCHEMA
+from fluxdb_spark.streaming.follow import stream_commits
+
+_MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _state_path(dest: str) -> str:
+    # underscore prefix: invisible to Spark's directory scans, so the
+    # state rides inside the table dir and swaps atomically with it
+    return os.path.join(dest, "_mat_state.json")
+
+
+def _recover(dest: str) -> None:
+    """Complete or roll back a torn table swap: a crash between the two
+    renames leaves only `<dest>.old-*` (roll the old table back); a crash
+    after the second rename leaves a stale old/tmp sibling (drop it)."""
+    parent, base = os.path.dirname(dest) or ".", os.path.basename(dest)
+    if not os.path.isdir(parent):
+        return
+    sibs = [p for p in os.listdir(parent) if p.startswith(base + ".")]
+    olds = [p for p in sibs if p.startswith(base + ".old-")]
+    if not os.path.isdir(dest) and olds:
+        os.rename(os.path.join(parent, olds.pop()), dest)
+    for p in olds + [p for p in sibs if p.startswith(base + ".tmp-")]:
+        shutil.rmtree(os.path.join(parent, p), ignore_errors=True)
+
+
+def applied_version(dest: str) -> int:
+    _recover(dest)
+    try:
+        with open(_state_path(dest)) as f:
+            return int(json.load(f)["applied_version"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return 0
+
+
+def read_aggregate(spark: SparkSession, dest: str) -> DataFrame | None:
+    """The current materialized aggregate (None before the first merge)."""
+    _recover(dest)
+    if not os.path.isdir(dest):
+        return None
+    return spark.read.parquet(dest)
+
+
+def materialize_aggregate(
+    spark: SparkSession,
+    src_root: str,
+    dest: str,
+    group_cols: list[str],
+    aggs: list[tuple[str, str, str]],
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+):
+    """Start the maintenance stream: follow `src_root`'s commit log and
+    fold each newly committed append into the aggregate table at `dest`.
+
+    `aggs`: (output_name, sql_expr_over_changelog_rows, merge) triples
+    with merge in {sum, min, max} — e.g. ("n_rows", "count(1)", "sum"),
+    ("max_height", "max(height)", "max"). Returns the StreamingQuery.
+
+    Scale shape per refresh: the delta read touches only the new
+    commits' files (O(delta)); the partial aggregate is combine-friendly
+    (shuffle carries one row per touched group); the merge joins it
+    against the aggregate table, whose size is the number of groups —
+    the log itself is never re-read."""
+    for _name, _expr, merge in aggs:
+        if merge not in _MERGE:
+            raise ValueError(
+                f"unsupported merge '{merge}': algebraic merges are "
+                f"{sorted(_MERGE)}"
+            )
+    read_schema = T.StructType(
+        CHANGELOG_SCHEMA.fields
+        + [T.StructField("height_band", T.LongType(), True)]
+    )
+    data_dir = os.path.join(src_root, "changelog")
+    data_format = "parquet"
+    meta_path = os.path.join(src_root, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            data_format = json.load(f).get("data_format", "parquet")
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        floor = applied_version(dest)
+        entries = sorted(
+            (
+                e
+                for e in batch_df.filter(batch_df.action == "append")
+                .select("version", "add")
+                .collect()
+                if e.version > floor
+            ),
+            key=lambda e: e.version,
+        )
+        if not entries:
+            return
+        files = [
+            os.path.join(src_root, rel)
+            for e in entries
+            for rel in (e.add or ())
+        ]
+        rows = (
+            spark.read.option("basePath", data_dir)
+            .schema(read_schema)
+            .format(data_format)
+            .load(files)
+            .drop("height_band")
+        )
+        part = rows.groupBy(*group_cols).agg(
+            *[F.expr(expr).alias(name) for name, expr, _m in aggs]
+        )
+        cur = read_aggregate(spark, dest)
+        if cur is not None:
+            part = (
+                cur.select(*group_cols, *[n for n, _e, _m in aggs])
+                .unionByName(part)
+                .groupBy(*group_cols)
+                .agg(
+                    *[
+                        _MERGE[m](F.col(name)).alias(name)
+                        for name, _e, m in aggs
+                    ]
+                )
+            )
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
+        part.write.mode("overwrite").parquet(tmp)
+        with open(_state_path(tmp), "w") as f:
+            json.dump({"applied_version": entries[-1].version}, f)
+        old = f"{dest}.old-{uuid.uuid4().hex}"
+        if os.path.isdir(dest):
+            os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream_commits(spark, src_root)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
