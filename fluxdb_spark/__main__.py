@@ -10,6 +10,8 @@
                                          [--delete-where P] [--redact-where P]
                                          [--history] [--prune-log N]
     python -m fluxdb_spark replicate     --src DIR --dst DIR --checkpoint DIR
+    python -m fluxdb_spark materialize   --store DIR --dest DIR
+                                         --checkpoint DIR [--group-by COLS]
 
 inject (app.go:181-189): map the events table through the BlockMapper analog
 and append to the durable change-log store with the monotonic-height guard.
@@ -238,6 +240,44 @@ def cmd_replicate(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_materialize(args, spark: SparkSession) -> int:
+    """Materialized-aggregate mode (beyond the reference's four): fold
+    the commits the aggregate table hasn't seen yet into it (one-shot
+    catch-up, like `replicate`; long-running deployments keep the query
+    alive). The refresh reads only the delta commits' files and merges
+    against the groups table — never the full log."""
+    from fluxdb_spark.streaming.materialize import (
+        applied_version,
+        materialize_aggregate,
+        read_aggregate,
+    )
+
+    aggs = [
+        ("n_rows", "count(1)", "sum"),
+        ("max_height", "max(height)", "max"),
+        ("min_height", "min(height)", "min"),
+    ]
+    q = materialize_aggregate(
+        spark,
+        args.store,
+        args.dest,
+        [c.strip() for c in args.group_by.split(",") if c.strip()],
+        aggs,
+        args.checkpoint,
+        trigger_seconds=0.5,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    df = read_aggregate(spark, args.dest)
+    print(
+        f"materialized {0 if df is None else df.count()} group(s) "
+        f"at commit version {applied_version(args.dest)}"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fluxdb_spark")
     sub = p.add_subparsers(dest="mode", required=True)
@@ -325,6 +365,18 @@ def build_parser() -> argparse.ArgumentParser:
     rep.add_argument("--dst", required=True)
     rep.add_argument("--checkpoint", required=True)
     rep.set_defaults(fn=cmd_replicate)
+
+    mat = sub.add_parser("materialize")
+    mat.add_argument("--store", required=True)
+    mat.add_argument("--dest", required=True)
+    mat.add_argument("--checkpoint", required=True)
+    mat.add_argument(
+        "--group-by",
+        default="collection,tablet_id",
+        help="comma-separated changelog columns to group the "
+        "row-count / height-bound aggregates by",
+    )
+    mat.set_defaults(fn=cmd_materialize)
     return p
 
 

@@ -395,3 +395,36 @@ def test_inject_orc_format(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "live keys in 'click' at height 700" in capsys.readouterr().out
+
+
+def test_materialize_mode(spark, tmp_path, capsys):
+    """materialize: one-shot aggregate catch-up; a second run after more
+    appends folds only the delta and stays equal to a full recompute."""
+    from fluxdb_spark.store import ChangelogStore
+    from fluxdb_spark.streaming.materialize import read_aggregate
+    from tests.conftest import make_changelog
+
+    src = str(tmp_path / "msrc")
+    st = ChangelogStore(spark, src, height_band=10)
+    st.write_batch(
+        make_changelog(spark, [("tst", "tbl", h, "k", f"v{h}") for h in (1, 2)])
+    )
+    dest, ck = str(tmp_path / "magg"), str(tmp_path / "mck")
+    args = ["materialize", "--store", src, "--dest", dest,
+            "--checkpoint", ck, "--group-by", "tablet_id"]
+    assert main(args, spark) == 0
+    assert "materialized 1 group(s) at commit version 1" in (
+        capsys.readouterr().out
+    )
+    st.write_batch(
+        make_changelog(spark, [("tst", "other", 3, "k", "v3")])
+    )
+    assert main(args, spark) == 0
+    assert "materialized 2 group(s) at commit version 2" in (
+        capsys.readouterr().out
+    )
+    got = {
+        (r.tablet_id, r.n_rows, r.max_height)
+        for r in read_aggregate(spark, dest).collect()
+    }
+    assert got == {("tbl", 2, 2), ("other", 1, 3)}
