@@ -65,6 +65,10 @@ HEADLINE = [
     "doc_chunking",
     "flux_state_series",
     "flux_time_weighted",
+    # hybrid-retrieval pair: sparse BM25 ranking and whole-corpus
+    # fixed-point k-means (iterative clustering as DataFrame plans)
+    "bm25_rank",
+    "embed_kmeans",
 ]
 
 
