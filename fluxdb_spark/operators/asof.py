@@ -38,8 +38,9 @@ def asof_join(
     tiebreak: str | None = None,
     tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest (backward) or
-    earliest (forward) right row within the same `on` group whose time is
+    """For each left row, attach the payload of the latest (backward),
+    earliest (forward), or closest-by-absolute-gap (nearest, ties to the
+    backward side) right row within the same `on` group whose time is
     before/after (or equal, with `allow_exact_matches`) the left row's time.
 
     Returns all left columns plus `payload_cols` (null when no match).
@@ -51,8 +52,10 @@ def asof_join(
     it — a stale quote must not attach to today's trade. Applied AFTER
     the pick, so it costs a map-side comparison, never a second window.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     payload_cols = payload_cols or [
         c for c in right.columns if c not in on and c != right_time
     ]
@@ -60,8 +63,14 @@ def asof_join(
     if overlap:
         raise ValueError(f"payload columns collide with left side: {overlap}")
 
-    # tag order encodes the tie rule (see module docstring); forward flips it
-    right_first = allow_exact_matches if direction == "backward" else not allow_exact_matches
+    # tag order encodes the tie rule (see module docstring); forward flips
+    # it; nearest uses the backward tagging (an exact-ts match, when
+    # allowed, is a zero-gap BACKWARD match and wins outright)
+    right_first = (
+        allow_exact_matches
+        if direction in ("backward", "nearest")
+        else not allow_exact_matches
+    )
     right_tag, left_tag = (0, 1) if right_first else (1, 0)
 
     r = right.select(
@@ -94,39 +103,67 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     order = [F.col("__t"), F.col(_TAG), F.col("__tb")]
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(*order)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        pick = F.last(_PAYLOAD, ignorenulls=True).over(w)
-    else:
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(*order)
-            .rowsBetween(1, Window.unboundedFollowing)
-        )
-        pick = F.first(_PAYLOAD, ignorenulls=True).over(w)
-
-    out = (
-        r.unionByName(l)
-        .withColumn("__match", pick)
-        .filter(F.col(_TAG) == F.lit(left_tag))
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    if tolerance is not None:
-        gap = (
-            F.col("__t") - F.col("__match.__rt")
-            if direction == "backward"
-            else F.col("__match.__rt") - F.col("__t")
-        )
-        out = out.withColumn(
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pick_back = F.last(_PAYLOAD, ignorenulls=True).over(wb)
+    pick_fwd = F.first(_PAYLOAD, ignorenulls=True).over(wf)
+
+    def bound(match, gap):
+        """Null the match beyond the tolerance bound (map-side, after the
+        window pick — never a second shuffle)."""
+        if tolerance is None:
+            return match
+        return F.when(match.isNotNull() & (gap <= F.lit(tolerance)), match)
+
+    unioned = r.unionByName(l)
+    if direction == "backward":
+        out = unioned.withColumn(
             "__match",
-            F.when(
-                F.col("__match").isNotNull() & (gap <= F.lit(tolerance)),
-                F.col("__match"),
-            ),
+            bound(pick_back, F.col("__t") - pick_back["__rt"]),
         )
+    elif direction == "forward":
+        out = unioned.withColumn(
+            "__match",
+            bound(pick_fwd, pick_fwd["__rt"] - F.col("__t")),
+        )
+    else:
+        # nearest: BOTH candidates from the same sorted partition pass
+        # (same partitioning + ordering => Spark evaluates the two frames
+        # in one Window over one shuffle), then a map-side choice by
+        # absolute gap — ties prefer the backward match (pandas
+        # merge_asof nearest semantics, pinned in tests)
+        bgap = F.col("__t") - F.col("__b")["__rt"]
+        fgap = F.col("__f")["__rt"] - F.col("__t")
+        fwd_eligible = (
+            F.col("__f")
+            if allow_exact_matches
+            # an exact-ts right row sorts after left when exact matches
+            # are disallowed, so it lands in the forward frame with gap
+            # 0 — it must not re-enter as a "nearest" match
+            else F.when(fgap > 0, F.col("__f"))
+        )
+        out = (
+            unioned.withColumn("__b", pick_back)
+            .withColumn("__f", pick_fwd)
+            .withColumn("__b", bound(F.col("__b"), bgap))
+            .withColumn("__f", bound(fwd_eligible, fgap))
+            .withColumn(
+                "__match",
+                F.when(F.col("__b").isNull(), F.col("__f"))
+                .when(F.col("__f").isNull(), F.col("__b"))
+                .when(fgap < bgap, F.col("__f"))
+                .otherwise(F.col("__b")),
+            )
+        )
+    out = out.filter(F.col(_TAG) == F.lit(left_tag))
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__match")[c].alias(c) for c in payload_cols],

@@ -140,3 +140,41 @@ def test_tolerance_matches_pandas_merge_asof(spark, frames, direction, tol):
         for row in m.itertuples()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("exact", [False, True])
+@pytest.mark.parametrize("tol", [None, 0, 2, 100])
+def test_nearest_matches_pandas_merge_asof(spark, frames, exact, tol):
+    """direction='nearest' pinned against pandas.merge_asof across
+    exact-match handling and tolerance bounds: closest-by-absolute-gap
+    wins, ties prefer the backward side, an exact-ts right row is
+    excluded entirely when exact matches are disallowed (it must not
+    re-enter through the forward frame at gap 0)."""
+    import pandas as pd
+
+    left, right = frames
+    r_dedup = right.orderBy("k", "t", "rv").dropDuplicates(["k", "t"])
+    got = {
+        (r.k, r.t): r.rv
+        for r in asof_join(
+            left, r_dedup, on=["k"], left_time="t", right_time="t",
+            payload_cols=["rv"], direction="nearest",
+            allow_exact_matches=exact, tolerance=tol,
+        ).collect()
+    }
+    lp = pd.DataFrame(LEFT, columns=["k", "t"]).sort_values("t")
+    rp = (
+        pd.DataFrame(RIGHT, columns=["k", "t", "rv"])
+        .sort_values(["t", "rv"])
+        .drop_duplicates(["k", "t"], keep="first")
+        .sort_values("t")
+    )
+    m = pd.merge_asof(
+        lp, rp, on="t", by="k", direction="nearest",
+        allow_exact_matches=exact, tolerance=tol,
+    )
+    want = {
+        (row.k, row.t): (None if pd.isna(row.rv) else row.rv)
+        for row in m.itertuples()
+    }
+    assert got == want
