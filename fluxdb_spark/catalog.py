@@ -194,6 +194,8 @@ _PRIORITY: list[str] = [
     "asof_join_tolerance",
     "bm25_rank",
     "embed_kmeans",
+    "asof_join_nearest",
+    "hybrid_rrf",
 ]
 
 
@@ -3836,3 +3838,128 @@ def embed_kmeans(spark, sf_dir):
     groupBy whose shuffle and driver collect are exactly k*dim rows."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.kmeans_clusters(e, k=4, iters=3)
+
+
+@_q(
+    "asof_join_nearest",
+    "relational",
+    """
+WITH p AS (SELECT event_id, user_id FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_event_id, value
+      FROM events WHERE event_type = 'click'),
+b AS (SELECT p.event_id, p.user_id, c.click_event_id AS b_id,
+             round(c.value, 2) AS b_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND c.click_event_id <= p.event_id),
+f AS (SELECT p.event_id, c.click_event_id AS f_id, round(c.value, 2) AS f_val
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND c.click_event_id >= p.event_id)
+SELECT b.event_id, b.user_id,
+       CASE WHEN b_id IS NULL THEN f_val
+            WHEN f_id IS NULL THEN b_val
+            WHEN (f_id - b.event_id) < (b.event_id - b_id) THEN f_val
+            ELSE b_val END AS click_value,
+       CASE WHEN b_id IS NULL THEN f_id
+            WHEN f_id IS NULL THEN b_id
+            WHEN (f_id - b.event_id) < (b.event_id - b_id) THEN f_id
+            ELSE b_id END AS click_event_id
+FROM b JOIN f USING (event_id)
+""",
+)
+def asof_join_nearest(spark, sf_dir):
+    """As-of join, NEAREST direction (pandas merge_asof 'nearest', pinned
+    against it in test_asof): each purchase attaches the click closest by
+    absolute event-id gap, ties to the backward side. One shuffle: both
+    frame picks (last-before, first-after) evaluate in a single Window
+    pass, then a map-side gap choice. Oracle = two native DuckDB ASOF
+    joins (backward + forward) combined by the same gap rule."""
+    from fluxdb_spark.operators.asof import asof_join as asof_op
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value_raw"),
+    )
+    out = asof_op(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time="event_id",
+        right_time="click_event_id",
+        payload_cols=["click_value_raw", "click_event_id"],
+        direction="nearest",
+        allow_exact_matches=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("click_value_raw", 2).alias("click_value"),
+        "click_event_id",
+    )
+
+
+@_q(
+    "hybrid_rrf",
+    "pipeline",
+    f"""
+WITH bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM (
+    {tx.sql_bm25(["hash", "join", "spark"], 50)}
+  ) bm_raw),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, embedding FROM embeddings),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+scored AS (
+  SELECT c.vec_id AS doc_id,
+         round({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}), 4) AS score
+  FROM q, c, idx
+  WHERE q.vec_id != c.vec_id
+  GROUP BY q.vec_id, c.vec_id),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= 50),
+u AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS rrf FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / (60 + rank) AS rrf FROM dense)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+       floor(sum(rrf) * 1000000) / 1000000.0 AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+""",
+)
+def hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the sparse (BM25
+    top-50) and dense (exact-cosine top-50 for one query vector) rankers
+    over the shared document id space — the standard way to combine
+    incomparably-scored rankers without calibration. Both inputs are
+    bounded top-N lists, so the fusion union + groupBy never touches the
+    corpus; the rankers bound their own work (term-filtered explode,
+    broadcast query scan)."""
+    from pyspark.sql import Window as W
+
+    d = _td(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    bm = (
+        tx.bm25_scores(d, ["hash", "join", "spark"], 50)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("bm25"), F.col("doc_id"))
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    dense = sim.brute_force_topk(
+        e, e.filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("match_id").alias("doc_id"), "rank")
+    return sim.rrf_fuse([bm, dense], k=20)

@@ -599,3 +599,39 @@ cent{i} AS (SELECT p.cluster, p.pos, COALESCE(n.cv, p.cv) AS cv
         f"\nSELECT vec_id, cluster, CAST(d AS BIGINT) AS dist"
         f" FROM a{iters} ORDER BY vec_id"
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 20,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): merge N ranked candidate
+    lists into one by score(d) = sum over lists of 1 / (rrf_k + rank_d) —
+    the standard way to combine a sparse (BM25) and a dense (ANN) ranker
+    without calibrating their incomparable scores.
+
+    Scale shape: every input is already a bounded top-N list, so the
+    union is |lists| * N rows and the fusion groupBy is tiny — the
+    expensive work lives in the rankers, which bound their own output
+    (TakeOrdered / per-query windows); fusion never touches the corpus."""
+    inv = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        (
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double"))
+        ).alias("__rrf"),
+    )
+    u = inv(rankings[0])
+    for df in rankings[1:]:
+        u = u.unionByName(inv(df))
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            (F.floor(F.sum("__rrf") * 1e6) / 1e6).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -197,3 +197,29 @@ class TestKmeansClusters:
         # centroid after init = vec 0 quantized = [0, 0]; iter-1
         # assignment measures against it: dist(v1) = 250000^2
         assert out[0] == 0 and out[1] == 250_000**2
+
+
+class TestRrfFuse:
+    """Reciprocal-rank fusion semantics on hand-built rankings (oracle
+    parity at sf0.001/0.01 covered by test_catalog_parity: `hybrid_rrf`)."""
+
+    @staticmethod
+    def _ranking(spark, pairs):
+        return spark.createDataFrame(pairs, "doc_id long, rank long")
+
+    def test_doc_in_both_lists_outranks_single_list_winner(self, spark):
+        a = self._ranking(spark, [(1, 1), (2, 2), (3, 3)])
+        b = self._ranking(spark, [(9, 1), (2, 3), (1, 4)])
+        out = sim.rrf_fuse([a, b], k=4).collect()
+        # doc 1: 1/61 + 1/64 > doc 9's single 1/61; doc 2: 1/62 + 1/63
+        assert out[0].doc_id == 1 and out[0].n_lists == 2
+        assert out[1].doc_id == 2
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[9].n_lists == 1
+        assert by_id[1].rrf_score > by_id[9].rrf_score
+
+    def test_k_bound_and_tiebreak(self, spark):
+        a = self._ranking(spark, [(5, 1), (4, 1)])  # same rank in two lists
+        out = sim.rrf_fuse([a], k=1).collect()
+        # equal scores -> lowest doc_id wins the cut
+        assert [r.doc_id for r in out] == [4]
