@@ -196,6 +196,7 @@ _PRIORITY: list[str] = [
     "embed_kmeans",
     "asof_join_nearest",
     "hybrid_rrf",
+    "temperature_mix",
 ]
 
 
@@ -3963,3 +3964,21 @@ def hybrid_rrf(spark, sf_dir):
         e, e.filter(F.col("vec_id") == 0), k=50
     ).select(F.col("match_id").alias("doc_id"), "rank")
     return sim.rrf_fuse([bm, dense], k=20)
+
+
+@_q(
+    "temperature_mix",
+    "pipeline",
+    cu.sql_temperature_mix("lang", 200, "d.doc_id"),
+)
+def temperature_mix(spark, sf_dir):
+    """Temperature-based mix rebalancing (n^tau re-weighting, tau=0.5):
+    a 200-row target apportioned so head languages flatten and tail
+    languages boost — the standard LLM training-mix proportioning rule.
+    Counts relation is |groups| rows; keep-rates broadcast back; the
+    corpus is selected by the deterministic salted-hash filter with no
+    shuffle."""
+    d = _td(spark, sf_dir)
+    return cu.temperature_mix(
+        d, "lang", 200, tau=0.5, key_col="doc_id"
+    ).select("doc_id", F.col("lang").alias("grp"))

@@ -258,3 +258,74 @@ def sql_hash_split(
         f"CASE WHEN {b} < {val_hi} THEN 'val' "
         f"WHEN {b} < {test_hi} THEN 'test' ELSE 'train' END"
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    target_rows: int,
+    tau: float = 0.5,
+    key_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing — the n^tau re-weighting used
+    to set LLM training-mix proportions: a group's share of the target is
+    proportional to count^tau, so tau=1 preserves natural proportions,
+    tau=0 is uniform, and intermediate values flatten head groups while
+    boosting tails. Selection is the same salted-hash filter as
+    `hash_sample`: deterministic, nested (raising the target only adds
+    rows), and repartition/retry-stable.
+
+    Scale shape: one combine-friendly groupBy builds the |groups|-row
+    counts relation; the per-group keep-rate is computed over it (the
+    normalizer sums in a single ordered window frame — |groups| rows
+    through one task, with a DETERMINISTIC addition order so the float
+    normalizer is reproducible across engines and runs) and broadcast
+    back; the corpus itself is never shuffled. tau=0.5 evaluates as
+    sqrt, which IEEE 754 requires correctly rounded (engine-portable
+    bit-for-bit, unlike the general pow path)."""
+    n = F.col("__n").cast("double")
+    w = F.sqrt(n) if tau == 0.5 else F.pow(n, F.lit(float(tau)))
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    frame = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rates = counts.select(
+        F.col(group_col),
+        F.least(
+            F.lit(SAMPLE_BUCKETS).cast("long"),
+            F.floor(
+                F.lit(float(target_rows))
+                * w
+                / F.sum(w).over(frame)
+                / F.col("__n")
+                * SAMPLE_BUCKETS
+            ).cast("long"),
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(_bucket(F.col(key_col), salt) < F.col("__rate"))
+        .drop("__rate", "__n")
+    )
+
+
+def sql_temperature_mix(
+    group_expr: str, target_rows: int, key_expr: str, salt: str = "tmix"
+) -> str:
+    """DuckDB twin of `temperature_mix` at tau=0.5 (same expression order,
+    same single ordered window frame for the normalizer)."""
+    return f"""
+WITH c AS (SELECT {group_expr} AS grp, count(*) AS n FROM documents GROUP BY 1),
+r AS (SELECT grp,
+             least({SAMPLE_BUCKETS},
+                   CAST(floor({float(target_rows)} * sqrt(CAST(n AS DOUBLE))
+                        / sum(sqrt(CAST(n AS DOUBLE))) OVER (
+                            ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+                        / n * {SAMPLE_BUCKETS}) AS BIGINT)) AS rate
+      FROM c)
+SELECT d.doc_id, d.{group_expr} AS grp
+FROM documents d JOIN r ON d.{group_expr} = r.grp
+WHERE {sql_bucket(key_expr, salt)} < r.rate
+"""

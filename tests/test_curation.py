@@ -188,3 +188,50 @@ class TestHashSplit:
         with contextlib.redirect_stdout(buf):
             cu.hash_split(docs, "doc_id").explain()
         assert "Exchange" not in buf.getvalue()
+
+
+class TestTemperatureMix:
+    """n^tau mixture rebalancing semantics (oracle parity covered by
+    test_catalog_parity: `temperature_mix`)."""
+
+    @staticmethod
+    def _skewed(spark, head=400, tail=100):
+        rows = [(i, "head") for i in range(head)] + [
+            (head + i, "tail") for i in range(tail)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, src string")
+
+    def _shares(self, spark, tau, target=250):
+        from fluxdb_spark.functions.curation import temperature_mix
+
+        out = temperature_mix(
+            self._skewed(spark), "src", target, tau=tau, key_col="doc_id"
+        ).collect()
+        head = sum(1 for r in out if r.src == "head")
+        return head, len(out) - head
+
+    def test_tau_one_preserves_natural_proportions(self, spark):
+        head, tail = self._shares(spark, tau=1.0)
+        # natural 4:1 ratio survives (hash-sampling jitter aside)
+        assert head / max(tail, 1) > 2.5
+
+    def test_tau_half_flattens_toward_tail(self, spark):
+        h1, t1 = self._shares(spark, tau=1.0)
+        h5, t5 = self._shares(spark, tau=0.5)
+        h0, t0 = self._shares(spark, tau=0.0)
+        # monotone: lowering tau shifts share from head to tail
+        assert h1 > h5 > h0 and t1 < t5 < t0
+        # tau=0 apportions the target EQUALLY per group (125 each); the
+        # tail group caps at its own size, the head keeps ~125 of 400
+        assert t0 == 100
+        assert 100 <= h0 <= 150
+
+    def test_deterministic_and_nested(self, spark):
+        from fluxdb_spark.functions.curation import temperature_mix
+
+        d = self._skewed(spark)
+        a = {r.doc_id for r in temperature_mix(d, "src", 100, key_col="doc_id").collect()}
+        b = {r.doc_id for r in temperature_mix(d, "src", 100, key_col="doc_id").collect()}
+        big = {r.doc_id for r in temperature_mix(d, "src", 300, key_col="doc_id").collect()}
+        assert a == b
+        assert a <= big  # raising the target only ADDS rows
