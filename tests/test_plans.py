@@ -164,3 +164,47 @@ class TestQ18Shape:
         # map-side partial aggregation on the lineitem groupBy
         assert "partial_sum" in p or "HashAggregate" in p
         assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+class TestRetrievalPairPlans:
+    """Round-5 retrieval pair: the plan properties that keep BM25 and
+    whole-corpus k-means viable on a 100 TB corpus."""
+
+    def test_bm25_filters_terms_before_shuffle(self, spark, specs):
+        """The query-term IN filter must sit below the tf groupBy's
+        exchange — the shuffle carries only matched (doc, term) pairs,
+        never the exploded vocabulary — and the top-k must be
+        TakeOrdered, not a global sort."""
+        import re
+
+        p = plan_of(spark, specs, "bm25_rank")
+        assert "TakeOrderedAndProject" in p
+        # detail blocks are numbered bottom-up: the term filter must sit
+        # DIRECTLY on the explode (generate_id + 1), i.e. below the tf
+        # groupBy's exchange, which therefore has a larger id
+        gen_id = int(re.search(r"\((\d+)\) Generate", p).group(1))
+        filt = re.search(
+            r"\((\d+)\) Filter\nInput.*\nCondition : term#\d+ IN", p
+        )
+        assert filt and int(filt.group(1)) == gen_id + 1
+        tf_exchange = re.search(
+            r"\((\d+)\) Exchange\nInput.*\nArguments: hashpartitioning"
+            r"\(doc_id#\d+L, dl#\d+, term#\d+",
+            p,
+        )
+        assert tf_exchange and int(tf_exchange.group(1)) > int(filt.group(1))
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+    def test_kmeans_assignment_is_map_only(self, spark, specs):
+        """Per-iteration assignment must not shuffle: centroids are plan
+        literals, distance is a JVM higher-order fold — the only
+        exchanges in the final pass belong to the k*dim centroid
+        groupBys already executed; the returned plan (assignment over
+        the quantized scan) has no join at all."""
+        p = plan_of(spark, specs, "embed_kmeans")
+        assert "Join" not in p and "CartesianProduct" not in p
+
+    @pytest.mark.parametrize("name", ["bm25_rank", "embed_kmeans"])
+    def test_retrieval_pair_no_python(self, spark, specs, name):
+        p = plan_of(spark, specs, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

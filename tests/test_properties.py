@@ -473,3 +473,88 @@ def test_fork_fuzz_engine_matches_chain_replay(spark, tmp_path_factory, scenario
             f"mismatch at height {h}: finalized {n_final} of "
             f"{[b[0] for b in chain]}"
         )
+
+
+@st.composite
+def asof_frames(draw):
+    """Random (left, right) as-of inputs: 1-2 keys, small integer times,
+    unique right times per key (merge_asof needs a total order; duplicate
+    right times are covered by the example-based tiebreak tests)."""
+    keys = draw(st.sampled_from([["k1"], ["k1", "k2"]]))
+    left = []
+    right = []
+    for k in keys:
+        lts = draw(st.lists(st.integers(0, 12), min_size=1, max_size=5))
+        rts = draw(
+            st.lists(
+                st.integers(0, 12), min_size=0, max_size=5, unique=True
+            )
+        )
+        left += [(k, t) for t in lts]
+        right += [(k, t, float(100 * t + hash(k) % 7)) for t in rts]
+    return left, right
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frames=asof_frames(),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    exact=st.booleans(),
+    tol=st.sampled_from([None, 0, 3, 100]),
+)
+def test_asof_join_matches_pandas(spark, frames, direction, exact, tol):
+    """asof_join == pandas.merge_asof on RANDOM frames, across every
+    direction x exact-match x tolerance combination — the de facto
+    reference implementation as the property oracle."""
+    import pandas as pd
+
+    from fluxdb_spark.operators.asof import asof_join
+
+    left_rows, right_rows = frames
+    left = spark.createDataFrame(left_rows, "k string, t long")
+    right = spark.createDataFrame(right_rows, "k string, t long, rv double")
+    got = {
+        (r.k, r.t, i): r.rv
+        for i, r in enumerate(
+            sorted(
+                asof_join(
+                    left, right, on=["k"], left_time="t", right_time="t",
+                    payload_cols=["rv"], direction=direction,
+                    allow_exact_matches=exact, tolerance=tol,
+                ).collect(),
+                key=lambda r: (r.k, r.t, r.rv if r.rv is not None else -1),
+            )
+        )
+    }
+    lp = (
+        pd.DataFrame(left_rows, columns=["k", "t"])
+        .astype({"k": "string", "t": "int64"})
+        .sort_values("t")
+    )
+    rp = (
+        pd.DataFrame(right_rows, columns=["k", "t", "rv"])
+        .astype({"k": "string", "t": "int64", "rv": "float64"})
+        .sort_values("t")
+    )
+    m = pd.merge_asof(
+        lp, rp, on="t", by="k", direction=direction,
+        allow_exact_matches=exact, tolerance=tol,
+    )
+    want = {
+        (row.k, row.t, i): (None if pd.isna(row.rv) else row.rv)
+        for i, row in enumerate(
+            sorted(
+                m.itertuples(),
+                key=lambda r: (
+                    r.k,
+                    r.t,
+                    r.rv if not pd.isna(r.rv) else -1,
+                ),
+            )
+        )
+    }
+    assert got == want

@@ -35,6 +35,11 @@ OPS = [
     "flux_collection_state",
     "doc_chunking",
     "hash_split",
+    "bm25_rank",
+    "embed_kmeans",
+    "hybrid_rrf",
+    "temperature_mix",
+    "asof_join_nearest",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
