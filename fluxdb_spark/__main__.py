@@ -205,6 +205,16 @@ def cmd_maintain(args, spark: SparkSession) -> int:
         log.checkpoint_log()
         pruned = log.prune_entries(keep_last=args.prune_log)
         print(f"checkpointed the commit log; pruned {pruned} entry file(s)")
+    if args.fsck or args.fsck_remove:
+        r = store.fsck(remove_orphans=args.fsck_remove)
+        print(
+            f"fsck: {len(r['missing'])} missing, {len(r['orphans'])} "
+            f"orphan(s), {r['removed']} removed"
+        )
+        for path in r["missing"]:
+            print(f"  MISSING {path}")
+        for path in r["orphans"]:
+            print(f"  orphan {path}")
     if args.history:
         for row in store.history().collect():
             print(
@@ -357,6 +367,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="checkpoint the commit log and prune entry files beneath it, "
         "keeping the newest KEEP_LAST (do not run while an outbound "
         "follower may be behind the checkpoint)",
+    )
+    m.add_argument(
+        "--fsck",
+        action="store_true",
+        help="report commit-log vs on-disk inconsistencies (missing "
+        "referenced files, orphaned debris files)",
+    )
+    m.add_argument(
+        "--fsck-remove",
+        action="store_true",
+        help="fsck and remove orphaned debris files (under the "
+        "maintenance lease)",
     )
     m.set_defaults(fn=cmd_maintain)
 

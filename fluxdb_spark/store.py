@@ -1568,6 +1568,71 @@ class ChangelogStore:
             "rows_rebased": rows_rebased,
         }
 
+    def fsck(self, remove_orphans: bool = False) -> dict:
+        """Consistency check between the commit log and the bytes on disk
+        (the fsck + VACUUM pair a transactional format ships natively):
+
+        - **missing** — files the latest commit version references but
+          the disk lacks. Real corruption (or an out-of-band delete):
+          reported, never repaired silently, because the rows are gone.
+        - **orphans** — on-disk data files no commit references and no
+          in-flight manifest claims. The write protocol never produces
+          these itself (every crash path rolls back, crash-fuzzed in
+          TestDMLCrashRecovery / TestExactlyOnceCommit); they are debris
+          from out-of-band copies or interrupted external tooling. They
+          are NOT harmless: the committed relation's no-writer fast path
+          is a directory scan, so debris rows LEAK INTO READS — fsck is
+          the detector, and `remove_orphans=True` the repair, run under
+          the maintenance lease (writers drained) so a racing append
+          can't be mistaken for debris.
+
+        Bounded work: one directory walk + one commit-log resolution
+        (O(entries since the log checkpoint)); no data is read."""
+        self.recover()
+        latest = self._backend.commit_log.latest_version()
+        expected = (
+            set(self._backend.files_at_version(latest))
+            if latest > 0
+            else set()
+        )
+        actual = {
+            os.path.join(dirpath, fn)
+            for dirpath, _d, fnames in os.walk(self._data_dir)
+            for fn in fnames
+            if self._backend._is_data_file(fn)
+        }
+        inflight = self._backend._uncommitted_targets(self.checkpoint)
+        orphans = sorted(actual - expected - inflight)
+        missing = sorted(expected - actual)
+        removed = 0
+        if remove_orphans and orphans:
+            with self._writer_lease("maintenance", drain_others=True):
+                # re-scan under the lease: an append that committed
+                # between the scan and the drain is not debris
+                latest = self._backend.commit_log.latest_version()
+                expected = (
+                    set(self._backend.files_at_version(latest))
+                    if latest > 0
+                    else set()
+                )
+                inflight = self._backend._uncommitted_targets(
+                    self.checkpoint
+                )
+                for path in orphans:
+                    if path in expected or path in inflight:
+                        continue
+                    try:
+                        os.remove(path)
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+            orphans = sorted(set(orphans) - expected - inflight)
+        return {
+            "orphans": orphans,
+            "missing": missing,
+            "removed": removed,
+        }
+
     def compact(
         self, target_rows_per_file: int = 500_000, min_files: int = 4
     ) -> dict:

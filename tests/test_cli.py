@@ -428,3 +428,36 @@ def test_materialize_mode(spark, tmp_path, capsys):
         for r in read_aggregate(spark, dest).collect()
     }
     assert got == {("tbl", 2, 2), ("other", 1, 3)}
+
+
+def test_maintain_fsck(spark, tmp_path, capsys):
+    """maintain --fsck / --fsck-remove: debris detection and repair."""
+    import os
+    import shutil as sh
+
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "fstore")
+    st = ChangelogStore(spark, root, height_band=10)
+    st.write_batch(
+        make_changelog(spark, [("tst", "tbl", h, "k", f"v{h}") for h in (1, 2)])
+    )
+    band = os.path.join(root, "changelog", "collection=tst", "height_band=0")
+    src = next(
+        os.path.join(band, f)
+        for f in os.listdir(band)
+        if f.endswith(".parquet")
+    )
+    sh.copy(src, os.path.join(band, "debris.parquet"))
+    assert main(["maintain", "--store", root, "--min-files", "99",
+                 "--fsck"], spark) == 0
+    out = capsys.readouterr().out
+    assert "fsck: 0 missing, 1 orphan(s), 0 removed" in out
+    assert main(["maintain", "--store", root, "--min-files", "99",
+                 "--fsck-remove"], spark) == 0
+    assert "fsck: 0 missing, 1 orphan(s), 1 removed" in (
+        capsys.readouterr().out
+    )
+    st2 = ChangelogStore(spark, root, height_band=10)
+    assert sorted(r.height for r in st2.changelog().collect()) == [1, 2]

@@ -1009,3 +1009,106 @@ class TestMaterializedAggregate:
                 ["tablet_id"], [("m", "median(height)", "median")],
                 str(tmp_path / "ck"),
             )
+
+
+class TestFsck:
+    """fsck: commit-log vs on-disk consistency (the fsck + VACUUM pair)."""
+
+    def test_clean_store_is_clean(self, spark, store):
+        store.write_batch(batch(spark, [1, 2]))
+        r = store.fsck()
+        assert r == {"orphans": [], "missing": [], "removed": 0}
+
+    def test_orphan_reported_then_removed_reads_unchanged(
+        self, spark, store
+    ):
+        store.write_batch(batch(spark, [1, 2]))
+        before = sorted(r.height for r in store.changelog().collect())
+        band = os.path.join(
+            str(store.root), "changelog", "collection=tst", "height_band=0"
+        )
+        alien = os.path.join(band, "alien-debris.parquet")
+        # a stray data file (out-of-band copy): invisible to readers,
+        # flagged by fsck, removed only on request
+        import shutil as sh
+
+        sh.copy(
+            next(
+                os.path.join(band, f)
+                for f in os.listdir(band)
+                if f.endswith(".parquet")
+            ),
+            alien,
+        )
+        r = store.fsck()
+        assert r["orphans"] == [alien] and r["missing"] == []
+        # debris is NOT harmless: the no-writer fast path scans the
+        # directory, so the duplicate rows leak into reads — which is
+        # exactly why fsck exists
+        assert sorted(
+            h.height for h in store.changelog().collect()
+        ) == sorted(before + before)
+        r = store.fsck(remove_orphans=True)
+        assert r["removed"] == 1 and not os.path.exists(alien)
+        assert store.fsck() == {"orphans": [], "missing": [], "removed": 0}
+        # repair restores the exact pre-debris reads
+        assert sorted(h.height for h in store.changelog().collect()) == before
+
+    def test_missing_file_reported_never_repaired(self, spark, store):
+        store.write_batch(batch(spark, [1, 2]))
+        latest = store.latest_commit_version()
+        victim = store._backend.files_at_version(latest)[0]
+        os.remove(victim)
+        r = store.fsck()
+        assert r["missing"] == [victim] and r["orphans"] == []
+
+    def test_inflight_manifest_targets_are_not_orphans(self, spark, store):
+        import time as _time
+
+        store.write_batch(batch(spark, [1]))
+        # simulate a concurrent writer mid-commit: FRESH lease held,
+        # target file moved into the band, manifest present, checkpoint
+        # NOT yet advanced (without the lease, recover() would rightly
+        # roll the torn batch back — the writer would be dead)
+        lock = store._lock_path("global")
+        with open(lock, "w") as f:
+            json.dump(
+                {"pid": os.getpid(), "ts": _time.time(), "token": "t-live"},
+                f,
+            )
+        band = os.path.join(
+            str(store.root), "changelog", "collection=tst", "height_band=0"
+        )
+        target = os.path.join(band, "b12345678-inflight.parquet")
+        import shutil as sh
+
+        sh.copy(
+            next(
+                os.path.join(band, f)
+                for f in os.listdir(band)
+                if f.endswith(".parquet")
+            ),
+            target,
+        )
+        manifest = os.path.join(
+            str(store.root), "_manifests", "batch-deadbeef.json"
+        )
+        with open(manifest, "w") as f:
+            json.dump(
+                {
+                    "hi": 99,
+                    "shard": None,
+                    "batch_id": "deadbeef",
+                    "targets": [target],
+                    "staging": os.path.join(
+                        str(store.root), "_staging", "batch-deadbeef"
+                    ),
+                },
+                f,
+            )
+        try:
+            r = store.fsck()
+            assert r["orphans"] == [] and r["missing"] == []
+        finally:
+            os.remove(manifest)
+            os.remove(lock)
