@@ -197,6 +197,7 @@ _PRIORITY: list[str] = [
     "asof_join_nearest",
     "hybrid_rrf",
     "temperature_mix",
+    "curation_pipeline",
 ]
 
 
@@ -3982,3 +3983,47 @@ def temperature_mix(spark, sf_dir):
     return cu.temperature_mix(
         d, "lang", 200, tau=0.5, key_col="doc_id"
     ).select("doc_id", F.col("lang").alias("grp"))
+
+
+@_q(
+    "curation_pipeline",
+    "pipeline",
+    f"""
+WITH norm AS (SELECT doc_id, lang,
+              {hash60_sql(tx.sql_normalize_text('text'))} AS h
+              FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM norm GROUP BY h),
+surv AS (SELECT n.doc_id, n.lang FROM norm n JOIN keep USING (doc_id)),
+c AS (SELECT lang, count(*) AS n FROM surv GROUP BY 1),
+r AS (SELECT lang,
+             least(10000,
+                   CAST(floor(150.0 * sqrt(CAST(n AS DOUBLE))
+                        / sum(sqrt(CAST(n AS DOUBLE))) OVER (
+                            ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+                        / n * 10000) AS BIGINT)) AS rate
+      FROM c)
+SELECT s.doc_id, s.lang AS grp
+FROM surv s JOIN r USING (lang)
+WHERE {cu.sql_bucket('s.doc_id', 'tmix')} < r.rate
+""",
+)
+def curation_pipeline(spark, sf_dir):
+    """End-to-end curation pipeline as ONE composed plan — normalize ->
+    exact-dedup survivors (min doc_id per normalized-content hash) ->
+    temperature-rebalanced mix — the shape a real training-data job
+    takes, demonstrating that the operators compose without
+    materialization barriers: Catalyst sees a single DAG (map-side
+    normalize+hash, one dedup groupBy, the tiny counts relation
+    broadcast back, the salted-hash selection map-side) and the oracle
+    replays the identical composition as chained CTEs."""
+    d = _td(spark, sf_dir)
+    hashed = d.select(
+        "doc_id", "lang", hash60(tx.normalize_text(F.col("text"))).alias("h")
+    )
+    survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    surv = hashed.join(survivors.select("doc_id"), "doc_id").select(
+        "doc_id", "lang"
+    )
+    out = cu.temperature_mix(surv, "lang", 150, tau=0.5, key_col="doc_id")
+    return out.select("doc_id", F.col("lang").alias("grp"))
