@@ -235,7 +235,13 @@ def cmd_replicate(args, spark: SparkSession) -> int:
     from fluxdb_spark.store import ChangelogStore
 
     q = replicate_store(
-        spark, args.src, args.dst, args.checkpoint, trigger_seconds=0.5
+        spark,
+        args.src,
+        args.dst,
+        args.checkpoint,
+        trigger_seconds=0.5,
+        height_band=args.height_band,
+        data_format=args.data_format,
     )
     try:
         q.processAllAvailable()
@@ -386,6 +392,19 @@ def build_parser() -> argparse.ArgumentParser:
     rep.add_argument("--src", required=True)
     rep.add_argument("--dst", required=True)
     rep.add_argument("--checkpoint", required=True)
+    rep.add_argument(
+        "--height-band",
+        type=int,
+        default=None,
+        help="replica band size (re-banding migration: band granularity "
+        "is sticky per store, so changing it is necessarily a copy)",
+    )
+    rep.add_argument(
+        "--data-format",
+        default=None,
+        help="replica physical format (e.g. orc) — format migration "
+        "through the same exactly-once machinery",
+    )
     rep.set_defaults(fn=cmd_replicate)
 
     mat = sub.add_parser("materialize")

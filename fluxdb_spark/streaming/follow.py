@@ -126,6 +126,8 @@ def replicate_store(
     dst_root: str,
     checkpoint_dir: str,
     trigger_seconds: float = 1.0,
+    height_band: int | None = None,
+    data_format: str | None = None,
 ):
     """Store-to-store replication — the cross-region story: follow the
     source's commit log and write each batch into the destination through
@@ -139,10 +141,22 @@ def replicate_store(
 
     Follows the source's global append stream; a sharded source should be
     replicated after its final checkpoint reconciliation (per-shard
-    heights are only contiguous within their own stream)."""
+    heights are only contiguous within their own stream).
+
+    `height_band` / `data_format` let the REPLICA differ from the source
+    — which makes replication double as the store MIGRATION path: re-band
+    a store whose partition granularity was sized wrong for its growth
+    (the band size is sticky per store, so changing it is necessarily a
+    copy), or re-format parquet -> ORC, all through the same exactly-once
+    machinery and without touching the source."""
     from fluxdb_spark.store import ChangelogStore
 
-    dst = ChangelogStore(spark, dst_root)
+    kw = {}
+    if height_band is not None:
+        kw["height_band"] = height_band
+    if data_format is not None:
+        kw["data_format"] = data_format
+    dst = ChangelogStore(spark, dst_root, **kw)
 
     def sink(rows: DataFrame, _batch_id: int) -> None:
         dst.write_batch(rows.orderBy("height"))

@@ -21,6 +21,11 @@ Only algebraic aggregates can merge partial results (sum of sums, min
 of mins, max of maxes; counts merge as sums) — the same restriction any
 incremental/streaming aggregation has. Non-algebraic aggregates
 (median, exact distinct) need the raw feed instead.
+
+One maintainer per aggregate table: the table swap assumes a single
+maintenance stream owns `dest` (exactly like a single streaming query
+owns its checkpoint). Run one `materialize_aggregate` query per dest;
+concurrent maintainers would race the swap renames.
 """
 
 from __future__ import annotations

@@ -461,3 +461,51 @@ def test_maintain_fsck(spark, tmp_path, capsys):
     )
     st2 = ChangelogStore(spark, root, height_band=10)
     assert sorted(r.height for r in st2.changelog().collect()) == [1, 2]
+
+
+def test_replicate_migrates_band_and_format(spark, tmp_path, capsys):
+    """replicate --height-band --data-format: replication doubles as the
+    store migration path — re-band AND re-format in one pass, reads
+    identical, source untouched."""
+    import os
+
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    src = str(tmp_path / "msrc2")
+    st = ChangelogStore(spark, src, height_band=10)
+    st.write_batch(
+        make_changelog(
+            spark, [("tst", "tbl", h, "k", f"v{h}") for h in range(1, 26)]
+        )
+    )
+    dst = str(tmp_path / "mdst2")
+    rc = main(
+        ["replicate", "--src", src, "--dst", dst,
+         "--checkpoint", str(tmp_path / "mck2"),
+         "--height-band", "7", "--data-format", "orc"],
+        spark,
+    )
+    assert rc == 0
+    rep = ChangelogStore(spark, dst)  # band + format sticky from _meta
+    assert rep.height_band == 7
+    assert sorted(r.height for r in rep.changelog().collect()) == list(
+        range(1, 26)
+    )
+    bands = {
+        d
+        for d in os.listdir(os.path.join(dst, "changelog", "collection=tst"))
+    }
+    # 25 heights at band 7 -> bands 0..3
+    assert bands == {f"height_band={b}" for b in range(4)}
+    files = [
+        fn
+        for _d, _s, fns in os.walk(os.path.join(dst, "changelog"))
+        for fn in fns
+        if not fn.startswith(".")
+    ]
+    assert files and all(f.endswith(".orc") for f in files)
+    # height-bounded reads partition-prune against the NEW band size
+    assert sorted(
+        r.height for r in rep.changelog(max_height=13).collect()
+    ) == list(range(1, 14))
