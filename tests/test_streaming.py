@@ -786,3 +786,94 @@ class TestAdaptiveIndexingFromIngest:
             ).collect()
         )
         assert got == want and len(got) == 97
+
+
+class TestLiveToMaterializedAggregate:
+    """Full data path, end to end: a continuously-running live block
+    stream ingests through the fork handler, finality flushes rows into
+    the durable store's commit log, and a CONCURRENT materialize
+    follower folds each commit into an aggregate table — the serving
+    loop a 100 TB deployment runs (live ingest on one side, incremental
+    dashboards on the other), with no component mocked."""
+
+    def test_live_ingest_feeds_incremental_aggregate(self, spark, tmp_path):
+        import json
+        import time
+
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.streaming.ingest import FluxEngine
+        from fluxdb_spark.streaming.materialize import (
+            materialize_aggregate,
+            read_aggregate,
+        )
+
+        def blk_rows(h, pk, v, bid):
+            return json.dumps([["evt", "tbl", h, pk, v, False, bid, h]])
+
+        script = [
+            (0, "new", "b1", 1, "", blk_rows(1, "x", "v1", "b1")),
+            (1, "new", "b2", 2, "b1", blk_rows(2, "y", "v2", "b2")),
+            (2, "new", "b3", 3, "b2", blk_rows(3, "z", "v3", "b3")),
+            (3, "irreversible", "b1", 1, "", None),
+            (4, "irreversible", "b2", 2, "", None),
+            (5, "irreversible", "b3", 3, "", None),
+        ]
+        script_df = spark.createDataFrame(
+            script,
+            "seq long, step string, block_id string, block_num long, "
+            "parent_id string, rows_json string",
+        )
+        db = str(tmp_path / "db")
+        engine = FluxEngine(spark, db)
+        pipe = engine.pipeline
+        ticks = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "20")
+            .load()
+            .withColumn("seq", F.col("value"))
+        )
+        control = ticks.join(F.broadcast(script_df), "seq", "inner").select(
+            "seq", "step", "block_id", "block_num", "parent_id", "rows_json"
+        )
+        dest = str(tmp_path / "agg")
+        q_live = pipe.bind_live_blocks(control, str(tmp_path / "ck"))
+        # the follower starts BEFORE ingest converges: it observes the
+        # commit log grow as finality lands, batch by batch
+        q_agg = materialize_aggregate(
+            spark, db, dest, ["tablet_id"],
+            [("n_rows", "count(1)", "sum"),
+             ("max_height", "max(height)", "max")],
+            str(tmp_path / "ck2"), trigger_seconds=0.5,
+        )
+        try:
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < 120:
+                ckpt = engine.checkpoint()
+                if ckpt is not None and ckpt.height == 3:
+                    break
+                time.sleep(0.25)
+            ckpt = engine.checkpoint()
+            assert ckpt is not None and ckpt.height == 3, (
+                f"live ingest never converged: ckpt={ckpt}, "
+                f"exc={q_live.exception()}"
+            )
+            q_agg.processAllAvailable()  # drain whatever is left
+        finally:
+            q_live.stop()
+            q_agg.stop()
+        got = {
+            (r.tablet_id, r.n_rows, r.max_height)
+            for r in read_aggregate(spark, dest).collect()
+        }
+        want = {
+            (r.tablet_id, r.n_rows, r.max_height)
+            for r in engine.store.changelog()
+            .groupBy("tablet_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max("height").alias("max_height"),
+            )
+            .collect()
+        }
+        assert got == want == {("tbl", 3, 3)}
