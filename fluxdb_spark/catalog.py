@@ -185,7 +185,11 @@ _PRIORITY: list[str] = [
     "lang_distribution",
     "multimodal_frames",
     "embed_ann_ivf",
-    # -- round-5 additions (no driver row yet; rotate forward in r06)
+    # -- round-5 additions (no driver row yet; rotate forward in r06).
+    # r06 window plan: lead with multimodal_meta/decode (positions 51-52
+    # above) plus everything from here down — the only entries without a
+    # driver row — then fill the remaining slots with the TPC-H /
+    # relational block (newest row r04, stalest by then).
     "hash_split",
     "text_normalize",
     "doc_chunking",
