@@ -202,6 +202,7 @@ _PRIORITY: list[str] = [
     "hybrid_rrf",
     "temperature_mix",
     "curation_pipeline",
+    "window_frames",
 ]
 
 
@@ -4031,3 +4032,57 @@ def curation_pipeline(spark, sf_dir):
     )
     out = cu.temperature_mix(surv, "lang", 150, tau=0.5, key_col="doc_id")
     return out.select("doc_id", F.col("lang").alias("grp"))
+
+
+@_q(
+    "window_frames",
+    "relational",
+    """
+SELECT o_custkey, o_orderkey,
+       floor(cume_dist() OVER w * 10000) / 10000.0 AS cdist,
+       floor(percent_rank() OVER w * 10000) / 10000.0 AS prank,
+       first_value(o_orderkey) OVER w AS priciest,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING
+           AND UNBOUNDED FOLLOWING) AS cheapest,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING
+           AND UNBOUNDED FOLLOWING) AS runner_up,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS moving_sum3
+FROM orders
+WHERE o_custkey < 10
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_frames(spark, sf_dir):
+    """Analytic window functions with explicit frames: distribution
+    functions (cume_dist / percent_rank), positional frame picks
+    (first / last / nth over the full frame), and a 3-row moving
+    sum (computed in DECIMAL so the window arithmetic is exact to the
+    cent across engines) — the frame-semantics half of the window surface that
+    `window_ranks` (ranking / navigation) does not touch."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 10)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wmov = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(F.cume_dist().over(w) * 10000) / 10000.0).alias("cdist"),
+        (F.floor(F.percent_rank().over(w) * 10000) / 10000.0).alias("prank"),
+        F.first("o_orderkey").over(wfull).alias("priciest"),
+        F.last("o_orderkey").over(wfull).alias("cheapest"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("runner_up"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wmov)
+        .cast("double")
+        .alias("moving_sum3"),
+    )
