@@ -208,3 +208,50 @@ class TestRetrievalPairPlans:
     def test_retrieval_pair_no_python(self, spark, specs, name):
         p = plan_of(spark, specs, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+class TestWholeCatalogAntiPatterns:
+    """Blanket gate over EVERY catalog entry's physical plan: no
+    row-at-a-time or Arrow-batched Python in any hot path (the enumerated
+    exceptions are the operators whose semantics genuinely need Python —
+    opaque binary decode, arbitrary streaming state, the UDTF tier), and
+    no cartesian product anywhere (broadcast 1-row scalar joins compile
+    to BroadcastNestedLoopJoin, which is fine; CartesianProduct — a
+    shuffled n*m join — is not). A new catalog entry that silently
+    de-optimizes fails here without needing its own pin."""
+
+    # Python is the POINT of these entries (Arrow-batched, documented):
+    PYTHON_OK = {
+        "multimodal_meta",      # mapInPandas binary header parse
+        "multimodal_decode",    # mapInPandas payload decode
+        "multimodal_frames",    # mapInPandas frame sampling
+        "typed_view_protobuf",  # Arrow wire parser (no protobuf jar)
+        "stream_sessionize",    # applyInPandasWithState
+    }
+    # real StreamingQuery entries build their plan inside the stream
+    STREAMING = {
+        "stream_tumbling", "stream_dedup", "stream_stream_join",
+        "stream_sessionize", "stream_simhash_dedup",
+    }
+
+    def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
+        offenders: dict[str, list[str]] = {}
+        for name, spec in specs.items():
+            if name in self.STREAMING:
+                continue
+            try:
+                p = plan_of(spark, specs, name)
+            except Exception as e:  # pragma: no cover - fail loudly
+                offenders[name] = [f"plan build failed: {e}"]
+                continue
+            bad = []
+            if name not in self.PYTHON_OK and (
+                "BatchEvalPython" in p or "ArrowEvalPython" in p
+                or "MapInPandas" in p or "FlatMapGroupsInPandas" in p
+            ):
+                bad.append("python-in-plan")
+            if "CartesianProduct" in p:
+                bad.append("cartesian-product")
+            if bad:
+                offenders[name] = bad
+        assert not offenders, offenders
