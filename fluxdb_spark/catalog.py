@@ -203,6 +203,7 @@ _PRIORITY: list[str] = [
     "temperature_mix",
     "curation_pipeline",
     "window_frames",
+    "typed_view_protobuf_nested",
 ]
 
 
@@ -4085,4 +4086,75 @@ def window_frames(spark, sf_dir):
         .over(wmov)
         .cast("double")
         .alias("moving_sum3"),
+    )
+
+
+@_q(
+    "typed_view_protobuf_nested",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE}
+SELECT tablet_id, height,
+       CAST(json_extract_string(value, '$.k') AS BIGINT) AS k,
+       CAST(2 AS BIGINT) AS n_deltas,
+       (CAST(json_extract_string(value, '$.k') AS BIGINT) - height)
+         + (3 - height % 7) AS sum_deltas,
+       concat(tablet_id, ',', 'x2') AS tag_keys,
+       height + CAST(json_extract_string(value, '$.k') AS BIGINT)
+         AS sum_tag_n
+FROM changelog
+WHERE tablet_id = 'signup' AND height <= 300 AND NOT is_deletion
+  AND json_extract_string(value, '$.k') IS NOT NULL
+""",
+)
+def typed_view_protobuf_nested(spark, sf_dir):
+    """Typed protobuf view, NESTED/REPEATED tier: values carry a packed
+    repeated sint64 field and repeated submessages (proto3's composite
+    shapes, beyond `typed_view_protobuf`'s scalars). Encoded to wire
+    bytes (packed zigzag varints, length-delimited submessages) and
+    decoded back by the independent Arrow wire parser — which also
+    accepts the expanded unpacked form, as the spec requires of proto3
+    parsers — then flattened with JVM higher-order functions. The oracle
+    computes every field directly from JSON, so a packed-encoding or
+    submessage-framing bug hash-mismatches."""
+    from fluxdb_spark.functions import protowire as pw
+
+    log = changelog_from_events(_t(spark, sf_dir, "events")).filter(
+        (F.col("tablet_id") == "signup")
+        & (F.col("height") <= 300)
+        & (~F.col("is_deletion"))
+    )
+    k = F.get_json_object("value", "$.k").cast("long")
+    wire = log.filter(k.isNotNull()).select(
+        "tablet_id",
+        "height",
+        pw.encode_event_udf()(
+            k,
+            F.array(k - F.col("height"), F.lit(3) - F.col("height") % 7),
+            F.array(
+                F.struct(
+                    F.col("tablet_id").alias("key"),
+                    F.col("height").alias("n"),
+                ),
+                F.struct(F.lit("x2").alias("key"), k.alias("n")),
+            ),
+        ).alias("wire"),
+    )
+    dec = wire.withColumn("v", pw.decode_event_udf()(F.col("wire")))
+    return dec.select(
+        "tablet_id",
+        "height",
+        F.col("v.k").alias("k"),
+        F.size("v.deltas").cast("long").alias("n_deltas"),
+        F.aggregate(
+            "v.deltas", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_deltas"),
+        F.concat_ws(",", F.transform("v.tags", lambda t: t["key"])).alias(
+            "tag_keys"
+        ),
+        F.aggregate(
+            F.transform("v.tags", lambda t: t["n"]),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("sum_tag_n"),
     )

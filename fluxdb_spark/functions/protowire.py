@@ -307,3 +307,163 @@ def decode_protobuf_col(spark, col: Column) -> Column:
             F.pmod(decoded["crc"].cast("long"), F.lit(2**32)).alias("crc"),
         )
     return decode_demo_udf()(col)
+
+
+# ---------------------------------------------------------------------------
+# nested + repeated message support
+#
+#   message TagValue   { string key = 1; int64 n = 2; }
+#   message EventValue { int64 k = 1;
+#                        repeated sint64 deltas = 2;   // packed on the wire
+#                        repeated TagValue tags = 3; }
+#
+# The encoder emits `deltas` PACKED (proto3 default: one length-delimited
+# field holding back-to-back zigzag varints); the decoder accepts BOTH the
+# packed form and the expanded one-tag-per-element form, as the spec
+# requires of proto3 parsers ("parsers must accept both forms").
+# ---------------------------------------------------------------------------
+
+EVENT_STRUCT = T.StructType(
+    [
+        T.StructField("k", T.LongType(), True),
+        T.StructField("deltas", T.ArrayType(T.LongType()), True),
+        T.StructField(
+            "tags",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("key", T.StringType(), True),
+                        T.StructField("n", T.LongType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def encode_event(k: int, deltas: list[int], tags: list[tuple[str, int]]) -> bytes:
+    """proto3 serialization of EventValue: packed repeated sint64,
+    length-delimited submessages, zero/empty elision."""
+    buf = bytearray()
+    if k:
+        buf += tag(1, 0) + varint(k)
+    if deltas:
+        packed = b"".join(varint(zigzag(d)) for d in deltas)
+        buf += tag(2, 2) + _ld(packed)
+    for key, n in tags:
+        sub = bytearray()
+        if key:
+            sub += tag(1, 2) + _ld(key.encode("utf-8"))
+        if n:
+            sub += tag(2, 0) + varint(n)
+        buf += tag(3, 2) + _ld(bytes(sub))
+    return bytes(buf)
+
+
+def _decode_tag_msg(data: bytes) -> dict:
+    out = {"key": "", "n": 0}
+    i = 0
+    while i < len(data):
+        tagv, i = _read_varint(data, i)
+        fno, wt = tagv >> 3, tagv & 7
+        if wt == 0:
+            raw, i = _read_varint(data, i)
+        elif wt == 1:
+            raw, i = data[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _read_varint(data, i)
+            raw, i = data[i : i + ln], i + ln
+        elif wt == 5:
+            raw, i = data[i : i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        if fno == 1 and wt == 2:
+            out["key"] = raw.decode("utf-8")
+        elif fno == 2 and wt == 0:
+            out["n"] = _to_int64(raw)
+        # unknown fields inside the submessage: skipped
+    return out
+
+
+def decode_event(data: bytes | None) -> dict | None:
+    """Parse EventValue wire bytes: packed OR expanded repeated sint64,
+    nested TagValue submessages, unknown fields skipped at every level."""
+    if data is None:
+        return None
+    out = {"k": 0, "deltas": [], "tags": []}
+    i = 0
+    while i < len(data):
+        tagv, i = _read_varint(data, i)
+        fno, wt = tagv >> 3, tagv & 7
+        if fno == 2 and wt == 2:
+            # packed: back-to-back varints inside one LD payload
+            ln, i = _read_varint(data, i)
+            end = i + ln
+            while i < end:
+                u, i = _read_varint(data, i)
+                out["deltas"].append(_unzigzag(u))
+            continue
+        if wt == 0:
+            raw, i = _read_varint(data, i)
+        elif wt == 1:
+            raw, i = data[i : i + 8], i + 8
+        elif wt == 2:
+            ln, i = _read_varint(data, i)
+            raw, i = data[i : i + ln], i + ln
+        elif wt == 5:
+            raw, i = data[i : i + 4], i + 4
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        if fno == 1 and wt == 0:
+            out["k"] = _to_int64(raw)
+        elif fno == 2 and wt == 0:
+            out["deltas"].append(_unzigzag(raw))  # expanded form
+        elif fno == 3 and wt == 2:
+            out["tags"].append(_decode_tag_msg(raw))
+        # any other field: skipped
+    return out
+
+
+def encode_event_udf() -> Column:
+    """Arrow-batched encoder: (k, deltas, tags) -> EventValue wire bytes."""
+
+    @F.pandas_udf(T.BinaryType())
+    def enc(k: pd.Series, deltas: pd.Series, tags: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if pd.isna(kk)
+                else encode_event(
+                    int(kk),
+                    [int(d) for d in (dd if dd is not None else [])],
+                    [
+                        (str(t["key"]), int(t["n"]))
+                        for t in (tt if tt is not None else [])
+                    ],
+                )
+                for kk, dd, tt in zip(k, deltas, tags)
+            ]
+        )
+
+    return enc
+
+
+def decode_event_udf():
+    """Arrow-batched wire decoder: bytes -> EventValue struct."""
+
+    @F.pandas_udf(EVENT_STRUCT)
+    def dec(vals: pd.Series) -> pd.DataFrame:
+        rows = [decode_event(v) for v in vals]
+        return pd.DataFrame(
+            [
+                {"k": None, "deltas": None, "tags": None}
+                if r is None
+                else r
+                for r in rows
+            ],
+            columns=["k", "deltas", "tags"],
+        )
+
+    return dec

@@ -226,6 +226,7 @@ class TestWholeCatalogAntiPatterns:
         "multimodal_decode",    # mapInPandas payload decode
         "multimodal_frames",    # mapInPandas frame sampling
         "typed_view_protobuf",  # Arrow wire parser (no protobuf jar)
+        "typed_view_protobuf_nested",  # packed/nested wire parser
         "stream_sessionize",    # applyInPandasWithState
     }
     # real StreamingQuery entries build their plan inside the stream

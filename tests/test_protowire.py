@@ -215,3 +215,67 @@ class TestColumnTiers:
             for r in reg2.typed_view(wire, "tst").collect()
         }
         assert json_tier == proto_tier == {1: 7, 2: 14, 200: 1400}
+
+
+class TestNestedRepeated:
+    """EventValue: packed repeated sint64 + repeated submessages."""
+
+    def test_round_trip_with_negatives_and_empties(self):
+        from fluxdb_spark.functions.protowire import (
+            decode_event,
+            encode_event,
+        )
+
+        cases = [
+            (7, [3, -4, 0, 127, -128], [("a", 1), ("", 5), ("z", 0)]),
+            (0, [], []),
+            (1, [2**40, -(2**40)], [("key", 2**50)]),
+        ]
+        for k, d, t in cases:
+            got = decode_event(encode_event(k, d, t))
+            assert got == {
+                "k": k,
+                "deltas": list(d),
+                "tags": [{"key": kk, "n": nn} for kk, nn in t],
+            }
+
+    def test_packed_wire_bytes_pinned(self):
+        # deltas [3, -4] packed: tag(2,LD)=0x12, len=2, zigzag(3)=6,
+        # zigzag(-4)=7
+        from fluxdb_spark.functions.protowire import encode_event
+
+        assert encode_event(0, [3, -4], []) == bytes([0x12, 0x02, 0x06, 0x07])
+
+    def test_expanded_unpacked_form_accepted(self):
+        # proto3 spec: parsers must accept repeated scalars in BOTH the
+        # packed and the one-tag-per-element form
+        from fluxdb_spark.functions.protowire import (
+            _ld,
+            decode_event,
+            tag,
+            varint,
+            zigzag,
+        )
+
+        b = (
+            tag(1, 0) + varint(7)
+            + tag(2, 0) + varint(zigzag(3))
+            + tag(2, 0) + varint(zigzag(-4))
+        )
+        assert decode_event(bytes(b)) == {
+            "k": 7, "deltas": [3, -4], "tags": [],
+        }
+
+    def test_unknown_field_skipped_inside_submessage(self):
+        from fluxdb_spark.functions.protowire import (
+            _ld,
+            decode_event,
+            tag,
+            varint,
+        )
+
+        sub = tag(1, 2) + _ld(b"x") + tag(9, 0) + varint(999) + tag(2, 0) + varint(5)
+        msg = tag(3, 2) + _ld(bytes(sub))
+        assert decode_event(bytes(msg)) == {
+            "k": 0, "deltas": [], "tags": [{"key": "x", "n": 5}],
+        }
