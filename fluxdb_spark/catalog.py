@@ -204,6 +204,8 @@ _PRIORITY: list[str] = [
     "curation_pipeline",
     "window_frames",
     "typed_view_protobuf_nested",
+    "length_buckets",
+    "embed_quantize",
 ]
 
 
@@ -4158,3 +4160,24 @@ def typed_view_protobuf_nested(spark, sf_dir):
             lambda a, x: a + x,
         ).alias("sum_tag_n"),
     )
+
+
+@_q("length_buckets", "pipeline", cu.sql_length_buckets(16))
+def length_buckets(spark, sf_dir):
+    """Length-bucketed batch assignment for batched inference: docs
+    grouped into token-length buckets (a batch pads to its bucket
+    ceiling, not the corpus max) and numbered into fixed-size batches
+    within each bucket — map-side bucketing plus one per-bucket window,
+    deterministic by doc_id."""
+    return cu.length_buckets(_td(spark, sf_dir), 16)
+
+
+@_q("embed_quantize", "pipeline", sim.sql_quantize_embeddings())
+def embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding table — the 4x
+    storage compression a 100 TB vector corpus ships with. Per-vector
+    absmax scale; sign-symmetric flooring makes every output an exact
+    integer, so the operator is bit-portable and fully hash-checked.
+    Element-wise higher-order expressions only: no sums, no shuffle,
+    scan-speed at any corpus size."""
+    return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))

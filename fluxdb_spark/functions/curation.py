@@ -329,3 +329,66 @@ SELECT d.doc_id, d.{group_expr} AS grp
 FROM documents d JOIN r ON d.{group_expr} = r.grp
 WHERE {sql_bucket(key_expr, salt)} < r.rate
 """
+
+
+def length_buckets(
+    df: DataFrame,
+    batch_size: int,
+    edges: list[int] | None = None,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment for inference/training serving:
+    documents are grouped into token-length buckets (so a batch pads to
+    its bucket ceiling, not the corpus maximum) and numbered into
+    fixed-size batches within each bucket. The standard trick that cuts
+    padding waste in batched model calls.
+
+    Scale shape: bucket assignment is a map-side expression; the batch
+    numbering is one window per bucket partitioned shuffle (rows carry
+    (bucket, key) only), deterministic by key order. Output:
+    (key, n_tokens, bucket_lo, batch_id, pos_in_batch)."""
+    edges = edges or [16, 32, 64, 128]
+    n = token_count(F.col(text_col))
+    bucket = F.lit(0)
+    for e in edges:
+        bucket = F.when(n >= e, F.lit(e)).otherwise(bucket)
+    w = Window.partitionBy("bucket_lo").orderBy(key_col)
+    return (
+        df.select(
+            F.col(key_col),
+            n.cast("long").alias("n_tokens"),
+            bucket.cast("long").alias("bucket_lo"),
+        )
+        .withColumn("__rn", F.row_number().over(w) - 1)
+        .select(
+            key_col,
+            "n_tokens",
+            "bucket_lo",
+            (F.col("__rn") / batch_size).cast("long").alias("batch_id"),
+            F.pmod(F.col("__rn"), F.lit(batch_size))
+            .cast("long")
+            .alias("pos_in_batch"),
+        )
+    )
+
+
+def sql_length_buckets(batch_size: int, edges: list[int] | None = None) -> str:
+    edges = edges or [16, 32, 64, 128]
+    case = "CASE "
+    for e in reversed(edges):
+        case += f"WHEN len(string_split(lower(text), ' ')) >= {e} THEN {e} "
+    case += "ELSE 0 END"
+    return f"""
+WITH t AS (SELECT doc_id,
+                  CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+                    AS n_tokens,
+                  CAST({case} AS BIGINT) AS bucket_lo
+           FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY bucket_lo
+                                   ORDER BY doc_id) - 1 AS rn FROM t)
+SELECT doc_id, n_tokens, bucket_lo,
+       CAST(rn // {batch_size} AS BIGINT) AS batch_id,
+       rn % {batch_size} AS pos_in_batch
+FROM r
+"""

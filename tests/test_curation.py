@@ -235,3 +235,21 @@ class TestTemperatureMix:
         big = {r.doc_id for r in temperature_mix(d, "src", 300, key_col="doc_id").collect()}
         assert a == b
         assert a <= big  # raising the target only ADDS rows
+
+
+class TestLengthBuckets:
+    def test_bucketing_and_batch_numbering(self, spark):
+        from fluxdb_spark.functions.curation import length_buckets
+
+        rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(
+            [5, 20, 20, 40, 40, 40, 200]
+        )]
+        d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r.doc_id: r for r in length_buckets(d, 2).collect()}
+        assert out[0].bucket_lo == 0
+        assert out[1].bucket_lo == out[2].bucket_lo == 16
+        assert out[3].bucket_lo == 32 and out[6].bucket_lo == 128
+        # batches of 2 within the 32-bucket: docs 3,4 -> batch 0; 5 -> 1
+        assert (out[3].batch_id, out[3].pos_in_batch) == (0, 0)
+        assert (out[4].batch_id, out[4].pos_in_batch) == (0, 1)
+        assert (out[5].batch_id, out[5].pos_in_batch) == (1, 0)

@@ -223,3 +223,28 @@ class TestRrfFuse:
         out = sim.rrf_fuse([a], k=1).collect()
         # equal scores -> lowest doc_id wins the cut
         assert [r.doc_id for r in out] == [4]
+
+
+class TestQuantizeEmbeddings:
+    def test_bounds_error_and_zero_vector(self, spark):
+        from fluxdb_spark.functions.similarity import quantize_embeddings
+
+        vecs = spark.createDataFrame(
+            [
+                (0, [1.0, -0.5, 0.25, 0.0]),
+                (1, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+                (2, [-2.0, 2.0, 1.0, -1.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.vec_id: r for r in quantize_embeddings(vecs).collect()}
+        # absmax element hits exactly +/-127; everything in [-127, 127]
+        assert out[0].q8 == [127, -63, 31, 0]
+        assert all(-127 <= q <= 127 for r in out.values() for q in r.q8)
+        assert out[1].q8 == [0, 0, 0, 0] and out[1].scale_e9 == 0
+        assert out[2].q8 == [-127, 127, 63, -63]
+        # dequantization error bounded by one quantization step
+        scale = out[2].scale_e9 / 1e9
+        deq = [q * scale for q in out[2].q8]
+        for got, want in zip(deq, [-2.0, 2.0, 1.0, -1.0]):
+            assert abs(got - want) <= scale + 1e-9
