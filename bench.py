@@ -69,6 +69,7 @@ HEADLINE = [
     # fixed-point k-means (iterative clustering as DataFrame plans)
     "bm25_rank",
     "embed_kmeans",
+    "embed_topk_quantized",
 ]
 
 

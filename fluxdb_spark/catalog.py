@@ -206,6 +206,7 @@ _PRIORITY: list[str] = [
     "typed_view_protobuf_nested",
     "length_buckets",
     "embed_quantize",
+    "embed_topk_quantized",
 ]
 
 
@@ -4181,3 +4182,18 @@ def embed_quantize(spark, sf_dir):
     Element-wise higher-order expressions only: no sums, no shuffle,
     scan-speed at any corpus size."""
     return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@_q("embed_topk_quantized", "pipeline", sim.sql_quantized_topk(10, 5))
+def embed_topk_quantized(spark, sf_dir):
+    """Cosine top-10 for 5 queries over the int8-QUANTIZED vector table
+    — the compressed storage form stays directly queryable, and because
+    cosine over q8 is scale-invariant with integer dot products, the
+    whole ranking is bit-deterministic and fully hash-checked (unlike
+    float ANN, which needs rounding discipline). Same plan shape as the
+    float baseline: queries broadcast, corpus scanned once, per-query
+    top-k window."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.quantized_topk(
+        e, e.filter(F.col("vec_id") < 5).select("vec_id"), k=10
+    ).withColumn("rank", F.col("rank").cast("long"))

@@ -685,3 +685,79 @@ SELECT vec_id,
        CAST(floor(absmax / 127.0 * 1000000000) AS BIGINT) AS scale_e9
 FROM e
 """
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine top-k over the int8-QUANTIZED vectors — proof the
+    compressed storage form (quantize_embeddings) remains directly
+    queryable: scoring runs on the quantized table, never dequantizing
+    to floats. Cosine over q8 is scale-invariant (the per-vector scale
+    cancels), and the dot/norms are sums of INTEGER products (exact in
+    long: 127^2 * dim << 2^63), so unlike float ANN the whole ranking is
+    bit-deterministic and fully hash-checkable. Same plan shape as
+    brute_force_topk: queries broadcast, corpus scanned once, per-query
+    top-k window."""
+    qz = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    q = queries.join(qz, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("q8").alias("qv")
+    )
+    c = qz.select(F.col(id_col).alias("match_id"), F.col("q8").alias("cv"))
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(
+                idot(F.col("qv"), F.col("cv"))
+                / F.sqrt(
+                    idot(F.col("qv"), F.col("qv")).cast("double")
+                    * idot(F.col("cv"), F.col("cv")).cast("double")
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )
+
+
+def sql_quantized_topk(k: int = 10, n_queries: int = 5) -> str:
+    """DuckDB twin of `quantized_topk` over the same quantized relation
+    (sql_quantize_embeddings inlined)."""
+    return f"""
+WITH qz AS ({sql_quantize_embeddings()}),
+q AS (SELECT vec_id AS query_id, q8 AS qv FROM qz WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS match_id, q8 AS cv FROM qz),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+scored AS (
+  SELECT q.query_id, c.match_id,
+         round(sum(qv[i] * cv[i])
+               / sqrt(CAST(sum(qv[i] * qv[i]) AS DOUBLE)
+                      * CAST(sum(cv[i] * cv[i]) AS DOUBLE)), 4) AS score
+  FROM q, c, idx
+  WHERE q.query_id != c.match_id
+  GROUP BY q.query_id, c.match_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -248,3 +248,18 @@ class TestQuantizeEmbeddings:
         deq = [q * scale for q in out[2].q8]
         for got, want in zip(deq, [-2.0, 2.0, 1.0, -1.0]):
             assert abs(got - want) <= scale + 1e-9
+
+
+class TestQuantizedTopk:
+    def test_recall_vs_float_baseline(self, corpus, queries, exact):
+        from fluxdb_spark.functions.similarity import quantized_topk
+
+        rows = quantized_topk(
+            corpus, queries.select("vec_id"), k=K
+        ).collect()
+        # int8 quantization costs little cosine fidelity on 64-dim
+        # vectors: top-10 recall vs the float baseline stays high
+        assert _recall(rows, exact) >= 0.8
+        # exact-integer scoring: re-run is bit-identical
+        again = quantized_topk(corpus, queries.select("vec_id"), k=K).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
