@@ -484,6 +484,29 @@ def test_oplog_fuzz_time_travel_matches_model(spark, tmp_path_factory, ops):
             }
             assert got == set(expected), f"time travel to v{version} diverged"
 
+    # fsck invariant: NO random op sequence may leave debris the commit
+    # log doesn't know about, or lose a file it references — the write
+    # protocol's own crash-free paths are always self-consistent
+    assert st.fsck() == {"orphans": [], "missing": [], "removed": 0}
+
+    # incremental-read invariant: above the rewrite floor, the delta
+    # between two commit versions is exactly the time-travel difference
+    versions = sorted({v for v, _m in snapshots if v > 0})
+    resolvable = [v for v in versions if v >= floor]
+    for v1, v2 in zip(resolvable, resolvable[1:]):
+        delta = {
+            (r.height, r.primary_key)
+            for r in st.appended_between(v1, v2).collect()
+        }
+        before_m = next(m for v, m in snapshots if v == v1)
+        after_m = next(m for v, m in snapshots if v == v2)
+        # appends only grow the log; deletes REWRITE history, so the
+        # delta of an append commit is its new rows, and a rewrite
+        # commit contributes none
+        assert delta == {
+            t for t in (set(after_m) - set(before_m))
+        }, f"appended_between({v1},{v2}) diverged"
+
 
 class TestAuditReads:
     def test_state_at_at_version_answers_as_of_commit(self, spark, tmp_path):
