@@ -234,6 +234,16 @@ def cmd_replicate(args, spark: SparkSession) -> int:
     from fluxdb_spark.streaming.follow import replicate_store
     from fluxdb_spark.store import ChangelogStore
 
+    transform = None
+    if args.filter is not None or args.value_expr is not None:
+
+        def transform(rows):
+            if args.filter is not None:
+                rows = rows.filter(F.expr(args.filter))
+            if args.value_expr is not None:
+                rows = rows.withColumn("value", F.expr(args.value_expr))
+            return rows
+
     q = replicate_store(
         spark,
         args.src,
@@ -242,6 +252,9 @@ def cmd_replicate(args, spark: SparkSession) -> int:
         trigger_seconds=0.5,
         height_band=args.height_band,
         data_format=args.data_format,
+        transform=transform,
+        # a row-dropping filter leaves height gaps by design
+        force=args.filter is not None,
     )
     try:
         q.processAllAvailable()
@@ -404,6 +417,19 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="replica physical format (e.g. orc) — format migration "
         "through the same exactly-once machinery",
+    )
+    rep.add_argument(
+        "--filter",
+        default=None,
+        help="derived replica: SQL predicate selecting the rows to "
+        "replicate (dropped rows leave height gaps; the source commit "
+        "log stays the contiguity authority)",
+    )
+    rep.add_argument(
+        "--value-expr",
+        default=None,
+        help="derived replica: SQL expression replacing `value` (e.g. a "
+        "redaction) applied at the replication boundary",
     )
     rep.set_defaults(fn=cmd_replicate)
 

@@ -128,6 +128,8 @@ def replicate_store(
     trigger_seconds: float = 1.0,
     height_band: int | None = None,
     data_format: str | None = None,
+    transform=None,
+    force: bool = False,
 ):
     """Store-to-store replication — the cross-region story: follow the
     source's commit log and write each batch into the destination through
@@ -148,7 +150,17 @@ def replicate_store(
     a store whose partition granularity was sized wrong for its growth
     (the band size is sticky per store, so changing it is necessarily a
     copy), or re-format parquet -> ORC, all through the same exactly-once
-    machinery and without touching the source."""
+    machinery and without touching the source.
+
+    `transform` (DataFrame -> DataFrame over CHANGELOG_SCHEMA) makes the
+    replica a DERIVED store — the incremental-materialized-view form of
+    replication: e.g. a redacted replica for wider access (PII masked at
+    the replication boundary instead of trusting every reader), or a
+    filtered single-collection extract. Exactly-once still holds for
+    free (idempotent replay on the destination absorbs redelivery of
+    transformed rows just as well). A transform that DROPS rows creates
+    height gaps, so pass `force=True` to skip the destination's hole
+    check — the source's commit log remains the contiguity authority."""
     from fluxdb_spark.store import ChangelogStore
 
     kw = {}
@@ -159,7 +171,9 @@ def replicate_store(
     dst = ChangelogStore(spark, dst_root, **kw)
 
     def sink(rows: DataFrame, _batch_id: int) -> None:
-        dst.write_batch(rows.orderBy("height"))
+        if transform is not None:
+            rows = transform(rows)
+        dst.write_batch(rows.orderBy("height"), force=force)
 
     return follow_store(
         spark, src_root, sink, checkpoint_dir, trigger_seconds

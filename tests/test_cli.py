@@ -509,3 +509,28 @@ def test_replicate_migrates_band_and_format(spark, tmp_path, capsys):
     assert sorted(
         r.height for r in rep.changelog(max_height=13).collect()
     ) == list(range(1, 14))
+
+
+def test_replicate_derived_redacted(spark, tmp_path, capsys):
+    """replicate --value-expr: a derived (redacted) replica from the CLI."""
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    src = str(tmp_path / "dsrc")
+    st = ChangelogStore(spark, src, height_band=10)
+    st.write_batch(
+        make_changelog(
+            spark,
+            [("tst", "tbl", 1, "a", "secret-1"), ("tst", "tbl", 2, "b", "ok")],
+        )
+    )
+    rc = main(
+        ["replicate", "--src", src, "--dst", str(tmp_path / "ddst"),
+         "--checkpoint", str(tmp_path / "dck"),
+         "--value-expr", "regexp_replace(value, 'secret-[0-9]+', '[GONE]')"],
+        spark,
+    )
+    assert rc == 0
+    rep = ChangelogStore(spark, str(tmp_path / "ddst"))
+    got = {r.height: r.value for r in rep.changelog().collect()}
+    assert got == {1: "[GONE]", 2: "ok"}

@@ -1135,3 +1135,73 @@ class TestFsck:
         finally:
             os.remove(manifest)
             os.remove(lock)
+
+
+class TestDerivedReplica:
+    """replicate_store(transform=...): the incremental-materialized-view
+    form of replication — a derived store maintained exactly-once from
+    the source's commit log."""
+
+    def test_redacted_replica(self, spark, store, tmp_path):
+        from fluxdb_spark.streaming.follow import replicate_store
+        from fluxdb_spark.functions.text import pii_stats  # noqa: F401
+
+        store.write_batch(
+            make_changelog(
+                spark,
+                [
+                    ("tst", "tbl", 1, "a", "call 555-0199"),
+                    ("tst", "tbl", 2, "b", "clean"),
+                ],
+            )
+        )
+
+        def redact(rows):
+            return rows.withColumn(
+                "value",
+                F.regexp_replace("value", r"\d{3}-\d{4}", "[PHONE]"),
+            )
+
+        q = replicate_store(
+            spark, str(store.root), str(tmp_path / "red"),
+            str(tmp_path / "rck"), trigger_seconds=0.5, transform=redact,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rep = ChangelogStore(spark, str(tmp_path / "red"))
+        got = {r.height: r.value for r in rep.changelog().collect()}
+        assert got == {1: "call [PHONE]", 2: "clean"}
+        # source untouched
+        assert {
+            r.height: r.value for r in store.changelog().collect()
+        }[1] == "call 555-0199"
+
+    def test_filtered_extract_with_force(self, spark, store, tmp_path):
+        from fluxdb_spark.streaming.follow import replicate_store
+
+        store.write_batch(
+            make_changelog(
+                spark,
+                [
+                    ("tst", "keep", 1, "a", "v1"),
+                    ("tst", "drop", 2, "b", "v2"),
+                    ("tst", "keep", 3, "c", "v3"),
+                ],
+            )
+        )
+        q = replicate_store(
+            spark, str(store.root), str(tmp_path / "ext"),
+            str(tmp_path / "eck"), trigger_seconds=0.5,
+            transform=lambda r: r.filter(F.col("tablet_id") == "keep"),
+            force=True,  # dropped rows leave height gaps by design
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rep = ChangelogStore(spark, str(tmp_path / "ext"))
+        assert sorted(
+            r.height for r in rep.changelog().collect()
+        ) == [1, 3]
