@@ -207,6 +207,7 @@ _PRIORITY: list[str] = [
     "length_buckets",
     "embed_quantize",
     "embed_topk_quantized",
+    "bm25_multi",
 ]
 
 
@@ -4197,3 +4198,27 @@ def embed_topk_quantized(spark, sf_dir):
     return sim.quantized_topk(
         e, e.filter(F.col("vec_id") < 5).select("vec_id"), k=10
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+_BM25_QUERIES = {
+    "q_join": ["hash", "join"],
+    "q_scan": ["table", "scan", "filter"],
+    "q_stream": ["stream", "window"],
+}
+
+
+@_q("bm25_multi", "pipeline", tx.sql_bm25_multi(_BM25_QUERIES, 10))
+def bm25_multi(spark, sf_dir):
+    """Batch BM25 — the production retrieval shape: many queries ranked
+    in one pass with the query set as a RELATION (bm25_rank inlines one
+    query as literals; an evaluation run with thousands of queries
+    cannot). Query terms broadcast twice: a semi-join filters the corpus
+    explode before the tf shuffle, then matched (doc, term) pairs fan
+    out to their queries; df/N/avgdl are corpus-level and computed once,
+    shared by every query; per-query top-k windows carry ids and counts
+    only."""
+    qrows = [
+        (qid, t) for qid, ts in sorted(_BM25_QUERIES.items()) for t in ts
+    ]
+    queries = spark.createDataFrame(qrows, "query_id string, term string")
+    return tx.bm25_scores_multi(_td(spark, sf_dir), queries, 10)

@@ -729,3 +729,113 @@ SELECT doc_id, count(*) AS n_terms,
 FROM sc GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT {k}
 """
+
+
+def bm25_scores_multi(
+    docs,
+    queries,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Batch BM25: rank the corpus for MANY queries at once — the
+    production retrieval shape (`bm25_scores` inlines one query's terms
+    as plan literals; a thousand-query evaluation run needs the queries
+    as a RELATION). `queries` has columns (query_id, term), one row per
+    query term.
+
+    Scale shape: the query-term set is broadcast twice — once as a
+    semi-join that filters the corpus explode BEFORE the tf shuffle
+    (only terms any query mentions survive), once to fan matched (doc,
+    term) pairs out to the queries that contain them. df/N/avgdl are
+    corpus-level (shared across queries, computed once); per-query
+    top-k is a window over (query, doc) scores — rows carry ids and
+    counts only, never text."""
+    toks = tokens(F.lower(F.col(text_col)))
+    stats = docs.select(
+        F.greatest(F.size(toks), F.lit(0)).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("tot"),
+    )
+    terms = queries.select("term").distinct()
+    tf = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .join(F.broadcast(terms), "term", "left_semi")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(queries), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.ln(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col("dl") / (F.col("tot") / F.col("n_docs"))
+                )
+            ),
+        )
+    )
+    per_doc = scored.groupBy("query_id", id_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        floor4(F.sum("w")).alias("bm25"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.col(id_col)
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "n_terms", "bm25", "rank")
+    )
+
+
+def sql_bm25_multi(query_terms: dict[str, list[str]], k: int = 10) -> str:
+    """DuckDB twin of `bm25_scores_multi` for a literal query set."""
+    values = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(query_terms.items())
+        for t in ts
+    )
+    return f"""
+WITH queries(query_id, term) AS (VALUES {values}),
+toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS tot FROM toks),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf
+       FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+       WHERE term IN (SELECT DISTINCT term FROM queries)
+       GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT q.query_id, tf.doc_id,
+              ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * (tf * (1.2 + 1.0))
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                             / (tot * 1.0 / n_docs))) AS w
+       FROM tf JOIN dft USING (term) JOIN queries q USING (term), stats),
+pd AS (SELECT query_id, doc_id, count(*) AS n_terms,
+              floor(sum(w) * 10000) / 10000.0 AS bm25
+       FROM sc GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY bm25 DESC, doc_id) AS rank
+       FROM pd)
+SELECT query_id, doc_id, n_terms, bm25, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= {k}
+"""

@@ -311,3 +311,44 @@ class TestBM25:
         d = docs_df(spark, [("alpha beta", "a"), ("gamma delta", "a")])
         assert bm25_scores(d, ["zzz"], k=5).count() == 0
         assert bm25_scores(d, ["alpha", "gamma"], k=1).count() == 1
+
+
+class TestBM25Multi:
+    def test_single_query_matches_literal_form(self, spark):
+        """The relation form restricted to one query must reproduce the
+        literal-IN form's scores exactly."""
+        from fluxdb_spark.functions.text import bm25_scores, bm25_scores_multi
+        from fluxdb_spark.sources.tables import load_table
+
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        lit = {
+            (r.doc_id, r.n_terms, r.bm25)
+            for r in bm25_scores(d, ["hash", "join", "spark"], 10).collect()
+        }
+        q = spark.createDataFrame(
+            [("q0", "hash"), ("q0", "join"), ("q0", "spark")],
+            "query_id string, term string",
+        )
+        multi = {
+            (r.doc_id, r.n_terms, r.bm25)
+            for r in bm25_scores_multi(d, q, 10).collect()
+        }
+        assert lit == multi
+
+    def test_queries_ranked_independently(self, spark):
+        from fluxdb_spark.functions.text import bm25_scores_multi
+
+        d = docs_df(
+            spark,
+            [("alpha alpha beta", "s"), ("gamma gamma beta", "s")],
+        )
+        q = spark.createDataFrame(
+            [("qa", "alpha"), ("qg", "gamma")],
+            "query_id string, term string",
+        )
+        got = {
+            (r.query_id, r.doc_id): r.rank
+            for r in bm25_scores_multi(d, q, 5).collect()
+        }
+        # each query only matches its own doc
+        assert got == {("qa", 0): 1, ("qg", 1): 1}
