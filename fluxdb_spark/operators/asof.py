@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_TAG = "__asof_tag"
 _PAYLOAD = "__asof_payload"
 
 
@@ -63,20 +62,24 @@ def asof_join(
     if overlap:
         raise ValueError(f"payload columns collide with left side: {overlap}")
 
-    # tag order encodes the tie rule (see module docstring); forward flips
-    # it; nearest uses the backward tagging (an exact-ts match, when
-    # allowed, is a zero-gap BACKWARD match and wins outright)
-    right_first = (
-        allow_exact_matches
-        if direction in ("backward", "nearest")
-        else not allow_exact_matches
-    )
-    right_tag, left_tag = (0, 1) if right_first else (1, 0)
+    # Tag order encodes the exact-match rule PER FRAME (see module
+    # docstring). The two frames need OPPOSITE tie rules: for the
+    # backward frame [-inf, -1] an equal-ts right row participates iff
+    # it sorts BEFORE the left row, for the forward frame [1, +inf] iff
+    # it sorts AFTER — so each frame gets its own tag column and its own
+    # ordering. (A single shared tagging cannot exclude an equal-ts row
+    # from both frames at once: with exact matches disallowed it would
+    # surface through the other frame at gap zero and, worse, SHADOW the
+    # genuine next candidate behind it — the window's first/last pick
+    # cannot skip past a row the frame admits.)
+    rb, lb = (0, 1) if allow_exact_matches else (1, 0)  # backward rule
+    rf, lf = (1, 0) if allow_exact_matches else (0, 1)  # forward rule
 
     r = right.select(
         *[F.col(c) for c in on],
         F.col(right_time).alias("__t"),
-        F.lit(right_tag).alias(_TAG),
+        F.lit(rb).alias("__tag_b"),
+        F.lit(rf).alias("__tag_f"),
         F.struct(
             F.col(right_time).alias("__rt"),
             *[F.col(c) for c in payload_cols],
@@ -91,7 +94,8 @@ def asof_join(
     l = left.select(
         *[F.col(c) for c in on],
         F.col(left_time).alias("__t"),
-        F.lit(left_tag).alias(_TAG),
+        F.lit(lb).alias("__tag_b"),
+        F.lit(lf).alias("__tag_f"),
         F.lit(None)
         .cast(r.schema[_PAYLOAD].dataType)
         .alias(_PAYLOAD),
@@ -102,15 +106,14 @@ def asof_join(
         ).alias("__tb"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    order = [F.col("__t"), F.col(_TAG), F.col("__tb")]
     wb = (
         Window.partitionBy(*on)
-        .orderBy(*order)
+        .orderBy(F.col("__t"), F.col("__tag_b"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     wf = (
         Window.partitionBy(*on)
-        .orderBy(*order)
+        .orderBy(F.col("__t"), F.col("__tag_f"), F.col("__tb"))
         .rowsBetween(1, Window.unboundedFollowing)
     )
     pick_back = F.last(_PAYLOAD, ignorenulls=True).over(wb)
@@ -135,26 +138,20 @@ def asof_join(
             bound(pick_fwd, pick_fwd["__rt"] - F.col("__t")),
         )
     else:
-        # nearest: BOTH candidates from the same sorted partition pass
-        # (same partitioning + ordering => Spark evaluates the two frames
-        # in one Window over one shuffle), then a map-side choice by
-        # absolute gap — ties prefer the backward match (pandas
-        # merge_asof nearest semantics, pinned in tests)
+        # nearest: both frame picks over ONE shuffle (same partitioning;
+        # the two orderings differ only in the tie tag, costing a second
+        # in-partition sort, not a second exchange), then a map-side
+        # choice by absolute gap — ties prefer the backward match
+        # (pandas merge_asof nearest semantics, pinned in tests). Each
+        # frame's own tag rule already excludes disallowed exact-ts
+        # rows, so no gap-zero special case exists here.
         bgap = F.col("__t") - F.col("__b")["__rt"]
         fgap = F.col("__f")["__rt"] - F.col("__t")
-        fwd_eligible = (
-            F.col("__f")
-            if allow_exact_matches
-            # an exact-ts right row sorts after left when exact matches
-            # are disallowed, so it lands in the forward frame with gap
-            # 0 — it must not re-enter as a "nearest" match
-            else F.when(fgap > 0, F.col("__f"))
-        )
         out = (
             unioned.withColumn("__b", pick_back)
             .withColumn("__f", pick_fwd)
             .withColumn("__b", bound(F.col("__b"), bgap))
-            .withColumn("__f", bound(fwd_eligible, fgap))
+            .withColumn("__f", bound(F.col("__f"), fgap))
             .withColumn(
                 "__match",
                 F.when(F.col("__b").isNull(), F.col("__f"))
@@ -163,7 +160,7 @@ def asof_join(
                 .otherwise(F.col("__b")),
             )
         )
-    out = out.filter(F.col(_TAG) == F.lit(left_tag))
+    out = out.filter(F.col("__tag_b") == F.lit(lb))
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__match")[c].alias(c) for c in payload_cols],

@@ -178,3 +178,21 @@ def test_nearest_matches_pandas_merge_asof(spark, frames, exact, tol):
         for row in m.itertuples()
     }
     assert got == want
+
+
+def test_nearest_strict_does_not_shadow_next_candidate(spark):
+    """Regression (caught by the randomized pandas pin): with exact
+    matches disallowed, an equal-ts right row must not only be excluded
+    itself — it must not SHADOW the genuine forward candidate behind it.
+    Requires per-frame tie tagging; a shared tagging plus a gap-zero
+    guard returns None here instead of the t=1 row."""
+    left = spark.createDataFrame([("k1", 0)], "k string, t long")
+    right = spark.createDataFrame(
+        [("k1", 0, 1.0), ("k1", 1, 101.0)], "k string, t long, rv double"
+    )
+    got = asof_join(
+        left, right, on=["k"], left_time="t", right_time="t",
+        payload_cols=["rv"], direction="nearest",
+        allow_exact_matches=False,
+    ).collect()
+    assert [(r.k, r.t, r.rv) for r in got] == [("k1", 0, 101.0)]
