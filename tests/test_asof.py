@@ -196,3 +196,43 @@ def test_nearest_strict_does_not_shadow_next_candidate(spark):
         allow_exact_matches=False,
     ).collect()
     assert [(r.k, r.t, r.rv) for r in got] == [("k1", 0, 101.0)]
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_nearest_matches_model_with_duplicate_times(frames, exact):
+    """Nearest against a naive model on the ADVERSARIAL table (duplicate
+    right times at t=3) — merge_asof cannot model duplicates, so this
+    pins the within-side tie rule: closest |gap| wins, backward beats
+    forward on equal gaps, and within a side the frame's own rule picks
+    (backward: largest (t, tiebreak); forward: smallest)."""
+    left, right = frames
+    got = {
+        (r.k, r.t): r.rv
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            payload_cols=["rv"], direction="nearest",
+            allow_exact_matches=exact, tiebreak="rv",
+        ).collect()
+    }
+    want = {}
+    for key, t in LEFT:
+        back = [
+            (rt, rv) for rk, rt, rv in RIGHT
+            if rk == key and (rt <= t if exact else rt < t)
+        ]
+        fwd = [
+            (rt, rv) for rk, rt, rv in RIGHT
+            if rk == key and (rt >= t if exact else rt > t)
+        ]
+        b = max(back) if back else None          # largest (t, tiebreak)
+        f = min(fwd) if fwd else None            # smallest (t, tiebreak)
+        if b is None and f is None:
+            want[(key, t)] = None
+        elif b is None:
+            want[(key, t)] = f[1]
+        elif f is None:
+            want[(key, t)] = b[1]
+        else:
+            bgap, fgap = t - b[0], f[0] - t
+            want[(key, t)] = f[1] if fgap < bgap else b[1]
+    assert got == want
