@@ -1205,3 +1205,56 @@ class TestDerivedReplica:
         assert sorted(
             r.height for r in rep.changelog().collect()
         ) == [1, 3]
+
+
+class TestFsckOrc:
+    def test_fsck_is_format_aware(self, spark, tmp_path):
+        """fsck over an ORC store: the on-disk walk keys off the
+        backend's data suffix, so parquet debris in an ORC store is
+        ignored (Spark never reads it) while ORC debris is caught."""
+        import shutil as sh
+
+        st = ChangelogStore(
+            spark, str(tmp_path / "odb"), height_band=10, data_format="orc"
+        )
+        st.write_batch(batch(spark, [1, 2]))
+        assert st.fsck() == {"orphans": [], "missing": [], "removed": 0}
+        band = os.path.join(
+            str(tmp_path / "odb"), "changelog",
+            "collection=tst", "height_band=0",
+        )
+        src = next(
+            os.path.join(band, f)
+            for f in os.listdir(band)
+            if f.endswith(".orc")
+        )
+        sh.copy(src, os.path.join(band, "debris.orc"))
+        r = st.fsck(remove_orphans=True)
+        assert r["removed"] == 1
+        assert sorted(h.height for h in st.changelog().collect()) == [1, 2]
+
+
+class TestMaterializeMultiGroup:
+    def test_default_two_column_grouping(self, spark, store, tmp_path):
+        from fluxdb_spark.streaming.materialize import (
+            materialize_aggregate,
+            read_aggregate,
+        )
+
+        store.write_batch(batch(spark, [1, 2]))
+        store.write_batch(batch(spark, [3], tablet="other"))
+        q = materialize_aggregate(
+            spark, str(store.root), str(tmp_path / "g2"),
+            ["collection", "tablet_id"],
+            [("n_rows", "count(1)", "sum")],
+            str(tmp_path / "g2ck"), trigger_seconds=0.5,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            (r.collection, r.tablet_id, r.n_rows)
+            for r in read_aggregate(spark, str(tmp_path / "g2")).collect()
+        }
+        assert got == {("tst", "tbl", 2), ("tst", "other", 1)}
