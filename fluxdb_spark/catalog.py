@@ -208,6 +208,7 @@ _PRIORITY: list[str] = [
     "embed_quantize",
     "embed_topk_quantized",
     "bm25_multi",
+    "cluster_balanced_sample",
 ]
 
 
@@ -4222,3 +4223,33 @@ def bm25_multi(spark, sf_dir):
     ]
     queries = spark.createDataFrame(qrows, "query_id string, term string")
     return tx.bm25_scores_multi(_td(spark, sf_dir), queries, 10)
+
+
+@_q(
+    "cluster_balanced_sample",
+    "pipeline",
+    f"""
+WITH km AS ({sim.sql_kmeans(4, 3)}),
+r AS (
+  SELECT cluster, vec_id,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY {hash60_sql("CAST(vec_id AS VARCHAR)", "cap")}, vec_id
+         ) AS rn
+  FROM km)
+SELECT cluster, vec_id, rn FROM r WHERE rn <= 25
+""",
+)
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling — the curation job whole-corpus k-means
+    exists for: at most 25 vectors per semantic cluster, selected by
+    salted hash (a deterministic uniform sample of each cluster, so a
+    dominant topic cannot flood the mix). Composes `kmeans_clusters`
+    with `cap_per_group`; the cap compiles to WindowGroupLimit, and the
+    oracle replays the exact fixed-point k-means plus the same salted
+    cap as chained CTEs."""
+    e = _t(spark, sf_dir, "embeddings")
+    km = sim.kmeans_clusters(e, k=4, iters=3).select("vec_id", "cluster")
+    return cu.cap_per_group(km, "cluster", 25, key_col="vec_id").select(
+        "cluster", "vec_id", F.col("rn").cast("long").alias("rn")
+    )
