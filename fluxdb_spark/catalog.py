@@ -63,19 +63,94 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-5 slot policy: the driver checks exactly the first 50 entries
-    # per round, so the window rotates to give every entry a driver row
-    # within the last two rounds.  The window leads with the only two
-    # entries that have never had a driver row (added in r04 at positions
-    # 51-52), followed by 48 of the temporal/streaming/pipeline entries
-    # whose newest driver row is r03.  The relational/TPC-H block that
-    # went green in r04 rotates to the back; the two r03 entries that
-    # don't fit (multimodal_meta/decode) sit at positions 51-52 to lead
-    # the r06 window.
-    # -- never driver-checked (added r04)
+    # Round-7 window (driver checks exactly the first 50 entries per
+    # round): positions 1-21 are the 19 round-5 additions that have never
+    # had a driver row plus the two entries stale at r03
+    # (multimodal_meta/decode); positions 22-50 are the 29 unique-surface
+    # entries whose newest row is r04.  The mutually redundant TPC-H
+    # block (also r04) rotates to positions 51-71 to lead the r08 window,
+    # followed by the 50 entries that went green in r06.  This keeps the
+    # invariant "every entry has a driver row within ceil(121/50) = 3
+    # rounds".
+    # -- never driver-checked (added r05)
+    "flux_state_series",
+    "flux_time_weighted",
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    "window_frames",
+    "typed_view_protobuf_nested",
+    "bm25_rank",
+    "bm25_multi",
+    "embed_kmeans",
+    "embed_quantize",
+    "embed_topk_quantized",
+    "hybrid_rrf",
+    "cluster_balanced_sample",
+    "temperature_mix",
+    "length_buckets",
+    "curation_pipeline",
+    "hash_split",
+    "text_normalize",
+    "doc_chunking",
+    # -- stale at r03
+    "multimodal_meta",
+    "multimodal_decode",
+    # -- unique-surface entries, newest row r04
+    "flux_row_at",
+    "flux_singlet_asof",
+    "flux_singlet_history",
+    "flux_checkpoint",
+    "asof_join",
+    "asof_join_generic",
+    "range_join_incidents",
+    "multimodal_frames",
+    "embed_ann_ivf",
+    "stratified_sample",
+    "lang_distribution",
+    "tumbling_hourly",
+    "sliding_windows",
+    "stats_aggs",
+    "percentiles",
+    "distinct_counts",
+    "grouping_sets",
+    "rollup_pricing",
+    "cube_orders",
+    "window_ranks",
+    "running_total",
+    "topk_orders",
+    "set_ops",
+    "semi_anti_join",
+    "scalar_subquery",
+    "scalar_showcase",
+    "date_funcs",
+    "pivot_status",
+    "skew_salted_agg",
+    # ---- position 51+ from here: leads the r08 window ----
+    # -- TPC-H / relational block, newest row r04
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "region_revenue",
+    # -- entries green in r06, oldest registration first
     "typed_view_protobuf",
     "embed_neardup_lsh",
-    # -- temporal / streaming / pipeline layer (newest driver row: r03)
     "flux_state_at",
     "flux_state_at_indexed",
     "flux_state_diff",
@@ -124,91 +199,6 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "decontaminate",
     "seq_packing",
-    # ---- position 51+ from here ----
-    # The two r03-row entries that didn't fit the 50-slot window; they
-    # lead the r06 rotation.
-    "multimodal_meta",
-    "multimodal_decode",
-    # -- relational / TPC-H layer (green r04; rotates back in for r06+)
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "region_revenue",
-    # -- relational singles (aggs / windows / sets / scalars)
-    "stats_aggs",
-    "percentiles",
-    "distinct_counts",
-    "grouping_sets",
-    "rollup_pricing",
-    "cube_orders",
-    "window_ranks",
-    "running_total",
-    "topk_orders",
-    "set_ops",
-    "semi_anti_join",
-    "scalar_subquery",
-    "scalar_showcase",
-    "date_funcs",
-    "pivot_status",
-    "skew_salted_agg",
-    # -- temporal singles (green r04)
-    "flux_row_at",
-    "flux_singlet_asof",
-    "flux_singlet_history",
-    "flux_checkpoint",
-    # -- joins beyond equi (as-of / range)
-    "asof_join",
-    "asof_join_generic",
-    "range_join_incidents",
-    # -- streaming-window batch twins
-    "tumbling_hourly",
-    "sliding_windows",
-    # -- pipeline entries (green r04)
-    "stratified_sample",
-    "lang_distribution",
-    "multimodal_frames",
-    "embed_ann_ivf",
-    # -- round-5 additions (no driver row yet; rotate forward in r06).
-    # r06 window plan: lead with multimodal_meta/decode (positions 51-52
-    # above) plus everything from here down — the only entries without a
-    # driver row — then fill the remaining slots with the TPC-H /
-    # relational block (newest row r04, stalest by then).
-    "hash_split",
-    "text_normalize",
-    "doc_chunking",
-    "flux_state_series",
-    "flux_time_weighted",
-    "asof_join_tolerance",
-    "bm25_rank",
-    "embed_kmeans",
-    "asof_join_nearest",
-    "hybrid_rrf",
-    "temperature_mix",
-    "curation_pipeline",
-    "window_frames",
-    "typed_view_protobuf_nested",
-    "length_buckets",
-    "embed_quantize",
-    "embed_topk_quantized",
-    "bm25_multi",
-    "cluster_balanced_sample",
 ]
 
 
