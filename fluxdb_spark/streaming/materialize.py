@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,6 +45,10 @@ from fluxdb_spark.streaming.follow import stream_commits
 
 _MERGE = {"sum": F.sum, "min": F.min, "max": F.max}
 
+# sibling directories older than this can't belong to a healthy in-flight
+# swap or write; they are crash leftovers and safe to drop on sight
+_STALE_S = 300.0
+
 
 def _state_path(dest: str) -> str:
     # underscore prefix: invisible to Spark's directory scans, so the
@@ -51,19 +56,46 @@ def _state_path(dest: str) -> str:
     return os.path.join(dest, "_mat_state.json")
 
 
-def _recover(dest: str) -> None:
+def _recover(dest: str, grace_s: float = 0.5) -> None:
     """Complete or roll back a torn table swap: a crash between the two
     renames leaves only `<dest>.old-*` (roll the old table back); a crash
-    after the second rename leaves a stale old/tmp sibling (drop it)."""
+    after the second rename leaves a stale old/tmp sibling (drop it).
+
+    A LIVE maintainer swap passes through the exact torn state (dest
+    absent, fresh `.old-*` present) for the microseconds between its two
+    renames, so a reader racing it must not roll the table back under
+    the in-flight rename. Recovery therefore waits up to `grace_s` for
+    dest to reappear before treating its absence as a crash, and only
+    drops sibling directories when the crash is confirmed or the sibling
+    is old enough (`_STALE_S`) that no healthy swap can still own it."""
     parent, base = os.path.dirname(dest) or ".", os.path.basename(dest)
     if not os.path.isdir(parent):
         return
     sibs = [p for p in os.listdir(parent) if p.startswith(base + ".")]
+    if not sibs:
+        return
     olds = [p for p in sibs if p.startswith(base + ".old-")]
+    tmps = [p for p in sibs if p.startswith(base + ".tmp-")]
+    crash_confirmed = False
     if not os.path.isdir(dest) and olds:
-        os.rename(os.path.join(parent, olds.pop()), dest)
-    for p in olds + [p for p in sibs if p.startswith(base + ".tmp-")]:
-        shutil.rmtree(os.path.join(parent, p), ignore_errors=True)
+        deadline = time.monotonic() + grace_s
+        while not os.path.isdir(dest) and time.monotonic() < deadline:
+            time.sleep(0.01)
+        if not os.path.isdir(dest):
+            crash_confirmed = True
+            os.rename(os.path.join(parent, olds.pop()), dest)
+
+    def _stale(p: str) -> bool:
+        try:
+            return time.time() - os.path.getmtime(
+                os.path.join(parent, p)
+            ) > _STALE_S
+        except OSError:
+            return False
+
+    for p in olds + tmps:
+        if crash_confirmed or _stale(p):
+            shutil.rmtree(os.path.join(parent, p), ignore_errors=True)
 
 
 def applied_version(dest: str) -> int:
@@ -121,18 +153,56 @@ def materialize_aggregate(
         with open(meta_path) as f:
             data_format = json.load(f).get("data_format", "parquet")
 
+    def _swap_in(part: DataFrame, version: int) -> None:
+        tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
+        part.write.mode("overwrite").parquet(tmp)
+        with open(_state_path(tmp), "w") as f:
+            json.dump({"applied_version": version}, f)
+        old = f"{dest}.old-{uuid.uuid4().hex}"
+        if os.path.isdir(dest):
+            os.rename(dest, old)
+        os.rename(tmp, dest)
+        shutil.rmtree(old, ignore_errors=True)
+
     def process(batch_df: DataFrame, _batch_id: int) -> None:
         floor = applied_version(dest)
-        entries = sorted(
+        batch = sorted(
             (
                 e
-                for e in batch_df.filter(batch_df.action == "append")
-                .select("version", "add")
-                .collect()
+                for e in batch_df.select(
+                    "version", "action", "kind", "add"
+                ).collect()
                 if e.version > floor
             ),
             key=lambda e: e.version,
         )
+        if not batch:
+            return
+        # A non-compacting rewrite (expire / delete_where / redact_where)
+        # re-places or erases rows the aggregate already folded, so the
+        # delta fold would silently diverge forever — the exact situation
+        # appended_between refuses loudly. Rebuild instead: one commit-
+        # level time-travel read at the log's current latest version —
+        # O(store) once per rewrite, never a wrong answer. The floor
+        # advances to that version, so entries the stream delivers later
+        # for commits the rebuild already covered fold as no-ops.
+        # Compactions are row-preserving band swaps and need no rebuild.
+        if any(
+            e.action == "rewrite" and e.kind != "compact" for e in batch
+        ):
+            from fluxdb_spark.store import ChangelogStore
+
+            store = ChangelogStore(spark, src_root)
+            top = store._backend.commit_log.latest_version()
+            full = store.changelog(at_version=top)
+            _swap_in(
+                full.groupBy(*group_cols).agg(
+                    *[F.expr(expr).alias(name) for name, expr, _m in aggs]
+                ),
+                top,
+            )
+            return
+        entries = [e for e in batch if e.action == "append"]
         if not entries:
             return
         files = [
@@ -163,15 +233,7 @@ def materialize_aggregate(
                     ]
                 )
             )
-        tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
-        part.write.mode("overwrite").parquet(tmp)
-        with open(_state_path(tmp), "w") as f:
-            json.dump({"applied_version": entries[-1].version}, f)
-        old = f"{dest}.old-{uuid.uuid4().hex}"
-        if os.path.isdir(dest):
-            os.rename(dest, old)
-        os.rename(tmp, dest)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_in(part, entries[-1].version)
 
     return (
         stream_commits(spark, src_root)

@@ -1023,6 +1023,50 @@ class TestMaterializedAggregate:
         assert not _os.path.exists(dest + ".tmp-deadbeef")
         assert read_aggregate(spark, dest) is not None
 
+    def test_dml_rewrite_triggers_rebuild_not_divergence(
+        self, spark, store, tmp_path
+    ):
+        dest, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+        store.write_batch(batch(spark, [1, 2, 3]))
+        store.write_batch(batch(spark, [4, 5], tablet="other"))
+        self._run(spark, str(store.root), dest, ck)
+        assert self._got(spark, dest) == self._expect(store)
+        # a DML rewrite erases rows the aggregate already folded: the
+        # delta fold alone would over-count forever, so the maintainer
+        # must detect the rewrite commit and rebuild from the store
+        store.delete_where("height <= 2")
+        self._run(spark, str(store.root), dest, ck)
+        assert self._got(spark, dest) == self._expect(store)
+        # and it keeps folding incrementally afterwards
+        store.write_batch(batch(spark, [6]))
+        self._run(spark, str(store.root), dest, ck)
+        assert self._got(spark, dest) == self._expect(store)
+
+    def test_retention_rewrite_triggers_rebuild(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+        store.write_batch(batch(spark, list(range(1, 25))))
+        self._run(spark, str(store.root), dest, ck)
+        store.expire_bands(before_height=15)
+        self._run(spark, str(store.root), dest, ck)
+        assert self._got(spark, dest) == self._expect(store)
+
+    def test_compaction_folds_through_without_rebuild(
+        self, spark, store, tmp_path
+    ):
+        from fluxdb_spark.streaming.materialize import applied_version
+
+        dest, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+        store.write_batch(batch(spark, [1, 2]))
+        store.write_batch(batch(spark, [3, 4]))
+        self._run(spark, str(store.root), dest, ck)
+        before, v = self._got(spark, dest), applied_version(dest)
+        # compact is a row-preserving band swap: the aggregate is
+        # unaffected and no rebuild (floor jump) happens
+        store.compact()
+        self._run(spark, str(store.root), dest, ck)
+        assert self._got(spark, dest) == before == self._expect(store)
+        assert applied_version(dest) == v
+
     def test_rejects_non_algebraic_merge(self, spark, store, tmp_path):
         from fluxdb_spark.streaming.materialize import materialize_aggregate
 
@@ -1073,6 +1117,8 @@ class TestFsck:
         ) == sorted(before + before)
         r = store.fsck(remove_orphans=True)
         assert r["removed"] == 1 and not os.path.exists(alien)
+        # a removed path is repaired, not remaining debris
+        assert r["orphans"] == []
         assert store.fsck() == {"orphans": [], "missing": [], "removed": 0}
         # repair restores the exact pre-debris reads
         assert sorted(h.height for h in store.changelog().collect()) == before
