@@ -520,17 +520,28 @@ def kmeans_clusters(
     float op per update (the sum-to-double division) is exact below 2^53,
     i.e. up to ~10^9 rows per cluster at this scale factor.
 
-    Scale shape: per iteration, one map-only assignment pass (centroids
-    are plan literals, distance is a JVM higher-order fold) plus one
+    Scale shape: the quantized projection is materialized ONCE (eager
+    localCheckpoint — no session-cache residue), so each iteration reads
+    the checkpointed blocks instead of re-scanning the source corpus;
+    per iteration, one map-only assignment pass (centroids are plan
+    literals, distance is a JVM higher-order fold) plus one
     posexplode->groupBy whose shuffle carries k*dim rows after map-side
     combine; the driver collects exactly k*dim longs per iteration (same
     bounded-collect contract as ivf_topk's sample). Iterations are a
     driver loop over bounded state, never over data. Empty clusters keep
     their previous centroid."""
-    base = spread(corpus).select(
-        F.col(id_col), _quantize(F.col(vec_col), scale).alias("q")
+    if iters < 1:
+        raise ValueError(f"kmeans needs iters >= 1, got {iters}")
+    base = (
+        spread(corpus)
+        .select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
+        .localCheckpoint()
     )
     seeds = base.orderBy(id_col).limit(k).collect()  # O(k) rows
+    if len(seeds) < k:
+        raise ValueError(
+            f"kmeans needs at least k={k} corpus rows, got {len(seeds)}"
+        )
     cents = [list(r.q) for r in seeds]
     dim = len(cents[0])
     assigned = None

@@ -81,6 +81,11 @@ def test_catalog_calls_leave_no_session_cache(spark):
         "flux_state_series",
         "flux_time_weighted",
         "asof_join_tolerance",
+        # kmeans materializes the quantized projection via eager
+        # localCheckpoint (one corpus scan total, not one per Lloyd
+        # iteration) — pinned to stay off the session CacheManager
+        "embed_kmeans",
+        "cluster_balanced_sample",
     ):
         by_name[name].spark(spark, sf).collect()
         assert jcm.isEmpty(), f"{name} left a cached relation behind"

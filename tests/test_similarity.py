@@ -185,6 +185,18 @@ class TestKmeansClusters:
         ).collect()
         assert {(r.cluster, r.dist) for r in out} == {(0, 0)}
 
+    def test_rejects_zero_iters(self, spark):
+        with pytest.raises(ValueError, match="iters >= 1"):
+            sim.kmeans_clusters(
+                self._vecs(spark, [[0.0, 0.0]] * 4), k=2, iters=0
+            )
+
+    def test_rejects_corpus_smaller_than_k(self, spark):
+        with pytest.raises(ValueError, match="at least k=5"):
+            sim.kmeans_clusters(
+                self._vecs(spark, [[0.0, 0.0]] * 3), k=5, iters=1
+            )
+
     def test_distances_exact_integers(self, spark):
         # two vectors at a known quantized offset: dist must equal the
         # exact integer square (no float residue)
