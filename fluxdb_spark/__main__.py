@@ -186,8 +186,25 @@ def cmd_maintain(args, spark: SparkSession) -> int:
             f"row(s) dropped, {r['rows_rebased']} live-tail row(s) rebased"
         )
     if args.index is not None:
-        removed = IndexStore(spark, args.index).prune(args.prune_frequency)
-        print(f"pruned {removed} superseded index snapshot(s)")
+        ixs = IndexStore(spark, args.index)
+        if args.reindex_height is not None:
+            r = ixs.reindex(
+                store.changelog(),
+                args.reindex_height,
+                lower_bound=args.reindex_lower_bound,
+                dry_run=args.reindex_dry_run,
+            )
+            verb = "would rebuild" if args.reindex_dry_run else "rebuilt"
+            print(
+                f"reindex: {verb} {r['index_count']} snapshot(s) across "
+                f"{r['tablet_count']} tablet(s)"
+            )
+            if args.reindex_dry_run:
+                for key, heights in sorted(r["entries"].items()):
+                    print(f"  {key}: heights {heights}")
+        if args.reindex_height is None or not args.reindex_dry_run:
+            removed = ixs.prune(args.prune_frequency)
+            print(f"pruned {removed} superseded index snapshot(s)")
     if args.delete_where is not None:
         r = store.delete_where(args.delete_where)
         print(
@@ -356,6 +373,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--min-files", type=int, default=4)
     m.add_argument("--index", default=None)
     m.add_argument("--prune-frequency", type=int, default=3)
+    # bulk re-index (reference `reindex` tooling, indexing.go:100-168):
+    # requires --index; --reindex-dry-run reports the would-rebuild set
+    # and skips the prune pass so the whole invocation stays read-only
+    m.add_argument("--reindex-height", type=int, default=None)
+    m.add_argument("--reindex-lower-bound", default=None)
+    m.add_argument("--reindex-dry-run", action="store_true")
     m.add_argument("--expire-before", type=int, default=None)
     m.add_argument(
         "--delete-where",

@@ -1587,25 +1587,38 @@ class ChangelogStore:
           can't be mistaken for debris.
 
         Bounded work: one directory walk + one commit-log resolution
-        (O(entries since the log checkpoint)); no data is read."""
+        (O(entries since the log checkpoint)); no data is read.
+
+        Concurrency: the walk runs first and the commit log is resolved
+        AFTER it, so every commit whose files the walk could have seen is
+        covered by `expected` — an append landing mid-walk is never a
+        false orphan. Both candidate lists are re-stat'd before being
+        reported (a file a concurrent rewrite vacuumed mid-walk is not
+        debris; a file that reappears was committed mid-walk, not
+        missing)."""
         self.recover()
-        latest = self._backend.commit_log.latest_version()
-        expected = (
-            set(self._backend.files_at_version(latest))
-            if latest > 0
-            else set()
-        )
         actual = {
             os.path.join(dirpath, fn)
             for dirpath, _d, fnames in os.walk(self._data_dir)
             for fn in fnames
             if self._backend._is_data_file(fn)
         }
+        latest = self._backend.commit_log.latest_version()
+        expected = (
+            set(self._backend.files_at_version(latest))
+            if latest > 0
+            else set()
+        )
         inflight = self._backend._uncommitted_targets(self.checkpoint)
-        orphans = sorted(actual - expected - inflight)
-        missing = sorted(expected - actual)
+        orphans = sorted(
+            p for p in actual - expected - inflight if os.path.exists(p)
+        )
+        missing = sorted(
+            p for p in expected - actual if not os.path.exists(p)
+        )
         removed = 0
         if remove_orphans and orphans:
+            removed_paths: set[str] = set()
             with self._writer_lease("maintenance", drain_others=True):
                 # re-scan under the lease: an append that committed
                 # between the scan and the drain is not debris
@@ -1623,10 +1636,17 @@ class ChangelogStore:
                         continue
                     try:
                         os.remove(path)
-                        removed += 1
+                        removed_paths.add(path)
                     except FileNotFoundError:
-                        pass
-            orphans = sorted(set(orphans) - expected - inflight)
+                        pass  # vanished on its own; exists() filter below
+            removed = len(removed_paths)
+            # report only debris that is still on disk: a removed path
+            # is repaired, not remaining
+            orphans = sorted(
+                p
+                for p in set(orphans) - removed_paths - expected - inflight
+                if os.path.exists(p)
+            )
         return {
             "orphans": orphans,
             "missing": missing,
@@ -2140,9 +2160,40 @@ class IndexStore:
         except FileNotFoundError:
             pass
 
+    # flag threshold for an index snapshot that has grown heavy enough to
+    # hurt write amplification (reference indexing.go:477-480's 25 MB
+    # "index singlet pretty heavy" warning)
+    BIG_INDEX_BYTES = 25 * 1000 * 1000
+
+    def _dir_bytes(self) -> int:
+        total = 0
+        for dirpath, _d, fnames in os.walk(self._dir):
+            for fn in fnames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+        return total
+
     def write(self, index_df: DataFrame) -> None:
-        """Append freshly built snapshot rows (build_tablet_index output)."""
+        """Append freshly built snapshot rows (build_tablet_index output).
+
+        Warns when the write lands more than BIG_INDEX_BYTES on disk —
+        the reference's "index singlet pretty heavy" guard (indexing.go:
+        477-480): a huge snapshot means every future incremental build
+        rewrites it wholesale, and the operator should consider pruning
+        or splitting the tablet."""
+        before = self._dir_bytes()
         index_df.write.mode("append").parquet(self._dir)
+        added = self._dir_bytes() - before
+        if added > self.BIG_INDEX_BYTES:
+            _log.warning(
+                "index snapshot pretty heavy: wrote %d bytes "
+                "(threshold %d) to %s",
+                added,
+                self.BIG_INDEX_BYTES,
+                self._dir,
+            )
 
     def read(self) -> DataFrame:
         from fluxdb_spark.schema import TABLET_INDEX_SCHEMA
@@ -2175,9 +2226,16 @@ class IndexStore:
         after = retained.select(*keys).distinct().count()
         if after == before:
             return 0
+        self._rewrite_swap(retained)
+        return before - after
+
+    def _rewrite_swap(self, replacement: DataFrame) -> None:
+        """Journaled copy-on-write replacement of the whole index
+        relation: fully write the new rows to a side directory, then two
+        atomic renames; a crash anywhere is healed by _recover_swap."""
         swap_id = uuid.uuid4().hex
         tmp = self._dir + f".rewrite-{swap_id}"
-        retained.write.mode("overwrite").parquet(tmp)
+        replacement.write.mode("overwrite").parquet(tmp)
         old = self._dir + f".old-{swap_id}"
         jtmp = self._journal + ".tmp"
         with open(jtmp, "w") as f:
@@ -2190,4 +2248,73 @@ class IndexStore:
         except FileNotFoundError:
             pass
         shutil.rmtree(old, ignore_errors=True)
-        return before - after
+
+    def reindex(
+        self,
+        changelog: DataFrame,
+        height: int,
+        lower_bound: str | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """I4 — bulk re-index (reference ReindexTablets, indexing.go:
+        100-168): rebuild every STORED snapshot at-or-below `height` from
+        the changelog, replacing the stored rows wholesale — the repair
+        tool for indexes corrupted by a bug or left stale by heavy DML
+        (delete_where rewrites bands but not indexes).
+
+        `lower_bound` restricts to tablet_ids >= it (the reference's
+        resume cursor for chunked re-index runs). With `dry_run=True`,
+        nothing is written: the report carries what WOULD be rebuilt —
+        `tablet_count`, `index_count` (the reference's two return values)
+        plus the per-tablet snapshot heights — so an operator can size a
+        run before paying for it.
+
+        Scale shape: the entry scan is O(distinct snapshots) driver rows;
+        each rebuild is the standard build_tablet_index fold (height-
+        bounded, partition-pruned); the rewrite lands through the same
+        journaled swap as prune()."""
+        current = self.read()
+        scoped = current.filter(F.col("snapshot_height") <= F.lit(height))
+        if lower_bound is not None:
+            scoped = scoped.filter(F.col("tablet_id") >= F.lit(lower_bound))
+        entries = sorted(
+            (r.collection, r.tablet_id, r.snapshot_height)
+            for r in scoped.select(
+                "collection", "tablet_id", "snapshot_height"
+            )
+            .distinct()
+            .collect()  # O(snapshots)
+        )
+        plan: dict[tuple[str, str], list[int]] = {}
+        for coll, tablet, h in entries:
+            plan.setdefault((coll, tablet), []).append(h)
+        report = {
+            "tablet_count": len(plan),
+            "index_count": len(entries),
+            "entries": {
+                f"{coll}/{tablet}": heights
+                for (coll, tablet), heights in plan.items()
+            },
+            "dry_run": dry_run,
+        }
+        if dry_run or not entries:
+            return report
+        from fluxdb_spark.operators.snapshot import build_tablet_index
+
+        rebuilt = None
+        for (coll, tablet), heights in plan.items():
+            for h in heights:
+                idx = build_tablet_index(
+                    changelog, tablet, h, collection=coll
+                )
+                rebuilt = idx if rebuilt is None else rebuilt.unionByName(idx)
+        untouched = current.join(
+            self.spark.createDataFrame(
+                entries, "collection string, tablet_id string, "
+                "snapshot_height long"
+            ),
+            on=["collection", "tablet_id", "snapshot_height"],
+            how="left_anti",
+        )
+        self._rewrite_swap(untouched.unionByName(rebuilt))
+        return report

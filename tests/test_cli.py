@@ -134,6 +134,51 @@ def test_maintain_mode(spark, tmp_path, capsys):
     assert st2.checkpoint().height == 8
 
 
+def test_maintain_reindex_dry_run_then_rebuild(spark, tmp_path, capsys):
+    """maintain --reindex-height: dry run reports the would-rebuild set
+    and writes nothing; the real run repairs corrupted snapshots."""
+    from pyspark.sql import functions as F
+
+    from fluxdb_spark.operators.snapshot import build_tablet_index
+    from fluxdb_spark.store import ChangelogStore, IndexStore
+    from tests.conftest import make_changelog
+
+    root, ixroot = str(tmp_path / "rstore"), str(tmp_path / "rix")
+    st = ChangelogStore(spark, root)
+    st.write_batch(
+        make_changelog(
+            spark, [("evt", "tbl", h, "k", f"v{h}") for h in (1, 2, 3)]
+        )
+    )
+    ixs = IndexStore(spark, ixroot)
+    for h in (1, 2, 3):
+        ixs.write(build_tablet_index(st.changelog(), "tbl", h))
+    good = sorted(map(tuple, ixs.read().collect()))
+    ixs._rewrite_swap(
+        ixs.read().withColumn("height", F.lit(0).cast("long"))
+    )
+    rc = main(
+        ["maintain", "--store", root, "--min-files", "99",
+         "--index", ixroot, "--reindex-height", "3",
+         "--reindex-dry-run"],
+        spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "would rebuild 3 snapshot(s) across 1 tablet(s)" in out
+    assert "evt/tbl: heights [1, 2, 3]" in out
+    assert "pruned" not in out  # dry run stays read-only
+    assert sorted(map(tuple, ixs.read().collect())) != good
+    rc = main(
+        ["maintain", "--store", root, "--min-files", "99",
+         "--index", ixroot, "--reindex-height", "3"],
+        spark,
+    )
+    assert rc == 0
+    assert "rebuilt 3 snapshot(s)" in capsys.readouterr().out
+    assert sorted(map(tuple, IndexStore(spark, ixroot).read().collect())) == good
+
+
 def test_maintain_expire(spark, tmp_path, capsys):
     """maintain --expire-before: retention through the CLI."""
     from fluxdb_spark.store import ChangelogStore
@@ -456,7 +501,8 @@ def test_maintain_fsck(spark, tmp_path, capsys):
     assert "fsck: 0 missing, 1 orphan(s), 0 removed" in out
     assert main(["maintain", "--store", root, "--min-files", "99",
                  "--fsck-remove"], spark) == 0
-    assert "fsck: 0 missing, 1 orphan(s), 1 removed" in (
+    # a removed path is repaired, not remaining debris
+    assert "fsck: 0 missing, 0 orphan(s), 1 removed" in (
         capsys.readouterr().out
     )
     st2 = ChangelogStore(spark, root, height_band=10)

@@ -194,6 +194,66 @@ class TestIndexStore:
         assert ixs.read().count() == 0
         assert ixs.prune(prune_frequency=2) == 0
 
+    def test_reindex_dry_run_reports_without_writing(self, spark, tmp_path):
+        log, ixs = self._seed(spark, tmp_path)
+        before = sorted(map(tuple, ixs.read().collect()))
+        r = ixs.reindex(log, height=5, dry_run=True)
+        # reference ReindexTablets' two return values + the would-build
+        # heights, nothing written (indexing.go:100-123 dry-run branch)
+        assert r["tablet_count"] == 1 and r["index_count"] == 5
+        assert r["entries"] == {"tst/tbl": [1, 2, 3, 4, 5]}
+        assert r["dry_run"] is True
+        assert sorted(map(tuple, ixs.read().collect())) == before
+
+    def test_reindex_rebuilds_corrupt_snapshots(self, spark, tmp_path):
+        log, ixs = self._seed(spark, tmp_path)
+        good = sorted(map(tuple, ixs.read().collect()))
+        # corrupt the stored rows out-of-band: point every snapshot at
+        # height 0 (a wrong version a bug could have written)
+        from pyspark.sql import functions as F
+
+        broken = ixs.read().withColumn(
+            "height", F.lit(0).cast("long")
+        )
+        ixs._rewrite_swap(broken)
+        assert sorted(map(tuple, ixs.read().collect())) != good
+        r = ixs.reindex(log, height=7)
+        assert r["tablet_count"] == 1 and r["index_count"] == 7
+        assert sorted(map(tuple, ixs.read().collect())) == good
+
+    def test_reindex_lower_bound_and_height_scope(self, spark, tmp_path):
+        from fluxdb_spark.operators.snapshot import build_tablet_index
+        from fluxdb_spark.store import IndexStore
+
+        rows = [
+            ("tst", t, h, "a", f"v{h}")
+            for t in ("aaa", "mmm", "zzz")
+            for h in (1, 2, 3)
+        ]
+        log = make_changelog(spark, rows)
+        ixs = IndexStore(spark, str(tmp_path / "ix"))
+        for t in ("aaa", "mmm", "zzz"):
+            for h in (1, 2, 3):
+                ixs.write(build_tablet_index(log, t, h, collection="tst"))
+        r = ixs.reindex(log, height=2, lower_bound="mmm", dry_run=True)
+        # tablets below the cursor and snapshots above the height are out
+        assert r["tablet_count"] == 2 and r["index_count"] == 4
+        assert r["entries"] == {"tst/mmm": [1, 2], "tst/zzz": [1, 2]}
+
+    def test_big_index_write_warns(self, spark, tmp_path, caplog):
+        import logging as _logging
+
+        from fluxdb_spark.operators.snapshot import build_tablet_index
+        from fluxdb_spark.store import IndexStore
+
+        rows = [("tst", "tbl", h, "a", f"v{h}") for h in (1, 2)]
+        log = make_changelog(spark, rows)
+        ixs = IndexStore(spark, str(tmp_path / "ix"))
+        ixs.BIG_INDEX_BYTES = 1  # reference threshold is 25 MB; shrink
+        with caplog.at_level(_logging.WARNING, logger="fluxdb_spark.store"):
+            ixs.write(build_tablet_index(log, "tbl", 2, collection="tst"))
+        assert any("pretty heavy" in m for m in caplog.messages)
+
 
 def _parquet_files(root):
     import os
