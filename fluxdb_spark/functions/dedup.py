@@ -334,6 +334,16 @@ def minhash_lsh_dedup(
     # jaccard_pairs: concurrent AQE jobs race on an un-built cache)
     sigs = _signatures_from_arrays(with_sh, k, id_col)
     cands = lsh_candidate_pairs(sigs, k, bands, id_col)
+    return verify_jaccard_candidates(cands, with_sh, threshold)
+
+
+def verify_jaccard_candidates(
+    cands: DataFrame, with_sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (d1, d2) pairs against a
+    per-doc shingle-array relation — O(|candidates|) joins, shared by the
+    recompute pipeline and the materialized-signature path."""
+    id_col = [c for c in with_sh.columns if c != "shingles"][0]
     s1 = with_sh.select(
         F.col(id_col).alias("d1"), F.col("shingles").alias("sh1")
     )
@@ -349,6 +359,33 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )
+
+
+def minhash_lsh_dedup_from_sigs(
+    sigs: DataFrame,
+    docs: DataFrame,
+    threshold: float,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`minhash_lsh_dedup` with the signature computation REPLACED by a
+    precomputed signature relation (id, sig0..sig{k-1}) — the standing-
+    service form reading a materialized signature table
+    (streaming/retrieval.py) instead of re-hashing the corpus. Only the
+    verified candidates touch document text, so the per-query cost is
+    |candidates|, not |corpus|. Output is identical to the recompute
+    form when `sigs` covers the same corpus."""
+    cands = lsh_candidate_pairs(
+        sigs.select(id_col, *[f"sig{i}" for i in range(k)]),
+        k,
+        bands,
+        id_col,
+    )
+    with_sh = docs.select(
+        F.col(id_col), word_shingles(F.col("text")).alias("shingles")
+    ).localCheckpoint()
+    return verify_jaccard_candidates(cands, with_sh, threshold)
 
 
 _SIMHASH_FIELD_BITS = 21  # 3 packed ones-counters per long; a counter

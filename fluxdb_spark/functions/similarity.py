@@ -181,6 +181,12 @@ def lsh_topk(
         )
         .select("query_id", "qvec", "tb.tbl", "tb.bucket")
     )
+    return _lsh_bucket_join_rerank(c, q, k)
+
+
+def _lsh_bucket_join_rerank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Candidate equi-join on (table, bucket) + exact cosine re-rank —
+    shared by the recompute path and the materialized-bucket path."""
     # a pair colliding in several tables must score once: distinct first
     cand = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
@@ -197,6 +203,43 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )
+
+
+def lsh_topk_from_buckets(
+    buckets: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`lsh_topk` with the corpus side read from a MATERIALIZED bucket
+    table (id, embedding, tbl, bucket — streaming/retrieval.py) instead
+    of re-bucketing the corpus per query: only the probe vectors are
+    hashed at query time (same seeded hyperplanes, so collisions are
+    identical to the recompute form). The 100 TB query cost drops from
+    one corpus-wide map pass + join to the bucket equi-join alone."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    c = buckets.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        "tbl",
+        "bucket",
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
+        )
+        .select("query_id", "qvec", "tb.tbl", "tb.bucket")
+    )
+    return _lsh_bucket_join_rerank(c, q, k)
 
 
 def lsh_neardup_pairs(
@@ -530,6 +573,59 @@ def kmeans_clusters(
     bounded-collect contract as ivf_topk's sample). Iterations are a
     driver loop over bounded state, never over data. Empty clusters keep
     their previous centroid."""
+    cents, assigned = _kmeans_fit(
+        corpus, k, iters, scale, id_col, vec_col
+    )
+    return assigned
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """The quantized centroids `kmeans_clusters` measures its FINAL
+    assignment against — the frozen model a standing retrieval service
+    materializes once and assigns new vectors to incrementally
+    (streaming/retrieval.py): `assign_to_centroids(corpus, cents)` over
+    the training corpus reproduces `kmeans_clusters(corpus)` exactly."""
+    cents, _assigned = _kmeans_fit(corpus, k, iters, scale, id_col, vec_col)
+    return cents
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    cents: list[list[int]],
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only assignment of vectors to FROZEN centroids (plan literals,
+    exact integer distances) — the row-wise half of k-means that an
+    incremental maintainer can apply per append batch."""
+    near = _nearest_int_centroid(_quantize(F.col(vec_col), scale), cents)
+    return vectors.select(
+        F.col(id_col),
+        near["idx"].alias("cluster"),
+        near["dist"].alias("dist"),
+    )
+
+
+def _kmeans_fit(
+    corpus: DataFrame,
+    k: int,
+    iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[list[int]], DataFrame]:
+    """Lloyd loop shared by `kmeans_clusters` / `kmeans_centroids`:
+    returns (centroids of the final assignment pass, that assignment).
+    The centroid update is skipped after the last pass — it would train
+    a model nobody reads."""
     if iters < 1:
         raise ValueError(f"kmeans needs iters >= 1, got {iters}")
     base = (
@@ -544,8 +640,7 @@ def kmeans_clusters(
         )
     cents = [list(r.q) for r in seeds]
     dim = len(cents[0])
-    assigned = None
-    for _ in range(iters):
+    for i in range(iters):
         near = _nearest_int_centroid(F.col("q"), cents)
         assigned = base.select(
             F.col(id_col),
@@ -553,6 +648,8 @@ def kmeans_clusters(
             near["idx"].alias("cluster"),
             near["dist"].alias("dist"),
         )
+        if i == iters - 1:
+            break
         upd = (
             assigned.select("cluster", F.posexplode("q").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -570,7 +667,7 @@ def kmeans_clusters(
             [new.get((c, p), cents[c][p]) for p in range(dim)]
             for c in range(k)
         ]
-    return assigned.select(id_col, "cluster", "dist")
+    return cents, assigned.select(id_col, "cluster", "dist")
 
 
 def sql_kmeans(

@@ -1,0 +1,359 @@
+"""Materialized retrieval indexes — row-wise IVM over a ChangelogStore.
+
+A standing retrieval service (near-dup dedup, ANN, semantic bucketing)
+cannot recompute corpus-wide state per query: MinHash signatures, LSH
+bucket tables, and k-means assignments over 100 TB are all PURE
+FUNCTIONS of each document row, so they belong in store-backed derived
+tables maintained incrementally from the commit log — the row-wise
+sibling of streaming/materialize.py's algebraic aggregates. Queries then
+join the materialized table instead of re-hashing the corpus.
+
+`materialize_rowwise` is the generic maintainer: follow the commit log,
+read ONLY each append commit's added files, apply a deterministic
+row-wise `transform` (changelog rows -> derived rows), and land the
+output under `dest/commit_hi=<version>/`. Exactly-once comes from
+IDEMPOTENT REPLAY, not an atomic data+state commit: derived batch
+directories are named by the commit version they cover, unconfirmed
+directories above the applied-version floor are dropped and rewritten on
+redelivery, and readers only see directories at-or-below the floor. A
+non-compacting rewrite commit (DML / retention) invalidates derived rows
+wholesale, so the maintainer rebuilds from commit-level time travel —
+same loud-correctness contract as the aggregate maintainer.
+
+Updates and deletes flow WITHOUT rewrites too: derived rows carry
+(height, is_deletion), and `lww_latest` applies the store's
+last-write-wins fold at read time — a re-written document's stale
+signature loses to its newer one, a tombstoned document drops out.
+
+The k-means split: centroids are NOT row-wise (Lloyd is corpus-global),
+so the service freezes a trained model (`similarity.kmeans_centroids`)
+and maintains only the per-row ASSIGNMENT incrementally
+(`similarity.assign_to_centroids` as the transform) — the standard
+train-once / assign-forever serving shape (same as IVF cells).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluxdb_spark.schema import CHANGELOG_SCHEMA
+from fluxdb_spark.streaming.follow import stream_commits
+from fluxdb_spark.streaming.materialize import (
+    _recover,
+    _state_path,
+    applied_version,
+)
+
+
+def _confirmed_dirs(dest: str, floor: int) -> list[str]:
+    if not os.path.isdir(dest):
+        return []
+    out = []
+    for name in os.listdir(dest):
+        if not name.startswith("commit_hi="):
+            continue
+        try:
+            hi = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if hi <= floor:
+            out.append(os.path.join(dest, name))
+    return out
+
+
+def read_derived(spark: SparkSession, dest: str) -> DataFrame | None:
+    """The current derived relation (None before the first batch):
+    exactly the batch directories the applied-version floor confirms —
+    a crashed batch's unconfirmed directory is invisible."""
+    _recover(dest)
+    dirs = _confirmed_dirs(dest, applied_version(dest))
+    if not dirs:
+        return None
+    return (
+        spark.read.option("basePath", dest)
+        .parquet(*sorted(dirs))
+        .drop("commit_hi")
+    )
+
+
+def lww_latest(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Last-write-wins fold over a derived relation carrying
+    (height, is_deletion): per key, the row of the greatest height,
+    tombstones dropped — the same fold `state_at` applies to the
+    changelog itself, so derived reads see exactly the live corpus."""
+    others = [c for c in df.columns if c not in key_cols]
+    folded = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), F.col("height")).alias(
+            "_r"
+        )
+    )
+    return folded.select(
+        *key_cols, *[F.col(f"_r.{c}").alias(c) for c in others]
+    ).filter(~F.col("is_deletion"))
+
+
+def materialize_rowwise(
+    spark: SparkSession,
+    src_root: str,
+    dest: str,
+    transform,
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+):
+    """Start the maintenance stream: follow `src_root`'s commit log and
+    apply `transform` (DataFrame over CHANGELOG_SCHEMA -> derived rows;
+    deterministic, row-wise) to each newly committed append batch,
+    landing the output under `dest/commit_hi=<version>/`. Returns the
+    StreamingQuery.
+
+    Scale shape per refresh: the delta read touches only the new
+    commits' files (O(delta)); the transform is map-only for every
+    shipped index (signatures, buckets, centroid assignment), so no
+    shuffle at all; the corpus is never re-read except on a rewrite
+    rebuild."""
+    read_schema = T.StructType(
+        CHANGELOG_SCHEMA.fields
+        + [T.StructField("height_band", T.LongType(), True)]
+    )
+    data_dir = os.path.join(src_root, "changelog")
+    data_format = "parquet"
+    meta_path = os.path.join(src_root, "_meta.json")
+    if os.path.exists(meta_path):
+        import json
+
+        with open(meta_path) as f:
+            data_format = json.load(f).get("data_format", "parquet")
+
+    def _commit(df: DataFrame, version: int, floor: int) -> None:
+        # drop unconfirmed leftovers of a crashed batch, then land the
+        # new directory and advance the floor; a crash between the two
+        # steps replays idempotently (the directory is keyed by version
+        # and rewritten from the same deterministic inputs)
+        for name in os.listdir(dest) if os.path.isdir(dest) else []:
+            if not name.startswith("commit_hi="):
+                continue
+            try:
+                hi = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if hi > floor:
+                shutil.rmtree(os.path.join(dest, name), ignore_errors=True)
+        df.write.mode("overwrite").parquet(
+            os.path.join(dest, f"commit_hi={version}")
+        )
+        import json
+
+        tmp = _state_path(dest) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"applied_version": version}, f)
+        os.replace(tmp, _state_path(dest))
+
+    def process(batch_df: DataFrame, _batch_id: int) -> None:
+        floor = applied_version(dest)
+        batch = sorted(
+            (
+                e
+                for e in batch_df.select(
+                    "version", "action", "kind", "add"
+                ).collect()
+                if e.version > floor
+            ),
+            key=lambda e: e.version,
+        )
+        if not batch:
+            return
+        if any(
+            e.action == "rewrite" and e.kind != "compact" for e in batch
+        ):
+            # rewritten history invalidates derived rows wholesale (the
+            # source bytes they were computed from are gone): rebuild
+            # from commit-level time travel into a staged directory and
+            # swap atomically (readers see the old index or the new one,
+            # never a half-rebuilt mixture; _recover heals a torn swap)
+            import json
+            import uuid
+
+            from fluxdb_spark.store import ChangelogStore
+
+            store = ChangelogStore(spark, src_root)
+            top = store._backend.commit_log.latest_version()
+            full = transform(store.changelog(at_version=top))
+            tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
+            full.write.mode("overwrite").parquet(
+                os.path.join(tmp, f"commit_hi={top}")
+            )
+            with open(_state_path(tmp), "w") as f:
+                json.dump({"applied_version": top}, f)
+            old = f"{dest}.old-{uuid.uuid4().hex}"
+            if os.path.isdir(dest):
+                os.rename(dest, old)
+            os.rename(tmp, dest)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        entries = [e for e in batch if e.action == "append"]
+        if not entries:
+            return
+        files = [
+            os.path.join(src_root, rel)
+            for e in entries
+            for rel in (e.add or ())
+        ]
+        rows = (
+            spark.read.option("basePath", data_dir)
+            .schema(read_schema)
+            .format(data_format)
+            .load(files)
+            .drop("height_band")
+        )
+        _commit(transform(rows), entries[-1].version, floor)
+
+    return (
+        stream_commits(spark, src_root)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
+# --- the shipped retrieval transforms --------------------------------------
+
+
+def doc_relation(rows: DataFrame, id_type: str = "long") -> DataFrame:
+    """Changelog rows -> (doc_id, height, is_deletion, text): the view of
+    a store whose primary_key is the document id and value the text."""
+    return rows.select(
+        F.col("primary_key").cast(id_type).alias("doc_id"),
+        "height",
+        "is_deletion",
+        F.col("value").alias("text"),
+    )
+
+
+def vector_relation(rows: DataFrame, id_type: str = "long") -> DataFrame:
+    """Changelog rows -> (vec_id, height, is_deletion, embedding): the
+    view of a store whose value is a JSON-encoded double vector (exact:
+    float->double widening and Jackson's round-trippable doubles make the
+    JSON round trip bit-identical)."""
+    return rows.select(
+        F.col("primary_key").cast(id_type).alias("vec_id"),
+        "height",
+        "is_deletion",
+        F.from_json(F.col("value"), "array<double>").alias("embedding"),
+    )
+
+
+def minhash_transform(k: int | None = None):
+    """Transform factory: changelog document rows -> MinHash signature
+    rows (doc_id, height, is_deletion, sig0..sig{k-1}). Map-only."""
+    from fluxdb_spark.functions.dedup import (
+        MINHASH_K,
+        _signatures_from_arrays,
+        word_shingles,
+    )
+
+    k = MINHASH_K if k is None else k
+
+    def transform(rows: DataFrame) -> DataFrame:
+        # the row identity rides through the signature computation as a
+        # struct id (no join-back: a doc updated twice in one batch must
+        # pair each height with ITS OWN signature)
+        with_sh = doc_relation(rows).select(
+            F.struct("doc_id", "height", "is_deletion").alias("rid"),
+            word_shingles(F.col("text")).alias("shingles"),
+        )
+        sigs = _signatures_from_arrays(with_sh, k, "rid")
+        return sigs.select(
+            F.col("rid.doc_id").alias("doc_id"),
+            F.col("rid.height").alias("height"),
+            F.col("rid.is_deletion").alias("is_deletion"),
+            *[f"sig{i}" for i in range(k)],
+        )
+
+    return transform
+
+
+def lsh_bucket_transform(
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+):
+    """Transform factory: changelog vector rows -> LSH bucket rows
+    (vec_id, height, is_deletion, tbl, bucket, embedding). The seeded
+    hyperplanes are plan literals, identical to `lsh_topk`'s, so a query
+    bucketing its probe vector the same way collides with exactly the
+    candidates the recompute form finds. Map-only (explode is per-row)."""
+    from fluxdb_spark.functions.similarity import _hyperplanes, _lsh_buckets
+
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def transform(rows: DataFrame) -> DataFrame:
+        v = vector_relation(rows)
+        return v.select(
+            "vec_id",
+            "height",
+            "is_deletion",
+            "embedding",
+            F.explode(
+                _lsh_buckets(F.col("embedding"), tables)
+            ).alias("tb"),
+        ).select(
+            "vec_id", "height", "is_deletion", "embedding",
+            "tb.tbl", "tb.bucket",
+        )
+
+    return transform
+
+
+def centroid_assign_transform(
+    cents: list[list[int]], scale: int = 1_000_000
+):
+    """Transform factory: changelog vector rows -> frozen-centroid
+    assignments (vec_id, height, is_deletion, cluster, dist). Map-only;
+    `cents` comes from `similarity.kmeans_centroids` trained on the
+    store's corpus at materialization time."""
+    from fluxdb_spark.functions.similarity import assign_to_centroids
+
+    def transform(rows: DataFrame) -> DataFrame:
+        v = vector_relation(rows).select(
+            F.struct("vec_id", "height", "is_deletion").alias("rid"),
+            "embedding",
+        )
+        assigned = assign_to_centroids(v, cents, scale=scale, id_col="rid")
+        return assigned.select(
+            F.col("rid.vec_id").alias("vec_id"),
+            F.col("rid.height").alias("height"),
+            F.col("rid.is_deletion").alias("is_deletion"),
+            "cluster",
+            "dist",
+        )
+
+    return transform
+
+
+def refresh(
+    spark: SparkSession,
+    src_root: str,
+    dest: str,
+    transform,
+    checkpoint_dir: str,
+):
+    """One synchronous catch-up pass (the batch twin of the continuous
+    maintainer): process every commit the index hasn't folded, then
+    stop. Returns the derived relation."""
+    q = materialize_rowwise(
+        spark, src_root, dest, transform, checkpoint_dir
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return read_derived(spark, dest)

@@ -1,0 +1,310 @@
+"""Materialized retrieval indexes (streaming/retrieval.py): row-wise IVM
+over a ChangelogStore — MinHash signatures, LSH bucket tables, and
+frozen-centroid k-means assignments maintained incrementally from the
+commit log, with last-write-wins reads and rebuild-on-rewrite."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluxdb_spark.functions import dedup as dd
+from fluxdb_spark.functions import similarity as sim
+from fluxdb_spark.store import ChangelogStore
+from fluxdb_spark.streaming import retrieval as rt
+from tests.conftest import make_changelog
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ChangelogStore(spark, str(tmp_path / "db"), height_band=100)
+
+
+def doc_rows(spark, docs):
+    """docs: {doc_id: text} -> changelog rows, height == doc_id + 1."""
+    return make_changelog(
+        spark,
+        [("doc", "docs", i + 1, str(i), t) for i, t in sorted(docs.items())],
+    )
+
+
+def vec_rows(spark, vecs, h0=0):
+    """vecs: {vec_id: [floats]} -> changelog rows with JSON double values."""
+    return make_changelog(
+        spark,
+        [
+            (
+                "emb",
+                "vecs",
+                h0 + n + 1,
+                str(i),
+                json.dumps([float(x) for x in v]),
+            )
+            for n, (i, v) in enumerate(sorted(vecs.items()))
+        ],
+    )
+
+
+DOCS1 = {
+    0: "the quick brown fox jumps over the lazy dog again and again today",
+    1: "the quick brown fox jumps over the lazy dog again and again tomorrow",
+    2: "completely different text about spark and parquet and shuffles",
+}
+DOCS2 = {
+    3: "the quick brown fox jumps over the lazy dog again and again today",
+    4: "yet another unrelated document mentioning watermarks and state",
+}
+
+
+def _sig_recompute(spark, docs, k=dd.MINHASH_K):
+    d = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, text string"
+    )
+    return {
+        tuple(r)
+        for r in dd.minhash_signatures(d, k).collect()
+    }
+
+
+def _commit_dirs(dest):
+    return sorted(
+        n for n in os.listdir(dest) if n.startswith("commit_hi=")
+    )
+
+
+class TestRowwiseMaterializer:
+    def _sigs(self, spark, dest):
+        df = rt.read_derived(spark, dest)
+        assert df is not None
+        live = rt.lww_latest(df, ["doc_id"]).drop("height", "is_deletion")
+        return {tuple(r) for r in live.collect()}
+
+    def test_incremental_catchup_without_rebuild(
+        self, spark, store, tmp_path
+    ):
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        got = rt.refresh(
+            spark, str(store.root), dest, rt.minhash_transform(), ck
+        )
+        assert got is not None
+        assert self._sigs(spark, dest) == _sig_recompute(spark, DOCS1)
+        dirs_before = _commit_dirs(dest)
+        # append more docs: the maintainer folds ONLY the delta — the
+        # first batch's directory is byte-untouched, one new dir lands
+        mtimes = {
+            d: os.path.getmtime(os.path.join(dest, d)) for d in dirs_before
+        }
+        store.write_batch(doc_rows(spark, DOCS2))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        dirs_after = _commit_dirs(dest)
+        assert set(dirs_before) < set(dirs_after)
+        assert len(dirs_after) == len(dirs_before) + 1
+        for d in dirs_before:
+            assert os.path.getmtime(os.path.join(dest, d)) == mtimes[d]
+        assert self._sigs(spark, dest) == _sig_recompute(
+            spark, {**DOCS1, **DOCS2}
+        )
+
+    def test_lww_update_and_tombstone(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        # doc 1 rewritten at a later height, doc 2 tombstoned
+        new_text = "an entirely new body for document one after the edit"
+        store.write_batch(
+            make_changelog(
+                spark,
+                [
+                    ("doc", "docs", 10, "1", new_text),
+                    ("doc", "docs", 11, "2", None),
+                ],
+            ),
+            force=True,
+        )
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        want = _sig_recompute(spark, {0: DOCS1[0], 1: new_text})
+        assert self._sigs(spark, dest) == want
+
+    def test_rewrite_triggers_rebuild(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        store.write_batch(doc_rows(spark, {9: DOCS2[4]}), force=True)
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        assert len(_commit_dirs(dest)) == 2
+        # physical DML erases doc 0's history: derived rows computed from
+        # the erased bytes must go too — the maintainer rebuilds
+        store.delete_where("primary_key = '0'")
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        surviving = {1: DOCS1[1], 2: DOCS1[2], 9: DOCS2[4]}
+        assert self._sigs(spark, dest) == _sig_recompute(spark, surviving)
+        # the rebuild collapsed the directory set to one swap result
+        assert len(_commit_dirs(dest)) == 1
+        # and incremental maintenance continues on top of the rebuild
+        store.write_batch(doc_rows(spark, {20: DOCS2[3]}), force=True)
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        assert self._sigs(spark, dest) == _sig_recompute(
+            spark, {**surviving, 20: DOCS2[3]}
+        )
+
+    def test_checkpoint_loss_redelivery_changes_nothing(
+        self, spark, store, tmp_path
+    ):
+        import shutil as sh
+
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        before = self._sigs(spark, dest)
+        sh.rmtree(ck)
+        rt.refresh(
+            spark, str(store.root), dest, rt.minhash_transform(),
+            str(tmp_path / "ck2"),
+        )
+        assert self._sigs(spark, dest) == before
+        assert len(_commit_dirs(dest)) == 1
+
+
+VECS = {
+    i: [((i * 31 + j * 7) % 13 - 6) / 7.0 for j in range(8)]
+    for i in range(12)
+}
+
+
+class TestMaterializedAnn:
+    def test_bucket_topk_matches_recompute(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "lsh"), str(tmp_path / "ck")
+        store.write_batch(vec_rows(spark, VECS))
+        rt.refresh(
+            spark,
+            str(store.root),
+            dest,
+            rt.lsh_bucket_transform(n_planes=4, n_tables=4, dim=8),
+            ck,
+        )
+        buckets = rt.lww_latest(
+            rt.read_derived(spark, dest), ["vec_id", "tbl"]
+        )
+        corpus = spark.createDataFrame(
+            [(i, v) for i, v in sorted(VECS.items())],
+            "vec_id long, embedding array<float>",
+        )
+        queries = corpus.filter(F.col("vec_id") < 3)
+        got = sorted(
+            map(
+                tuple,
+                sim.lsh_topk_from_buckets(
+                    buckets, queries, k=5, n_planes=4, n_tables=4, dim=8
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(
+                tuple,
+                sim.lsh_topk(
+                    corpus, queries, k=5, n_planes=4, n_tables=4, dim=8
+                ).collect(),
+            )
+        )
+        # the JSON double round trip is exact, so scores hash-match
+        assert got == want and len(got) > 0
+
+
+class TestMaterializedKmeans:
+    def test_assignments_match_whole_corpus_kmeans(
+        self, spark, store, tmp_path
+    ):
+        dest, ck = str(tmp_path / "asg"), str(tmp_path / "ck")
+        store.write_batch(vec_rows(spark, VECS))
+        live = rt.lww_latest(
+            rt.vector_relation(store.changelog()), ["vec_id"]
+        ).select("vec_id", "embedding")
+        cents = sim.kmeans_centroids(live, k=3, iters=2)
+        rt.refresh(
+            spark,
+            str(store.root),
+            dest,
+            rt.centroid_assign_transform(cents),
+            ck,
+        )
+        got = sorted(
+            map(
+                tuple,
+                rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"])
+                .select("vec_id", "cluster", "dist")
+                .collect(),
+            )
+        )
+        corpus = spark.createDataFrame(
+            [(i, v) for i, v in sorted(VECS.items())],
+            "vec_id long, embedding array<float>",
+        )
+        want = sorted(
+            map(tuple, sim.kmeans_clusters(corpus, k=3, iters=2).collect())
+        )
+        assert got == want
+
+    def test_new_vectors_assigned_to_frozen_model(
+        self, spark, store, tmp_path
+    ):
+        dest, ck = str(tmp_path / "asg"), str(tmp_path / "ck")
+        store.write_batch(vec_rows(spark, VECS))
+        live = rt.lww_latest(
+            rt.vector_relation(store.changelog()), ["vec_id"]
+        ).select("vec_id", "embedding")
+        cents = sim.kmeans_centroids(live, k=3, iters=2)
+        rt.refresh(
+            spark, str(store.root), dest,
+            rt.centroid_assign_transform(cents), ck,
+        )
+        dirs_before = _commit_dirs(dest)
+        extra = {100 + i: [0.5 * i] * 8 for i in range(3)}
+        store.write_batch(vec_rows(spark, extra, h0=50), force=True)
+        rt.refresh(
+            spark, str(store.root), dest,
+            rt.centroid_assign_transform(cents), ck,
+        )
+        # incremental: one new directory, no retrain/rebuild
+        assert len(_commit_dirs(dest)) == len(dirs_before) + 1
+        got = {
+            (r.vec_id, r.cluster, r.dist)
+            for r in rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"])
+            .filter(F.col("vec_id") >= 100)
+            .select("vec_id", "cluster", "dist")
+            .collect()
+        }
+        newv = spark.createDataFrame(
+            [(i, v) for i, v in sorted(extra.items())],
+            "vec_id long, embedding array<float>",
+        )
+        want = {
+            tuple(r)
+            for r in sim.assign_to_centroids(newv, cents).collect()
+        }
+        assert got == want
+
+
+class TestMaterializedMinhashDedup:
+    def test_dedup_from_sigs_matches_recompute(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        docs = {**DOCS1, **DOCS2}
+        store.write_batch(doc_rows(spark, docs))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        sigs = rt.lww_latest(
+            rt.read_derived(spark, dest), ["doc_id"]
+        )
+        d = spark.createDataFrame(
+            sorted(docs.items()), "doc_id long, text string"
+        )
+        got = sorted(
+            map(
+                tuple,
+                dd.minhash_lsh_dedup_from_sigs(sigs, d, 0.8).collect(),
+            )
+        )
+        want = sorted(map(tuple, dd.minhash_lsh_dedup(d, 0.8).collect()))
+        assert got == want and len(got) > 0
