@@ -84,6 +84,15 @@ def cmd_server(args, spark: SparkSession) -> int:
 
         metrics_server = MetricsServer(snapshot, port=args.metrics_port)
         print(f"# metrics at {metrics_server.url}")
+    query_server = None
+    if args.serve_port is not None:
+        # the serving read API (reference server mode fronts the facade
+        # with protocol layers, README.md:42-49): overlay-aware temporal
+        # reads over HTTP — see streaming/serve.QueryServer
+        from fluxdb_spark.streaming.serve import QueryServer
+
+        query_server = QueryServer(engine, port=args.serve_port)
+        print(f"# serving reads at {query_server.url}/v1/state_at")
     try:
         rows = (
             engine.state_at(args.tablet, args.height)
@@ -104,7 +113,22 @@ def cmd_server(args, spark: SparkSession) -> int:
 
             with urlopen(metrics_server.url, timeout=10) as resp:
                 print(resp.read().decode(), end="")
+        if query_server is not None:
+            from urllib.request import urlopen
+
+            probe = (
+                f"{query_server.url}/v1/state_at?tablet={args.tablet}"
+                f"&height={args.height}&limit={args.limit}"
+            )
+            with urlopen(probe, timeout=30) as resp:
+                print(resp.read().decode())
+            if args.serve_seconds > 0:
+                import time as _time
+
+                _time.sleep(args.serve_seconds)
     finally:
+        if query_server is not None:
+            query_server.close()
         if metrics_server is not None:
             metrics_server.close()
     return 0
@@ -324,6 +348,54 @@ def cmd_materialize(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_index_retrieval(args, spark: SparkSession) -> int:
+    """Retrieval-index mode (beyond the reference's four): catch the
+    materialized retrieval table up with the store's commit log (one-shot,
+    like `materialize`; long-running deployments keep the query alive).
+    Kinds: minhash (signature table over document stores), lsh (bucket
+    table over JSON-vector stores), kmeans (frozen-centroid assignments —
+    trains centroids from the live corpus only when no index exists yet,
+    i.e. the first run; later runs assign incrementally to the frozen
+    model)."""
+    import json as _json
+    import os as _os
+
+    from fluxdb_spark.store import ChangelogStore
+    from fluxdb_spark.streaming import retrieval as rt
+
+    if args.kind == "minhash":
+        transform = rt.minhash_transform()
+    elif args.kind == "lsh":
+        transform = rt.lsh_bucket_transform(dim=args.dim)
+    else:
+        cents_path = _os.path.join(args.dest, "_centroids.json")
+        if _os.path.exists(cents_path):
+            with open(cents_path) as f:
+                cents = _json.load(f)
+        else:
+            from fluxdb_spark.functions.similarity import kmeans_centroids
+
+            store = ChangelogStore(spark, args.store)
+            live = rt.lww_latest(
+                rt.vector_relation(store.changelog()), ["vec_id"]
+            ).select("vec_id", "embedding")
+            cents = kmeans_centroids(live, k=args.k, iters=args.iters)
+            _os.makedirs(args.dest, exist_ok=True)
+            with open(cents_path, "w") as f:
+                _json.dump(cents, f)
+        transform = rt.centroid_assign_transform(cents)
+    df = rt.refresh(
+        spark, args.store, args.dest, transform, args.checkpoint
+    )
+    from fluxdb_spark.streaming.materialize import applied_version
+
+    print(
+        f"{args.kind} index: {0 if df is None else df.count()} derived "
+        f"row(s) at commit version {applied_version(args.dest)}"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fluxdb_spark")
     sub = p.add_subparsers(dest="mode", required=True)
@@ -350,6 +422,20 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="expose a Prometheus-style /metrics endpoint (0 = ephemeral)",
+    )
+    s.add_argument(
+        "--serve-port",
+        type=int,
+        default=None,
+        help="expose the HTTP read API (/v1/state_at, /v1/row_at, "
+        "/v1/singlet_at; 0 = ephemeral port)",
+    )
+    s.add_argument(
+        "--serve-seconds",
+        type=float,
+        default=0,
+        help="keep the read API up for N seconds after the probe "
+        "(0 = probe once and exit)",
     )
     s.set_defaults(fn=cmd_server)
 
@@ -467,6 +553,18 @@ def build_parser() -> argparse.ArgumentParser:
         "row-count / height-bound aggregates by",
     )
     mat.set_defaults(fn=cmd_materialize)
+
+    ridx = sub.add_parser("index-retrieval")
+    ridx.add_argument("--store", required=True)
+    ridx.add_argument("--dest", required=True)
+    ridx.add_argument("--checkpoint", required=True)
+    ridx.add_argument(
+        "--kind", choices=("minhash", "lsh", "kmeans"), default="minhash"
+    )
+    ridx.add_argument("--dim", type=int, default=64)
+    ridx.add_argument("--k", type=int, default=4)
+    ridx.add_argument("--iters", type=int, default=3)
+    ridx.set_defaults(fn=cmd_index_retrieval)
     return p
 
 

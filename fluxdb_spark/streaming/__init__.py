@@ -6,6 +6,9 @@ from fluxdb_spark.streaming.follow import (
     replicate_store,
     stream_commits,
 )
+from fluxdb_spark.streaming.materialize import materialize_aggregate
+from fluxdb_spark.streaming.retrieval import materialize_rowwise
+from fluxdb_spark.streaming.serve import QueryServer
 
 __all__ = [
     "IngestPipeline",
@@ -15,4 +18,7 @@ __all__ = [
     "follow_store",
     "replicate_store",
     "stream_commits",
+    "materialize_aggregate",
+    "materialize_rowwise",
+    "QueryServer",
 ]

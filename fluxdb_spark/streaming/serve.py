@@ -1,0 +1,169 @@
+"""Serving read endpoint — the long-running query API of server mode.
+
+The reference's server mode fronts its FluxDB facade with gRPC protocol
+layers (README.md:42-49; the facade itself is fluxdb.go:104-154 and the
+serving reads go through the speculative overlay, read.go:155-169). The
+Spark-side equivalent is a thin HTTP+JSON layer over `FluxEngine`: every
+route reads THROUGH the engine, so a fork in flight is visible to HTTP
+clients exactly as it is to DataFrame callers, and a fork switch changes
+responses instantly (the overlay is driver-state, no restart).
+
+Routes (GET, query-string params):
+
+    /v1/state_at?tablet=T&height=H[&collection=C][&limit=N]
+    /v1/row_at?tablet=T&height=H&key=K[&collection=C]
+    /v1/singlet_at?singlet=S&height=H[&collection=C]
+    /v1/has_rows?tablet=T[&collection=C]
+    /v1/checkpoint
+    /metrics            (optional, same source contract as MetricsServer)
+
+Responses are `{"rows": [...], "count": n}` JSON; errors are HTTP 400
+(bad params) / 500 (read failure). Row payloads are capped (`max_rows`,
+then `limit` below it) — a serving endpoint returns pages, never an
+unbounded corpus; the driver-side collect is bounded by the same cap.
+
+Scale shape: each request is one `state_at`-class plan — height bands
+partition-prune the scan, the LWW fold is a combine-friendly max_by, the
+overlay union is a tiny in-memory relation — so the per-request cost is
+the store read itself; concurrent requests are independent Spark actions
+(scheduled FAIR across the handler threads).
+"""
+
+from __future__ import annotations
+
+import json
+
+from fluxdb_spark.streaming.metrics import prometheus_text
+
+
+class BadRequest(Exception):
+    pass
+
+
+def _rows_payload(df, limit: int) -> dict:
+    rows = [r.asDict(recursive=True) for r in df.limit(limit + 1).collect()]
+    truncated = len(rows) > limit
+    if truncated:
+        rows = rows[:limit]
+    return {"rows": rows, "count": len(rows), "truncated": truncated}
+
+
+class QueryServer:
+    """Daemon-thread HTTP server exposing a FluxEngine's temporal reads.
+
+    One engine, many clients: the engine's speculative overlay is shared
+    driver state, so the server answers with the CURRENT head fork at
+    each request — the reference's serving behavior."""
+
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_rows: int = 1000,
+        metrics_source=None,
+    ):
+        import http.server
+        import threading
+
+        outer = self
+        self.engine = engine
+        self.max_rows = max_rows
+        self._metrics_source = metrics_source
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                from urllib.parse import parse_qs, urlparse
+
+                u = urlparse(self.path)
+                params = {
+                    k: v[-1] for k, v in parse_qs(u.query).items()
+                }
+                try:
+                    body, ctype = outer._route(u.path.rstrip("/"), params)
+                except BadRequest as e:
+                    self.send_error(400, str(e))
+                    return
+                except KeyError as e:
+                    self.send_error(400, f"missing parameter {e}")
+                    return
+                except Exception as e:  # surface read failures as 500s
+                    self.send_error(500, str(e))
+                    return
+                if body is None:
+                    self.send_error(404)
+                    return
+                raw = body.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        self._httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    # -- routing ------------------------------------------------------------
+
+    def _route(self, path: str, p: dict):
+        if path == "/metrics" and self._metrics_source is not None:
+            return (
+                prometheus_text(self._metrics_source()),
+                "text/plain; version=0.0.4",
+            )
+        if path == "/v1/checkpoint":
+            ckpt = self.engine.checkpoint()
+            return (
+                json.dumps(
+                    None
+                    if ckpt is None
+                    else {
+                        "height": ckpt.height,
+                        "block_id": ckpt.block_id,
+                        "block_num": ckpt.block_num,
+                    }
+                ),
+                "application/json",
+            )
+        if path == "/v1/has_rows":
+            ok = self.engine.has_rows(
+                p["tablet"], collection=p.get("collection")
+            )
+            return json.dumps({"has_rows": ok}), "application/json"
+        if path not in ("/v1/state_at", "/v1/row_at", "/v1/singlet_at"):
+            return None, ""
+        try:
+            height = int(p["height"])
+        except ValueError:
+            raise BadRequest(f"height must be an integer: {p['height']!r}")
+        limit = min(int(p.get("limit", self.max_rows)), self.max_rows)
+        kw = {}
+        if "collection" in p:
+            kw["collection"] = p["collection"]
+        if path == "/v1/state_at":
+            df = self.engine.state_at(p["tablet"], height, **kw).orderBy(
+                "primary_key"
+            )
+        elif path == "/v1/row_at":
+            df = self.engine.row_at(p["tablet"], height, p["key"], **kw)
+        else:
+            df = self.engine.singlet_at(p["singlet"], height, **kw)
+        return json.dumps(_rows_payload(df, limit)), "application/json"
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join()
