@@ -70,6 +70,11 @@ HEADLINE = [
     "bm25_rank",
     "embed_kmeans",
     "embed_topk_quantized",
+    # round-7 additions: batch multi-query BM25, cluster-balanced
+    # sampling over the kmeans cells, and the snapshot diff read
+    "bm25_multi",
+    "cluster_balanced_sample",
+    "flux_state_diff",
 ]
 
 

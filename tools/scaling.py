@@ -40,6 +40,11 @@ OPS = [
     "hybrid_rrf",
     "temperature_mix",
     "asof_join_nearest",
+    "flux_state_series",
+    "flux_time_weighted",
+    "bm25_multi",
+    "embed_topk_quantized",
+    "cluster_balanced_sample",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
