@@ -13,6 +13,9 @@ Routes (GET, query-string params):
     /v1/state_at?tablet=T&height=H[&collection=C][&limit=N]
     /v1/row_at?tablet=T&height=H&key=K[&collection=C]
     /v1/singlet_at?singlet=S&height=H[&collection=C]
+    /v1/singlet_history?singlet=S[&collection=C][&limit=N]
+    /v1/state_series?tablet=T&start=A&stop=B&step=S[&collection=C]
+    /v1/time_weighted?tablet=T&start=A&stop=B&metric=EXPR[&collection=C]
     /v1/has_rows?tablet=T[&collection=C]
     /v1/checkpoint
     /metrics            (optional, same source contract as MetricsServer)
@@ -137,24 +140,52 @@ class QueryServer:
                 p["tablet"], collection=p.get("collection")
             )
             return json.dumps({"has_rows": ok}), "application/json"
-        if path not in ("/v1/state_at", "/v1/row_at", "/v1/singlet_at"):
+        known = (
+            "/v1/state_at",
+            "/v1/row_at",
+            "/v1/singlet_at",
+            "/v1/singlet_history",
+            "/v1/state_series",
+            "/v1/time_weighted",
+        )
+        if path not in known:
             return None, ""
-        try:
-            height = int(p["height"])
-        except ValueError:
-            raise BadRequest(f"height must be an integer: {p['height']!r}")
         limit = min(int(p.get("limit", self.max_rows)), self.max_rows)
         kw = {}
         if "collection" in p:
             kw["collection"] = p["collection"]
+
+        def _int(name):
+            try:
+                return int(p[name])
+            except ValueError:
+                raise BadRequest(
+                    f"{name} must be an integer: {p[name]!r}"
+                )
+
         if path == "/v1/state_at":
-            df = self.engine.state_at(p["tablet"], height, **kw).orderBy(
-                "primary_key"
-            )
+            df = self.engine.state_at(p["tablet"], _int("height"), **kw)
+            df = df.orderBy("primary_key")
         elif path == "/v1/row_at":
-            df = self.engine.row_at(p["tablet"], height, p["key"], **kw)
+            df = self.engine.row_at(
+                p["tablet"], _int("height"), p["key"], **kw
+            )
+        elif path == "/v1/singlet_at":
+            df = self.engine.singlet_at(p["singlet"], _int("height"), **kw)
+        elif path == "/v1/singlet_history":
+            df = self.engine.singlet_history(p["singlet"], **kw)
+        elif path == "/v1/state_series":
+            df = self.engine.state_series(
+                p["tablet"], _int("start"), _int("stop"), _int("step"),
+                **kw,
+            )
         else:
-            df = self.engine.singlet_at(p["singlet"], height, **kw)
+            from pyspark.sql import functions as F
+
+            df = self.engine.time_weighted_avg(
+                p["tablet"], _int("start"), _int("stop"),
+                F.expr(p["metric"]), **kw,
+            )
         return json.dumps(_rows_payload(df, limit)), "application/json"
 
     # -- lifecycle ----------------------------------------------------------

@@ -97,6 +97,39 @@ class TestQueryServer:
         # ordered by primary_key: the first page is deterministic
         assert got["rows"][0]["primary_key"] == "001"
 
+    def test_series_history_and_twa_routes(self, engine, server):
+        # a second version of key 001 so the series has a transition
+        engine.store.write_batch(
+            engine.spark.createDataFrame(
+                [clrow("tbl", 110, "001", "7", "b110")], CHANGELOG_SCHEMA
+            ),
+            force=True,
+        )
+        got = _get(
+            f"{server.url}/v1/state_series?tablet=tbl&collection=tst"
+            "&start=100&stop=110&step=5"
+        )
+        series = {
+            (r["as_of_height"], r["primary_key"]): r["value"]
+            for r in got["rows"]
+        }
+        assert series[(100, "001")] == "base"
+        assert series[(110, "001")] == "7"
+        assert series[(105, "002")] == "other"
+        hist = _get(
+            f"{server.url}/v1/singlet_history?singlet=tbl&collection=tst"
+        )
+        assert hist["count"] >= 2
+        twa = _get(
+            f"{server.url}/v1/time_weighted?tablet=tbl&collection=tst"
+            "&start=100&stop=110"
+            "&metric=CASE+WHEN+value+%3D+%27base%27+THEN+1+ELSE+7+END"
+        )
+        by_key = {r["primary_key"]: r for r in twa["rows"]}
+        # key 001: value 'base' (metric 1) for 10 heights, then 7 for 1
+        assert by_key["001"]["live_heights"] == 11
+        assert abs(by_key["001"]["twa"] - (10 * 1 + 1 * 7) / 11) < 1e-3
+
     def test_bad_params_and_unknown_route(self, server):
         with pytest.raises(HTTPError) as e:
             _get(f"{server.url}/v1/state_at?tablet=tbl&height=abc")
