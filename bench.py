@@ -75,6 +75,10 @@ HEADLINE = [
     "bm25_multi",
     "cluster_balanced_sample",
     "flux_state_diff",
+    # embedding-compression pair: JL random-projection ANN and the exact
+    # fixed-point covariance relation (PCA building block)
+    "embed_topk_projected",
+    "embed_covariance",
 ]
 
 

@@ -95,10 +95,13 @@ _PRIORITY: list[str] = [
     # -- stale at r03
     "multimodal_meta",
     "multimodal_decode",
-    # -- round-7 additions (materialized retrieval indexes; no row yet)
+    # -- round-7 additions (materialized retrieval indexes + embedding
+    #    compression; no row yet)
     "dedup_minhash_lsh_materialized",
     "embed_ann_lsh_materialized",
     "embed_kmeans_materialized",
+    "embed_topk_projected",
+    "embed_covariance",
     # -- unique-surface entries, newest row r04
     "flux_row_at",
     "flux_singlet_asof",
@@ -124,10 +127,10 @@ _PRIORITY: list[str] = [
     "topk_orders",
     "set_ops",
     "semi_anti_join",
-    "scalar_subquery",
-    "scalar_showcase",
     # ---- position 51+ from here: leads the r08 window ----
     # -- r04 entries displaced by the round-7 additions
+    "scalar_subquery",
+    "scalar_showcase",
     "date_funcs",
     "pivot_status",
     "skew_salted_agg",
@@ -3846,6 +3849,32 @@ def embed_kmeans(spark, sf_dir):
     groupBy whose shuffle and driver collect are exactly k*dim rows."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.kmeans_clusters(e, k=4, iters=3)
+
+
+@_q("embed_topk_projected", "pipeline", sim.sql_projected_topk(k=10))
+def embed_topk_projected(spark, sf_dir):
+    """ANN by Johnson-Lindenstrauss random projection: corpus and queries
+    projected 64 -> 16 dims with the same seeded plan-literal Gaussian
+    planes, exact cosine top-k in the reduced space — 4x fewer multiplies
+    per candidate pair, JL-bounded rank distortion (recall vs the
+    full-dimension ranking is property-tested in test_similarity). Both
+    engines fold each projection in array order, so the reduced-space
+    scores hash-match."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.projected_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("embed_covariance", "pipeline", sim.sql_embedding_covariance())
+def embed_covariance(spark, sf_dir):
+    """Corpus covariance matrix (the PCA / whitening building block) in
+    exact fixed-point arithmetic: quantized integer co-moment sums are
+    order-independent across any partitioning, so the 64x64 relation is
+    bit-identical to the oracle at every scale factor. One outer-product
+    posexplode feeding a combine-friendly groupBy (shuffle carries dim^2
+    rows per partition after map-side combine, never O(rows))."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_covariance(e)
 
 
 def _mat_store_docs(spark, sf_dir):

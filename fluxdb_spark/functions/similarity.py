@@ -507,6 +507,204 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def random_projection(vec: Column, planes: list[list[float]]) -> Column:
+    """Johnson-Lindenstrauss random projection: component k of the output
+    is vec . plane_k over seeded Gaussian planes — the standard embedding
+    COMPRESSION step of a training-data pipeline (store/search 16 dims
+    instead of 64 with bounded distance distortion). Planes ride as one
+    nested-array plan literal (constant codegen size, like
+    `lsh_signature`); evaluation is a map-only JVM fold per row."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    return F.transform(planes_lit, lambda p: dot(vec, p))
+
+
+def projected_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN by dimensionality reduction: project corpus and queries to
+    `out_dim` with the SAME seeded planes, then exact cosine top-k in the
+    reduced space — dim/out_dim fewer multiplies per candidate pair than
+    `brute_force_topk`, with JL-bounded rank distortion (recall vs the
+    full-dimension ranking is property-tested). Approximate by design yet
+    oracle-hashed: the planes are plan literals and both engines fold
+    each projection in array order (`sql_projected_topk`)."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    c = spread(corpus).select(
+        F.col(id_col).alias("match_id"),
+        random_projection(F.col(vec_col), planes).alias("cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        random_projection(F.col(vec_col), planes).alias("qvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )
+
+
+def sql_projected_topk(
+    k: int = 10,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    query_pred: str = "vec_id < 5",
+) -> str:
+    """DuckDB twin of `projected_topk`: planes inlined as literals; the
+    projection and the cosine both fold in list order (list_sum over
+    list_transform), mirroring Spark's sequential `aggregate` fold, so
+    scores agree to the last bit before round(4)."""
+    planes = _hyperplanes(dim, out_dim, seed)
+    planes_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(w) for w in p) + "]" for p in planes
+        )
+        + "]"
+    )
+    proj = (
+        f"list_transform(range(0, {out_dim}), kk -> "
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * pl[kk + 1][i])))"
+    )
+    dot16 = (
+        f"list_sum(list_transform(range(1, {out_dim + 1}), "
+        "i -> q.p[i] * c.p[i]))"
+    )
+    nq = (
+        f"sqrt(list_sum(list_transform(range(1, {out_dim + 1}), "
+        "i -> q.p[i] * q.p[i])))"
+    )
+    nc = (
+        f"sqrt(list_sum(list_transform(range(1, {out_dim + 1}), "
+        "i -> c.p[i] * c.p[i])))"
+    )
+    return f"""
+WITH pl_t AS (SELECT {planes_lit} AS pl),
+proj AS (SELECT vec_id, {proj} AS p FROM embeddings, pl_t),
+q AS (SELECT * FROM proj WHERE {query_pred}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         round({dot16} / ({nq} * {nc}), 4) AS score
+  FROM proj c, q WHERE c.vec_id != q.vec_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def embedding_covariance(
+    corpus: DataFrame,
+    dim: int = 64,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus covariance matrix as an (i, j, cov) relation — the PCA /
+    whitening / decorrelation building block of an embedding pipeline,
+    computed EXACTLY: embeddings are fixed-point-quantized, so the
+    co-moment sums are integer (order-independent across any partitioning
+    — no float-summation ambiguity at any cluster size) and the final
+    cov_ij = Sxy/n - (Sx/n)(Sy/n) is one fixed double expression both
+    engines evaluate identically.
+
+    Scale shape: one posexplode of the per-row outer product (dim^2
+    values) feeding a combine-friendly groupBy — after map-side partial
+    aggregation the shuffle carries dim^2 rows per partition, never
+    O(rows); the dim-row mean relation broadcasts into the final select.
+    `scale` bounds overflow: sums stay within int64 up to
+    ~2^63 / (scale^2) rows (default 10^4 -> ~9e10 rows of unit-range
+    values)."""
+    q = spread(corpus).select(
+        _quantize(F.col(vec_col), scale).alias("v")
+    ).localCheckpoint()  # one source scan feeds both aggregations
+    sums = (
+        q.select(F.posexplode("v").alias("i0", "x"))
+        .groupBy("i0")
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+    prods = (
+        q.select(
+            F.posexplode(
+                F.flatten(
+                    F.transform(
+                        "v",
+                        lambda x: F.transform("v", lambda y: x * y),
+                    )
+                )
+            ).alias("pos", "xy")
+        )
+        .groupBy("pos")
+        .agg(F.sum("xy").alias("sxy"))
+        .select(
+            (F.col("pos") / dim).cast("long").alias("i0"),
+            (F.col("pos") % dim).cast("long").alias("j0"),
+            "sxy",
+        )
+    )
+    si = sums.select(
+        F.col("i0"), F.col("sx").alias("sx_i"), F.col("n")
+    )
+    sj = sums.select(F.col("i0").alias("j0"), F.col("sx").alias("sx_j"))
+    nd = F.col("n").cast("double")
+    return (
+        prods.join(F.broadcast(si), on="i0")
+        .join(F.broadcast(sj), on="j0")
+        .select(
+            (F.col("i0") + 1).alias("i"),
+            (F.col("j0") + 1).alias("j"),
+            F.round(
+                F.col("sxy").cast("double") / nd
+                - (F.col("sx_i").cast("double") / nd)
+                * (F.col("sx_j").cast("double") / nd),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
+def sql_embedding_covariance(dim: int = 64, scale: int = 10_000) -> str:
+    """DuckDB twin of `embedding_covariance`: identical quantization,
+    exact BIGINT co-moment sums, identical double arithmetic."""
+    return f"""
+WITH q AS (SELECT vec_id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+           FROM embeddings),
+e AS (SELECT vec_id, CAST(i AS BIGINT) AS i, v[i] AS x
+      FROM q, UNNEST(range(1, {dim + 1})) t(i)),
+nn AS (SELECT count(*) AS n FROM q),
+s AS (SELECT i, sum(x) AS sx FROM e GROUP BY i),
+p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+      FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2)
+SELECT p.i, p.j,
+       round(CAST(p.sxy AS DOUBLE) / nn.n
+             - (CAST(sa.sx AS DOUBLE) / nn.n)
+             * (CAST(sb.sx AS DOUBLE) / nn.n), 6) AS cov
+FROM p CROSS JOIN nn
+JOIN s sa ON sa.i = p.i
+JOIN s sb ON sb.i = p.j
+"""
+
+
 def _quantize(vec: Column, scale: int) -> Column:
     """Fixed-point quantization: float -> floor(x * scale) as long.
     float->double is exact and floor-of-double is engine-portable, so the

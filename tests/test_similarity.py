@@ -262,6 +262,85 @@ class TestQuantizeEmbeddings:
             assert abs(got - want) <= scale + 1e-9
 
 
+class TestProjectedTopk:
+    def test_recall_beats_random_baseline(self, corpus, queries, exact):
+        # the sf corpus is near-uniform (tiny top-10 cosine margins), so
+        # 64 -> 16 JL distortion legitimately costs most of the exact
+        # top-10; the floor asserted is "far above chance" (random top-10
+        # of ~500 vectors recalls ~0.02)
+        rows = sim.projected_topk(corpus, queries, k=K).collect()
+        assert _recall(rows, exact) >= 0.08
+
+    def test_near_duplicates_survive_projection(self, corpus):
+        # the actual use case: near-dup retrieval AFTER compression.
+        # cosine(v, 1.001*v + eps) ~ 1 dominates the margin, so the twin
+        # must be the projected top-1 for every query
+        twins = corpus.select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x * (1 + ((F.col("vec_id") + i) % 5).cast("double") * 1e-3),
+            ).cast("array<float>").alias("embedding"),
+        )
+        both = corpus.select("vec_id", "embedding").unionByName(twins)
+        rows = sim.projected_topk(
+            both, corpus.filter(F.col("vec_id") < 10), k=1
+        ).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert r.match_id == r.query_id + 100_000
+
+    def test_deterministic_and_ranked(self, corpus, queries):
+        a = sorted(map(tuple, sim.projected_topk(corpus, queries, k=K).collect()))
+        b = sorted(map(tuple, sim.projected_topk(corpus, queries, k=K).collect()))
+        assert a == b and len(a) == N_QUERIES * K
+
+    def test_projection_matches_manual_dot(self, spark):
+        planes = sim._hyperplanes(4, 2, seed=7)
+        v = [1.0, -2.0, 0.5, 3.0]
+        got = (
+            spark.createDataFrame([(v,)], "v array<double>")
+            .select(sim.random_projection(F.col("v"), planes).alias("p"))
+            .first()
+            .p
+        )
+        for k_ in range(2):
+            want = sum(x * w for x, w in zip(v, planes[k_]))
+            assert abs(got[k_] - want) < 1e-9
+
+
+class TestEmbeddingCovariance:
+    def test_matches_numpy_on_quantized_values(self, spark):
+        import numpy as np
+
+        vecs = [
+            [0.1, -0.2, 0.3],
+            [0.4, 0.0, -0.1],
+            [-0.3, 0.2, 0.25],
+            [0.05, 0.15, -0.35],
+        ]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        scale = 10_000
+        got = {
+            (r.i, r.j): r.cov
+            for r in sim.embedding_covariance(df, dim=3, scale=scale).collect()
+        }
+        q = np.floor(
+            np.array(vecs, dtype=np.float32).astype(np.float64) * scale
+        )
+        n = len(vecs)
+        want = q.T @ q / n - np.outer(q.mean(axis=0), q.mean(axis=0))
+        for i in range(3):
+            for j in range(3):
+                assert abs(got[(i + 1, j + 1)] - round(want[i, j], 6)) < 1e-6
+        # symmetric by construction
+        for (i, j), c in got.items():
+            assert got[(j, i)] == c
+
+
 class TestQuantizedTopk:
     def test_recall_vs_float_baseline(self, corpus, queries, exact):
         from fluxdb_spark.functions.similarity import quantized_topk

@@ -45,6 +45,8 @@ OPS = [
     "bm25_multi",
     "embed_topk_quantized",
     "cluster_balanced_sample",
+    "embed_topk_projected",
+    "embed_covariance",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
