@@ -210,6 +210,29 @@ class TestRetrievalPairPlans:
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+class TestEmbeddingCompressionPlans:
+    """Round-7 embedding-compression pair: the plan properties that keep
+    JL projection and the covariance relation viable at 100 TB."""
+
+    def test_projected_topk_broadcasts_queries(self, spark, specs):
+        """The projection is per-row (no shuffle); the query side must
+        broadcast, so the corpus is scanned once with no corpus-side
+        exchange before the per-query top-k window."""
+        p = plan_of(spark, specs, "embed_topk_projected")
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+
+    def test_covariance_is_two_combine_friendly_aggs(self, spark, specs):
+        """Both the dim-row mean relation and the dim^2-row co-moment
+        relation must partial-aggregate map-side (the shuffle carries
+        dim^2 rows per partition, never O(rows)), and the final join of
+        the two tiny relations must broadcast."""
+        p = plan_of(spark, specs, "embed_covariance")
+        assert "partial" in p.lower()  # map-side combine on the groupBys
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
 class TestWholeCatalogAntiPatterns:
     """Blanket gate over EVERY catalog entry's physical plan: no
     row-at-a-time or Arrow-batched Python in any hot path (the enumerated
