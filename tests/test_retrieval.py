@@ -151,6 +151,43 @@ class TestRowwiseMaterializer:
             spark, {**surviving, 20: DOCS2[3]}
         )
 
+    def test_crash_between_data_and_floor_replays_idempotently(
+        self, spark, store, tmp_path
+    ):
+        """Simulate the maintainer dying AFTER landing a batch directory
+        but BEFORE advancing the applied-version floor: the directory is
+        unconfirmed (invisible to readers), and the replay drops and
+        rewrites it — no duplicates, no loss."""
+        import json as _json
+
+        from fluxdb_spark.streaming.materialize import _state_path
+
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        store.write_batch(doc_rows(spark, DOCS2))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        full = self._sigs(spark, dest)
+        # roll the floor back below the second batch: its directory is
+        # now exactly the crash leftover (data landed, floor not moved)
+        with open(_state_path(dest)) as f:
+            state = _json.load(f)
+        with open(_state_path(dest), "w") as f:
+            _json.dump({"applied_version": 1}, f)
+        # readers must not see the unconfirmed directory
+        assert self._sigs(spark, dest) == _sig_recompute(spark, DOCS1)
+        # a fresh checkpoint redelivers everything; the replay converges
+        # to the same relation with no duplicate rows
+        rt.refresh(
+            spark, str(store.root), dest, rt.minhash_transform(),
+            str(tmp_path / "ck2"),
+        )
+        assert self._sigs(spark, dest) == full == _sig_recompute(
+            spark, {**DOCS1, **DOCS2}
+        )
+        df = rt.read_derived(spark, dest)
+        assert df.count() == df.select("doc_id", "height").distinct().count()
+
     def test_checkpoint_loss_redelivery_changes_nothing(
         self, spark, store, tmp_path
     ):

@@ -130,6 +130,19 @@ class TestQueryServer:
         assert by_key["001"]["live_heights"] == 11
         assert abs(by_key["001"]["twa"] - (10 * 1 + 1 * 7) / 11) < 1e-3
 
+    def test_concurrent_requests(self, server):
+        """Handler threads issue independent Spark actions — concurrent
+        clients must all get complete, correct responses."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        url = (
+            f"{server.url}/v1/state_at?tablet=tbl&collection=tst&height=100"
+        )
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(lambda _: _get(url), range(8)))
+        for got in results:
+            assert {r["primary_key"] for r in got["rows"]} == {"001", "002"}
+
     def test_bad_params_and_unknown_route(self, server):
         with pytest.raises(HTTPError) as e:
             _get(f"{server.url}/v1/state_at?tablet=tbl&height=abc")
