@@ -79,6 +79,8 @@ HEADLINE = [
     # fixed-point covariance relation (PCA building block)
     "embed_topk_projected",
     "embed_covariance",
+    # C4-style sub-document dedup (corpus-wide span ownership)
+    "paragraph_dedup",
 ]
 
 

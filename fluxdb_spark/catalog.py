@@ -102,6 +102,7 @@ _PRIORITY: list[str] = [
     "embed_kmeans_materialized",
     "embed_topk_projected",
     "embed_covariance",
+    "paragraph_dedup",
     # -- unique-surface entries, newest row r04
     "flux_row_at",
     "flux_singlet_asof",
@@ -126,9 +127,9 @@ _PRIORITY: list[str] = [
     "running_total",
     "topk_orders",
     "set_ops",
-    "semi_anti_join",
     # ---- position 51+ from here: leads the r08 window ----
     # -- r04 entries displaced by the round-7 additions
+    "semi_anti_join",
     "scalar_subquery",
     "scalar_showcase",
     "date_funcs",
@@ -3849,6 +3850,18 @@ def embed_kmeans(spark, sf_dir):
     groupBy whose shuffle and driver collect are exactly k*dim rows."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.kmeans_clusters(e, k=4, iters=3)
+
+
+@_q("paragraph_dedup", "pipeline", dd.sql_paragraph_dedup())
+def paragraph_dedup(spark, sf_dir):
+    """C4-style sub-document dedup: corpus-wide duplicated '.'-spans are
+    kept only at their first (doc_id, pos) occurrence and each document
+    is rebuilt from its surviving spans — boilerplate dies corpus-wide,
+    unique prose survives. One explode -> combine-friendly hash-ownership
+    groupBy -> equi-join back -> per-doc ordered rebuild; the shuffle
+    carries distinct span hashes, never span-text x occurrences."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.paragraph_dedup(d)
 
 
 @_q("embed_topk_projected", "pipeline", sim.sql_projected_topk(k=10))

@@ -361,6 +361,113 @@ def verify_jaccard_candidates(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style PARAGRAPH-level exact dedup: any sentence/paragraph span
+    that occurs more than once in the corpus is kept only at its FIRST
+    occurrence (smallest (doc_id, position)) and dropped everywhere else;
+    each document is rebuilt from its surviving spans in order. This is
+    the sub-document sibling of `exact` doc dedup — boilerplate (cookie
+    banners, license headers, navigation chrome) dies corpus-wide while
+    the unique prose survives.
+
+    Spans are '. '-separated; ownership groups on the span's 60-bit hash
+    (hash60 — the same corpus-wide fingerprinting discipline as
+    `doc_fingerprint`; at 2^60 the collision expectation stays << 1 far
+    beyond 100 TB of distinct spans). Scale shape: one explode feeding a
+    combine-friendly min-aggregate (the shuffle carries distinct span
+    hashes after map-side combine, never span text x occurrences), one
+    equi-join back on the hash, and one per-doc rebuild groupBy — no
+    all-pairs anything.
+
+    Output: (doc_id, clean_text, n_kept, n_dropped); a document whose
+    every span was boilerplate survives with clean_text = ''."""
+    paras = (
+        spread(docs)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\. ")).alias(
+                "pos", "para"
+            ),
+        )
+        .filter(F.col("para") != "")
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("pos"),
+            "para",
+            hash60(F.col("para")).alias("h"),
+        )
+    )
+    owner = paras.groupBy("h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("o")
+    )
+    kept = paras.join(owner, on="h").filter(
+        (F.col(id_col) == F.col("o.d")) & (F.col("pos") == F.col("o.p"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        totals.join(rebuilt, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+            (
+                F.col("n_total")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+def sql_paragraph_dedup() -> str:
+    """DuckDB twin of `paragraph_dedup`: same split, same hash60 grouping,
+    same first-occurrence rule, same ordered rebuild."""
+    return f"""
+WITH paras AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(string_split(text, '. '), 1) - 1
+              AS BIGINT) AS pos,
+         unnest(string_split(text, '. ')) AS para
+  FROM documents),
+hashed AS (
+  SELECT doc_id, pos, para, {hash60_sql('para')} AS h
+  FROM paras WHERE para <> ''),
+owner AS (
+  SELECT h, min(struct_pack(d := doc_id, p := pos)) AS o
+  FROM hashed GROUP BY h),
+kept AS (
+  SELECT hashed.* FROM hashed JOIN owner USING (h)
+  WHERE hashed.doc_id = owner.o.d AND hashed.pos = owner.o.p),
+rebuilt AS (
+  SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, count(*) AS n_total FROM hashed GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def minhash_lsh_dedup_from_sigs(
     sigs: DataFrame,
     docs: DataFrame,

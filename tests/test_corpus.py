@@ -94,7 +94,55 @@ class TestChunkDup:
         assert out.n_chunks == 2 and out.n_dup_chunks == 2
 
 
-class TestSimhashCol:
+class TestParagraphDedup:
+    """C4-style sub-document dedup (`paragraph_dedup`): duplicated spans
+    survive only at their first (doc_id, pos) occurrence; docs rebuild
+    from surviving spans in order."""
+
+    def _run(self, spark, texts):
+        from fluxdb_spark.functions.dedup import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        return {
+            r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+            for r in paragraph_dedup(df).collect()
+        }
+
+    def test_boilerplate_dies_corpus_wide(self, spark):
+        got = self._run(
+            spark,
+            [
+                "accept cookies. unique alpha text. all rights reserved",
+                "accept cookies. unique beta text. all rights reserved",
+                "accept cookies. unique gamma text",
+            ],
+        )
+        # doc 0 owns both boilerplate spans (first occurrence)
+        assert got[0] == (
+            "accept cookies. unique alpha text. all rights reserved", 3, 0,
+        )
+        assert got[1] == ("unique beta text", 1, 2)
+        assert got[2] == ("unique gamma text", 1, 1)
+
+    def test_duplicate_within_one_doc_kept_once(self, spark):
+        got = self._run(spark, ["same span. same span. tail"])
+        assert got[0] == ("same span. tail", 2, 1)
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        got = self._run(spark, ["only span", "only span"])
+        assert got[0] == ("only span", 1, 0)
+        assert got[1] == ("", 0, 1)
+
+    def test_span_order_preserved_after_drops(self, spark):
+        got = self._run(
+            spark,
+            ["dup. keep one. dup2. keep two", "dup. dup2"],
+        )
+        assert got[0][0] == "dup. keep one. dup2. keep two"
+        assert got[1] == ("", 0, 2)
     def test_matches_batch_simhash(self, spark):
         """The stateless per-row form must produce bit-identical
         fingerprints to the explode+groupBy batch form on real data."""

@@ -47,6 +47,7 @@ OPS = [
     "cluster_balanced_sample",
     "embed_topk_projected",
     "embed_covariance",
+    "paragraph_dedup",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
