@@ -339,6 +339,43 @@ def centroid_assign_transform(
     return transform
 
 
+def compact_derived(spark: SparkSession, dest: str) -> int:
+    """Coalesce the derived table's batch directories into ONE directory
+    at the current floor — the OPTIMIZE pass for a long-running
+    maintainer, whose per-commit directories otherwise accumulate until
+    the read-side file listing dominates (the same small-file economics
+    ChangelogStore.compact exists for). Same staged-swap discipline as
+    the rebuild path: readers see the old directory set or the single
+    new one, never a mixture; a torn swap heals via _recover. Run it
+    from maintenance, not concurrently with the maintainer (the swap
+    assumes one writer owns dest). Returns the number of directories
+    coalesced away."""
+    import json
+    import uuid
+
+    _recover(dest)
+    floor = applied_version(dest)
+    dirs = _confirmed_dirs(dest, floor)
+    if len(dirs) <= 1:
+        return 0
+    current = (
+        spark.read.option("basePath", dest)
+        .parquet(*sorted(dirs))
+        .drop("commit_hi")
+    )
+    tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
+    current.write.mode("overwrite").parquet(
+        os.path.join(tmp, f"commit_hi={floor}")
+    )
+    with open(_state_path(tmp), "w") as f:
+        json.dump({"applied_version": floor}, f)
+    old = f"{dest}.old-{uuid.uuid4().hex}"
+    os.rename(dest, old)
+    os.rename(tmp, dest)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(dirs) - 1
+
+
 def refresh(
     spark: SparkSession,
     src_root: str,

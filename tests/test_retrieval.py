@@ -206,6 +206,31 @@ class TestRowwiseMaterializer:
         assert len(_commit_dirs(dest)) == 1
 
 
+    def test_compact_derived_collapses_dirs_reads_unchanged(
+        self, spark, store, tmp_path
+    ):
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        store.write_batch(doc_rows(spark, DOCS2))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        before = self._sigs(spark, dest)
+        assert len(_commit_dirs(dest)) == 2
+        assert rt.compact_derived(spark, dest) == 1
+        assert len(_commit_dirs(dest)) == 1
+        assert self._sigs(spark, dest) == before
+        # incremental maintenance continues on top of the compacted table
+        store.write_batch(doc_rows(spark, {30: "fresh doc after compaction"}),
+                          force=True)
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        assert self._sigs(spark, dest) == _sig_recompute(
+            spark, {**DOCS1, **DOCS2, 30: "fresh doc after compaction"}
+        )
+        # already-compact table is a no-op
+        rt.compact_derived(spark, dest)
+        assert rt.compact_derived(spark, dest) == 0
+
+
 VECS = {
     i: [((i * 31 + j * 7) % 13 - 6) / 7.0 for j in range(8)]
     for i in range(12)
