@@ -558,3 +558,59 @@ def test_asof_join_matches_pandas(spark, frames, direction, exact, tol):
         )
     }
     assert got == want
+
+
+# --- paragraph dedup (C4 sub-document rule) --------------------------------
+
+SPANS = ["alpha one", "beta two", "gamma three", "delta four", "epsilon five"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(SPANS), min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_paragraph_dedup_keeps_each_span_exactly_once(spark, docs):
+    """Random corpora from a small span alphabet: after dedup (1) every
+    distinct input span survives exactly once corpus-wide, (2) it
+    survives at its FIRST (doc_id, pos) occurrence, and (3) surviving
+    spans keep their original relative order inside each doc."""
+    from fluxdb_spark.functions.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, ". ".join(spans)) for i, spans in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    kept: dict[str, int] = {}
+    for doc_id in sorted(out):
+        spans = [s for s in out[doc_id].clean_text.split(". ") if s]
+        # relative order preserved: kept spans appear in input order
+        inp = docs[doc_id]
+        for s in spans:
+            assert s in inp
+        positions = [inp.index(s) for s in spans]
+        assert positions == sorted(positions)
+        for s in spans:
+            kept[s] = kept.get(s, 0) + 1
+    distinct_input = {s for spans in docs for s in spans}
+    assert kept.keys() == distinct_input
+    assert all(v == 1 for v in kept.values())
+    # first-occurrence rule: the owner of each span is the smallest
+    # (doc_id, pos) where it appears
+    for s in distinct_input:
+        owner = min(
+            (d, p) for d, spans in enumerate(docs)
+            for p, x in enumerate(spans) if x == s
+        )
+        spans_kept = [
+            x for x in out[owner[0]].clean_text.split(". ") if x
+        ]
+        assert s in spans_kept
