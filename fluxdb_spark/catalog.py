@@ -4359,15 +4359,21 @@ def length_buckets(spark, sf_dir):
     return cu.length_buckets(_td(spark, sf_dir), 16)
 
 
-@_q("embed_quantize", "pipeline", sim.sql_quantize_embeddings())
+@_q("embed_quantize", "pipeline", sim.sql_quantize_embeddings_flat())
 def embed_quantize(spark, sf_dir):
     """Symmetric int8 quantization of the embedding table — the 4x
     storage compression a 100 TB vector corpus ships with. Per-vector
     absmax scale; sign-symmetric flooring makes every output an exact
     integer, so the operator is bit-portable and fully hash-checked.
     Element-wise higher-order expressions only: no sums, no shuffle,
-    scan-speed at any corpus size."""
-    return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    scan-speed at any corpus size. The entry projects the q8 vector as
+    a CSV string (the driver canonicalizer requires scalar cells;
+    `embed_topk_quantized` proves the array form stays queryable)."""
+    return sim.quantize_embeddings(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.array_join("q8", ",").alias("q8_csv"),
+        "scale_e9",
+    )
 
 
 @_q("embed_topk_quantized", "pipeline", sim.sql_quantized_topk(10, 5))

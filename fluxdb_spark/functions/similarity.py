@@ -977,6 +977,17 @@ def quantize_embeddings(
     )
 
 
+def sql_quantize_embeddings_flat() -> str:
+    """DuckDB twin of the CATALOG-entry projection of
+    `quantize_embeddings`: the q8 vector joined to a CSV string so every
+    output column is scalar/hashable (the driver's pandas canonicalizer
+    cannot factorize list cells — r07 red row)."""
+    return f"""
+SELECT vec_id, array_to_string(q8, ',') AS q8_csv, scale_e9
+FROM ({sql_quantize_embeddings()})
+"""
+
+
 def sql_quantize_embeddings() -> str:
     """DuckDB twin of `quantize_embeddings` (same expression order)."""
     xm = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
