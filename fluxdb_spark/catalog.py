@@ -63,79 +63,24 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-7 window (driver checks exactly the first 50 entries per
-    # round): positions 1-21 are the 19 round-5 additions that have never
-    # had a driver row plus the two entries stale at r03
-    # (multimodal_meta/decode); positions 22-50 are the 29 unique-surface
-    # entries whose newest row is r04.  The mutually redundant TPC-H
-    # block (also r04) rotates to positions 51-71 to lead the r08 window,
-    # followed by the 50 entries that went green in r06.  This keeps the
-    # invariant "every entry has a driver row within ceil(121/50) = 3
-    # rounds".
-    # -- never driver-checked (added r05)
-    "flux_state_series",
-    "flux_time_weighted",
-    "asof_join_nearest",
-    "asof_join_tolerance",
-    "window_frames",
-    "typed_view_protobuf_nested",
-    "bm25_rank",
-    "bm25_multi",
-    "embed_kmeans",
+    # Round-8 window (driver checks exactly the first 50 entries per
+    # round): position 1 is embed_quantize (r07's one red row, entry
+    # reshaped to scalar columns this round — needs a fresh driver row);
+    # positions 2-29 are the 27 relational/TPC-H entries whose newest row
+    # is r04 plus stream_simhash_dedup (event-time semantics reworked
+    # this round); positions 30-50 are the oldest r06-green entries.
+    # New round-8 entries are inserted before the r06 fill as they land.
+    # The remaining r06 entries (position 51+) plus the 49 r07-green
+    # entries lead the r09 window, preserving the invariant "every
+    # entry has a driver row within 3 rounds".
     "embed_quantize",
-    "embed_topk_quantized",
-    "hybrid_rrf",
-    "cluster_balanced_sample",
-    "temperature_mix",
-    "length_buckets",
-    "curation_pipeline",
-    "hash_split",
-    "text_normalize",
-    "doc_chunking",
-    # -- stale at r03
-    "multimodal_meta",
-    "multimodal_decode",
-    # -- round-7 additions (materialized retrieval indexes + embedding
-    #    compression; no row yet)
-    "dedup_minhash_lsh_materialized",
-    "embed_ann_lsh_materialized",
-    "embed_kmeans_materialized",
-    "embed_topk_projected",
-    "embed_covariance",
-    "paragraph_dedup",
-    # -- unique-surface entries, newest row r04
-    "flux_row_at",
-    "flux_singlet_asof",
-    "flux_singlet_history",
-    "flux_checkpoint",
-    "asof_join",
-    "asof_join_generic",
-    "range_join_incidents",
-    "multimodal_frames",
-    "embed_ann_ivf",
-    "stratified_sample",
-    "lang_distribution",
-    "tumbling_hourly",
-    "sliding_windows",
-    "stats_aggs",
-    "percentiles",
-    "distinct_counts",
-    "grouping_sets",
-    "rollup_pricing",
-    "cube_orders",
-    "window_ranks",
-    "running_total",
-    "topk_orders",
-    "set_ops",
-    # ---- position 51+ from here: leads the r08 window ----
-    # -- r04 entries displaced by the round-7 additions
+    # -- r04-stale relational block
     "semi_anti_join",
     "scalar_subquery",
     "scalar_showcase",
     "date_funcs",
     "pivot_status",
     "skew_salted_agg",
-    # -- TPC-H / relational block, newest row r04
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
@@ -157,7 +102,10 @@ _PRIORITY: list[str] = [
     "tpch_q21",
     "tpch_q22",
     "region_revenue",
-    # -- entries green in r06, oldest registration first
+    # -- reworked this round (real event times)
+    "stream_simhash_dedup",
+    # -- new round-8 entries land here --
+    # -- oldest r06-green fill
     "typed_view_protobuf",
     "embed_neardup_lsh",
     "flux_state_at",
@@ -179,10 +127,11 @@ _PRIORITY: list[str] = [
     "session_windows",
     "source_caps",
     "lm_score",
+    # ---- position 51+ from here: leads the r09 window ----
+    # -- remaining r06-green entries
     "chunk_dedup",
     "heavy_hitters",
     "flux_state_at_ignore_range",
-    "stream_simhash_dedup",
     "flux_collection_state",
     "token_budget_mix",
     "skew_salted_join",
@@ -208,6 +157,56 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "decontaminate",
     "seq_packing",
+    # -- r07-green entries (freshest rows; close the r09 window)
+    "flux_state_series",
+    "flux_time_weighted",
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    "window_frames",
+    "typed_view_protobuf_nested",
+    "bm25_rank",
+    "bm25_multi",
+    "embed_kmeans",
+    "embed_topk_quantized",
+    "hybrid_rrf",
+    "cluster_balanced_sample",
+    "temperature_mix",
+    "length_buckets",
+    "curation_pipeline",
+    "hash_split",
+    "text_normalize",
+    "doc_chunking",
+    "multimodal_meta",
+    "multimodal_decode",
+    "dedup_minhash_lsh_materialized",
+    "embed_ann_lsh_materialized",
+    "embed_kmeans_materialized",
+    "embed_topk_projected",
+    "embed_covariance",
+    "paragraph_dedup",
+    "flux_row_at",
+    "flux_singlet_asof",
+    "flux_singlet_history",
+    "flux_checkpoint",
+    "asof_join",
+    "asof_join_generic",
+    "range_join_incidents",
+    "multimodal_frames",
+    "embed_ann_ivf",
+    "stratified_sample",
+    "lang_distribution",
+    "tumbling_hourly",
+    "sliding_windows",
+    "stats_aggs",
+    "percentiles",
+    "distinct_counts",
+    "grouping_sets",
+    "rollup_pricing",
+    "cube_orders",
+    "window_ranks",
+    "running_total",
+    "topk_orders",
+    "set_ops",
 ]
 
 
