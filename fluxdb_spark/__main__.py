@@ -357,9 +357,6 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
     trains centroids from the live corpus only when no index exists yet,
     i.e. the first run; later runs assign incrementally to the frozen
     model)."""
-    import json as _json
-    import os as _os
-
     from fluxdb_spark.store import ChangelogStore
     from fluxdb_spark.streaming import retrieval as rt
 
@@ -368,11 +365,11 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
     elif args.kind == "lsh":
         transform = rt.lsh_bucket_transform(dim=args.dim)
     else:
-        cents_path = _os.path.join(args.dest, "_centroids.json")
-        if _os.path.exists(cents_path):
-            with open(cents_path) as f:
-                cents = _json.load(f)
-        else:
+        # the frozen model lives at a SIBLING path (<dest>._centroids
+        # .json) so rebuild-on-rewrite / compaction swaps of dest cannot
+        # drop it (load_centroids migrates the legacy in-dir file)
+        cents = rt.load_centroids(args.dest)
+        if cents is None:
             from fluxdb_spark.functions.similarity import kmeans_centroids
 
             store = ChangelogStore(spark, args.store)
@@ -380,9 +377,7 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
                 rt.vector_relation(store.changelog()), ["vec_id"]
             ).select("vec_id", "embedding")
             cents = kmeans_centroids(live, k=args.k, iters=args.iters)
-            _os.makedirs(args.dest, exist_ok=True)
-            with open(cents_path, "w") as f:
-                _json.dump(cents, f)
+            rt.save_centroids(args.dest, cents)
         transform = rt.centroid_assign_transform(cents)
     df = rt.refresh(
         spark, args.store, args.dest, transform, args.checkpoint

@@ -83,15 +83,34 @@ def _recover(dest: str, grace_s: float = 0.5) -> None:
             time.sleep(0.01)
         if not os.path.isdir(dest):
             crash_confirmed = True
-            os.rename(os.path.join(parent, olds.pop()), dest)
+            try:
+                os.rename(os.path.join(parent, olds.pop()), dest)
+            except OSError:
+                # a concurrent _recover won the rollback rename — dest
+                # is (or is about to be) restored; nothing left to do
+                pass
 
     def _stale(p: str) -> bool:
+        # staleness keys off the NEWEST mtime anywhere in the sibling
+        # tree, not the root: a long rebuild/compaction lands parquet in
+        # a commit_hi= subdirectory while the tmp root's mtime stays at
+        # creation, and a root-mtime check would rmtree the live staging
+        # directory of any write exceeding _STALE_S
+        newest = 0.0
         try:
-            return time.time() - os.path.getmtime(
-                os.path.join(parent, p)
-            ) > _STALE_S
+            top = os.path.join(parent, p)
+            newest = os.path.getmtime(top)
+            for root, dirs, files in os.walk(top):
+                for n in dirs + files:
+                    try:
+                        newest = max(
+                            newest, os.path.getmtime(os.path.join(root, n))
+                        )
+                    except OSError:
+                        pass
         except OSError:
             return False
+        return time.time() - newest > _STALE_S
 
     for p in olds + tmps:
         if crash_confirmed or _stale(p):

@@ -339,6 +339,54 @@ def centroid_assign_transform(
     return transform
 
 
+def centroids_path(dest: str) -> str:
+    """Frozen-centroid model location: a SIBLING of the derived table
+    (`<dest>._centroids.json`), never inside it — rebuild-on-rewrite and
+    compact_derived replace the entire dest directory via staged swap,
+    and a model stored inside would be silently lost; the next run would
+    retrain a second model and assign only new batches to it, mixing
+    assignments from two models (breaking train-once/assign-forever).
+    The sibling name shares the `<dest>.` prefix _recover scans but is
+    not an `.old-`/`.tmp-` directory, so recovery never touches it."""
+    return dest.rstrip("/") + "._centroids.json"
+
+
+def load_centroids(dest: str) -> list | None:
+    """Read the frozen model (None if never trained). Migrates a legacy
+    in-directory `_centroids.json` (lost on the next swap) out to the
+    sibling path on sight."""
+    import json
+
+    path = centroids_path(dest)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    legacy = os.path.join(dest, "_centroids.json")
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            cents = json.load(f)
+        save_centroids(dest, cents)
+        try:
+            os.remove(legacy)
+        except OSError:
+            pass
+        return cents
+    return None
+
+
+def save_centroids(dest: str, cents: list) -> None:
+    import json
+
+    path = centroids_path(dest)
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cents, f)
+    os.replace(tmp, path)
+
+
 def compact_derived(spark: SparkSession, dest: str) -> int:
     """Coalesce the derived table's batch directories into ONE directory
     at the current floor — the OPTIMIZE pass for a long-running

@@ -350,6 +350,74 @@ class TestMaterializedKmeans:
         assert got == want
 
 
+class TestCentroidPersistence:
+    """The frozen k-means model must survive every dest-directory swap:
+    rebuild-on-rewrite and compaction replace `dest` wholesale, so the
+    model lives at a SIBLING path (`<dest>._centroids.json`)."""
+
+    def test_model_survives_rewrite_rebuild_via_cli(
+        self, spark, store, tmp_path, capsys
+    ):
+        from fluxdb_spark.__main__ import main
+
+        dest, ck = str(tmp_path / "asg"), str(tmp_path / "ck")
+        store.write_batch(vec_rows(spark, VECS))
+        args = ["index-retrieval", "--store", str(store.root),
+                "--dest", dest, "--checkpoint", ck,
+                "--kind", "kmeans", "--k", "3", "--iters", "2"]
+        assert main(args, spark) == 0
+        cents1 = rt.load_centroids(dest)
+        assert cents1 is not None
+        # a DML rewrite triggers rebuild-on-rewrite, which swaps the
+        # entire dest directory — the model file must not be lost
+        store.delete_where("primary_key = '0'")
+        assert main(args, spark) == 0
+        cents2 = rt.load_centroids(dest)
+        assert cents2 == cents1, "rebuild swap dropped the frozen model"
+        # and a further append assigns to the SAME model (no retrain)
+        extra = {200: [1.0] * 8}
+        store.write_batch(vec_rows(spark, extra, h0=90), force=True)
+        assert main(args, spark) == 0
+        assert rt.load_centroids(dest) == cents1
+        got = {
+            (r.vec_id, r.cluster)
+            for r in rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"])
+            .filter(F.col("vec_id") == 200)
+            .select("vec_id", "cluster")
+            .collect()
+        }
+        newv = spark.createDataFrame(
+            [(200, extra[200])], "vec_id long, embedding array<float>"
+        )
+        want = {
+            (r.vec_id, r.cluster)
+            for r in sim.assign_to_centroids(newv, cents1).collect()
+        }
+        assert got == want
+
+    def test_model_survives_compaction(self, spark, tmp_path):
+        dest = str(tmp_path / "asg")
+        os.makedirs(os.path.join(dest, "commit_hi=1"))
+        cents = [[1, 2], [3, 4]]
+        rt.save_centroids(dest, cents)
+        # compaction needs >1 confirmed dir to act; with <=1 it is a
+        # no-op, but either way the sibling model file must remain
+        assert rt.load_centroids(dest) == cents
+        assert os.path.exists(rt.centroids_path(dest))
+
+    def test_legacy_in_dir_model_migrates_to_sibling(self, tmp_path):
+        dest = str(tmp_path / "asg")
+        os.makedirs(dest)
+        cents = [[5, 6], [7, 8]]
+        with open(os.path.join(dest, "_centroids.json"), "w") as f:
+            json.dump(cents, f)
+        assert rt.load_centroids(dest) == cents
+        assert os.path.exists(rt.centroids_path(dest))
+        assert not os.path.exists(os.path.join(dest, "_centroids.json"))
+        # subsequent loads read the sibling
+        assert rt.load_centroids(dest) == cents
+
+
 class TestMaterializedMinhashDedup:
     def test_dedup_from_sigs_matches_recompute(self, spark, store, tmp_path):
         dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
