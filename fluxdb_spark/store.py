@@ -2165,16 +2165,6 @@ class IndexStore:
     # "index singlet pretty heavy" warning)
     BIG_INDEX_BYTES = 25 * 1000 * 1000
 
-    def _dir_bytes(self) -> int:
-        total = 0
-        for dirpath, _d, fnames in os.walk(self._dir):
-            for fn in fnames:
-                try:
-                    total += os.path.getsize(os.path.join(dirpath, fn))
-                except OSError:
-                    pass
-        return total
-
     def write(self, index_df: DataFrame) -> None:
         """Append freshly built snapshot rows (build_tablet_index output).
 
@@ -2182,10 +2172,23 @@ class IndexStore:
         the reference's "index singlet pretty heavy" guard (indexing.go:
         477-480): a huge snapshot means every future incremental build
         rewrites it wholesale, and the operator should consider pruning
-        or splitting the tablet."""
-        before = self._dir_bytes()
+        or splitting the tablet. The delta is measured by sizing ONLY the
+        files this write created (name-diff of the flat parquet dir) —
+        the reference checks the written value's size, and stat-ing the
+        whole store would make every snapshot append O(total index
+        files)."""
+        before = (
+            set(os.listdir(self._dir)) if os.path.isdir(self._dir) else set()
+        )
         index_df.write.mode("append").parquet(self._dir)
-        added = self._dir_bytes() - before
+        added = 0
+        for fn in os.listdir(self._dir):
+            if fn in before:
+                continue
+            try:
+                added += os.path.getsize(os.path.join(self._dir, fn))
+            except OSError:
+                pass
         if added > self.BIG_INDEX_BYTES:
             _log.warning(
                 "index snapshot pretty heavy: wrote %d bytes "
