@@ -105,6 +105,7 @@ _PRIORITY: list[str] = [
     # -- reworked this round (real event times)
     "stream_simhash_dedup",
     # -- new round-8 entries land here --
+    "bm25_rank_materialized",
     # -- oldest r06-green fill
     "typed_view_protobuf",
     "embed_neardup_lsh",
@@ -126,9 +127,9 @@ _PRIORITY: list[str] = [
     "sessionization",
     "session_windows",
     "source_caps",
-    "lm_score",
     # ---- position 51+ from here: leads the r09 window ----
     # -- remaining r06-green entries
+    "lm_score",
     "chunk_dedup",
     "heavy_hitters",
     "flux_state_at_ignore_range",
@@ -3356,15 +3357,24 @@ def stream_simhash_dedup(spark, sf_dir):
         .parquet(sf_dir)
     )
     fp = raw.select(
-        dd.simhash_col(F.col("text")).alias("simhash"),
-        # synthetic CONSTANT event time (documents carry none), a day past
-        # the epoch (a row AT the initial watermark would be discarded as
-        # late before any state exists). Constant so dedup state can never
-        # be watermark-evicted between micro-batches: if the driver ever
-        # regenerates documents.parquet as multiple files, per-doc_id
-        # times would let duplicates >1h apart in different batches both
-        # emit, breaking the DISTINCT oracle.
-        F.timestamp_micros(F.lit(86400 * 1000000)).alias("ts"),
+        dd.simhash_col(F.col("text")).alias("simhash")
+    ).select(
+        "simhash",
+        # deterministic PER-ROW event time derived from the data
+        # (documents carry none): a day past the epoch (a row AT the
+        # initial watermark would be discarded as late before any state
+        # exists) plus simhash mod the watermark delay. Duplicates share
+        # a fingerprint, hence a timestamp — so however the file source
+        # batches the corpus, a duplicate is either deduped in state or
+        # dropped as late, never re-emitted; and because the spread never
+        # exceeds the delay, no FIRST occurrence can be late. The oracle
+        # stays exactly DISTINCT while the watermark genuinely advances
+        # with the data (state eviction across micro-batches is exercised
+        # in tests/test_watermark.py with a wider time spread).
+        F.timestamp_micros(
+            (F.lit(86400) + F.pmod(F.col("simhash"), F.lit(3600)))
+            * F.lit(1_000_000)
+        ).alias("ts"),
     )
     deduped = (
         fp.withWatermark("ts", "1 hour")
@@ -3998,6 +4008,43 @@ def embed_ann_lsh_materialized(spark, sf_dir):
         .withColumn("rank", F.col("rank").cast("long"))
         .localCheckpoint()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@_q(
+    "bm25_rank_materialized",
+    "pipeline",
+    tx.sql_bm25(["hash", "join", "spark"], 20),
+)
+def bm25_rank_materialized(spark, sf_dir):
+    """`bm25_rank` as a STANDING SERVICE: documents are ingested into a
+    ChangelogStore and the BM25 state is materialized by the row-wise IVM
+    maintainer — a postings table (doc, term, tf, dl per version) and a
+    doclen table whose live fold picks each document's current version
+    and feeds the cached (N, avgdl) corpus stats refreshed with the
+    index. The query then reads ONLY term-filtered postings + the O(1)
+    cached stats — O(matching postings) per query, never O(corpus text).
+    Hash-identical to `bm25_rank` (shared `_score_tf` scoring tail, same
+    oracle)."""
+    import os
+    import shutil
+
+    from fluxdb_spark.streaming import retrieval as rt
+
+    root, store = _mat_store_docs(spark, sf_dir)
+    p_dest = os.path.join(root, "postings")
+    d_dest = os.path.join(root, "doclen")
+    stats = rt.bm25_refresh(
+        spark, str(store.root), p_dest, d_dest, os.path.join(root, "ck")
+    )
+    out = tx.bm25_from_postings(
+        rt.read_derived(spark, p_dest),
+        rt.read_derived(spark, d_dest),
+        ["hash", "join", "spark"],
+        20,
+        stats=stats,
+    ).localCheckpoint()
     shutil.rmtree(root, ignore_errors=True)
     return out
 

@@ -677,6 +677,15 @@ def bm25_scores(
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _score_tf(tf, stats, k, k1, b, id_col)
+
+
+def _score_tf(tf, stats, k: int, k1: float, b: float, id_col: str):
+    """The shared BM25 scoring tail: per-(doc, matched-term) tf rows +
+    a 1-row (n_docs, tot) stats relation -> top-k. Split out so the
+    recompute form (`bm25_scores`) and the materialized-postings form
+    (`bm25_from_postings`) run the IDENTICAL float expression — same
+    operation order, bit-identical scores, one shared oracle."""
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(F.broadcast(df_t), "term")
@@ -708,6 +717,58 @@ def bm25_scores(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(k)
     )
+
+
+def bm25_from_postings(
+    postings,
+    doclen,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    stats: tuple[int, int] | None = None,
+):
+    """BM25 over MATERIALIZED state — the standing-service form of
+    `bm25_scores`: `postings` is the derived (doc_id, height,
+    is_deletion, dl, term, tf) table and `doclen` the derived (doc_id,
+    height, is_deletion, dl) table, both maintained incrementally from
+    the store's commit log (streaming/retrieval.py); `stats` is the
+    (n_docs, tot_dl) pair cached at refresh time. Per query the corpus
+    text is NEVER touched: cost is the term-filtered postings read
+    (parquet predicate pushdown on `term`) joined against the live-doc
+    fold of the doclen table, plus an O(1) stats lookup — O(matching
+    postings), not O(corpus).
+
+    LWW correctness: postings are multi-row per document version, so
+    per-(doc, term) last-write-wins would resurrect terms an edit
+    removed. Instead the doclen table (one row per version) picks each
+    document's live height, and only postings AT that height survive —
+    a tombstoned document has no live height and drops out entirely.
+
+    Bit-identical to `bm25_scores` on the same corpus: tf/dl/df/N/avgdl
+    are the same integers and the scoring tail is the shared
+    `_score_tf` expression, so the two forms hash-match."""
+    from fluxdb_spark.streaming.retrieval import lww_latest
+
+    live = lww_latest(doclen, ["doc_id"])  # (doc_id, height, dl)
+    if stats is None:
+        stats_df = live.select(
+            F.greatest(F.col("dl"), F.lit(0)).alias("dl")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").cast("long").alias("tot"),
+        )
+    else:
+        n_docs, tot = stats
+        stats_df = postings.sparkSession.createDataFrame(
+            [(int(n_docs), int(tot))], "n_docs long, tot long"
+        )
+    tf = (
+        postings.filter(F.col("term").isin(*query_terms))
+        .join(live.select("doc_id", "height"), ["doc_id", "height"])
+        .select("doc_id", "dl", "term", "tf")
+    )
+    return _score_tf(tf, stats_df, k, k1, b, "doc_id")
 
 
 def sql_bm25(query_terms: list[str], k: int = 20) -> str:

@@ -339,6 +339,123 @@ def centroid_assign_transform(
     return transform
 
 
+def bm25_doclen_transform():
+    """Transform factory: changelog document rows -> one (doc_id, height,
+    is_deletion, dl) row per version. Map-only. The doclen table is the
+    LIVE-VERSION picker for the postings table (multi-row per version, so
+    per-posting LWW would resurrect edited-away terms) and the input to
+    the cached (n_docs, tot_dl) corpus stats."""
+    from fluxdb_spark.functions.text import tokens
+
+    def transform(rows: DataFrame) -> DataFrame:
+        d = doc_relation(rows)
+        toks = tokens(F.lower(F.col("text")))
+        return d.select(
+            "doc_id",
+            "height",
+            "is_deletion",
+            F.greatest(F.size(toks), F.lit(0)).alias("dl"),
+        )
+
+    return transform
+
+
+def bm25_postings_transform():
+    """Transform factory: changelog document rows -> BM25 posting rows
+    (doc_id, height, is_deletion, dl, term, tf). The per-batch groupBy
+    shuffles only the delta's tokens (O(delta), map-side combined);
+    tombstones carry no text, explode to nothing, and are dropped at
+    read time by the doclen live-height join instead."""
+    from fluxdb_spark.functions.text import tokens
+
+    def transform(rows: DataFrame) -> DataFrame:
+        d = doc_relation(rows)
+        toks = tokens(F.lower(F.col("text")))
+        return (
+            d.select(
+                "doc_id",
+                "height",
+                "is_deletion",
+                F.size(toks).alias("dl"),
+                F.explode(toks).alias("term"),
+            )
+            .groupBy("doc_id", "height", "is_deletion", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
+    return transform
+
+
+def bm25_stats_path(doclen_dest: str) -> str:
+    """Cached (n_docs, tot_dl) corpus statistics — a SIBLING of the
+    doclen table (same reasoning as centroids_path: dest-directory swaps
+    must not drop it)."""
+    return doclen_dest.rstrip("/") + "._stats.json"
+
+
+def load_bm25_stats(doclen_dest: str) -> tuple[int, int] | None:
+    """The cached stats, or None if never refreshed. Returns
+    (n_docs, tot_dl)."""
+    import json
+
+    try:
+        with open(bm25_stats_path(doclen_dest)) as f:
+            d = json.load(f)
+        return int(d["n_docs"]), int(d["tot_dl"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def bm25_refresh(
+    spark: SparkSession,
+    src_root: str,
+    postings_dest: str,
+    doclen_dest: str,
+    checkpoint_root: str,
+) -> tuple[int, int]:
+    """Catch both BM25 tables up with the commit log, then recompute and
+    cache the corpus stats (df-denominator N and avgdl numerator) so
+    standing queries pay O(1) for them. The stats fold is algebraic
+    (count + sum over the live doclen fold) and costs O(#docs) over a
+    2-column table ONCE PER REFRESH — never per query, never O(corpus
+    text). Returns (n_docs, tot_dl)."""
+    import json
+
+    refresh(
+        spark, src_root, postings_dest, bm25_postings_transform(),
+        os.path.join(checkpoint_root, "postings"),
+    )
+    doclen = refresh(
+        spark, src_root, doclen_dest, bm25_doclen_transform(),
+        os.path.join(checkpoint_root, "doclen"),
+    )
+    if doclen is None:
+        n_docs, tot = 0, 0
+    else:
+        live = lww_latest(doclen, ["doc_id"])
+        row = live.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.greatest(F.col("dl"), F.lit(0))).cast("long").alias("t"),
+        ).collect()[0]
+        n_docs, tot = int(row.n), int(row.t or 0)
+    path = bm25_stats_path(doclen_dest)
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "tot_dl": tot,
+                "applied_version": applied_version(doclen_dest),
+            },
+            f,
+        )
+    os.replace(tmp, path)
+    return n_docs, tot
+
+
 def centroids_path(dest: str) -> str:
     """Frozen-centroid model location: a SIBLING of the derived table
     (`<dest>._centroids.json`), never inside it — rebuild-on-rewrite and
@@ -351,30 +468,55 @@ def centroids_path(dest: str) -> str:
     return dest.rstrip("/") + "._centroids.json"
 
 
-def load_centroids(dest: str) -> list | None:
-    """Read the frozen model (None if never trained). Migrates a legacy
-    in-directory `_centroids.json` (lost on the next swap) out to the
-    sibling path on sight."""
+def load_centroid_model(dest: str) -> dict | None:
+    """Read the frozen model sidecar (None if never trained):
+    {"centroids": [...], "baseline_mean_dist": float|None, plus drift
+    fields written by centroid_drift}. A legacy bare-list file (or a
+    legacy in-directory `_centroids.json`, lost on the next swap) is
+    migrated to the dict form at the sibling path on sight."""
     import json
 
     path = centroids_path(dest)
+    model = None
     if os.path.exists(path):
         with open(path) as f:
-            return json.load(f)
-    legacy = os.path.join(dest, "_centroids.json")
-    if os.path.exists(legacy):
-        with open(legacy) as f:
-            cents = json.load(f)
-        save_centroids(dest, cents)
-        try:
-            os.remove(legacy)
-        except OSError:
-            pass
-        return cents
-    return None
+            model = json.load(f)
+    else:
+        legacy = os.path.join(dest, "_centroids.json")
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                model = json.load(f)
+            try:
+                os.remove(legacy)
+            except OSError:
+                pass
+    if model is None:
+        return None
+    if isinstance(model, list):
+        model = {"centroids": model, "baseline_mean_dist": None}
+        _write_centroid_model(dest, model)
+    return model
 
 
-def save_centroids(dest: str, cents: list) -> None:
+def load_centroids(dest: str) -> list | None:
+    """The frozen centroids alone (None if never trained)."""
+    model = load_centroid_model(dest)
+    return None if model is None else model["centroids"]
+
+
+def save_centroids(
+    dest: str, cents: list, baseline_mean_dist: float | None = None
+) -> None:
+    """Persist a freshly trained model. `baseline_mean_dist` is the mean
+    assignment distance over the TRAINING corpus — the yardstick
+    centroid_drift compares later delta batches against."""
+    _write_centroid_model(
+        dest,
+        {"centroids": cents, "baseline_mean_dist": baseline_mean_dist},
+    )
+
+
+def _write_centroid_model(dest: str, model: dict) -> None:
     import json
 
     path = centroids_path(dest)
@@ -383,8 +525,65 @@ def save_centroids(dest: str, cents: list) -> None:
         os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(cents, f)
+        json.dump(model, f)
     os.replace(tmp, path)
+
+
+def centroid_drift(
+    spark: SparkSession,
+    dest: str,
+    floor_before: int,
+    threshold: float = 1.5,
+) -> dict | None:
+    """Drift check for the train-once/assign-forever model: mean
+    assignment distance over ONLY the batches committed after
+    `floor_before` (O(delta) — the standing service never re-scans the
+    assignment table), flagged when it exceeds the trained baseline by
+    `threshold`x. Without this a frozen model silently decays as the
+    corpus distribution moves. The result is persisted into the model
+    sidecar (surfaced by RetrievalService.metrics / the serving
+    /metrics endpoint); retraining stays an OPERATOR decision — the
+    flag never mutates the model. Returns None when no new batches
+    landed or the model was never trained."""
+    model = load_centroid_model(dest)
+    if model is None:
+        return None
+    floor_now = applied_version(dest)
+    dirs = [
+        d
+        for d in _confirmed_dirs(dest, floor_now)
+        if int(os.path.basename(d).split("=", 1)[1]) > floor_before
+    ]
+    if not dirs:
+        return None
+    delta = (
+        spark.read.option("basePath", dest)
+        .parquet(*sorted(dirs))
+        .filter(~F.col("is_deletion"))
+    )
+    row = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dist").alias("mean_dist"),
+    ).collect()[0]
+    if row.n == 0:
+        return None
+    baseline = model.get("baseline_mean_dist")
+    flagged = baseline is not None and row.mean_dist > threshold * baseline
+    model.update(
+        {
+            "last_delta_rows": int(row.n),
+            "last_delta_mean_dist": float(row.mean_dist),
+            "drift_flagged": bool(flagged),
+            "drift_threshold": threshold,
+        }
+    )
+    _write_centroid_model(dest, model)
+    return {
+        "delta_rows": int(row.n),
+        "delta_mean_dist": float(row.mean_dist),
+        "baseline_mean_dist": baseline,
+        "drift_flagged": bool(flagged),
+    }
 
 
 def compact_derived(spark: SparkSession, dest: str) -> int:
@@ -422,6 +621,109 @@ def compact_derived(spark: SparkSession, dest: str) -> int:
     os.rename(tmp, dest)
     shutil.rmtree(old, ignore_errors=True)
     return len(dirs) - 1
+
+
+class RetrievalService:
+    """Read facade over the materialized retrieval tables, for the
+    serving endpoint (streaming/serve.py): ANN top-k through the LSH
+    bucket table and BM25 through the postings/doclen tables. Every
+    query reads standing state — the maintainer (or `index-retrieval`
+    runs) keeps the tables fresh; the service never re-hashes a corpus.
+
+    The reference serves ALL reads through its server facade
+    (fluxdb.go:104-154); this is the retrieval-index half of that
+    surface, beside QueryServer's temporal routes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        ann_dest: str | None = None,
+        ann_n_planes: int = 4,
+        ann_n_tables: int = 4,
+        ann_dim: int = 64,
+        ann_seed: int = 42,
+        bm25_postings_dest: str | None = None,
+        bm25_doclen_dest: str | None = None,
+        kmeans_dest: str | None = None,
+    ):
+        self.spark = spark
+        self.ann_dest = ann_dest
+        self.ann_params = {
+            "n_planes": ann_n_planes,
+            "n_tables": ann_n_tables,
+            "dim": ann_dim,
+            "seed": ann_seed,
+        }
+        self.bm25_postings_dest = bm25_postings_dest
+        self.bm25_doclen_dest = bm25_doclen_dest
+        self.kmeans_dest = kmeans_dest
+
+    def metrics(self) -> dict:
+        """Retrieval-index gauges for a /metrics snapshot — notably the
+        centroid-drift flag, so a standing service's model decay is
+        visible to scraping, not just to CLI logs."""
+        out: dict = {}
+        if self.kmeans_dest is not None:
+            model = load_centroid_model(self.kmeans_dest) or {}
+            out["fluxdb_centroid_drift_flagged"] = int(
+                bool(model.get("drift_flagged"))
+            )
+            if model.get("baseline_mean_dist") is not None:
+                out["fluxdb_centroid_baseline_mean_dist"] = model[
+                    "baseline_mean_dist"
+                ]
+            if model.get("last_delta_mean_dist") is not None:
+                out["fluxdb_centroid_last_delta_mean_dist"] = model[
+                    "last_delta_mean_dist"
+                ]
+        if self.bm25_doclen_dest is not None:
+            stats = load_bm25_stats(self.bm25_doclen_dest)
+            if stats is not None:
+                out["fluxdb_bm25_live_docs"] = stats[0]
+                out["fluxdb_bm25_total_tokens"] = stats[1]
+        return out
+
+    def ann_topk(self, vector: list[float], k: int = 10) -> DataFrame:
+        """Approximate top-k neighbors of `vector` from the materialized
+        bucket table: the probe is hashed with the index's own seeded
+        hyperplanes, so it collides with exactly the candidates the
+        maintainer bucketed — per query, a bucket equi-join over the
+        standing table, no corpus pass."""
+        if self.ann_dest is None:
+            raise ValueError("no ANN index configured")
+        from fluxdb_spark.functions.similarity import lsh_topk_from_buckets
+
+        derived = read_derived(self.spark, self.ann_dest)
+        if derived is None:
+            raise ValueError("ANN index is empty — run index-retrieval")
+        buckets = lww_latest(derived, ["vec_id", "tbl"])
+        probe = self.spark.createDataFrame(
+            [(-1, [float(x) for x in vector])],
+            "vec_id long, embedding array<double>",
+        )
+        return lsh_topk_from_buckets(
+            buckets, probe, k=k, **self.ann_params
+        ).drop("query_id")
+
+    def bm25(self, terms: list[str], k: int = 10) -> DataFrame:
+        """BM25 top-k over the materialized postings, with the corpus
+        stats cached at the last refresh — O(term-matched postings) per
+        query."""
+        if self.bm25_postings_dest is None or self.bm25_doclen_dest is None:
+            raise ValueError("no BM25 index configured")
+        from fluxdb_spark.functions.text import bm25_from_postings
+
+        postings = read_derived(self.spark, self.bm25_postings_dest)
+        doclen = read_derived(self.spark, self.bm25_doclen_dest)
+        if postings is None or doclen is None:
+            raise ValueError("BM25 index is empty — run index-retrieval")
+        return bm25_from_postings(
+            postings,
+            doclen,
+            terms,
+            k,
+            stats=load_bm25_stats(self.bm25_doclen_dest),
+        )
 
 
 def refresh(

@@ -350,6 +350,93 @@ class TestMaterializedKmeans:
         assert got == want
 
 
+class TestMaterializedBm25:
+    """Standing BM25: postings + doclen tables maintained incrementally,
+    corpus stats cached at refresh time, queries touching only
+    term-filtered postings — and every answer hash-identical to the
+    whole-corpus recompute."""
+
+    QUERY = ["quick", "spark", "state"]
+
+    def _rank(self, spark, p_dest, d_dest, stats):
+        from fluxdb_spark.functions import text as tx
+
+        return sorted(
+            map(
+                tuple,
+                tx.bm25_from_postings(
+                    rt.read_derived(spark, p_dest),
+                    rt.read_derived(spark, d_dest),
+                    self.QUERY,
+                    10,
+                    stats=stats,
+                ).collect(),
+            )
+        )
+
+    def _recompute(self, spark, docs):
+        from fluxdb_spark.functions import text as tx
+
+        d = spark.createDataFrame(
+            sorted(docs.items()), "doc_id long, text string"
+        )
+        return sorted(map(tuple, tx.bm25_scores(d, self.QUERY, 10).collect()))
+
+    def test_incremental_updates_match_recompute(
+        self, spark, store, tmp_path
+    ):
+        p_dest = str(tmp_path / "postings")
+        d_dest = str(tmp_path / "doclen")
+        ck = str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        stats = rt.bm25_refresh(spark, str(store.root), p_dest, d_dest, ck)
+        assert stats == (3, sum(len(t.split()) for t in DOCS1.values()))
+        assert rt.load_bm25_stats(d_dest) == stats
+        assert self._rank(spark, p_dest, d_dest, stats) == self._recompute(
+            spark, DOCS1
+        )
+        # incremental append: only new commit dirs land, stats advance
+        before = _commit_dirs(p_dest)
+        store.write_batch(doc_rows(spark, DOCS2))
+        stats = rt.bm25_refresh(spark, str(store.root), p_dest, d_dest, ck)
+        assert set(before) < set(_commit_dirs(p_dest))
+        both = {**DOCS1, **DOCS2}
+        assert stats[0] == len(both)
+        assert self._rank(spark, p_dest, d_dest, stats) == self._recompute(
+            spark, both
+        )
+
+    def test_update_and_tombstone_via_live_height_join(
+        self, spark, store, tmp_path
+    ):
+        """An edit that REMOVES terms must not leave stale postings
+        live (the per-(doc,term) LWW trap), and a tombstoned doc must
+        drop out of df/N/avgdl entirely."""
+        p_dest = str(tmp_path / "postings")
+        d_dest = str(tmp_path / "doclen")
+        ck = str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.bm25_refresh(spark, str(store.root), p_dest, d_dest, ck)
+        # doc 0 edited: 'quick' no longer present; doc 2 tombstoned
+        new0 = "totally rewritten body mentioning spark only"
+        store.write_batch(
+            make_changelog(
+                spark,
+                [
+                    ("doc", "docs", 10, "0", new0),
+                    ("doc", "docs", 11, "2", None),
+                ],
+            ),
+            force=True,
+        )
+        stats = rt.bm25_refresh(spark, str(store.root), p_dest, d_dest, ck)
+        live = {0: new0, 1: DOCS1[1]}
+        assert stats[0] == 2
+        assert self._rank(spark, p_dest, d_dest, stats) == self._recompute(
+            spark, live
+        )
+
+
 class TestCentroidPersistence:
     """The frozen k-means model must survive every dest-directory swap:
     rebuild-on-rewrite and compaction replace `dest` wholesale, so the
@@ -416,6 +503,45 @@ class TestCentroidPersistence:
         assert not os.path.exists(os.path.join(dest, "_centroids.json"))
         # subsequent loads read the sibling
         assert rt.load_centroids(dest) == cents
+
+
+class TestCentroidDrift:
+    def test_drift_flagged_on_distribution_shift(
+        self, spark, store, tmp_path, capsys
+    ):
+        """A frozen model must not decay silently: in-distribution
+        appends stay quiet, far-out-of-distribution appends raise the
+        drift flag (persisted in the model sidecar, surfaced via
+        RetrievalService.metrics)."""
+        from fluxdb_spark.__main__ import main
+
+        dest, ck = str(tmp_path / "asg"), str(tmp_path / "ck")
+        args = ["index-retrieval", "--store", str(store.root),
+                "--dest", dest, "--checkpoint", ck,
+                "--kind", "kmeans", "--k", "3", "--iters", "2"]
+        store.write_batch(vec_rows(spark, VECS))
+        assert main(args, spark) == 0
+        model = rt.load_centroid_model(dest)
+        assert model["baseline_mean_dist"] is not None
+        assert model["baseline_mean_dist"] > 0
+        # in-distribution delta: copies of training vectors — no flag
+        extra_ok = {50 + i: VECS[i] for i in range(3)}
+        store.write_batch(vec_rows(spark, extra_ok, h0=40), force=True)
+        assert main(args, spark) == 0
+        assert "WARNING: centroid drift" not in capsys.readouterr().out
+        assert rt.load_centroid_model(dest)["drift_flagged"] is False
+        # drifted delta: vectors far outside the trained distribution
+        drifted = {100 + i: [50.0 + i] * 8 for i in range(3)}
+        store.write_batch(vec_rows(spark, drifted, h0=60), force=True)
+        assert main(args, spark) == 0
+        assert "WARNING: centroid drift" in capsys.readouterr().out
+        model = rt.load_centroid_model(dest)
+        assert model["drift_flagged"] is True
+        assert model["last_delta_rows"] == 3
+        svc = rt.RetrievalService(spark, kmeans_dest=dest)
+        m = svc.metrics()
+        assert m["fluxdb_centroid_drift_flagged"] == 1
+        assert m["fluxdb_centroid_baseline_mean_dist"] > 0
 
 
 class TestMaterializedMinhashDedup:

@@ -91,3 +91,87 @@ def test_append_mode_emits_only_finalized_windows(spark, events, stream_dir):
         w for (w, _) in batch if w + WINDOW > watermark
     }
     assert len(withheld) >= 1  # the tail window is always still open
+
+
+def test_simhash_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """The streaming near-dup shape (map-only SimHash fingerprint ->
+    dropDuplicatesWithinWatermark) with REAL per-row event times across
+    micro-batches: in-horizon duplicates dedup, and fingerprints older
+    than the watermark horizon are EVICTED from the state store — the
+    property that makes continuous near-dup dedup viable at 100 TB/day
+    (unbounded state would OOM any cluster). The catalog entry keeps its
+    time spread within the delay so its DISTINCT oracle is exact; this
+    test widens the spread to prove the eviction path."""
+    from datetime import datetime
+
+    from fluxdb_spark.functions import dedup as dd
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t6 = datetime(2024, 1, 1, 6, 0, 0)  # 6h later >> 1h watermark delay
+    batch1 = [(f"alpha document number {i} unique body", t0) for i in range(50)]
+    fresh2 = [(f"beta document number {i} other body", t6) for i in range(50)]
+    batch2 = fresh2 + fresh2[:5]  # 5 in-horizon duplicates
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    schema = "text string, ts timestamp"
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"b{i}")
+        )
+        src = glob.glob(str(tmp_path / f"b{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, sdir / f"{i:02d}.parquet")
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(sdir))
+    )
+    deduped = (
+        raw.select(dd.simhash_col(F.col("text")).alias("simhash"), "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["simhash"])
+        .select("simhash")
+    )
+    name = "simwm_" + uuid.uuid4().hex[:6]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    all_texts = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        r.simhash
+        for r in all_texts.select(
+            dd.simhash_col(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    got = [r.simhash for r in spark.table(name).collect()]
+    # exact dedup: every distinct fingerprint once, duplicates suppressed
+    assert sorted(got) == sorted(want)
+    # state is BOUNDED: after batch 2 the watermark (t6 - 1h) has evicted
+    # every batch-1 fingerprint; only batch-2 state remains
+    import json as _json
+
+    progs = [_json.loads(p.json) for p in q.recentProgress]
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progs
+        if p.get("stateOperators")
+    ]
+    assert totals, "no state operator progress recorded"
+    n_batch1 = len(
+        {
+            r.simhash
+            for r in spark.createDataFrame(batch1, schema)
+            .select(dd.simhash_col(F.col("text")).alias("simhash"))
+            .collect()
+        }
+    )
+    # the final micro-batch's state holds only the fresh fingerprints —
+    # strictly fewer than the full distinct set (eviction happened)
+    assert totals[-1] < len(want)
+    assert totals[-1] <= len(want) - n_batch1
