@@ -38,10 +38,19 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def _spark() -> SparkSession:
+def _spark(mode: str | None = None) -> SparkSession:
     from fluxdb_spark.session import get_spark
 
-    return get_spark(app_name="fluxdb_spark_cli")
+    extra = None
+    if mode == "server":
+        # server mode answers many concurrent HTTP reads from handler
+        # threads sharing this one session: FAIR scheduling keeps a big
+        # scan from starving small point reads (scheduler.mode is a
+        # context-init conf, so it must be set here, not per request;
+        # QueryServer additionally tags each handler thread's jobs into
+        # a "serve" pool)
+        extra = {"spark.scheduler.mode": "FAIR"}
+    return get_spark(app_name="fluxdb_spark_cli", extra_conf=extra)
 
 
 def cmd_inject(args, spark: SparkSession) -> int:
@@ -91,7 +100,24 @@ def cmd_server(args, spark: SparkSession) -> int:
         # reads over HTTP — see streaming/serve.QueryServer
         from fluxdb_spark.streaming.serve import QueryServer
 
-        query_server = QueryServer(engine, port=args.serve_port)
+        retrieval = None
+        if args.ann_index or args.bm25_postings:
+            # retrieval routes read the STANDING materialized indexes
+            # (index-retrieval mode maintains them) — the serving facade
+            # covers temporal reads and retrieval alike, like the
+            # reference's single server surface (fluxdb.go:104-154)
+            from fluxdb_spark.streaming.retrieval import RetrievalService
+
+            retrieval = RetrievalService(
+                spark,
+                ann_dest=args.ann_index,
+                ann_dim=args.ann_dim,
+                bm25_postings_dest=args.bm25_postings,
+                bm25_doclen_dest=args.bm25_doclen,
+            )
+        query_server = QueryServer(
+            engine, port=args.serve_port, retrieval=retrieval
+        )
         print(f"# serving reads at {query_server.url}/v1/state_at")
     try:
         rows = (
@@ -360,6 +386,20 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
     from fluxdb_spark.store import ChangelogStore
     from fluxdb_spark.streaming import retrieval as rt
 
+    if args.kind == "bm25":
+        # maintains BOTH standing tables (postings + doclen) and
+        # refreshes the cached corpus stats in one catch-up pass
+        doclen_dest = args.doclen_dest or (args.dest + "_doclen")
+        n_docs, tot = rt.bm25_refresh(
+            spark, args.store, args.dest, doclen_dest, args.checkpoint
+        )
+        from fluxdb_spark.streaming.materialize import applied_version
+
+        print(
+            f"bm25 index: {n_docs} live doc(s), {tot} total tokens "
+            f"at commit version {applied_version(args.dest)}"
+        )
+        return 0
     if args.kind == "minhash":
         transform = rt.minhash_transform()
     elif args.kind == "lsh":
@@ -370,24 +410,56 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         # drop it (load_centroids migrates the legacy in-dir file)
         cents = rt.load_centroids(args.dest)
         if cents is None:
-            from fluxdb_spark.functions.similarity import kmeans_centroids
+            from pyspark.sql import functions as F
+
+            from fluxdb_spark.functions.similarity import (
+                assign_to_centroids,
+                kmeans_centroids,
+            )
 
             store = ChangelogStore(spark, args.store)
             live = rt.lww_latest(
                 rt.vector_relation(store.changelog()), ["vec_id"]
             ).select("vec_id", "embedding")
             cents = kmeans_centroids(live, k=args.k, iters=args.iters)
-            rt.save_centroids(args.dest, cents)
+            # baseline mean assignment distance over the TRAINING corpus
+            # — the yardstick later delta batches are drift-checked
+            # against (one extra map-only pass, train time only)
+            row = (
+                assign_to_centroids(live, cents)
+                .agg(F.avg("dist").alias("d"))
+                .collect()[0]
+            )
+            rt.save_centroids(
+                args.dest,
+                cents,
+                baseline_mean_dist=(
+                    None if row.d is None else float(row.d)
+                ),
+            )
         transform = rt.centroid_assign_transform(cents)
+    from fluxdb_spark.streaming.materialize import applied_version
+
+    floor_before = applied_version(args.dest)
     df = rt.refresh(
         spark, args.store, args.dest, transform, args.checkpoint
     )
-    from fluxdb_spark.streaming.materialize import applied_version
-
     print(
         f"{args.kind} index: {0 if df is None else df.count()} derived "
         f"row(s) at commit version {applied_version(args.dest)}"
     )
+    if args.kind == "kmeans":
+        drift = rt.centroid_drift(
+            spark, args.dest, floor_before, threshold=args.drift_threshold
+        )
+        if drift is not None and drift["drift_flagged"]:
+            print(
+                "# WARNING: centroid drift — delta mean dist "
+                f"{drift['delta_mean_dist']:.1f} exceeds "
+                f"{args.drift_threshold}x trained baseline "
+                f"{drift['baseline_mean_dist']:.1f} over "
+                f"{drift['delta_rows']} new row(s); consider retraining"
+            )
     return 0
 
 
@@ -432,6 +504,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="keep the read API up for N seconds after the probe "
         "(0 = probe once and exit)",
     )
+    s.add_argument(
+        "--ann-index",
+        default=None,
+        help="materialized LSH bucket table (index-retrieval --kind lsh "
+        "dest); enables /v1/ann_topk",
+    )
+    s.add_argument("--ann-dim", type=int, default=64)
+    s.add_argument(
+        "--bm25-postings",
+        default=None,
+        help="materialized BM25 postings table; enables /v1/bm25 "
+        "(requires --bm25-doclen)",
+    )
+    s.add_argument("--bm25-doclen", default=None)
     s.set_defaults(fn=cmd_server)
 
     rs = sub.add_parser("reproc-shard")
@@ -554,18 +640,32 @@ def build_parser() -> argparse.ArgumentParser:
     ridx.add_argument("--dest", required=True)
     ridx.add_argument("--checkpoint", required=True)
     ridx.add_argument(
-        "--kind", choices=("minhash", "lsh", "kmeans"), default="minhash"
+        "--kind",
+        choices=("minhash", "lsh", "kmeans", "bm25"),
+        default="minhash",
+    )
+    ridx.add_argument(
+        "--doclen-dest",
+        default=None,
+        help="bm25 doclen table location (default: <dest>_doclen)",
     )
     ridx.add_argument("--dim", type=int, default=64)
     ridx.add_argument("--k", type=int, default=4)
     ridx.add_argument("--iters", type=int, default=3)
+    ridx.add_argument(
+        "--drift-threshold",
+        type=float,
+        default=1.5,
+        help="flag centroid drift when a delta batch's mean assignment "
+        "distance exceeds this multiple of the trained baseline",
+    )
     ridx.set_defaults(fn=cmd_index_retrieval)
     return p
 
 
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args, spark or _spark())
+    return args.fn(args, spark or _spark(args.mode))
 
 
 if __name__ == "__main__":

@@ -18,6 +18,8 @@ Routes (GET, query-string params):
     /v1/time_weighted?tablet=T&start=A&stop=B&metric=EXPR[&collection=C]
     /v1/has_rows?tablet=T[&collection=C]
     /v1/checkpoint
+    /v1/ann_topk?vector=F1,F2,...[&k=N]     (materialized LSH index)
+    /v1/bm25?terms=T1,T2,...[&k=N]          (materialized postings)
     /metrics            (optional, same source contract as MetricsServer)
 
 Responses are `{"rows": [...], "count": n}` JSON; errors are HTTP 400
@@ -35,12 +37,56 @@ the store read itself; concurrent requests are independent Spark actions
 from __future__ import annotations
 
 import json
+import re
 
 from fluxdb_spark.streaming.metrics import prometheus_text
 
 
 class BadRequest(Exception):
     pass
+
+
+# the /v1/time_weighted `metric` parameter is an expression over the
+# changelog row, but it comes from an UNTRUSTED HTTP client — passing it
+# to F.expr verbatim would let any client run arbitrary Spark SQL
+# (including reflection-capable functions like java_method) inside the
+# engine. validate_metric_expr admits only a closed expression grammar:
+# column identifiers, numeric/string literals, arithmetic/comparison
+# operators, and CASE/boolean keywords — and bans every function call
+# (an identifier directly followed by "(").
+_METRIC_TOKEN = re.compile(
+    r"\s*(\d+(?:\.\d+)?|'(?:[^']|'')*'|[A-Za-z_][A-Za-z0-9_]*"
+    r"|[()+\-*/%=<>!,])"
+)
+_METRIC_KEYWORDS = frozenset(
+    "case when then else end and or not in is null true false "
+    "between like".split()
+)
+
+
+def validate_metric_expr(expr: str) -> str:
+    """Admit `expr` only if it stays inside the safe metric grammar;
+    raises BadRequest otherwise. Returns the validated text."""
+    expr = expr.strip()
+    if not expr:
+        raise BadRequest("metric must be non-empty")
+    pos, n, prev_word = 0, len(expr), None
+    while pos < n:
+        m = _METRIC_TOKEN.match(expr, pos)
+        if not m:
+            raise BadRequest(
+                f"metric: unsupported syntax at {expr[pos:pos + 20]!r}"
+            )
+        tok = m.group(1)
+        if (
+            tok == "("
+            and prev_word is not None
+            and prev_word.lower() not in _METRIC_KEYWORDS
+        ):
+            raise BadRequest("metric: function calls are not allowed")
+        prev_word = tok if (tok[0].isalpha() or tok[0] == "_") else None
+        pos = m.end()
+    return expr
 
 
 def _rows_payload(df, limit: int) -> dict:
@@ -65,6 +111,7 @@ class QueryServer:
         port: int = 0,
         max_rows: int = 1000,
         metrics_source=None,
+        retrieval=None,
     ):
         import http.server
         import threading
@@ -73,11 +120,23 @@ class QueryServer:
         self.engine = engine
         self.max_rows = max_rows
         self._metrics_source = metrics_source
+        self.retrieval = retrieval
 
         class Handler(http.server.BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
                 from urllib.parse import parse_qs, urlparse
 
+                try:
+                    # tag this handler thread's Spark jobs into the
+                    # serving pool: under FAIR scheduling (server mode
+                    # sets spark.scheduler.mode=FAIR) concurrent
+                    # requests share cluster slots instead of queuing
+                    # behind one big scan; a no-op under FIFO
+                    outer.engine.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", "serve"
+                    )
+                except Exception:
+                    pass
                 u = urlparse(self.path)
                 params = {
                     k: v[-1] for k, v in parse_qs(u.query).items()
@@ -135,6 +194,36 @@ class QueryServer:
                 ),
                 "application/json",
             )
+        if path in ("/v1/ann_topk", "/v1/bm25"):
+            if self.retrieval is None:
+                raise BadRequest("no retrieval indexes configured")
+            try:
+                k = min(int(p.get("k", 10)), self.max_rows)
+            except ValueError:
+                raise BadRequest(f"k must be an integer: {p['k']!r}")
+            if k < 1:
+                raise BadRequest(f"k must be >= 1: {k}")
+            if path == "/v1/ann_topk":
+                try:
+                    vector = [
+                        float(x) for x in p["vector"].split(",") if x != ""
+                    ]
+                except ValueError:
+                    raise BadRequest("vector must be comma-separated floats")
+                if not vector:
+                    raise BadRequest("vector must be non-empty")
+                df = self.retrieval.ann_topk(vector, k=k)
+            else:
+                terms = [
+                    t for t in p["terms"].replace(",", " ").split() if t
+                ]
+                if not terms:
+                    raise BadRequest("terms must be non-empty")
+                df = self.retrieval.bm25(terms, k=k)
+            return (
+                json.dumps(_rows_payload(df, k)),
+                "application/json",
+            )
         if path == "/v1/has_rows":
             ok = self.engine.has_rows(
                 p["tablet"], collection=p.get("collection")
@@ -150,10 +239,6 @@ class QueryServer:
         )
         if path not in known:
             return None, ""
-        limit = min(int(p.get("limit", self.max_rows)), self.max_rows)
-        kw = {}
-        if "collection" in p:
-            kw["collection"] = p["collection"]
 
         def _int(name):
             try:
@@ -162,6 +247,17 @@ class QueryServer:
                 raise BadRequest(
                     f"{name} must be an integer: {p[name]!r}"
                 )
+
+        if "limit" in p:
+            limit = _int("limit")
+            if limit < 0:
+                raise BadRequest(f"limit must be >= 0: {limit}")
+            limit = min(limit, self.max_rows)
+        else:
+            limit = self.max_rows
+        kw = {}
+        if "collection" in p:
+            kw["collection"] = p["collection"]
 
         if path == "/v1/state_at":
             df = self.engine.state_at(p["tablet"], _int("height"), **kw)
@@ -184,7 +280,7 @@ class QueryServer:
 
             df = self.engine.time_weighted_avg(
                 p["tablet"], _int("start"), _int("stop"),
-                F.expr(p["metric"]), **kw,
+                F.expr(validate_metric_expr(p["metric"])), **kw,
             )
         return json.dumps(_rows_payload(df, limit)), "application/json"
 

@@ -143,6 +143,58 @@ class TestQueryServer:
         for got in results:
             assert {r["primary_key"] for r in got["rows"]} == {"001", "002"}
 
+    def test_saturation_mixed_reads_with_concurrent_writer(
+        self, engine, server
+    ):
+        """Saturation shape of a standing server: 16 concurrent clients
+        across every temporal route WHILE a maintainer batch commits —
+        each response is complete and internally consistent (a reader
+        sees the store before or after the append, never a torn state),
+        and the append is visible once the writer finishes."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        urls = [
+            f"{server.url}/v1/state_at?tablet=tbl&collection=tst&height=100",
+            f"{server.url}/v1/row_at?tablet=tbl&collection=tst"
+            "&height=100&key=001",
+            f"{server.url}/v1/singlet_history?singlet=tbl&collection=tst",
+            f"{server.url}/v1/checkpoint",
+        ] * 4
+
+        def write_batch():
+            engine.store.write_batch(
+                engine.spark.createDataFrame(
+                    [clrow("tbl", 120, "003", "late", "b120")],
+                    CHANGELOG_SCHEMA,
+                ),
+                force=True,
+            )
+            return "written"
+
+        with ThreadPoolExecutor(max_workers=9) as ex:
+            writer = ex.submit(write_batch)
+            results = list(ex.map(_get, urls))
+            assert writer.result() == "written"
+        for url, got in zip(urls, results):
+            if "state_at" in url:
+                # height-100 snapshot: the height-120 append never leaks
+                assert {r["primary_key"] for r in got["rows"]} == {
+                    "001", "002",
+                }
+            elif "row_at" in url:
+                assert [r["value"] for r in got["rows"]] == ["base"]
+            elif "singlet_history" in url:
+                assert got["count"] >= 1
+            else:
+                assert got["height"] == 100
+        # the concurrent append is durably visible at its height
+        got = _get(
+            f"{server.url}/v1/state_at?tablet=tbl&collection=tst&height=120"
+        )
+        assert {r["primary_key"] for r in got["rows"]} == {
+            "001", "002", "003",
+        }
+
     def test_bad_params_and_unknown_route(self, server):
         with pytest.raises(HTTPError) as e:
             _get(f"{server.url}/v1/state_at?tablet=tbl&height=abc")
@@ -153,6 +205,128 @@ class TestQueryServer:
         with pytest.raises(HTTPError) as e:
             _get(f"{server.url}/v1/nope")
         assert e.value.code == 404
+
+    def test_metric_expression_is_validated(self, engine, server):
+        """The untrusted `metric` parameter must stay inside the safe
+        expression grammar — function calls (reflection, cast, anything)
+        are 400s, never handed to F.expr."""
+        from urllib.parse import quote
+
+        base = (
+            f"{server.url}/v1/time_weighted?tablet=tbl&collection=tst"
+            "&start=100&stop=110&metric="
+        )
+        for bad in [
+            "java_method('java.lang.Runtime','getRuntime')",
+            "reflect('java.lang.System','getenv','PATH')",
+            "cast(value as int)",
+            "length(value)",
+            "value; drop table x",
+            "`value`",
+        ]:
+            with pytest.raises(HTTPError) as e:
+                _get(base + quote(bad, safe=""))
+            assert e.value.code == 400, bad
+        # the safe grammar still admits CASE/arithmetic metrics
+        ok = _get(
+            base
+            + quote("CASE WHEN value = 'base' THEN 2 ELSE 0 END", safe="")
+        )
+        assert ok["count"] >= 1
+
+    def test_limit_validation(self, server):
+        url = (
+            f"{server.url}/v1/state_at?tablet=tbl&collection=tst&height=100"
+        )
+        for bad in ("abc", "-1"):
+            with pytest.raises(HTTPError) as e:
+                _get(f"{url}&limit={bad}")
+            assert e.value.code == 400, bad
+        # limit=0 is a valid empty page, not an error
+        got = _get(f"{url}&limit=0")
+        assert got["count"] == 0 and got["truncated"] is True
+
+
+class TestRetrievalRoutes:
+    """/v1/ann_topk and /v1/bm25: the serving endpoint reads the
+    STANDING materialized indexes — and keeps answering correctly while
+    the maintainer catches the indexes up on an append (the reference
+    serves every read through one server facade, fluxdb.go:104-154)."""
+
+    def test_ann_and_bm25_with_maintainer_catchup(self, spark, tmp_path):
+        from fluxdb_spark.store import ChangelogStore
+        from fluxdb_spark.streaming import retrieval as rt
+        from tests.test_retrieval import DOCS1, DOCS2, VECS, doc_rows, vec_rows
+
+        # standing indexes: LSH buckets over a vector store, BM25
+        # postings over a document store
+        vstore = ChangelogStore(spark, str(tmp_path / "vdb"))
+        vstore.write_batch(vec_rows(spark, VECS))
+        ann_dest = str(tmp_path / "lsh")
+        rt.refresh(
+            spark, str(vstore.root), ann_dest,
+            rt.lsh_bucket_transform(dim=8), str(tmp_path / "ck_lsh"),
+        )
+        dstore = ChangelogStore(spark, str(tmp_path / "ddb"))
+        dstore.write_batch(doc_rows(spark, DOCS1))
+        p_dest, d_dest = str(tmp_path / "postings"), str(tmp_path / "doclen")
+        rt.bm25_refresh(
+            spark, str(dstore.root), p_dest, d_dest, str(tmp_path / "ck_bm")
+        )
+
+        engine = FluxEngine(spark, str(tmp_path / "edb"))
+        service = rt.RetrievalService(
+            spark,
+            ann_dest=ann_dest,
+            ann_dim=8,
+            bm25_postings_dest=p_dest,
+            bm25_doclen_dest=d_dest,
+        )
+        srv = QueryServer(engine, port=0, retrieval=service)
+        try:
+            probe = VECS[0]
+            got = _get(
+                f"{srv.url}/v1/ann_topk?k=3&vector="
+                + ",".join(str(x) for x in probe)
+            )
+            assert 0 < got["count"] <= 3
+            want = {
+                r.match_id for r in service.ann_topk(probe, k=3).collect()
+            }
+            assert {r["match_id"] for r in got["rows"]} == want
+
+            got = _get(f"{srv.url}/v1/bm25?terms=quick,fox&k=5")
+            hits = {r["doc_id"] for r in got["rows"]}
+            assert hits == {0, 1}  # DOCS1 docs containing quick/fox
+
+            # the maintainer catches up on an append WHILE the server is
+            # live: new docs become visible with no restart
+            dstore.write_batch(doc_rows(spark, DOCS2))
+            rt.bm25_refresh(
+                spark, str(dstore.root), p_dest, d_dest,
+                str(tmp_path / "ck_bm"),
+            )
+            got = _get(f"{srv.url}/v1/bm25?terms=quick,fox&k=5")
+            assert {r["doc_id"] for r in got["rows"]} == {0, 1, 3}
+
+            # parameter validation
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/ann_topk?vector=1.0,nope")
+            assert e.value.code == 400
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/bm25?terms=&k=5")
+            assert e.value.code == 400
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/bm25?terms=quick&k=0")
+            assert e.value.code == 400
+        finally:
+            srv.close()
+
+    def test_routes_400_when_unconfigured(self, server):
+        for q in ("ann_topk?vector=1.0", "bm25?terms=x"):
+            with pytest.raises(HTTPError) as e:
+                _get(f"{server.url}/v1/{q}")
+            assert e.value.code == 400
 
 
 def test_index_retrieval_cli_catches_up(spark, tmp_path, capsys):
@@ -191,6 +365,34 @@ def test_index_retrieval_cli_catches_up(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "minhash index: 2 derived row(s)" in capsys.readouterr().out
+
+
+def test_index_retrieval_cli_bm25(spark, tmp_path, capsys):
+    """index-retrieval --kind bm25 maintains postings + doclen + cached
+    stats in one catch-up pass."""
+    from fluxdb_spark.__main__ import main
+    from fluxdb_spark.store import ChangelogStore
+    from fluxdb_spark.streaming import retrieval as rt
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "bstore")
+    dest, ck = str(tmp_path / "postings"), str(tmp_path / "ck")
+    st = ChangelogStore(spark, root)
+    st.write_batch(
+        make_changelog(
+            spark, [("doc", "docs", 1, "0", "alpha beta gamma alpha")]
+        )
+    )
+    rc = main(
+        ["index-retrieval", "--store", root, "--dest", dest,
+         "--checkpoint", ck, "--kind", "bm25"],
+        spark,
+    )
+    assert rc == 0
+    assert "bm25 index: 1 live doc(s), 4 total tokens" in (
+        capsys.readouterr().out
+    )
+    assert rt.load_bm25_stats(dest + "_doclen") == (1, 4)
 
 
 def test_server_cli_serves_reads_with_fork_in_flight(
