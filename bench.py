@@ -81,6 +81,13 @@ HEADLINE = [
     "embed_covariance",
     # C4-style sub-document dedup (corpus-wide span ownership)
     "paragraph_dedup",
+    # round-8 additions: the standing-service read paths — maintainer
+    # catch-up (commit-log follow + derived write) plus the
+    # materialized-index query, the cost profile a standing retrieval
+    # service actually pays
+    "dedup_minhash_lsh_materialized",
+    "embed_ann_lsh_materialized",
+    "bm25_rank_materialized",
 ]
 
 

@@ -48,6 +48,13 @@ OPS = [
     "embed_topk_projected",
     "embed_covariance",
     "paragraph_dedup",
+    # standing-service variants: each row pays ingest + maintainer
+    # catch-up + the materialized-index read, the full cost profile of
+    # a standing retrieval deployment
+    "dedup_minhash_lsh_materialized",
+    "embed_ann_lsh_materialized",
+    "embed_kmeans_materialized",
+    "bm25_rank_materialized",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
