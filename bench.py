@@ -88,6 +88,7 @@ HEADLINE = [
     "dedup_minhash_lsh_materialized",
     "embed_ann_lsh_materialized",
     "bm25_rank_materialized",
+    "embed_topk_quantized_materialized",
 ]
 
 

@@ -69,11 +69,29 @@ def cmd_server(args, spark: SparkSession) -> int:
     from fluxdb_spark.streaming.ingest import FluxEngine
 
     engine = FluxEngine(spark, args.store)
+    retrieval = None
+    if args.ann_index or args.bm25_postings or args.kmeans_index:
+        # retrieval routes and gauges read the STANDING materialized
+        # indexes (index-retrieval mode maintains them) — the serving
+        # facade covers temporal reads and retrieval alike, like the
+        # reference's single server surface (fluxdb.go:104-154)
+        from fluxdb_spark.streaming.retrieval import RetrievalService
+
+        retrieval = RetrievalService(
+            spark,
+            ann_dest=args.ann_index,
+            ann_dim=args.ann_dim,
+            bm25_postings_dest=args.bm25_postings,
+            bm25_doclen_dest=args.bm25_doclen,
+            kmeans_dest=args.kmeans_index,
+        )
     metrics_server = None
     if args.metrics_port is not None:
         # the reference's scrape endpoint (metrics/metrics.go:21-24): in
         # server mode the head/drift gauges come from the durable
-        # checkpoint (no streaming query is attached here)
+        # checkpoint (no streaming query is attached here); retrieval
+        # gauges (centroid drift, BM25 corpus stats) ride along when
+        # indexes are configured
         import time as _time
 
         from fluxdb_spark.streaming.metrics import MetricsServer
@@ -82,7 +100,7 @@ def cmd_server(args, spark: SparkSession) -> int:
 
         def snapshot():
             ckpt = engine.checkpoint()
-            return {
+            out = {
                 "fluxdb_head_block_number": (
                     None if ckpt is None else ckpt.height
                 ),
@@ -90,6 +108,9 @@ def cmd_server(args, spark: SparkSession) -> int:
                     _time.time() - started, 3
                 ),
             }
+            if retrieval is not None:
+                out.update(retrieval.metrics())
+            return out
 
         metrics_server = MetricsServer(snapshot, port=args.metrics_port)
         print(f"# metrics at {metrics_server.url}")
@@ -100,21 +121,6 @@ def cmd_server(args, spark: SparkSession) -> int:
         # reads over HTTP — see streaming/serve.QueryServer
         from fluxdb_spark.streaming.serve import QueryServer
 
-        retrieval = None
-        if args.ann_index or args.bm25_postings:
-            # retrieval routes read the STANDING materialized indexes
-            # (index-retrieval mode maintains them) — the serving facade
-            # covers temporal reads and retrieval alike, like the
-            # reference's single server surface (fluxdb.go:104-154)
-            from fluxdb_spark.streaming.retrieval import RetrievalService
-
-            retrieval = RetrievalService(
-                spark,
-                ann_dest=args.ann_index,
-                ann_dim=args.ann_dim,
-                bm25_postings_dest=args.bm25_postings,
-                bm25_doclen_dest=args.bm25_doclen,
-            )
         query_server = QueryServer(
             engine, port=args.serve_port, retrieval=retrieval
         )
@@ -399,6 +405,13 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
             f"bm25 index: {n_docs} live doc(s), {tot} total tokens "
             f"at commit version {applied_version(args.dest)}"
         )
+        if args.compact:
+            # postings are multi-row per version (liveness decided by
+            # the doclen join), so they coalesce without folding; the
+            # doclen table folds to one row per doc
+            n = rt.compact_derived(spark, args.dest)
+            n += rt.compact_derived(spark, doclen_dest, fold_keys=["doc_id"])
+            print(f"# compacted {n} batch dir(s)")
         return 0
     if args.kind == "minhash":
         transform = rt.minhash_transform()
@@ -460,6 +473,13 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
                 f"{drift['baseline_mean_dist']:.1f} over "
                 f"{drift['delta_rows']} new row(s); consider retraining"
             )
+    if args.compact:
+        # fold-compaction: one physical row per key (tombstones kept),
+        # so standing reads fold only the post-compaction delta
+        fold = {"minhash": ["doc_id"], "lsh": ["vec_id", "tbl"],
+                "kmeans": ["vec_id"]}[args.kind]
+        n = rt.compact_derived(spark, args.dest, fold_keys=fold)
+        print(f"# compacted {n} batch dir(s)")
     return 0
 
 
@@ -518,6 +538,12 @@ def build_parser() -> argparse.ArgumentParser:
         "(requires --bm25-doclen)",
     )
     s.add_argument("--bm25-doclen", default=None)
+    s.add_argument(
+        "--kmeans-index",
+        default=None,
+        help="materialized centroid-assignment table; exposes centroid "
+        "drift gauges on /metrics",
+    )
     s.set_defaults(fn=cmd_server)
 
     rs = sub.add_parser("reproc-shard")
@@ -652,6 +678,13 @@ def build_parser() -> argparse.ArgumentParser:
     ridx.add_argument("--dim", type=int, default=64)
     ridx.add_argument("--k", type=int, default=4)
     ridx.add_argument("--iters", type=int, default=3)
+    ridx.add_argument(
+        "--compact",
+        action="store_true",
+        help="after catch-up, fold-compact the derived table to one "
+        "physical row per key (tombstones kept), bounding read-time "
+        "LWW work to the post-compaction delta",
+    )
     ridx.add_argument(
         "--drift-threshold",
         type=float,

@@ -106,6 +106,7 @@ _PRIORITY: list[str] = [
     "stream_simhash_dedup",
     # -- new round-8 entries land here --
     "bm25_rank_materialized",
+    "embed_topk_quantized_materialized",
     # -- oldest r06-green fill
     "typed_view_protobuf",
     "embed_neardup_lsh",
@@ -126,9 +127,9 @@ _PRIORITY: list[str] = [
     "stream_sessionize",
     "sessionization",
     "session_windows",
-    "source_caps",
     # ---- position 51+ from here: leads the r09 window ----
     # -- remaining r06-green entries
+    "source_caps",
     "lm_score",
     "chunk_dedup",
     "heavy_hitters",
@@ -4045,6 +4046,41 @@ def bm25_rank_materialized(spark, sf_dir):
         20,
         stats=stats,
     ).localCheckpoint()
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@_q(
+    "embed_topk_quantized_materialized",
+    "pipeline",
+    sim.sql_quantized_topk(10, 5),
+)
+def embed_topk_quantized_materialized(spark, sf_dir):
+    """`embed_topk_quantized` over a MATERIALIZED int8 table: vectors are
+    ingested into a ChangelogStore and the quantized form (the 4x
+    compressed storage representation) is maintained as a derived table
+    by the row-wise IVM maintainer; queries never touch the float corpus
+    — probe q8 comes from the same standing table. Integer-exact
+    quantization makes this bit-identical to the recompute form (same
+    oracle)."""
+    import os
+    import shutil
+
+    from fluxdb_spark.streaming import retrieval as rt
+
+    root, store = _mat_store_vecs(spark, sf_dir)
+    dest, ck = os.path.join(root, "q8"), os.path.join(root, "ck")
+    rt.refresh(spark, str(store.root), dest, rt.quantize_transform(), ck)
+    qz = rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"]).select(
+        "vec_id", "q8", "scale_e9"
+    )
+    out = (
+        sim.quantized_topk_from_table(
+            qz, qz.filter(F.col("vec_id") < 5).select("vec_id"), k=10
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
+        .localCheckpoint()
+    )
     shutil.rmtree(root, ignore_errors=True)
     return out
 

@@ -1023,6 +1023,22 @@ def quantized_topk(
     brute_force_topk: queries broadcast, corpus scanned once, per-query
     top-k window."""
     qz = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    return quantized_topk_from_table(qz, queries, k=k, id_col=id_col)
+
+
+def quantized_topk_from_table(
+    qz: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`quantized_topk` with the corpus side read from a MATERIALIZED
+    quantized table (id, q8, ... — streaming/retrieval.py's
+    quantize_transform) instead of re-quantizing the float corpus per
+    query: the standing table IS the compressed storage form, and
+    because the whole ranking is integer-exact it reproduces the
+    recompute form bit-for-bit. Queries that reference corpus ids fetch
+    their q8 from the same table (one broadcast-size join)."""
     q = queries.join(qz, id_col).select(
         F.col(id_col).alias("query_id"), F.col("q8").alias("qv")
     )

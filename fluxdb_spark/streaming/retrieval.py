@@ -81,11 +81,11 @@ def read_derived(spark: SparkSession, dest: str) -> DataFrame | None:
     )
 
 
-def lww_latest(df: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Last-write-wins fold over a derived relation carrying
-    (height, is_deletion): per key, the row of the greatest height,
-    tombstones dropped — the same fold `state_at` applies to the
-    changelog itself, so derived reads see exactly the live corpus."""
+def lww_fold(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Per key, the row of the greatest height — TOMBSTONES KEPT. This
+    is the fold-compaction form: a tombstone must survive physical
+    folding, because a later (forced, lower-height) append for the same
+    key would otherwise become the key's only row and resurrect it."""
     others = [c for c in df.columns if c not in key_cols]
     folded = df.groupBy(*key_cols).agg(
         F.max_by(F.struct(*[F.col(c) for c in others]), F.col("height")).alias(
@@ -94,7 +94,15 @@ def lww_latest(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
     return folded.select(
         *key_cols, *[F.col(f"_r.{c}").alias(c) for c in others]
-    ).filter(~F.col("is_deletion"))
+    )
+
+
+def lww_latest(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Last-write-wins fold over a derived relation carrying
+    (height, is_deletion): per key, the row of the greatest height,
+    tombstones dropped — the same fold `state_at` applies to the
+    changelog itself, so derived reads see exactly the live corpus."""
+    return lww_fold(df, key_cols).filter(~F.col("is_deletion"))
 
 
 def materialize_rowwise(
@@ -334,6 +342,32 @@ def centroid_assign_transform(
             F.col("rid.is_deletion").alias("is_deletion"),
             "cluster",
             "dist",
+        )
+
+    return transform
+
+
+def quantize_transform():
+    """Transform factory: changelog vector rows -> int8-quantized rows
+    (vec_id, height, is_deletion, q8, scale_e9). Map-only. The derived
+    table IS the 4x-compressed storage form a 100 TB vector corpus
+    ships — and because quantization is integer-exact, queries over it
+    (`similarity.quantized_topk_from_table`) reproduce the recompute
+    form bit-for-bit."""
+    from fluxdb_spark.functions.similarity import quantize_embeddings
+
+    def transform(rows: DataFrame) -> DataFrame:
+        v = vector_relation(rows).select(
+            F.struct("vec_id", "height", "is_deletion").alias("rid"),
+            "embedding",
+        )
+        qz = quantize_embeddings(v, id_col="rid")
+        return qz.select(
+            F.col("rid.vec_id").alias("vec_id"),
+            F.col("rid.height").alias("height"),
+            F.col("rid.is_deletion").alias("is_deletion"),
+            "q8",
+            "scale_e9",
         )
 
     return transform
@@ -586,7 +620,9 @@ def centroid_drift(
     }
 
 
-def compact_derived(spark: SparkSession, dest: str) -> int:
+def compact_derived(
+    spark: SparkSession, dest: str, fold_keys: list[str] | None = None
+) -> int:
     """Coalesce the derived table's batch directories into ONE directory
     at the current floor — the OPTIMIZE pass for a long-running
     maintainer, whose per-commit directories otherwise accumulate until
@@ -596,7 +632,16 @@ def compact_derived(spark: SparkSession, dest: str) -> int:
     new one, never a mixture; a torn swap heals via _recover. Run it
     from maintenance, not concurrently with the maintainer (the swap
     assumes one writer owns dest). Returns the number of directories
-    coalesced away."""
+    coalesced away.
+
+    With `fold_keys`, compaction also FOLDS: superseded versions are
+    physically dropped so the table holds one row per key (`lww_fold` —
+    tombstones kept against resurrection by late lower-height appends).
+    This is what keeps a standing service's read-time LWW fold O(delta
+    since last compaction) instead of O(every version ever written):
+    queries still apply lww_latest, but on a fully folded prefix it is
+    a no-op-sized aggregation. Idempotent under the read fold —
+    lww_latest(folded) == lww_latest(raw) by construction."""
     import json
     import uuid
 
@@ -610,6 +655,8 @@ def compact_derived(spark: SparkSession, dest: str) -> int:
         .parquet(*sorted(dirs))
         .drop("commit_hi")
     )
+    if fold_keys is not None:
+        current = lww_fold(current, fold_keys)
     tmp = f"{dest}.tmp-{uuid.uuid4().hex}"
     current.write.mode("overwrite").parquet(
         os.path.join(tmp, f"commit_hi={floor}")
@@ -724,6 +771,33 @@ class RetrievalService:
             k,
             stats=load_bm25_stats(self.bm25_doclen_dest),
         )
+
+    def hybrid(
+        self,
+        terms: list[str],
+        vector: list[float],
+        k: int = 10,
+        rrf_k: int = 60,
+    ) -> DataFrame:
+        """Hybrid retrieval over the standing indexes: the sparse (BM25
+        postings) and dense (LSH buckets) rankers each produce a bounded
+        top-k over the SAME id space (documents whose vectors share the
+        document id), fused by reciprocal-rank fusion — scores are never
+        calibrated against each other, only ranks. Both rankers read
+        materialized state; fusion itself is |2k| rows."""
+        from pyspark.sql import Window
+
+        from fluxdb_spark.functions.similarity import rrf_fuse
+
+        sparse = self.bm25(terms, k=k)
+        w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        sparse_r = sparse.select(
+            "doc_id", F.row_number().over(w).alias("rank")
+        )
+        dense_r = self.ann_topk(vector, k=k).select(
+            F.col("match_id").alias("doc_id"), "rank"
+        )
+        return rrf_fuse([sparse_r, dense_r], k=k, rrf_k=rrf_k)
 
 
 def refresh(

@@ -231,6 +231,87 @@ class TestRowwiseMaterializer:
         assert rt.compact_derived(spark, dest) == 0
 
 
+class TestFoldCompaction:
+    """compact_derived(fold_keys=...): the derived table is rewritten to
+    ONE physical row per key, so a standing service's read-time LWW fold
+    aggregates only the post-compaction delta — while staying exactly
+    read-equivalent and resurrection-safe."""
+
+    def test_fold_drops_superseded_versions_keeps_reads(
+        self, spark, store, tmp_path
+    ):
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        new_text = "a fully rewritten body for document one"
+        store.write_batch(
+            make_changelog(
+                spark,
+                [
+                    ("doc", "docs", 10, "1", new_text),
+                    ("doc", "docs", 11, "2", None),
+                ],
+            ),
+            force=True,
+        )
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        live_before = {
+            tuple(r)
+            for r in rt.lww_latest(rt.read_derived(spark, dest), ["doc_id"])
+            .drop("height", "is_deletion")
+            .collect()
+        }
+        raw_rows = rt.read_derived(spark, dest).count()
+        assert raw_rows == 5  # 3 originals + update + tombstone
+        assert rt.compact_derived(spark, dest, fold_keys=["doc_id"]) == 1
+        # physically folded: one row per key (doc 1's old version gone;
+        # doc 2's TOMBSTONE kept against resurrection)
+        folded = rt.read_derived(spark, dest)
+        assert folded.count() == 3
+        assert folded.filter("doc_id = 2").collect()[0].is_deletion is True
+        live_after = {
+            tuple(r)
+            for r in rt.lww_latest(folded, ["doc_id"])
+            .drop("height", "is_deletion")
+            .collect()
+        }
+        assert live_after == live_before
+        # maintainer continues incrementally on the folded table
+        store.write_batch(doc_rows(spark, {30: DOCS2[4]}), force=True)
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        want = _sig_recompute(spark, {0: DOCS1[0], 1: new_text, 30: DOCS2[4]})
+        got = {
+            tuple(r)
+            for r in rt.lww_latest(rt.read_derived(spark, dest), ["doc_id"])
+            .drop("height", "is_deletion")
+            .collect()
+        }
+        assert got == want
+
+    def test_tombstone_survives_fold_blocking_resurrection(
+        self, spark, store, tmp_path
+    ):
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        store.write_batch(
+            make_changelog(spark, [("doc", "docs", 11, "2", None)]),
+            force=True,
+        )
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        rt.compact_derived(spark, dest, fold_keys=["doc_id"])
+        # a LATE, forced, lower-height append for the tombstoned doc: the
+        # kept tombstone (height 11) must still win the LWW fold
+        store.write_batch(
+            make_changelog(
+                spark, [("doc", "docs", 5, "2", "zombie content")]
+            ),
+            force=True,
+        )
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        live = rt.lww_latest(rt.read_derived(spark, dest), ["doc_id"])
+        assert live.filter("doc_id = 2").count() == 0
+
+
 VECS = {
     i: [((i * 31 + j * 7) % 13 - 6) / 7.0 for j in range(8)]
     for i in range(12)
@@ -273,6 +354,42 @@ class TestMaterializedAnn:
             )
         )
         # the JSON double round trip is exact, so scores hash-match
+        assert got == want and len(got) > 0
+
+
+class TestMaterializedQuantized:
+    def test_quantized_topk_matches_recompute(self, spark, store, tmp_path):
+        """The materialized int8 table answers quantized top-k
+        bit-identically to re-quantizing the float corpus (integer-exact
+        quantization; probe q8 fetched from the same standing table)."""
+        dest, ck = str(tmp_path / "q8"), str(tmp_path / "ck")
+        store.write_batch(vec_rows(spark, VECS))
+        rt.refresh(spark, str(store.root), dest, rt.quantize_transform(), ck)
+        qz = rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"]).select(
+            "vec_id", "q8", "scale_e9"
+        )
+        got = sorted(
+            map(
+                tuple,
+                sim.quantized_topk_from_table(
+                    qz, qz.filter(F.col("vec_id") < 3).select("vec_id"), k=5
+                ).collect(),
+            )
+        )
+        corpus = spark.createDataFrame(
+            [(i, v) for i, v in sorted(VECS.items())],
+            "vec_id long, embedding array<float>",
+        )
+        want = sorted(
+            map(
+                tuple,
+                sim.quantized_topk(
+                    corpus,
+                    corpus.filter(F.col("vec_id") < 3).select("vec_id"),
+                    k=5,
+                ).collect(),
+            )
+        )
         assert got == want and len(got) > 0
 
 
@@ -405,6 +522,40 @@ class TestMaterializedBm25:
         assert self._rank(spark, p_dest, d_dest, stats) == self._recompute(
             spark, both
         )
+
+    def test_term_filter_pushes_to_postings_scan(
+        self, spark, store, tmp_path
+    ):
+        """The whole point of the postings table: a query's term filter
+        must reach the parquet scan (row-group skipping), so a standing
+        query reads O(matching postings), not the table."""
+        import contextlib
+        import io
+
+        from fluxdb_spark.functions import text as tx
+
+        p_dest = str(tmp_path / "postings")
+        d_dest = str(tmp_path / "doclen")
+        store.write_batch(doc_rows(spark, DOCS1))
+        stats = rt.bm25_refresh(
+            spark, str(store.root), p_dest, d_dest, str(tmp_path / "ck")
+        )
+        df = tx.bm25_from_postings(
+            rt.read_derived(spark, p_dest),
+            rt.read_derived(spark, d_dest),
+            self.QUERY,
+            10,
+            stats=stats,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        pushed = [
+            line
+            for line in buf.getvalue().splitlines()
+            if "PushedFilters" in line and "In(term" in line
+        ]
+        assert pushed, buf.getvalue()
 
     def test_update_and_tombstone_via_live_height_join(
         self, spark, store, tmp_path
@@ -542,6 +693,15 @@ class TestCentroidDrift:
         m = svc.metrics()
         assert m["fluxdb_centroid_drift_flagged"] == 1
         assert m["fluxdb_centroid_baseline_mean_dist"] > 0
+        # and the flag reaches server mode's /metrics scrape
+        assert main(
+            ["server", "--store", str(store.root), "--tablet", "vecs",
+             "--height", "100", "--metrics-port", "0",
+             "--kmeans-index", dest],
+            spark,
+        ) == 0
+        out = capsys.readouterr().out
+        assert "fluxdb_centroid_drift_flagged 1" in out
 
 
 class TestMaterializedMinhashDedup:

@@ -55,6 +55,7 @@ OPS = [
     "embed_ann_lsh_materialized",
     "embed_kmeans_materialized",
     "bm25_rank_materialized",
+    "embed_topk_quantized_materialized",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
