@@ -20,6 +20,7 @@ Routes (GET, query-string params):
     /v1/checkpoint
     /v1/ann_topk?vector=F1,F2,...[&k=N]     (materialized LSH index)
     /v1/bm25?terms=T1,T2,...[&k=N]          (materialized postings)
+    /v1/hybrid?terms=...&vector=...[&k=N]   (RRF of both rankers)
     /metrics            (optional, same source contract as MetricsServer)
 
 Responses are `{"rows": [...], "count": n}` JSON; errors are HTTP 400
@@ -194,7 +195,7 @@ class QueryServer:
                 ),
                 "application/json",
             )
-        if path in ("/v1/ann_topk", "/v1/bm25"):
+        if path in ("/v1/ann_topk", "/v1/bm25", "/v1/hybrid"):
             if self.retrieval is None:
                 raise BadRequest("no retrieval indexes configured")
             try:
@@ -203,23 +204,28 @@ class QueryServer:
                 raise BadRequest(f"k must be an integer: {p['k']!r}")
             if k < 1:
                 raise BadRequest(f"k must be >= 1: {k}")
-            if path == "/v1/ann_topk":
+
+            def _vector():
                 try:
-                    vector = [
-                        float(x) for x in p["vector"].split(",") if x != ""
-                    ]
+                    v = [float(x) for x in p["vector"].split(",") if x != ""]
                 except ValueError:
                     raise BadRequest("vector must be comma-separated floats")
-                if not vector:
+                if not v:
                     raise BadRequest("vector must be non-empty")
-                df = self.retrieval.ann_topk(vector, k=k)
-            else:
-                terms = [
-                    t for t in p["terms"].replace(",", " ").split() if t
-                ]
-                if not terms:
+                return v
+
+            def _terms():
+                t = [x for x in p["terms"].replace(",", " ").split() if x]
+                if not t:
                     raise BadRequest("terms must be non-empty")
-                df = self.retrieval.bm25(terms, k=k)
+                return t
+
+            if path == "/v1/ann_topk":
+                df = self.retrieval.ann_topk(_vector(), k=k)
+            elif path == "/v1/bm25":
+                df = self.retrieval.bm25(_terms(), k=k)
+            else:
+                df = self.retrieval.hybrid(_terms(), _vector(), k=k)
             return (
                 json.dumps(_rows_payload(df, k)),
                 "application/json",

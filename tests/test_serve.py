@@ -309,6 +309,22 @@ class TestRetrievalRoutes:
             got = _get(f"{srv.url}/v1/bm25?terms=quick,fox&k=5")
             assert {r["doc_id"] for r in got["rows"]} == {0, 1, 3}
 
+            # hybrid RRF over BOTH standing indexes
+            got = _get(
+                f"{srv.url}/v1/hybrid?terms=quick,fox&k=5&vector="
+                + ",".join(str(x) for x in probe)
+            )
+            want_rows = service.hybrid(
+                ["quick", "fox"], probe, k=5
+            ).collect()
+            assert [r["doc_id"] for r in got["rows"]] == [
+                r.doc_id for r in want_rows
+            ]
+            assert got["count"] > 0
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/hybrid?terms=quick")  # vector missing
+            assert e.value.code == 400
+
             # parameter validation
             with pytest.raises(HTTPError) as e:
                 _get(f"{srv.url}/v1/ann_topk?vector=1.0,nope")
@@ -360,11 +376,13 @@ def test_index_retrieval_cli_catches_up(spark, tmp_path, capsys):
     )
     rc = main(
         ["index-retrieval", "--store", root, "--dest", dest,
-         "--checkpoint", ck, "--kind", "minhash"],
+         "--checkpoint", ck, "--kind", "minhash", "--compact"],
         spark,
     )
     assert rc == 0
-    assert "minhash index: 2 derived row(s)" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "minhash index: 2 derived row(s)" in out
+    assert "# compacted 1 batch dir(s)" in out
 
 
 def test_index_retrieval_cli_bm25(spark, tmp_path, capsys):
