@@ -89,6 +89,8 @@ HEADLINE = [
     "embed_ann_lsh_materialized",
     "bm25_rank_materialized",
     "embed_topk_quantized_materialized",
+    "embed_ann_ivf_materialized",
+    "neardup_probe_materialized",
 ]
 
 

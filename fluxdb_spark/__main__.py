@@ -70,7 +70,12 @@ def cmd_server(args, spark: SparkSession) -> int:
 
     engine = FluxEngine(spark, args.store)
     retrieval = None
-    if args.ann_index or args.bm25_postings or args.kmeans_index:
+    if (
+        args.ann_index
+        or args.bm25_postings
+        or args.kmeans_index
+        or args.minhash_index
+    ):
         # retrieval routes and gauges read the STANDING materialized
         # indexes (index-retrieval mode maintains them) — the serving
         # facade covers temporal reads and retrieval alike, like the
@@ -84,6 +89,7 @@ def cmd_server(args, spark: SparkSession) -> int:
             bm25_postings_dest=args.bm25_postings,
             bm25_doclen_dest=args.bm25_doclen,
             kmeans_dest=args.kmeans_index,
+            minhash_dest=args.minhash_index,
         )
     metrics_server = None
     if args.metrics_port is not None:
@@ -541,8 +547,13 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "--kmeans-index",
         default=None,
-        help="materialized centroid-assignment table; exposes centroid "
-        "drift gauges on /metrics",
+        help="materialized centroid-assignment table; enables "
+        "/v1/ivf_topk and exposes centroid drift gauges on /metrics",
+    )
+    s.add_argument(
+        "--minhash-index",
+        default=None,
+        help="materialized MinHash signature table; enables /v1/neardup",
     )
     s.set_defaults(fn=cmd_server)
 

@@ -107,6 +107,8 @@ _PRIORITY: list[str] = [
     # -- new round-8 entries land here --
     "bm25_rank_materialized",
     "embed_topk_quantized_materialized",
+    "embed_ann_ivf_materialized",
+    "neardup_probe_materialized",
     # -- oldest r06-green fill
     "typed_view_protobuf",
     "embed_neardup_lsh",
@@ -125,10 +127,10 @@ _PRIORITY: list[str] = [
     "stream_dedup",
     "stream_stream_join",
     "stream_sessionize",
-    "sessionization",
-    "session_windows",
     # ---- position 51+ from here: leads the r09 window ----
     # -- remaining r06-green entries
+    "sessionization",
+    "session_windows",
     "source_caps",
     "lm_score",
     "chunk_dedup",
@@ -2679,6 +2681,45 @@ def dedup_ngram(spark, sf_dir):
     return dd.jaccard_pairs(d, 0.8)
 
 
+def _neardup_probe_sql(probe_max: int = 50) -> str:
+    """DuckDB twin of `dedup.minhash_probe_candidates` with probes taken
+    from the corpus itself (doc_id < probe_max): same signature pipeline
+    as `_minhash_sql`, band collisions against the probe set, MinHash
+    Jaccard estimate = fraction of agreeing signature components (exact
+    in binary: an integer count over 8.0)."""
+    k = dd.MINHASH_K
+    chunks = dd.sql_shingle_hash_chunks("shingle", k)
+    hash_cols = ", ".join(f"{c} AS h{i}" for i, c in enumerate(chunks))
+    sig_cols = ", ".join(f"min(h{i}) AS sig{i}" for i in range(k))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, sig{2 * b} AS h0, sig{2 * b + 1} AS h1 FROM sigs"
+        for b in range(k // 2)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN s.sig{i} = t.sig{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"""
+WITH {dd.sql_shingles_ctes()},
+shingle_hashes AS (
+  SELECT shingle, {hash_cols} FROM (SELECT DISTINCT shingle FROM sh)),
+sigs AS (
+  SELECT doc_id, {sig_cols}
+  FROM sh JOIN shingle_hashes USING (shingle) GROUP BY doc_id),
+bands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT p.doc_id AS probe_id, b.doc_id
+  FROM (SELECT * FROM bands WHERE doc_id < {probe_max}) p
+  JOIN bands b
+    ON p.band = b.band AND p.h0 = b.h0 AND p.h1 = b.h1
+   AND p.doc_id != b.doc_id)
+SELECT c.probe_id, c.doc_id, ({agree}) / 8.0 AS est_jaccard
+FROM cands c
+JOIN sigs s ON s.doc_id = c.doc_id
+JOIN sigs t ON t.doc_id = c.probe_id
+"""
+
+
 def _minhash_sql() -> str:
     k = dd.MINHASH_K
     chunks = dd.sql_shingle_hash_chunks("shingle", k)
@@ -3115,10 +3156,7 @@ def embed_ann_ivf(spark, sf_dir):
     return sim.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
 
-@_q(
-    "embed_ann_ivf_exact",
-    "pipeline",
-    f"""
+_BRUTE_TOPK10_SQL = f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, embedding FROM embeddings),
 idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -3134,8 +3172,10 @@ ranked AS (
   FROM scored)
 SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
-""",
-)
+"""
+
+
+@_q("embed_ann_ivf_exact", "pipeline", _BRUTE_TOPK10_SQL)
 def embed_ann_ivf_exact(spark, sf_dir):
     """IVF at full probe (n_probe = n_centroids): every query scans every
     cell, so the result is EXACTLY brute-force top-k — which makes the IVF
@@ -4079,6 +4119,84 @@ def embed_topk_quantized_materialized(spark, sf_dir):
             qz, qz.filter(F.col("vec_id") < 5).select("vec_id"), k=10
         )
         .withColumn("rank", F.col("rank").cast("long"))
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@_q("embed_ann_ivf_materialized", "pipeline", _BRUTE_TOPK10_SQL)
+def embed_ann_ivf_materialized(spark, sf_dir):
+    """IVF ANN answered ENTIRELY from the materialized assignment table
+    (the inverted file as standing state): centroids are trained once on
+    the store's corpus, per-row (cluster, embedding) assignments are
+    maintained by the row-wise IVM maintainer, and the query assigns its
+    probes to their n_probe nearest frozen centroids and re-ranks only
+    those cells' rows — the source corpus is never touched at query
+    time. Run at FULL probe (n_probe = n_centroids) the result is
+    exactly brute-force top-k, so the whole standing-IVF machinery is
+    oracle-hashed (`embed_ann_ivf_exact`'s oracle); the approximate
+    configuration is served by RetrievalService.ivf_topk."""
+    import os
+    import shutil
+
+    from fluxdb_spark.streaming import retrieval as rt
+
+    root, store = _mat_store_vecs(spark, sf_dir)
+    live = rt.lww_latest(
+        rt.vector_relation(store.changelog()), ["vec_id"]
+    ).select("vec_id", "embedding")
+    cents = sim.kmeans_centroids(live, k=8, iters=2)
+    dest, ck = os.path.join(root, "ivf"), os.path.join(root, "ck")
+    rt.refresh(
+        spark, str(store.root), dest,
+        rt.centroid_assign_transform(cents), ck,
+    )
+    asg = rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"]).select(
+        "vec_id", "cluster", "embedding"
+    )
+    out = (
+        sim.ivf_topk_from_assignments(
+            asg,
+            cents,
+            asg.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
+            k=10,
+            n_probe=8,
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
+        .localCheckpoint()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@_q("neardup_probe_materialized", "pipeline", _neardup_probe_sql())
+def neardup_probe_materialized(spark, sf_dir):
+    """Near-dup MEMBERSHIP probe over the materialized signature table —
+    the admission check an ingestion pipeline runs before adding a
+    document ("is this new doc a near-dup of anything in the corpus?").
+    Probe signatures are read from the same standing table (the probes
+    are corpus members, so both sides are byte-identical to the oracle's
+    recompute), band-joined against it, and scored with the MinHash
+    Jaccard estimate. Per probe the cost is the banded collisions, never
+    a corpus scan; the serving form is RetrievalService.neardup, which
+    MinHashes an UNSEEN text through the same expressions."""
+    import os
+    import shutil
+
+    from fluxdb_spark.streaming import retrieval as rt
+
+    root, store = _mat_store_docs(spark, sf_dir)
+    dest, ck = os.path.join(root, "sigs"), os.path.join(root, "ck")
+    rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+    sigs = rt.lww_latest(rt.read_derived(spark, dest), ["doc_id"]).select(
+        "doc_id", *[f"sig{i}" for i in range(dd.MINHASH_K)]
+    )
+    out = (
+        dd.minhash_probe_candidates(
+            sigs, sigs.filter(F.col("doc_id") < 50)
+        )
+        .filter(F.col("probe_id") != F.col("doc_id"))
         .localCheckpoint()
     )
     shutil.rmtree(root, ignore_errors=True)

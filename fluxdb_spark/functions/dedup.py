@@ -272,17 +272,15 @@ def _signatures_from_arrays(
     )
 
 
-def lsh_candidate_pairs(
+def _banded(
     sigs: DataFrame,
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Distinct candidate pairs sharing at least one LSH band bucket.
-
-    Buckets are the tuple (band_idx, sig values of the band) — an equi-join
-    key, so candidates come out of a shuffle on bucket, never a cross join.
-    """
+    """(id, bucket) rows, one per LSH band: the bucket is the tuple
+    (band_idx, sig values of the band) — an equi-join key, so collisions
+    come out of a shuffle on bucket, never a cross join."""
     rows_per_band = k // bands
     band_structs = F.array(
         *[
@@ -296,10 +294,21 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct candidate pairs sharing at least one LSH band bucket
+    (see _banded for the equi-join key construction)."""
     # |docs| x (k+1) — tiny; persist so the self-join doesn't recompute the
     # whole hash->min pipeline on both sides.
-    banded = sigs.select(
-        F.col(id_col), F.explode(band_structs).alias("bucket")
+    banded = _banded(
+        sigs, k, bands, id_col
     ).localCheckpoint()  # materialize before the self-join branches
     a = banded.alias("a")
     b = banded.alias("b")
@@ -493,6 +502,63 @@ def minhash_lsh_dedup_from_sigs(
         F.col(id_col), word_shingles(F.col("text")).alias("shingles")
     ).localCheckpoint()
     return verify_jaccard_candidates(cands, with_sh, threshold)
+
+
+def minhash_probe_candidates(
+    sigs: DataFrame,
+    probes: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Membership probe against a STANDING signature table — the
+    ingestion-time question a corpus-dedup service answers: "is this NEW
+    document a near-dup of anything already in the corpus?" (before the
+    pipeline admits it). `probes` is a small (probe_id, sig0..sig{k-1})
+    relation — typically `minhash_signatures` over the handful of
+    incoming documents; `sigs` is the materialized corpus table
+    (streaming/retrieval.py).
+
+    Output: (probe_id, doc_id, est_jaccard) for every corpus doc sharing
+    at least one LSH band with a probe, where est_jaccard is the MinHash
+    estimate — the fraction of agreeing signature components (the
+    standard unbiased estimator; exact-Jaccard verification of the
+    candidates stays available via verify_jaccard_candidates when text
+    is at hand). Scale shape: probes broadcast to the band equi-join, so
+    the per-probe cost is O(banded collisions) against the standing
+    table — never a corpus scan, never all-pairs."""
+    probe_sigs = probes.select(
+        F.col(id_col).alias("probe_id"),
+        *[F.col(f"sig{i}").alias(f"p{i}") for i in range(k)],
+    )
+    banded_c = _banded(sigs.select(id_col, *[f"sig{i}" for i in range(k)]),
+                       k, bands, id_col)
+    banded_p = _banded(
+        probe_sigs.select(
+            "probe_id", *[F.col(f"p{i}").alias(f"sig{i}") for i in range(k)]
+        ),
+        k,
+        bands,
+        id_col="probe_id",
+    )
+    cands = (
+        banded_c.join(F.broadcast(banded_p), on="bucket")
+        .select("probe_id", id_col)
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"sig{i}") == F.col(f"p{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
+        cands.join(sigs, id_col)
+        .join(F.broadcast(probe_sigs), "probe_id")
+        .select(
+            "probe_id",
+            F.col(id_col),
+            (agree.cast("double") / F.lit(float(k))).alias("est_jaccard"),
+        )
+    )
 
 
 _SIMHASH_FIELD_BITS = 21  # 3 packed ones-counters per long; a counter

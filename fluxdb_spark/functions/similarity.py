@@ -721,11 +721,12 @@ def _quantize(vec: Column, scale: int) -> Column:
     )
 
 
-def _nearest_int_centroid(q: Column, cents: list[list[int]]) -> Column:
-    """struct<dist,idx> of the nearest centroid by EXACT integer squared
-    distance; ties break to the lowest centroid index (struct sort order).
-    Centroids ride in one nested-array literal walked with a higher-order
-    transform — plan/codegen size is constant in k."""
+def _int_centroid_dists(q: Column, cents: list[list[int]]) -> Column:
+    """array<struct<dist,idx>> of EXACT integer squared distances to every
+    centroid, sorted nearest-first; ties break to the lowest centroid
+    index (struct sort order). Centroids ride in one nested-array literal
+    walked with a higher-order transform — plan/codegen size is constant
+    in k."""
     cl = F.lit([[int(x) for x in c] for c in cents]).cast(
         "array<array<bigint>>"
     )
@@ -740,7 +741,12 @@ def _nearest_int_centroid(q: Column, cents: list[list[int]]) -> Column:
             i.cast("long").alias("idx"),
         ),
     )
-    return F.sort_array(dists, True)[0]
+    return F.sort_array(dists, True)
+
+
+def _nearest_int_centroid(q: Column, cents: list[list[int]]) -> Column:
+    """struct<dist,idx> of the nearest centroid (see _int_centroid_dists)."""
+    return _int_centroid_dists(q, cents)[0]
 
 
 def kmeans_clusters(
@@ -811,6 +817,63 @@ def assign_to_centroids(
         F.col(id_col),
         near["idx"].alias("cluster"),
         near["dist"].alias("dist"),
+    )
+
+
+def ivf_topk_from_assignments(
+    assignments: DataFrame,
+    cents: list[list[int]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_topk` with the corpus cell-assignment pass REPLACED by a
+    MATERIALIZED assignment table (id, cluster, embedding —
+    streaming/retrieval.py's centroid_assign_transform over the frozen
+    model): each probe is assigned to its `n_probe` nearest frozen
+    centroids with the SAME exact integer distance the maintainer used,
+    candidates come from a broadcast equi-join on cluster, and exact
+    cosine re-ranks them.
+
+    This is the standing-service IVF shape: per query the engine reads
+    ~|corpus| * n_probe / n_centroids rows from the index (cluster is a
+    scan-prunable column), never a corpus map pass. At full probe
+    (n_probe = len(cents)) the result is EXACTLY brute-force top-k —
+    which is what lets the catalog entry oracle-hash the machinery
+    instead of only recall-testing it."""
+    c = assignments.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        "cluster",
+    )
+    probe_cells = F.transform(
+        F.slice(
+            _int_centroid_dists(_quantize(F.col(vec_col), scale), cents),
+            1,
+            n_probe,
+        ),
+        lambda s: s["idx"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_cells).alias("cluster"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cluster")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
     )
 
 

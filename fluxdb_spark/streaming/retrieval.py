@@ -325,14 +325,19 @@ def centroid_assign_transform(
     cents: list[list[int]], scale: int = 1_000_000
 ):
     """Transform factory: changelog vector rows -> frozen-centroid
-    assignments (vec_id, height, is_deletion, cluster, dist). Map-only;
-    `cents` comes from `similarity.kmeans_centroids` trained on the
-    store's corpus at materialization time."""
+    assignments (vec_id, height, is_deletion, cluster, dist, embedding).
+    Map-only; `cents` comes from `similarity.kmeans_centroids` trained on
+    the store's corpus at materialization time. The vector rides along so
+    the table doubles as the IVF INVERTED FILE: a query probes its
+    nearest cells and re-ranks the cell members' embeddings without ever
+    touching the source corpus (`similarity.ivf_topk_from_assignments`)."""
     from fluxdb_spark.functions.similarity import assign_to_centroids
 
     def transform(rows: DataFrame) -> DataFrame:
         v = vector_relation(rows).select(
-            F.struct("vec_id", "height", "is_deletion").alias("rid"),
+            F.struct(
+                "vec_id", "height", "is_deletion", "embedding"
+            ).alias("rid"),
             "embedding",
         )
         assigned = assign_to_centroids(v, cents, scale=scale, id_col="rid")
@@ -342,6 +347,7 @@ def centroid_assign_transform(
             F.col("rid.is_deletion").alias("is_deletion"),
             "cluster",
             "dist",
+            F.col("rid.embedding").alias("embedding"),
         )
 
     return transform
@@ -692,6 +698,7 @@ class RetrievalService:
         bm25_postings_dest: str | None = None,
         bm25_doclen_dest: str | None = None,
         kmeans_dest: str | None = None,
+        minhash_dest: str | None = None,
     ):
         self.spark = spark
         self.ann_dest = ann_dest
@@ -704,6 +711,7 @@ class RetrievalService:
         self.bm25_postings_dest = bm25_postings_dest
         self.bm25_doclen_dest = bm25_doclen_dest
         self.kmeans_dest = kmeans_dest
+        self.minhash_dest = minhash_dest
 
     def metrics(self) -> dict:
         """Retrieval-index gauges for a /metrics snapshot — notably the
@@ -771,6 +779,79 @@ class RetrievalService:
             k,
             stats=load_bm25_stats(self.bm25_doclen_dest),
         )
+
+    def ivf_topk(
+        self, vector: list[float], k: int = 10, n_probe: int = 4
+    ) -> DataFrame:
+        """Approximate top-k neighbors through the IVF path: the probe is
+        assigned to its `n_probe` nearest frozen centroids (the model
+        sidecar), and only those cells' rows of the materialized
+        assignment table are re-ranked by exact cosine — the
+        cluster-filtered read is the standing-service twin of
+        `similarity.ivf_topk`'s corpus pass. n_probe trades recall for
+        read volume; n_probe = n_centroids is exhaustive."""
+        if self.kmeans_dest is None:
+            raise ValueError("no kmeans index configured")
+        from fluxdb_spark.functions.similarity import (
+            ivf_topk_from_assignments,
+        )
+
+        model = load_centroid_model(self.kmeans_dest)
+        if model is None:
+            raise ValueError(
+                "kmeans index has no trained model — run index-retrieval"
+            )
+        derived = read_derived(self.spark, self.kmeans_dest)
+        if derived is None:
+            raise ValueError("kmeans index is empty — run index-retrieval")
+        if "embedding" not in derived.columns:
+            raise ValueError(
+                "kmeans index predates embedding-carrying assignments — "
+                "rebuild it (index-retrieval --kind kmeans on a fresh dest)"
+            )
+        asg = lww_latest(derived, ["vec_id"])
+        probe = self.spark.createDataFrame(
+            [(-1, [float(x) for x in vector])],
+            "vec_id long, embedding array<double>",
+        )
+        return ivf_topk_from_assignments(
+            asg, model["centroids"], probe, k=k, n_probe=n_probe
+        ).drop("query_id")
+
+    def neardup(
+        self, text: str, threshold: float = 0.0, k: int = 10
+    ) -> DataFrame:
+        """Near-dup membership probe: is `text` a near-duplicate of
+        anything already in the corpus? The probe is MinHashed with the
+        index's own signature pipeline (one-row relation through the
+        SAME expressions the maintainer runs), band-joined against the
+        standing signature table, and scored with the MinHash Jaccard
+        estimate — the admission check an ingestion pipeline runs BEFORE
+        adding a document. Top-k by estimate, `threshold` floors it."""
+        if self.minhash_dest is None:
+            raise ValueError("no minhash index configured")
+        from fluxdb_spark.functions.dedup import (
+            minhash_probe_candidates,
+            minhash_signatures,
+        )
+
+        derived = read_derived(self.spark, self.minhash_dest)
+        if derived is None:
+            raise ValueError("minhash index is empty — run index-retrieval")
+        sigs = lww_latest(derived, ["doc_id"])
+        probe = minhash_signatures(
+            self.spark.createDataFrame(
+                [(-1, str(text))], "doc_id long, text string"
+            )
+        )
+        out = (
+            minhash_probe_candidates(sigs, probe)
+            .filter(F.col("est_jaccard") >= float(threshold))
+            .drop("probe_id")
+        )
+        return out.orderBy(
+            F.desc("est_jaccard"), F.asc("doc_id")
+        ).limit(k)
 
     def hybrid(
         self,

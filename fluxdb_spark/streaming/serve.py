@@ -21,6 +21,8 @@ Routes (GET, query-string params):
     /v1/ann_topk?vector=F1,F2,...[&k=N]     (materialized LSH index)
     /v1/bm25?terms=T1,T2,...[&k=N]          (materialized postings)
     /v1/hybrid?terms=...&vector=...[&k=N]   (RRF of both rankers)
+    /v1/ivf_topk?vector=...[&k=N][&nprobe=M] (materialized IVF cells)
+    /v1/neardup?text=...[&threshold=J][&k=N] (materialized signatures)
     /metrics            (optional, same source contract as MetricsServer)
 
 Responses are `{"rows": [...], "count": n}` JSON; errors are HTTP 400
@@ -195,7 +197,13 @@ class QueryServer:
                 ),
                 "application/json",
             )
-        if path in ("/v1/ann_topk", "/v1/bm25", "/v1/hybrid"):
+        if path in (
+            "/v1/ann_topk",
+            "/v1/bm25",
+            "/v1/hybrid",
+            "/v1/ivf_topk",
+            "/v1/neardup",
+        ):
             if self.retrieval is None:
                 raise BadRequest("no retrieval indexes configured")
             try:
@@ -224,6 +232,28 @@ class QueryServer:
                 df = self.retrieval.ann_topk(_vector(), k=k)
             elif path == "/v1/bm25":
                 df = self.retrieval.bm25(_terms(), k=k)
+            elif path == "/v1/ivf_topk":
+                try:
+                    n_probe = int(p.get("nprobe", 4))
+                except ValueError:
+                    raise BadRequest(
+                        f"nprobe must be an integer: {p['nprobe']!r}"
+                    )
+                if n_probe < 1:
+                    raise BadRequest(f"nprobe must be >= 1: {n_probe}")
+                df = self.retrieval.ivf_topk(_vector(), k=k, n_probe=n_probe)
+            elif path == "/v1/neardup":
+                try:
+                    threshold = float(p.get("threshold", 0.0))
+                except ValueError:
+                    raise BadRequest(
+                        f"threshold must be a float: {p['threshold']!r}"
+                    )
+                if not p.get("text"):
+                    raise BadRequest("text must be non-empty")
+                df = self.retrieval.neardup(
+                    p["text"], threshold=threshold, k=k
+                )
             else:
                 df = self.retrieval.hybrid(_terms(), _vector(), k=k)
             return (

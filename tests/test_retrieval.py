@@ -393,6 +393,137 @@ class TestMaterializedQuantized:
         assert got == want and len(got) > 0
 
 
+class TestMaterializedIvf:
+    """The assignment table as the IVF inverted file: queries probe
+    frozen cells and re-rank ONLY those cells' rows — the corpus is
+    never touched at query time."""
+
+    def _index(self, spark, store, tmp_path, k=3):
+        dest, ck = str(tmp_path / "ivf"), str(tmp_path / "ck")
+        store.write_batch(vec_rows(spark, VECS))
+        live = rt.lww_latest(
+            rt.vector_relation(store.changelog()), ["vec_id"]
+        ).select("vec_id", "embedding")
+        cents = sim.kmeans_centroids(live, k=k, iters=2)
+        rt.refresh(
+            spark, str(store.root), dest,
+            rt.centroid_assign_transform(cents), ck,
+        )
+        return dest, cents
+
+    def test_full_probe_matches_brute_force(self, spark, store, tmp_path):
+        dest, cents = self._index(spark, store, tmp_path)
+        asg = rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"])
+        got = sorted(
+            map(
+                tuple,
+                sim.ivf_topk_from_assignments(
+                    asg,
+                    cents,
+                    asg.filter(F.col("vec_id") < 3).select(
+                        "vec_id", "embedding"
+                    ),
+                    k=4,
+                    n_probe=len(cents),
+                ).collect(),
+            )
+        )
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in sorted(VECS.items())],
+            "vec_id long, embedding array<double>",
+        )
+        want = sorted(
+            map(
+                tuple,
+                sim.brute_force_topk(
+                    corpus, corpus.filter(F.col("vec_id") < 3), k=4
+                ).collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
+    def test_reduced_probe_searches_only_probed_cells(
+        self, spark, store, tmp_path
+    ):
+        dest, cents = self._index(spark, store, tmp_path)
+        asg = rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"])
+        res = sim.ivf_topk_from_assignments(
+            asg,
+            cents,
+            asg.filter(F.col("vec_id") == 0).select("vec_id", "embedding"),
+            k=12,
+            n_probe=1,
+        ).collect()
+        # every candidate comes from the probe's own (single) cell
+        clusters = {
+            r.cluster
+            for r in asg.join(
+                spark.createDataFrame(
+                    [(r.match_id,) for r in res], "vec_id long"
+                ),
+                "vec_id",
+            ).collect()
+        }
+        own = asg.filter(F.col("vec_id") == 0).collect()[0].cluster
+        assert clusters <= {own}
+        assert len(res) > 0
+
+    def test_service_ivf_topk(self, spark, store, tmp_path):
+        dest, cents = self._index(spark, store, tmp_path)
+        rt.save_centroids(dest, cents)
+        svc = rt.RetrievalService(spark, kmeans_dest=dest)
+        res = svc.ivf_topk(VECS[0], k=3, n_probe=len(cents)).collect()
+        # the probe equals vector 0, so vector 0 is its own top match
+        assert res[0].match_id == 0 and res[0].score == 1.0
+        assert [r.rank for r in res] == [1, 2, 3]
+
+
+class TestNeardupProbe:
+    def test_probe_finds_near_dup_then_tombstone_hides_it(
+        self, spark, store, tmp_path
+    ):
+        """The ingestion-time admission check: an incoming text that
+        near-duplicates a stored doc is flagged from the standing
+        signature table; deleting that doc (tombstone flows through the
+        maintainer) removes it from the answer with no rebuild."""
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        svc = rt.RetrievalService(spark, minhash_dest=dest)
+        # probe with doc 1's own text: docs 0 and 1 are near-dups of it
+        hits = {
+            r.doc_id: r.est_jaccard
+            for r in svc.neardup(DOCS1[1], threshold=0.5).collect()
+        }
+        assert hits.get(1) == 1.0  # exact same text -> identical sigs
+        assert 0 in hits
+        assert 2 not in hits
+        # tombstone doc 1; the probe must stop returning it
+        store.write_batch(
+            make_changelog(spark, [("doc", "docs", 10, "1", None)]),
+            force=True,
+        )
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        hits = {
+            r.doc_id
+            for r in svc.neardup(DOCS1[1], threshold=0.5).collect()
+        }
+        assert 1 not in hits and 0 in hits
+
+    def test_unrelated_probe_clears_threshold_filter(
+        self, spark, store, tmp_path
+    ):
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        svc = rt.RetrievalService(spark, minhash_dest=dest)
+        out = svc.neardup(
+            "entirely novel words nothing shares any shingle here",
+            threshold=0.5,
+        ).collect()
+        assert out == []
+
+
 class TestMaterializedKmeans:
     def test_assignments_match_whole_corpus_kmeans(
         self, spark, store, tmp_path

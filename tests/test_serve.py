@@ -339,10 +339,77 @@ class TestRetrievalRoutes:
             srv.close()
 
     def test_routes_400_when_unconfigured(self, server):
-        for q in ("ann_topk?vector=1.0", "bm25?terms=x"):
+        for q in (
+            "ann_topk?vector=1.0",
+            "bm25?terms=x",
+            "ivf_topk?vector=1.0",
+            "neardup?text=x",
+        ):
             with pytest.raises(HTTPError) as e:
                 _get(f"{server.url}/v1/{q}")
             assert e.value.code == 400
+
+    def test_ivf_and_neardup_routes(self, spark, tmp_path):
+        """/v1/ivf_topk (materialized IVF cells + frozen model sidecar)
+        and /v1/neardup (materialized signature table) — the remaining
+        two standing-index reads on the serving facade."""
+        from fluxdb_spark.functions import similarity as sim
+        from fluxdb_spark.store import ChangelogStore
+        from fluxdb_spark.streaming import retrieval as rt
+        from tests.test_retrieval import DOCS1, VECS, doc_rows, vec_rows
+
+        vstore = ChangelogStore(spark, str(tmp_path / "vdb"))
+        vstore.write_batch(vec_rows(spark, VECS))
+        kdest = str(tmp_path / "ivf")
+        live = rt.lww_latest(
+            rt.vector_relation(vstore.changelog()), ["vec_id"]
+        ).select("vec_id", "embedding")
+        cents = sim.kmeans_centroids(live, k=3, iters=2)
+        rt.refresh(
+            spark, str(vstore.root), kdest,
+            rt.centroid_assign_transform(cents), str(tmp_path / "ck_k"),
+        )
+        rt.save_centroids(kdest, cents)
+
+        dstore = ChangelogStore(spark, str(tmp_path / "ddb"))
+        dstore.write_batch(doc_rows(spark, DOCS1))
+        mdest = str(tmp_path / "sigs")
+        rt.refresh(
+            spark, str(dstore.root), mdest,
+            rt.minhash_transform(), str(tmp_path / "ck_m"),
+        )
+
+        engine = FluxEngine(spark, str(tmp_path / "edb"))
+        service = rt.RetrievalService(
+            spark, kmeans_dest=kdest, minhash_dest=mdest
+        )
+        srv = QueryServer(engine, port=0, retrieval=service)
+        try:
+            probe = VECS[0]
+            got = _get(
+                f"{srv.url}/v1/ivf_topk?k=3&nprobe=3&vector="
+                + ",".join(str(x) for x in probe)
+            )
+            assert got["rows"][0]["match_id"] == 0  # the probe itself
+            assert got["count"] == 3
+
+            from urllib.parse import quote
+
+            got = _get(
+                f"{srv.url}/v1/neardup?threshold=0.5&text="
+                + quote(DOCS1[1])
+            )
+            assert {r["doc_id"] for r in got["rows"]} >= {1}
+            assert got["rows"][0]["est_jaccard"] == 1.0
+
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/ivf_topk?vector=1.0&nprobe=zero")
+            assert e.value.code == 400
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/neardup?text=")
+            assert e.value.code == 400
+        finally:
+            srv.close()
 
 
 def test_index_retrieval_cli_catches_up(spark, tmp_path, capsys):

@@ -56,6 +56,8 @@ OPS = [
     "embed_kmeans_materialized",
     "bm25_rank_materialized",
     "embed_topk_quantized_materialized",
+    "embed_ann_ivf_materialized",
+    "neardup_probe_materialized",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]
