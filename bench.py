@@ -91,6 +91,7 @@ HEADLINE = [
     "embed_topk_quantized_materialized",
     "embed_ann_ivf_materialized",
     "neardup_probe_materialized",
+    "semantic_dedup",
 ]
 
 

@@ -423,6 +423,10 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         transform = rt.minhash_transform()
     elif args.kind == "lsh":
         transform = rt.lsh_bucket_transform(dim=args.dim)
+    elif args.kind == "quantize":
+        # the int8-compressed vector table as standing state — queries
+        # (similarity.quantized_topk_from_table) never touch the floats
+        transform = rt.quantize_transform()
     else:
         # the frozen model lives at a SIBLING path (<dest>._centroids
         # .json) so rebuild-on-rewrite / compaction swaps of dest cannot
@@ -483,7 +487,7 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         # fold-compaction: one physical row per key (tombstones kept),
         # so standing reads fold only the post-compaction delta
         fold = {"minhash": ["doc_id"], "lsh": ["vec_id", "tbl"],
-                "kmeans": ["vec_id"]}[args.kind]
+                "kmeans": ["vec_id"], "quantize": ["vec_id"]}[args.kind]
         n = rt.compact_derived(spark, args.dest, fold_keys=fold)
         print(f"# compacted {n} batch dir(s)")
     return 0
@@ -678,7 +682,7 @@ def build_parser() -> argparse.ArgumentParser:
     ridx.add_argument("--checkpoint", required=True)
     ridx.add_argument(
         "--kind",
-        choices=("minhash", "lsh", "kmeans", "bm25"),
+        choices=("minhash", "lsh", "kmeans", "bm25", "quantize"),
         default="minhash",
     )
     ridx.add_argument(

@@ -109,6 +109,7 @@ _PRIORITY: list[str] = [
     "embed_topk_quantized_materialized",
     "embed_ann_ivf_materialized",
     "neardup_probe_materialized",
+    "semantic_dedup",
     # -- oldest r06-green fill
     "typed_view_protobuf",
     "embed_neardup_lsh",
@@ -126,9 +127,9 @@ _PRIORITY: list[str] = [
     "stream_tumbling",
     "stream_dedup",
     "stream_stream_join",
-    "stream_sessionize",
     # ---- position 51+ from here: leads the r09 window ----
     # -- remaining r06-green entries
+    "stream_sessionize",
     "sessionization",
     "session_windows",
     "source_caps",
@@ -3103,6 +3104,35 @@ FROM embeddings WHERE vec_id < 25
 """
 
 
+def _planted_twins(e):
+    """The Spark half of `_TWIN_CTE`'s planted near-identical twins.
+    The perturbation index is computed from the ORIGINAL vec_id through
+    an explicit `src_id` projection: referencing `vec_id` inside the
+    lambda of the same select that re-aliases it is engine-ambiguous —
+    Spark resolves the lambda's column against the ALIASED output
+    (vec_id + 10000) while DuckDB's list_transform sees the source
+    column, so the two engines would plant different twins (harmless at
+    round-4 cosine, fatal under floor-quantization)."""
+    return (
+        e.filter(F.col("vec_id") < 25)
+        .select(F.col("vec_id").alias("src_id"), "embedding")
+        .select(
+            (F.col("src_id") + 10000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                * (
+                    1
+                    + ((F.col("src_id") * 31 + i) % 7).cast("double")
+                    * 0.002
+                ),
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+    )
+
+
 @_q(
     "embed_neardup_lsh",
     "pipeline",
@@ -3119,20 +3149,32 @@ def embed_neardup_lsh(spark, sf_dir):
     the 25 planted pairs at cosine >= 0.99 through bucket collision +
     exact verify, while all natural pairs stay far below threshold."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    twins = e.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x, i: x
-            * (
-                1
-                + ((F.col("vec_id") * 31 + i) % 7).cast("double") * 0.002
-            ),
-        )
-        .cast("array<float>")
-        .alias("embedding"),
+    return sim.lsh_neardup_pairs(e.unionByName(_planted_twins(e)), 0.99)
+
+
+@_q(
+    "semantic_dedup",
+    "pipeline",
+    sim.sql_semantic_dedup(0.99, k=4, iters=2, source_cte=_TWIN_CTE.strip()),
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding-level near-dup removal
+    scoped WITHIN k-means clusters — the curation pass that removes
+    semantically redundant training examples, not just textual
+    duplicates. 25 near-identical twins are planted with the same
+    arithmetic as `embed_neardup_lsh` (the corpus has no natural
+    near-dups, max pair cosine ~0.45 — non-vacuous at every SF); each
+    twin lands in its original's cell and is dropped at cosine >= 0.99
+    while every natural row survives with its cluster id. Clustering
+    first bounds the pair space to within-cell pairs (the paper's scale
+    argument); the exact fixed-point kmeans + round-4 cosine make the
+    whole pipeline oracle-hashable (kmeans is floor-quantized, so the
+    twins MUST be planted bit-identically on both engines —
+    `_planted_twins` pins the binding)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return sim.semantic_dedup(
+        e.unionByName(_planted_twins(e)), threshold=0.99, k=4, iters=2
     )
-    return sim.lsh_neardup_pairs(e.unionByName(twins), 0.99)
 
 
 @_q("embed_ann_lsh", "pipeline", sim.sql_lsh_topk(k=10))

@@ -938,11 +938,29 @@ def sql_kmeans(
 ) -> str:
     """DuckDB twin of `kmeans_clusters`: the same seeded init and Lloyd
     iterations unrolled as CTE chains over exact integers."""
+    body, a = _sql_kmeans_ctes(k, iters, scale)
+    return body + (
+        f"\nSELECT vec_id, cluster, CAST(d AS BIGINT) AS dist"
+        f" FROM {a} ORDER BY vec_id"
+    )
+
+
+def _sql_kmeans_ctes(
+    k: int = 4,
+    iters: int = 3,
+    scale: int = 1_000_000,
+    source_cte: str = "SELECT vec_id, embedding FROM embeddings",
+) -> tuple[str, str]:
+    """The kmeans CTE chain alone (so downstream oracles — e.g.
+    sql_semantic_dedup — can keep composing): returns (WITH-chain, name
+    of the final-assignment CTE). `src` holds the corpus, available to
+    appended CTEs."""
     head = f"""
-WITH qv AS (SELECT vec_id,
+WITH src AS ({source_cte}),
+qv AS (SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
-            FROM embeddings),
+            FROM src),
 e AS (SELECT vec_id, i AS pos, q[i] AS val
       FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
 seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
@@ -966,10 +984,85 @@ u{i} AS (SELECT a.cluster, e.pos,
          FROM a{i} a JOIN e USING (vec_id) GROUP BY 1, 2),
 cent{i} AS (SELECT p.cluster, p.pos, COALESCE(n.cv, p.cv) AS cv
             FROM {prev} p LEFT JOIN u{i} n USING (cluster, pos))""")
-    return ",".join(parts) + (
-        f"\nSELECT vec_id, cluster, CAST(d AS BIGINT) AS dist"
-        f" FROM a{iters} ORDER BY vec_id"
+    return ",".join(parts), f"a{iters}"
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal over an embedding corpus — cluster with the
+    exact fixed-point k-means, compare pairs ONLY within a cluster, and
+    drop every row that has a lower-id near-twin (cosine >= threshold)
+    in its cell; survivors keep their cluster id.
+
+    Clustering first IS the scale story (the paper's reason to cluster):
+    the candidate space is per-cell pairs — quadratic in the CELL,
+    controlled by raising k — never corpus-wide all-pairs; the self-join
+    shuffles on cluster. Deterministic and oracle-hashable end to end:
+    the backbone is `kmeans_clusters` (exact integer Lloyd) and the
+    score is the shared round-4 cosine, both replayed by
+    `sql_semantic_dedup`."""
+    asg = kmeans_clusters(
+        corpus, k=k, iters=iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
     )
+    withv = (
+        asg.select(id_col, "cluster")
+        .join(spread(corpus).select(id_col, vec_col), id_col)
+        .localCheckpoint()  # 3 consumer branches below
+    )
+    a = withv.select(
+        F.col(id_col).alias("a_id"), "cluster", F.col(vec_col).alias("avec")
+    )
+    b = withv.select(
+        F.col(id_col).alias("b_id"), "cluster", F.col(vec_col).alias("bvec")
+    )
+    drops = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("avec"), F.col("bvec")) >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return withv.join(drops, id_col, "left_anti").select(id_col, "cluster")
+
+
+def sql_semantic_dedup(
+    threshold: float = 0.99,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    dim: int = 64,
+    source_cte: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """DuckDB twin of `semantic_dedup`: the unrolled kmeans chain, a
+    within-cluster pair join with the round-4 cosine, and an anti-join
+    of the drop set."""
+    body, a = _sql_kmeans_ctes(k, iters, scale, source_cte)
+    return body + f""",
+idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+sd_pairs AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM {a} x JOIN {a} y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  JOIN src q ON q.vec_id = x.vec_id
+  JOIN src c ON c.vec_id = y.vec_id
+  CROSS JOIN idx
+  GROUP BY 1, 2
+  HAVING round(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+            * sqrt(sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))), 4)
+         >= {threshold})
+SELECT s.vec_id, s.cluster FROM {a} s
+WHERE s.vec_id NOT IN (SELECT b_id FROM sd_pairs)
+ORDER BY s.vec_id
+"""
 
 
 def rrf_fuse(

@@ -480,6 +480,41 @@ def test_index_retrieval_cli_bm25(spark, tmp_path, capsys):
     assert rt.load_bm25_stats(dest + "_doclen") == (1, 4)
 
 
+def test_index_retrieval_cli_quantize(spark, tmp_path, capsys):
+    """index-retrieval --kind quantize maintains the int8-compressed
+    vector table as standing state, fold-compacted on request."""
+    import json
+
+    from fluxdb_spark.__main__ import main
+    from fluxdb_spark.store import ChangelogStore
+    from fluxdb_spark.streaming import retrieval as rt
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "qstore")
+    dest, ck = str(tmp_path / "q8"), str(tmp_path / "ck")
+    st = ChangelogStore(spark, root)
+    st.write_batch(
+        make_changelog(
+            spark,
+            [
+                ("emb", "vecs", 1, "0", json.dumps([0.5, -1.0])),
+                ("emb", "vecs", 2, "1", json.dumps([0.25, 0.25])),
+            ],
+        )
+    )
+    rc = main(
+        ["index-retrieval", "--store", root, "--dest", dest,
+         "--checkpoint", ck, "--kind", "quantize"],
+        spark,
+    )
+    assert rc == 0
+    assert "quantize index: 2 derived row(s)" in capsys.readouterr().out
+    qz = rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"])
+    got = {r.vec_id: list(r.q8) for r in qz.collect()}
+    assert got[0] == [63, -127]  # absmax scale: 0.5/1.0*127 floored
+    assert got[1] == [127, 127]
+
+
 def test_server_cli_serves_reads_with_fork_in_flight(
     spark, tmp_path, capsys, monkeypatch
 ):

@@ -145,6 +145,59 @@ class TestLshNeardup:
         )
 
 
+class TestSemanticDedup:
+    """SemDeDup: within-cluster pairwise near-dup removal — planted
+    twins die, every natural row survives with its cluster id."""
+
+    def _with_twins(self, corpus, n=10):
+        e = corpus.select("vec_id", "embedding")
+        twins = (
+            e.filter(F.col("vec_id") < n)
+            .select(F.col("vec_id").alias("src_id"), "embedding")
+            .select(
+                (F.col("src_id") + 10000).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    * (
+                        1
+                        + ((F.col("src_id") * 31 + i) % 7).cast("double")
+                        * 0.002
+                    ),
+                )
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+        )
+        return e.unionByName(twins)
+
+    def test_drops_planted_twins_keeps_naturals(self, corpus):
+        u = self._with_twins(corpus)
+        out = sim.semantic_dedup(u, threshold=0.99, k=4, iters=2)
+        ids = {r.vec_id for r in out.collect()}
+        n_corpus = corpus.count()
+        assert ids == set(range(n_corpus))  # all naturals, no twins
+
+    def test_survivors_keep_kmeans_cluster(self, corpus):
+        u = self._with_twins(corpus)
+        out = {
+            r.vec_id: r.cluster
+            for r in sim.semantic_dedup(
+                u, threshold=0.99, k=4, iters=2
+            ).collect()
+        }
+        asg = {
+            r.vec_id: r.cluster
+            for r in sim.kmeans_clusters(u, k=4, iters=2).collect()
+        }
+        assert all(asg[i] == c for i, c in out.items())
+
+    def test_unreachable_threshold_drops_nothing(self, corpus):
+        u = self._with_twins(corpus, n=3)
+        out = sim.semantic_dedup(u, threshold=1.01, k=4, iters=2)
+        assert out.count() == u.count()
+
+
 class TestKmeansClusters:
     """Whole-corpus fixed-point k-means (`kmeans_clusters`): semantics on
     hand-built geometry; oracle parity at sf0.001/0.01 is covered by

@@ -58,7 +58,13 @@ OPS = [
     "embed_topk_quantized_materialized",
     "embed_ann_ivf_materialized",
     "neardup_probe_materialized",
+    "semantic_dedup",
 ]
+
+# sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
+_ops_env = os.environ.get("SPARK_GRAFT_SCALING_OPS")
+if _ops_env:
+    OPS = [o for o in _ops_env.split(",") if o]
 
 SFS = ["0.001", "0.01", "0.1"]
 
