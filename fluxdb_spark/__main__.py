@@ -75,6 +75,7 @@ def cmd_server(args, spark: SparkSession) -> int:
         or args.bm25_postings
         or args.kmeans_index
         or args.minhash_index
+        or args.quantize_index
     ):
         # retrieval routes and gauges read the STANDING materialized
         # indexes (index-retrieval mode maintains them) — the serving
@@ -90,6 +91,7 @@ def cmd_server(args, spark: SparkSession) -> int:
             bm25_doclen_dest=args.bm25_doclen,
             kmeans_dest=args.kmeans_index,
             minhash_dest=args.minhash_index,
+            quantize_dest=args.quantize_index,
         )
     metrics_server = None
     if args.metrics_port is not None:
@@ -558,6 +560,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--minhash-index",
         default=None,
         help="materialized MinHash signature table; enables /v1/neardup",
+    )
+    s.add_argument(
+        "--quantize-index",
+        default=None,
+        help="materialized int8 vector table; enables /v1/quantized_topk",
     )
     s.set_defaults(fn=cmd_server)
 

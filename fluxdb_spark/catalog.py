@@ -3155,7 +3155,7 @@ def embed_neardup_lsh(spark, sf_dir):
 @_q(
     "semantic_dedup",
     "pipeline",
-    sim.sql_semantic_dedup(0.99, k=4, iters=2, source_cte=_TWIN_CTE.strip()),
+    sim.sql_semantic_dedup(0.99, k=16, iters=2, source_cte=_TWIN_CTE.strip()),
 )
 def semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): embedding-level near-dup removal
@@ -3167,13 +3167,16 @@ def semantic_dedup(spark, sf_dir):
     twin lands in its original's cell and is dropped at cosine >= 0.99
     while every natural row survives with its cluster id. Clustering
     first bounds the pair space to within-cell pairs (the paper's scale
-    argument); the exact fixed-point kmeans + round-4 cosine make the
-    whole pipeline oracle-hashable (kmeans is floor-quantized, so the
-    twins MUST be planted bit-identically on both engines —
-    `_planted_twins` pins the binding)."""
+    argument) — and k must GROW with the corpus to keep cells at a
+    target size (pairs scale as N^2/k; the sf0.001->0.1 sweep at k=4
+    went 5.5x on 10x data, k=16 restores near-linear), which is why k
+    rides the API, not a constant; the exact fixed-point kmeans +
+    round-4 cosine make the whole pipeline oracle-hashable (kmeans is
+    floor-quantized, so the twins MUST be planted bit-identically on
+    both engines — `_planted_twins` pins the binding)."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return sim.semantic_dedup(
-        e.unionByName(_planted_twins(e)), threshold=0.99, k=4, iters=2
+        e.unionByName(_planted_twins(e)), threshold=0.99, k=16, iters=2
     )
 
 

@@ -699,6 +699,7 @@ class RetrievalService:
         bm25_doclen_dest: str | None = None,
         kmeans_dest: str | None = None,
         minhash_dest: str | None = None,
+        quantize_dest: str | None = None,
     ):
         self.spark = spark
         self.ann_dest = ann_dest
@@ -712,6 +713,7 @@ class RetrievalService:
         self.bm25_doclen_dest = bm25_doclen_dest
         self.kmeans_dest = kmeans_dest
         self.minhash_dest = minhash_dest
+        self.quantize_dest = quantize_dest
 
     def metrics(self) -> dict:
         """Retrieval-index gauges for a /metrics snapshot — notably the
@@ -852,6 +854,33 @@ class RetrievalService:
         return out.orderBy(
             F.desc("est_jaccard"), F.asc("doc_id")
         ).limit(k)
+
+    def quantized_topk(self, vec_id: int, k: int = 10) -> DataFrame:
+        """Exact top-k by-id over the STANDING int8 table: both the
+        probe's q8 and every candidate's come from the same materialized
+        table (the 4x-compressed storage form), so a query reads 1/4 the
+        bytes of the float corpus and — because int8 cosine is
+        scale-invariant integer arithmetic — the ranking is
+        bit-deterministic. By-id is the serving shape for "more like this
+        stored item"; an unseen vector goes through ann/ivf instead."""
+        if self.quantize_dest is None:
+            raise ValueError("no quantize index configured")
+        from fluxdb_spark.functions.similarity import (
+            quantized_topk_from_table,
+        )
+
+        derived = read_derived(self.spark, self.quantize_dest)
+        if derived is None:
+            raise ValueError(
+                "quantize index is empty — run index-retrieval"
+            )
+        qz = lww_latest(derived, ["vec_id"]).select(
+            "vec_id", "q8", "scale_e9"
+        )
+        probe = self.spark.createDataFrame(
+            [(int(vec_id),)], "vec_id long"
+        )
+        return quantized_topk_from_table(qz, probe, k=k)
 
     def hybrid(
         self,

@@ -23,6 +23,7 @@ Routes (GET, query-string params):
     /v1/hybrid?terms=...&vector=...[&k=N]   (RRF of both rankers)
     /v1/ivf_topk?vector=...[&k=N][&nprobe=M] (materialized IVF cells)
     /v1/neardup?text=...[&threshold=J][&k=N] (materialized signatures)
+    /v1/quantized_topk?vec_id=N[&k=N]       (materialized int8 table)
     /metrics            (optional, same source contract as MetricsServer)
 
 Responses are `{"rows": [...], "count": n}` JSON; errors are HTTP 400
@@ -203,6 +204,7 @@ class QueryServer:
             "/v1/hybrid",
             "/v1/ivf_topk",
             "/v1/neardup",
+            "/v1/quantized_topk",
         ):
             if self.retrieval is None:
                 raise BadRequest("no retrieval indexes configured")
@@ -242,6 +244,14 @@ class QueryServer:
                 if n_probe < 1:
                     raise BadRequest(f"nprobe must be >= 1: {n_probe}")
                 df = self.retrieval.ivf_topk(_vector(), k=k, n_probe=n_probe)
+            elif path == "/v1/quantized_topk":
+                try:
+                    vid = int(p["vec_id"])
+                except ValueError:
+                    raise BadRequest(
+                        f"vec_id must be an integer: {p['vec_id']!r}"
+                    )
+                df = self.retrieval.quantized_topk(vid, k=k)
             elif path == "/v1/neardup":
                 try:
                     threshold = float(p.get("threshold", 0.0))

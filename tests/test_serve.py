@@ -378,10 +378,18 @@ class TestRetrievalRoutes:
             spark, str(dstore.root), mdest,
             rt.minhash_transform(), str(tmp_path / "ck_m"),
         )
+        qdest = str(tmp_path / "q8")
+        rt.refresh(
+            spark, str(vstore.root), qdest,
+            rt.quantize_transform(), str(tmp_path / "ck_q"),
+        )
 
         engine = FluxEngine(spark, str(tmp_path / "edb"))
         service = rt.RetrievalService(
-            spark, kmeans_dest=kdest, minhash_dest=mdest
+            spark,
+            kmeans_dest=kdest,
+            minhash_dest=mdest,
+            quantize_dest=qdest,
         )
         srv = QueryServer(engine, port=0, retrieval=service)
         try:
@@ -402,11 +410,23 @@ class TestRetrievalRoutes:
             assert {r["doc_id"] for r in got["rows"]} >= {1}
             assert got["rows"][0]["est_jaccard"] == 1.0
 
+            # quantized top-k by stored id, over the standing int8 table
+            got = _get(f"{srv.url}/v1/quantized_topk?vec_id=0&k=3")
+            want = [
+                r.match_id
+                for r in service.quantized_topk(0, k=3).collect()
+            ]
+            assert [r["match_id"] for r in got["rows"]] == want
+            assert got["count"] == 3
+
             with pytest.raises(HTTPError) as e:
                 _get(f"{srv.url}/v1/ivf_topk?vector=1.0&nprobe=zero")
             assert e.value.code == 400
             with pytest.raises(HTTPError) as e:
                 _get(f"{srv.url}/v1/neardup?text=")
+            assert e.value.code == 400
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/quantized_topk?vec_id=abc")
             assert e.value.code == 400
         finally:
             srv.close()
