@@ -68,11 +68,13 @@ _PRIORITY: list[str] = [
     # reshaped to scalar columns this round — needs a fresh driver row);
     # positions 2-29 are the 27 relational/TPC-H entries whose newest row
     # is r04 plus stream_simhash_dedup (event-time semantics reworked
-    # this round); positions 30-50 are the oldest r06-green entries.
-    # New round-8 entries are inserted before the r06 fill as they land.
-    # The remaining r06 entries (position 51+) plus the 49 r07-green
-    # entries lead the r09 window, preserving the invariant "every
-    # entry has a driver row within 3 rounds".
+    # this round); positions 30-34 are the five NEW round-8 entries
+    # (materialized BM25/quantized/IVF reads, the near-dup membership
+    # probe, SemDeDup); positions 35-50 are the oldest r06-green
+    # entries. The remaining r06 entries (position 51+, incl. the three
+    # sessionization entries displaced by the new ones) plus the
+    # r07-green entries lead the r09 window, preserving the invariant
+    # "every entry has a driver row within 3 rounds".
     "embed_quantize",
     # -- r04-stale relational block
     "semi_anti_join",
@@ -3195,8 +3197,13 @@ def embed_ann_lsh(spark, sf_dir):
 @_q("embed_ann_ivf", "pipeline", None)  # kmeans cells not SQL-reproducible
 def embed_ann_ivf(spark, sf_dir):
     """ANN via IVF coarse quantization (k-means cells + n_probe cell join +
-    exact re-rank). Recall vs brute force is property-tested in
-    tests/test_similarity.py."""
+    exact re-rank). ROWS-ONLY BY DESIGN, permanently: a partial-probe ANN
+    is genuinely approximate, so no SQL oracle exists or ever will — its
+    machinery is instead oracle-HASHED through the provably-brute-force
+    full-probe twins (`embed_ann_ivf_exact`, `embed_ann_ivf_materialized`)
+    and its recall vs brute force is property-tested in
+    tests/test_similarity.py. A driver window showing this entry as
+    `no_oracle` is the expected, correct state."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=10)
 
