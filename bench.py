@@ -92,6 +92,7 @@ HEADLINE = [
     "embed_ann_ivf_materialized",
     "neardup_probe_materialized",
     "semantic_dedup",
+    "epoch_shuffle",
 ]
 
 

@@ -130,6 +130,8 @@ _PRIORITY: list[str] = [
     "stream_dedup",
     "stream_stream_join",
     # ---- position 51+ from here: leads the r09 window ----
+    # -- new round-8 entry held for r09 (window already full)
+    "epoch_shuffle",
     # -- remaining r06-green entries
     "stream_sessionize",
     "sessionization",
@@ -3888,6 +3890,20 @@ def hash_split(spark, sf_dir):
     return cu.hash_split(d, "doc_id", val_frac=0.05, test_frac=0.05).select(
         "doc_id", "split"
     )
+
+
+@_q("epoch_shuffle", "pipeline", cu.sql_epoch_shuffle([1, 2]))
+def epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch shuffle order (training reproducibility):
+    each epoch's consumption sequence is specified by one salted
+    portable hash per row — sort by `epoch<e>_key` and you have the
+    epoch; different epochs decorrelate, retries and cluster resizes
+    change nothing, and there is no RNG state to checkpoint. Map-only by
+    design: the consumer pays the sort once when writing the epoch
+    manifest (a global dense row_number would serialize through one
+    partition — the opposite of the point)."""
+    d = _t(spark, sf_dir, "documents")
+    return cu.epoch_shuffle(d, [1, 2], key_col="doc_id")
 
 
 @_q(

@@ -244,6 +244,46 @@ def hash_split(
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    epochs: list[int],
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle ORDER — the training-data
+    reproducibility primitive: the order a run consumes examples in must
+    be a pure function of (corpus, epoch), identical across retries,
+    cluster sizes, and engines, with different epochs decorrelated. Each
+    epoch's order is specified by ONE salted portable hash per row
+    (`hash60(key, "epoch<e>")`): sort by it and you have the epoch's
+    sequence. Emitting the KEY rather than a dense position keeps the
+    operator map-only (zero shuffle, no RNG state to checkpoint); the
+    consumer pays the sort exactly once when writing the epoch manifest
+    — a global dense row_number here would serialize through a single
+    partition, the opposite of the point. Returns the id plus one
+    `epoch<e>_key` column per requested epoch."""
+    return df.select(
+        F.col(key_col),
+        *[
+            hash60(
+                F.col(key_col).cast("string"), seed=f"epoch{int(e)}"
+            ).alias(f"epoch{int(e)}_key")
+            for e in epochs
+        ],
+    )
+
+
+def sql_epoch_shuffle(
+    epochs: list[int], expr: str = "doc_id", source: str = "documents"
+) -> str:
+    """DuckDB twin of `epoch_shuffle`."""
+    cols = ", ".join(
+        f"{hash60_sql(f'CAST({expr} AS VARCHAR)', f'epoch{int(e)}')}"
+        f" AS epoch{int(e)}_key"
+        for e in epochs
+    )
+    return f"SELECT {expr}, {cols} FROM {source}"
+
+
 def sql_hash_split(
     expr: str,
     val_frac: float = 0.01,

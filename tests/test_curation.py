@@ -253,3 +253,35 @@ class TestLengthBuckets:
         assert (out[3].batch_id, out[3].pos_in_batch) == (0, 0)
         assert (out[4].batch_id, out[4].pos_in_batch) == (0, 1)
         assert (out[5].batch_id, out[5].pos_in_batch) == (1, 0)
+
+
+class TestEpochShuffle:
+    """Deterministic per-epoch shuffle order: pure function of
+    (corpus, epoch), epochs decorrelated, no RNG state."""
+
+    def test_deterministic_and_epochs_decorrelate(self, spark):
+        from fluxdb_spark.functions.curation import epoch_shuffle
+
+        d = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long"
+        )
+        a = {r.doc_id: (r.epoch1_key, r.epoch2_key)
+             for r in epoch_shuffle(d, [1, 2]).collect()}
+        b = {r.doc_id: (r.epoch1_key, r.epoch2_key)
+             for r in epoch_shuffle(d, [1, 2]).collect()}
+        assert a == b  # pure function of (corpus, epoch)
+        order1 = sorted(a, key=lambda i: a[i][0])
+        order2 = sorted(a, key=lambda i: a[i][1])
+        assert order1 != order2  # epochs decorrelate
+        assert order1 != sorted(a)  # and neither is the natural order
+        # keys are distinct (a total order, no ties to break nondeterministically)
+        assert len({v[0] for v in a.values()}) == len(a)
+
+    def test_growth_never_moves_old_rows(self, spark):
+        from fluxdb_spark.functions.curation import epoch_shuffle
+
+        d = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        d2 = spark.createDataFrame([(i,) for i in range(80)], "doc_id long")
+        a = {r.doc_id: r.epoch1_key for r in epoch_shuffle(d, [1]).collect()}
+        b = {r.doc_id: r.epoch1_key for r in epoch_shuffle(d2, [1]).collect()}
+        assert all(b[i] == k for i, k in a.items())
