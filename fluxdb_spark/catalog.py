@@ -63,76 +63,19 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-8 window (driver checks exactly the first 50 entries per
-    # round): position 1 is embed_quantize (r07's one red row, entry
-    # reshaped to scalar columns this round — needs a fresh driver row);
-    # positions 2-29 are the 27 relational/TPC-H entries whose newest row
-    # is r04 plus stream_simhash_dedup (event-time semantics reworked
-    # this round); positions 30-34 are the five NEW round-8 entries
-    # (materialized BM25/quantized/IVF reads, the near-dup membership
-    # probe, SemDeDup); positions 35-50 are the oldest r06-green
-    # entries. The remaining r06 entries (position 51+, incl. the three
-    # sessionization entries displaced by the new ones) plus the
-    # r07-green entries lead the r09 window, preserving the invariant
-    # "every entry has a driver row within 3 rounds".
-    "embed_quantize",
-    # -- r04-stale relational block
-    "semi_anti_join",
-    "scalar_subquery",
-    "scalar_showcase",
-    "date_funcs",
-    "pivot_status",
-    "skew_salted_agg",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "region_revenue",
-    # -- reworked this round (real event times)
-    "stream_simhash_dedup",
-    # -- new round-8 entries land here --
-    "bm25_rank_materialized",
-    "embed_topk_quantized_materialized",
-    "embed_ann_ivf_materialized",
-    "neardup_probe_materialized",
-    "semantic_dedup",
-    # -- oldest r06-green fill
-    "typed_view_protobuf",
-    "embed_neardup_lsh",
-    "flux_state_at",
-    "flux_state_at_indexed",
-    "flux_state_diff",
-    "flux_state_at_speculative",
-    "flux_has_rows",
-    "flux_tablet_index",
-    "flux_shard_assignment",
-    "flux_shard_progress",
-    "flux_gap_check",
-    "flux_tablet_stats",
-    "typed_view_decode",
-    "stream_tumbling",
-    "stream_dedup",
-    "stream_stream_join",
-    # ---- position 51+ from here: leads the r09 window ----
-    # -- new round-8 entry held for r09 (window already full)
+    # Round-9 window (driver checks exactly the first 50 entries per
+    # round): positions 1-N are the NEW round-9 entries (they need their
+    # first driver row); then epoch_shuffle (added r08 after that window
+    # was already full); then the r06-green entries whose newest row is
+    # oldest; the window closes with the front of the r07-green block.
+    # The r08-green entries (checked last round, freshest rows) moved to
+    # the back; the remaining r07-green entries at position 51+ lead the
+    # r10 window, preserving the invariant "every entry has a driver row
+    # within 3 rounds".
+    # -- new round-9 entries land here --
+    # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
-    # -- remaining r06-green entries
+    # -- r06-green entries (oldest rows in the catalog)
     "stream_sessionize",
     "sessionization",
     "session_windows",
@@ -166,7 +109,7 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "decontaminate",
     "seq_packing",
-    # -- r07-green entries (freshest rows; close the r09 window)
+    # -- front of the r07-green block (oldest-first fill to 50)
     "flux_state_series",
     "flux_time_weighted",
     "asof_join_nearest",
@@ -183,6 +126,8 @@ _PRIORITY: list[str] = [
     "length_buckets",
     "curation_pipeline",
     "hash_split",
+    # ---- position 51+ from here: leads the r10 window ----
+    # -- remaining r07-green entries
     "text_normalize",
     "doc_chunking",
     "multimodal_meta",
@@ -216,6 +161,57 @@ _PRIORITY: list[str] = [
     "running_total",
     "topk_orders",
     "set_ops",
+    # -- r08-green entries (checked last round; freshest rows, go last)
+    "embed_quantize",
+    "semi_anti_join",
+    "scalar_subquery",
+    "scalar_showcase",
+    "date_funcs",
+    "pivot_status",
+    "skew_salted_agg",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "region_revenue",
+    "stream_simhash_dedup",
+    "bm25_rank_materialized",
+    "embed_topk_quantized_materialized",
+    "embed_ann_ivf_materialized",
+    "neardup_probe_materialized",
+    "semantic_dedup",
+    "typed_view_protobuf",
+    "embed_neardup_lsh",
+    "flux_state_at",
+    "flux_state_at_indexed",
+    "flux_state_diff",
+    "flux_state_at_speculative",
+    "flux_has_rows",
+    "flux_tablet_index",
+    "flux_shard_assignment",
+    "flux_shard_progress",
+    "flux_gap_check",
+    "flux_tablet_stats",
+    "typed_view_decode",
+    "stream_tumbling",
+    "stream_dedup",
+    "stream_stream_join",
 ]
 
 
