@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     # r10 window, preserving the invariant "every entry has a driver row
     # within 3 rounds".
     # -- new round-9 entries land here --
+    "embed_topk_pq",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -3989,6 +3990,24 @@ def embed_topk_projected(spark, sf_dir):
     scores hash-match."""
     e = _t(spark, sf_dir, "embeddings")
     out = sim.projected_topk(e, e.filter(F.col("vec_id") < 5), k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("embed_topk_pq", "pipeline", sim.sql_pq_topk(m=4, ks=8, iters=2, k=10))
+def embed_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (Jegou et al. 2011): 4 subspace codebooks
+    trained with the exact fixed-point Lloyd loop, corpus encoded as 4
+    codeword ids (64x smaller than float32 storage), queries answered by
+    asymmetric-distance lookup — m table probes per candidate instead of
+    dim multiplies, scanning the codes table instead of the float corpus.
+    All-integer arithmetic end to end, so assignment, codes, and the ADC
+    ranking hash-match the unrolled-CTE oracle exactly; the recall /
+    compression trade-off vs brute force is property-tested separately
+    (test_similarity)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim.pq_topk(
+        e, e.filter(F.col("vec_id") < 5), m=4, ks=8, iters=2, k=10
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -950,41 +950,44 @@ def _sql_kmeans_ctes(
     iters: int = 3,
     scale: int = 1_000_000,
     source_cte: str = "SELECT vec_id, embedding FROM embeddings",
+    prefix: str = "",
 ) -> tuple[str, str]:
     """The kmeans CTE chain alone (so downstream oracles — e.g.
     sql_semantic_dedup — can keep composing): returns (WITH-chain, name
-    of the final-assignment CTE). `src` holds the corpus, available to
-    appended CTEs."""
+    of the final-assignment CTE). `{prefix}src` holds the corpus,
+    available to appended CTEs. `prefix` namespaces every CTE so several
+    chains (e.g. one per PQ subspace) compose in one statement."""
+    p = prefix
     head = f"""
-WITH src AS ({source_cte}),
-qv AS (SELECT vec_id,
+WITH {p}src AS ({source_cte}),
+{p}qv AS (SELECT vec_id,
             list_transform(embedding,
               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
-            FROM src),
-e AS (SELECT vec_id, i AS pos, q[i] AS val
-      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
-seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
-         FROM qv ORDER BY vec_id LIMIT {k}),
-cent0 AS (SELECT s.cluster, e.pos, e.val AS cv
-          FROM seed s JOIN e USING (vec_id))"""
+            FROM {p}src),
+{p}e AS (SELECT vec_id, i AS pos, q[i] AS val
+      FROM {p}qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
+{p}seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+         FROM {p}qv ORDER BY vec_id LIMIT {k}),
+{p}cent0 AS (SELECT s.cluster, e.pos, e.val AS cv
+          FROM {p}seed s JOIN {p}e e USING (vec_id))"""
     parts = [head]
     for i in range(1, iters + 1):
-        prev = f"cent{i - 1}"
+        prev = f"{p}cent{i - 1}"
         parts.append(f"""
-d{i} AS (SELECT e.vec_id, c.cluster,
+{p}d{i} AS (SELECT e.vec_id, c.cluster,
          sum((e.val - c.cv) * (e.val - c.cv)) AS d
-         FROM e JOIN {prev} c USING (pos) GROUP BY 1, 2),
-a{i} AS (SELECT vec_id, cluster, d FROM
+         FROM {p}e e JOIN {prev} c USING (pos) GROUP BY 1, 2),
+{p}a{i} AS (SELECT vec_id, cluster, d FROM
          (SELECT vec_id, cluster, d,
                  row_number() OVER (PARTITION BY vec_id
-                                    ORDER BY d, cluster) AS rn FROM d{i})
+                                    ORDER BY d, cluster) AS rn FROM {p}d{i})
          WHERE rn = 1),
-u{i} AS (SELECT a.cluster, e.pos,
+{p}u{i} AS (SELECT a.cluster, e.pos,
          CAST(floor(CAST(sum(e.val) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-         FROM a{i} a JOIN e USING (vec_id) GROUP BY 1, 2),
-cent{i} AS (SELECT p.cluster, p.pos, COALESCE(n.cv, p.cv) AS cv
-            FROM {prev} p LEFT JOIN u{i} n USING (cluster, pos))""")
-    return ",".join(parts), f"a{iters}"
+         FROM {p}a{i} a JOIN {p}e e USING (vec_id) GROUP BY 1, 2),
+{p}cent{i} AS (SELECT p.cluster, p.pos, COALESCE(n.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN {p}u{i} n USING (cluster, pos))""")
+    return ",".join(parts), f"{p}a{iters}"
 
 
 def semantic_dedup(
@@ -1252,3 +1255,248 @@ ranked AS (
 SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train one fixed-point k-means codebook per PQ subspace (Jegou,
+    Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+    Search"): the dim-dimensional space splits into `m` contiguous
+    sub-vectors of dim/m dims, each clustered independently into `ks`
+    codewords. Training is the exact integer Lloyd loop (`_kmeans_fit`),
+    so codebooks — and everything derived from them — are deterministic
+    and oracle-checkable, unlike float PQ. Driver state is m*ks*(dim/m)
+    = ks*dim longs, constant in corpus size; training is one-time model
+    fitting, after which encode/search never rescan the float corpus."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return [
+        kmeans_centroids(
+            corpus.select(
+                F.col(id_col),
+                F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
+            ),
+            k=ks,
+            iters=iters,
+            scale=scale,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books: list[list[list[int]]],
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as `m` codeword ids — the 4-byte-per-subspace
+    PQ code that replaces the dim*4-byte float vector in storage (m=4,
+    dim=64 : 64x smaller than float32, 16x smaller than the int8 table).
+    Map-only: codebooks ride as plan literals, the nearest-codeword pick
+    is the same exact integer argmin the trainer used."""
+    m = len(books)
+    sub = dim // m
+    cols = [
+        _nearest_int_centroid(
+            _quantize(F.slice(F.col(vec_col), s * sub + 1, sub), scale),
+            books[s],
+        )["idx"]
+        for s in range(m)
+    ]
+    return vectors.select(F.col(id_col), F.array(*cols).alias("codes"))
+
+
+def _codeword_dists(qsub: Column, book: list[list[int]]) -> Column:
+    """array<bigint> of exact integer squared distances from a quantized
+    query sub-vector to every codeword, ordered by codeword id — one row
+    of the ADC lookup table."""
+    bl = F.lit([[int(x) for x in c] for c in book]).cast(
+        "array<array<bigint>>"
+    )
+    return F.transform(
+        bl,
+        lambda c: F.aggregate(
+            F.zip_with(qsub, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance computation (ADC):
+    train codebooks, encode the corpus once, then score each (query,
+    code) pair as the sum of m lookup-table entries — the query's exact
+    integer squared distance to each subspace's ASSIGNED codeword.
+
+    Scale shape: the scan side is the CODES table (m small ints per
+    vector — at 100 TB of float vectors, ~1/64th the bytes), queries
+    broadcast with their m*ks-entry LUTs precomputed in-plan, per-row
+    work is m array lookups instead of dim multiplies, and the per-query
+    top-k is the same bounded window as brute_force_topk. Every
+    quantity is an exact integer, so ranks (ties broken by match_id)
+    hash-match the SQL oracle exactly — the recall/compression tradeoff
+    is tested separately against the float brute force."""
+    books = pq_codebooks(
+        corpus, m, ks, iters, dim, scale, id_col, vec_col
+    )
+    return pq_topk_with_books(
+        corpus, queries, books, k, dim, scale, id_col, vec_col
+    )
+
+
+def pq_topk_with_books(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 10,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`pq_topk` over FROZEN codebooks — the serving shape: a standing
+    service trains once, materializes the codes table, and answers
+    queries from codes + codebook literals without touching the float
+    corpus."""
+    m = len(books)
+    sub = dim // m
+    c = pq_encode(
+        spread(corpus), books, dim, scale, id_col, vec_col
+    ).withColumnRenamed(id_col, "match_id")
+    luts = F.array(
+        *[
+            _codeword_dists(
+                _quantize(
+                    F.slice(F.col(vec_col), s * sub + 1, sub), scale
+                ),
+                books[s],
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), luts.alias("lut")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda l, cd: F.element_at(
+                        l, (cd + F.lit(1)).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "adist", "rank")
+    )
+
+
+def sql_pq_topk(
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    k: int = 10,
+    dim: int = 64,
+    n_queries: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of `pq_topk`: one prefixed kmeans CTE chain per
+    subspace (same seeded init + Lloyd iterations over the sliced
+    vectors), query LUT rows as per-(query, codeword) integer distance
+    relations against the frozen codebook (`cent{iters-1}` — the
+    centroids the final assignment pass measured against), ADC distance
+    as the m-way sum over each vector's assigned codewords."""
+    sub = dim // m
+    chains, finals = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        body, a = _sql_kmeans_ctes(
+            ks,
+            iters,
+            scale,
+            source_cte=(
+                f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                " FROM embeddings"
+            ),
+            prefix=f"s{s}",
+        )
+        chains.append(body if s == 0 else body.replace("\nWITH ", "\n", 1))
+        finals.append((f"s{s}", a))
+    qd = ",".join(
+        f"""
+{p}qd AS (SELECT e.vec_id AS query_id, c.cluster,
+          sum((e.val - c.cv) * (e.val - c.cv)) AS d
+          FROM {p}e e JOIN {p}cent{iters - 1} c USING (pos)
+          WHERE e.vec_id < {n_queries} GROUP BY 1, 2)"""
+        for p, _a in finals
+    )
+    code_joins = " ".join(
+        f"JOIN {a} x{i} USING (vec_id)"
+        for i, (_p, a) in enumerate(finals)
+        if i > 0
+    )
+    lut_joins = " ".join(
+        f"JOIN {p}qd q{i} ON q{i}.cluster = x{i}.cluster"
+        + ("" if i == 0 else f" AND q{i}.query_id = q0.query_id")
+        for i, (p, _a) in enumerate(finals)
+    )
+    adist = " + ".join(f"q{i}.d" for i in range(m))
+    return (
+        ",".join(chains)
+        + ","
+        + qd
+        + f""",
+ad AS (SELECT q0.query_id, x0.vec_id AS match_id, {adist} AS adist
+       FROM {finals[0][1]} x0 {code_joins}
+       {lut_joins}
+       WHERE x0.vec_id != q0.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adist, match_id) AS rank
+           FROM ad)
+SELECT query_id, match_id, adist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )

@@ -407,3 +407,52 @@ class TestQuantizedTopk:
         # exact-integer scoring: re-run is bit-identical
         again = quantized_topk(corpus, queries.select("vec_id"), k=K).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestPqTopk:
+    def test_recall_beats_random_baseline(self, corpus, queries, exact):
+        # ADC over 4 subspaces x 8 codewords is a coarse 4096-cell grid;
+        # on the near-uniform sf corpus it keeps well above the ~0.02
+        # random-top-10 floor (same calibration as TestProjectedTopk)
+        rows = sim.pq_topk(corpus, queries, m=4, ks=8, iters=2, k=K).collect()
+        assert _recall(rows, exact) >= 0.08
+
+    def test_codes_well_formed(self, corpus):
+        books = sim.pq_codebooks(corpus, m=4, ks=8, iters=2)
+        assert len(books) == 4
+        assert all(len(b) == 8 and len(b[0]) == 16 for b in books)
+        codes = sim.pq_encode(corpus, books).collect()
+        assert len(codes) == corpus.count()
+        for r in codes:
+            assert len(r.codes) == 4
+            assert all(0 <= c < 8 for c in r.codes)
+
+    def test_deterministic_rerun(self, corpus, queries):
+        a = sorted(map(tuple, sim.pq_topk(corpus, queries, k=K).collect()))
+        b = sorted(map(tuple, sim.pq_topk(corpus, queries, k=K).collect()))
+        assert a == b and len(a) == N_QUERIES * K
+
+    def test_adist_is_exact_codeword_distance(self, corpus):
+        # ADC distance must equal the integer distance from the quantized
+        # query sub-vectors to the match's ASSIGNED codewords, recomputed
+        # independently in Python
+        books = sim.pq_codebooks(corpus, m=4, ks=8, iters=2)
+        codes = {r.vec_id: list(r.codes) for r in sim.pq_encode(corpus, books).collect()}
+        import math
+
+        vecs = {
+            r.vec_id: [math.floor(float(x) * 1_000_000) for x in r.embedding]
+            for r in corpus.select("vec_id", "embedding").collect()
+        }
+        rows = sim.pq_topk_with_books(
+            corpus, corpus.filter(F.col("vec_id") < 3), books, k=5
+        ).collect()
+        assert rows
+        for r in rows:
+            q = vecs[r.query_id]
+            want = 0
+            for s in range(4):
+                cw = books[s][codes[r.match_id][s]]
+                qs = q[s * 16 : (s + 1) * 16]
+                want += sum((a - b) ** 2 for a, b in zip(qs, cw))
+            assert r.adist == want
