@@ -74,6 +74,8 @@ _PRIORITY: list[str] = [
     # within 3 rounds".
     # -- new round-9 entries land here --
     "embed_topk_pq",
+    "dsir_select",
+    "perplexity_buckets",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -3991,6 +3993,30 @@ def embed_topk_projected(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = sim.projected_topk(e, e.filter(F.col("vec_id") < 5), k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("dsir_select", "pipeline", cu.sql_dsir_select())
+def dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): pick the 100 documents whose
+    hashed unigram+bigram distribution best matches the English slice —
+    importance weight = sum of per-bucket counts times the add-one-smoothed
+    target/raw log-ratio. The log-ratio is fixed-pointed per bucket, so
+    per-doc weights are exact integers (order-independent sums) and the
+    top-N selection hash-matches the oracle; selection skews ~1.6x toward
+    the target slice on this corpus (non-vacuous at every SF)."""
+    d = _td(spark, sf_dir)
+    return cu.dsir_select(d, F.col("lang") == "en", n_take=100)
+
+
+@_q("perplexity_buckets", "pipeline", tx.sql_perplexity_buckets())
+def perplexity_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity tiers (head/middle/tail =
+    tier 1/2/3): documents ranked by the in-corpus bigram-LM fluency
+    score within each language and ntile-split — the classic quality
+    stratification before mixing. Deterministic: floor4-truncated scores,
+    doc-id tie-break, standard-SQL ntile on both engines."""
+    d = _td(spark, sf_dir)
+    return tx.perplexity_buckets(d)
 
 
 @_q("embed_topk_pq", "pipeline", sim.sql_pq_topk(m=4, ks=8, iters=2, k=10))

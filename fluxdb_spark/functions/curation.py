@@ -432,3 +432,146 @@ SELECT doc_id, n_tokens, bucket_lo,
        rn % {batch_size} AS pos_in_batch
 FROM r
 """
+
+
+# --- DSIR importance resampling ---------------------------------------------
+
+DSIR_BUCKETS = 64
+
+
+def _dsir_features(text: Column) -> Column:
+    """Hashed-n-gram feature stream (Xie et al. 2023, DSIR): unigrams +
+    bigrams of the lowercased whitespace tokens, later bucketed by the
+    portable hash. Bigrams reuse text.bigram_structs' guarded pairing
+    (empty for single-token docs)."""
+    from fluxdb_spark.functions.text import bigram_structs
+
+    toks = F.split(F.lower(text), " ")
+    bis = F.transform(
+        bigram_structs(text),
+        lambda s: F.concat(s["w1"], F.lit(" "), s["w2"]),
+    )
+    return F.concat(toks, bis)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document importance weights for Data Selection via Importance
+    Resampling (Xie et al. 2023, arXiv:2302.03169): hashed unigram+bigram
+    bag-of-buckets features, add-one-smoothed bucket distributions for the
+    `target` slice vs the whole (raw) corpus, and per-doc weight
+    = sum_b count_b * log(p_target(b) / p_raw(b)).
+
+    Determinism: the log-ratio is fixed-pointed per BUCKET
+    (floor(ln * 1e6) of an exactly-representable integer ratio), so the
+    per-document sum is exact integer arithmetic — order-independent
+    across any partitioning, no float-summation ambiguity.
+
+    Scale shape: one explode -> two combine-friendly groupBys (the doc x
+    bucket shuffle carries at most |docs| * n_buckets rows after map-side
+    combine); the bucket table is n_buckets rows and broadcasts back; no
+    all-pairs step, no Python, driver state zero."""
+    fb = docs.select(
+        F.col(id_col),
+        target.alias("is_target"),
+        F.explode(_dsir_features(F.col(text_col))).alias("feat"),
+    ).select(
+        id_col,
+        "is_target",
+        F.pmod(hash60(F.col("feat"), seed="dsir"), F.lit(n_buckets)).alias(
+            "b"
+        ),
+    )
+    doc_b = fb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    )
+    tot = stats.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    lr = stats.join(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.ln(
+                ((F.col("ct") + 1) * (F.col("tr") + n_buckets)).cast(
+                    "double"
+                )
+                / ((F.col("cr") + 1) * (F.col("tt") + n_buckets)).cast(
+                    "double"
+                )
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("lr_e6"),
+    )
+    return doc_b.join(F.broadcast(lr), "b").groupBy(id_col).agg(
+        F.sum(F.col("cnt") * F.col("lr_e6")).alias("w_e6"),
+        F.sum("cnt").alias("n_feats"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    n_take: int = 100,
+    n_buckets: int = DSIR_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic DSIR selection: the `n_take` raw-corpus documents
+    whose hashed-n-gram distribution best matches the target slice (the
+    paper's Gumbel-noise resampling replaced by exact top-N so the
+    selection is reproducible and oracle-checkable). The global sort is
+    TakeOrdered (no single-partition shuffle of the corpus); the rank
+    window runs over the already-limited n_take rows."""
+    w = dsir_weights(docs, target, n_buckets, id_col, text_col)
+    top = w.orderBy(F.desc("w_e6"), F.asc(id_col)).limit(n_take)
+    rank_w = Window.orderBy(F.desc("w_e6"), F.asc(id_col))
+    return top.withColumn(
+        "rank", F.row_number().over(rank_w).cast("long")
+    ).select(id_col, "n_feats", "w_e6", "rank")
+
+
+def sql_dsir_select(
+    target_expr: str = "lang = 'en'",
+    n_take: int = 100,
+    n_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin of `dsir_select` (documents table, same feature
+    stream, same fixed-point log-ratio)."""
+    bucket = hash60_sql("feat", "dsir")
+    return f"""
+WITH toks AS (SELECT doc_id, {target_expr} AS is_target,
+                     string_split(lower(text), ' ') AS t FROM documents),
+uni AS (SELECT doc_id, is_target, t[i] AS feat
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+bi AS (SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS feat
+       FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+fb AS (SELECT doc_id, is_target, {bucket} % {n_buckets} AS b
+       FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+docb AS (SELECT doc_id, b, count(*) AS cnt FROM fb GROUP BY 1, 2),
+stats AS (SELECT b, count(*) AS cr,
+                 sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+          FROM fb GROUP BY 1),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM stats),
+lr AS (SELECT b, CAST(floor(ln(
+           CAST((ct + 1) * (tr + {n_buckets}) AS DOUBLE)
+         / CAST((cr + 1) * (tt + {n_buckets}) AS DOUBLE)) * 1000000)
+         AS BIGINT) AS lr_e6
+       FROM stats, tot),
+w AS (SELECT doc_id, CAST(sum(cnt * lr_e6) AS BIGINT) AS w_e6,
+             CAST(sum(cnt) AS BIGINT) AS n_feats
+      FROM docb JOIN lr USING (b) GROUP BY 1),
+ranked AS (SELECT doc_id, n_feats, w_e6,
+                  row_number() OVER (ORDER BY w_e6 DESC, doc_id) AS rank
+           FROM w)
+SELECT doc_id, n_feats, w_e6, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {n_take}
+"""

@@ -401,6 +401,53 @@ SELECT doc_id, n_bigrams, avg_logp FROM scored
 """
 
 
+def perplexity_buckets(
+    docs,
+    n_tiles: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): rank each
+    language's documents by LM fluency (here the in-corpus bigram MLE of
+    `bigram_lm_scores` — CCNet uses a wiki-trained KenLM, an external
+    artifact) and split into equal tiers; tier 1 is "head" (most fluent,
+    kept for high-quality mixes), the last tier is "tail". Per-language
+    ntile over the (floor4-truncated) score with doc-id tie-break keeps
+    the assignment deterministic and cross-engine exact.
+
+    Scale shape: inherits bigram_lm_scores' model join, then ONE window
+    shuffle partitioned by language — the partition key is low-cardinality
+    but each partition only carries (id, lang, score) triples, never
+    document text."""
+    scored = bigram_lm_scores(docs, id_col, text_col)
+    base = docs.select(id_col, lang_col).join(scored, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc("avg_logp"), F.asc(id_col)
+    )
+    return base.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "avg_logp",
+        F.ntile(n_tiles).over(w).cast("long").alias("tier"),
+    )
+
+
+def sql_perplexity_buckets(n_tiles: int = 3) -> str:
+    """DuckDB twin of `perplexity_buckets` (SQL_BIGRAM_LM composed with
+    the same per-language ntile)."""
+    return f"""
+WITH lm AS ({SQL_BIGRAM_LM}),
+tiered AS (
+  SELECT l.doc_id, d.lang, l.n_bigrams, l.avg_logp,
+         CAST(ntile({n_tiles}) OVER (PARTITION BY d.lang
+                  ORDER BY l.avg_logp DESC, l.doc_id) AS BIGINT) AS tier
+  FROM lm l JOIN documents d USING (doc_id))
+SELECT doc_id, lang, n_bigrams, avg_logp, tier FROM tiered
+"""
+
+
 def heavy_hitters(docs, k: int = 20, text_col: str = "text"):
     """Corpus-wide top-k terms with frequency share — the vocabulary
     heavy-hitter profile a mix designer reads before setting filters.

@@ -400,3 +400,34 @@ class TestBM25Multi:
         }
         # each query only matches its own doc
         assert got == {("qa", 0): 1, ("qg", 1): 1}
+
+
+class TestPerplexityBuckets:
+    def test_tiers_balanced_per_language(self, spark):
+        from fluxdb_spark.functions.text import perplexity_buckets
+        from fluxdb_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = perplexity_buckets(docs).collect()
+        by_lang: dict[str, list] = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        assert set(by_lang) == {"en", "es", "fr", "de", "zh"}
+        for lang, rs in by_lang.items():
+            sizes = [sum(1 for r in rs if r.tier == t) for t in (1, 2, 3)]
+            assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+            # the most fluent doc of a language sits in tier 1
+            best = max(rs, key=lambda r: (r.avg_logp, -r.doc_id))
+            assert best.tier == 1
+
+    def test_tier_boundary_is_score_ordered(self, spark):
+        from fluxdb_spark.functions.text import perplexity_buckets
+        from fluxdb_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = perplexity_buckets(docs).collect()
+        for lang in {"en", "zh"}:
+            rs = [r for r in rows if r.lang == lang]
+            t1_min = min(r.avg_logp for r in rs if r.tier == 1)
+            t3_max = max(r.avg_logp for r in rs if r.tier == 3)
+            assert t1_min >= t3_max

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from fluxdb_spark.functions import curation
 from fluxdb_spark.functions.curation import (
     decontaminate,
     hash_sample,
@@ -285,3 +286,34 @@ class TestEpochShuffle:
         a = {r.doc_id: r.epoch1_key for r in epoch_shuffle(d, [1]).collect()}
         b = {r.doc_id: r.epoch1_key for r in epoch_shuffle(d2, [1]).collect()}
         assert all(b[i] == k for i, k in a.items())
+
+
+class TestDsirSelect:
+    def test_selection_skews_toward_target(self, docs):
+        sel = curation.dsir_select(docs, F.col("lang") == "en", n_take=100)
+        ids = [r.doc_id for r in sel.collect()]
+        langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+        sel_en = sum(1 for i in ids if langs[i] == "en") / len(ids)
+        base_en = sum(1 for v in langs.values() if v == "en") / len(langs)
+        assert sel_en > base_en * 1.3
+
+    def test_deterministic_exact_integer_weights(self, docs):
+        a = sorted(map(tuple, curation.dsir_weights(docs, F.col("lang") == "en").collect()))
+        b = sorted(map(tuple, curation.dsir_weights(docs, F.col("lang") == "en").collect()))
+        assert a == b
+        assert all(isinstance(r[1], int) for r in a)  # w_e6 is exact long
+
+    def test_rank_contiguous_and_bounded(self, docs):
+        rows = curation.dsir_select(docs, F.col("lang") == "en", n_take=25).collect()
+        assert sorted(r.rank for r in rows) == list(range(1, 26))
+        ws = [r.w_e6 for r in sorted(rows, key=lambda r: r.rank)]
+        assert ws == sorted(ws, reverse=True)
+
+    def test_target_vocabulary_wins(self, spark):
+        # docs 0-3 are the target slice sharing one vocabulary; doc 10 reuses
+        # it, doc 11 uses a disjoint one — DSIR must prefer doc 10
+        rows = [(i, "alpha beta gamma alpha beta", True) for i in range(4)]
+        rows += [(10, "alpha beta gamma", False), (11, "zip zap zup", False)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+        w = {r.doc_id: r.w_e6 for r in curation.dsir_weights(df, F.col("is_t")).collect()}
+        assert w[10] > w[11]
