@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "embed_topk_pq",
     "dsir_select",
     "perplexity_buckets",
+    "cms_heavy_hitters",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -3993,6 +3994,18 @@ def embed_topk_projected(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = sim.projected_topk(e, e.filter(F.col("vec_id") < 5), k=10)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("cms_heavy_hitters", "pipeline", tx.sql_cms_heavy_hitters())
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch frequency estimation beside the exact top-20
+    vocabulary counts: the sketch's shuffle state is depth x width
+    counters REGARDLESS of vocabulary size (each partition's partial
+    count is its sketch; the groupBy merge is the sketch merge), the
+    estimate is min-over-rows — never below the true count. Integer end
+    to end, so exact counts, estimates, and ranks all hash-match."""
+    d = _td(spark, sf_dir)
+    return tx.cms_heavy_hitters(d, k=20)
 
 
 @_q("dsir_select", "pipeline", cu.sql_dsir_select())

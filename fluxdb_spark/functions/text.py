@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from fluxdb_spark.functions.hashing import hash60, hash60_sql
+
 # Marker stopword sets for the n-gram/stopword language-ID heuristic.
 # Deterministic tie-break order: en, es, de, fr (then 'und').
 LANG_MARKERS: dict[str, list[str]] = {
@@ -946,4 +948,133 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
        FROM pd)
 SELECT query_id, doc_id, n_terms, bm25, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= {k}
+"""
+
+
+# --- count-min sketch --------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_bucket(term: Column, r: Column, width: int) -> Column:
+    """Row-r counter index for a term: portable salted hash mod width."""
+    return F.pmod(
+        hash60(
+            F.concat(
+                F.lit("cms"), r.cast("string"), F.lit("|"), term
+            )
+        ),
+        F.lit(width),
+    )
+
+
+def _cms_bucket_sql(term_expr: str, r_expr: str, width: int) -> str:
+    inner = f"concat('cms', CAST({r_expr} AS VARCHAR), '|', {term_expr})"
+    return f"({hash60_sql(inner)} % {width})"
+
+
+def cms_sketch(
+    docs, depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+    text_col: str = "text",
+):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the corpus
+    token-frequency distribution: `depth` hash rows x `width` counters.
+    The counter table is the DISTRIBUTED sketch — each partition's
+    partial counts are the partition's sketch and the groupBy merge IS
+    the sketch merge (element-wise sum), so memory is depth*width
+    counters regardless of vocabulary size. That is the 100 TB contrast
+    with the exact `heavy_hitters` profile, whose shuffle carries the
+    full |vocab| relation."""
+    from fluxdb_spark.session import spread
+
+    base = spread(docs).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    keyed = base.select(
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r")
+        , "term"
+    ).select(
+        "r", _cms_bucket(F.col("term"), F.col("r"), width).alias("bucket")
+    )
+    return keyed.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch, terms, depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+    term_col: str = "term",
+):
+    """Point-query the sketch: estimate(term) = min over rows of the
+    term's counter — never an underestimate, overestimates only from
+    hash collisions. The probe relation is small (it broadcasts); the
+    sketch side is depth*width rows."""
+    probes = terms.select(
+        F.col(term_col).alias("term"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    ).select(
+        "term", "r",
+        _cms_bucket(F.col("term"), F.col("r"), width).alias("bucket"),
+    )
+    joined = F.broadcast(probes).join(sketch, on=["r", "bucket"], how="left")
+    return joined.groupBy("term").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def cms_heavy_hitters(
+    docs, k: int = 20, depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+    text_col: str = "text",
+):
+    """The exact top-k vocabulary terms with their count-min estimates
+    side by side — the operator a pipeline uses to validate that a
+    bounded-memory sketch is good enough before replacing the exact
+    vocabulary profile at scale. est >= cnt always (CMS one-sided
+    error); both integers, so the relation hash-matches the SQL twin."""
+    from fluxdb_spark.session import spread
+
+    base = spread(docs).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    counts = base.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    topk = counts.orderBy(F.desc("cnt"), F.col("term")).limit(k)
+    ranked = topk.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.col("term")))
+        .cast("long"),
+    )
+    est = cms_estimate(
+        cms_sketch(docs, depth, width, text_col),
+        ranked.select("term"),
+        depth,
+        width,
+    )
+    return ranked.join(est, "term").select("term", "cnt", "est", "rank")
+
+
+def sql_cms_heavy_hitters(
+    k: int = 20, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB twin of `cms_heavy_hitters` (same salted buckets)."""
+    return f"""
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+topk AS (SELECT term, cnt,
+                CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+                  AS rank
+         FROM counts ORDER BY cnt DESC, term LIMIT {k}),
+rws AS (SELECT unnest(range(0, {depth})) AS r),
+keyed AS (SELECT r, {_cms_bucket_sql('term', 'r', width)} AS bucket
+          FROM toks, rws),
+sk AS (SELECT r, bucket, count(*) AS cnt FROM keyed GROUP BY 1, 2),
+probes AS (SELECT t.term, r.r,
+                  {_cms_bucket_sql('t.term', 'r.r', width)} AS bucket
+           FROM topk t, rws r),
+est AS (SELECT p.term, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+        FROM probes p LEFT JOIN sk s USING (r, bucket) GROUP BY 1)
+SELECT t.term, t.cnt, e.est, t.rank
+FROM topk t JOIN est e USING (term)
 """

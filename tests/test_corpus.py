@@ -431,3 +431,44 @@ class TestPerplexityBuckets:
             t1_min = min(r.avg_logp for r in rs if r.tier == 1)
             t3_max = max(r.avg_logp for r in rs if r.tier == 3)
             assert t1_min >= t3_max
+
+
+class TestCmsSketch:
+    def test_estimate_never_underestimates(self, spark):
+        from fluxdb_spark.functions.text import cms_heavy_hitters
+        from fluxdb_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = cms_heavy_hitters(docs, k=20).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert r.est >= r.cnt, (r.term, r.cnt, r.est)
+
+    def test_sketch_merges_like_counters(self, spark):
+        # the sketch of the whole corpus must equal the element-wise sum
+        # of the two half-corpus sketches — the mergeability that lets a
+        # 1000-executor job build it with map-side partials
+        from fluxdb_spark.functions.text import cms_sketch
+        from fluxdb_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        whole = {
+            (r.r, r.bucket): r.cnt for r in cms_sketch(docs).collect()
+        }
+        a = cms_sketch(docs.filter("doc_id % 2 = 0")).collect()
+        b = cms_sketch(docs.filter("doc_id % 2 = 1")).collect()
+        merged: dict[tuple, int] = {}
+        for r in list(a) + list(b):
+            merged[(r.r, r.bucket)] = merged.get((r.r, r.bucket), 0) + r.cnt
+        assert merged == whole
+
+    def test_absent_term_estimates_from_collisions_only(self, spark):
+        from fluxdb_spark.functions.text import cms_estimate, cms_sketch
+
+        docs = spark.createDataFrame(
+            [(0, "a b c"), (1, "a b")], "doc_id long, text string"
+        )
+        sk = cms_sketch(docs, depth=4, width=1024)
+        probes = spark.createDataFrame([("zzz-not-present",)], "term string")
+        est = cms_estimate(sk, probes, depth=4, width=1024).collect()
+        assert est[0].est == 0  # wide sketch, tiny corpus: no collision
