@@ -76,6 +76,7 @@ def cmd_server(args, spark: SparkSession) -> int:
         or args.kmeans_index
         or args.minhash_index
         or args.quantize_index
+        or args.pq_index
     ):
         # retrieval routes and gauges read the STANDING materialized
         # indexes (index-retrieval mode maintains them) — the serving
@@ -92,6 +93,8 @@ def cmd_server(args, spark: SparkSession) -> int:
             kmeans_dest=args.kmeans_index,
             minhash_dest=args.minhash_index,
             quantize_dest=args.quantize_index,
+            pq_dest=args.pq_index,
+            pq_dim=args.ann_dim,
         )
     metrics_server = None
     if args.metrics_port is not None:
@@ -429,6 +432,24 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         # the int8-compressed vector table as standing state — queries
         # (similarity.quantized_topk_from_table) never touch the floats
         transform = rt.quantize_transform()
+    elif args.kind == "pq":
+        # frozen PQ codebooks live at a sidecar path for the same
+        # swap-survival reason as the centroid model; trained once on
+        # the store's live corpus, then encode-forever
+        books = rt.load_pq_books(args.dest)
+        if books is None:
+            from fluxdb_spark.functions.similarity import pq_codebooks
+
+            store = ChangelogStore(spark, args.store)
+            live = rt.lww_latest(
+                rt.vector_relation(store.changelog()), ["vec_id"]
+            ).select("vec_id", "embedding")
+            books = pq_codebooks(
+                live, m=args.pq_m, ks=args.k, iters=args.iters,
+                dim=args.dim,
+            )
+            rt.save_pq_books(args.dest, books)
+        transform = rt.pq_codes_transform(books, dim=args.dim)
     else:
         # the frozen model lives at a SIBLING path (<dest>._centroids
         # .json) so rebuild-on-rewrite / compaction swaps of dest cannot
@@ -489,7 +510,8 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         # fold-compaction: one physical row per key (tombstones kept),
         # so standing reads fold only the post-compaction delta
         fold = {"minhash": ["doc_id"], "lsh": ["vec_id", "tbl"],
-                "kmeans": ["vec_id"], "quantize": ["vec_id"]}[args.kind]
+                "kmeans": ["vec_id"], "quantize": ["vec_id"],
+                "pq": ["vec_id"]}[args.kind]
         n = rt.compact_derived(spark, args.dest, fold_keys=fold)
         print(f"# compacted {n} batch dir(s)")
     return 0
@@ -565,6 +587,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--quantize-index",
         default=None,
         help="materialized int8 vector table; enables /v1/quantized_topk",
+    )
+    s.add_argument(
+        "--pq-index",
+        default=None,
+        help="materialized PQ codes table (index-retrieval --kind pq "
+        "dest, codebook sidecar beside it); enables /v1/pq_topk",
     )
     s.set_defaults(fn=cmd_server)
 
@@ -689,8 +717,15 @@ def build_parser() -> argparse.ArgumentParser:
     ridx.add_argument("--checkpoint", required=True)
     ridx.add_argument(
         "--kind",
-        choices=("minhash", "lsh", "kmeans", "bm25", "quantize"),
+        choices=("minhash", "lsh", "kmeans", "bm25", "quantize", "pq"),
         default="minhash",
+    )
+    ridx.add_argument(
+        "--pq-m",
+        type=int,
+        default=4,
+        help="PQ subspace count (--kind pq; --k is codewords per "
+        "subspace, --iters the Lloyd passes)",
     )
     ridx.add_argument(
         "--doclen-dest",

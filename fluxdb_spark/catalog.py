@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "dsir_select",
     "perplexity_buckets",
     "cms_heavy_hitters",
+    "embed_topk_pq_materialized",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -4313,6 +4314,50 @@ def embed_ann_ivf_materialized(spark, sf_dir):
             asg.filter(F.col("vec_id") < 5).select("vec_id", "embedding"),
             k=10,
             n_probe=8,
+        )
+        .withColumn("rank", F.col("rank").cast("long"))
+        .localCheckpoint()
+    )
+    shutil.rmtree(qroot, ignore_errors=True)
+    return out
+
+
+@_q(
+    "embed_topk_pq_materialized",
+    "pipeline",
+    sim.sql_pq_topk(m=4, ks=8, iters=2, k=10),
+)
+def embed_topk_pq_materialized(spark, sf_dir):
+    """`embed_topk_pq` as a STANDING SERVICE: codebooks are trained once
+    on the store's live corpus, the PQ codes table (m codeword ids per
+    vector — the 64x-compressed corpus) is maintained by the row-wise
+    IVM maintainer, and queries scan codes + codebook literals, never
+    the float vectors. Encoding is the same exact integer argmin on both
+    paths, so this is bit-identical to the recompute form (same
+    oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluxdb_spark.streaming import retrieval as rt
+
+    store = _mat_store_vecs(spark, sf_dir)
+    live = rt.lww_latest(
+        rt.vector_relation(store.changelog()), ["vec_id"]
+    ).select("vec_id", "embedding")
+    books = sim.pq_codebooks(live, m=4, ks=8, iters=2)
+    qroot = tempfile.mkdtemp(prefix="fluxdb-matq-")
+    dest, ck = os.path.join(qroot, "pq"), os.path.join(qroot, "ck")
+    rt.refresh(
+        spark, str(store.root), dest, rt.pq_codes_transform(books), ck
+    )
+    codes = rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"]).select(
+        "vec_id", "codes"
+    )
+    e = _t(spark, sf_dir, "embeddings")
+    out = (
+        sim.pq_topk_from_codes(
+            codes, e.filter(F.col("vec_id") < 5), books, k=10
         )
         .withColumn("rank", F.col("rank").cast("long"))
         .localCheckpoint()

@@ -1387,11 +1387,37 @@ def pq_topk_with_books(
     service trains once, materializes the codes table, and answers
     queries from codes + codebook literals without touching the float
     corpus."""
+    return pq_topk_from_codes(
+        pq_encode(spread(corpus), books, dim, scale, id_col, vec_col),
+        queries,
+        books,
+        k,
+        dim,
+        scale,
+        id_col,
+        vec_col,
+    )
+
+
+def pq_topk_from_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k: int = 10,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k with the corpus side read from a MATERIALIZED codes
+    table (id, codes — streaming/retrieval.py's pq_codes_transform over
+    the frozen codebooks): the standing-service form never touches the
+    float corpus at query time, it scans m small ints per vector.
+    Bit-identical to the recompute form because encoding is the same
+    exact integer argmin the maintainer applied."""
     m = len(books)
     sub = dim // m
-    c = pq_encode(
-        spread(corpus), books, dim, scale, id_col, vec_col
-    ).withColumnRenamed(id_col, "match_id")
+    c = codes.select(F.col(id_col).alias("match_id"), "codes")
     luts = F.array(
         *[
             _codeword_dists(

@@ -353,6 +353,68 @@ def centroid_assign_transform(
     return transform
 
 
+def pq_codes_transform(
+    books: list[list[list[int]]], dim: int = 64, scale: int = 1_000_000
+):
+    """Transform factory: changelog vector rows -> frozen-codebook PQ
+    codes (vec_id, height, is_deletion, codes). Map-only; `books` comes
+    from `similarity.pq_codebooks` trained on the store's corpus at
+    materialization time (train-once / encode-forever, like the centroid
+    model). The derived table is the m-ids-per-vector compressed corpus
+    `similarity.pq_topk_from_codes` scans at query time — 64x fewer
+    bytes than the float vectors it stands in for."""
+    from fluxdb_spark.functions.similarity import pq_encode
+
+    def transform(rows: DataFrame) -> DataFrame:
+        v = vector_relation(rows).select(
+            F.struct("vec_id", "height", "is_deletion").alias("rid"),
+            "embedding",
+        )
+        codes = pq_encode(v, books, dim=dim, scale=scale, id_col="rid")
+        return codes.select(
+            F.col("rid.vec_id").alias("vec_id"),
+            F.col("rid.height").alias("height"),
+            F.col("rid.is_deletion").alias("is_deletion"),
+            "codes",
+        )
+
+    return transform
+
+
+def pq_books_path(dest: str) -> str:
+    """Frozen PQ codebook location — a SIBLING of the derived table for
+    the same reason as `centroids_path`: rebuild-on-rewrite and
+    compaction replace the dest directory wholesale, and a model stored
+    inside would silently vanish, splitting the table across two
+    trainings."""
+    return dest.rstrip("/") + "._pq_books.json"
+
+
+def load_pq_books(dest: str) -> list | None:
+    """Read the frozen codebooks (None if never trained)."""
+    import json
+
+    path = pq_books_path(dest)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_pq_books(dest: str, books: list) -> None:
+    """Persist freshly trained codebooks (atomic replace)."""
+    import json
+
+    path = pq_books_path(dest)
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(books, f)
+    os.replace(tmp, path)
+
+
 def quantize_transform():
     """Transform factory: changelog vector rows -> int8-quantized rows
     (vec_id, height, is_deletion, q8, scale_e9). Map-only. The derived
@@ -700,6 +762,8 @@ class RetrievalService:
         kmeans_dest: str | None = None,
         minhash_dest: str | None = None,
         quantize_dest: str | None = None,
+        pq_dest: str | None = None,
+        pq_dim: int = 64,
     ):
         self.spark = spark
         self.ann_dest = ann_dest
@@ -714,6 +778,8 @@ class RetrievalService:
         self.kmeans_dest = kmeans_dest
         self.minhash_dest = minhash_dest
         self.quantize_dest = quantize_dest
+        self.pq_dest = pq_dest
+        self.pq_dim = pq_dim
 
     def metrics(self) -> dict:
         """Retrieval-index gauges for a /metrics snapshot — notably the
@@ -881,6 +947,34 @@ class RetrievalService:
             [(int(vec_id),)], "vec_id long"
         )
         return quantized_topk_from_table(qz, probe, k=k)
+
+    def pq_topk(self, vector: list[float], k: int = 10) -> DataFrame:
+        """Approximate top-k of an UNSEEN vector by PQ asymmetric
+        distance over the standing codes table: the probe's per-subspace
+        lookup tables come from the frozen codebook sidecar
+        (train-once / encode-forever, like the centroid model), and the
+        scan side is m small ints per vector — the 64x-compressed
+        corpus, never the float vectors."""
+        if self.pq_dest is None:
+            raise ValueError("no PQ index configured")
+        from fluxdb_spark.functions.similarity import pq_topk_from_codes
+
+        books = load_pq_books(self.pq_dest)
+        if books is None:
+            raise ValueError(
+                "PQ index has no trained codebooks — run index-retrieval"
+            )
+        derived = read_derived(self.spark, self.pq_dest)
+        if derived is None:
+            raise ValueError("PQ index is empty — run index-retrieval")
+        codes = lww_latest(derived, ["vec_id"]).select("vec_id", "codes")
+        probe = self.spark.createDataFrame(
+            [(-1, [float(x) for x in vector])],
+            "vec_id long, embedding array<double>",
+        )
+        return pq_topk_from_codes(
+            codes, probe, books, k=k, dim=self.pq_dim
+        ).drop("query_id")
 
     def hybrid(
         self,

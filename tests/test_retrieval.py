@@ -855,3 +855,78 @@ class TestMaterializedMinhashDedup:
         )
         want = sorted(map(tuple, dd.minhash_lsh_dedup(d, 0.8).collect()))
         assert got == want and len(got) > 0
+
+
+class TestMaterializedPq:
+    def _index(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "pq"), str(tmp_path / "ck_pq")
+        live = rt.lww_latest(
+            rt.vector_relation(store.changelog()), ["vec_id"]
+        ).select("vec_id", "embedding")
+        books = sim.pq_codebooks(live, m=2, ks=3, iters=2, dim=8)
+        rt.refresh(
+            spark, str(store.root), dest,
+            rt.pq_codes_transform(books, dim=8), ck,
+        )
+        rt.save_pq_books(dest, books)
+        return dest, ck, books
+
+    def test_codes_topk_matches_recompute(self, spark, store, tmp_path):
+        """The standing codes table answers ADC top-k bit-identically to
+        encoding the float corpus per query (same frozen books, same
+        exact integer argmin on both paths)."""
+        store.write_batch(vec_rows(spark, VECS))
+        dest, _ck, books = self._index(spark, store, tmp_path)
+        codes = rt.lww_latest(
+            rt.read_derived(spark, dest), ["vec_id"]
+        ).select("vec_id", "codes")
+        corpus = spark.createDataFrame(
+            [(i, v) for i, v in sorted(VECS.items())],
+            "vec_id long, embedding array<float>",
+        )
+        queries = corpus.filter(F.col("vec_id") < 3)
+        got = sorted(map(tuple, sim.pq_topk_from_codes(
+            codes, queries, books, k=5, dim=8
+        ).collect()))
+        want = sorted(map(tuple, sim.pq_topk_with_books(
+            corpus, queries, books, k=5, dim=8
+        ).collect()))
+        assert got == want and len(got) == 15
+
+    def test_new_vectors_encoded_with_frozen_books(
+        self, spark, store, tmp_path
+    ):
+        """Append-after-train: the maintainer encodes new vectors with
+        the SAME frozen codebooks (train-once / encode-forever), so their
+        codes equal a direct pq_encode with the sidecar model."""
+        store.write_batch(vec_rows(spark, VECS))
+        dest, ck, books = self._index(spark, store, tmp_path)
+        extra = {100: [0.9] * 8, 101: [-0.4] * 8}
+        store.write_batch(vec_rows(spark, extra, h0=len(VECS)))
+        rt.refresh(
+            spark, str(store.root), dest,
+            rt.pq_codes_transform(rt.load_pq_books(dest), dim=8), ck,
+        )
+        codes = {
+            r.vec_id: list(r.codes)
+            for r in rt.lww_latest(
+                rt.read_derived(spark, dest), ["vec_id"]
+            ).collect()
+        }
+        assert set(codes) == set(VECS) | set(extra)
+        direct = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in sorted(extra.items())],
+            "vec_id long, embedding array<float>",
+        )
+        for r in sim.pq_encode(direct, books, dim=8).collect():
+            assert codes[r.vec_id] == list(r.codes)
+
+    def test_service_pq_topk_unseen_probe(self, spark, store, tmp_path):
+        store.write_batch(vec_rows(spark, VECS))
+        dest, _ck, _books = self._index(spark, store, tmp_path)
+        svc = rt.RetrievalService(spark, pq_dest=dest, pq_dim=8)
+        rows = svc.pq_topk([0.1] * 8, k=4).collect()
+        assert len(rows) == 4
+        dists = [r.adist for r in rows]
+        assert dists == sorted(dists)
+        assert all(isinstance(r.adist, int) for r in rows)

@@ -383,6 +383,13 @@ class TestRetrievalRoutes:
             spark, str(vstore.root), qdest,
             rt.quantize_transform(), str(tmp_path / "ck_q"),
         )
+        pdest = str(tmp_path / "pq")
+        books = sim.pq_codebooks(live, m=2, ks=3, iters=2, dim=8)
+        rt.refresh(
+            spark, str(vstore.root), pdest,
+            rt.pq_codes_transform(books, dim=8), str(tmp_path / "ck_p"),
+        )
+        rt.save_pq_books(pdest, books)
 
         engine = FluxEngine(spark, str(tmp_path / "edb"))
         service = rt.RetrievalService(
@@ -390,6 +397,8 @@ class TestRetrievalRoutes:
             kmeans_dest=kdest,
             minhash_dest=mdest,
             quantize_dest=qdest,
+            pq_dest=pdest,
+            pq_dim=8,
         )
         srv = QueryServer(engine, port=0, retrieval=service)
         try:
@@ -415,6 +424,17 @@ class TestRetrievalRoutes:
             want = [
                 r.match_id
                 for r in service.quantized_topk(0, k=3).collect()
+            ]
+            assert [r["match_id"] for r in got["rows"]] == want
+            assert got["count"] == 3
+
+            # PQ ADC top-k of an unseen probe over the standing codes
+            got = _get(
+                f"{srv.url}/v1/pq_topk?k=3&vector="
+                + ",".join(str(x) for x in probe)
+            )
+            want = [
+                r.match_id for r in service.pq_topk(probe, k=3).collect()
             ]
             assert [r["match_id"] for r in got["rows"]] == want
             assert got["count"] == 3
@@ -561,3 +581,39 @@ def test_server_cli_serves_reads_with_fork_in_flight(
     assert "# serving reads at http://127.0.0.1:" in out
     payload = json.loads(out.strip().splitlines()[-1])
     assert [r["value"] for r in payload["rows"]] == ["v1"]
+
+
+def test_index_retrieval_cli_pq(spark, tmp_path, capsys):
+    """index-retrieval --kind pq: trains codebooks once (sidecar beside
+    the dest), encodes the corpus, and a second run reuses the frozen
+    model for the delta."""
+    from fluxdb_spark.__main__ import main
+    from fluxdb_spark.store import ChangelogStore
+    from fluxdb_spark.streaming import retrieval as rt
+    from tests.test_retrieval import VECS, vec_rows
+
+    root = str(tmp_path / "vstore")
+    dest, ck = str(tmp_path / "pq"), str(tmp_path / "ck")
+    st = ChangelogStore(spark, root)
+    st.write_batch(vec_rows(spark, VECS))
+    rc = main(
+        ["index-retrieval", "--store", root, "--dest", dest,
+         "--checkpoint", ck, "--kind", "pq", "--dim", "8",
+         "--pq-m", "2", "--k", "3", "--iters", "2"],
+        spark,
+    )
+    assert rc == 0
+    assert f"pq index: {len(VECS)} derived row(s)" in capsys.readouterr().out
+    books = rt.load_pq_books(dest)
+    assert books is not None and len(books) == 2
+    st.write_batch(vec_rows(spark, {50: [0.5] * 8}, h0=len(VECS)))
+    rc = main(
+        ["index-retrieval", "--store", root, "--dest", dest,
+         "--checkpoint", ck, "--kind", "pq", "--dim", "8",
+         "--pq-m", "2", "--k", "3", "--iters", "2", "--compact"],
+        spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"pq index: {len(VECS) + 1} derived row(s)" in out
+    assert rt.load_pq_books(dest) == books  # frozen, not retrained
