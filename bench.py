@@ -93,6 +93,14 @@ HEADLINE = [
     "neardup_probe_materialized",
     "semantic_dedup",
     "epoch_shuffle",
+    # round-9 additions: PQ ANN (train + encode + ADC) and its
+    # standing-codes-table twin, DSIR data selection, CCNet-style
+    # perplexity tiers, count-min sketch beside the exact profile
+    "embed_topk_pq",
+    "embed_topk_pq_materialized",
+    "dsir_select",
+    "perplexity_buckets",
+    "cms_heavy_hitters",
 ]
 
 

@@ -59,6 +59,11 @@ OPS = [
     "embed_ann_ivf_materialized",
     "neardup_probe_materialized",
     "semantic_dedup",
+    "embed_topk_pq",
+    "embed_topk_pq_materialized",
+    "dsir_select",
+    "perplexity_buckets",
+    "cms_heavy_hitters",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
