@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "perplexity_buckets",
     "cms_heavy_hitters",
     "embed_topk_pq_materialized",
+    "embed_topk_binary",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -4789,6 +4790,23 @@ def embed_topk_quantized(spark, sf_dir):
     return sim.quantized_topk(
         e, e.filter(F.col("vec_id") < 5).select("vec_id"), k=10
     ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@_q("embed_topk_binary", "pipeline", sim.sql_binary_topk(10, 5, 40))
+def embed_topk_binary(spark, sf_dir):
+    """Two-stage ANN over the 1-bit storage form — the most aggressive
+    point on the compression ladder (float32 -> int8 -> PQ -> sign bit):
+    64 dims pack into two 32-bit words (16-32x smaller), the Hamming
+    scan is pure JVM XOR+popcount (the cheapest candidate generator
+    possible at 100 TB), and an exact int8-cosine rerank of the bounded
+    shortlist restores ranking quality. All-integer arithmetic, so the
+    packing, the Hamming cut, and the rerank scores are bit-deterministic
+    and fully hash-checked (Charikar 2002 sign-random-projection bound
+    with identity planes)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.binary_topk(
+        e, e.filter(F.col("vec_id") < 5).select("vec_id"), k=10, rerank=40
+    )
 
 
 _BM25_QUERIES = {

@@ -1526,3 +1526,218 @@ SELECT query_id, match_id, adist, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
     )
+
+
+# --- binary (1-bit) quantization ---------------------------------------------
+#
+# The most aggressive point on the embedding-compression ladder the engine
+# ships (float32 -> int8 `quantize_embeddings` -> PQ codes -> 1 bit/dim):
+# keep only the SIGN of each dimension, packed into machine words.  A
+# 64-dim float32 vector (256 B) becomes two 32-bit words in two BIGINTs
+# (16 B logical, 2 x 8 B stored) — 16-32x smaller — and angular similarity
+# is approximated by Hamming distance over the packed words
+# (Charikar 2002's sign-random-projection bound with the identity planes:
+# P[sign agree] = 1 - theta/pi).  The scan is pure JVM bit ops
+# (XOR + popcount), the cheapest candidate generator possible at 100 TB;
+# an exact int8 rerank (quantized_topk's integer cosine) restores ranking
+# quality on the bounded candidate set.  Everything is integer arithmetic,
+# so unlike float ANN the whole operator — packing, Hamming ranking, rerank
+# scores — is bit-deterministic and fully hash-checkable against DuckDB.
+
+BINARY_WORD_BITS = 32
+
+
+def binarize_embeddings(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Pack the sign bits of an embedding into 32-bit words (b0, b1, ...):
+    bit j of word w is set iff x[w*32 + j] > 0.  Element-wise expressions
+    only — no sums across rows, no shuffle; scan-speed on any corpus size.
+    32-bit words (not 64) so the packed value never touches the BIGINT
+    sign bit and the same arithmetic is portable to every engine."""
+    import functools
+    import operator as op
+
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    words = []
+    for w in range(dim // BINARY_WORD_BITS):
+        terms = [
+            F.when(
+                F.element_at(x, w * BINARY_WORD_BITS + j + 1) > 0.0,
+                F.lit(1 << j).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(BINARY_WORD_BITS)
+        ]
+        words.append(
+            functools.reduce(op.add, terms).cast("long").alias(f"b{w}")
+        )
+    return corpus.select(F.col(id_col), *words)
+
+
+def sql_binarize_embeddings(dim: int = 64) -> str:
+    """DuckDB twin of `binarize_embeddings` (same bit layout)."""
+    word_exprs = []
+    for w in range(dim // BINARY_WORD_BITS):
+        terms = " + ".join(
+            f"CASE WHEN CAST(embedding[{w * BINARY_WORD_BITS + j + 1}] AS DOUBLE) > 0.0"
+            f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for j in range(BINARY_WORD_BITS)
+        )
+        word_exprs.append(f"({terms}) AS b{w}")
+    return (
+        "SELECT vec_id, " + ", ".join(word_exprs) + " FROM embeddings"
+    )
+
+
+def hamming_distance(n_words: int, left: str, right: str) -> Column:
+    """Hamming distance between two packed sign-bit rows: XOR + popcount
+    per word — whole-stage-codegen integer ops, no branching."""
+    import functools
+    import operator as op
+
+    return functools.reduce(
+        op.add,
+        [
+            F.bit_count(
+                F.col(f"{left}.b{w}").bitwiseXOR(F.col(f"{right}.b{w}"))
+            )
+            for w in range(n_words)
+        ],
+    ).cast("long")
+
+
+def binary_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage ANN over the 1-bit storage form: (1) Hamming scan of the
+    packed sign bits keeps the `rerank` nearest candidates per query
+    (deterministic cut: Hamming asc, id asc); (2) exact int8 cosine
+    (quantized_topk's integer arithmetic) re-ranks the bounded candidate
+    set to the final top-k.  Queries broadcast; the corpus is scanned once
+    at 2 BIGINTs/row; the rerank join touches |queries| * rerank rows —
+    never the corpus."""
+    n_words = dim // BINARY_WORD_BITS
+    bz = binarize_embeddings(corpus, id_col=id_col, vec_col=vec_col, dim=dim)
+    q = (
+        queries.join(bz, id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            *[F.col(f"b{w}").alias(f"b{w}") for w in range(n_words)],
+        )
+        .alias("q")
+    )
+    c = bz.select(
+        F.col(id_col).alias("match_id"),
+        *[F.col(f"b{w}") for w in range(n_words)],
+    ).alias("c")
+    cand = (
+        c.join(F.broadcast(q))
+        .filter(F.col("c.match_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id"),
+            F.col("c.match_id"),
+            hamming_distance(n_words, "c", "q").alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("match_id")
+    )
+    shortlist = (
+        cand.withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= rerank)
+        .drop("hrank")
+    )
+    qz = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        F.broadcast(shortlist)
+        .join(
+            qz.select(F.col(id_col).alias("query_id"), F.col("q8").alias("qv")),
+            "query_id",
+        )
+        .join(
+            qz.select(F.col(id_col).alias("match_id"), F.col("q8").alias("cv")),
+            "match_id",
+        )
+        .withColumn(
+            "score",
+            F.round(
+                idot(F.col("qv"), F.col("cv"))
+                / F.sqrt(
+                    idot(F.col("qv"), F.col("qv")).cast("double")
+                    * idot(F.col("cv"), F.col("cv")).cast("double")
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "match_id",
+            "hamming",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def sql_binary_topk(
+    k: int = 10, n_queries: int = 5, rerank: int = 40, dim: int = 64
+) -> str:
+    """DuckDB twin of `binary_topk`: same packing, same Hamming cut, same
+    integer-cosine rerank (sql_quantize_embeddings inlined)."""
+    n_words = dim // BINARY_WORD_BITS
+    ham = " + ".join(
+        f"bit_count(xor(c.b{w}, q.b{w}))" for w in range(n_words)
+    )
+    return f"""
+WITH bz AS ({sql_binarize_embeddings(dim)}),
+q AS (SELECT vec_id AS query_id, * EXCLUDE (vec_id) FROM bz
+      WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT q.query_id, c.vec_id AS match_id,
+         CAST({ham} AS BIGINT) AS hamming
+  FROM bz c, q WHERE c.vec_id != q.query_id),
+shortlist AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY hamming ASC, match_id ASC) AS hrank
+    FROM cand) WHERE hrank <= {rerank}),
+qz AS ({sql_quantize_embeddings()}),
+idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+scored AS (
+  SELECT s.query_id, s.match_id, s.hamming,
+         round(sum(a.q8[i] * b.q8[i])
+               / sqrt(CAST(sum(a.q8[i] * a.q8[i]) AS DOUBLE)
+                      * CAST(sum(b.q8[i] * b.q8[i]) AS DOUBLE)), 4) AS score
+  FROM shortlist s
+  JOIN qz a ON a.vec_id = s.query_id
+  JOIN qz b ON b.vec_id = s.match_id
+  CROSS JOIN idx
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, match_id ASC) AS rank
+  FROM scored)
+SELECT query_id, match_id, hamming, score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -456,3 +456,53 @@ class TestPqTopk:
                 qs = q[s * 16 : (s + 1) * 16]
                 want += sum((a - b) ** 2 for a, b in zip(qs, cw))
             assert r.adist == want
+
+
+class TestBinaryTopk:
+    def test_recall_beats_random_baseline(self, corpus, queries, exact):
+        # 1-bit Hamming shortlist (rerank=40 of ~1000) + exact int8
+        # rerank; sign-random-projection keeps it far above the ~0.01
+        # random-top-10 floor on the sf corpus
+        rows = sim.binary_topk(corpus, queries, k=K, rerank=40).collect()
+        assert _recall(rows, exact) >= 0.15
+
+    def test_packing_bounds(self, corpus):
+        bz = sim.binarize_embeddings(corpus).collect()
+        assert len(bz) == corpus.count()
+        for r in bz:
+            # 32-bit words: never negative, never touch bit 32+
+            assert 0 <= r.b0 < (1 << 32) and 0 <= r.b1 < (1 << 32)
+
+    def test_packing_matches_signs(self, corpus):
+        row = corpus.orderBy("vec_id").first()
+        packed = (
+            sim.binarize_embeddings(corpus)
+            .filter(F.col("vec_id") == row.vec_id)
+            .first()
+        )
+        want0 = sum(
+            1 << j for j in range(32) if float(row.embedding[j]) > 0.0
+        )
+        want1 = sum(
+            1 << j for j in range(32) if float(row.embedding[32 + j]) > 0.0
+        )
+        assert (packed.b0, packed.b1) == (want0, want1)
+
+    def test_deterministic_rerun(self, corpus, queries):
+        a = sorted(map(tuple, sim.binary_topk(corpus, queries, k=K).collect()))
+        b = sorted(map(tuple, sim.binary_topk(corpus, queries, k=K).collect()))
+        assert a == b and len(a) == N_QUERIES * K
+
+    def test_full_rerank_recovers_quantized_exact(self, corpus, queries):
+        # with the shortlist widened to the whole corpus the rerank IS
+        # quantized_topk — the Hamming stage only ever bounds candidates
+        n = corpus.count()
+        via_binary = {
+            (r.query_id, r.match_id, r.score)
+            for r in sim.binary_topk(corpus, queries, k=5, rerank=n).collect()
+        }
+        via_quant = {
+            (r.query_id, r.match_id, r.score)
+            for r in sim.quantized_topk(corpus, queries, k=5).collect()
+        }
+        assert via_binary == via_quant
