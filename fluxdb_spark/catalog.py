@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "cms_heavy_hitters",
     "embed_topk_pq_materialized",
     "embed_topk_binary",
+    "decontaminate_fuzzy",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -2926,6 +2927,23 @@ def decontaminate(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return cu.decontaminate(spread(train), bench, n=8)
+
+
+@_q("decontaminate_fuzzy", "pipeline", cu.sql_decontaminate_fuzzy())
+def decontaminate_fuzzy(spark, sf_dir):
+    """NEAR-duplicate benchmark decontamination — the fuzzy sibling of
+    `decontaminate`: exact 8-gram collision misses a paraphrased or
+    truncated eval item (the leakage mode the published GPT-3/Llama
+    cleanups filter with fuzzy matching); MinHash signature agreement
+    >= 4 of 8 slots (~ Jaccard >= 0.5) catches it. Same eval split as
+    the exact entry (every 10th doc) so collisions exist at every SF.
+    Both sides reduce to |docs| x 8 integer signatures; the eval pool's
+    bands AND signatures broadcast, so the corpus streams through two
+    broadcast joins unshuffled — the 100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    return cu.decontaminate_fuzzy(spread(train), bench)
 
 
 @_q(

@@ -575,3 +575,113 @@ ranked AS (SELECT doc_id, n_feats, w_e6,
 SELECT doc_id, n_feats, w_e6, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {n_take}
 """
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    benchmark: DataFrame,
+    min_agree: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination — the fuzzy sibling of
+    `decontaminate`: exact 8-gram collision misses an eval item that was
+    lightly paraphrased or truncated into the training set, the documented
+    leakage mode the GPT-3 and Llama cleanups filter with fuzzy matching.
+    Flags every training doc whose MinHash signature agrees with some
+    benchmark doc on >= min_agree of the k=8 signature slots (agreement
+    fraction is the standard unbiased Jaccard estimate; 4/8 ~ J >= 0.5).
+
+    Scale shape: both sides reduce to |docs| x 8 integer signature rows
+    (dedup.py's zero-shuffle signature map); the benchmark side is an eval
+    pool — tiny relative to the corpus — so its banded buckets AND its
+    signatures broadcast, and the training corpus streams through a
+    broadcast-hash band join + a broadcast signature join with no shuffle
+    of the training side; candidate space is per-bucket, never
+    |train| x |bench|. Returns (doc_id, n_bench_matches, max_agree) —
+    all-integer, fully hash-checkable.
+    """
+    from fluxdb_spark.functions import dedup as dd
+
+    k, bands = dd.MINHASH_K, dd.LSH_BANDS
+    ts = dd.minhash_signatures(train, k, id_col)
+    bs = dd.minhash_signatures(benchmark, k, id_col)
+    tb = dd._banded(ts, k, bands, id_col)
+    bb = dd._banded(bs, k, bands, id_col).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    cand = (
+        tb.join(F.broadcast(bb), "bucket")
+        .select(F.col(id_col), F.col("bench_id"))
+        .distinct()
+    )
+    bsig = F.broadcast(
+        bs.select(
+            F.col(id_col).alias("bench_id"),
+            *[F.col(f"sig{i}").alias(f"bsig{i}") for i in range(k)],
+        )
+    )
+    import functools
+    import operator as op
+
+    agree = functools.reduce(
+        op.add,
+        [
+            F.when(F.col(f"sig{i}") == F.col(f"bsig{i}"), 1).otherwise(0)
+            for i in range(k)
+        ],
+    ).cast("long")
+    return (
+        cand.join(ts, id_col)
+        .join(bsig, "bench_id")
+        .withColumn("agree", agree)
+        .filter(F.col("agree") >= min_agree)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
+            F.max("agree").cast("long").alias("max_agree"),
+        )
+    )
+
+
+def sql_decontaminate_fuzzy(min_agree: int = 4) -> str:
+    """DuckDB twin of `decontaminate_fuzzy` over the documents table with
+    the catalog's bench split (doc_id % 10 = 0 is the eval pool)."""
+    from fluxdb_spark.functions import dedup as dd
+
+    k, bands = dd.MINHASH_K, dd.LSH_BANDS
+    chunks = dd.sql_shingle_hash_chunks("shingle", k)
+    hash_cols = ", ".join(f"{c} AS h{i}" for i, c in enumerate(chunks))
+    sig_cols = ", ".join(f"min(h{i}) AS sig{i}" for i in range(k))
+    rpb = k // bands
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, ".format(b=b)
+        + ", ".join(f"sig{b * rpb + r} AS h{r}" for r in range(rpb))
+        + " FROM sigs"
+        for b in range(bands)
+    )
+    band_eq = " AND ".join(["a.band = b.band"] + [f"a.h{r} = b.h{r}" for r in range(rpb)])
+    agree = " + ".join(
+        f"CASE WHEN t.sig{i} = bn.sig{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH {dd.sql_shingles_ctes()},
+shingle_hashes AS (
+  SELECT shingle, {hash_cols} FROM (SELECT DISTINCT shingle FROM sh)),
+sigs AS (
+  SELECT doc_id, {sig_cols}
+  FROM sh JOIN shingle_hashes USING (shingle) GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+  FROM bands a JOIN bands b ON {band_eq}
+  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0),
+agreed AS (
+  SELECT c.doc_id, c.bench_id, CAST({agree} AS BIGINT) AS agree
+  FROM cand c
+  JOIN sigs t ON t.doc_id = c.doc_id
+  JOIN sigs bn ON bn.doc_id = c.bench_id)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+       max(agree) AS max_agree
+FROM agreed WHERE agree >= {min_agree}
+GROUP BY 1
+"""

@@ -317,3 +317,57 @@ class TestDsirSelect:
         df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
         w = {r.doc_id: r.w_e6 for r in curation.dsir_weights(df, F.col("is_t")).collect()}
         assert w[10] > w[11]
+
+
+class TestDecontaminateFuzzy:
+    def _frames(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog while seventeen "
+            "bright students review the final exam answer key in silence"
+        )
+        paraphrased = (
+            "a quick brown fox jumps over the lazy dog while seventeen "
+            "bright students review the final exam answer key in peace"
+        )
+        train = spark.createDataFrame(
+            [
+                (1, paraphrased),  # near-dup of bench 100, no shared 8-gram run start
+                (2, "completely unrelated prose about glacier hydrology and "
+                    "sediment transport in alpine catchment basins measured hourly"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, base)], "doc_id long, text string"
+        )
+        return train, bench
+
+    def test_flags_paraphrased_near_duplicate(self, spark):
+        train, bench = self._frames(spark)
+        got = {
+            r.doc_id: (r.n_bench_matches, r.max_agree)
+            for r in curation.decontaminate_fuzzy(train, bench).collect()
+        }
+        assert 1 in got and 2 not in got
+        n, agree = got[1]
+        assert n == 1 and agree >= 4
+
+    def test_exact_duplicate_agrees_fully(self, spark):
+        _, bench = self._frames(spark)
+        train = bench.withColumn("doc_id", F.lit(7).cast("long"))
+        rows = curation.decontaminate_fuzzy(train, bench).collect()
+        assert len(rows) == 1 and rows[0].max_agree == 8
+
+    def test_threshold_is_respected(self, spark):
+        train, bench = self._frames(spark)
+        strict = curation.decontaminate_fuzzy(train, bench, min_agree=8)
+        assert strict.count() == 0  # paraphrase agrees on >=4 but not all 8
+
+    def test_bench_side_is_broadcast(self, docs):
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        train = docs.filter(F.col("doc_id") % 10 != 0)
+        plan = (
+            curation.decontaminate_fuzzy(train, bench)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
