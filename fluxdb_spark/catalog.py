@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fluxdb_spark.functions import bpe
 from fluxdb_spark.functions import curation as cu
 from fluxdb_spark.functions import dedup as dd
 from fluxdb_spark.functions import similarity as sim
@@ -80,6 +81,8 @@ _PRIORITY: list[str] = [
     "embed_topk_pq_materialized",
     "embed_topk_binary",
     "decontaminate_fuzzy",
+    "bpe_train",
+    "bpe_encode",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -2944,6 +2947,39 @@ def decontaminate_fuzzy(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return cu.decontaminate_fuzzy(spread(train), bench)
+
+
+@_q("bpe_train", "pipeline", bpe.sql_train_merges(10))
+def bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    tokenizer-construction step of a training-data pipeline as Spark
+    jobs: ONE corpus-wide groupBy(word) builds the frequency-weighted
+    vocabulary (the only shuffle that sees the corpus; every iteration
+    after works on the |vocab|-row relation, orders of magnitude smaller
+    by Zipf), then each merge round is an explode + combine-friendly
+    pair-count groupBy and a 1-row argmax (count desc, then
+    lexicographic — deterministic). Merges apply as built-in `replace`
+    over separator-delimited symbol strings — leftmost non-overlapping
+    replace-all IS BPE's greedy merge order, in codegen JVM string ops —
+    so the whole iterative trainer hash-matches an unrolled-CTE DuckDB
+    twin. Driver state: exactly n_merges rows."""
+    return bpe.merges_df(spark, bpe.train_merges(_td(spark, sf_dir)))
+
+
+@_q("bpe_encode", "pipeline", bpe.sql_encode_documents(10))
+def bpe_encode(spark, sf_dir):
+    """BPE encoding with the learned merge list (every 20th doc, bounded
+    output): the merge list folds into a chain of 10 builtin `replace`
+    expressions applied per word — map-only, no vocabulary join, constant
+    plan size — then one per-doc groupBy rebuilds the ordered subword
+    stream and token count. The full token stream AND the counts
+    hash-match the oracle, proving the distributed tokenizer reproduces
+    the sequential algorithm byte-for-byte."""
+    d = _td(spark, sf_dir)
+    merges = bpe.train_merges(d)
+    return bpe.encode_documents(
+        spread(d.filter(F.col("doc_id") % 20 == 0)), merges
+    )
 
 
 @_q(
