@@ -240,7 +240,9 @@ def cmd_maintain(args, spark: SparkSession) -> int:
     store = ChangelogStore(spark, args.store)
     rolled = store.recover()
     stats = store.compact(
-        target_rows_per_file=args.target_rows, min_files=args.min_files
+        target_rows_per_file=args.target_rows,
+        min_files=args.min_files,
+        zorder=args.zorder,
     )
     print(
         f"recovered {rolled} torn batch(es); compacted {stats['bands']} "
@@ -614,6 +616,12 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--store", required=True)
     m.add_argument("--target-rows", type=int, default=500_000)
     m.add_argument("--min-files", type=int, default=4)
+    m.add_argument(
+        "--zorder",
+        action="store_true",
+        help="Morton layout over (primary_key, height) rank bins: point "
+        "probes skip files the linear height sort must scan",
+    )
     m.add_argument("--index", default=None)
     m.add_argument("--prune-frequency", type=int, default=3)
     # bulk re-index (reference `reindex` tooling, indexing.go:100-168):

@@ -1087,6 +1087,42 @@ class Checkpoint:
     block_num: int | None
 
 
+ZORDER_BITS = 8  # 256 rank bins per dimension; 16-bit Morton keys
+
+
+def _zorder_key(key_col: str, height_col: str) -> "F.Column":
+    """Morton (Z-order) key over per-tablet rank bins of (key, height).
+
+    Both dimensions are reduced to 256 rank bins with ntile windows
+    PARTITIONED BY tablet_id (ranks, not raw values, so arbitrary skew in
+    either column still fills the curve uniformly), then bit-interleaved:
+    key bit j lands at position 2j+1, height bit j at 2j. Pure codegen
+    integer expressions — the windows are the only shuffle, and they run
+    inside the maintenance rewrite, never on the read path."""
+    import functools
+    import operator as op
+
+    from pyspark.sql import Window
+
+    n_bins = 1 << ZORDER_BITS
+    wk = Window.partitionBy("tablet_id").orderBy(F.col(key_col))
+    wh = Window.partitionBy("tablet_id").orderBy(F.col(height_col))
+    # percent_rank, not ntile: ties (same key at many heights, same height
+    # across many keys) must land in the SAME bin, or a key's rows smear
+    # across bins and widen every file's zone map
+    a = F.floor(F.percent_rank().over(wk) * (n_bins - 1)).cast("long")
+    b = F.floor(F.percent_rank().over(wh) * (n_bins - 1)).cast("long")
+    terms = []
+    for j in range(ZORDER_BITS):
+        terms.append(
+            F.shiftleft(F.shiftright(a, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(b, j).bitwiseAND(F.lit(1)), 2 * j)
+        )
+    return functools.reduce(op.add, terms).cast("long")
+
+
 DEFAULT_HEIGHT_BAND = 100_000
 
 
@@ -1654,7 +1690,10 @@ class ChangelogStore:
         }
 
     def compact(
-        self, target_rows_per_file: int = 500_000, min_files: int = 4
+        self,
+        target_rows_per_file: int = 500_000,
+        min_files: int = 4,
+        zorder: bool = False,
     ) -> dict:
         """Coalesce small files within each (collection, height_band)
         partition — the OPTIMIZE/auto-compaction analog this parquet store
@@ -1677,11 +1716,25 @@ class ChangelogStore:
 
         Refuses to run over an in-flight batch (pending manifest) since
         rewriting a band would orphan that manifest's rollback targets.
+
+        With `zorder=True`, rows within each band are laid out along a
+        Morton (Z-order) curve over per-tablet (primary_key, height) rank
+        bins instead of the linear (tablet_id, height) sort. The linear
+        sort gives perfect zone-map pruning for height-band scans but
+        leaves primary_key min/max wide in every file, so a singlet read
+        (tablet + key + height <= H) still touches every file of the
+        tablet; the Z-curve tightens BOTH columns' per-file ranges at
+        once, so height scans stay prunable and key probes skip most
+        files — the layout trade Delta's OPTIMIZE ZORDER BY makes, rebuilt
+        here from rank-ntile + bit-interleave expressions. Rank bins (not
+        raw values) make the curve immune to skew in either column.
         """
         with self._writer_lease("maintenance", drain_others=True):
-            return self._compact_locked(target_rows_per_file, min_files)
+            return self._compact_locked(target_rows_per_file, min_files, zorder)
 
-    def _compact_locked(self, target_rows_per_file: int, min_files: int) -> dict:
+    def _compact_locked(
+        self, target_rows_per_file: int, min_files: int, zorder: bool = False
+    ) -> dict:
         if any(
             f.startswith("batch-") and f.endswith(".json")
             for f in os.listdir(self._manifest_dir)
@@ -1710,11 +1763,25 @@ class ChangelogStore:
                 band_df = self._backend._read(band_entry.path)
                 n_rows = band_df.count()
                 n_out = max(1, -(-n_rows // target_rows_per_file))
-                rewritten = (
-                    band_df.repartition(n_out, "tablet_id")
-                    if n_out > 1
-                    else band_df.coalesce(1)
-                )
+                if zorder:
+                    band_df = band_df.withColumn(
+                        "_z", _zorder_key("primary_key", "height")
+                    )
+                    sort_cols = ["tablet_id", "_z"]
+                    rewritten = (
+                        band_df.repartitionByRange(
+                            n_out, "tablet_id", "_z"
+                        )
+                        if n_out > 1
+                        else band_df.coalesce(1)
+                    )
+                else:
+                    sort_cols = ["tablet_id", "height"]
+                    rewritten = (
+                        band_df.repartition(n_out, "tablet_id")
+                        if n_out > 1
+                        else band_df.coalesce(1)
+                    )
                 # Every intermediate directory lives under _staging/ — a
                 # concurrent reader's partition discovery over the data
                 # dir must never see a non-castable `height_band=N.xyz`
@@ -1726,9 +1793,9 @@ class ChangelogStore:
                     self._staging_dir, f"compact-{swap_id}-old"
                 )
                 self._backend._write(
-                    rewritten.sortWithinPartitions(
-                        "tablet_id", "height"
-                    ).write.mode("overwrite"),
+                    rewritten.sortWithinPartitions(*sort_cols)
+                    .drop("_z")
+                    .write.mode("overwrite"),
                     new,
                 )
                 for junk in os.listdir(new):  # _SUCCESS / .crc sidecars
@@ -1793,6 +1860,55 @@ class ChangelogStore:
         # snapshot) on a long-lived store
         self._backend.commit_log.checkpoint_log()
         return stats
+
+    def file_layout_stats(self, collection: str) -> list[dict]:
+        """Per-data-file zone maps (min/max per column, folded across row
+        groups) read straight from the parquet footers — the statistics a
+        scan's file- and row-group-skipping decisions are made from. The
+        ops tool for judging a layout: after `compact(zorder=True)`, a
+        (primary_key, height) point probe should admit a small fraction
+        of files; the linear layout admits every file of the tablet."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError as exc:  # pragma: no cover - baked into image
+            raise RuntimeError("file_layout_stats requires pyarrow") from exc
+        out: list[dict] = []
+        coll_dir = os.path.join(self._data_dir, f"collection={collection}")
+        if not os.path.isdir(coll_dir):
+            return out
+        for band in sorted(os.listdir(coll_dir)):
+            band_path = os.path.join(coll_dir, band)
+            if not os.path.isdir(band_path):
+                continue
+            for fn in sorted(os.listdir(band_path)):
+                if not self._backend._is_data_file(fn):
+                    continue
+                md = pq.ParquetFile(os.path.join(band_path, fn)).metadata
+                cols: dict[str, tuple] = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        name = col.path_in_schema
+                        lo, hi = st.min, st.max
+                        if name in cols:
+                            cols[name] = (
+                                min(cols[name][0], lo),
+                                max(cols[name][1], hi),
+                            )
+                        else:
+                            cols[name] = (lo, hi)
+                out.append(
+                    {
+                        "band": band,
+                        "file": fn,
+                        "rows": md.num_rows,
+                        "stats": cols,
+                    }
+                )
+        return out
 
     # --- physical DML (copy-on-write rewrites) -----------------------------
 

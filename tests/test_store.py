@@ -1698,3 +1698,89 @@ class TestPointReadSkipping:
             self._bloom_offsets(spark, f).get("primary_key", -1) >= 0
             for f in files
         )
+
+
+class TestZorderCompact:
+    """compact(zorder=True): Morton layout over (primary_key, height)."""
+
+    def _store(self, spark, tmp_path, name):
+        st = ChangelogStore(
+            spark, str(tmp_path / name), height_band=1000
+        )
+        for h in range(1, 17):
+            st.write_batch(
+                make_changelog(
+                    spark,
+                    [
+                        ("tst", "tbl", h, f"k{i:03d}", f"v{h}-{i}")
+                        for i in range(64)
+                    ],
+                )
+            )
+        return st
+
+    @staticmethod
+    def _admitted_rows(stats, pk=None, max_height=None):
+        total = 0
+        for f in stats:
+            s = f["stats"]
+            if pk is not None:
+                lo, hi = s["primary_key"]
+                if not (lo <= pk <= hi):
+                    continue
+            if max_height is not None:
+                lo, hi = s["height"]
+                if lo > max_height:
+                    continue
+            total += f["rows"]
+        return total
+
+    def test_zorder_preserves_rows_and_reads(self, spark, tmp_path):
+        st = self._store(spark, tmp_path, "zc")
+        before = sorted(
+            (r.height, r.primary_key, r.value)
+            for r in st.changelog().collect()
+        )
+        stats = st.compact(
+            target_rows_per_file=128, min_files=2, zorder=True
+        )
+        assert stats["bands"] == 1 and stats["files_after"] == 8
+        after = sorted(
+            (r.height, r.primary_key, r.value)
+            for r in st.changelog().collect()
+        )
+        assert after == before
+        # bounded read still partition/zone prunes correctly
+        assert st.changelog(max_height=4).count() == 4 * 64
+
+    def test_zorder_tightens_key_zone_maps(self, spark, tmp_path):
+        st = self._store(spark, tmp_path, "zc2")
+        # pre-compaction layout: one file per height batch — a key probe
+        # admits EVERY file (each holds all 64 keys)
+        pre = st.file_layout_stats("tst")
+        total = sum(f["rows"] for f in pre)
+        assert self._admitted_rows(pre, pk="k032") == total
+        st.compact(target_rows_per_file=128, min_files=2, zorder=True)
+        post = st.file_layout_stats("tst")
+        assert sum(f["rows"] for f in post) == total
+        # the Z-curve bounds BOTH dimensions per file: a key probe scans
+        # about half the store (quarter-boundary overlap), the singlet
+        # probe (key AND height) a quarter, and height scans stay
+        # prunable — pre-compaction every key probe scanned 100%
+        assert self._admitted_rows(post, pk="k032") <= total * 0.55
+        assert (
+            self._admitted_rows(post, pk="k032", max_height=4)
+            <= total * 0.3
+        )
+        assert (
+            self._admitted_rows(post, max_height=4) <= total * 0.6
+        )
+
+    def test_linear_compact_cannot_prune_key_probes(self, spark, tmp_path):
+        st = self._store(spark, tmp_path, "lc")
+        st.compact(target_rows_per_file=128, min_files=2, zorder=False)
+        post = st.file_layout_stats("tst")
+        total = sum(f["rows"] for f in post)
+        # the linear (tablet, height) sort leaves primary_key wide in
+        # every file — the gap zorder exists to close
+        assert self._admitted_rows(post, pk="k032") == total
