@@ -101,6 +101,12 @@ HEADLINE = [
     "dsir_select",
     "perplexity_buckets",
     "cms_heavy_hitters",
+    # 1-bit binary ANN (XOR+popcount scan + int8 rerank), fuzzy MinHash
+    # decontamination, and the iterative BPE trainer (driver-loop merges
+    # over the distinct-vocab relation)
+    "embed_topk_binary",
+    "decontaminate_fuzzy",
+    "bpe_train",
 ]
 
 

@@ -64,6 +64,10 @@ OPS = [
     "dsir_select",
     "perplexity_buckets",
     "cms_heavy_hitters",
+    "embed_topk_binary",
+    "decontaminate_fuzzy",
+    "bpe_train",
+    "bpe_encode",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
