@@ -105,6 +105,7 @@ HEADLINE = [
     # decontamination, and the iterative BPE trainer (driver-loop merges
     # over the distinct-vocab relation)
     "embed_topk_binary",
+    "embed_topk_binary_materialized",
     "decontaminate_fuzzy",
     "bpe_train",
 ]

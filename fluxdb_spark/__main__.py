@@ -77,6 +77,7 @@ def cmd_server(args, spark: SparkSession) -> int:
         or args.minhash_index
         or args.quantize_index
         or args.pq_index
+        or args.binary_index
     ):
         # retrieval routes and gauges read the STANDING materialized
         # indexes (index-retrieval mode maintains them) — the serving
@@ -95,6 +96,7 @@ def cmd_server(args, spark: SparkSession) -> int:
             quantize_dest=args.quantize_index,
             pq_dest=args.pq_index,
             pq_dim=args.ann_dim,
+            binary_dest=args.binary_index,
         )
     metrics_server = None
     if args.metrics_port is not None:
@@ -434,6 +436,11 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         # the int8-compressed vector table as standing state — queries
         # (similarity.quantized_topk_from_table) never touch the floats
         transform = rt.quantize_transform()
+    elif args.kind == "binary":
+        # the packed sign-bit table (2 BIGINTs per 64-dim vector) — the
+        # Hamming candidate-scan half of the binary ANN pair; pair it
+        # with --kind quantize for the rerank side
+        transform = rt.binarize_transform(dim=args.dim)
     elif args.kind == "pq":
         # frozen PQ codebooks live at a sidecar path for the same
         # swap-survival reason as the centroid model; trained once on
@@ -513,7 +520,7 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         # so standing reads fold only the post-compaction delta
         fold = {"minhash": ["doc_id"], "lsh": ["vec_id", "tbl"],
                 "kmeans": ["vec_id"], "quantize": ["vec_id"],
-                "pq": ["vec_id"]}[args.kind]
+                "pq": ["vec_id"], "binary": ["vec_id"]}[args.kind]
         n = rt.compact_derived(spark, args.dest, fold_keys=fold)
         print(f"# compacted {n} batch dir(s)")
     return 0
@@ -595,6 +602,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="materialized PQ codes table (index-retrieval --kind pq "
         "dest, codebook sidecar beside it); enables /v1/pq_topk",
+    )
+    s.add_argument(
+        "--binary-index",
+        default=None,
+        help="materialized packed sign-bit table; with --quantize-index "
+        "enables /v1/binary_topk",
     )
     s.set_defaults(fn=cmd_server)
 
@@ -725,7 +738,8 @@ def build_parser() -> argparse.ArgumentParser:
     ridx.add_argument("--checkpoint", required=True)
     ridx.add_argument(
         "--kind",
-        choices=("minhash", "lsh", "kmeans", "bm25", "quantize", "pq"),
+        choices=("minhash", "lsh", "kmeans", "bm25", "quantize", "pq",
+                 "binary"),
         default="minhash",
     )
     ridx.add_argument(

@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "decontaminate_fuzzy",
     "bpe_train",
     "bpe_encode",
+    "embed_topk_binary_materialized",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -4324,6 +4325,47 @@ def embed_topk_quantized_materialized(spark, sf_dir):
             qz, qz.filter(F.col("vec_id") < 5).select("vec_id"), k=10
         )
         .withColumn("rank", F.col("rank").cast("long"))
+        .localCheckpoint()
+    )
+    shutil.rmtree(qroot, ignore_errors=True)
+    return out
+
+
+@_q(
+    "embed_topk_binary_materialized",
+    "pipeline",
+    sim.sql_binary_topk(10, 5, 40),
+)
+def embed_topk_binary_materialized(spark, sf_dir):
+    """`embed_topk_binary` over TWO composed standing tables: the packed
+    sign-bit table (binarize_transform — 2 BIGINTs/row, the Hamming
+    candidate-scan form) and the int8 table (quantize_transform — the
+    rerank form), both maintained from the same store's commit log by
+    the row-wise IVM maintainer. Queries never touch the float corpus;
+    every step is integer-exact, so the standing form is bit-identical
+    to the recompute form (same oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluxdb_spark.streaming import retrieval as rt
+
+    store = _mat_store_vecs(spark, sf_dir)
+    qroot = tempfile.mkdtemp(prefix="fluxdb-matb-")
+    bdest, ck1 = os.path.join(qroot, "bits"), os.path.join(qroot, "ck1")
+    qdest, ck2 = os.path.join(qroot, "q8"), os.path.join(qroot, "ck2")
+    rt.refresh(spark, str(store.root), bdest, rt.binarize_transform(), ck1)
+    rt.refresh(spark, str(store.root), qdest, rt.quantize_transform(), ck2)
+    bz = rt.lww_latest(rt.read_derived(spark, bdest), ["vec_id"]).select(
+        "vec_id", "b0", "b1"
+    )
+    qz = rt.lww_latest(rt.read_derived(spark, qdest), ["vec_id"]).select(
+        "vec_id", "q8"
+    )
+    out = (
+        sim.binary_topk_from_tables(
+            bz, qz, bz.filter(F.col("vec_id") < 5).select("vec_id"), k=10
+        )
         .localCheckpoint()
     )
     shutil.rmtree(qroot, ignore_errors=True)

@@ -1547,6 +1547,10 @@ FROM ranked WHERE rank <= {k}
 BINARY_WORD_BITS = 32
 
 
+def _n_words(dim: int) -> int:
+    return -(-dim // BINARY_WORD_BITS)
+
+
 def binarize_embeddings(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1563,13 +1567,14 @@ def binarize_embeddings(
 
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     words = []
-    for w in range(dim // BINARY_WORD_BITS):
+    for w in range(_n_words(dim)):
         terms = [
             F.when(
                 F.element_at(x, w * BINARY_WORD_BITS + j + 1) > 0.0,
                 F.lit(1 << j).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
             for j in range(BINARY_WORD_BITS)
+            if w * BINARY_WORD_BITS + j < dim
         ]
         words.append(
             functools.reduce(op.add, terms).cast("long").alias(f"b{w}")
@@ -1580,11 +1585,12 @@ def binarize_embeddings(
 def sql_binarize_embeddings(dim: int = 64) -> str:
     """DuckDB twin of `binarize_embeddings` (same bit layout)."""
     word_exprs = []
-    for w in range(dim // BINARY_WORD_BITS):
+    for w in range(_n_words(dim)):
         terms = " + ".join(
             f"CASE WHEN CAST(embedding[{w * BINARY_WORD_BITS + j + 1}] AS DOUBLE) > 0.0"
             f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
             for j in range(BINARY_WORD_BITS)
+            if w * BINARY_WORD_BITS + j < dim
         )
         word_exprs.append(f"({terms}) AS b{w}")
     return (
@@ -1625,8 +1631,30 @@ def binary_topk(
     set to the final top-k.  Queries broadcast; the corpus is scanned once
     at 2 BIGINTs/row; the rerank join touches |queries| * rerank rows —
     never the corpus."""
-    n_words = dim // BINARY_WORD_BITS
     bz = binarize_embeddings(corpus, id_col=id_col, vec_col=vec_col, dim=dim)
+    qz = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    return binary_topk_from_tables(
+        bz, qz, queries, k=k, rerank=rerank, id_col=id_col, dim=dim
+    )
+
+
+def binary_topk_from_tables(
+    bz: DataFrame,
+    qz: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 40,
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """`binary_topk` with both stages read from MATERIALIZED tables: the
+    packed sign-bit table (streaming/retrieval.py's binarize_transform —
+    2 BIGINTs/row, the candidate-scan form) and the int8 table
+    (quantize_transform — the rerank form). The two standing indexes
+    compose; the float corpus is never touched, and because every step
+    is integer-exact the result is bit-identical to the recompute
+    form."""
+    n_words = _n_words(dim)
     q = (
         queries.join(bz, id_col)
         .select(
@@ -1656,7 +1684,7 @@ def binary_topk(
         .filter(F.col("hrank") <= rerank)
         .drop("hrank")
     )
-    qz = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col)
+    qz = qz.select(F.col(id_col), "q8")
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
@@ -1705,7 +1733,7 @@ def sql_binary_topk(
 ) -> str:
     """DuckDB twin of `binary_topk`: same packing, same Hamming cut, same
     integer-cosine rerank (sql_quantize_embeddings inlined)."""
-    n_words = dim // BINARY_WORD_BITS
+    n_words = _n_words(dim)
     ham = " + ".join(
         f"bit_count(xor(c.b{w}, q.b{w}))" for w in range(n_words)
     )

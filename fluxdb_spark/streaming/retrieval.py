@@ -441,6 +441,32 @@ def quantize_transform():
     return transform
 
 
+def binarize_transform(dim: int = 64):
+    """Transform factory: changelog vector rows -> packed sign-bit rows
+    (vec_id, height, is_deletion, b0, b1). Map-only. The derived table is
+    the 1-bit candidate-scan form (2 BIGINTs per 64-dim vector, 16-32x
+    smaller than floats) `similarity.binary_topk_from_tables` Hamming-
+    scans; the int8 table (quantize_transform) remains the rerank side —
+    the two standing indexes compose."""
+    from fluxdb_spark.functions.similarity import binarize_embeddings
+
+    def transform(rows: DataFrame) -> DataFrame:
+        v = vector_relation(rows).select(
+            F.struct("vec_id", "height", "is_deletion").alias("rid"),
+            "embedding",
+        )
+        bz = binarize_embeddings(v, id_col="rid", dim=dim)
+        word_cols = [c for c in bz.columns if c.startswith("b")]
+        return bz.select(
+            F.col("rid.vec_id").alias("vec_id"),
+            F.col("rid.height").alias("height"),
+            F.col("rid.is_deletion").alias("is_deletion"),
+            *word_cols,
+        )
+
+    return transform
+
+
 def bm25_doclen_transform():
     """Transform factory: changelog document rows -> one (doc_id, height,
     is_deletion, dl) row per version. Map-only. The doclen table is the
@@ -764,6 +790,7 @@ class RetrievalService:
         quantize_dest: str | None = None,
         pq_dest: str | None = None,
         pq_dim: int = 64,
+        binary_dest: str | None = None,
     ):
         self.spark = spark
         self.ann_dest = ann_dest
@@ -780,6 +807,7 @@ class RetrievalService:
         self.quantize_dest = quantize_dest
         self.pq_dest = pq_dest
         self.pq_dim = pq_dim
+        self.binary_dest = binary_dest
 
     def metrics(self) -> dict:
         """Retrieval-index gauges for a /metrics snapshot — notably the
@@ -947,6 +975,44 @@ class RetrievalService:
             [(int(vec_id),)], "vec_id long"
         )
         return quantized_topk_from_table(qz, probe, k=k)
+
+    def binary_topk(
+        self, vec_id: int, k: int = 10, rerank: int = 40
+    ) -> DataFrame:
+        """Two-stage by-id top-k over the STANDING compressed tables: a
+        Hamming XOR+popcount scan of the packed sign-bit table (2
+        BIGINTs/row) bounds the candidates, the int8 table re-ranks them
+        with exact integer cosine — the cheapest standing candidate scan
+        the service offers, and still bit-deterministic. Requires both
+        the binary and quantize indexes (they compose)."""
+        if self.binary_dest is None:
+            raise ValueError("no binary index configured")
+        if self.quantize_dest is None:
+            raise ValueError(
+                "binary rerank needs the quantize index too"
+            )
+        from fluxdb_spark.functions.similarity import (
+            binary_topk_from_tables,
+        )
+
+        bderived = read_derived(self.spark, self.binary_dest)
+        qderived = read_derived(self.spark, self.quantize_dest)
+        if bderived is None or qderived is None:
+            raise ValueError(
+                "binary/quantize index is empty — run index-retrieval"
+            )
+        word_cols = sorted(
+            (c for c in bderived.columns if c[0] == "b" and c[1:].isdigit()),
+            key=lambda c: int(c[1:]),
+        )
+        bz = lww_latest(bderived, ["vec_id"]).select("vec_id", *word_cols)
+        qz = lww_latest(qderived, ["vec_id"]).select("vec_id", "q8")
+        probe = self.spark.createDataFrame(
+            [(int(vec_id),)], "vec_id long"
+        )
+        return binary_topk_from_tables(
+            bz, qz, probe, k=k, rerank=rerank, dim=32 * len(word_cols)
+        )
 
     def pq_topk(self, vector: list[float], k: int = 10) -> DataFrame:
         """Approximate top-k of an UNSEEN vector by PQ asymmetric

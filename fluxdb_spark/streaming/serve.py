@@ -25,6 +25,7 @@ Routes (GET, query-string params):
     /v1/neardup?text=...[&threshold=J][&k=N] (materialized signatures)
     /v1/quantized_topk?vec_id=N[&k=N]       (materialized int8 table)
     /v1/pq_topk?vector=F1,F2,...[&k=N]      (materialized PQ codes)
+    /v1/binary_topk?vec_id=N[&k=N]          (sign-bit scan + int8 rerank)
     /metrics            (optional, same source contract as MetricsServer)
 
 Responses are `{"rows": [...], "count": n}` JSON; errors are HTTP 400
@@ -207,6 +208,7 @@ class QueryServer:
             "/v1/neardup",
             "/v1/quantized_topk",
             "/v1/pq_topk",
+            "/v1/binary_topk",
         ):
             if self.retrieval is None:
                 raise BadRequest("no retrieval indexes configured")
@@ -256,6 +258,14 @@ class QueryServer:
                 df = self.retrieval.quantized_topk(vid, k=k)
             elif path == "/v1/pq_topk":
                 df = self.retrieval.pq_topk(_vector(), k=k)
+            elif path == "/v1/binary_topk":
+                try:
+                    vid = int(p["vec_id"])
+                except ValueError:
+                    raise BadRequest(
+                        f"vec_id must be an integer: {p['vec_id']!r}"
+                    )
+                df = self.retrieval.binary_topk(vid, k=k)
             elif path == "/v1/neardup":
                 try:
                     threshold = float(p.get("threshold", 0.0))

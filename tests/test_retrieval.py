@@ -930,3 +930,70 @@ class TestMaterializedPq:
         dists = [r.adist for r in rows]
         assert dists == sorted(dists)
         assert all(isinstance(r.adist, int) for r in rows)
+
+
+class TestMaterializedBinary:
+    """The packed sign-bit table (candidate scan) + int8 table (rerank)
+    compose into the standing form of binary_topk."""
+
+    def _index(self, spark, store, tmp_path):
+        bdest, ck1 = str(tmp_path / "bits"), str(tmp_path / "ck_b")
+        qdest, ck2 = str(tmp_path / "q8b"), str(tmp_path / "ck_q")
+        rt.refresh(
+            spark, str(store.root), bdest, rt.binarize_transform(dim=8), ck1
+        )
+        rt.refresh(
+            spark, str(store.root), qdest, rt.quantize_transform(), ck2
+        )
+        return bdest, qdest, ck1, ck2
+
+    def test_matches_recompute(self, spark, store, tmp_path):
+        store.write_batch(vec_rows(spark, VECS))
+        bdest, qdest, _c1, _c2 = self._index(spark, store, tmp_path)
+        bz = rt.lww_latest(rt.read_derived(spark, bdest), ["vec_id"]).select(
+            "vec_id", "b0"
+        )
+        qz = rt.lww_latest(rt.read_derived(spark, qdest), ["vec_id"]).select(
+            "vec_id", "q8"
+        )
+        corpus = spark.createDataFrame(
+            [(i, v) for i, v in sorted(VECS.items())],
+            "vec_id long, embedding array<float>",
+        )
+        queries = corpus.filter(F.col("vec_id") < 3).select("vec_id")
+        got = sorted(map(tuple, sim.binary_topk_from_tables(
+            bz, qz, queries, k=5, rerank=8, dim=8
+        ).collect()))
+        want = sorted(map(tuple, sim.binary_topk(
+            corpus, queries, k=5, rerank=8, dim=8
+        ).collect()))
+        assert got == want and len(got) == 15
+
+    def test_incremental_append_then_service(self, spark, store, tmp_path):
+        store.write_batch(vec_rows(spark, VECS))
+        bdest, qdest, ck1, ck2 = self._index(spark, store, tmp_path)
+        extra = {100: [0.9] * 8, 101: [-0.4] * 8}
+        store.write_batch(vec_rows(spark, extra, h0=len(VECS)))
+        rt.refresh(
+            spark, str(store.root), bdest, rt.binarize_transform(dim=8), ck1
+        )
+        rt.refresh(
+            spark, str(store.root), qdest, rt.quantize_transform(), ck2
+        )
+        svc = rt.RetrievalService(
+            spark, binary_dest=bdest, quantize_dest=qdest
+        )
+        rows = svc.binary_topk(100, k=3).collect()
+        assert len(rows) == 3
+        assert all(r.match_id != 100 for r in rows)
+        # 101 is 100's antipode: under cosine it must rank last, and the
+        # all-positive probe's best Hamming matches come first
+        assert rows[0].score > rows[-1].score
+
+    def test_requires_both_indexes(self, spark, store, tmp_path):
+        store.write_batch(vec_rows(spark, VECS))
+        bdest, qdest, _c1, _c2 = self._index(spark, store, tmp_path)
+        with pytest.raises(ValueError, match="no binary index"):
+            rt.RetrievalService(spark, quantize_dest=qdest).binary_topk(0)
+        with pytest.raises(ValueError, match="quantize index too"):
+            rt.RetrievalService(spark, binary_dest=bdest).binary_topk(0)

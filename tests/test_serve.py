@@ -390,6 +390,11 @@ class TestRetrievalRoutes:
             rt.pq_codes_transform(books, dim=8), str(tmp_path / "ck_p"),
         )
         rt.save_pq_books(pdest, books)
+        bindest = str(tmp_path / "bits")
+        rt.refresh(
+            spark, str(vstore.root), bindest,
+            rt.binarize_transform(dim=8), str(tmp_path / "ck_bin"),
+        )
 
         engine = FluxEngine(spark, str(tmp_path / "edb"))
         service = rt.RetrievalService(
@@ -399,6 +404,7 @@ class TestRetrievalRoutes:
             quantize_dest=qdest,
             pq_dest=pdest,
             pq_dim=8,
+            binary_dest=bindest,
         )
         srv = QueryServer(engine, port=0, retrieval=service)
         try:
@@ -439,8 +445,21 @@ class TestRetrievalRoutes:
             assert [r["match_id"] for r in got["rows"]] == want
             assert got["count"] == 3
 
+            # binary top-k by stored id: Hamming scan of the standing
+            # sign-bit table + int8 rerank from the quantize table
+            got = _get(f"{srv.url}/v1/binary_topk?vec_id=0&k=3")
+            want = [
+                r.match_id
+                for r in service.binary_topk(0, k=3).collect()
+            ]
+            assert [r["match_id"] for r in got["rows"]] == want
+            assert got["count"] == 3
+
             with pytest.raises(HTTPError) as e:
                 _get(f"{srv.url}/v1/ivf_topk?vector=1.0&nprobe=zero")
+            assert e.value.code == 400
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/binary_topk?vec_id=abc")
             assert e.value.code == 400
             with pytest.raises(HTTPError) as e:
                 _get(f"{srv.url}/v1/neardup?text=")
@@ -617,3 +636,38 @@ def test_index_retrieval_cli_pq(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert f"pq index: {len(VECS) + 1} derived row(s)" in out
     assert rt.load_pq_books(dest) == books  # frozen, not retrained
+
+
+def test_index_retrieval_cli_binary(spark, tmp_path, capsys):
+    """index-retrieval --kind binary maintains the packed sign-bit table
+    (the Hamming candidate-scan half of the binary ANN pair)."""
+    import json
+
+    from fluxdb_spark.__main__ import main
+    from fluxdb_spark.store import ChangelogStore
+    from fluxdb_spark.streaming import retrieval as rt
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "bstore")
+    dest, ck = str(tmp_path / "bits"), str(tmp_path / "ck")
+    st = ChangelogStore(spark, root)
+    st.write_batch(
+        make_changelog(
+            spark,
+            [
+                ("emb", "vecs", 1, "0", json.dumps([0.5, -1.0])),
+                ("emb", "vecs", 2, "1", json.dumps([-0.25, 0.25])),
+            ],
+        )
+    )
+    rc = main(
+        ["index-retrieval", "--store", root, "--dest", dest,
+         "--checkpoint", ck, "--kind", "binary", "--dim", "2"],
+        spark,
+    )
+    assert rc == 0
+    assert "binary index: 2 derived row(s)" in capsys.readouterr().out
+    bz = rt.lww_latest(rt.read_derived(spark, dest), ["vec_id"])
+    got = {r.vec_id: r.b0 for r in bz.collect()}
+    assert got[0] == 0b01  # only dim 0 positive
+    assert got[1] == 0b10  # only dim 1 positive

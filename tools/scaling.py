@@ -65,6 +65,7 @@ OPS = [
     "perplexity_buckets",
     "cms_heavy_hitters",
     "embed_topk_binary",
+    "embed_topk_binary_materialized",
     "decontaminate_fuzzy",
     "bpe_train",
     "bpe_encode",
