@@ -108,6 +108,7 @@ HEADLINE = [
     "embed_topk_binary_materialized",
     "decontaminate_fuzzy",
     "bpe_train",
+    "hll_distinct",
 ]
 
 

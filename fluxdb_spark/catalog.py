@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "bpe_train",
     "bpe_encode",
     "embed_topk_binary_materialized",
+    "hll_distinct",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -2948,6 +2949,29 @@ def decontaminate_fuzzy(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return cu.decontaminate_fuzzy(spread(train), bench)
+
+
+@_q("hll_distinct", "pipeline", tx.sql_hll_distinct())
+def hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct count (Flajolet et al. 2007) beside the
+    exact answer: 256 max-registers estimate the vocabulary size in
+    bounded memory — per partition the register maxes ARE the partial
+    sketch and the groupBy max-merge is the sketch union, so the shuffle
+    carries m rows per partition while exact countDistinct ships the
+    whole vocabulary (the 100 TB contrast, same pitch as
+    `cms_heavy_hitters` for frequencies). Register index/rank come from
+    integer+string ops over the portable hash (length(bin(w)), no
+    floats); the harmonic sum is exact BIGINT in 2^-52 units; the
+    linear-counting branch reads m*ln(m/V) from plan-literal tables, so
+    no engine libm is ever called — the whole estimator hash-matches
+    cross-engine, floats included."""
+    d = _td(spark, sf_dir)
+    est = tx.hll_estimate(tx.hll_registers(spread(d)))
+    exact = (
+        d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("t"))
+        .agg(F.countDistinct("t").cast("long").alias("exact_distinct"))
+    )
+    return est.join(F.broadcast(exact))
 
 
 @_q("bpe_train", "pipeline", bpe.sql_train_merges(10))

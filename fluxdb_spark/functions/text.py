@@ -1078,3 +1078,137 @@ est AS (SELECT p.term, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
 SELECT t.term, t.cnt, e.est, t.rank
 FROM topk t JOIN est e USING (term)
 """
+
+
+# --- HyperLogLog distinct counting ------------------------------------------
+#
+# Flajolet, Fusy, Gandouet & Meunier 2007: cardinality estimation in
+# m = 2^b registers regardless of the distinct count. The register table
+# IS the distributed sketch — each partition's per-register max is the
+# partition's sketch and the groupBy max-merge is the sketch union, so
+# at 100 TB the shuffle carries m rows per partition while the exact
+# countDistinct it replaces shuffles the full vocabulary. Everything up
+# to the final estimate is integer/string expressions over the portable
+# 60-bit hash (register index = top 8 bits, rho = leading-zero count of
+# the remaining 52 via length(bin(w)) — no floats, no libm), and the
+# estimator avoids engine libm entirely: the linear-counting branch reads
+# m*ln(m/V) from a 256-entry table inlined as plan literals, so the only
+# runtime float ops are IEEE-correctly-rounded * and /, making the whole
+# operator hash-checkable cross-engine.
+
+HLL_B = 8
+HLL_M = 1 << HLL_B  # 256 registers
+HLL_WINDOW = 60 - HLL_B  # 52 hash bits feed the rank
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# alpha * m^2 * 2^52: the raw-estimator numerator with sum_int in units
+# of 2^-52 (see hll_estimate); exact double product of a double and two
+# powers of two
+_HLL_RAW_NUM = _HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_WINDOW)
+
+
+def _hll_ln_table() -> list[float]:
+    """m * ln(m / V) for V = 1..m, computed once driver-side and inlined
+    as literals — identical decimal literals parse to identical doubles
+    in every engine, so the linear-counting branch never calls an
+    engine's (non-correctly-rounded) log."""
+    import math
+
+    return [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+
+
+def hll_registers(docs, text_col: str = "text"):
+    """The m-row register relation over the corpus vocabulary:
+    (register, max_rho). register = top b bits of hash60(term), rho =
+    leading zeros of the remaining 52 bits + 1 (via length(bin(w)) —
+    exact integer/string ops). Merging two corpora's registers is an
+    element-wise max."""
+    from fluxdb_spark.session import spread
+
+    base = spread(docs).select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    h = hash60(F.col("term"))
+    w = F.pmod(h, F.lit(1 << HLL_WINDOW))
+    rho = F.when(w == 0, F.lit(HLL_WINDOW + 1)).otherwise(
+        F.lit(HLL_WINDOW) - F.length(F.bin(w)) + 1
+    )
+    return (
+        base.select(
+            F.floor(h / F.lit(1 << HLL_WINDOW)).cast("long").alias("register"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers):
+    """One-row estimate from the register relation. sum_int accumulates
+    2^(52 - max_rho) per register — exact BIGINT arithmetic (<= 2^60), so
+    the harmonic sum has no float-summation order ambiguity; the raw
+    estimate is one exact-operand division. Small-range (V zero
+    registers > 0, raw <= 2.5m) switches to linear counting via the
+    inlined ln table."""
+    ln_lit = F.array(*[F.lit(x) for x in _hll_ln_table()])
+    agg = registers.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_WINDOW} - max_rho)")
+        ).cast("long").alias("sum_nz"),
+        F.count(F.lit(1)).cast("long").alias("nz"),
+    )
+    v = F.lit(HLL_M) - F.col("nz")
+    # zero registers contribute 2^-0 = 1 each: in 2^-52 units, 2^52
+    sum_int = F.col("sum_nz") + v * F.lit(1 << HLL_WINDOW)
+    raw = F.lit(_HLL_RAW_NUM) / sum_int.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0), F.element_at(ln_lit, v.cast("int"))
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(HLL_M).cast("long").alias("m"),
+        v.cast("long").alias("zero_registers"),
+        sum_int.cast("long").alias("harmonic_sum_e52"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def sql_hll_distinct() -> str:
+    """DuckDB twin of hll_registers |> hll_estimate |> exact-count
+    comparison over the documents table."""
+    table = ", ".join(repr(x) for x in _hll_ln_table())
+    w_expr = f"h % {1 << HLL_WINDOW}"
+    return f"""
+WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+hashed AS (SELECT {hash60_sql('term')} AS h FROM toks),
+rho_rows AS (
+  SELECT CAST(floor(h / {1 << HLL_WINDOW}) AS BIGINT) AS register,
+         CASE WHEN {w_expr} = 0 THEN {HLL_WINDOW + 1}
+              ELSE {HLL_WINDOW} - length(bin(CAST({w_expr} AS BIGINT))) + 1
+         END AS rho
+  FROM hashed),
+regs AS (SELECT register, max(rho) AS max_rho FROM rho_rows GROUP BY 1),
+agg AS (SELECT CAST(sum(CAST(1 AS BIGINT) << ({HLL_WINDOW} - max_rho)) AS BIGINT)
+                 AS sum_nz,
+               CAST(count(*) AS BIGINT) AS nz
+        FROM regs),
+est AS (
+  SELECT CAST({HLL_M} AS BIGINT) AS m,
+         CAST({HLL_M} - nz AS BIGINT) AS zero_registers,
+         CAST(sum_nz + ({HLL_M} - nz) * CAST({1 << HLL_WINDOW} AS BIGINT)
+              AS BIGINT) AS harmonic_sum_e52,
+         round(CASE WHEN {_HLL_RAW_NUM!r}
+                         / CAST(sum_nz + ({HLL_M} - nz)
+                                * CAST({1 << HLL_WINDOW} AS BIGINT) AS DOUBLE)
+                      <= {2.5 * HLL_M}
+                    AND ({HLL_M} - nz) > 0
+               THEN [{table}][CAST({HLL_M} - nz AS INT)]
+               ELSE {_HLL_RAW_NUM!r}
+                    / CAST(sum_nz + ({HLL_M} - nz)
+                           * CAST({1 << HLL_WINDOW} AS BIGINT) AS DOUBLE)
+               END, 4) AS est_distinct
+  FROM agg),
+exact AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct
+          FROM toks)
+SELECT m, zero_registers, harmonic_sum_e52, est_distinct, exact_distinct
+FROM est, exact
+"""

@@ -63,3 +63,65 @@ def test_hll_sketches_merge_across_partitions(spark, orders):
     assert abs(merged - whole) / whole < 0.01
     exact = orders.select("o_custkey").distinct().count()
     assert abs(merged - exact) / exact < 0.05
+
+
+class TestHllDistinct:
+    """Our own portable HyperLogLog (text.hll_registers/hll_estimate):
+    unlike approx_count_distinct its registers are engine-reproducible,
+    so the catalog entry is fully hash-checked; these tests gate the
+    properties the hash can't see — accuracy and mergeability."""
+
+    def _docs(self, spark, words):
+        return spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)],
+            "doc_id long, text string",
+        )
+
+    def test_estimate_within_hll_error(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        # 500 distinct tokens: sigma = 1.04/sqrt(256) ~ 6.5%; assert 3x
+        words = [f"tok{i}" for i in range(500)]
+        est = tx.hll_estimate(
+            tx.hll_registers(self._docs(spark, words))
+        ).collect()[0]
+        assert abs(est.est_distinct - 500) / 500 < 0.20
+
+    def test_registers_merge_by_max(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        a = [f"a{i}" for i in range(200)]
+        b = [f"b{i}" for i in range(200)] + a[:50]  # overlap
+        ra = tx.hll_registers(self._docs(spark, a))
+        rb = tx.hll_registers(self._docs(spark, b))
+        merged = (
+            ra.unionByName(rb)
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+        )
+        whole = tx.hll_registers(self._docs(spark, a + b))
+        got = sorted(map(tuple, merged.collect()))
+        want = sorted(map(tuple, whole.collect()))
+        assert got == want  # sketch(A) max-merge sketch(B) == sketch(A u B)
+
+    def test_duplicates_do_not_move_the_estimate(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        words = [f"w{i}" for i in range(100)]
+        once = tx.hll_estimate(
+            tx.hll_registers(self._docs(spark, words))
+        ).collect()[0]
+        many = tx.hll_estimate(
+            tx.hll_registers(self._docs(spark, words * 10))
+        ).collect()[0]
+        assert once.est_distinct == many.est_distinct
+
+    def test_register_bounds(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        regs = tx.hll_registers(
+            self._docs(spark, [f"x{i}" for i in range(300)])
+        ).collect()
+        for r in regs:
+            assert 0 <= r.register < 256
+            assert 1 <= r.max_rho <= 53

@@ -69,6 +69,7 @@ OPS = [
     "decontaminate_fuzzy",
     "bpe_train",
     "bpe_encode",
+    "hll_distinct",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
