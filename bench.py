@@ -109,6 +109,7 @@ HEADLINE = [
     "decontaminate_fuzzy",
     "bpe_train",
     "hll_distinct",
+    "embed_pca_project",
 ]
 
 

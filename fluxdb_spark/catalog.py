@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
     "bpe_encode",
     "embed_topk_binary_materialized",
     "hll_distinct",
+    "embed_pca_project",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -2949,6 +2950,24 @@ def decontaminate_fuzzy(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return cu.decontaminate_fuzzy(spread(train), bench)
+
+
+@_q("embed_pca_project", "pipeline", sim.sql_pca_project())
+def embed_pca_project(spark, sf_dir):
+    """PCA top-component projection — completes the pipeline the exact
+    covariance relation exists for: the dominant eigendirection by
+    FIXED-POINT power iteration (16 integer matvec+rescale rounds over
+    the dim^2 covariance ints — bounded driver state, like the kmeans
+    centroids), then a map-only centered integer projection per row
+    (pc1 = n*(q.v) - sum(q.v); the subtraction IS mean-centering scaled
+    by n, no floats). No numpy/libm anywhere, so unlike an eigh PCA the
+    direction AND the projections hash-match the unrolled SQL twin
+    bit-for-bit; direction quality (Rayleigh ratio >= 0.95 of the top
+    eigenvalue on this near-degenerate spectrum) is gated in
+    test_similarity."""
+    e = _t(spark, sf_dir, "embeddings")
+    comp = sim.pca_power_component(e)
+    return sim.pca_project(e, comp)
 
 
 @_q("hll_distinct", "pipeline", tx.sql_hll_distinct())

@@ -1769,3 +1769,158 @@ ranked AS (
 SELECT query_id, match_id, hamming, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- PCA top component via fixed-point power iteration -----------------------
+#
+# Completes the PCA pipeline the exact covariance relation
+# (embedding_covariance) exists for: the dominant principal direction by
+# power iteration (von Mises & Pollaczek-Geiringer 1929) run ENTIRELY in
+# integer arithmetic — the covariance ints are bounded driver state
+# (dim^2 values), the iteration is pure-Python bigint-free int64 math
+# mirrored exactly by an unrolled SQL chain, and the corpus projection is
+# one map-only in-order integer fold per row. No numpy/libm anywhere, so
+# unlike an eigh-based PCA the whole operator — direction AND projections
+# — is bit-portable and hash-checkable cross-engine.
+
+PCA_ITERS = 16
+PCA_VNORM = 1 << 12  # iteration vector max-abs normalization target
+PCA_A_SHRINK = 128  # pre-shrink covariance ints so A*v stays in int64
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB's `//`, Spark's
+    `div`) — Python's // floors, which differs on negatives."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def pca_power_component(
+    corpus: DataFrame,
+    iters: int = PCA_ITERS,
+    dim: int = 64,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """The dominant covariance eigendirection as a fixed-point integer
+    vector (max-abs = PCA_VNORM, sign fixed by the first nonzero entry):
+    collect the exact dim^2 covariance relation (bounded driver state,
+    like the kmeans centroids), then `iters` integer matvec + rescale
+    rounds. Every op is trunc-division int64 arithmetic reproduced
+    verbatim by the unrolled SQL twin."""
+    import math
+
+    rows = embedding_covariance(
+        corpus, dim=dim, scale=scale, vec_col=vec_col
+    ).collect()
+    a = {(r.i, r.j): _tdiv(math.trunc(r.cov), PCA_A_SHRINK) for r in rows}
+    v = [PCA_VNORM] * dim
+    for _t in range(iters):
+        w = [
+            sum(a.get((i, j), 0) * v[j - 1] for j in range(1, dim + 1))
+            for i in range(1, dim + 1)
+        ]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [_tdiv(x * PCA_VNORM, m) for x in w]
+    for x in v:
+        if x != 0:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    return v
+
+
+def pca_project(
+    corpus: DataFrame,
+    component: list[int],
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project every vector onto the component, centered without floats:
+    pc1 = n * (q . v) - sum_rows(q . v) (all int64; the subtraction IS
+    mean-centering scaled by n). One map-only fold per row with the
+    component as plan literals + a 1-row broadcast total."""
+    vlits = F.array(*[F.lit(int(x)).cast("long") for x in component])
+    q = spread(corpus).select(
+        F.col(id_col), _quantize(F.col(vec_col), scale).alias("qv")
+    )
+    dots = q.select(
+        F.col(id_col),
+        F.aggregate(
+            F.zip_with(F.col("qv"), vlits, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    tot = dots.agg(
+        F.sum("dot").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return dots.join(F.broadcast(tot)).select(
+        F.col(id_col),
+        (F.col("n") * F.col("dot") - F.col("s")).cast("long").alias("pc1"),
+    )
+
+
+def sql_pca_project(
+    iters: int = PCA_ITERS, dim: int = 64, scale: int = 10_000
+) -> str:
+    """DuckDB twin: the same covariance ints, the same unrolled integer
+    power iteration (trunc `//` division), the same centered integer
+    projection."""
+    parts = [
+        f"""cv AS MATERIALIZED (
+  SELECT i, j, CAST(trunc(cov) AS BIGINT) // {PCA_A_SHRINK} AS a
+  FROM ({sql_embedding_covariance(dim, scale)}))""",
+        f"""v0 AS MATERIALIZED (
+  SELECT unnest(range(1, {dim + 1})) AS j,
+         CAST({PCA_VNORM} AS BIGINT) AS x)""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT cv.i AS j, CAST(sum(cv.a * v{t}.x) AS BIGINT) AS x
+  FROM cv JOIN v{t} ON cv.j = v{t}.j GROUP BY 1)"""
+        )
+        parts.append(
+            f"""m{t} AS MATERIALIZED (SELECT max(abs(x)) AS m FROM w{t})"""
+        )
+        parts.append(
+            f"""v{t + 1} AS MATERIALIZED (
+  SELECT j, CASE WHEN (SELECT m FROM m{t}) = 0 THEN x
+               ELSE (x * {PCA_VNORM}) // (SELECT m FROM m{t}) END AS x
+  FROM w{t})"""
+        )
+    parts.append(
+        f"""sgn AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT x FROM v{iters} WHERE x != 0 ORDER BY j LIMIT 1) < 0
+              THEN -1 ELSE 1 END AS s)""",
+    )
+    parts.append(
+        f"""comp AS MATERIALIZED (
+  SELECT j, x * (SELECT s FROM sgn) AS x FROM v{iters})"""
+    )
+    qz = (
+        "list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)"
+        f" * {scale}) AS BIGINT))"
+    )
+    parts.append(
+        f"""dots AS MATERIALIZED (
+  SELECT vec_id, CAST(sum(qv[j] * c.x) AS BIGINT) AS dot
+  FROM (SELECT vec_id, {qz} AS qv FROM embeddings), comp c
+  WHERE j BETWEEN 1 AND {dim}
+  GROUP BY vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+tot AS (SELECT CAST(sum(dot) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n FROM dots)
+SELECT vec_id, CAST(n * dot - s AS BIGINT) AS pc1
+FROM dots, tot
+"""
+    )

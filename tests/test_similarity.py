@@ -506,3 +506,48 @@ class TestBinaryTopk:
             for r in sim.quantized_topk(corpus, queries, k=5).collect()
         }
         assert via_binary == via_quant
+
+
+class TestPcaProject:
+    def test_direction_captures_top_variance(self, corpus):
+        import numpy as np
+
+        X = np.array(
+            [r.embedding for r in corpus.collect()], dtype=np.float64
+        )
+        C = np.cov(X.T, bias=True)
+        top = float(np.linalg.eigvalsh(C)[-1])
+        v = np.array(sim.pca_power_component(corpus), dtype=np.float64)
+        v /= np.linalg.norm(v)
+        # near-degenerate spectrum: gate the Rayleigh quotient, not the
+        # eigenvector angle (any vector in the top eigenspace is right)
+        assert float(v @ C @ v) / top >= 0.9
+
+    def test_planted_dominant_direction_recovered(self, spark):
+        import numpy as np
+
+        rng = [((i * 37 + j * 11) % 19 - 9) / 40.0 for i in range(200) for j in range(64)]
+        base = np.array(rng).reshape(200, 64)
+        spike = np.array([(1.0 if j < 8 else 0.0) for j in range(64)])
+        X = base + np.outer(
+            np.array([(i % 7 - 3) / 1.5 for i in range(200)]), spike
+        )
+        docs = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(200)],
+            "vec_id long, embedding array<float>",
+        )
+        v = np.array(sim.pca_power_component(docs), dtype=np.float64)
+        v /= np.linalg.norm(v)
+        want = spike / np.linalg.norm(spike)
+        assert abs(float(v @ want)) > 0.95  # strong gap -> fast convergence
+
+    def test_projection_is_centered(self, corpus):
+        rows = sim.pca_project(
+            corpus, sim.pca_power_component(corpus)
+        ).collect()
+        assert sum(r.pc1 for r in rows) == 0  # exact integer centering
+
+    def test_deterministic_rerun(self, corpus):
+        assert sim.pca_power_component(corpus) == sim.pca_power_component(
+            corpus
+        )

@@ -70,6 +70,7 @@ OPS = [
     "bpe_train",
     "bpe_encode",
     "hll_distinct",
+    "embed_pca_project",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
