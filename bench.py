@@ -110,6 +110,7 @@ HEADLINE = [
     "bpe_train",
     "hll_distinct",
     "embed_pca_project",
+    "hdr_quantiles",
 ]
 
 

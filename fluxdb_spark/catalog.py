@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "embed_topk_binary_materialized",
     "hll_distinct",
     "embed_pca_project",
+    "hdr_quantiles",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -2950,6 +2951,24 @@ def decontaminate_fuzzy(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return cu.decontaminate_fuzzy(spread(train), bench)
+
+
+_HDR_PS = [0.5, 0.9, 0.99]
+
+
+@_q("hdr_quantiles", "pipeline", tx.sql_hdr_quantiles(_HDR_PS))
+def hdr_quantiles(spark, sf_dir):
+    """Base-2 exponential-histogram quantiles of the doc token-length
+    distribution (HdrHistogram / OpenTelemetry bucket scheme, DDSketch's
+    bounded-RELATIVE-error guarantee) beside the exact rank statistics —
+    the quantile member of the sketch family (CMS: frequencies, HLL:
+    distinct). The bucket mapping is a pure integer function of the
+    value (octave = length(bin(v)), next 5 mantissa bits), so unlike
+    GK/KLL/t-digest it is insertion-order independent: partition
+    partials ARE sketches, the groupBy sum is the merge, the shuffle
+    carries ~320 buckets per partition at any corpus size, and the whole
+    operator — estimates included — hash-matches the SQL twin."""
+    return tx.hdr_quantiles_with_exact(_td(spark, sf_dir), _HDR_PS)
 
 
 @_q("embed_pca_project", "pipeline", sim.sql_pca_project())

@@ -1212,3 +1212,174 @@ exact AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS exact_distinct
 SELECT m, zero_registers, harmonic_sum_e52, est_distinct, exact_distinct
 FROM est, exact
 """
+
+
+# --- base-2 exponential histogram quantiles ---------------------------------
+#
+# The quantile member of the sketch family (CMS: frequencies, HLL:
+# distinct counts): a log-linear bucket histogram in the HdrHistogram /
+# OpenTelemetry base-2 exponential-histogram mold, with DDSketch's
+# guarantee (Masson et al., VLDB 2019) — bounded RELATIVE error. Unlike
+# GK/KLL/t-digest the bucket mapping is a pure function of the value
+# (insertion-order independent), so the distributed sketch is exactly
+# mergeable (bucket-count sum) AND the whole operator hash-matches a SQL
+# twin. For integer values the mapping needs no logarithm at all: octave
+# = length(bin(v)) - 1, sub-bucket = the next HDR_B mantissa bits, so a
+# bucket spans 2^(e-B) of an octave and every estimate is within
+# 2^-HDR_B (~3%) relative error. Bucket space is ~B * 64 entries
+# regardless of corpus size; the groupBy merge is the sketch merge.
+
+HDR_B = 5  # 32 sub-buckets per octave -> relative error <= 1/32
+
+
+def _hdr_idx_expr(v: str) -> str:
+    """SQL/Spark-shared bucket index of integer expression `v` (>= 0):
+    idx = (max(e-B, 0) << B) + (v >> max(e-B, 0)); contiguous,
+    order-preserving, exact for v < 2^(B+1)."""
+    s = f"greatest(length(bin(CAST({v} AS BIGINT))) - 1 - {HDR_B}, 0)"
+    return (
+        f"CAST(shiftleft(CAST({s} AS BIGINT), {HDR_B})"
+        f" + shiftright(CAST({v} AS BIGINT), CAST({s} AS INT)) AS BIGINT)"
+    )
+
+
+def _hdr_idx_sql(v: str) -> str:
+    s = f"greatest(length(bin(CAST({v} AS BIGINT))) - 1 - {HDR_B}, 0)"
+    return (
+        f"CAST((CAST({s} AS BIGINT) << {HDR_B})"
+        f" + (CAST({v} AS BIGINT) >> CAST({s} AS BIGINT)) AS BIGINT)"
+    )
+
+
+def _hdr_lower_expr(idx: str) -> str:
+    """Inverse mapping: the bucket's lower bound (the quantile
+    estimate). s = max(idx >> B - 1, 0); lo = (idx - (s << B)) << s."""
+    s = f"greatest(shiftright(CAST({idx} AS BIGINT), {HDR_B}) - 1, 0)"
+    return (
+        f"CAST(shiftleft(CAST({idx} AS BIGINT)"
+        f" - shiftleft(CAST({s} AS BIGINT), {HDR_B}),"
+        f" CAST({s} AS INT)) AS BIGINT)"
+    )
+
+
+def _hdr_lower_sql(idx: str) -> str:
+    s = f"greatest((CAST({idx} AS BIGINT) >> {HDR_B}) - 1, 0)"
+    return (
+        f"CAST((CAST({idx} AS BIGINT) - (CAST({s} AS BIGINT) << {HDR_B}))"
+        f" << CAST({s} AS BIGINT) AS BIGINT)"
+    )
+
+
+def hdr_buckets(docs, text_col: str = "text"):
+    """The (bucket, cnt) sketch of the per-document token-length
+    distribution. Per partition the bucket partials ARE the sketch; the
+    groupBy sum is the merge — the shuffle carries <= ~B*64 rows per
+    partition however large the corpus."""
+    from fluxdb_spark.session import spread
+
+    lens = spread(docs).select(
+        token_count(F.col(text_col)).alias("n_tok")
+    )
+    return (
+        lens.select(F.expr(_hdr_idx_expr("n_tok")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(buckets, ps: list[float]):
+    """Quantile estimates from the sketch: for each p, the lower bound
+    of the first bucket whose cumulative count reaches ceil(p * n) —
+    rank-based, integer-deterministic, within 2^-HDR_B relative error
+    of the true rank statistic."""
+    n = buckets.agg(F.sum("cnt").alias("n"))
+    cum = buckets.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    probes = None
+    for p in ps:
+        row = (
+            cum.join(F.broadcast(n))
+            .filter(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")))
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                F.lit(p).alias("p"),
+                F.expr(_hdr_lower_expr("bucket")).alias("est"),
+            )
+        )
+        probes = row if probes is None else probes.unionByName(row)
+    return probes
+
+
+def sql_hdr_quantiles(ps: list[float]) -> str:
+    """DuckDB twin of hdr_buckets |> hdr_quantiles, with the exact
+    rank-based quantile beside each estimate."""
+    probe_rows = []
+    for p in ps:
+        probe_rows.append(
+            f"""SELECT CAST({p!r} AS DOUBLE) AS p,
+       (SELECT {_hdr_lower_sql('min(bucket)')}
+        FROM cum, tot WHERE cum >= ceil({p!r} * n)) AS est,
+       (SELECT min(n_tok) FROM lcum, tot
+        WHERE lc >= ceil({p!r} * n)) AS exact"""
+        )
+    union = "\nUNION ALL\n".join(probe_rows)
+    return f"""
+WITH lens AS MATERIALIZED (
+  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+  FROM documents),
+sk AS MATERIALIZED (
+  SELECT {_hdr_idx_sql('n_tok')} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM lens GROUP BY 1),
+cum AS MATERIALIZED (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+tot AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+lcum AS MATERIALIZED (
+  SELECT n_tok, count(*) AS c,
+         sum(count(*)) OVER (ORDER BY n_tok) AS lc
+  FROM lens GROUP BY n_tok)
+{union}
+ORDER BY p
+"""
+
+
+def hdr_quantiles_with_exact(docs, ps: list[float], text_col: str = "text"):
+    """(p, est, exact) rows: the sketch estimate beside the true
+    rank-based quantile — the validation shape a pipeline runs before
+    trusting the bounded-memory sketch at scale (same pitch as
+    cms_heavy_hitters)."""
+    from fluxdb_spark.session import spread
+
+    lens = spread(docs).select(
+        token_count(F.col(text_col)).alias("n_tok")
+    )
+    sk = (
+        lens.select(F.expr(_hdr_idx_expr("n_tok")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    est = hdr_quantiles(sk, ps)
+    n = lens.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lcum = lens.groupBy("n_tok").agg(F.count(F.lit(1)).alias("c")).withColumn(
+        "lc",
+        F.sum("c").over(
+            Window.orderBy("n_tok").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    exacts = None
+    for p in ps:
+        row = (
+            lcum.join(F.broadcast(n))
+            .filter(F.col("lc") >= F.ceil(F.lit(p) * F.col("n")))
+            .agg(F.min("n_tok").cast("long").alias("exact"))
+            .select(F.lit(p).alias("p"), "exact")
+        )
+        exacts = row if exacts is None else exacts.unionByName(row)
+    return est.join(exacts, "p").orderBy("p")

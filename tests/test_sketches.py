@@ -125,3 +125,65 @@ class TestHllDistinct:
         for r in regs:
             assert 0 <= r.register < 256
             assert 1 <= r.max_rho <= 53
+
+
+class TestHdrQuantiles:
+    """Base-2 exponential-histogram quantile sketch (text.hdr_buckets /
+    hdr_quantiles): relative-error bound and exact mergeability — the
+    properties that let it replace exact quantiles at scale."""
+
+    def _docs(self, spark, lens):
+        return spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in enumerate(lens)],
+            "doc_id long, text string",
+        )
+
+    def test_relative_error_bound(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        lens = [((i * 197) % 997) + 1 for i in range(800)]
+        rows = tx.hdr_quantiles_with_exact(
+            self._docs(spark, lens), [0.5, 0.9, 0.99]
+        ).collect()
+        assert len(rows) == 3
+        for r in rows:
+            # est is the containing bucket's lower bound: est <= exact
+            # and within one bucket width (2^-5 relative)
+            assert r.est <= r.exact
+            assert r.exact <= r.est * (1 + 2 ** -tx.HDR_B) + 1
+
+    def test_small_values_are_exact(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        # every value < 2^(B+1) = 64 maps to its own bucket
+        lens = list(range(1, 60)) * 5
+        rows = tx.hdr_quantiles_with_exact(
+            self._docs(spark, lens), [0.25, 0.5, 0.75]
+        ).collect()
+        for r in rows:
+            assert r.est == r.exact
+
+    def test_buckets_merge_by_sum(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        a = [((i * 31) % 500) + 1 for i in range(300)]
+        b = [((i * 17) % 2000) + 1 for i in range(300)]
+        sa = tx.hdr_buckets(self._docs(spark, a))
+        sb = tx.hdr_buckets(self._docs(spark, b))
+        merged = (
+            sa.unionByName(sb)
+            .groupBy("bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+        )
+        whole = tx.hdr_buckets(self._docs(spark, a + b))
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_bucket_count_is_bounded(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        lens = [((i * 7919) % 100_000) + 1 for i in range(2000)]
+        n_buckets = tx.hdr_buckets(self._docs(spark, lens)).count()
+        # 17 octaves x 32 sub-buckets upper bound; far fewer occupied
+        assert n_buckets <= 17 * 32

@@ -71,6 +71,7 @@ OPS = [
     "bpe_encode",
     "hll_distinct",
     "embed_pca_project",
+    "hdr_quantiles",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
