@@ -78,6 +78,7 @@ def cmd_server(args, spark: SparkSession) -> int:
         or args.quantize_index
         or args.pq_index
         or args.binary_index
+        or args.bpe_index
     ):
         # retrieval routes and gauges read the STANDING materialized
         # indexes (index-retrieval mode maintains them) — the serving
@@ -97,6 +98,7 @@ def cmd_server(args, spark: SparkSession) -> int:
             pq_dest=args.pq_index,
             pq_dim=args.ann_dim,
             binary_dest=args.binary_index,
+            bpe_dest=args.bpe_index,
         )
     metrics_server = None
     if args.metrics_port is not None:
@@ -441,6 +443,21 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         # Hamming candidate-scan half of the binary ANN pair; pair it
         # with --kind quantize for the rerank side
         transform = rt.binarize_transform(dim=args.dim)
+    elif args.kind == "bpe":
+        # the frozen tokenizer (merge list) lives at a sidecar path like
+        # the centroid/PQ models: trained once on the store's live
+        # corpus, then every later document encodes map-only forever
+        merges = rt.load_bpe_merges(args.dest)
+        if merges is None:
+            from fluxdb_spark.functions.bpe import train_merges
+
+            store = ChangelogStore(spark, args.store)
+            live = rt.lww_latest(
+                rt.doc_relation(store.changelog()), ["doc_id"]
+            ).filter("NOT is_deletion").select("doc_id", "text")
+            merges = train_merges(live, n_merges=args.k)
+            rt.save_bpe_merges(args.dest, merges)
+        transform = rt.bpe_encode_transform(merges)
     elif args.kind == "pq":
         # frozen PQ codebooks live at a sidecar path for the same
         # swap-survival reason as the centroid model; trained once on
@@ -520,7 +537,8 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         # so standing reads fold only the post-compaction delta
         fold = {"minhash": ["doc_id"], "lsh": ["vec_id", "tbl"],
                 "kmeans": ["vec_id"], "quantize": ["vec_id"],
-                "pq": ["vec_id"], "binary": ["vec_id"]}[args.kind]
+                "pq": ["vec_id"], "binary": ["vec_id"],
+                "bpe": ["doc_id"]}[args.kind]
         n = rt.compact_derived(spark, args.dest, fold_keys=fold)
         print(f"# compacted {n} batch dir(s)")
     return 0
@@ -608,6 +626,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="materialized packed sign-bit table; with --quantize-index "
         "enables /v1/binary_topk",
+    )
+    s.add_argument(
+        "--bpe-index",
+        default=None,
+        help="materialized BPE-encoded corpus (index-retrieval --kind "
+        "bpe dest, merge-list sidecar beside it); enables /v1/tokenize",
     )
     s.set_defaults(fn=cmd_server)
 
@@ -739,7 +763,7 @@ def build_parser() -> argparse.ArgumentParser:
     ridx.add_argument(
         "--kind",
         choices=("minhash", "lsh", "kmeans", "bm25", "quantize", "pq",
-                 "binary"),
+                 "binary", "bpe"),
         default="minhash",
     )
     ridx.add_argument(

@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "hll_distinct",
     "embed_pca_project",
     "hdr_quantiles",
+    "bpe_encode_materialized",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -4387,6 +4388,43 @@ def embed_topk_quantized_materialized(spark, sf_dir):
             qz, qz.filter(F.col("vec_id") < 5).select("vec_id"), k=10
         )
         .withColumn("rank", F.col("rank").cast("long"))
+        .localCheckpoint()
+    )
+    shutil.rmtree(qroot, ignore_errors=True)
+    return out
+
+
+@_q("bpe_encode_materialized", "pipeline", bpe.sql_encode_documents(10))
+def bpe_encode_materialized(spark, sf_dir):
+    """`bpe_encode` as STANDING state: documents are ingested into a
+    ChangelogStore, the tokenizer trains ONCE on the store's live corpus
+    (merge list persisted at a swap-surviving sidecar, like the centroid
+    and PQ models), and the row-wise IVM maintainer keeps a
+    (doc_id, n_tokens, tokens) table current — the pre-tokenized corpus
+    a training run reads instead of re-tokenizing 100 TB per epoch. The
+    maintainer's map-only replace chain reproduces the recompute
+    encoder byte-for-byte (same oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluxdb_spark.streaming import retrieval as rt
+
+    store = _mat_store_docs(spark, sf_dir)
+    live = rt.lww_latest(
+        rt.doc_relation(store.changelog()), ["doc_id"]
+    ).select("doc_id", "text")
+    merges = bpe.train_merges(live)
+    qroot = tempfile.mkdtemp(prefix="fluxdb-matbpe-")
+    dest, ck = os.path.join(qroot, "toks"), os.path.join(qroot, "ck")
+    rt.save_bpe_merges(dest, merges)
+    rt.refresh(
+        spark, str(store.root), dest, rt.bpe_encode_transform(merges), ck
+    )
+    out = (
+        rt.lww_latest(rt.read_derived(spark, dest), ["doc_id"])
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "n_tokens", "tokens")
         .localCheckpoint()
     )
     shutil.rmtree(qroot, ignore_errors=True)

@@ -415,6 +415,67 @@ def save_pq_books(dest: str, books: list) -> None:
     os.replace(tmp, path)
 
 
+def bpe_merges_path(dest: str) -> str:
+    """Frozen BPE merge-list location — a sibling of the derived table
+    (same swap-survival reasoning as `centroids_path`/`pq_books_path`):
+    the tokenizer is trained ONCE on the corpus and must outlive
+    rebuild-on-rewrite and compaction, or two halves of the encoded
+    table would disagree on the vocabulary."""
+    return dest.rstrip("/") + "._bpe_merges.json"
+
+
+def load_bpe_merges(dest: str) -> list | None:
+    import json
+
+    path = bpe_merges_path(dest)
+    if not os.path.exists(path):
+        return None
+    return [tuple(m) for m in json.load(open(path))]
+
+
+def save_bpe_merges(dest: str, merges: list) -> None:
+    import json
+
+    path = bpe_merges_path(dest)
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([list(m) for m in merges], f)
+    os.replace(tmp, path)
+
+
+def bpe_encode_transform(merges: list):
+    """Transform factory: changelog document rows -> encoded rows
+    (doc_id, height, is_deletion, n_tokens, tokens) under a FROZEN merge
+    list (train-once / encode-forever, like the centroid and PQ models).
+    Map-only: the merges fold into a chain of builtin replace
+    expressions — new documents tokenize at scan speed with no
+    vocabulary join, and the standing table is the pre-tokenized corpus
+    a training run reads instead of re-tokenizing 100 TB per epoch."""
+    from fluxdb_spark.functions.bpe import WORD_RE, apply_merges
+
+    def transform(rows: DataFrame) -> DataFrame:
+        d = doc_relation(rows)
+        words = F.filter(
+            F.split(F.lower(F.col("text")), " "),
+            lambda w: w.rlike(WORD_RE),
+        )
+        toks = F.flatten(
+            F.transform(words, lambda w: apply_merges(w, merges))
+        )
+        return d.select(
+            "doc_id",
+            "height",
+            "is_deletion",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.array_join(toks, " ").alias("tokens"),
+        )
+
+    return transform
+
+
 def quantize_transform():
     """Transform factory: changelog vector rows -> int8-quantized rows
     (vec_id, height, is_deletion, q8, scale_e9). Map-only. The derived
@@ -791,6 +852,7 @@ class RetrievalService:
         pq_dest: str | None = None,
         pq_dim: int = 64,
         binary_dest: str | None = None,
+        bpe_dest: str | None = None,
     ):
         self.spark = spark
         self.ann_dest = ann_dest
@@ -808,6 +870,7 @@ class RetrievalService:
         self.pq_dest = pq_dest
         self.pq_dim = pq_dim
         self.binary_dest = binary_dest
+        self.bpe_dest = bpe_dest
 
     def metrics(self) -> dict:
         """Retrieval-index gauges for a /metrics snapshot — notably the
@@ -1013,6 +1076,27 @@ class RetrievalService:
         return binary_topk_from_tables(
             bz, qz, probe, k=k, rerank=rerank, dim=32 * len(word_cols)
         )
+
+    def tokenize(self, text: str) -> DataFrame:
+        """Encode ad-hoc text with the FROZEN tokenizer (the merge-list
+        sidecar beside the standing encoded corpus): one-row relation
+        through the same map-only replace chain the maintainer runs, so
+        a serving-time probe tokenizes exactly like the stored corpus —
+        the consistency a retrieval/training stack needs between
+        ingestion-time and query-time tokenization."""
+        if self.bpe_dest is None:
+            raise ValueError("no BPE index configured")
+        from fluxdb_spark.functions.bpe import encode_documents
+
+        merges = load_bpe_merges(self.bpe_dest)
+        if merges is None:
+            raise ValueError(
+                "BPE index has no trained merges — run index-retrieval"
+            )
+        probe = self.spark.createDataFrame(
+            [(0, str(text))], "doc_id long, text string"
+        )
+        return encode_documents(probe, merges).select("n_tokens", "tokens")
 
     def pq_topk(self, vector: list[float], k: int = 10) -> DataFrame:
         """Approximate top-k of an UNSEEN vector by PQ asymmetric

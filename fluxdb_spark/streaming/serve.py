@@ -26,6 +26,7 @@ Routes (GET, query-string params):
     /v1/quantized_topk?vec_id=N[&k=N]       (materialized int8 table)
     /v1/pq_topk?vector=F1,F2,...[&k=N]      (materialized PQ codes)
     /v1/binary_topk?vec_id=N[&k=N]          (sign-bit scan + int8 rerank)
+    /v1/tokenize?text=...                   (frozen BPE tokenizer)
     /metrics            (optional, same source contract as MetricsServer)
 
 Responses are `{"rows": [...], "count": n}` JSON; errors are HTTP 400
@@ -209,6 +210,7 @@ class QueryServer:
             "/v1/quantized_topk",
             "/v1/pq_topk",
             "/v1/binary_topk",
+            "/v1/tokenize",
         ):
             if self.retrieval is None:
                 raise BadRequest("no retrieval indexes configured")
@@ -258,6 +260,10 @@ class QueryServer:
                 df = self.retrieval.quantized_topk(vid, k=k)
             elif path == "/v1/pq_topk":
                 df = self.retrieval.pq_topk(_vector(), k=k)
+            elif path == "/v1/tokenize":
+                if not p.get("text"):
+                    raise BadRequest("text must be non-empty")
+                df = self.retrieval.tokenize(p["text"])
             elif path == "/v1/binary_topk":
                 try:
                     vid = int(p["vec_id"])

@@ -997,3 +997,102 @@ class TestMaterializedBinary:
             rt.RetrievalService(spark, quantize_dest=qdest).binary_topk(0)
         with pytest.raises(ValueError, match="quantize index too"):
             rt.RetrievalService(spark, binary_dest=bdest).binary_topk(0)
+
+
+DOCS_BPE = {
+    0: "low low lower",
+    1: "lowest slow slower glow",
+    2: "flow flows flowing",
+}
+
+
+class TestMaterializedBpe:
+    """The BPE-encoded corpus as standing state: frozen merge-list
+    sidecar + map-only encode transform."""
+
+    def _index(self, spark, store, tmp_path):
+        from fluxdb_spark.functions import bpe
+
+        dest, ck = str(tmp_path / "toks"), str(tmp_path / "ck_bpe")
+        live = rt.lww_latest(
+            rt.doc_relation(store.changelog()), ["doc_id"]
+        ).select("doc_id", "text")
+        merges = bpe.train_merges(live, n_merges=4)
+        rt.save_bpe_merges(dest, merges)
+        rt.refresh(
+            spark, str(store.root), dest,
+            rt.bpe_encode_transform(merges), ck,
+        )
+        return dest, ck, merges
+
+    def test_matches_recompute_encoder(self, spark, store, tmp_path):
+        from fluxdb_spark.functions import bpe
+
+        store.write_batch(doc_rows(spark, DOCS_BPE))
+        dest, _ck, merges = self._index(spark, store, tmp_path)
+        got = sorted(
+            map(
+                tuple,
+                rt.lww_latest(rt.read_derived(spark, dest), ["doc_id"])
+                .select("doc_id", "n_tokens", "tokens")
+                .collect(),
+            )
+        )
+        docs = spark.createDataFrame(
+            sorted(DOCS_BPE.items()), "doc_id long, text string"
+        )
+        want = sorted(
+            map(tuple, bpe.encode_documents(docs, merges).collect())
+        )
+        assert got == want and len(got) == 3
+
+    def test_new_docs_encode_with_frozen_merges(
+        self, spark, store, tmp_path
+    ):
+        from fluxdb_spark.functions import bpe
+
+        store.write_batch(doc_rows(spark, DOCS_BPE))
+        dest, ck, _m = self._index(spark, store, tmp_path)
+        extra = {10: "low glow slow"}
+        store.write_batch(
+            make_changelog(
+                spark,
+                [("doc", "docs", 4, "10", extra[10])],
+            )
+        )
+        merges = rt.load_bpe_merges(dest)
+        rt.refresh(
+            spark, str(store.root), dest,
+            rt.bpe_encode_transform(merges), ck,
+        )
+        live = {
+            r.doc_id: r.tokens
+            for r in rt.lww_latest(
+                rt.read_derived(spark, dest), ["doc_id"]
+            ).collect()
+        }
+        assert set(live) == {0, 1, 2, 10}
+        direct = bpe.encode_documents(
+            spark.createDataFrame([(10, extra[10])], "doc_id long, text string"),
+            merges,
+        ).collect()[0]
+        assert live[10] == direct.tokens
+
+    def test_tokenize_service_consistent_with_corpus(
+        self, spark, store, tmp_path
+    ):
+        store.write_batch(doc_rows(spark, DOCS_BPE))
+        dest, _ck, _m = self._index(spark, store, tmp_path)
+        svc = rt.RetrievalService(spark, bpe_dest=dest)
+        probe = svc.tokenize(DOCS_BPE[0]).collect()[0]
+        stored = (
+            rt.lww_latest(rt.read_derived(spark, dest), ["doc_id"])
+            .filter(F.col("doc_id") == 0)
+            .collect()[0]
+        )
+        assert probe.tokens == stored.tokens
+        assert probe.n_tokens == stored.n_tokens
+
+    def test_unconfigured_service_raises(self, spark):
+        with pytest.raises(ValueError, match="no BPE index"):
+            rt.RetrievalService(spark).tokenize("hello")

@@ -395,6 +395,18 @@ class TestRetrievalRoutes:
             spark, str(vstore.root), bindest,
             rt.binarize_transform(dim=8), str(tmp_path / "ck_bin"),
         )
+        from fluxdb_spark.functions import bpe as bpe_mod
+
+        tdest = str(tmp_path / "toks")
+        live_docs = rt.lww_latest(
+            rt.doc_relation(dstore.changelog()), ["doc_id"]
+        ).select("doc_id", "text")
+        bpe_merges = bpe_mod.train_merges(live_docs, n_merges=3)
+        rt.save_bpe_merges(tdest, bpe_merges)
+        rt.refresh(
+            spark, str(dstore.root), tdest,
+            rt.bpe_encode_transform(bpe_merges), str(tmp_path / "ck_t"),
+        )
 
         engine = FluxEngine(spark, str(tmp_path / "edb"))
         service = rt.RetrievalService(
@@ -405,6 +417,7 @@ class TestRetrievalRoutes:
             pq_dest=pdest,
             pq_dim=8,
             binary_dest=bindest,
+            bpe_dest=tdest,
         )
         srv = QueryServer(engine, port=0, retrieval=service)
         try:
@@ -460,6 +473,18 @@ class TestRetrievalRoutes:
             assert e.value.code == 400
             with pytest.raises(HTTPError) as e:
                 _get(f"{srv.url}/v1/binary_topk?vec_id=abc")
+            assert e.value.code == 400
+
+            # frozen-tokenizer service: ad-hoc text encodes exactly like
+            # the stored corpus
+            got = _get(
+                f"{srv.url}/v1/tokenize?text=" + quote(DOCS1[1])
+            )
+            want = service.tokenize(DOCS1[1]).collect()[0]
+            assert got["rows"][0]["tokens"] == want.tokens
+            assert got["rows"][0]["n_tokens"] == want.n_tokens
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/tokenize?text=")
             assert e.value.code == 400
             with pytest.raises(HTTPError) as e:
                 _get(f"{srv.url}/v1/neardup?text=")
@@ -671,3 +696,41 @@ def test_index_retrieval_cli_binary(spark, tmp_path, capsys):
     got = {r.vec_id: r.b0 for r in bz.collect()}
     assert got[0] == 0b01  # only dim 0 positive
     assert got[1] == 0b10  # only dim 1 positive
+
+
+def test_index_retrieval_cli_bpe(spark, tmp_path, capsys):
+    """index-retrieval --kind bpe trains the tokenizer once (sidecar
+    merge list) and maintains the encoded corpus."""
+    from fluxdb_spark.__main__ import main
+    from fluxdb_spark.store import ChangelogStore
+    from fluxdb_spark.streaming import retrieval as rt
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "tstore")
+    dest, ck = str(tmp_path / "toks"), str(tmp_path / "ck")
+    st = ChangelogStore(spark, root)
+    st.write_batch(
+        make_changelog(
+            spark,
+            [
+                ("doc", "docs", 1, "0", "low low lower"),
+                ("doc", "docs", 2, "1", "slow glow flow"),
+            ],
+        )
+    )
+    rc = main(
+        ["index-retrieval", "--store", root, "--dest", dest,
+         "--checkpoint", ck, "--kind", "bpe", "--k", "3"],
+        spark,
+    )
+    assert rc == 0
+    assert "bpe index: 2 derived row(s)" in capsys.readouterr().out
+    assert rt.load_bpe_merges(dest) is not None
+    live = {
+        r.doc_id: r.tokens
+        for r in rt.lww_latest(
+            rt.read_derived(spark, dest), ["doc_id"]
+        ).collect()
+    }
+    assert set(live) == {0, 1}
+    assert "</w>" in live[0]

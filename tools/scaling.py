@@ -72,6 +72,7 @@ OPS = [
     "hll_distinct",
     "embed_pca_project",
     "hdr_quantiles",
+    "bpe_encode_materialized",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
