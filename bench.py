@@ -111,6 +111,7 @@ HEADLINE = [
     "hll_distinct",
     "embed_pca_project",
     "hdr_quantiles",
+    "bpe_fertility",
 ]
 
 

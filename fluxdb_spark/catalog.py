@@ -88,6 +88,7 @@ _PRIORITY: list[str] = [
     "embed_pca_project",
     "hdr_quantiles",
     "bpe_encode_materialized",
+    "bpe_fertility",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -3013,6 +3014,19 @@ def hll_distinct(spark, sf_dir):
     return est.join(F.broadcast(exact))
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark, sf_dir):
+    """The 10-merge tokenizer for a corpus, trained once per sf_dir and
+    memoized — training is deterministic (exact integer counts,
+    lexicographic tie-break), so the 4 BPE entries sharing it is purely
+    an amortization, not a semantic coupling."""
+    if sf_dir not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[sf_dir] = bpe.train_merges(_td(spark, sf_dir))
+    return _BPE_MERGES_CACHE[sf_dir]
+
+
 @_q("bpe_train", "pipeline", bpe.sql_train_merges(10))
 def bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
@@ -3027,7 +3041,12 @@ def bpe_train(spark, sf_dir):
     replace-all IS BPE's greedy merge order, in codegen JVM string ops —
     so the whole iterative trainer hash-matches an unrolled-CTE DuckDB
     twin. Driver state: exactly n_merges rows."""
-    return bpe.merges_df(spark, bpe.train_merges(_td(spark, sf_dir)))
+    # train unconditionally (the entry's cost IS the trainer — a memo
+    # hit would benchmark a dict lookup); populate the memo for the
+    # encode/fertility entries, which measure encoding given a tokenizer
+    merges = bpe.train_merges(_td(spark, sf_dir))
+    _BPE_MERGES_CACHE[sf_dir] = merges
+    return bpe.merges_df(spark, merges)
 
 
 @_q("bpe_encode", "pipeline", bpe.sql_encode_documents(10))
@@ -3040,10 +3059,25 @@ def bpe_encode(spark, sf_dir):
     hash-match the oracle, proving the distributed tokenizer reproduces
     the sequential algorithm byte-for-byte."""
     d = _td(spark, sf_dir)
-    merges = bpe.train_merges(d)
+    merges = _bpe_merges(spark, sf_dir)
     return bpe.encode_documents(
         spread(d.filter(F.col("doc_id") % 20 == 0)), merges
     )
+
+
+@_q("bpe_fertility", "pipeline", bpe.sql_fertility_by_language(10))
+def bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility (subword tokens per word) by language — the
+    standard tokenizer-evaluation metric: a tokenizer trained on skewed
+    data over-fragments under-represented languages, and this relation
+    detects that BEFORE a training run pays for it. Composes the trained
+    merge chain (map-only replace encode) with the lang-ID heuristic;
+    one tiny groupBy(lang); exact integer token/word counts and
+    engine-portable floor arithmetic, so the metric hash-matches the
+    oracle."""
+    d = _td(spark, sf_dir)
+    merges = _bpe_merges(spark, sf_dir)
+    return bpe.fertility_by_language(spread(d), merges)
 
 
 @_q(

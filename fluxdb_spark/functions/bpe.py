@@ -286,3 +286,86 @@ SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
        string_agg(word_toks, ' ' ORDER BY pos) AS tokens
 FROM pertok GROUP BY doc_id
 """
+
+
+def fertility_by_language(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer FERTILITY (subword tokens per word) broken out by
+    language — the standard tokenizer-evaluation metric: a tokenizer
+    trained on skewed data over-fragments under-represented languages,
+    and this relation is how a pipeline detects that before training.
+    Map-only per doc (lang-ID heuristic + the encode replace chain),
+    then one tiny groupBy(lang). fertility = floor(n_tokens * 1e4 /
+    n_words) / 1e4 — exact integer division, engine-portable."""
+    from fluxdb_spark.functions.text import lang_id
+
+    toks = docs.select(
+        lang_id(F.lower(F.col(text_col))).alias("lang"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), " "),
+            lambda w: w.rlike(WORD_RE),
+        ).alias("words"),
+    )
+    enc = toks.select(
+        "lang",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(
+            F.flatten(
+                F.transform("words", lambda w: apply_merges(w, merges))
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            (
+                F.floor(
+                    F.col("n_tokens") * F.lit(10_000) / F.col("n_words")
+                ) / 10_000.0
+            ).alias("fertility"),
+        )
+    )
+
+
+def sql_fertility_by_language(n_merges: int = 10) -> str:
+    """DuckDB twin: the same trained merge chain applied per word, the
+    same lang-ID heuristic, the same exact fertility arithmetic."""
+    from fluxdb_spark.functions.text import sql_lang_id
+
+    repl = _sql_wrapped("word")
+    for i in range(n_merges):
+        repl = (
+            f"replace({repl},"
+            f" '{SEP}' || (SELECT lhs FROM m{i}) || '{SEP}{SEP}'"
+            f" || (SELECT rhs FROM m{i}) || '{SEP}',"
+            f" '{SEP}' || (SELECT lhs FROM m{i})"
+            f" || (SELECT rhs FROM m{i}) || '{SEP}')"
+        )
+    return f"""
+WITH {_sql_train_ctes(n_merges)},
+dwords AS (
+  SELECT doc_id, lang, t[ix] AS word FROM (
+    SELECT doc_id, {sql_lang_id("lower(text)")} AS lang,
+           string_split(lower(text), ' ') AS t
+    FROM documents),
+    unnest(range(1, len(t) + 1)) AS u(ix)
+  WHERE regexp_full_match(t[ix], '[a-z0-9]+')),
+enc AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len({_sql_syms("w2")})) AS BIGINT) AS n_tokens
+  FROM (SELECT lang, {repl} AS w2 FROM dwords)
+  GROUP BY lang)
+SELECT lang, n_words, n_tokens,
+       floor(n_tokens * 10000 / n_words) / 10000.0 AS fertility
+FROM enc
+"""

@@ -91,3 +91,37 @@ class TestEncode:
         assert "BatchEvalPython" not in plan
         assert "Exchange" in plan  # exactly the per-doc rebuild groupBy
         assert plan.count("Exchange") <= 2  # partial+final agg, no extra shuffle
+
+
+class TestFertility:
+    def test_fertility_reflects_fragmentation(self, spark, tiny):
+        from fluxdb_spark.functions import bpe as bpe_mod
+
+        merges = bpe_mod.train_merges(tiny, n_merges=3)
+        # 'low' fully merges (1 token/word); an unseen-vocab doc stays
+        # char-level (fertility ~ word_len + 1)
+        docs = spark.createDataFrame(
+            [(0, "the low low and low of low"),  # en markers + known words
+             (1, "el xyzq la qzyx los de y que")],  # es markers + unseen
+            "doc_id long, text string",
+        )
+        rows = {
+            r.lang: r for r in bpe_mod.fertility_by_language(
+                docs, merges
+            ).collect()
+        }
+        assert set(rows) == {"en", "es"}
+        assert rows["es"].fertility > rows["en"].fertility
+        for r in rows.values():
+            assert r.n_tokens >= r.n_words  # >= 1 token per word always
+
+    def test_counts_are_exact(self, spark, tiny):
+        from fluxdb_spark.functions import bpe as bpe_mod
+
+        merges = bpe_mod.train_merges(tiny, n_merges=3)
+        docs = spark.createDataFrame(
+            [(0, "low low")], "doc_id long, text string"
+        )
+        r = bpe_mod.fertility_by_language(docs, merges).collect()[0]
+        # both words merge to the single token low</w>
+        assert (r.n_words, r.n_tokens, r.fertility) == (2, 2, 1.0)

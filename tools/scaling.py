@@ -73,6 +73,7 @@ OPS = [
     "embed_pca_project",
     "hdr_quantiles",
     "bpe_encode_materialized",
+    "bpe_fertility",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
