@@ -72,7 +72,11 @@ _PRIORITY: list[str] = [
     # The r08-green entries (checked last round, freshest rows) moved to
     # the back; the remaining r07-green entries at position 51+ lead the
     # r10 window, preserving the invariant "every entry has a driver row
-    # within 3 rounds".
+    # within 3 rounds".  NOTE (late r9): 11 more entries were built after
+    # the rotation (binary ANN pair, fuzzy decontam, BPE family, HLL,
+    # PCA, HDR quantiles) and prepended here — they plus epoch_shuffle
+    # and the 32 r06-green rows fill the 50 window almost exactly, so
+    # the r07-green block below the fold leads the r10 window.
     # -- new round-9 entries land here --
     "embed_topk_pq",
     "dsir_select",
