@@ -112,6 +112,7 @@ HEADLINE = [
     "embed_pca_project",
     "hdr_quantiles",
     "bpe_fertility",
+    "flux_series_similarity",
 ]
 
 

@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "hdr_quantiles",
     "bpe_encode_materialized",
     "bpe_fertility",
+    "flux_series_similarity",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -348,6 +349,55 @@ def flux_state_series(spark, sf_dir):
     a map-side explode, at any N."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.state_series(log, "click", 100, 900, 100)
+
+
+@_q(
+    "flux_series_similarity",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900
+), v AS (
+  SELECT *, lead(height, 1, 901) OVER (
+              PARTITION BY primary_key ORDER BY height) AS next_h
+  FROM scoped
+), iv AS (
+  SELECT *,
+         100 + ((greatest(height - 100, 0) + 49) // 50) * 50 AS g_lo,
+         least(next_h - 1, 900) AS g_hi
+  FROM v WHERE NOT is_deletion
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS as_of_height, primary_key,
+         CAST(json_extract_string(value, '$.k') AS BIGINT) AS x
+  FROM iv, unnest(generate_series(g_lo, g_hi, 50)) AS t(g)
+  WHERE g_lo <= g_hi
+), probe AS (
+  SELECT as_of_height, x AS px FROM grid WHERE primary_key = '3'
+), scored AS (
+  SELECT g.primary_key, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum((g.x - p.px) * (g.x - p.px)) AS BIGINT) AS dist
+  FROM grid g JOIN probe p USING (as_of_height)
+  WHERE g.primary_key != '3'
+  GROUP BY 1 HAVING count(*) >= 2
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY dist ASC, primary_key ASC)
+                 AS BIGINT) AS rank
+  FROM scored)
+SELECT primary_key, n_common, dist, rank FROM ranked WHERE rank <= 10
+""",
+)
+def flux_series_similarity(spark, sf_dir):
+    """Series-similarity search over state histories — the temporal
+    engine meets the similarity family: which keys' value trajectories
+    evolved most like key '3' of the click tablet over heights 100..900
+    step 50? Built on state_series' one-scan interval construction (one
+    per-key window + map-side explode), probe series broadcast, exact
+    integer squared-distance over co-live grid points, TakeOrdered-size
+    top-k. A read the reference cannot express (N ReadTabletAt passes +
+    a client-side join per candidate)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.series_similarity(log, "click", "3", 100, 900, 50, k=10)
 
 
 @_q(

@@ -371,3 +371,64 @@ def time_weighted_avg(
         )
         .orderBy("primary_key")
     )
+
+
+def series_similarity(
+    changelog: DataFrame,
+    tablet_id: str,
+    probe_key: str,
+    start: int,
+    stop: int,
+    step: int,
+    k: int = 10,
+    metric_json_field: str = "k",
+    min_common: int = 2,
+    collection: str | None = None,
+) -> DataFrame:
+    """Series-similarity search over STATE HISTORIES: which keys' value
+    trajectories evolved most like the probe key's? The temporal engine
+    meets the similarity family — a read the reference cannot express at
+    all (it would need N ReadTabletAt passes plus a client-side join per
+    candidate key).
+
+    Built on `state_series`' one-scan interval construction: the grid
+    relation (as_of_height, key, metric) comes from a single per-key
+    window + map-side explode; the probe's series (<= n_grid rows)
+    broadcasts; the distance is a sum of squared INTEGER differences
+    over the grid points where both keys are live (n_common tracks the
+    overlap, keys below `min_common` are dropped as incomparable) — so
+    ranking is exact, engine-portable arithmetic end to end. One
+    combine-friendly groupBy(key) after the broadcast join; top-k by
+    (distance asc, key asc) via TakeOrdered-size window.
+
+    Returns (primary_key, n_common, dist, rank).
+    """
+    grid = state_series(
+        changelog, tablet_id, start, stop, step, collection=collection
+    ).select(
+        "as_of_height",
+        "primary_key",
+        F.get_json_object("value", f"$.{metric_json_field}")
+        .cast("long")
+        .alias("x"),
+    )
+    probe = grid.filter(F.col("primary_key") == probe_key).select(
+        F.col("as_of_height"), F.col("x").alias("px")
+    )
+    d = F.col("x") - F.col("px")
+    scored = (
+        grid.filter(F.col("primary_key") != probe_key)
+        .join(F.broadcast(probe), "as_of_height")
+        .groupBy("primary_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(d * d).cast("long").alias("dist"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    w = Window.orderBy(F.asc("dist"), F.asc("primary_key"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("primary_key", "n_common", "dist", "rank")
+    )

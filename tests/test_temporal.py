@@ -294,3 +294,67 @@ class TestEngineSeriesOverlay:
         # a: v3 live [10,17] w=8, v9 live [18,20] w=3 -> (24+27)/11
         assert twa["a"] == (11, 4.6363)
         assert twa["b"] == (9, 7.0)
+
+
+class TestSeriesSimilarity:
+    def _log(self, spark):
+        # three keys on a 10-step grid: 'a' and 'b' track each other,
+        # 'c' diverges, 'd' exists only before the grid start
+        from tests.conftest import make_changelog
+
+        rows = []
+        for i, h in enumerate(range(10, 101, 10)):
+            rows.append(("tst", "tbl", h, "a", '{"k": %d}' % (i * 2)))
+            rows.append(("tst", "tbl", h, "b", '{"k": %d}' % (i * 2 + 1)))
+            rows.append(("tst", "tbl", h, "c", '{"k": %d}' % (i * i * 3)))
+        rows.append(("tst", "tbl", 1, "d", '{"k": 0}'))
+        return make_changelog(spark, rows)
+
+    def test_nearest_trajectory_wins(self, spark):
+        from fluxdb_spark.operators.temporal import series_similarity
+
+        out = series_similarity(
+            self._log(spark), "tbl", "a", 10, 100, 10, k=5
+        ).collect()
+        ranked = [r.primary_key for r in sorted(out, key=lambda r: r.rank)]
+        assert ranked[0] == "b"  # constant offset 1 -> dist = 10
+        by_key = {r.primary_key: r for r in out}
+        assert by_key["b"].dist == 10  # 10 grid points x 1^2
+        assert by_key["b"].n_common == 10
+        assert by_key["c"].dist > by_key["b"].dist
+        # 'd' never overlaps the probe's grid points... but its value
+        # persists into the grid (state semantics), so it IS comparable
+        assert "d" in by_key and by_key["d"].n_common == 10
+
+    def test_probe_excluded_and_coverage_filter(self, spark):
+        from fluxdb_spark.operators.temporal import series_similarity
+
+        out = series_similarity(
+            self._log(spark), "tbl", "a", 10, 100, 10, k=5,
+            min_common=11,
+        ).collect()
+        assert out == []  # nobody has 11 common grid points
+        out = series_similarity(
+            self._log(spark), "tbl", "a", 10, 100, 10, k=5
+        ).collect()
+        assert all(r.primary_key != "a" for r in out)
+
+    def test_tombstone_truncates_series(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.operators.temporal import series_similarity
+
+        rows = [
+            ("tst", "tbl", h, "a", '{"k": 5}') for h in range(10, 101, 10)
+        ] + [
+            ("tst", "tbl", 10, "e", '{"k": 5}'),
+            ("tst", "tbl", 55, "e", None),  # deletion at 55
+        ]
+        log = make_changelog(spark, rows)
+        out = {
+            r.primary_key: r
+            for r in series_similarity(
+                log, "tbl", "a", 10, 100, 10, k=5
+            ).collect()
+        }
+        # e matches exactly while live (grid 10..50), then drops out
+        assert out["e"].n_common == 5 and out["e"].dist == 0

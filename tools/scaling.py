@@ -74,6 +74,7 @@ OPS = [
     "hdr_quantiles",
     "bpe_encode_materialized",
     "bpe_fertility",
+    "flux_series_similarity",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
