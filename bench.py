@@ -113,6 +113,7 @@ HEADLINE = [
     "hdr_quantiles",
     "bpe_fertility",
     "flux_series_similarity",
+    "embed_hard_negatives",
 ]
 
 

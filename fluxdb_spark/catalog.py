@@ -94,6 +94,7 @@ _PRIORITY: list[str] = [
     "bpe_encode_materialized",
     "bpe_fertility",
     "flux_series_similarity",
+    "embed_hard_negatives",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
@@ -3362,6 +3363,36 @@ def embed_neardup_lsh(spark, sf_dir):
     exact verify, while all natural pairs stay far below threshold."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return sim.lsh_neardup_pairs(e.unionByName(_planted_twins(e)), 0.99)
+
+
+@_q(
+    "embed_hard_negatives",
+    "pipeline",
+    sim.sql_hard_negative_topk(
+        10, 5, 15, 0.95,
+        source="twins",
+        prefix_ctes=f"twins AS ({_TWIN_CTE})",
+    ),
+)
+def embed_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020): per anchor, the nearest neighbors that are
+    NOT near-duplicates — close enough to be informative negatives, far
+    enough to not be false negatives (a planted twin in the negative
+    pool poisons the loss). 25 near-identical twins are planted with
+    `embed_neardup_lsh`'s arithmetic so each anchor's top-1 IS a
+    near-dup (cosine ~0.99, non-vacuous at every SF); it must be
+    excluded by the ceiling while the next 10 true negatives re-rank.
+    Exact int8 cosine throughout — the whole selection hash-matches."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.unionByName(_planted_twins(e))
+    return sim.hard_negative_topk(
+        corpus,
+        corpus.filter(F.col("vec_id") < 5).select("vec_id"),
+        k=10,
+        overfetch=15,
+        dup_ceiling=0.95,
+    )
 
 
 @_q(

@@ -1147,11 +1147,11 @@ FROM ({sql_quantize_embeddings()})
 """
 
 
-def sql_quantize_embeddings() -> str:
+def sql_quantize_embeddings(source: str = "embeddings") -> str:
     """DuckDB twin of `quantize_embeddings` (same expression order)."""
     xm = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
     return f"""
-WITH e AS (SELECT vec_id, embedding, {xm} AS absmax FROM embeddings)
+WITH e AS (SELECT vec_id, embedding, {xm} AS absmax FROM {source})
 SELECT vec_id,
        CASE WHEN absmax = 0.0
             THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
@@ -1232,11 +1232,13 @@ def quantized_topk_from_table(
     )
 
 
-def sql_quantized_topk(k: int = 10, n_queries: int = 5) -> str:
+def sql_quantized_topk(
+    k: int = 10, n_queries: int = 5, source: str = "embeddings"
+) -> str:
     """DuckDB twin of `quantized_topk` over the same quantized relation
     (sql_quantize_embeddings inlined)."""
     return f"""
-WITH qz AS ({sql_quantize_embeddings()}),
+WITH qz AS ({sql_quantize_embeddings(source)}),
 q AS (SELECT vec_id AS query_id, q8 AS qv FROM qz WHERE vec_id < {n_queries}),
 c AS (SELECT vec_id AS match_id, q8 AS cv FROM qz),
 idx AS (SELECT unnest(range(1, 65)) AS i),
@@ -1924,3 +1926,55 @@ SELECT vec_id, CAST(n * dot - s AS BIGINT) AS pc1
 FROM dots, tot
 """
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    overfetch: int = 15,
+    dup_ceiling: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training (the DPR recipe,
+    Karpukhin et al. 2020): per anchor, the nearest neighbors that are
+    NOT near-duplicates — close enough to be informative negatives,
+    far enough to not be false negatives. Overfetch the exact int8
+    top-`overfetch`, drop candidates at/above the near-dup ceiling
+    (rounded integer-cosine comparison — exact), re-rank the rest.
+    Same scale shape as quantized_topk: queries broadcast, corpus
+    scanned once, per-query bounded window."""
+    cand = quantized_topk(corpus, queries, k=overfetch, id_col=id_col)
+    f = cand.filter(F.col("score") < F.lit(dup_ceiling)).drop("rank")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        f.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_hard_negative_topk(
+    k: int = 10,
+    n_queries: int = 5,
+    overfetch: int = 15,
+    dup_ceiling: float = 0.95,
+    source: str = "embeddings",
+    prefix_ctes: str = "",
+) -> str:
+    """DuckDB twin of `hard_negative_topk`. `prefix_ctes` lets the
+    caller define `source` as a CTE (e.g. the planted-twin corpus)."""
+    pre = f"{prefix_ctes}," if prefix_ctes else ""
+    return f"""
+WITH {pre}
+base AS ({sql_quantized_topk(overfetch, n_queries, source)}),
+f AS (SELECT query_id, match_id, score FROM base
+      WHERE score < {dup_ceiling!r}),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, match_id ASC)
+                AS rank
+      FROM f)
+SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {k}
+"""

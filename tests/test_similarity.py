@@ -551,3 +551,37 @@ class TestPcaProject:
         assert sim.pca_power_component(corpus) == sim.pca_power_component(
             corpus
         )
+
+
+class TestHardNegatives:
+    def test_twin_excluded_true_negatives_kept(self, spark, corpus):
+        # plant a twin of vec 0 (cosine ~1 after round); the miner must
+        # drop it and return the best non-duplicate neighbors
+        twin = corpus.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+        full = corpus.select("vec_id", "embedding").unionByName(twin)
+        queries = full.filter(F.col("vec_id") == 0).select("vec_id")
+        plain = {
+            r.match_id
+            for r in sim.quantized_topk(full, queries, k=5).collect()
+        }
+        assert 10000 in plain  # the twin dominates a plain top-k
+        hard = sim.hard_negative_topk(
+            full, queries, k=5, overfetch=10, dup_ceiling=0.95
+        ).collect()
+        ids = [r.match_id for r in sorted(hard, key=lambda r: r.rank)]
+        assert 10000 not in ids and len(ids) == 5
+        assert all(r.score < 0.95 for r in hard)
+
+    def test_ranks_are_contiguous_after_exclusion(self, spark, corpus):
+        twin = corpus.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+        full = corpus.select("vec_id", "embedding").unionByName(twin)
+        hard = sim.hard_negative_topk(
+            full,
+            full.filter(F.col("vec_id") == 0).select("vec_id"),
+            k=5,
+        ).collect()
+        assert sorted(r.rank for r in hard) == [1, 2, 3, 4, 5]

@@ -75,6 +75,7 @@ OPS = [
     "bpe_encode_materialized",
     "bpe_fertility",
     "flux_series_similarity",
+    "embed_hard_negatives",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
