@@ -109,7 +109,6 @@ _PRIORITY: list[str] = [
     "flux_collection_state",
     "token_budget_mix",
     "skew_salted_join",
-    "unpivot_pricing",
     "tpch_q1",
     "tpch_q12",
     "dedup_exact",
@@ -149,6 +148,11 @@ _PRIORITY: list[str] = [
     "curation_pipeline",
     "hash_split",
     # ---- position 51+ from here: leads the r10 window ----
+    # unpivot_pricing is the one entry whose row goes 4 rounds stale:
+    # 18 new entries + epoch_shuffle + the 33 r06-green rows make 51
+    # candidates for 50 slots, and its sibling pivot_status holds a
+    # fresh r08 row over the same reshaping machinery
+    "unpivot_pricing",
     # -- remaining r07-green entries
     "text_normalize",
     "doc_chunking",
