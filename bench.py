@@ -114,6 +114,7 @@ HEADLINE = [
     "bpe_fertility",
     "flux_series_similarity",
     "embed_hard_negatives",
+    "stream_hll_distinct",
 ]
 
 

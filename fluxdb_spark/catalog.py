@@ -95,12 +95,12 @@ _PRIORITY: list[str] = [
     "bpe_fertility",
     "flux_series_similarity",
     "embed_hard_negatives",
+    "stream_hll_distinct",
     # -- held over from round 8 (that window was already full)
     "epoch_shuffle",
     # -- r06-green entries (oldest rows in the catalog)
     "stream_sessionize",
     "sessionization",
-    "session_windows",
     "source_caps",
     "lm_score",
     "chunk_dedup",
@@ -148,11 +148,12 @@ _PRIORITY: list[str] = [
     "curation_pipeline",
     "hash_split",
     # ---- position 51+ from here: leads the r10 window ----
-    # unpivot_pricing is the one entry whose row goes 4 rounds stale:
-    # 18 new entries + epoch_shuffle + the 33 r06-green rows make 51
-    # candidates for 50 slots, and its sibling pivot_status holds a
-    # fresh r08 row over the same reshaping machinery
+    # unpivot_pricing and session_windows are the two entries whose rows
+    # go 4 rounds stale: 19 new entries + epoch_shuffle + the r06-green
+    # rows overflow the 50 slots, and each has a sibling with a fresh
+    # row over the same machinery (pivot_status r08; sessionization r09)
     "unpivot_pricing",
+    "session_windows",
     # -- remaining r07-green entries
     "text_normalize",
     "doc_chunking",
@@ -3625,6 +3626,60 @@ def stream_tumbling(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@_q("stream_hll_distinct", "streaming", tx.sql_hll_distinct_grouped())
+def stream_hll_distinct(spark, sf_dir):
+    """STREAMING HyperLogLog: distinct users per event type with the
+    register table maintained by Structured Streaming — the standing
+    form of a sketch is exactly what streams are for (per micro-batch
+    the register maxes merge associatively, so state is |groups| x 256
+    rows forever, vs unbounded exact-distinct state). The stream
+    maintains registers (groupBy(type, register).max(rho), a streaming-
+    legal max agg); the serving-side estimate then reads the register
+    table — the same split a production sketch pipeline uses. Register
+    construction and the libm-free estimator are shared with the batch
+    `hll_distinct`, and the whole thing — streaming registers included —
+    hash-matches the batch SQL twin beside the exact distinct counts."""
+    import uuid
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    reg, rho = tx.hll_register_cols(F.col("user_id").cast("string"))
+    agg = (
+        raw.select(
+            F.col("event_type"),
+            reg.alias("register"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    est = tx.hll_estimate(spark.table(name), ["event_type"])
+    exact = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(F.col("user_id").cast("string"))
+            .cast("long")
+            .alias("exact_distinct")
+        )
+    )
+    return est.join(exact, "event_type")
 
 
 @_q(

@@ -1116,46 +1116,58 @@ def _hll_ln_table() -> list[float]:
     return [HLL_M * math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
 
 
+def hll_register_cols(key: Column) -> tuple[Column, Column]:
+    """(register, rho) expressions for one key: register = top b bits of
+    hash60(key), rho = leading zeros of the remaining 52 bits + 1 (via
+    length(bin(w)) — exact integer/string ops, portable)."""
+    h = hash60(key)
+    w = F.pmod(h, F.lit(1 << HLL_WINDOW))
+    rho = F.when(w == 0, F.lit(HLL_WINDOW + 1)).otherwise(
+        F.lit(HLL_WINDOW) - F.length(F.bin(w)) + 1
+    )
+    return (
+        F.floor(h / F.lit(1 << HLL_WINDOW)).cast("long"),
+        rho.cast("long"),
+    )
+
+
 def hll_registers(docs, text_col: str = "text"):
     """The m-row register relation over the corpus vocabulary:
-    (register, max_rho). register = top b bits of hash60(term), rho =
-    leading zeros of the remaining 52 bits + 1 (via length(bin(w)) —
-    exact integer/string ops). Merging two corpora's registers is an
+    (register, max_rho). Merging two corpora's registers is an
     element-wise max."""
     from fluxdb_spark.session import spread
 
     base = spread(docs).select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
-    h = hash60(F.col("term"))
-    w = F.pmod(h, F.lit(1 << HLL_WINDOW))
-    rho = F.when(w == 0, F.lit(HLL_WINDOW + 1)).otherwise(
-        F.lit(HLL_WINDOW) - F.length(F.bin(w)) + 1
-    )
+    reg, rho = hll_register_cols(F.col("term"))
     return (
-        base.select(
-            F.floor(h / F.lit(1 << HLL_WINDOW)).cast("long").alias("register"),
-            rho.cast("long").alias("rho"),
-        )
+        base.select(reg.alias("register"), rho.alias("rho"))
         .groupBy("register")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
-def hll_estimate(registers):
-    """One-row estimate from the register relation. sum_int accumulates
-    2^(52 - max_rho) per register — exact BIGINT arithmetic (<= 2^60), so
-    the harmonic sum has no float-summation order ambiguity; the raw
-    estimate is one exact-operand division. Small-range (V zero
-    registers > 0, raw <= 2.5m) switches to linear counting via the
-    inlined ln table."""
+def hll_estimate(registers, group_cols: list[str] | None = None):
+    """Estimate from the register relation — one row (or one row per
+    group with `group_cols`, e.g. a streaming sketch keyed by window or
+    event type). sum_int accumulates 2^(52 - max_rho) per register —
+    exact BIGINT arithmetic (<= 2^60), so the harmonic sum has no
+    float-summation order ambiguity; the raw estimate is one
+    exact-operand division. Small-range (V zero registers > 0,
+    raw <= 2.5m) switches to linear counting via the inlined ln table —
+    no engine libm call anywhere."""
     ln_lit = F.array(*[F.lit(x) for x in _hll_ln_table()])
-    agg = registers.agg(
+    aggs = [
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_WINDOW} - max_rho)")
         ).cast("long").alias("sum_nz"),
         F.count(F.lit(1)).cast("long").alias("nz"),
-    )
+    ]
+    if group_cols:
+        agg = registers.groupBy(*group_cols).agg(*aggs)
+    else:
+        agg = registers.agg(*aggs)
     v = F.lit(HLL_M) - F.col("nz")
     # zero registers contribute 2^-0 = 1 each: in 2^-52 units, 2^52
     sum_int = F.col("sum_nz") + v * F.lit(1 << HLL_WINDOW)
@@ -1164,6 +1176,7 @@ def hll_estimate(registers):
         (raw <= F.lit(2.5 * HLL_M)) & (v > 0), F.element_at(ln_lit, v.cast("int"))
     ).otherwise(raw)
     return agg.select(
+        *(group_cols or []),
         F.lit(HLL_M).cast("long").alias("m"),
         v.cast("long").alias("zero_registers"),
         sum_int.cast("long").alias("harmonic_sum_e52"),
@@ -1383,3 +1396,48 @@ def hdr_quantiles_with_exact(docs, ps: list[float], text_col: str = "text"):
         )
         exacts = row if exacts is None else exacts.unionByName(row)
     return est.join(exacts, "p").orderBy("p")
+
+
+def sql_hll_distinct_grouped(
+    group: str = "event_type",
+    key: str = "CAST(user_id AS VARCHAR)",
+    source: str = "events",
+) -> str:
+    """DuckDB twin of a GROUPED hll_registers |> hll_estimate (the
+    streaming-sketch shape: registers keyed by a group column), with the
+    exact distinct count beside each estimate."""
+    table = ", ".join(repr(x) for x in _hll_ln_table())
+    w_expr = f"h % {1 << HLL_WINDOW}"
+    si = (
+        f"sum_nz + ({HLL_M} - nz) * CAST({1 << HLL_WINDOW} AS BIGINT)"
+    )
+    raw = f"{_HLL_RAW_NUM!r} / CAST({si} AS DOUBLE)"
+    return f"""
+WITH hashed AS (
+  SELECT {group} AS grp, {hash60_sql(key)} AS h FROM {source}),
+rho_rows AS (
+  SELECT grp, CAST(floor(h / {1 << HLL_WINDOW}) AS BIGINT) AS register,
+         CASE WHEN {w_expr} = 0 THEN {HLL_WINDOW + 1}
+              ELSE {HLL_WINDOW} - length(bin(CAST({w_expr} AS BIGINT))) + 1
+         END AS rho
+  FROM hashed),
+regs AS (SELECT grp, register, max(rho) AS max_rho
+         FROM rho_rows GROUP BY 1, 2),
+agg AS (SELECT grp,
+               CAST(sum(CAST(1 AS BIGINT) << ({HLL_WINDOW} - max_rho))
+                    AS BIGINT) AS sum_nz,
+               CAST(count(*) AS BIGINT) AS nz
+        FROM regs GROUP BY 1),
+est AS (
+  SELECT grp AS {group}, CAST({HLL_M} AS BIGINT) AS m,
+         CAST({HLL_M} - nz AS BIGINT) AS zero_registers,
+         CAST({si} AS BIGINT) AS harmonic_sum_e52,
+         round(CASE WHEN {raw} <= {2.5 * HLL_M} AND ({HLL_M} - nz) > 0
+               THEN [{table}][CAST({HLL_M} - nz AS INT)]
+               ELSE {raw} END, 4) AS est_distinct
+  FROM agg),
+exact AS (SELECT {group}, CAST(count(DISTINCT {key}) AS BIGINT)
+                 AS exact_distinct
+          FROM {source} GROUP BY 1)
+SELECT * FROM est JOIN exact USING ({group})
+"""

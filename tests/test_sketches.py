@@ -187,3 +187,68 @@ class TestHdrQuantiles:
         n_buckets = tx.hdr_buckets(self._docs(spark, lens)).count()
         # 17 octaves x 32 sub-buckets upper bound; far fewer occupied
         assert n_buckets <= 17 * 32
+
+
+class TestStreamingHll:
+    def test_stream_registers_equal_batch_registers(self, spark, tmp_path):
+        """The streaming register table (max-merged across micro-batches)
+        must equal the batch construction — associativity of the
+        register max IS what makes the sketch streaming-legal."""
+        from fluxdb_spark.functions import text as tx
+
+        src = str(tmp_path / "src")
+        df = spark.createDataFrame(
+            [(i, f"u{i % 37}", "a" if i % 2 else "b") for i in range(300)],
+            "event_id long, user_id string, event_type string",
+        )
+        df.repartition(4).write.parquet(src)
+        raw = spark.readStream.schema(df.schema).parquet(src)
+        reg, rho = tx.hll_register_cols(F.col("user_id"))
+        agg = (
+            raw.select("event_type", reg.alias("register"), rho.alias("rho"))
+            .groupBy("event_type", "register")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hll_stream_test")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(map(tuple, spark.table("hll_stream_test").collect()))
+        breg, brho = tx.hll_register_cols(F.col("user_id"))
+        want = sorted(
+            map(
+                tuple,
+                df.select(
+                    "event_type", breg.alias("register"), brho.alias("rho")
+                )
+                .groupBy("event_type", "register")
+                .agg(F.max("rho").alias("max_rho"))
+                .collect(),
+            )
+        )
+        assert got == want
+
+    def test_grouped_estimate_accuracy(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        df = spark.createDataFrame(
+            [(f"u{i}", "big") for i in range(400)]
+            + [(f"v{i}", "small") for i in range(30)],
+            "user_id string, event_type string",
+        )
+        reg, rho = tx.hll_register_cols(F.col("user_id"))
+        regs = (
+            df.select("event_type", reg.alias("register"), rho.alias("rho"))
+            .groupBy("event_type", "register")
+            .agg(F.max("rho").alias("max_rho"))
+        )
+        est = {
+            r.event_type: r.est_distinct
+            for r in tx.hll_estimate(regs, ["event_type"]).collect()
+        }
+        assert abs(est["big"] - 400) / 400 < 0.2
+        assert abs(est["small"] - 30) / 30 < 0.2
