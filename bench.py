@@ -115,6 +115,7 @@ HEADLINE = [
     "flux_series_similarity",
     "embed_hard_negatives",
     "stream_hll_distinct",
+    "interval_overlap_join",
 ]
 
 

@@ -148,10 +148,13 @@ _PRIORITY: list[str] = [
     "curation_pipeline",
     "hash_split",
     # ---- position 51+ from here: leads the r10 window ----
+    # interval_overlap_join (built after the window filled) leads the
+    # r10 window below; it is locally oracle-matched in pytest each run.
     # unpivot_pricing and session_windows are the two entries whose rows
     # go 4 rounds stale: 19 new entries + epoch_shuffle + the r06-green
     # rows overflow the 50 slots, and each has a sibling with a fresh
     # row over the same machinery (pivot_status r08; sessionization r09)
+    "interval_overlap_join",
     "unpivot_pricing",
     "session_windows",
     # -- remaining r07-green entries
@@ -2161,6 +2164,62 @@ def asof_join_tolerance(spark, sf_dir):
         "user_id",
         F.round("click_value_raw", 2).alias("click_value"),
         "click_event_id",
+    )
+
+
+@_q(
+    "interval_overlap_join",
+    "relational",
+    """
+WITH us AS (
+  SELECT event_id, event_type, value,
+         epoch_us(ts) AS u
+  FROM events),
+inc AS (
+  SELECT event_id AS incident_id, u AS s1, u + 3600000000 AS e1
+  FROM us WHERE event_type = 'error' AND value > 100),
+pur AS (
+  SELECT event_id AS purchase_id, u AS s2, u + 1800000000 AS e2
+  FROM us WHERE event_type = 'purchase' AND value > 50)
+SELECT incident_id, purchase_id,
+       CAST(least(e1, e2) - greatest(s1, s2) AS BIGINT) AS overlap_us
+FROM inc JOIN pur ON s1 < e2 AND s2 < e1
+""",
+)
+def interval_overlap_join(spark, sf_dir):
+    """Interval x interval overlap join — the range-join family's other
+    member (range_join_incidents covers point-in-interval): 1-hour error
+    incident windows overlapped with 30-minute high-value purchase
+    windows, with the exact overlap length. The oracle is DuckDB's
+    native non-equi join; the Spark side explodes BOTH sides to their
+    covered buckets and keeps a pair only in the overlap-start bucket —
+    every pair meets exactly once, so the plan is an equi-join +
+    residual filter with no distinct pass and no nested loop (pinned in
+    test_ranges)."""
+    from fluxdb_spark.operators.ranges import interval_overlap_join as ioj
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    inc = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 100)
+    ).select(
+        F.col("event_id").alias("incident_id"),
+        us.alias("s1"),
+        (us + F.lit(3_600_000_000)).alias("e1"),
+    )
+    pur = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        us.alias("s2"),
+        (us + F.lit(1_800_000_000)).alias("e2"),
+    )
+    return ioj(inc, pur, "s1", "e1", "s2", "e2", 3_600_000_000).select(
+        "incident_id",
+        "purchase_id",
+        (F.least("e1", "e2") - F.greatest("s1", "s2"))
+        .cast("long")
+        .alias("overlap_us"),
     )
 
 

@@ -67,3 +67,54 @@ def range_join(
         )
         .drop(_BUCKET)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join: each left [s1, e1) row joined to
+    every right [s2, e2) row with a non-empty intersection — the other
+    member of the range-join family (range_join covers point-in-interval;
+    this covers session-vs-incident, downtime-vs-deploy, any
+    two-interval-relation overlap). Same bin-bucketing escape from the
+    nested-loop cliff, with one extra idea: BOTH sides explode to their
+    covered buckets, and a candidate pair — which can now share many
+    buckets — is kept only in the bucket of greatest(s1, s2), the
+    overlap's first bucket. Every overlapping pair meets there exactly
+    once, so no distinct pass and no duplicate-row shuffle; work is
+    O(candidates) after one equi-join shuffle keyed by bucket."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be a positive integer")
+
+    def _exploded(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(F.col(e) > F.col(s)).withColumn(
+            _BUCKET,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(bucket_width)),
+                    F.floor((F.col(e) - 1) / F.lit(bucket_width)),
+                )
+            ),
+        )
+
+    joined = _exploded(left, left_start, left_end).join(
+        _exploded(right, right_start, right_end), on=_BUCKET
+    )
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    canonical = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start))
+        / F.lit(bucket_width)
+    )
+    return (
+        joined.filter(overlap)
+        .filter(F.col(_BUCKET) == canonical)
+        .drop(_BUCKET)
+    )

@@ -84,3 +84,50 @@ class TestPlan:
         plan = buf.getvalue()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestIntervalOverlapJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 0, 100), (2, 50, 60), (3, 500, 600), (4, 90, 90)],
+            "lid long, s1 long, e1 long",
+        )
+        right = spark.createDataFrame(
+            [(10, 90, 110), (11, 55, 58), (12, 100, 200), (13, 700, 800)],
+            "rid long, s2 long, e2 long",
+        )
+        return left, right
+
+    def _pairs(self, spark, width):
+        from fluxdb_spark.operators.ranges import interval_overlap_join
+
+        left, right = self._frames(spark)
+        return sorted(
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left, right, "s1", "e1", "s2", "e2", width
+            ).collect()
+        )
+
+    def test_overlap_semantics(self, spark):
+        # [0,100) x [90,110) overlap; [0,100) x [100,200) do NOT
+        # (closed-open); [50,60) x [55,58) nested counts; empty interval
+        # (4) vanishes
+        assert self._pairs(spark, 64) == [(1, 10), (1, 11), (2, 11)]
+
+    def test_no_duplicates_across_shared_buckets(self, spark):
+        # width 16: [0,100) and [90,110) share buckets 5 and 6 — the
+        # canonical-bucket rule must emit the pair exactly once
+        assert self._pairs(spark, 16) == [(1, 10), (1, 11), (2, 11)]
+        assert self._pairs(spark, 1) == [(1, 10), (1, 11), (2, 11)]
+
+    def test_no_nested_loop_in_plan(self, spark):
+        from fluxdb_spark.operators.ranges import interval_overlap_join
+
+        left, right = self._frames(spark)
+        plan = (
+            interval_overlap_join(left, right, "s1", "e1", "s2", "e2", 64)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -76,6 +76,7 @@ OPS = [
     "bpe_fertility",
     "flux_series_similarity",
     "embed_hard_negatives",
+    "interval_overlap_join",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
