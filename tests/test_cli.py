@@ -134,6 +134,40 @@ def test_maintain_mode(spark, tmp_path, capsys):
     assert st2.checkpoint().height == 8
 
 
+def test_maintain_zorder_mode(spark, tmp_path, capsys):
+    """maintain --zorder: the Morton rewrite through the CLI; reads
+    unchanged, per-file zone maps bounded on primary_key."""
+    from fluxdb_spark.store import ChangelogStore
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "zstore")
+    st = ChangelogStore(spark, root, height_band=1000)
+    for h in range(1, 9):
+        st.write_batch(
+            make_changelog(
+                spark,
+                [("tst", "tbl", h, f"k{i:02d}", f"v{h}-{i}") for i in range(32)],
+            )
+        )
+    rc = main(
+        ["maintain", "--store", root, "--min-files", "2",
+         "--target-rows", "64", "--zorder"],
+        spark,
+    )
+    assert rc == 0
+    assert "compacted 1 band(s)" in capsys.readouterr().out
+    st2 = ChangelogStore(spark, root)
+    assert st2.changelog().count() == 8 * 32
+    stats = [f for f in st2.file_layout_stats("tst") if f["rows"]]
+    assert len(stats) >= 2
+    # at least one file's primary_key range excludes some probe key —
+    # the linear layout can never do that
+    assert any(
+        not (f["stats"]["primary_key"][0] <= "k16" <= f["stats"]["primary_key"][1])
+        for f in stats
+    )
+
+
 def test_maintain_reindex_dry_run_then_rebuild(spark, tmp_path, capsys):
     """maintain --reindex-height: dry run reports the would-rebuild set
     and writes nothing; the real run repairs corrupted snapshots."""
