@@ -632,9 +632,16 @@ def embedding_covariance(
     multiplies it saves) feeding a combine-friendly groupBy: after
     map-side partial aggregation the shuffle carries dim^2 rows per
     partition, never O(rows); the dim-row mean relation broadcasts.
-    `scale` bounds overflow: sums stay within int64 up to
-    ~2^63 / (scale^2) rows (default 10^4 -> ~9e10 rows of unit-range
-    values)."""
+
+    The final value is cov_ij = (n*Sxy - Sx*Sy) / n^2: the numerator and
+    denominator are EXACT int64s and the quotient is ONE IEEE double
+    division, which every engine rounds identically — no round(x, 6)
+    step, because multi-op double expressions are not portable (DuckDB
+    contracts a*b-c into FMA, so round-to-6 ties land on opposite sides;
+    observed as 20/4096 off-by-1e-6 cells at sf0.1). `scale` bounds
+    overflow: |n*Sxy - Sx*Sy| <= 2*(n*scale)^2 must stay within int64,
+    i.e. n <= ~2.1e5 rows at the default scale 10^4; pass scale=100 for
+    corpora up to ~2e9 rows."""
     q = spread(corpus).select(
         _quantize(F.col(vec_col), scale).alias("v")
     ).localCheckpoint()  # one source scan feeds both aggregations
@@ -666,26 +673,25 @@ def embedding_covariance(
         F.col("i0"), F.col("sx").alias("sx_i"), F.col("n")
     )
     sj = sums.select(F.col("i0").alias("j0"), F.col("sx").alias("sx_j"))
-    nd = F.col("n").cast("double")
+    num = F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j")
+    den = F.col("n") * F.col("n")
     return (
         prods.join(F.broadcast(si), on="i0")
         .join(F.broadcast(sj), on="j0")
         .select(
             (F.col("i0") + 1).alias("i"),
             (F.col("j0") + 1).alias("j"),
-            F.round(
-                F.col("sxy").cast("double") / nd
-                - (F.col("sx_i").cast("double") / nd)
-                * (F.col("sx_j").cast("double") / nd),
-                6,
-            ).alias("cov"),
+            (num.cast("double") / den.cast("double")).alias("cov"),
         )
     )
 
 
 def sql_embedding_covariance(dim: int = 64, scale: int = 10_000) -> str:
     """DuckDB twin of `embedding_covariance`: identical quantization,
-    exact BIGINT co-moment sums, identical double arithmetic."""
+    exact BIGINT co-moment sums, and the same single-division final
+    expression (n*Sxy - Sx*Sy)/n^2 — one IEEE divide of identical
+    integers is bit-portable where a rounded multi-op expression is
+    not (FMA contraction flips round-to-6 ties)."""
     return f"""
 WITH q AS (SELECT vec_id,
             list_transform(embedding,
@@ -698,9 +704,8 @@ s AS (SELECT i, sum(x) AS sx FROM e GROUP BY i),
 p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
       FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2)
 SELECT p.i, p.j,
-       round(CAST(p.sxy AS DOUBLE) / nn.n
-             - (CAST(sa.sx AS DOUBLE) / nn.n)
-             * (CAST(sb.sx AS DOUBLE) / nn.n), 6) AS cov
+       CAST(nn.n * p.sxy - sa.sx * sb.sx AS DOUBLE)
+         / CAST(nn.n * nn.n AS DOUBLE) AS cov
 FROM p CROSS JOIN nn
 JOIN s sa ON sa.i = p.i
 JOIN s sb ON sb.i = p.j
