@@ -155,6 +155,8 @@ _PRIORITY: list[str] = [
     # rows overflow the 50 slots, and each has a sibling with a fresh
     # row over the same machinery (pivot_status r08; sessionization r09)
     "interval_overlap_join",
+    "event_funnel",
+    "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
     # -- remaining r07-green entries
@@ -2382,6 +2384,124 @@ def sessionization(spark, sf_dir):
     )
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+_FUNNEL_WINDOW_US = 48 * 3600 * 1_000_000  # conversion window from entry
+
+_FUNNEL_SQL = f"""
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+lists AS (
+  SELECT user_id,
+         list(us) FILTER (WHERE event_type = '{_FUNNEL_STEPS[0]}') AS l1,
+         list(us) FILTER (WHERE event_type = '{_FUNNEL_STEPS[1]}') AS l2,
+         list(us) FILTER (WHERE event_type = '{_FUNNEL_STEPS[2]}') AS l3
+  FROM ev GROUP BY user_id),
+s1 AS (SELECT user_id, list_min(l1) AS t1, l2, l3 FROM lists),
+s2 AS (SELECT user_id, t1,
+              list_min(list_filter(l2,
+                x -> x > t1 AND x <= t1 + {_FUNNEL_WINDOW_US})) AS t2,
+              l3 FROM s1),
+s3 AS (SELECT user_id, t1, t2,
+              list_min(list_filter(l3,
+                x -> x > t2 AND x <= t1 + {_FUNNEL_WINDOW_US})) AS t3
+       FROM s2),
+c AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3,
+             sum(t2 - t1) AS d2, sum(t3 - t1) AS d3 FROM s3)
+SELECT CAST(1 AS BIGINT) AS step, '{_FUNNEL_STEPS[0]}' AS step_name,
+       CAST(u1 AS BIGINT) AS users,
+       CAST(u1 AS DOUBLE) / CAST(u1 AS DOUBLE) AS conv_pct,
+       CAST(NULL AS DOUBLE) AS avg_s_from_start FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), '{_FUNNEL_STEPS[1]}', CAST(u2 AS BIGINT),
+       CAST(u2 AS DOUBLE) / CAST(u1 AS DOUBLE),
+       CAST(d2 AS DOUBLE) / CAST(u2 * 1000000 AS DOUBLE) FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), '{_FUNNEL_STEPS[2]}', CAST(u3 AS BIGINT),
+       CAST(u3 AS DOUBLE) / CAST(u1 AS DOUBLE),
+       CAST(d3 AS DOUBLE) / CAST(u3 * 1000000 AS DOUBLE) FROM c
+"""
+
+
+@_q("event_funnel", "relational", _FUNNEL_SQL)
+def event_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (view -> click -> purchase): per user the
+    earliest step-1 time, then the earliest step-2 event STRICTLY after
+    it, then the earliest step-3 after that, all within a 48 h
+    conversion window anchored at funnel entry — the min-cascade
+    semantics every product-analytics funnel uses (reference parity:
+    this is an events-model analytic its tablet scans feed,
+    fluxdb.go:104-154; the operator itself is beyond-ref surface).
+    Non-vacuous at every SF: the window splits users into ~100% /
+    ~60% / ~25% per-step conversion.
+
+    Scale shape: one shuffle on user_id into per-user per-step timestamp
+    arrays (state bounded by a user's own step events — no corpus-wide
+    window sort), then the cascade is JVM higher-order array_min/filter;
+    the per-step rollup is a 1-row aggregate. Portability: timestamps
+    stay integer microseconds end-to-end; conversion % and latency are
+    each ONE double division of exact ints (multi-op float expressions
+    are not cross-engine portable — FMA contraction). Latency sums are
+    int64-exact to ~9e18 us-seconds of aggregate lag; a 100 TB run with
+    ~1e9 converting users x year-scale lags should bump `d2`/`d3` to
+    decimal(38,0)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us")
+    )
+    lists = ev.groupBy("user_id").agg(
+        *[
+            F.collect_list(
+                F.when(F.col("event_type") == s, F.col("us"))
+            ).alias(f"l{i + 1}")
+            for i, s in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    s1 = lists.select(
+        "user_id", F.array_min("l1").alias("t1"), "l2", "l3"
+    )
+    horizon = F.col("t1") + F.lit(_FUNNEL_WINDOW_US)
+    s2 = s1.select(
+        "user_id",
+        "t1",
+        F.array_min(
+            F.filter("l2", lambda x: (x > F.col("t1")) & (x <= horizon))
+        ).alias("t2"),
+        "l3",
+    )
+    s3 = s2.select(
+        "user_id",
+        "t1",
+        "t2",
+        F.array_min(
+            F.filter("l3", lambda x: (x > F.col("t2")) & (x <= horizon))
+        ).alias("t3"),
+    )
+    c = s3.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+        F.sum(F.col("t2") - F.col("t1")).alias("d2"),
+        F.sum(F.col("t3") - F.col("t1")).alias("d3"),
+    )
+    steps = [
+        F.struct(
+            F.lit(i + 1).cast("long").alias("step"),
+            F.lit(s).alias("step_name"),
+            F.col(f"u{i + 1}").cast("long").alias("users"),
+            (
+                F.col(f"u{i + 1}").cast("double")
+                / F.col("u1").cast("double")
+            ).alias("conv_pct"),
+            (
+                F.lit(None).cast("double")
+                if i == 0
+                else F.col(f"d{i + 1}").cast("double")
+                / (F.col(f"u{i + 1}") * F.lit(1_000_000)).cast("double")
+            ).alias("avg_s_from_start"),
+        )
+        for i, s in enumerate(_FUNNEL_STEPS)
+    ]
+    return c.select(F.explode(F.array(*steps)).alias("r")).select("r.*")
+
+
 @_q(
     "session_windows",
     "relational",
@@ -3739,6 +3859,56 @@ def stream_hll_distinct(spark, sf_dir):
         )
     )
     return est.join(exact, "event_type")
+
+
+@_q("stream_cms_heavy_hitters", "streaming", tx.sql_cms_heavy_hitters())
+def stream_cms_heavy_hitters(spark, sf_dir):
+    """STREAMING count-min sketch: the depth x width counter table
+    maintained by Structured Streaming over the document stream — the
+    counters are plain sums, so the per-micro-batch merge is the sketch
+    merge (element-wise add) and state is depth*width rows FOREVER,
+    regardless of vocabulary size; the companion stream_hll_distinct
+    maintains max-merged registers the same way. The serving side then
+    point-queries the standing counter table (min over hash rows) for
+    the exact top-20 terms — identical output to the batch
+    `cms_heavy_hitters`, whose SQL twin is the oracle, proving the
+    streamed sketch is byte-equivalent to the batch-built one."""
+    import uuid
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    base = raw.select(
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    keyed = base.select(
+        F.explode(
+            F.array(*[F.lit(r) for r in range(tx.CMS_DEPTH)])
+        ).alias("r"),
+        "term",
+    ).select(
+        "r",
+        tx._cms_bucket(F.col("term"), F.col("r"), tx.CMS_WIDTH).alias(
+            "bucket"
+        ),
+    )
+    agg = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return tx.cms_heavy_hitters(
+        _td(spark, sf_dir), k=20, sketch=spark.table(name)
+    )
 
 
 @_q(

@@ -1025,13 +1025,15 @@ def cms_estimate(
 
 def cms_heavy_hitters(
     docs, k: int = 20, depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
-    text_col: str = "text",
+    text_col: str = "text", sketch=None,
 ):
     """The exact top-k vocabulary terms with their count-min estimates
     side by side — the operator a pipeline uses to validate that a
     bounded-memory sketch is good enough before replacing the exact
     vocabulary profile at scale. est >= cnt always (CMS one-sided
-    error); both integers, so the relation hash-matches the SQL twin."""
+    error); both integers, so the relation hash-matches the SQL twin.
+    Pass `sketch` to probe a standing counter table (e.g. one maintained
+    by Structured Streaming) instead of rebuilding it from the corpus."""
     from fluxdb_spark.session import spread
 
     base = spread(docs).select(
@@ -1045,12 +1047,9 @@ def cms_heavy_hitters(
         .over(Window.orderBy(F.desc("cnt"), F.col("term")))
         .cast("long"),
     )
-    est = cms_estimate(
-        cms_sketch(docs, depth, width, text_col),
-        ranked.select("term"),
-        depth,
-        width,
-    )
+    if sketch is None:
+        sketch = cms_sketch(docs, depth, width, text_col)
+    est = cms_estimate(sketch, ranked.select("term"), depth, width)
     return ranked.join(est, "term").select("term", "cnt", "est", "rank")
 
 

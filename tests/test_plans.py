@@ -256,7 +256,7 @@ class TestWholeCatalogAntiPatterns:
     STREAMING = {
         "stream_tumbling", "stream_dedup", "stream_stream_join",
         "stream_sessionize", "stream_simhash_dedup",
-        "stream_hll_distinct",
+        "stream_hll_distinct", "stream_cms_heavy_hitters",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
