@@ -116,6 +116,10 @@ HEADLINE = [
     "embed_hard_negatives",
     "stream_hll_distinct",
     "interval_overlap_join",
+    # events-analytics family: ordered funnel with conversion window and
+    # daily first-purchase retention cohorts (beside sessionization)
+    "event_funnel",
+    "cohort_retention",
 ]
 
 

@@ -77,6 +77,9 @@ OPS = [
     "flux_series_similarity",
     "embed_hard_negatives",
     "interval_overlap_join",
+    "event_funnel",
+    "cohort_retention",
+    "stream_cms_heavy_hitters",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
