@@ -116,10 +116,12 @@ HEADLINE = [
     "embed_hard_negatives",
     "stream_hll_distinct",
     "interval_overlap_join",
-    # events-analytics family: ordered funnel with conversion window and
-    # daily first-purchase retention cohorts (beside sessionization)
+    # events-analytics family: ordered funnel with conversion window,
+    # daily first-purchase retention cohorts, and last-touch revenue
+    # attribution (beside sessionization)
     "event_funnel",
     "cohort_retention",
+    "purchase_attribution",
 ]
 
 

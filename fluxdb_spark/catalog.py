@@ -157,6 +157,7 @@ _PRIORITY: list[str] = [
     "interval_overlap_join",
     "event_funnel",
     "cohort_retention",
+    "purchase_attribution",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
@@ -2067,6 +2068,110 @@ def asof_join(spark, sf_dir):
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
             F.round("value", 2).alias("purchase_value"),
             F.round("last_click_value", 2).alias("last_click_value"),
+        )
+    )
+
+
+_ATTR_TOL_US = 24 * 3600 * 1_000_000  # attribution lookback window
+
+_ATTRIBUTION_SQL = f"""
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, us, max(event_id) AS click_event_id
+      FROM (SELECT user_id, epoch_us(ts) AS us, event_id
+            FROM events WHERE event_type = 'click')
+      GROUP BY user_id, us),
+sel AS (SELECT p.event_id, p.user_id, p.us, p.value, c.us AS cus
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.us >= c.us),
+lab AS (SELECT us // {24 * 3600 * 1_000_000} AS day_idx, value,
+               CASE WHEN cus IS NOT NULL
+                         AND us - cus <= {_ATTR_TOL_US}
+                    THEN us - cus END AS lag_us
+        FROM sel)
+SELECT strftime(DATE '1970-01-01' + INTERVAL (day_idx) DAY, '%Y-%m-%d')
+         AS day,
+       CASE WHEN lag_us IS NOT NULL
+            THEN 'attributed' ELSE 'organic' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS total_value,
+       CAST(sum(lag_us) AS DOUBLE)
+         / CAST(count(lag_us) * 60000000 AS DOUBLE) AS avg_lag_min
+FROM lab GROUP BY 1, 2
+"""
+
+
+@_q("purchase_attribution", "relational", _ATTRIBUTION_SQL)
+def purchase_attribution(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase attaches to the
+    user's latest click within a 24 h lookback (the `asof_join` operator
+    with its tolerance bound — composition receipt for the generic
+    as-of machinery, operators/asof.py), then daily revenue splits into
+    attributed vs organic with the mean click-to-purchase lag.
+
+    Determinism: equal-timestamp clicks per user are pre-reduced to the
+    max event_id so neither engine's as-of pick is ambiguous; lag sums
+    are exact int64 microseconds and avg_lag_min is ONE double division;
+    total_value follows the catalog's round(sum, 2) convention. Scale
+    shape: the as-of is the union+window single-shuffle form (no per-key
+    merge loop), the rollup output is |days| x 2 rows."""
+    from fluxdb_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us.alias("us"), "value"
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", us.alias("c_us"), "event_id")
+        .groupBy("user_id", "c_us")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .withColumn("click_us", F.col("c_us"))
+    )
+    sel = asof_join(
+        p,
+        c,
+        on=["user_id"],
+        left_time="us",
+        right_time="c_us",
+        payload_cols=["click_us"],
+        direction="backward",
+        allow_exact_matches=True,
+        tolerance=_ATTR_TOL_US,
+    )
+    lab = sel.select(
+        F.expr(f"us div {24 * 3600 * 1_000_000}").alias("day_idx"),
+        "value",
+        (F.col("us") - F.col("click_us")).alias("lag_us"),
+    )
+    return (
+        lab.groupBy(
+            "day_idx",
+            F.when(F.col("lag_us").isNotNull(), F.lit("attributed"))
+            .otherwise(F.lit("organic"))
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            (
+                F.sum("lag_us").cast("double")
+                / (F.count("lag_us") * F.lit(60_000_000)).cast("double")
+            ).alias("avg_lag_min"),
+        )
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    F.col("day_idx").cast("int"),
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "bucket",
+            "n_purchases",
+            "total_value",
+            "avg_lag_min",
         )
     )
 

@@ -79,6 +79,7 @@ OPS = [
     "interval_overlap_join",
     "event_funnel",
     "cohort_retention",
+    "purchase_attribution",
     "stream_cms_heavy_hitters",
 ]
 
