@@ -130,7 +130,10 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "decontaminate",
     "seq_packing",
-    # -- front of the r07-green block (oldest-first fill to 50)
+    # ---- position 51+ from here: leads the r10 window ----
+    # The 18 new round-9 entries + epoch_shuffle + the 31 r06-green rows
+    # above fill the 50 slots exactly; everything below waits for r10.
+    # -- front of the r07-green block (oldest rows below the fold)
     "flux_state_series",
     "flux_time_weighted",
     "asof_join_nearest",
@@ -147,13 +150,13 @@ _PRIORITY: list[str] = [
     "length_buckets",
     "curation_pipeline",
     "hash_split",
-    # ---- position 51+ from here: leads the r10 window ----
-    # interval_overlap_join (built after the window filled) leads the
-    # r10 window below; it is locally oracle-matched in pytest each run.
-    # unpivot_pricing and session_windows are the two entries whose rows
-    # go 4 rounds stale: 19 new entries + epoch_shuffle + the r06-green
-    # rows overflow the 50 slots, and each has a sibling with a fresh
-    # row over the same machinery (pivot_status r08; sessionization r09)
+    # -- never-driver-checked entries built after the r9 window filled
+    # (interval_overlap_join .. stream_cms_heavy_hitters): each is
+    # locally oracle-matched in pytest every run; they take their first
+    # driver row in r10.  unpivot_pricing and session_windows are the
+    # two entries whose rows go 4 rounds stale; each has a sibling with
+    # a fresh row over the same machinery (pivot_status r08;
+    # sessionization r09).
     "interval_overlap_join",
     "event_funnel",
     "cohort_retention",
