@@ -2080,10 +2080,8 @@ _ATTR_TOL_US = 24 * 3600 * 1_000_000  # attribution lookback window
 _ATTRIBUTION_SQL = f"""
 WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us, value
            FROM events WHERE event_type = 'purchase'),
-c AS (SELECT user_id, us, max(event_id) AS click_event_id
-      FROM (SELECT user_id, epoch_us(ts) AS us, event_id
-            FROM events WHERE event_type = 'click')
-      GROUP BY user_id, us),
+c AS (SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'),
 sel AS (SELECT p.event_id, p.user_id, p.us, p.value, c.us AS cus
         FROM p ASOF LEFT JOIN c
           ON p.user_id = c.user_id AND p.us >= c.us),
@@ -2112,12 +2110,13 @@ def purchase_attribution(spark, sf_dir):
     as-of machinery, operators/asof.py), then daily revenue splits into
     attributed vs organic with the mean click-to-purchase lag.
 
-    Determinism: equal-timestamp clicks per user are pre-reduced to the
-    max event_id so neither engine's as-of pick is ambiguous; lag sums
-    are exact int64 microseconds and avg_lag_min is ONE double division;
-    total_value follows the catalog's round(sum, 2) convention. Scale
-    shape: the as-of is the union+window single-shuffle form (no per-key
-    merge loop), the rollup output is |days| x 2 rows."""
+    Determinism: the only payload the as-of carries is the click
+    timestamp itself, so equal-timestamp click duplicates are
+    pick-invariant on both engines — no dedup pre-pass, and the click
+    relation moves through exactly ONE shuffle (the as-of window
+    partitioning). Lag sums are exact int64 microseconds and avg_lag_min
+    is ONE double division; total_value follows the catalog's
+    round(sum, 2) convention. Rollup output is |days| x 2 rows."""
     from fluxdb_spark.operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -2125,12 +2124,8 @@ def purchase_attribution(spark, sf_dir):
     p = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", us.alias("us"), "value"
     )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .select("user_id", us.alias("c_us"), "event_id")
-        .groupBy("user_id", "c_us")
-        .agg(F.max("event_id").alias("click_event_id"))
-        .withColumn("click_us", F.col("c_us"))
+    c = ev.where(F.col("event_type") == "click").select(
+        "user_id", us.alias("c_us"), us.alias("click_us")
     )
     sel = asof_join(
         p,
