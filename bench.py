@@ -122,6 +122,8 @@ HEADLINE = [
     "event_funnel",
     "cohort_retention",
     "purchase_attribution",
+    # cross-tablet state join: one conditional-max_by aggregation
+    "flux_state_join",
 ]
 
 

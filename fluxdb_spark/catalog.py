@@ -161,6 +161,7 @@ _PRIORITY: list[str] = [
     "event_funnel",
     "cohort_retention",
     "purchase_attribution",
+    "flux_state_join",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
@@ -332,6 +333,34 @@ def flux_collection_state(spark, sf_dir):
     the reference would serve as one ReadTabletAt per tablet."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.collection_state_at(log, 700).select(*_STATE_COLS)
+
+
+_STATE_JOIN_SQL = f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tablet_id, primary_key
+                               ORDER BY height DESC) AS rn
+  FROM changelog WHERE tablet_id IN ('click', 'view') AND height <= 700),
+live AS (SELECT * FROM ranked WHERE rn = 1 AND NOT is_deletion)
+SELECT c.primary_key,
+       c.height AS click_height, c.value AS click_value,
+       v.height AS view_height,  v.value AS view_value
+FROM (SELECT * FROM live WHERE tablet_id = 'click') c
+JOIN (SELECT * FROM live WHERE tablet_id = 'view') v USING (primary_key)
+"""
+
+
+@_q("flux_state_join", "temporal", _STATE_JOIN_SQL)
+def flux_state_join(spark, sf_dir):
+    """Cross-tablet state join at height 700: each key's live click AND
+    view state side by side (operators/temporal.py `state_join`). The
+    reference reads tablets singly (read.go:35-178) and merges
+    client-side; here one conditional-max_by aggregation folds both
+    tablets' latest versions in a SINGLE shuffle — no join operator in
+    the plan (the oracle spells out the naive two-snapshot join it
+    replaces)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.state_join(log, ["click", "view"], 700)
 
 
 @_q(

@@ -9,6 +9,7 @@ from fluxdb_spark.operators.temporal import (
     singlet_history,
     state_at,
     state_diff,
+    state_join,
     state_series,
     time_weighted_avg,
 )
@@ -16,6 +17,7 @@ from fluxdb_spark.operators.temporal import (
 __all__ = [
     "state_at",
     "state_diff",
+    "state_join",
     "state_series",
     "time_weighted_avg",
     "row_at",

@@ -432,3 +432,72 @@ def series_similarity(
         .filter(F.col("rank") <= k)
         .select("primary_key", "n_common", "dist", "rank")
     )
+
+
+def state_join(
+    changelog: DataFrame,
+    tablets: list[str],
+    height: int,
+    how: str = "inner",
+    speculative: DataFrame | None = None,
+    collection: str | None = None,
+) -> DataFrame:
+    """Cross-tablet state JOIN at one height: for each primary_key, the
+    live value of EVERY requested tablet as of `height`, side by side.
+
+    The reference reads tablets singly (ReadTabletAt, read.go:35-178) and
+    leaves cross-tablet enrichment to the client; the naive Spark
+    translation is |tablets| snapshot aggregations plus an equi-join.
+    This is ONE grouped aggregation instead: the scan is filtered to the
+    requested tablets, and per primary_key a conditional max_by folds
+    each tablet's latest version inside the same shuffle — no join
+    operator anywhere in the plan. At 100 TB that is one pass over the
+    pruned history and a shuffle of ~|live keys| rows after map-side
+    combine, versus 2N shuffles + a shuffle join for the naive form.
+
+    `how="inner"` keeps keys live in every tablet, `how="outer"` keys
+    live in any (the others null). A tombstone latest version counts as
+    absent. Output: primary_key, then `{t}_height`, `{t}_value` per
+    tablet.
+    """
+    if how not in ("inner", "outer"):
+        raise ValueError(f"how must be inner|outer: {how}")
+    if len(tablets) < 2 or len(set(tablets)) != len(tablets):
+        raise ValueError(f"need >= 2 distinct tablets: {tablets}")
+    df = changelog.filter(F.col("tablet_id").isin(tablets))
+    if collection is not None:
+        df = df.filter(F.col("collection") == collection)
+    out = _tag(df, 0)
+    if speculative is not None:
+        sp = speculative.filter(F.col("tablet_id").isin(tablets))
+        if collection is not None:
+            sp = sp.filter(F.col("collection") == collection)
+        out = out.unionByName(_tag(sp, 1))
+    out = out.filter(F.col("height") <= F.lit(height))
+    # One conditional max_by per tablet: the ordering expression is NULL
+    # for other tablets' rows and max_by skips null-ordered rows, so all
+    # folds ride the same partial-aggregate shuffle.
+    payload = F.struct(
+        F.col("height"), F.col("value"), F.col("is_deletion")
+    )
+    agg = out.groupBy("primary_key").agg(
+        *[
+            F.max_by(
+                payload, F.when(F.col("tablet_id") == t, _ord())
+            ).alias(f"_s_{i}")
+            for i in range(len(tablets))
+            for t in [tablets[i]]
+        ]
+    )
+    live = [
+        F.col(f"_s_{i}").isNotNull() & ~F.col(f"_s_{i}.is_deletion")
+        for i in range(len(tablets))
+    ]
+    keep = live[0]
+    for c in live[1:]:
+        keep = (keep & c) if how == "inner" else (keep | c)
+    cols: list[Column] = [F.col("primary_key")]
+    for i, t in enumerate(tablets):
+        cols.append(F.when(live[i], F.col(f"_s_{i}.height")).alias(f"{t}_height"))
+        cols.append(F.when(live[i], F.col(f"_s_{i}.value")).alias(f"{t}_value"))
+    return agg.filter(keep).select(*cols).orderBy("primary_key")

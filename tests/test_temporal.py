@@ -358,3 +358,57 @@ class TestSeriesSimilarity:
         }
         # e matches exactly while live (grid 10..50), then drops out
         assert out["e"].n_common == 5 and out["e"].dist == 0
+
+
+class TestStateJoin:
+    # The reference has no cross-tablet read; semantics are pinned to
+    # "state_at per tablet + equi-join on primary_key" (the oracle form).
+
+    def _log(self, mk):
+        return mk([
+            ("a", 10, "k1", "a1"),
+            ("a", 20, "k1", "a2"),   # latest a for k1
+            ("b", 15, "k1", "b1"),   # latest b for k1
+            ("a", 10, "k2", "a1"),   # k2 lives only in a
+            ("b", 10, "k3", "b1"),
+            ("b", 30, "k3", ""),     # k3 tombstoned in b
+            ("a", 99, "k4", "hi"),   # above read height
+        ])
+
+    def test_inner_matches_per_tablet_state_join(self, mk):
+        from fluxdb_spark.operators.temporal import state_join
+
+        out = rows_of(
+            state_join(self._log(mk), ["a", "b"], 50),
+            "primary_key", "a_height", "a_value", "b_height", "b_value",
+        )
+        assert out == [("k1", 20, "a2", 15, "b1")]
+
+    def test_outer_keeps_half_live_keys(self, mk):
+        from fluxdb_spark.operators.temporal import state_join
+
+        out = rows_of(
+            state_join(self._log(mk), ["a", "b"], 50, how="outer"),
+            "primary_key", "a_height", "a_value", "b_height", "b_value",
+        )
+        # k3's latest b version is a tombstone -> absent everywhere
+        assert out == [
+            ("k1", 20, "a2", 15, "b1"),
+            ("k2", 10, "a1", None, None),
+        ]
+
+    def test_speculative_overlay_wins(self, mk, mkspec):
+        from fluxdb_spark.operators.temporal import state_join
+
+        spec = mkspec([("b", 50, "k2", "spec")])
+        out = rows_of(
+            state_join(self._log(mk), ["a", "b"], 50, speculative=spec),
+            "primary_key", "a_height", "a_value", "b_height", "b_value",
+        )
+        assert ("k2", 10, "a1", 50, "spec") in out
+
+    def test_no_join_single_agg_plan(self, mk):
+        from fluxdb_spark.operators.temporal import state_join
+
+        plan = state_join(self._log(mk), ["a", "b"], 50)._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan

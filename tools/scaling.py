@@ -80,6 +80,7 @@ OPS = [
     "event_funnel",
     "cohort_retention",
     "purchase_attribution",
+    "flux_state_join",
     "stream_cms_heavy_hitters",
 ]
 
