@@ -124,6 +124,8 @@ HEADLINE = [
     "purchase_attribution",
     # cross-tablet state join: one conditional-max_by aggregation
     "flux_state_join",
+    # label-noise audit: nearest-class-centroid confusion matrix
+    "embed_label_noise",
 ]
 
 

@@ -162,6 +162,7 @@ _PRIORITY: list[str] = [
     "cohort_retention",
     "purchase_attribution",
     "flux_state_join",
+    "embed_label_noise",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
@@ -4799,6 +4800,20 @@ def embed_covariance(spark, sf_dir):
     rows per partition after map-side combine, never O(rows))."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.embedding_covariance(e)
+
+
+@_q("embed_label_noise", "similarity", sim.sql_label_noise())
+def embed_label_noise(spark, sf_dir):
+    """Label-noise detection (confident-learning-style): every vector is
+    assigned to its nearest CLASS centroid; off-diagonal confusion cells
+    are suspected mislabels, avg_margin their confidence. Centroids are
+    exact floor(sum/count) integers folded in one |labels|*dim groupBy
+    (bounded driver collect, the kmeans contract); the corpus pass is
+    map-only with centroids as plan literals; output is |labels|^2 rows.
+    A first-class curation op: label audits before training on labeled
+    corpora."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.label_noise_matrix(e)
 
 
 # The ingested source stores are process-lifetime fixtures shared by all

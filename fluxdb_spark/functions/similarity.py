@@ -1983,3 +1983,115 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {k}
 """
+
+
+def label_centroids(
+    corpus: DataFrame,
+    scale: int = 1_000_000,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[list[int]]]:
+    """Per-label class centroids as EXACT integers: floor(sum/count) of
+    the fixed-point corpus, element-wise. One posexplode -> groupBy whose
+    shuffle carries |labels| * dim rows after map-side combine; the
+    driver collects exactly that many longs (same bounded-collect
+    contract as kmeans_centroids). Returns (labels sorted ascending,
+    centroids in the same order)."""
+    rows = (
+        corpus.select(
+            F.col(label_col).alias("lbl"),
+            F.posexplode(_quantize(F.col(vec_col), scale)).alias(
+                "pos", "val"
+            ),
+        )
+        .groupBy("lbl", "pos")
+        .agg(
+            F.floor(
+                F.sum("val").cast("double") / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("cv")
+        )
+        .collect()
+    )
+    by: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by.setdefault(r.lbl, {})[r.pos] = r.cv
+    labels = sorted(by)
+    return labels, [
+        [by[lbl][p] for p in range(len(by[lbl]))] for lbl in labels
+    ]
+
+
+def label_noise_matrix(
+    corpus: DataFrame,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label-noise detection (confident-learning-style): assign every
+    vector to its nearest CLASS centroid; off-diagonal confusion cells
+    are suspected mislabels. Output one row per (label, nearest_label):
+    n_vecs and avg_margin = mean(own-centroid dist - nearest dist), the
+    confidence of the disagreement (0 on the diagonal by construction).
+
+    Exactness: centroids are floor(sum/count) integers (label_centroids)
+    and distances exact int64 sums, so the argmin and the margin are
+    bit-identical on both engines; avg_margin is ONE double division.
+    Scale shape: after the |labels|*dim centroid fold, the scan is
+    map-only (centroids are plan literals walked by a JVM higher-order
+    fold, as in kmeans) into a |labels|^2-row groupBy."""
+    labels, cents = label_centroids(corpus, scale, label_col, vec_col)
+    lbl_lit = F.lit(labels)
+    q = _quantize(F.col(vec_col), scale)
+    dists = _int_centroid_dists(q, cents)
+    near = dists[0]
+    own_idx = F.array_position(lbl_lit, F.col(label_col)) - 1
+    own_d = F.filter(dists, lambda d: d["idx"] == own_idx)[0]["dist"]
+    scored = corpus.select(
+        F.col(label_col).alias("label"),
+        F.element_at(lbl_lit, (near["idx"] + 1).cast("int")).alias(
+            "nearest_label"
+        ),
+        (own_d - near["dist"]).alias("margin"),
+    )
+    return scored.groupBy("label", "nearest_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        (
+            F.sum("margin").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_margin"),
+    )
+
+
+def sql_label_noise(scale: int = 1_000_000) -> str:
+    """DuckDB twin of `label_noise_matrix` — the same floor(sum/count)
+    centroids and exact integer distances, in long form."""
+    return f"""
+WITH qv AS (SELECT vec_id, label,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+                AS q
+            FROM embeddings),
+e AS (SELECT vec_id, label, i AS pos, q[i] AS val
+      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
+cent AS (SELECT label AS clabel, pos,
+           CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT)
+             AS cv
+         FROM e GROUP BY 1, 2),
+d AS (SELECT e.vec_id, e.label, c.clabel,
+        sum((e.val - c.cv) * (e.val - c.cv)) AS d
+      FROM e JOIN cent c USING (pos) GROUP BY 1, 2, 3),
+n AS (SELECT vec_id, label, clabel AS nearest_label, d,
+        row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+      FROM d),
+own AS (SELECT vec_id, d AS own_d FROM d WHERE label = clabel),
+pick AS (SELECT n.vec_id, n.label, n.nearest_label, n.d AS near_d,
+                own.own_d
+         FROM n JOIN own USING (vec_id) WHERE rn = 1)
+SELECT label, nearest_label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(own_d - near_d) AS DOUBLE) / count(*) AS avg_margin
+FROM pick GROUP BY 1, 2
+"""

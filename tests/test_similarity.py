@@ -585,3 +585,44 @@ class TestHardNegatives:
             k=5,
         ).collect()
         assert sorted(r.rank for r in hard) == [1, 2, 3, 4, 5]
+
+
+class TestLabelNoise:
+    def test_planted_mislabel_surfaces_off_diagonal(self, spark):
+        from fluxdb_spark.functions.similarity import label_noise_matrix
+
+        # Two tight clusters around (0,0,..) and (1,1,..); vec 5 sits in
+        # cluster A's region but carries label 1 — the planted mislabel.
+        rows = [
+            (0, [0.00, 0.01, 0.0, 0.0], 0),
+            (1, [0.01, 0.00, 0.0, 0.0], 0),
+            (2, [1.00, 0.99, 1.0, 1.0], 1),
+            (3, [0.99, 1.00, 1.0, 1.0], 1),
+            (4, [1.00, 1.00, 1.0, 1.0], 1),
+            (5, [0.02, 0.00, 0.0, 0.0], 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = {
+            (r.label, r.nearest_label): r
+            for r in label_noise_matrix(df).collect()
+        }
+        # the mislabel: labeled 1, nearest centroid 0, positive margin
+        assert out[(1, 0)].n_vecs == 1 and out[(1, 0)].avg_margin > 0
+        # everything else on the diagonal with zero margin
+        assert out[(0, 0)].n_vecs == 2 and out[(0, 0)].avg_margin == 0.0
+        assert out[(1, 1)].n_vecs == 3 and out[(1, 1)].avg_margin == 0.0
+
+    def test_diagonal_margin_is_zero_by_construction(self, spark):
+        from fluxdb_spark.functions.similarity import label_noise_matrix
+
+        df = spark.createDataFrame(
+            [(i, [float(i % 2), 0.5], i % 2) for i in range(8)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        for r in label_noise_matrix(df).collect():
+            if r.label == r.nearest_label:
+                assert r.avg_margin == 0.0
+            else:
+                assert r.avg_margin > 0.0

@@ -81,6 +81,7 @@ OPS = [
     "cohort_retention",
     "purchase_attribution",
     "flux_state_join",
+    "embed_label_noise",
     "stream_cms_heavy_hitters",
 ]
 
