@@ -253,6 +253,30 @@ class TestCollectionState:
                 per_tablet[(r.tablet_id, r.primary_key)] = (r.height, r.value)
         assert whole == per_tablet
 
+    def test_state_join_matches_per_tablet_join(self, spark):
+        """The join-free cross-tablet read must equal two state_at reads
+        equi-joined on primary_key, on real corpus data."""
+        from fluxdb_spark.operators.temporal import state_at, state_join
+        from fluxdb_spark.sources import changelog_from_events, load_table
+
+        sf = "/root/testdata/sf0.001"
+        log = changelog_from_events(load_table(spark, sf, "events"))
+        h = 700
+        joined = {
+            r.primary_key: (r.click_height, r.click_value,
+                            r.view_height, r.view_value)
+            for r in state_join(log, ["click", "view"], h).collect()
+        }
+        a = {r.primary_key: (r.height, r.value)
+             for r in state_at(log, "click", h).collect()}
+        b = {r.primary_key: (r.height, r.value)
+             for r in state_at(log, "view", h).collect()}
+        naive = {
+            k: (a[k][0], a[k][1], b[k][0], b[k][1])
+            for k in set(a) & set(b)
+        }
+        assert joined == naive and len(joined) > 0
+
 
 class TestDocChunking:
     """chunk_documents: the RAG chunking rule — windows every `stride`
