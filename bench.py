@@ -126,6 +126,8 @@ HEADLINE = [
     "flux_state_join",
     # label-noise audit: nearest-class-centroid confusion matrix
     "embed_label_noise",
+    # RFM quintile segmentation over the per-user aggregate
+    "rfm_segments",
 ]
 
 

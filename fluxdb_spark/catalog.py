@@ -163,6 +163,7 @@ _PRIORITY: list[str] = [
     "purchase_attribution",
     "flux_state_join",
     "embed_label_noise",
+    "rfm_segments",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
@@ -2712,6 +2713,85 @@ def cohort_retention(spark, sf_dir):
                 / F.col("cohort_size").cast("double")
             ).alias("retention_pct"),
         )
+    )
+
+
+_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS r_us,
+         CAST(count(*) AS BIGINT) AS freq,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id),
+n AS (SELECT count(*) AS n_users FROM per_user),
+ranked AS (
+  SELECT cents,
+    ((row_number() OVER (ORDER BY r_us DESC, user_id) - 1) * 5)
+      // n_users + 1 AS r_score,
+    ((row_number() OVER (ORDER BY freq DESC, user_id) - 1) * 5)
+      // n_users + 1 AS f_score,
+    ((row_number() OVER (ORDER BY cents DESC, user_id) - 1) * 5)
+      // n_users + 1 AS m_score
+  FROM per_user, n)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE)
+         AS avg_value
+FROM ranked GROUP BY 1, 2, 3
+"""
+
+
+@_q("rfm_segments", "relational", _RFM_SQL)
+def rfm_segments(spark, sf_dir):
+    """RFM user segmentation (recency / frequency / monetary quintiles),
+    the fourth classic events analytic beside sessionization, funnel and
+    retention. Quintiles are RANK-based over a deterministic total order
+    (metric DESC, user_id ASC -> floor((rank-1)*5/n) + 1), not ntile —
+    ntile's tie placement depends on input order and would not be
+    engine-portable. Money is exact integer cents (floor(value*100)),
+    recency exact epoch microseconds, so every rank and sum is
+    bit-identical cross-engine; avg_value is ONE double division.
+
+    Scale shape: one combine-friendly groupBy(user) over the events
+    scan; the three rank windows sort the AGGREGATED |users| relation
+    (orders of magnitude smaller than the event stream), the user count
+    rides a 1-row broadcast, and the output is at most 5^3 cells. At
+    extreme user counts the rank windows would swap for broadcast
+    quantile thresholds — documented, not needed at any tested SF."""
+    us = F.unix_micros(F.col("ts"))
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(us).alias("r_us"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    n = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    ranked = per_user.crossJoin(F.broadcast(n)).select(
+        "cents",
+        F.expr(
+            "((row_number() OVER (ORDER BY r_us DESC, user_id ASC) - 1)"
+            " * 5) div n_users + 1"
+        ).alias("r_score"),
+        F.expr(
+            "((row_number() OVER (ORDER BY freq DESC, user_id ASC) - 1)"
+            " * 5) div n_users + 1"
+        ).alias("f_score"),
+        F.expr(
+            "((row_number() OVER (ORDER BY cents DESC, user_id ASC) - 1)"
+            " * 5) div n_users + 1"
+        ).alias("m_score"),
+    )
+    return ranked.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)) * F.lit(100)).cast("double")
+        ).alias("avg_value"),
     )
 
 

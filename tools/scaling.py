@@ -82,6 +82,7 @@ OPS = [
     "purchase_attribution",
     "flux_state_join",
     "embed_label_noise",
+    "rfm_segments",
     "stream_cms_heavy_hitters",
 ]
 
