@@ -431,6 +431,24 @@ class FluxEngine:
             self._overlaid(stop), tablet_id, start, stop, step, **kw
         )
 
+    def state_join(
+        self,
+        tablets: list[str],
+        height: int,
+        how: str = "inner",
+        **kw,
+    ) -> DataFrame:
+        """Cross-tablet state join over the live store (see
+        operators/temporal.state_join): speculative head-fork rows
+        overlay each tablet's fold exactly as in `state_at`."""
+        from fluxdb_spark.operators import state_join
+
+        spec = self.pipeline.speculative_writes(up_to_height=height)
+        return state_join(
+            self.store.changelog(max_height=height), tablets, height,
+            how=how, speculative=spec, **kw,
+        )
+
     def time_weighted_avg(
         self, tablet_id: str, start: int, stop: int, metric, **kw
     ) -> DataFrame:

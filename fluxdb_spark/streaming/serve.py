@@ -11,6 +11,7 @@ responses instantly (the overlay is driver-state, no restart).
 Routes (GET, query-string params):
 
     /v1/state_at?tablet=T&height=H[&collection=C][&limit=N]
+    /v1/state_join?tablets=T1,T2[,..]&height=H[&how=inner|outer][&collection=C][&limit=N]
     /v1/row_at?tablet=T&height=H&key=K[&collection=C]
     /v1/singlet_at?singlet=S&height=H[&collection=C]
     /v1/singlet_history?singlet=S[&collection=C][&limit=N]
@@ -297,6 +298,7 @@ class QueryServer:
             return json.dumps({"has_rows": ok}), "application/json"
         known = (
             "/v1/state_at",
+            "/v1/state_join",
             "/v1/row_at",
             "/v1/singlet_at",
             "/v1/singlet_history",
@@ -328,6 +330,18 @@ class QueryServer:
         if path == "/v1/state_at":
             df = self.engine.state_at(p["tablet"], _int("height"), **kw)
             df = df.orderBy("primary_key")
+        elif path == "/v1/state_join":
+            tablets = [t for t in p["tablets"].split(",") if t]
+            if len(tablets) < 2:
+                raise BadRequest(
+                    f"tablets must name >= 2 tablets: {p['tablets']!r}"
+                )
+            how = p.get("how", "inner")
+            if how not in ("inner", "outer"):
+                raise BadRequest(f"how must be inner|outer: {how!r}")
+            df = self.engine.state_join(
+                tablets, _int("height"), how=how, **kw
+            )
         elif path == "/v1/row_at":
             df = self.engine.row_at(
                 p["tablet"], _int("height"), p["key"], **kw

@@ -73,6 +73,41 @@ class TestQueryServer:
         vals = {r["primary_key"]: r["value"] for r in got["rows"]}
         assert vals == {"001": "forkB", "002": "other"}
 
+    def test_state_join_route_overlay_and_params(self, engine, server):
+        # a second tablet plus a speculative update to it above the head
+        engine.store.write_batch(
+            engine.spark.createDataFrame(
+                [clrow("tb2", 100, "001", "two", "b100")],
+                CHANGELOG_SCHEMA,
+            )
+        )
+        engine.pipeline.process_new_block(
+            "b101a", 101, "b100",
+            [clrow("tb2", 101, "001", "twoFork", "b101a")],
+        )
+        url = (
+            f"{server.url}/v1/state_join?tablets=tbl,tb2&collection=tst"
+        )
+        got = _get(f"{url}&height=101")
+        rows = {r["primary_key"]: r for r in got["rows"]}
+        # inner: only 001 lives in both; the fork row wins for tb2
+        assert list(rows) == ["001"]
+        assert rows["001"]["tbl_value"] == "base"
+        assert rows["001"]["tb2_value"] == "twoFork"
+        got = _get(f"{url}&height=101&how=outer")
+        rows = {r["primary_key"]: r for r in got["rows"]}
+        assert set(rows) == {"001", "002"}
+        assert rows["002"]["tb2_value"] is None
+        with pytest.raises(HTTPError) as e:
+            _get(f"{url}&height=101&how=bogus")
+        assert e.value.code == 400
+        with pytest.raises(HTTPError) as e:
+            _get(
+                f"{server.url}/v1/state_join?tablets=tbl&height=101"
+                "&collection=tst"
+            )
+        assert e.value.code == 400
+
     def test_row_at_and_checkpoint_and_has_rows(self, engine, server):
         got = _get(
             f"{server.url}/v1/row_at?tablet=tbl&height=100&key=001"
