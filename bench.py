@@ -128,6 +128,8 @@ HEADLINE = [
     "embed_label_noise",
     # RFM quintile segmentation over the per-user aggregate
     "rfm_segments",
+    # C4 blocklist screen, per-source audit rollup
+    "blocklist_audit",
 ]
 
 

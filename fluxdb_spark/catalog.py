@@ -164,6 +164,7 @@ _PRIORITY: list[str] = [
     "flux_state_join",
     "embed_label_noise",
     "rfm_segments",
+    "blocklist_audit",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
@@ -3071,6 +3072,45 @@ def quality_filter(spark, sf_dir):
         rules["ok_mean_len"].alias("ok_mean_len"),
         rules["ok_stopwords"].alias("ok_stopwords"),
         rules["keep"].alias("keep"),
+    )
+
+
+_BLOCKLIST_HITS = tx.sql_marker_hits("text", tx.BLOCKLIST)
+
+_BLOCKLIST_SQL = f"""
+WITH per_doc AS (
+  SELECT source, {_BLOCKLIST_HITS} AS hits FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(hits) AS BIGINT) AS total_hits,
+       CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS flag_rate
+FROM per_doc GROUP BY source
+"""
+
+
+@_q("blocklist_audit", "text", _BLOCKLIST_SQL)
+def blocklist_audit(spark, sf_dir):
+    """C4's blocklist drop rule as a per-source audit: exact-token hit
+    counts ("duplicate" never trips "dup") flag documents map-side at
+    scan speed (functions/text.blocklist_screen, which also applies the
+    drop with keep="clean"); the rollup shows which sources carry the
+    listed words and how hard the rule would bite — the report run
+    BEFORE committing to a drop list. Output is |sources| rows;
+    flag_rate is ONE double division of exact counts."""
+    scr = tx.blocklist_screen(_td(spark, sf_dir))
+    return scr.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("flagged").cast("long")).cast("long").alias(
+            "n_flagged"
+        ),
+        F.sum("blocklist_hits").cast("long").alias("total_hits"),
+        (
+            F.sum(F.col("flagged").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("flag_rate"),
     )
 
 

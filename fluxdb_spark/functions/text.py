@@ -115,6 +115,39 @@ def sql_lang_id(expr: str) -> str:
       ELSE 'und' END"""
 
 
+# --- blocklist screening (C4's "bad words" drop rule) -----------------------
+
+# Demo list over the synthetic vocabulary; production passes its own.
+BLOCKLIST = ["dup", "slow"]
+
+
+def blocklist_screen(
+    docs,
+    blocklist: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "all",
+):
+    """C4's blocklist rule (any document containing a listed word is
+    dropped), as a map-side screen: per document the EXACT-token hit
+    count (no substring matches — "duplicate" never trips "dup") and the
+    flag. `keep="clean"` applies the drop; `keep="all"` returns the
+    audit form. Pure JVM higher-order filter over the token array — the
+    screen runs at scan speed on any corpus size."""
+    if keep not in ("all", "clean"):
+        raise ValueError(f"keep must be all|clean: {keep}")
+    bl = BLOCKLIST if blocklist is None else blocklist
+    hits = marker_hits(F.col(text_col), bl)
+    out = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        *[c for c in docs.columns if c not in (id_col, text_col)],
+        hits.alias("blocklist_hits"),
+        (hits > 0).alias("flagged"),
+    )
+    return out.filter(~F.col("flagged")) if keep == "clean" else out
+
+
 # --- quality filtering (Gopher/C4-style rules) -----------------------------
 
 # Rule thresholds (the Gopher paper's word-level subset; the line/paragraph

@@ -496,3 +496,38 @@ class TestCmsSketch:
         probes = spark.createDataFrame([("zzz-not-present",)], "term string")
         est = cms_estimate(sk, probes, depth=4, width=1024).collect()
         assert est[0].est == 0  # wide sketch, tiny corpus: no collision
+
+
+class TestBlocklistScreen:
+    def test_exact_token_no_substring_and_clean_drop(self, spark):
+        from fluxdb_spark.functions.text import blocklist_screen
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a clean document", "s0"),
+                (1, "this one is dup twice dup", "s0"),
+                (2, "duplicate is not a hit", "s1"),  # substring, no hit
+                (3, "slow at the end slow", "s1"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {r.doc_id: r for r in blocklist_screen(docs).collect()}
+        assert out[0].blocklist_hits == 0 and not out[0].flagged
+        assert out[1].blocklist_hits == 2 and out[1].flagged
+        assert out[2].blocklist_hits == 0 and not out[2].flagged
+        assert out[3].blocklist_hits == 2 and out[3].flagged
+        kept = {
+            r.doc_id
+            for r in blocklist_screen(docs, keep="clean").collect()
+        }
+        assert kept == {0, 2}
+
+    def test_custom_blocklist(self, spark):
+        from fluxdb_spark.functions.text import blocklist_screen
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta", "s")],
+            "doc_id long, text string, source string",
+        )
+        out = blocklist_screen(docs, blocklist=["beta"]).collect()[0]
+        assert out.blocklist_hits == 1 and out.flagged

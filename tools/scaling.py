@@ -83,6 +83,7 @@ OPS = [
     "flux_state_join",
     "embed_label_noise",
     "rfm_segments",
+    "blocklist_audit",
     "stream_cms_heavy_hitters",
 ]
 
