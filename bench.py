@@ -130,6 +130,8 @@ HEADLINE = [
     "rfm_segments",
     # C4 blocklist screen, per-source audit rollup
     "blocklist_audit",
+    # Poisson PPS sampling, map-side token-budgeted draw
+    "pps_sample",
 ]
 
 

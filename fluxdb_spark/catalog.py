@@ -165,6 +165,7 @@ _PRIORITY: list[str] = [
     "embed_label_noise",
     "rfm_segments",
     "blocklist_audit",
+    "pps_sample",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
@@ -3475,6 +3476,18 @@ def stratified_sample(spark, sf_dir):
         {"en": 0.5, "de": 0.35, "fr": 0.25, "es": 0.25, "zh": 0.1},
         key_col="doc_id",
     ).select("doc_id", "lang")
+
+
+@_q("pps_sample", "pipeline", cu.sql_pps_sample(100))
+def pps_sample(spark, sf_dir):
+    """Poisson PPS sampling (inclusion probability proportional to token
+    count, expected ~100 docs' token budget): the variance-reduced draw
+    for token-budgeted subsampling — uniform doc sampling over-represents
+    short documents per token. Map-side with NO global cumulative-weight
+    sort (the classic systematic-PPS bottleneck): threshold =
+    floor(min(1, n*w/W) * 2^60) vs a salted 60-bit hash, W_total on a
+    1-row broadcast; deterministic, nested across n_target changes."""
+    return cu.pps_sample(_td(spark, sf_dir), 100)
 
 
 _DECONTAM_8GRAM = ", ".join(f"t[i+{j}]" for j in range(8))

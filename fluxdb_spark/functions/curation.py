@@ -685,3 +685,84 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
 FROM agreed WHERE agree >= {min_agree}
 GROUP BY 1
 """
+
+
+def pps_sample(
+    docs: DataFrame,
+    n_target: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+    seed: str = "pps",
+) -> DataFrame:
+    """Poisson probability-proportional-to-size sampling: each document's
+    inclusion probability is min(1, n_target * w / W_total), so longer
+    documents (or any supplied weight) are proportionally likelier and
+    the expected sample size is ~n_target tokens' worth of documents —
+    the variance-reduced way to draw a token-budgeted subsample, versus
+    uniform sampling that over-represents short docs per token.
+
+    Deterministic and engine-portable with NO global sort (classic
+    systematic PPS needs a corpus-wide cumulative-weight order; Poisson
+    PPS is map-side): include iff hash60(id) < floor(min(1, p) * 2^60).
+    The threshold math is (exact int) * (one IEEE division) * (a power
+    of two, i.e. an exponent shift) -> floor, every step reproduced
+    bit-identically by the SQL twin; W_total rides a 1-row broadcast.
+    Re-running with a larger n_target only ADDS documents (nested
+    samples, same property as stratified_sample)."""
+    w = (
+        F.col(weight_col)
+        if weight_col
+        else token_count(F.col(text_col))
+    ).cast("long")
+    # plan aliases qualify the refs: both crossJoin branches derive from
+    # `docs`, and the self-derived join otherwise leaves `__w` ambiguous
+    base = docs.select("*", w.alias("__w")).alias("__l")
+    tot = (
+        docs.select(w.alias("__wt"))
+        .agg(F.sum("__wt").alias("__W"))
+        .alias("__r")
+    )
+    thresh = F.floor(
+        F.least(
+            (
+                F.lit(n_target).cast("double")
+                * F.col("__l.__w").cast("double")
+            )
+            / F.col("__r.__W").cast("double"),
+            F.lit(1.0),
+        )
+        * F.lit(float(2**60))
+    ).cast("long")
+    h = hash60(F.col(f"__l.{id_col}").cast("string"), seed)
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .filter(h < thresh)
+        .select(
+            F.col(f"__l.{id_col}").alias(id_col),
+            F.col("__l.__w").alias("weight"),
+            thresh.alias("threshold"),
+        )
+    )
+
+
+def sql_pps_sample(
+    n_target: int,
+    seed: str = "pps",
+    weight_expr: str | None = None,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of `pps_sample` (token_count weight by default)."""
+    w = weight_expr or "len(string_split(text, ' '))"
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""
+WITH b AS (SELECT doc_id, CAST({w} AS BIGINT) AS w FROM {source}),
+t AS (SELECT sum(w) AS wtot FROM b),
+s AS (SELECT doc_id, w,
+        CAST(floor(least(CAST({n_target} AS DOUBLE) * CAST(w AS DOUBLE)
+                           / CAST(wtot AS DOUBLE), 1.0)
+                   * 1152921504606846976.0) AS BIGINT) AS threshold
+      FROM b, t)
+SELECT doc_id, w AS weight, threshold
+FROM s WHERE {h} < threshold
+"""

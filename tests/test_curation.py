@@ -371,3 +371,31 @@ class TestDecontaminateFuzzy:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+class TestPpsSample:
+    def test_nested_and_clamped_and_deterministic(self, spark):
+        from fluxdb_spark.functions.curation import pps_sample
+
+        rows = [(i, " ".join(["w"] * (5 + i % 20))) for i in range(200)]
+        # one giant doc: weight far above W/n -> probability clamps at 1
+        rows.append((999, " ".join(["w"] * 100000)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        small = {r.doc_id for r in pps_sample(df, 10).collect()}
+        big = {r.doc_id for r in pps_sample(df, 50).collect()}
+        assert 999 in small  # clamped inclusion
+        assert small <= big  # nested samples
+        again = {r.doc_id for r in pps_sample(df, 10).collect()}
+        assert small == again  # deterministic
+
+    def test_weight_col_override(self, spark):
+        from fluxdb_spark.functions.curation import pps_sample
+
+        df = spark.createDataFrame(
+            [(1, "x", 1), (2, "x", 1000000)],
+            "doc_id long, text string, prio long",
+        )
+        out = {r.doc_id: r for r in
+               pps_sample(df, 1, weight_col="prio").collect()}
+        # doc 2 holds ~all the weight -> clamped in; doc 1 near-zero prob
+        assert 2 in out and out[2].weight == 1000000

@@ -84,6 +84,7 @@ OPS = [
     "embed_label_noise",
     "rfm_segments",
     "blocklist_audit",
+    "pps_sample",
     "stream_cms_heavy_hitters",
 ]
 
