@@ -132,6 +132,8 @@ HEADLINE = [
     "blocklist_audit",
     # Poisson PPS sampling, map-side token-budgeted draw
     "pps_sample",
+    # streaming-maintained per-user RFM profile + serving rollup
+    "stream_rfm",
 ]
 
 

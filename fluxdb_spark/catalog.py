@@ -166,6 +166,7 @@ _PRIORITY: list[str] = [
     "rfm_segments",
     "blocklist_audit",
     "pps_sample",
+    "stream_rfm",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
@@ -2760,18 +2761,23 @@ def rfm_segments(spark, sf_dir):
     rides a 1-row broadcast, and the output is at most 5^3 cells. At
     extreme user counts the rank windows would swap for broadcast
     quantile thresholds — documented, not needed at any tested SF."""
+    per_user = _rfm_per_user(_t(spark, sf_dir, "events"))
+    return _rfm_rollup(per_user)
+
+
+def _rfm_per_user(ev):
+    """The algebraic per-user profile (max / count / sum of exact ints) —
+    shared by the batch entry and the streaming maintainer."""
     us = F.unix_micros(F.col("ts"))
-    per_user = (
-        _t(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.max(us).alias("r_us"),
-            F.count(F.lit(1)).cast("long").alias("freq"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
-                "cents"
-            ),
-        )
+    return ev.groupBy("user_id").agg(
+        F.max(us).alias("r_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
     )
+
+
+def _rfm_rollup(per_user):
+    """Quintile scoring + segment rollup over the per-user relation."""
     n = per_user.agg(F.count(F.lit(1)).alias("n_users"))
     ranked = per_user.crossJoin(F.broadcast(n)).select(
         "cents",
@@ -2795,6 +2801,39 @@ def rfm_segments(spark, sf_dir):
             / (F.count(F.lit(1)) * F.lit(100)).cast("double")
         ).alias("avg_value"),
     )
+
+
+@_q("stream_rfm", "streaming", _RFM_SQL)
+def stream_rfm(spark, sf_dir):
+    """STREAMING RFM: the per-user (recency, frequency, monetary)
+    profile maintained by Structured Streaming — all three aggregates
+    are algebraic (max / count / sum of exact integers), so the
+    micro-batch merge IS the profile update and state is one row per
+    user forever: the standing profile-store shape, vs re-scanning the
+    event history per report. Quintile scoring + segment rollup run
+    serving-side on the standing table, exactly as `rfm_segments`
+    computes them on a batch scan — and the streaming-maintained result
+    hash-matches the same SQL twin."""
+    import uuid
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    per_user = _rfm_per_user(normalize_event_ts(raw))
+    name = f"stream_rfm_{uuid.uuid4().hex[:8]}"
+    q = (
+        per_user.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _rfm_rollup(spark.table(name))
 
 
 @_q(
