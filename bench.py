@@ -134,6 +134,8 @@ HEADLINE = [
     "pps_sample",
     # streaming-maintained per-user RFM profile + serving rollup
     "stream_rfm",
+    # event-type transition matrix (path flows)
+    "event_transitions",
 ]
 
 

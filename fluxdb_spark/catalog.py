@@ -166,6 +166,7 @@ _PRIORITY: list[str] = [
     "rfm_segments",
     "blocklist_audit",
     "pps_sample",
+    "event_transitions",
     "stream_rfm",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
@@ -2800,6 +2801,55 @@ def _rfm_rollup(per_user):
             F.sum("cents").cast("double")
             / (F.count(F.lit(1)) * F.lit(100)).cast("double")
         ).alias("avg_value"),
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+t AS (SELECT prev_type, event_type AS next_type FROM seq
+      WHERE prev_type IS NOT NULL),
+n AS (SELECT count(*) AS n_total FROM t)
+SELECT prev_type, next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(*) AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+FROM t, n GROUP BY prev_type, next_type, n_total
+"""
+
+
+@_q("event_transitions", "relational", _TRANSITIONS_SQL)
+def event_transitions(spark, sf_dir):
+    """Event-type transition matrix (user-path flow analysis): for every
+    consecutive pair of events within a user's timeline, count
+    prev_type -> next_type — the Markov view of product flows that
+    funnel/retention/sessionization don't give. One user_id window
+    shuffle ordered by (ts, event_id) — a total order, so the lag is
+    deterministic — into a |types|^2-row rollup; share is ONE double
+    division of exact counts against a 1-row broadcast total."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    n = seq.agg(F.count(F.lit(1)).alias("n_total")).alias("__r")
+    return (
+        seq.alias("__l")
+        .crossJoin(F.broadcast(n))
+        .groupBy("prev_type", "next_type", "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
     )
 
 

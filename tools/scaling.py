@@ -85,6 +85,7 @@ OPS = [
     "rfm_segments",
     "blocklist_audit",
     "pps_sample",
+    "event_transitions",
     "stream_rfm",
     "stream_cms_heavy_hitters",
 ]
