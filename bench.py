@@ -136,6 +136,8 @@ HEADLINE = [
     "stream_rfm",
     # event-type transition matrix (path flows)
     "event_transitions",
+    # ANALYZE-style per-column table profile in one scan
+    "table_profile",
 ]
 
 

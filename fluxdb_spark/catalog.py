@@ -167,6 +167,7 @@ _PRIORITY: list[str] = [
     "blocklist_audit",
     "pps_sample",
     "event_transitions",
+    "table_profile",
     "stream_rfm",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
@@ -4627,6 +4628,117 @@ def semi_anti_join(spark, sf_dir):
             F.lit("without_orders").alias("tag"), "n"
         )
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "ts"),
+]
+
+_PROFILE_SQL = """
+SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+  CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+  CAST(min(o_custkey) AS DOUBLE) AS min_num, CAST(max(o_custkey) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_totalprice' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+  CAST(min(o_totalprice) AS DOUBLE) AS min_num, CAST(max(o_totalprice) AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+  min(o_orderstatus) AS min_str, max(o_orderstatus) AS max_str,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_distinct,
+  min(o_orderpriority) AS min_str, max(o_orderpriority) AS max_str,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+FROM orders
+UNION ALL
+SELECT 'o_orderdate' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT o_orderdate) AS BIGINT) AS n_distinct,
+  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_str, strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_str,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num
+FROM orders
+"""
+
+
+@_q("table_profile", "relational", _PROFILE_SQL)
+def table_profile(spark, sf_dir):
+    """ANALYZE-style table profile: per column, row/null/exact-distinct
+    counts plus min/max (numeric columns as doubles — data values, so
+    bit-identical; string columns binary-collated; timestamps formatted)
+    — the stats pass a query planner or a data-quality monitor runs
+    before anything else. ONE scan: all columns' counts and extrema fold
+    in a single aggregation (the multi-distinct EXPAND multiplies rows
+    by |profiled columns| map-side — the standard profiling trade; at
+    extreme widths you swap the distinct counts for the HLL estimator
+    this catalog also ships); the long form is an explode of the 1-row
+    aggregate, |cols| output rows."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = o.agg(*aggs)
+
+    def row(c, kind):
+        null_s = F.lit(None).cast("string")
+        null_d = F.lit(None).cast("double")
+        if kind == "num":
+            ms, xs = null_s, null_s
+            mn = F.col(f"mn_{c}").cast("double")
+            mx = F.col(f"mx_{c}").cast("double")
+        elif kind == "str":
+            ms, xs = F.col(f"mn_{c}"), F.col(f"mx_{c}")
+            mn, mx = null_d, null_d
+        else:
+            fmt = "yyyy-MM-dd HH:mm:ss"
+            ms = F.date_format(F.col(f"mn_{c}"), fmt)
+            xs = F.date_format(F.col(f"mx_{c}"), fmt)
+            mn, mx = null_d, null_d
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col(f"null_{c}").cast("long").alias("n_null"),
+            F.col(f"nd_{c}").cast("long").alias("n_distinct"),
+            ms.alias("min_str"),
+            xs.alias("max_str"),
+            mn.alias("min_num"),
+            mx.alias("max_num"),
+        )
+
+    return one.select(
+        F.explode(
+            F.array(*[row(c, k) for c, k in _PROFILE_COLS])
+        ).alias("s")
+    ).select("s.*")
+
 
 
 @_q(

@@ -86,6 +86,7 @@ OPS = [
     "blocklist_audit",
     "pps_sample",
     "event_transitions",
+    "table_profile",
     "stream_rfm",
     "stream_cms_heavy_hitters",
 ]
