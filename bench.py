@@ -138,6 +138,8 @@ HEADLINE = [
     "event_transitions",
     # ANALYZE-style per-column table profile in one scan
     "table_profile",
+    # asymmetric containment near-dup (one-sided prefix filter)
+    "dedup_containment",
 ]
 
 

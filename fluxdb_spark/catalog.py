@@ -168,6 +168,7 @@ _PRIORITY: list[str] = [
     "pps_sample",
     "event_transitions",
     "table_profile",
+    "dedup_containment",
     "stream_rfm",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
@@ -3359,6 +3360,19 @@ def dedup_ngram(spark, sf_dir):
     """N-gram (3-word shingle) Jaccard near-dup pairs at >= 0.8."""
     d = _t(spark, sf_dir, "documents")
     return dd.jaccard_pairs(d, 0.8)
+
+
+@_q("dedup_containment", "pipeline", dd.sql_containment(0.8))
+def dedup_containment(spark, sf_dir):
+    """Shingle-set CONTAINMENT pairs at >= 0.8 — the asymmetric near-dup
+    measure that catches a short document pasted inside a long one
+    (containment ~1.0 where Jaccard is tiny, so `dedup_ngram` never
+    surfaces it). Exact via ONE-SIDED prefix filtering: the smaller
+    set's rare-first prefix joins the full shingle index
+    (functions/dedup.containment_pairs); the oracle is the naive
+    equi-join normalized by the smaller set."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(d, 0.8)
 
 
 def _neardup_probe_sql(probe_max: int = 50) -> str:

@@ -894,3 +894,107 @@ def simhash_col(text: Column, bits: int = 32) -> Column:
         F.split(F.lower(text), " "), lambda t: hash60(t)
     )
     return F.element_at(F.transform(F.array(hashes), _fp), 1)
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """All pairs with shingle-set CONTAINMENT |A∩B| / min(|A|,|B|) >=
+    threshold — the asymmetric near-dup measure: a short document pasted
+    inside a long one scores containment ~1.0 while its Jaccard is tiny,
+    so a Jaccard threshold (`jaccard_pairs`) never surfaces it. EXACT,
+    like the Jaccard form, via one-sided prefix filtering: a qualifying
+    pair must share >= ceil(t*|S|) shingles with S the smaller side, so
+    if none of S's first |S| - ceil(t*|S|) + 1 rarest shingles hits the
+    OTHER doc's full shingle set, the pair cannot qualify — the prefix
+    of the SMALL side joins the FULL index (the larger side cannot be
+    prefix-filtered without knowing its partner's size). Hot shingles
+    sort to the back of every prefix, so the join's candidate space is
+    sum_s freq_full(s) * freq_prefix(s), not freq^2.
+
+    Output (d1, d2, containment) with d1 the smaller set (ties to the
+    lower id). Verification is an exact array_intersect per candidate.
+    """
+    with_sh = (
+        spread(docs)
+        .select(
+            F.col(id_col), word_shingles(F.col("text")).alias("shingles")
+        )
+        .localCheckpoint()  # same branch-race note as jaccard_pairs
+    )
+    sh = with_sh.select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    ).select(F.col(id_col), F.xxhash64("s").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(dfreq, on="shingle")
+    w_ord = Window.partitionBy(id_col).orderBy("df", "shingle")
+    w_all = Window.partitionBy(id_col)
+    sized = ranked.select(
+        F.col(id_col),
+        "shingle",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    prefix = sized.filter(
+        F.col("rn")
+        <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select(F.col(id_col), "shingle", "n")
+    full = sized.select(F.col(id_col), "shingle", "n")
+    a = prefix.alias("a")  # prefix side = the SMALLER set of the pair
+    b = full.alias("b")
+    cand = (
+        a.join(b, on="shingle")
+        .filter(
+            (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (
+                (F.col("a.n") < F.col("b.n"))
+                | (
+                    (F.col("a.n") == F.col("b.n"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                )
+            )
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+        )
+        .distinct()
+    )
+    va = with_sh.select(
+        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1")
+    )
+    vb = with_sh.select(
+        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2")
+    )
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    return (
+        cand.join(va, on="d1")
+        .join(vb, on="d2")
+        .withColumn(
+            "containment", F.round(inter / F.size("sh1"), 4)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("d1", "d2", "containment")
+    )
+
+
+def sql_containment(threshold: float, n: int = SHINGLE_WORDS) -> str:
+    """DuckDB twin of `containment_pairs`: the naive shingle equi-join
+    normalized by the smaller set, d1 = smaller (ties to lower id)."""
+    return f"""
+WITH {sql_shingles_ctes(n)},
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND da < db)
+              THEN da ELSE db END AS d1,
+         CASE WHEN sa.n < sb.n OR (sa.n = sb.n AND da < db)
+              THEN db ELSE da END AS d2,
+         round(inter * 1.0 / least(sa.n, sb.n), 4) AS containment
+  FROM inter
+  JOIN shsize sa ON sa.doc_id = da
+  JOIN shsize sb ON sb.doc_id = db)
+SELECT d1, d2, containment FROM scored WHERE containment >= {threshold}
+"""

@@ -235,6 +235,79 @@ def test_jaccard_prefix_filter_is_lossless(spark, docs, threshold):
     assert got == want
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=3,
+            max_size=12,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_containment_prefix_filter_is_lossless(spark, docs, threshold):
+    """The one-sided (smaller-set) prefix filter must find EVERY pair at
+    containment >= threshold, against a brute-force python model."""
+    from fluxdb_spark.functions.dedup import (
+        containment_pairs,
+        SHINGLE_WORDS,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.d1, r.d2): r.containment
+        for r in containment_pairs(df, threshold).collect()
+    }
+
+    def shingles(t):
+        toks = t.lower().split(" ")
+        return {
+            " ".join(toks[i : i + SHINGLE_WORDS])
+            for i in range(len(toks) - SHINGLE_WORDS + 1)
+        }
+
+    want = {}
+    for i in range(len(docs)):
+        for j in range(len(docs)):
+            if i == j:
+                continue
+            a, b = shingles(docs[i]), shingles(docs[j])
+            if not a or not b:
+                continue
+            # d1 = smaller set, ties to lower id
+            if (len(a), i) >= (len(b), j):
+                continue
+            c = round(len(a & b) / len(a), 4)
+            if c >= threshold:
+                want[(i, j)] = c
+    assert got == want
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc pasted inside a long one: containment 1.0, Jaccard far
+    below threshold — the asymmetric measure's whole point."""
+    from fluxdb_spark.functions.dedup import containment_pairs, jaccard_pairs
+
+    short = "aa bb cc dd"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, short), (1, long)], "doc_id long, text string"
+    )
+    cont = {(r.d1, r.d2): r.containment
+            for r in containment_pairs(df, 0.8).collect()}
+    assert cont == {(0, 1): 1.0}
+    assert jaccard_pairs(df, 0.8).count() == 0
+
+
 # --- round-3 corpus operators: model equivalence on random corpora ---------
 
 

@@ -87,6 +87,7 @@ OPS = [
     "pps_sample",
     "event_transitions",
     "table_profile",
+    "dedup_containment",
     "stream_rfm",
     "stream_cms_heavy_hitters",
 ]
