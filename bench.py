@@ -140,6 +140,8 @@ HEADLINE = [
     "table_profile",
     # asymmetric containment near-dup (one-sided prefix filter)
     "dedup_containment",
+    # k-sigma anomaly flags over state series (exact-integer test)
+    "flux_series_anomalies",
 ]
 
 

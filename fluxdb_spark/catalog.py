@@ -169,6 +169,7 @@ _PRIORITY: list[str] = [
     "event_transitions",
     "table_profile",
     "dedup_containment",
+    "flux_series_anomalies",
     "stream_rfm",
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
@@ -451,6 +452,55 @@ def flux_series_similarity(spark, sf_dir):
     a client-side join per candidate)."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.series_similarity(log, "click", "3", 100, 900, 50, k=10)
+
+
+@_q(
+    "flux_series_anomalies",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900
+), v AS (
+  SELECT *, lead(height, 1, 901) OVER (
+              PARTITION BY primary_key ORDER BY height) AS next_h
+  FROM scoped
+), iv AS (
+  SELECT *,
+         100 + ((greatest(height - 100, 0) + 49) // 50) * 50 AS g_lo,
+         least(next_h - 1, 900) AS g_hi
+  FROM v WHERE NOT is_deletion
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS as_of_height, primary_key,
+         CAST(json_extract_string(value, '$.k') AS BIGINT) AS x
+  FROM iv, unnest(generate_series(g_lo, g_hi, 50)) AS t(g)
+  WHERE g_lo <= g_hi
+), stats AS (
+  SELECT primary_key, as_of_height, x,
+         CAST(count(*) OVER w AS BIGINT) AS n_points,
+         CAST(sum(x) OVER w AS BIGINT) AS s,
+         CAST(sum(x * x) OVER w AS BIGINT) AS ss
+  FROM grid WINDOW w AS (PARTITION BY primary_key))
+SELECT primary_key, as_of_height, x, n_points,
+       (n_points * x - s) * (n_points * x - s) AS dev_sq_n2,
+       4 * (n_points * ss - s * s) AS var_bound_n2
+FROM stats
+WHERE n_points >= 3
+  AND (n_points * x - s) * (n_points * x - s)
+      > 4 * (n_points * ss - s * s)
+""",
+)
+def flux_series_anomalies(spark, sf_dir):
+    """Temporal anomaly detection: grid points in a key's own state
+    history more than 2 sigma from that key's series mean, over the
+    click tablet's heights 100..900 step 50. The sigma test is the
+    EQUIVALENT exact-integer inequality (n*x - sum)^2 > 4*(n*sumsq -
+    sum^2) — no sqrt, no float accumulation, bit-identical flags on
+    both engines (operators/temporal.series_anomalies). One scan: the
+    state_series grid window and the per-key stats window share the
+    same partitioning."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.series_anomalies(log, "click", 100, 900, 50)
 
 
 @_q(

@@ -501,3 +501,71 @@ def state_join(
         cols.append(F.when(live[i], F.col(f"_s_{i}.height")).alias(f"{t}_height"))
         cols.append(F.when(live[i], F.col(f"_s_{i}.value")).alias(f"{t}_value"))
     return agg.filter(keep).select(*cols).orderBy("primary_key")
+
+
+def series_anomalies(
+    changelog: DataFrame,
+    tablet_id: str,
+    start: int,
+    stop: int,
+    step: int,
+    k_sigma: int = 2,
+    metric_json_field: str = "k",
+    min_points: int = 3,
+    collection: str | None = None,
+) -> DataFrame:
+    """Anomalous grid points in every key's own state history: flag
+    (key, as_of_height) where the metric deviates more than k_sigma
+    standard deviations from that key's series mean — temporal
+    monitoring over the same one-scan grid as `state_series`.
+
+    Exactness: |x - mean| > k*sigma is evaluated as the EQUIVALENT
+    integer inequality (n*x - sum)^2 > k^2 * (n*sumsq - sum^2) — both
+    sides exact int64 (multiply through by n^2), so there is no sqrt,
+    no float accumulation, and the flag set is bit-identical on any
+    engine and any partitioning. Keys with fewer than `min_points`
+    grid points are skipped (a 1-point series has zero variance and
+    everything would pass).
+
+    Scale shape: one per-key window shuffle builds the grid
+    (state_series) and a second analytic window over the same
+    partitioning computes (n, sum, sumsq) — Catalyst reuses the
+    partitioning, so the history shuffles once; the flag itself is
+    map-side arithmetic.
+    """
+    grid = state_series(
+        changelog, tablet_id, start, stop, step, collection=collection
+    ).select(
+        "as_of_height",
+        "primary_key",
+        F.get_json_object("value", f"$.{metric_json_field}")
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.partitionBy("primary_key")
+    stats = grid.select(
+        "primary_key",
+        "as_of_height",
+        "x",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_points"),
+        F.sum("x").over(w).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("ss"),
+    )
+    dev = F.col("n_points") * F.col("x") - F.col("s")
+    lhs = dev * dev
+    rhs = F.lit(int(k_sigma * k_sigma)) * (
+        F.col("n_points") * F.col("ss") - F.col("s") * F.col("s")
+    )
+    return (
+        stats.filter(
+            (F.col("n_points") >= min_points) & (lhs > rhs)
+        )
+        .select(
+            "primary_key",
+            "as_of_height",
+            "x",
+            "n_points",
+            lhs.alias("dev_sq_n2"),
+            rhs.alias("var_bound_n2"),
+        )
+    )

@@ -412,3 +412,39 @@ class TestStateJoin:
 
         plan = state_join(self._log(mk), ["a", "b"], 50)._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan
+
+
+class TestSeriesAnomalies:
+    def test_spike_flagged_constants_not(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.operators.temporal import series_anomalies
+
+        # key a: constant 5 -> zero variance, nothing flagged
+        # key b: five 10s then 100 -> spike at sqrt(5) sigma, flagged
+        # (with n-1 constants + 1 outlier the outlier sits at exactly
+        # sqrt(n-1) sigma, so n=5 would land ON the 2-sigma boundary
+        # and the strict > correctly leaves it unflagged)
+        rows = [("tst", "tbl", h, "a", '{"k": 5}') for h in
+                range(10, 61, 10)]
+        rows += [("tst", "tbl", h, "b", '{"k": 10}') for h in
+                 range(10, 51, 10)]
+        rows += [("tst", "tbl", 60, "b", '{"k": 100}')]
+        log = make_changelog(spark, rows)
+        out = series_anomalies(log, "tbl", 10, 60, 10).collect()
+        flagged = {(r.primary_key, r.as_of_height, r.x) for r in out}
+        assert flagged == {("b", 60, 100)}
+        # exact integers: n=6, s=150, ss=10500
+        r = out[0]
+        assert r.n_points == 6
+        assert r.dev_sq_n2 == (6 * 100 - 150) ** 2
+        assert r.var_bound_n2 == 4 * (6 * 10500 - 150 * 150)
+
+    def test_min_points_guard(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.operators.temporal import series_anomalies
+
+        # 2 grid points only -> below min_points, never flagged
+        rows = [("tst", "tbl", 10, "a", '{"k": 1}'),
+                ("tst", "tbl", 20, "a", '{"k": 1000}')]
+        log = make_changelog(spark, rows)
+        assert series_anomalies(log, "tbl", 10, 20, 10).count() == 0

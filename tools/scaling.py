@@ -88,6 +88,7 @@ OPS = [
     "event_transitions",
     "table_profile",
     "dedup_containment",
+    "flux_series_anomalies",
     "stream_rfm",
     "stream_cms_heavy_hitters",
 ]
