@@ -267,6 +267,7 @@ def state_series(
     stop: int,
     step: int,
     collection: str | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Snapshot TIME SERIES: the tablet's full state at every grid height
     start, start+step, ..., stop — in ONE scan of the changelog.
@@ -304,7 +305,7 @@ def state_series(
             f"DIV {step} AS BIGINT) * {step}"
         ),
     ).withColumn("_g_hi", F.least(F.col("_next_h") - 1, F.lit(stop)))
-    return (
+    out = (
         v.filter(F.col("_g_lo") <= F.col("_g_hi"))
         .select(
             F.explode(
@@ -314,8 +315,12 @@ def state_series(
             "height",
             "value",
         )
-        .orderBy("as_of_height", "primary_key")
     )
+    # ordered=False keeps the per-key hash partitioning for composers
+    # (series_anomalies' stats window, series_similarity's groupBy): the
+    # presentation sort is a range-partitioning Exchange that would force
+    # the downstream operator to reshuffle what is already co-located.
+    return out.orderBy("as_of_height", "primary_key") if ordered else out
 
 
 def time_weighted_avg(
@@ -404,7 +409,8 @@ def series_similarity(
     Returns (primary_key, n_common, dist, rank).
     """
     grid = state_series(
-        changelog, tablet_id, start, stop, step, collection=collection
+        changelog, tablet_id, start, stop, step, collection=collection,
+        ordered=False,
     ).select(
         "as_of_height",
         "primary_key",
@@ -534,7 +540,8 @@ def series_anomalies(
     map-side arithmetic.
     """
     grid = state_series(
-        changelog, tablet_id, start, stop, step, collection=collection
+        changelog, tablet_id, start, stop, step, collection=collection,
+        ordered=False,
     ).select(
         "as_of_height",
         "primary_key",
