@@ -182,6 +182,78 @@ def test_range_join_matches_naive(spark, points, intervals, width):
     assert got == want
 
 
+# --- cross-tablet state join: model equivalence ------------------------------
+
+
+@st.composite
+def two_tablet_changelogs(draw):
+    rows = []
+    for tab in ("ta", "tb"):
+        cells = draw(
+            st.lists(
+                st.tuples(st.sampled_from(PKS), st.sampled_from(HEIGHTS)),
+                min_size=0,
+                max_size=10,
+                unique=True,
+            )
+        )
+        for pk, h in cells:
+            is_del = draw(st.booleans())
+            rows.append(
+                (
+                    "tst", tab, h, pk,
+                    None if is_del else f"v{tab}{h}{pk}",
+                    is_del, f"{h:08x}", h,
+                )
+            )
+    return rows
+
+
+def _model_live(rows, tab, height):
+    latest = {}
+    for r in sorted(rows, key=lambda r: r[2]):
+        if r[1] == tab and r[2] <= height:
+            latest[r[3]] = r
+    return {
+        r[3]: (r[2], r[4]) for r in latest.values() if not r[5]
+    }
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=two_tablet_changelogs(),
+    height=st.sampled_from(HEIGHTS),
+    how=st.sampled_from(["inner", "outer"]),
+)
+def test_state_join_matches_model(mk_df, rows, height, how):
+    """state_join ≡ per-tablet LWW model + python-side join semantics,
+    for random histories with tombstones in both tablets."""
+    from fluxdb_spark.operators.temporal import state_join
+
+    got = {
+        r.primary_key: (r.ta_height, r.ta_value, r.tb_height, r.tb_value)
+        for r in state_join(
+            mk_df(rows), ["ta", "tb"], height, how=how,
+            collection="tst",
+        ).collect()
+    }
+    a = _model_live(rows, "ta", height)
+    b = _model_live(rows, "tb", height)
+    keys = set(a) & set(b) if how == "inner" else set(a) | set(b)
+    want = {
+        k: (
+            a.get(k, (None, None))[0], a.get(k, (None, None))[1],
+            b.get(k, (None, None))[0], b.get(k, (None, None))[1],
+        )
+        for k in keys
+    }
+    assert got == want
+
+
 # --- prefix-filtered Jaccard: lossless vs brute force -----------------------
 
 
