@@ -439,6 +439,19 @@ class TestSeriesAnomalies:
         assert r.dev_sq_n2 == (6 * 100 - 150) ** 2
         assert r.var_bound_n2 == 4 * (6 * 10500 - 150 * 150)
 
+    def test_exact_two_sigma_boundary_unflagged(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.operators.temporal import series_anomalies
+
+        # 4 constants + 1 outlier: the outlier sits at exactly
+        # sqrt(n-1) = 2 sigma, and the strict > must NOT flag it —
+        # the integer test has no epsilon to blur the boundary.
+        rows = [("tst", "tbl", h, "b", '{"k": 10}') for h in
+                range(10, 41, 10)]
+        rows += [("tst", "tbl", 50, "b", '{"k": 100}')]
+        log = make_changelog(spark, rows)
+        assert series_anomalies(log, "tbl", 10, 50, 10).count() == 0
+
     def test_min_points_guard(self, spark):
         from tests.conftest import make_changelog
         from fluxdb_spark.operators.temporal import series_anomalies
