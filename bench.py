@@ -188,6 +188,12 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Detailed line first (full per-query breakdown for humans / archives),
+    # then a short total-only line LAST on stdout: the driver tail-captures
+    # a bounded window and the detailed line outgrew it at ~80 queries
+    # (BENCH_r09 recorded parsed:null).  The last parseable JSON line is
+    # what gets recorded, so the compact one must be final.
     print(
         json.dumps(
             {
@@ -195,7 +201,19 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    sys.stdout.flush()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(times),
+                "sf": sf_val,
             }
         )
     )

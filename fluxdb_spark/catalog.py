@@ -64,99 +64,22 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-9 window (driver checks exactly the first 50 entries per
-    # round): positions 1-N are the NEW round-9 entries (they need their
-    # first driver row); then epoch_shuffle (added r08 after that window
-    # was already full); then the r06-green entries whose newest row is
-    # oldest; the window closes with the front of the r07-green block.
-    # The r08-green entries (checked last round, freshest rows) moved to
-    # the back; the remaining r07-green entries at position 51+ lead the
-    # r10 window, preserving the invariant "every entry has a driver row
-    # within 3 rounds".  NOTE (late r9): 11 more entries were built after
-    # the rotation (binary ANN pair, fuzzy decontam, BPE family, HLL,
-    # PCA, HDR quantiles) and prepended here — they plus epoch_shuffle
-    # and the 32 r06-green rows fill the 50 window almost exactly, so
-    # the r07-green block below the fold leads the r10 window.
-    # -- new round-9 entries land here --
+    # Round-10 window (driver checks exactly the first 50 entries per
+    # round).  Composition, per VERDICT r9 task 3:
+    #   1-2   the two PQ entries re-pinned after the oracle dtype fix
+    #         (CAST(adist AS BIGINT) in sql_pq_topk) -- they burned r9
+    #         slots but went red on the HUGEINT->float64 artifact;
+    #   3-17  the 15 late-r9 entries that have never had a driver row
+    #         (each locally oracle-matched in pytest every run);
+    #   18-19 unpivot_pricing + session_windows, whose newest rows were
+    #         r06-stale (siblings pivot_status/sessionization are fresh);
+    #   20-50 the first 31 of the 49 r07-green entries (oldest remaining
+    #         rows).  The other 18 r07-greens lead the r11 window along
+    #         with any entries added in round 10; after this round no
+    #         entry's newest row is older than r07 and no entry is
+    #         driver-unchecked.
     "embed_topk_pq",
-    "dsir_select",
-    "perplexity_buckets",
-    "cms_heavy_hitters",
     "embed_topk_pq_materialized",
-    "embed_topk_binary",
-    "decontaminate_fuzzy",
-    "bpe_train",
-    "bpe_encode",
-    "embed_topk_binary_materialized",
-    "hll_distinct",
-    "embed_pca_project",
-    "hdr_quantiles",
-    "bpe_encode_materialized",
-    "bpe_fertility",
-    "flux_series_similarity",
-    "embed_hard_negatives",
-    "stream_hll_distinct",
-    # -- held over from round 8 (that window was already full)
-    "epoch_shuffle",
-    # -- r06-green entries (oldest rows in the catalog)
-    "stream_sessionize",
-    "sessionization",
-    "source_caps",
-    "lm_score",
-    "chunk_dedup",
-    "heavy_hitters",
-    "flux_state_at_ignore_range",
-    "flux_collection_state",
-    "token_budget_mix",
-    "skew_salted_join",
-    "tpch_q1",
-    "tpch_q12",
-    "dedup_exact",
-    "dedup_ngram",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "embed_topk",
-    "embed_neardup",
-    "embed_ann_lsh",
-    "embed_ann_ivf_exact",
-    "text_stats",
-    "text_quality",
-    "quality_filter",
-    "repetition_stats",
-    "pii_scrub",
-    "doc_fingerprint",
-    "decontaminate",
-    "seq_packing",
-    # ---- position 51+ from here: leads the r10 window ----
-    # The 18 new round-9 entries + epoch_shuffle + the 31 r06-green rows
-    # above fill the 50 slots exactly; everything below waits for r10.
-    # -- front of the r07-green block (oldest rows below the fold)
-    "flux_state_series",
-    "flux_time_weighted",
-    "asof_join_nearest",
-    "asof_join_tolerance",
-    "window_frames",
-    "typed_view_protobuf_nested",
-    "bm25_rank",
-    "bm25_multi",
-    "embed_kmeans",
-    "embed_topk_quantized",
-    "hybrid_rrf",
-    "cluster_balanced_sample",
-    "temperature_mix",
-    "length_buckets",
-    "curation_pipeline",
-    "hash_split",
-    # -- never-driver-checked entries built after the r9 window filled
-    # (interval_overlap_join .. stream_cms_heavy_hitters): each is
-    # locally oracle-matched in pytest every run; they take their first
-    # driver row in r10.  unpivot_pricing and session_windows are the
-    # two entries whose rows go 4 rounds stale; each has a sibling with
-    # a fresh row over the same machinery (pivot_status r08;
-    # sessionization r09).
     "interval_overlap_join",
     "event_funnel",
     "cohort_retention",
@@ -174,7 +97,22 @@ _PRIORITY: list[str] = [
     "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
-    # -- remaining r07-green entries
+    "flux_state_series",
+    "flux_time_weighted",
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    "window_frames",
+    "typed_view_protobuf_nested",
+    "bm25_rank",
+    "bm25_multi",
+    "embed_kmeans",
+    "embed_topk_quantized",
+    "hybrid_rrf",
+    "cluster_balanced_sample",
+    "temperature_mix",
+    "length_buckets",
+    "curation_pipeline",
+    "hash_split",
     "text_normalize",
     "doc_chunking",
     "multimodal_meta",
@@ -190,6 +128,10 @@ _PRIORITY: list[str] = [
     "flux_singlet_history",
     "flux_checkpoint",
     "asof_join",
+    # ---- position 51+ from here: leads the r11 window ----
+    # Remaining 18 r07-green entries first, then entries added in round
+    # 10 (first driver row in r11), then the r08-green block, and the
+    # r09-green block (freshest rows) at the very back.
     "asof_join_generic",
     "range_join_incidents",
     "multimodal_frames",
@@ -208,7 +150,6 @@ _PRIORITY: list[str] = [
     "running_total",
     "topk_orders",
     "set_ops",
-    # -- r08-green entries (checked last round; freshest rows, go last)
     "embed_quantize",
     "semi_anti_join",
     "scalar_subquery",
@@ -259,6 +200,54 @@ _PRIORITY: list[str] = [
     "stream_tumbling",
     "stream_dedup",
     "stream_stream_join",
+    "dsir_select",
+    "perplexity_buckets",
+    "cms_heavy_hitters",
+    "embed_topk_binary",
+    "decontaminate_fuzzy",
+    "bpe_train",
+    "bpe_encode",
+    "embed_topk_binary_materialized",
+    "hll_distinct",
+    "embed_pca_project",
+    "hdr_quantiles",
+    "bpe_encode_materialized",
+    "bpe_fertility",
+    "flux_series_similarity",
+    "embed_hard_negatives",
+    "stream_hll_distinct",
+    "epoch_shuffle",
+    "stream_sessionize",
+    "sessionization",
+    "source_caps",
+    "lm_score",
+    "chunk_dedup",
+    "heavy_hitters",
+    "flux_state_at_ignore_range",
+    "flux_collection_state",
+    "token_budget_mix",
+    "skew_salted_join",
+    "tpch_q1",
+    "tpch_q12",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embed_topk",
+    "embed_neardup",
+    "embed_ann_lsh",
+    "embed_ann_ivf_exact",
+    "text_stats",
+    "text_quality",
+    "quality_filter",
+    "repetition_stats",
+    "pii_scrub",
+    "doc_fingerprint",
+    "decontaminate",
+    "seq_packing",
 ]
 
 

@@ -1529,7 +1529,8 @@ ad AS (SELECT q0.query_id, x0.vec_id AS match_id, {adist} AS adist
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY adist, match_id) AS rank
            FROM ad)
-SELECT query_id, match_id, adist, CAST(rank AS BIGINT) AS rank
+SELECT query_id, match_id, CAST(adist AS BIGINT) AS adist,
+       CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
     )
