@@ -2761,48 +2761,69 @@ def cohort_retention(spark, sf_dir):
     )
 
 
-_RFM_SQL = """
-WITH per_user AS (
+def _rfm_sql() -> str:
+    """DuckDB twin of `rfm_segments` / `stream_rfm`: the same HDR-bucket
+    quintile scoring, spelled with the shared bucket arithmetic from
+    functions/text (the proven-cross-engine `hdr_quantiles` mapping)."""
+    rb = tx._hdr_idx_sql("mx_us - r_us")
+    fb = tx._hdr_idx_sql("freq")
+    mb = tx._hdr_idx_sql("greatest(cents, 0)")
+    return f"""
+WITH per_user AS MATERIALIZED (
   SELECT user_id,
          max(epoch_us(ts)) AS r_us,
          CAST(count(*) AS BIGINT) AS freq,
          sum(CAST(floor(value * 100) AS BIGINT)) AS cents
   FROM events GROUP BY user_id),
+mx AS (SELECT max(r_us) AS mx_us FROM per_user),
 n AS (SELECT count(*) AS n_users FROM per_user),
-ranked AS (
-  SELECT cents,
-    ((row_number() OVER (ORDER BY r_us DESC, user_id) - 1) * 5)
-      // n_users + 1 AS r_score,
-    ((row_number() OVER (ORDER BY freq DESC, user_id) - 1) * 5)
-      // n_users + 1 AS f_score,
-    ((row_number() OVER (ORDER BY cents DESC, user_id) - 1) * 5)
-      // n_users + 1 AS m_score
-  FROM per_user, n)
+pb AS MATERIALIZED (
+  SELECT cents, {rb} AS rb, {fb} AS fb, {mb} AS mb
+  FROM per_user, mx),
+rt AS (SELECT b, CAST((cb * 5) // n_users + 1 AS BIGINT) AS r_score FROM (
+         SELECT rb AS b, sum(count(*)) OVER (ORDER BY rb) - count(*) AS cb
+         FROM pb GROUP BY rb), n),
+ft AS (SELECT b, CAST((cb * 5) // n_users + 1 AS BIGINT) AS f_score FROM (
+         SELECT fb AS b, sum(count(*)) OVER (ORDER BY fb DESC) - count(*) AS cb
+         FROM pb GROUP BY fb), n),
+mt AS (SELECT b, CAST((cb * 5) // n_users + 1 AS BIGINT) AS m_score FROM (
+         SELECT mb AS b, sum(count(*)) OVER (ORDER BY mb DESC) - count(*) AS cb
+         FROM pb GROUP BY mb), n)
 SELECT r_score, f_score, m_score,
        CAST(count(*) AS BIGINT) AS n_users,
        CAST(sum(cents) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE)
          AS avg_value
-FROM ranked GROUP BY 1, 2, 3
+FROM pb
+JOIN rt ON rt.b = pb.rb
+JOIN ft ON ft.b = pb.fb
+JOIN mt ON mt.b = pb.mb
+GROUP BY 1, 2, 3
 """
+
+
+_RFM_SQL = _rfm_sql()
 
 
 @_q("rfm_segments", "relational", _RFM_SQL)
 def rfm_segments(spark, sf_dir):
     """RFM user segmentation (recency / frequency / monetary quintiles),
     the fourth classic events analytic beside sessionization, funnel and
-    retention. Quintiles are RANK-based over a deterministic total order
-    (metric DESC, user_id ASC -> floor((rank-1)*5/n) + 1), not ntile —
-    ntile's tie placement depends on input order and would not be
-    engine-portable. Money is exact integer cents (floor(value*100)),
-    recency exact epoch microseconds, so every rank and sum is
-    bit-identical cross-engine; avg_value is ONE double division.
+    retention. Quintiles are RANK-based through the HDR bucket sketch
+    (score = users-in-strictly-better-buckets * 5 div n + 1, every user
+    in a bucket shares its score) — deterministic and engine-portable,
+    unlike ntile whose tie placement depends on input order. Money is
+    exact integer cents (floor(value*100)), recency exact age in epoch
+    microseconds from the corpus max, so every bucket id, cumulative
+    count and sum is bit-identical cross-engine; avg_value is ONE double
+    division.
 
     Scale shape: one combine-friendly groupBy(user) over the events
-    scan; the three rank windows sort the AGGREGATED |users| relation
-    (orders of magnitude smaller than the event stream), the user count
-    rides a 1-row broadcast, and the output is at most 5^3 cells. At
-    extreme user counts the rank windows would swap for broadcast
-    quantile thresholds — documented, not needed at any tested SF."""
+    scan; the per-dimension histograms are combine-friendly groupBys
+    over the <= ~64*2^HDR_B bucket space, the cumulative quintile scan
+    orders only those sketch relations, scores join back by broadcast,
+    and the output is at most 5^3 cells. No unpartitioned sort anywhere
+    (the previous version's three global rank windows were one-task
+    sorts at 10^9 users)."""
     per_user = _rfm_per_user(_t(spark, sf_dir, "events"))
     return _rfm_rollup(per_user)
 
@@ -2819,24 +2840,60 @@ def _rfm_per_user(ev):
 
 
 def _rfm_rollup(per_user):
-    """Quintile scoring + segment rollup over the per-user relation."""
+    """Quintile scoring + segment rollup over the per-user relation,
+    scored through the HDR bucket sketch (functions/text `_hdr_idx_expr`
+    — the same proven-cross-engine mapping as `hdr_quantiles`):
+
+    1. map per-user metrics to HDR buckets (recency as AGE from the
+       corpus-max timestamp so the log-scale resolution applies to "how
+       long ago", not to the epoch;  ~3% relative error per bucket);
+    2. one combine-friendly groupBy per dimension over the bucket space
+       (<= ~64*2^HDR_B rows however many users exist);
+    3. the cumulative scan + quintile threshold runs on those sketch
+       relations — `score = (users_in_strictly_better_buckets * 5)
+       div n_users + 1`, every user in a bucket shares its score;
+    4. scores join back by BROADCAST on the bucket id.
+
+    No unpartitioned sort anywhere: the former version ranked every
+    user through three `row_number() OVER (ORDER BY ...)` windows — a
+    one-task sort per dimension at 10^9 users (the r9 verdict's named
+    scale-killer).  The window below orders only the aggregated bucket
+    histograms."""
+    per_user = per_user.localCheckpoint(eager=False)
+    mx = per_user.agg(F.max("r_us").alias("mx_us"))
     n = per_user.agg(F.count(F.lit(1)).alias("n_users"))
-    ranked = per_user.crossJoin(F.broadcast(n)).select(
+    pb = per_user.crossJoin(F.broadcast(mx)).select(
         "cents",
-        F.expr(
-            "((row_number() OVER (ORDER BY r_us DESC, user_id ASC) - 1)"
-            " * 5) div n_users + 1"
-        ).alias("r_score"),
-        F.expr(
-            "((row_number() OVER (ORDER BY freq DESC, user_id ASC) - 1)"
-            " * 5) div n_users + 1"
-        ).alias("f_score"),
-        F.expr(
-            "((row_number() OVER (ORDER BY cents DESC, user_id ASC) - 1)"
-            " * 5) div n_users + 1"
-        ).alias("m_score"),
+        F.expr(tx._hdr_idx_expr("mx_us - r_us")).alias("rb"),
+        F.expr(tx._hdr_idx_expr("freq")).alias("fb"),
+        F.expr(tx._hdr_idx_expr("greatest(cents, 0)")).alias("mb"),
     )
-    return ranked.groupBy("r_score", "f_score", "m_score").agg(
+
+    def _tiers(col, asc, score_name):
+        hist = pb.groupBy(F.col(col).alias("b")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy(F.asc("b") if asc else F.desc("b")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return (
+            hist.withColumn("cb", F.sum("cnt").over(w) - F.col("cnt"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("b").alias(col),
+                F.expr("(cb * 5) div n_users + 1").alias(score_name),
+            )
+        )
+
+    rt = _tiers("rb", True, "r_score")
+    ft = _tiers("fb", False, "f_score")
+    mt = _tiers("mb", False, "m_score")
+    scored = (
+        pb.join(F.broadcast(rt), "rb")
+        .join(F.broadcast(ft), "fb")
+        .join(F.broadcast(mt), "mb")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         (
             F.sum("cents").cast("double")

@@ -280,3 +280,27 @@ class TestWholeCatalogAntiPatterns:
             if bad:
                 offenders[name] = bad
         assert not offenders, offenders
+
+
+class TestSketchTieredScoringPlans:
+    """rfm_segments and perplexity_buckets were the r9 verdict's two named
+    scale-killers: data-proportional rank windows with no (or skewed)
+    partitioning — one task sorts 10^9 users / the dominant language.
+    Both now score through the HDR bucket sketch; the ONLY rank machinery
+    allowed in their plans is the cumulative sum over the bounded bucket
+    histograms.  Pin that: no row_number/ntile anywhere in the physical
+    plan (the old shapes), and the tier relations join back by broadcast."""
+
+    @pytest.mark.parametrize("name", ["rfm_segments", "perplexity_buckets"])
+    def test_no_per_row_rank_window(self, spark, specs, name):
+        p = plan_of(spark, specs, name)
+        assert "row_number" not in p, f"{name}: per-row rank window came back"
+        assert "ntile" not in p, f"{name}: ntile came back"
+
+    @pytest.mark.parametrize("name", ["rfm_segments", "perplexity_buckets"])
+    def test_tiers_join_back_by_broadcast(self, spark, specs, name):
+        p = plan_of(spark, specs, name)
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p, (
+            f"{name}: tier join fell back to a shuffle join"
+        )
