@@ -5603,26 +5603,32 @@ def embed_ann_ivf_materialized(spark, sf_dir):
     sim.sql_pq_topk(m=4, ks=8, iters=2, k=10),
 )
 def embed_topk_pq_materialized(spark, sf_dir):
-    """`embed_topk_pq` as a STANDING SERVICE: codebooks are trained once
-    on the store's live corpus, the PQ codes table (m codeword ids per
-    vector — the 64x-compressed corpus) is maintained by the row-wise
-    IVM maintainer, and queries scan codes + codebook literals, never
-    the float vectors. Encoding is the same exact integer argmin on both
-    paths, so this is bit-identical to the recompute form (same
+    """`embed_topk_pq` as a STANDING SERVICE: codebooks are trained ONCE
+    on the store's live corpus and frozen to the `_pq_books.json`
+    sidecar (`rt.save_pq_books` — same swap-surviving model sidecar as
+    the k-means centroids and BPE merges); the PQ codes table (m
+    codeword ids per vector — the 64x-compressed corpus) is maintained
+    by the row-wise IVM maintainer in a PERSISTENT service directory
+    beside the store, so repeat calls load the frozen model and
+    catch-up-refresh the codes table instead of re-running 8 sub-kmeans
+    trainings + a full rebuild. Queries scan codes + codebook literals,
+    never the float vectors. Encoding is the same exact integer argmin
+    on both paths, so this is bit-identical to the recompute form (same
     oracle)."""
     import os
-    import shutil
-    import tempfile
 
     from fluxdb_spark.streaming import retrieval as rt
 
     store = _mat_store_vecs(spark, sf_dir)
-    live = rt.lww_latest(
-        rt.vector_relation(store.changelog()), ["vec_id"]
-    ).select("vec_id", "embedding")
-    books = sim.pq_codebooks(live, m=4, ks=8, iters=2)
-    qroot = tempfile.mkdtemp(prefix="fluxdb-matq-")
-    dest, ck = os.path.join(qroot, "pq"), os.path.join(qroot, "ck")
+    svc = os.path.join(os.path.dirname(str(store.root)), "pq_svc")
+    dest, ck = os.path.join(svc, "pq"), os.path.join(svc, "ck")
+    books = rt.load_pq_books(dest)
+    if books is None:
+        live = rt.lww_latest(
+            rt.vector_relation(store.changelog()), ["vec_id"]
+        ).select("vec_id", "embedding")
+        books = sim.pq_codebooks(live, m=4, ks=8, iters=2)
+        rt.save_pq_books(dest, books)
     rt.refresh(
         spark, str(store.root), dest, rt.pq_codes_transform(books), ck
     )
@@ -5630,15 +5636,13 @@ def embed_topk_pq_materialized(spark, sf_dir):
         "vec_id", "codes"
     )
     e = _t(spark, sf_dir, "embeddings")
-    out = (
+    return (
         sim.pq_topk_from_codes(
             codes, e.filter(F.col("vec_id") < 5), books, k=10
         )
         .withColumn("rank", F.col("rank").cast("long"))
         .localCheckpoint()
     )
-    shutil.rmtree(qroot, ignore_errors=True)
-    return out
 
 
 @_q("neardup_probe_materialized", "pipeline", _neardup_probe_sql())
