@@ -145,47 +145,75 @@ HEADLINE = [
 ]
 
 
+# Queries per SparkSession. The round-9 run (85 queries, 5 streaming
+# lifecycles, several store ingests in ONE session) showed ~1.3-1.5x
+# uniform drag on untouched cheap queries vs round 8 — session-lifetime
+# accumulation (block-manager storage from localCheckpoints, streaming
+# state, shuffle dirs, heap pressure), not plan regressions.  Chunked
+# sessions bound that accumulation: each chunk gets a fresh context (the
+# per-chunk ~15s startup + sf0.001 plan warm-up happens OUTSIDE timing),
+# while on-disk state that legitimately amortizes (ingested changelog
+# stores, frozen model sidecars) survives across chunks via
+# _MAT_STORE_CACHE's filesystem paths.
+CHUNK = 20
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="fluxdb_spark_bench")
-    specs = {s.name: s for s in catalog()}
-
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup.
-    specs["flux_checkpoint"].spark(spark, sf_dir).collect()
-
-    # Warm each plan's generated code at the smallest SF: janino/JIT compile
-    # of a plan is a per-plan constant (seconds for the big expression trees)
-    # that amortizes to zero on a long-running cluster — time steady state.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        try:
-            specs[name].spark(spark, warm_dir).count()
-        except Exception:
-            pass
-
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = specs[name].spark
-        best, n = float("inf"), 0
-        # min of 2 runs: single-JVM timings carry multi-second GC/scheduling
-        # noise; the minimum is the steady-state cost a cluster would see.
-        # Cache is cleared per run so operators that persist intermediates
-        # pay for them inside their own timing. A query still slow after
-        # two runs gets a third: shared-host CPU throttling has produced
-        # 10x+ one-off swings, and one more sample usually recovers the
-        # steady state.
-        for run in range(3):
-            if run == 2 and best < 2.0:
-                break
-            spark.catalog.clearCache()
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count() if name != "bench_collect" else len(df.collect())
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    chunks = [HEADLINE[i : i + CHUNK] for i in range(0, len(HEADLINE), CHUNK)]
+    for ci, chunk in enumerate(chunks):
+        spark = get_spark(app_name=f"fluxdb_spark_bench_{ci}")
+        specs = {s.name: s for s in catalog()}
+
+        # Warm the JVM + parquet footers so per-query numbers measure the
+        # query, not session startup.
+        specs["flux_checkpoint"].spark(spark, sf_dir).collect()
+
+        # Warm each plan's generated code at the smallest SF: janino/JIT
+        # compile of a plan is a per-plan constant (seconds for the big
+        # expression trees) that amortizes to zero on a long-running
+        # cluster — time steady state.
+        for name in chunk:
+            try:
+                specs[name].spark(spark, warm_dir).count()
+            except Exception:
+                pass
+
+        for name in chunk:
+            fn = specs[name].spark
+            best, n = float("inf"), 0
+            # min of 2 runs: single-JVM timings carry multi-second
+            # GC/scheduling noise; the minimum is the steady-state cost a
+            # cluster would see. Cache is cleared per run so operators
+            # that persist intermediates pay for them inside their own
+            # timing. A query still slow after two runs gets a third:
+            # shared-host CPU throttling has produced 10x+ one-off
+            # swings, and one more sample usually recovers the steady
+            # state.
+            for run in range(3):
+                if run == 2 and best < 2.0:
+                    break
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = (
+                    df.count()
+                    if name != "bench_collect"
+                    else len(df.collect())
+                )
+                best = min(best, time.time() - t0)
+                # Drop the py4j reference promptly so the ContextCleaner
+                # can release localCheckpoint blocks before the next run.
+                del df
+                import gc
+
+                gc.collect()
+            times[name] = round(best, 3)
+            print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        spark.stop()
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
