@@ -142,6 +142,10 @@ HEADLINE = [
     "dedup_containment",
     # k-sigma anomaly flags over state series (exact-integer test)
     "flux_series_anomalies",
+    # round-10 additions: exact-substring duplicated spans (ExactSubstr,
+    # span-level dedup) and KMV distinct-set algebra (audience overlap)
+    "dedup_spans",
+    "kmv_set_overlap",
 ]
 
 

@@ -150,6 +150,10 @@ _PRIORITY: list[str] = [
     "running_total",
     "topk_orders",
     "set_ops",
+    # -- entries added in round 10 (first driver row in r11)
+    "dedup_spans",
+    "kmv_set_overlap",
+    # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
     "scalar_subquery",
@@ -3471,6 +3475,21 @@ def dedup_containment(spark, sf_dir):
     return dd.containment_pairs(d, 0.8)
 
 
+@_q("dedup_spans", "pipeline", dd.sql_duplicated_spans())
+def dedup_spans(spark, sf_dir):
+    """Exact-substring duplicated SPANS (Lee et al. 2021, ExactSubstr):
+    the maximal token ranges whose content occurs >= 2 times anywhere in
+    the corpus — boilerplate headers, license blocks, templated
+    paragraphs — reported per document so a pipeline can CUT the spans
+    and keep the document, the remedy document-level dedup can't offer.
+    The paper's suffix array becomes positional fixed-width shingles +
+    a corpus-wide occurrence count on the shingle hash + a per-document
+    gaps-and-islands interval merge; all-integer, bit-deterministic
+    (functions/dedup.duplicated_spans)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.duplicated_spans(d)
+
+
 def _neardup_probe_sql(probe_max: int = 50) -> str:
     """DuckDB twin of `dedup.minhash_probe_candidates` with probes taken
     from the corpus itself (doc_id < probe_max): same signature pipeline
@@ -3774,6 +3793,25 @@ def embed_pca_project(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     comp = sim.pca_power_component(e)
     return sim.pca_project(e, comp)
+
+
+@_q("kmv_set_overlap", "pipeline", tx.sql_kmv_set_overlap())
+def kmv_set_overlap(spark, sf_dir):
+    """K-minimum-values DISTINCT-SET ALGEBRA (Beyer et al. 2007; the
+    Druid/DataSketches theta-sketch use case): distinct-user overlap
+    between every pair of event types, estimated from per-type sketches
+    of the 128 smallest key hashes, beside the exact join answer — the
+    fourth sketch in the family and the one HLL can't replace (its
+    registers union, but intersections need inclusion-exclusion with
+    compounding error; KMV's union sketch is computable from the two
+    sketches alone, so intersection estimates are first-class).
+    k-smallest per type compiles to a partial WindowGroupLimit (each
+    map task forwards <= k rows per type); sketch relations are
+    |types| * k rows and all pair math joins by broadcast; estimates
+    are a fixed exact-int -> double chain, identical in the SQL twin,
+    so even the floats hash-match (functions/text.kmv_set_overlap)."""
+    ev = _t(spark, sf_dir, "events")
+    return tx.kmv_set_overlap(ev)
 
 
 @_q("hll_distinct", "pipeline", tx.sql_hll_distinct())

@@ -998,3 +998,148 @@ scored AS (
   JOIN shsize sb ON sb.doc_id = db)
 SELECT d1, d2, containment FROM scored WHERE containment >= {threshold}
 """
+
+
+# --- exact-substring duplicated spans ----------------------------------------
+#
+# The span-level member of the dedup family (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better", ExactSubstr):
+# instead of scoring documents as wholes (Jaccard / containment /
+# MinHash / SimHash), find the maximal token RANGES whose content occurs
+# at least twice anywhere in the corpus — boilerplate headers, license
+# blocks, templated paragraphs — so a pipeline can cut the spans and keep
+# the document. The suffix-array construction of the paper is replaced by
+# the DataFrame-native equivalent: positional fixed-width shingles, a
+# corpus-wide occurrence count on the shingle hash, and a per-document
+# interval merge of the duplicated positions (gaps-and-islands).
+# Reference parity note: fluxdb has no text analytics at all; this is
+# part of the beyond-reference training-data layer (SURVEY §2.8).
+
+SPAN_WIDTH = 8
+
+
+def positional_shingles(text: Column, n: int = SPAN_WIDTH) -> Column:
+    """ALL n-word shingles of lowercased text in position order (no
+    array_distinct — positions matter here). Same one-bind token-array
+    trick as `word_shingles` (binding `split()` once per row; inlining it
+    into the lambda re-splits the doc per shingle per referenced token)."""
+
+    def _shingles(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1), F.lit(1))
+        body = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+        )
+        return F.when(F.size(toks) >= n, body).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(F.split(F.lower(text), " ")), _shingles), 1
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    width: int = SPAN_WIDTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    (doc_id, span_start, span_end, span_tokens, n_hits).
+
+    1. positional shingles -> (doc, pos, hash60(shingle)): map-side
+       explode, like every shingle operator here;
+    2. duplicated hashes = groupBy(hash) HAVING count > 1 — combine-
+       friendly, the shuffle carries |distinct shingles| counts, never
+       positions; a shingle repeated WITHIN one document counts too
+       (the paper's definition: any second occurrence is a duplicate);
+    3. occurrences of duplicated shingles = semi-join positions against
+       the duplicated-hash relation (equi-join on the 8-byte hash);
+    4. per-document interval merge: two duplicated starts p < p' belong
+       to one span when p' - p <= width (their windows overlap or
+       touch); island ids from one per-document window (partitionBy doc
+       — never a global sort), span_end = max(start) + width - 1.
+
+    All-integer, so spans are bit-deterministic cross-engine. Scale
+    shape: the only data-proportional shuffles are the hash groupBy and
+    the hash semi-join (both on the 8-byte key); the interval merge
+    shuffles only duplicated positions, partitioned by document."""
+    pos = spread(docs).select(
+        F.col(id_col),
+        F.posexplode(positional_shingles(F.col(text_col), width)).alias(
+            "pos0", "shingle"
+        ),
+    ).select(
+        F.col(id_col),
+        (F.col("pos0") + 1).alias("pos"),
+        hash60(F.col("shingle")).alias("h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h")
+    )
+    occ = pos.join(dup, "h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = occ.select(
+        F.col(id_col),
+        "pos",
+        F.sum(
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) <= width, F.lit(0)
+            ).otherwise(F.lit(1))
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(width - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+            "n_hits",
+        )
+    )
+
+
+def sql_duplicated_spans(width: int = SPAN_WIDTH) -> str:
+    """DuckDB twin of `duplicated_spans` (same hash, same interval
+    merge)."""
+    parts = ", ".join(f"t[i+{j}]" for j in range(width))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+              FROM documents),
+pos AS (
+  SELECT doc_id, i AS pos,
+         {hash60_sql(f"concat_ws(' ', {parts})")} AS h
+  FROM toks, UNNEST(range(1, len(t) - {width - 2})) AS u(i)
+  WHERE len(t) >= {width}),
+dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 1),
+occ AS (SELECT doc_id, pos FROM pos WHERE h IN (SELECT h FROM dup)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) <= {width}
+              THEN 0 ELSE 1 END AS is_new
+  FROM occ),
+islands AS (
+  SELECT doc_id, pos,
+         sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM marked)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {width - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {width - 1} - min(pos) + 1 AS BIGINT) AS span_tokens,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM islands GROUP BY doc_id, island
+"""

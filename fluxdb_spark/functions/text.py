@@ -462,15 +462,19 @@ def perplexity_buckets(
     dominant language of a real corpus in ONE task's sort (the r9
     verdict's named scale-killer); no data-proportional sort remains."""
     scored = bigram_lm_scores(docs, id_col, text_col)
+    si = docs.select(id_col, lang_col).join(scored, id_col).withColumn(
+        "__si", F.expr("CAST(round(-avg_logp * 10000) AS BIGINT)")
+    )
+    # Center the bucket key at the per-language BEST score (smallest
+    # __si): bigram-LM scores cluster in a band far from zero, where
+    # log-scale buckets are ~3% of the MAGNITUDE and the whole band
+    # lands in 2-3 buckets; keyed by distance-from-best, resolution is
+    # ~3% of the distance instead (exact below 64) — same re-centering
+    # as rfm_segments' recency-as-age.
+    best = si.groupBy(lang_col).agg(F.min("__si").alias("__si0"))
     base = (
-        docs.select(id_col, lang_col)
-        .join(scored, id_col)
-        .withColumn(
-            "__pb",
-            F.expr(
-                _hdr_idx_expr("CAST(round(-avg_logp * 10000) AS BIGINT)")
-            ),
-        )
+        si.join(F.broadcast(best), lang_col)
+        .withColumn("__pb", F.expr(_hdr_idx_expr("__si - __si0")))
         .localCheckpoint(eager=False)
     )
     hist = base.groupBy(lang_col, "__pb").agg(
@@ -499,12 +503,17 @@ def perplexity_buckets(
 def sql_perplexity_buckets(n_tiles: int = 3) -> str:
     """DuckDB twin of `perplexity_buckets` (SQL_BIGRAM_LM composed with
     the same per-language HDR-bucket tier assignment)."""
-    pb = _hdr_idx_sql("CAST(round(-l.avg_logp * 10000) AS BIGINT)")
+    pb = _hdr_idx_sql("si - si0")
     return f"""
 WITH lm AS ({SQL_BIGRAM_LM}),
-base AS MATERIALIZED (
-  SELECT l.doc_id, d.lang, l.n_bigrams, l.avg_logp, {pb} AS pb
+si AS MATERIALIZED (
+  SELECT l.doc_id, d.lang, l.n_bigrams, l.avg_logp,
+         CAST(round(-l.avg_logp * 10000) AS BIGINT) AS si
   FROM lm l JOIN documents d USING (doc_id)),
+best AS (SELECT lang, min(si) AS si0 FROM si GROUP BY lang),
+base AS MATERIALIZED (
+  SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logp, {pb} AS pb
+  FROM si s JOIN best USING (lang)),
 nl AS (SELECT lang, count(*) AS n_lang FROM base GROUP BY lang),
 hist AS (SELECT lang, pb, CAST(count(*) AS BIGINT) AS cnt
          FROM base GROUP BY 1, 2),
@@ -1507,4 +1516,229 @@ exact AS (SELECT {group}, CAST(count(DISTINCT {key}) AS BIGINT)
                  AS exact_distinct
           FROM {source} GROUP BY 1)
 SELECT * FROM est JOIN exact USING ({group})
+"""
+
+
+# --- K-minimum-values sketch: distinct-set OPERATIONS ------------------------
+#
+# The fourth sketch in the family (CMS: frequencies, HLL: distinct
+# counts, HDR: quantiles) and the one the others can't replace: KMV
+# keeps the k smallest hash values of a set, and because "k smallest of
+# A ∪ B" is computable from the two sketches alone, it supports SET
+# ALGEBRA — union/intersection/Jaccard estimates between groups —
+# where HLL gives only per-group cardinality (its registers union but
+# intersections need inclusion-exclusion with compounding error).
+# The audience-overlap question ("how many distinct users did BOTH
+# event types?") is exactly the theta-sketch use case in Druid/DataSketches;
+# this is the DataFrame-native, engine-portable rebuild: hash60 keys,
+# k-smallest via a rank-<=-k window (compiles to a partial
+# WindowGroupLimit — each map task ships at most k rows per group), and
+# all-integer sketch contents so estimates are bit-deterministic.
+
+KMV_K = 128
+_KMV_SPACE = float(1 << 60)  # hash60 values are uniform in [0, 2^60)
+
+
+def kmv_sketches(
+    rows, group_col: str = "event_type", key: Column | str = "user_id"
+):
+    """The (g, h, rn) sketch relation: per group, the KMV_K smallest
+    distinct hash60 values of the key, rank-numbered 1..k by h.
+
+    Scale shape: the distinct() is a combine-friendly (g, h) groupBy;
+    the rank window's `rn <= k` filter compiles to a partial
+    WindowGroupLimit, so each map task forwards at most k rows per
+    group into the g-shuffle — a mega-group cannot flood a reducer."""
+    c = F.col(key) if isinstance(key, str) else key
+    dh = rows.select(
+        F.col(group_col).alias("g"), hash60(c.cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    return (
+        dh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+    )
+
+
+def kmv_set_overlap(
+    rows, group_col: str = "event_type", key: Column | str = "user_id"
+):
+    """Distinct-key overlap between every pair of groups, estimated from
+    KMV sketches and reported BESIDE the exact answer (the
+    validation shape of `cms_heavy_hitters` / `hdr_quantiles` — run it
+    before trusting the bounded-memory path at scale):
+
+    (type_a, type_b, k_union, matches, est_union, est_intersection,
+     exact_a, exact_b, exact_overlap)
+
+    The union sketch of a pair is the k smallest of the two sketches'
+    union (the KMV closure property — computable without the raw sets);
+    `matches` counts union-sketch members present in BOTH single-group
+    sketches, `est_intersection = (matches / k_u) * est_union` (Beyer
+    et al. 2007). When the union sketch is not full (k_u < k) the union
+    estimate IS the exact union size. Every estimate is a fixed chain
+    of exact-integer -> double ops, identical text in the SQL twin, so
+    even the floats hash-match cross-engine.
+
+    Scale shape: sketches are <= |groups| * k rows however many keys
+    exist; the pair relation is |groups|^2 and joins the sketch
+    relation by BROADCAST; only the exact-baseline columns touch
+    corpus-sized relations (one distinct + one equi-join on the key)."""
+    key_c = F.col(key) if isinstance(key, str) else key
+    sk = kmv_sketches(rows, group_col, key).localCheckpoint(eager=False)
+    types = sk.select("g").distinct()
+    pairs = (
+        types.select(F.col("g").alias("ga"))
+        .join(
+            F.broadcast(types.select(F.col("g").alias("gb"))),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    tagged = (
+        sk.join(F.broadcast(pairs), F.col("g") == F.col("ga"))
+        .select("ga", "gb", "h", "g")
+        .unionByName(
+            sk.join(F.broadcast(pairs), F.col("g") == F.col("gb")).select(
+                "ga", "gb", "h", "g"
+            )
+        )
+    )
+    u = tagged.groupBy("ga", "gb", "h").agg(
+        F.max(F.when(F.col("g") == F.col("ga"), 1).otherwise(0)).alias(
+            "in_a"
+        ),
+        F.max(F.when(F.col("g") == F.col("gb"), 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    usk = u.withColumn("urn", F.row_number().over(wu)).filter(
+        F.col("urn") <= KMV_K
+    )
+    est = usk.groupBy("ga", "gb").agg(
+        F.max("urn").cast("long").alias("k_union"),
+        F.max("h").alias("h_k"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("matches"),
+    )
+    raw_u = (
+        F.when(F.col("k_union") < KMV_K, F.col("k_union").cast("double"))
+        .otherwise(
+            (F.col("k_union") - 1).cast("double")
+            * F.lit(_KMV_SPACE)
+            / F.col("h_k").cast("double")
+        )
+    )
+    est = est.select(
+        "ga",
+        "gb",
+        "k_union",
+        "matches",
+        F.round(raw_u, 4).alias("est_union"),
+        F.round(
+            (F.col("matches").cast("double") / F.col("k_union").cast("double"))
+            * raw_u,
+            4,
+        ).alias("est_intersection"),
+    )
+    du = rows.select(
+        F.col(group_col).alias("g"), key_c.alias("u")
+    ).distinct().localCheckpoint(eager=False)
+    exact_g = du.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exact_ov = (
+        du.alias("a")
+        .join(
+            du.alias("b"),
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("ga"), F.col("b.g").alias("gb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    return (
+        est.join(exact_ov, ["ga", "gb"], "left")
+        .join(
+            F.broadcast(exact_g.select(F.col("g").alias("ga"),
+                                       F.col("n").alias("exact_a"))),
+            "ga",
+        )
+        .join(
+            F.broadcast(exact_g.select(F.col("g").alias("gb"),
+                                       F.col("n").alias("exact_b"))),
+            "gb",
+        )
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            "k_union",
+            "matches",
+            "est_union",
+            "est_intersection",
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("exact_overlap"), F.lit(0))
+            .cast("long")
+            .alias("exact_overlap"),
+        )
+    )
+
+
+def sql_kmv_set_overlap(
+    source: str = "events",
+    group: str = "event_type",
+    key: str = "user_id",
+) -> str:
+    """DuckDB twin of `kmv_set_overlap` (same hash, same rank cuts, the
+    estimate chain in the same textual op order)."""
+    h = hash60_sql(f"CAST({key} AS VARCHAR)")
+    return f"""
+WITH dh AS (SELECT DISTINCT {group} AS g, {h} AS h FROM {source}),
+sk AS (SELECT g, h, rn FROM (
+         SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+         FROM dh) WHERE rn <= {KMV_K}),
+types AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM types a JOIN types b ON a.g < b.g),
+tagged AS (
+  SELECT p.ga, p.gb, s.h, s.g FROM pairs p JOIN sk s ON s.g = p.ga
+  UNION ALL
+  SELECT p.ga, p.gb, s.h, s.g FROM pairs p JOIN sk s ON s.g = p.gb),
+u AS (SELECT ga, gb, h,
+             max(CASE WHEN g = ga THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN g = gb THEN 1 ELSE 0 END) AS in_b
+      FROM tagged GROUP BY 1, 2, 3),
+usk AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h)
+                      AS urn
+          FROM u) WHERE urn <= {KMV_K}),
+est0 AS (SELECT ga, gb,
+                CAST(max(urn) AS BIGINT) AS k_union,
+                max(h) AS h_k,
+                CAST(sum(in_a * in_b) AS BIGINT) AS matches
+         FROM usk GROUP BY 1, 2),
+est AS (SELECT ga, gb, k_union, matches,
+               round(CASE WHEN k_union < {KMV_K}
+                          THEN CAST(k_union AS DOUBLE)
+                          ELSE CAST(k_union - 1 AS DOUBLE) * {_KMV_SPACE!r}
+                               / CAST(h_k AS DOUBLE) END, 4) AS est_union,
+               round((CAST(matches AS DOUBLE) / CAST(k_union AS DOUBLE))
+                     * CASE WHEN k_union < {KMV_K}
+                            THEN CAST(k_union AS DOUBLE)
+                            ELSE CAST(k_union - 1 AS DOUBLE) * {_KMV_SPACE!r}
+                                 / CAST(h_k AS DOUBLE) END, 4)
+                 AS est_intersection
+        FROM est0),
+du AS (SELECT DISTINCT {group} AS g, {key} AS u FROM {source}),
+exact_g AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY 1),
+exact_ov AS (SELECT a.g AS ga, b.g AS gb,
+                    CAST(count(*) AS BIGINT) AS exact_overlap
+             FROM du a JOIN du b ON a.u = b.u AND a.g < b.g
+             GROUP BY 1, 2)
+SELECT e.ga AS type_a, e.gb AS type_b, e.k_union, e.matches,
+       e.est_union, e.est_intersection,
+       na.n AS exact_a, nb.n AS exact_b,
+       CAST(coalesce(o.exact_overlap, 0) AS BIGINT) AS exact_overlap
+FROM est e
+LEFT JOIN exact_ov o ON o.ga = e.ga AND o.gb = e.gb
+JOIN exact_g na ON na.g = e.ga
+JOIN exact_g nb ON nb.g = e.gb
 """

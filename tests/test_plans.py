@@ -304,3 +304,21 @@ class TestSketchTieredScoringPlans:
         assert "SortMergeJoin" not in p, (
             f"{name}: tier join fell back to a shuffle join"
         )
+
+
+class TestRound10AdditionPlans:
+    def test_kmv_sketch_rank_is_group_limited(self, spark, specs):
+        """The per-group k-smallest cut must compile to WindowGroupLimit
+        so each map task forwards at most k rows per group into the
+        shuffle — the property that keeps the sketch build safe when one
+        event type holds most of the corpus."""
+        p = plan_of(spark, specs, "kmv_set_overlap")
+        assert "WindowGroupLimit" in p
+
+    def test_dedup_spans_occurrence_filter_is_semi_join(self, spark, specs):
+        """Duplicated-shingle occurrences must reach the interval merge
+        through a LeftSemi join on the 8-byte hash (never a full join
+        materializing counts per position)."""
+        p = plan_of(spark, specs, "dedup_spans")
+        assert "LeftSemi" in p
+        assert "CartesianProduct" not in p

@@ -252,3 +252,79 @@ class TestStreamingHll:
         }
         assert abs(est["big"] - 400) / 400 < 0.2
         assert abs(est["small"] - 30) / 30 < 0.2
+
+
+class TestKmvOverlap:
+    """KMV distinct-set algebra: the estimate columns ride beside the
+    exact ones in the operator's own output, so accuracy gates read one
+    result; hand-built micro cases pin the exact-when-not-full path."""
+
+    def test_estimates_within_bounds_on_events(self, spark):
+        from fluxdb_spark.functions.text import KMV_K, kmv_set_overlap
+        from fluxdb_spark.sources.tables import load_table
+
+        ev = load_table(spark, SF, "events")
+        rows = kmv_set_overlap(ev).collect()
+        assert rows, "expected at least one event-type pair"
+        for r in rows:
+            assert r.k_union <= KMV_K
+            assert 0 <= r.matches <= r.k_union
+            exact_union = r.exact_a + r.exact_b - r.exact_overlap
+            # KMV relative error ~ 1/sqrt(k) ~ 8.8% at k=128; allow 4 sigma
+            assert abs(r.est_union - exact_union) <= max(
+                8, 0.36 * exact_union
+            ), (r.type_a, r.type_b, r.est_union, exact_union)
+            assert abs(r.est_intersection - r.exact_overlap) <= max(
+                8, 0.5 * max(r.exact_overlap, exact_union / 10)
+            ), (r.type_a, r.type_b, r.est_intersection, r.exact_overlap)
+
+    def test_small_sets_are_exact(self, spark):
+        """When the union sketch is not full the estimate IS the exact
+        union size, and matches counts the true intersection."""
+        from fluxdb_spark.functions.text import kmv_set_overlap
+
+        rows_in = [("a", u) for u in range(20)] + [
+            ("b", u) for u in range(10, 25)
+        ]
+        df = spark.createDataFrame(
+            rows_in, "event_type string, user_id long"
+        )
+        (r,) = kmv_set_overlap(df).collect()
+        assert (r.type_a, r.type_b) == ("a", "b")
+        assert r.k_union == 25 and r.est_union == 25.0
+        assert r.matches == 10 == r.exact_overlap
+        assert r.est_intersection == 10.0
+        assert (r.exact_a, r.exact_b) == (20, 15)
+
+    def test_duplicate_events_do_not_inflate(self, spark):
+        from fluxdb_spark.functions.text import kmv_set_overlap
+
+        rows_in = [("a", u) for u in range(5)] * 7 + [("b", 0)] * 3
+        df = spark.createDataFrame(
+            rows_in, "event_type string, user_id long"
+        )
+        (r,) = kmv_set_overlap(df).collect()
+        assert (r.exact_a, r.exact_b, r.exact_overlap) == (5, 1, 1)
+        assert r.k_union == 5 and r.matches == 1
+
+    def test_disjoint_pair_zero_overlap(self, spark):
+        from fluxdb_spark.functions.text import kmv_set_overlap
+
+        rows_in = [("a", u) for u in range(8)] + [
+            ("b", u) for u in range(100, 108)
+        ]
+        df = spark.createDataFrame(
+            rows_in, "event_type string, user_id long"
+        )
+        (r,) = kmv_set_overlap(df).collect()
+        assert r.matches == 0 and r.exact_overlap == 0
+        assert r.est_intersection == 0.0
+
+    def test_deterministic(self, spark):
+        from fluxdb_spark.functions.text import kmv_set_overlap
+        from fluxdb_spark.sources.tables import load_table
+
+        ev = load_table(spark, SF, "events")
+        a = sorted(tuple(r) for r in kmv_set_overlap(ev).collect())
+        b = sorted(tuple(r) for r in kmv_set_overlap(ev).collect())
+        assert a == b

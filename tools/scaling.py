@@ -91,6 +91,9 @@ OPS = [
     "flux_series_anomalies",
     "stream_rfm",
     "stream_cms_heavy_hitters",
+    # round-10 additions
+    "dedup_spans",
+    "kmv_set_overlap",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
