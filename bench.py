@@ -146,6 +146,7 @@ HEADLINE = [
     # span-level dedup) and KMV distinct-set algebra (audience overlap)
     "dedup_spans",
     "kmv_set_overlap",
+    "stream_kmv_overlap",
 ]
 
 

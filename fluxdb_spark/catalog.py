@@ -153,6 +153,7 @@ _PRIORITY: list[str] = [
     # -- entries added in round 10 (first driver row in r11)
     "dedup_spans",
     "kmv_set_overlap",
+    "stream_kmv_overlap",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3812,6 +3813,54 @@ def kmv_set_overlap(spark, sf_dir):
     so even the floats hash-match (functions/text.kmv_set_overlap)."""
     ev = _t(spark, sf_dir, "events")
     return tx.kmv_set_overlap(ev)
+
+
+@_q("stream_kmv_overlap", "streaming", tx.sql_kmv_set_overlap())
+def stream_kmv_overlap(spark, sf_dir):
+    """STREAMING KMV: the distinct-set-algebra sketch maintained as
+    per-group GroupState (`stateful.kmv_stream`) — state is the sketch
+    itself, k longs + a seen-counter per event type FOREVER, because a
+    value cut from the k smallest can never re-enter (the trim is
+    lossless), vs unbounded exact-distinct streaming state. Hashing is
+    JVM-side in the prepared projection; the pandas fold merges sorted
+    integer arrays. Drained sketches feed the same pair/union/estimate
+    stage as the batch form and hash-match the same SQL twin — the
+    fourth streaming sketch beside stream_cms / stream_hll /
+    stream_simhash."""
+    import uuid
+
+    from fluxdb_spark.streaming.stateful import kmv_stream
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    out = kmv_stream(raw)
+    name = f"stream_kmv_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink holds one row per group per micro-batch; the
+    # seen-counter is monotone, so max-ver is each group's final sketch.
+    t = spark.table(name)
+    w = Window.partitionBy("g").orderBy(F.desc("ver"))
+    sk = (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("g", F.posexplode("hs").alias("pos", "h"))
+        .select("g", "h", (F.col("pos") + 1).alias("rn"))
+    )
+    return tx.kmv_overlap_from_sketches(
+        sk, _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
 
 
 @_q("hll_distinct", "pipeline", tx.sql_hll_distinct())

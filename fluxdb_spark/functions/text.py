@@ -1584,8 +1584,23 @@ def kmv_set_overlap(
     exist; the pair relation is |groups|^2 and joins the sketch
     relation by BROADCAST; only the exact-baseline columns touch
     corpus-sized relations (one distinct + one equi-join on the key)."""
+    return kmv_overlap_from_sketches(
+        kmv_sketches(rows, group_col, key), rows, group_col, key
+    )
+
+
+def kmv_overlap_from_sketches(
+    sk,
+    rows,
+    group_col: str = "event_type",
+    key: Column | str = "user_id",
+):
+    """The pair/union/estimate stage of `kmv_set_overlap`, taking the
+    sketch relation (g, h, rn) from anywhere — the batch window build or
+    the streaming GroupState fold (`stateful.kmv_stream`); `rows` is the
+    raw relation for the exact-baseline columns."""
     key_c = F.col(key) if isinstance(key, str) else key
-    sk = kmv_sketches(rows, group_col, key).localCheckpoint(eager=False)
+    sk = sk.localCheckpoint(eager=False)
     types = sk.select("g").distinct()
     pairs = (
         types.select(F.col("g").alias("ga"))

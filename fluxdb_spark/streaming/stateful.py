@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -123,6 +125,84 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         _sessionize_group,
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming KMV sketch (distinct-set algebra over a stream) ---------------
+#
+# State per group is EXACTLY the sketch: the k smallest distinct hash
+# values seen so far plus a monotone seen-counter (the "ver" the reader
+# uses to pick each group's newest emission from an update-mode sink).
+# The merge is a bounded set union + trim — a value cut from the k
+# smallest can never re-enter, so discarding it is lossless — which is
+# why KMV streams where exact distinct state cannot: state is k longs
+# per group forever. Hashing happens JVM-side (hash60 in the prepared
+# projection), so the pandas fold only merges integers.
+
+_KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("hs", ArrayType(LongType())),
+    ]
+)
+
+_KMV_OUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType()),
+        StructField("ver", LongType()),
+        StructField("hs", ArrayType(LongType())),
+    ]
+)
+
+
+def _kmv_group(
+    key: tuple,
+    pdfs: "Iterator[pd.DataFrame]",
+    state: GroupState,
+) -> "Iterator[pd.DataFrame]":
+    import numpy as np
+    import pandas as pd
+
+    from fluxdb_spark.functions.text import KMV_K
+
+    if state.exists:
+        n_seen, hs = state.get
+        hs = np.asarray(hs, dtype=np.int64)
+    else:
+        n_seen, hs = 0, np.empty(0, dtype=np.int64)
+    for pdf in pdfs:
+        vals = pdf["h"].to_numpy(dtype=np.int64)
+        n_seen += len(vals)
+        hs = np.union1d(hs, vals)[:KMV_K]
+    state.update((int(n_seen), [int(v) for v in hs]))
+    yield pd.DataFrame(
+        {"g": [key[0]], "ver": [int(n_seen)], "hs": [[int(v) for v in hs]]}
+    )
+
+
+def kmv_stream(
+    rows: DataFrame,
+    group_col: str = "event_type",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """KMV sketches over a streaming frame: (g, ver, hs) per group per
+    micro-batch, `hs` sorted ascending and at most KMV_K long. Drain,
+    keep each group's max-ver row, posexplode hs to rebuild the
+    (g, h, rn) sketch relation, and hand it to
+    `text.kmv_overlap_from_sketches` — bit-identical to the batch
+    sketch over the same data."""
+    from fluxdb_spark.functions.hashing import hash60
+
+    prepared = rows.select(
+        F.col(group_col).alias("g"),
+        hash60(F.col(key_col).cast("string")).alias("h"),
+    )
+    return prepared.groupBy("g").applyInPandasWithState(
+        _kmv_group,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

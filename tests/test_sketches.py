@@ -7,6 +7,7 @@ scale: mergeability across partitions)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from fluxdb_spark.sources.tables import load_table
@@ -328,3 +329,60 @@ class TestKmvOverlap:
         a = sorted(tuple(r) for r in kmv_set_overlap(ev).collect())
         b = sorted(tuple(r) for r in kmv_set_overlap(ev).collect())
         assert a == b
+
+
+class TestStreamingKmv:
+    def test_multi_batch_sketch_equals_batch_sketch(self, spark, tmp_path):
+        """Feed the same rows in TWO micro-batches (maxFilesPerTrigger=1)
+        and require the drained GroupState sketch to equal the batch
+        window build — the trim-is-lossless property across batches, with
+        more than k distinct keys so trimming actually happens."""
+        import uuid
+
+        from fluxdb_spark.functions import text as tx
+        from fluxdb_spark.streaming.stateful import kmv_stream
+
+        src = str(tmp_path / "src")
+        df = spark.createDataFrame(
+            [(i, i % 300, "a" if i % 2 else "b") for i in range(600)],
+            "event_id long, user_id long, event_type string",
+        )
+        # two files -> two micro-batches under maxFilesPerTrigger=1
+        df.filter(F.col("event_id") < 300).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        df.filter(F.col("event_id") >= 300).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        raw = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        name = f"kmv_stream_test_{uuid.uuid4().hex[:8]}"
+        q = (
+            kmv_stream(raw)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        t = spark.table(name)
+        w = Window.partitionBy("g").orderBy(F.desc("ver"))
+        got = sorted(
+            tuple(r)
+            for r in t.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("g", F.posexplode("hs").alias("pos", "h"))
+            .select("g", "h", (F.col("pos") + 1).alias("rn"))
+            .collect()
+        )
+        want = sorted(
+            tuple(r) for r in tx.kmv_sketches(df).collect()
+        )
+        assert got == want and len(got) > 0
+        # both types exceed k=128 distinct users -> sketches are full
+        assert sum(1 for g, _, _ in got if g == "a") == tx.KMV_K
+        assert sum(1 for g, _, _ in got if g == "b") == tx.KMV_K

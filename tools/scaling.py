@@ -94,6 +94,7 @@ OPS = [
     # round-10 additions
     "dedup_spans",
     "kmv_set_overlap",
+    "stream_kmv_overlap",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
