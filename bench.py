@@ -147,6 +147,7 @@ HEADLINE = [
     "dedup_spans",
     "kmv_set_overlap",
     "stream_kmv_overlap",
+    "embed_kcenter_sample",
 ]
 
 

@@ -154,6 +154,7 @@ _PRIORITY: list[str] = [
     "dedup_spans",
     "kmv_set_overlap",
     "stream_kmv_overlap",
+    "embed_kcenter_sample",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3794,6 +3795,22 @@ def embed_pca_project(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     comp = sim.pca_power_component(e)
     return sim.pca_project(e, comp)
+
+
+@_q("embed_kcenter_sample", "pipeline", sim.sql_kcenter_sample())
+def embed_kcenter_sample(spark, sf_dir):
+    """Greedy k-center (farthest-point) DIVERSITY sampling (Gonzalez
+    1985; Sener & Savarese 2018 core-set selection): pick the 8 vectors
+    that maximize coverage of the embedding space — the curation pull
+    OPPOSITE to semantic dedup (that removes the redundant middle; this
+    keeps the extremes a random or cluster-balanced draw under-weights).
+    Exact fixed-point distances; each greedy round is one map-only pass
+    (plan-literal centers, zip_with folds, TakeOrdered(1)) over the
+    once-checkpointed quantized corpus — no shuffle, no join; at corpus
+    scale the paper's own deployment runs it on an already-reduced
+    relation (functions/similarity.kcenter_sample)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.kcenter_sample(e, k=8)
 
 
 @_q("kmv_set_overlap", "pipeline", tx.sql_kmv_set_overlap())

@@ -626,3 +626,53 @@ class TestLabelNoise:
                 assert r.avg_margin == 0.0
             else:
                 assert r.avg_margin > 0.0
+
+
+class TestKcenterSample:
+    """Greedy farthest-point selection on planted geometry."""
+
+    def _vecs(self, spark, pts):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_covers_planted_clusters_before_duplicating(self, spark):
+        from fluxdb_spark.functions.similarity import kcenter_sample
+
+        # three tight clusters at distant corners + the seed's cluster;
+        # k=3 must pick one vector from each far cluster before a second
+        # vector from any cluster already covered
+        pts = (
+            [[0.0, 0.0], [0.01, 0.0], [0.0, 0.01]]          # cluster A (seed)
+            + [[10.0, 0.0], [10.01, 0.0]]                    # cluster B
+            + [[0.0, 10.0], [0.0, 10.01]]                    # cluster C
+        )
+        rows = kcenter_sample(self._vecs(spark, pts), k=3).collect()
+        got = {r.rank: r.vec_id for r in rows}
+        assert got[1] == 0  # seed = min vec_id, cluster A
+        clusters = {0: "A", 1: "A", 2: "A", 3: "B", 4: "B", 5: "C", 6: "C"}
+        assert {clusters[got[2]], clusters[got[3]]} == {"B", "C"}
+
+    def test_distances_non_increasing_and_seed_zero(self, spark):
+        from fluxdb_spark.functions.similarity import kcenter_sample
+        from fluxdb_spark.sources.tables import load_table
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        rows = sorted(
+            kcenter_sample(e, k=6).collect(), key=lambda r: r.rank
+        )
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5, 6]
+        assert rows[0].min_dist_sq == 0
+        ds = [r.min_dist_sq for r in rows[1:]]
+        assert all(a >= b for a, b in zip(ds, ds[1:])), ds
+        assert len({r.vec_id for r in rows}) == 6
+
+    def test_deterministic(self, spark):
+        from fluxdb_spark.functions.similarity import kcenter_sample
+        from fluxdb_spark.sources.tables import load_table
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        a = sorted(tuple(r) for r in kcenter_sample(e, k=4).collect())
+        b = sorted(tuple(r) for r in kcenter_sample(e, k=4).collect())
+        assert a == b

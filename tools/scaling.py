@@ -95,6 +95,7 @@ OPS = [
     "dedup_spans",
     "kmv_set_overlap",
     "stream_kmv_overlap",
+    "embed_kcenter_sample",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
