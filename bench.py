@@ -148,6 +148,7 @@ HEADLINE = [
     "kmv_set_overlap",
     "stream_kmv_overlap",
     "embed_kcenter_sample",
+    "dedup_spans_cut",
 ]
 
 

@@ -155,6 +155,7 @@ _PRIORITY: list[str] = [
     "kmv_set_overlap",
     "stream_kmv_overlap",
     "embed_kcenter_sample",
+    "dedup_spans_cut",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3490,6 +3491,19 @@ def dedup_spans(spark, sf_dir):
     (functions/dedup.duplicated_spans)."""
     d = _t(spark, sf_dir, "documents")
     return dd.duplicated_spans(d)
+
+
+@_q("dedup_spans_cut", "pipeline", dd.sql_cut_duplicated_spans())
+def dedup_spans_cut(spark, sf_dir):
+    """`dedup_spans` applied as a TRANSFORM: every document rebuilt with
+    its duplicated token ranges removed (ExactSubstr's remedy — all
+    occurrences cut; `paragraph_dedup` is the keep-first-owner
+    alternative at paragraph granularity). The cut is map-side: per-doc
+    span lists join back to the text and a higher-order filter drops
+    covered positions in one pass per row — no corpus-size
+    explode/regroup (functions/dedup.cut_duplicated_spans)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.cut_duplicated_spans(d)
 
 
 def _neardup_probe_sql(probe_max: int = 50) -> str:

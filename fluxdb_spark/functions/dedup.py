@@ -1143,3 +1143,87 @@ SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_hits
 FROM islands GROUP BY doc_id, island
 """
+
+
+def cut_duplicated_spans(
+    docs: DataFrame,
+    width: int = SPAN_WIDTH,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply `duplicated_spans` as a TRANSFORM: rebuild each document
+    with its duplicated token ranges removed (the ExactSubstr remedy —
+    cut the span, keep the document; all occurrences are cut, per the
+    paper — `paragraph_dedup` is the keep-first-owner alternative at
+    paragraph granularity): (doc_id, clean_text, n_tokens, n_cut).
+
+    Scale shape: span detection is `duplicated_spans`; the cut itself is
+    MAP-SIDE — per-document span lists (tiny: spans, not positions) join
+    back to the text, and a higher-order filter drops covered token
+    positions in one pass per row, no corpus-size explode/regroup.
+    Original-case tokens rebuild the text (positions align with the
+    lowercased shingle tokenization because splitting ignores case), so
+    an un-cut document round-trips byte-identically."""
+    spans = duplicated_spans(docs, width, id_col, text_col)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("spans")
+    )
+    base = docs.select(id_col, text_col).join(sp, id_col, "left")
+    toks = F.split(F.col(text_col), " ")
+    spans_c = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>"),
+    )
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            spans_c,
+            lambda sp_: (s["p"] >= sp_["s"]) & (s["p"] <= sp_["e"]),
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        ).alias("clean_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_cut"),
+    )
+
+
+def sql_cut_duplicated_spans(width: int = SPAN_WIDTH) -> str:
+    """DuckDB twin of `cut_duplicated_spans` — relational spelling: the
+    span relation anti-screens token positions, string_agg rebuilds."""
+    spans_sql = sql_duplicated_spans(width).strip()
+    return f"""
+WITH spans AS MATERIALIZED ({spans_sql}),
+tk AS (SELECT doc_id, i AS pos, t[i] AS tok
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            UNNEST(range(1, len(t) + 1)) AS u(i)),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok FROM tk k
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = k.doc_id
+                      AND k.pos BETWEEN s.span_start AND s.span_end)),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tk GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       t.n_tokens,
+       t.n_tokens - coalesce(a.n_kept, 0) AS n_cut
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""

@@ -599,3 +599,50 @@ class TestDuplicatedSpans:
             ],
         )
         assert rows == []
+
+
+class TestCutDuplicatedSpans:
+    def _cut(self, spark, texts, width=4):
+        from fluxdb_spark.functions.dedup import cut_duplicated_spans
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r.doc_id: (r.clean_text, r.n_tokens, r.n_cut)
+            for r in cut_duplicated_spans(docs, width=width).collect()
+        }
+
+    def test_shared_span_cut_from_both_docs(self, spark):
+        shared = "the quick brown fox jumps"
+        got = self._cut(
+            spark,
+            [f"alpha beta {shared} gamma", f"one two three {shared} four"],
+        )
+        assert got[0] == ("alpha beta gamma", 8, 5)
+        assert got[1] == ("one two three four", 9, 5)
+
+    def test_untouched_doc_round_trips_byte_identical(self, spark):
+        texts = [
+            "Mixed CASE words survive exactly as written here",
+            "totally different other sentence with no shared content",
+        ]
+        got = self._cut(spark, texts)
+        assert got[0] == (texts[0], 8, 0)
+        assert got[1] == (texts[1], 8, 0)
+
+    def test_fully_duplicated_doc_cut_to_empty(self, spark):
+        t = "a b c d"
+        got = self._cut(spark, [t, t])
+        assert got[0] == ("", 4, 4)
+        assert got[1] == ("", 4, 4)
+
+    def test_case_preserved_around_lowercased_detection(self, spark):
+        # detection runs on lowercased shingles; the rebuild must keep
+        # the ORIGINAL casing of surviving tokens
+        got = self._cut(
+            spark,
+            ["KEEP Me lorem ipsum dolor sit", "lorem ipsum dolor sit tail"],
+        )
+        assert got[0][0] == "KEEP Me"
+        assert got[1][0] == "tail"

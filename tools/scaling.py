@@ -96,6 +96,7 @@ OPS = [
     "kmv_set_overlap",
     "stream_kmv_overlap",
     "embed_kcenter_sample",
+    "dedup_spans_cut",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
