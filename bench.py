@@ -149,6 +149,8 @@ HEADLINE = [
     "stream_kmv_overlap",
     "embed_kcenter_sample",
     "dedup_spans_cut",
+    "event_paths",
+    "quality_perceptron",
 ]
 
 

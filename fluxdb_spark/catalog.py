@@ -156,6 +156,8 @@ _PRIORITY: list[str] = [
     "stream_kmv_overlap",
     "embed_kcenter_sample",
     "dedup_spans_cut",
+    "event_paths",
+    "quality_perceptron",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -2925,6 +2927,65 @@ FROM t, n GROUP BY prev_type, next_type, n_total
 """
 
 
+_EVENT_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS t3,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t2,
+         lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t1
+  FROM events),
+tri AS (SELECT t1, t2, t3 FROM seq WHERE t1 IS NOT NULL),
+n AS (SELECT count(*) AS n_total FROM tri),
+ranked AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_paths,
+         round(CAST(count(*) AS DOUBLE) / CAST(max(n_total) AS DOUBLE), 4)
+           AS share
+  FROM tri, n GROUP BY t1, t2, t3)
+SELECT t1, t2, t3, n_paths, share FROM ranked
+ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20
+"""
+
+
+@_q("event_paths", "relational", _EVENT_PATHS_SQL)
+def event_paths(spark, sf_dir):
+    """Frequent-path mining over user event streams: the top-20 3-step
+    event-type journeys (the k-gram generalization of
+    `event_transitions`' Markov matrix — transitions say what follows
+    one step, paths surface the multi-step flows a funnel designer reads
+    before hand-picking funnel stages). One per-user window shuffle
+    ordered by the (ts, event_id) total order produces both lags, the
+    trigram rollup is |types|^3 at most, the 1-row total rides a
+    broadcast, and the top-20 compiles to TakeOrdered — never a global
+    sort. share is ONE double division of exact counts."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    ).where(F.col("t1").isNotNull())
+    n = seq.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        seq.crossJoin(F.broadcast(n))
+        .groupBy("t1", "t2", "t3", "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "n_paths",
+            F.round(
+                F.col("n_paths").cast("double")
+                / F.col("n_total").cast("double"),
+                4,
+            ).alias("share"),
+        )
+        .orderBy(F.desc("n_paths"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
 @_q("event_transitions", "relational", _TRANSITIONS_SQL)
 def event_transitions(spark, sf_dir):
     """Event-type transition matrix (user-path flow analysis): for every
@@ -3825,6 +3886,23 @@ def embed_kcenter_sample(spark, sf_dir):
     relation (functions/similarity.kcenter_sample)."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.kcenter_sample(e, k=8)
+
+
+@_q("quality_perceptron", "pipeline", tx.sql_quality_perceptron())
+def quality_perceptron(spark, sf_dir):
+    """A LEARNED quality classifier trained IN-ENGINE, exactly: a batch
+    perceptron distills the Gopher rule set's keep/drop labels into
+    integer weights over exact count features (bias, tokens, total
+    token length, distinct stopwords, chars) — the fasttext-classifier
+    shape of GPT-3/CCNet pipelines, with training itself as DataFrame
+    algebra. Margins, updates, and error counts are all BIGINT, so the
+    whole training TRAJECTORY (per-epoch error + weights) is
+    bit-deterministic and hash-matches the unrolled-CTE SQL twin. Each
+    epoch is ONE combine-friendly aggregate scan (map-side partial sums,
+    O(dim) driver state — the kmeans/kcenter precedent)
+    (functions/text.quality_perceptron)."""
+    d = _td(spark, sf_dir)
+    return tx.quality_perceptron(d)
 
 
 @_q("kmv_set_overlap", "pipeline", tx.sql_kmv_set_overlap())

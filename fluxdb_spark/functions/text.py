@@ -1757,3 +1757,122 @@ LEFT JOIN exact_ov o ON o.ga = e.ga AND o.gb = e.gb
 JOIN exact_g na ON na.g = e.ga
 JOIN exact_g nb ON nb.g = e.gb
 """
+
+
+# --- in-engine learned quality classifier (batch perceptron) -----------------
+#
+# The fasttext-style learned quality filter of production pipelines
+# (GPT-3/CCNet train a linear classifier over cheap features and screen
+# the corpus with it), rebuilt as EXACT DataFrame algebra: a batch
+# perceptron distills the Gopher rule set's keep/drop labels into
+# integer weights over exact count features. Every quantity is BIGINT —
+# margins, updates, error counts — so training is bit-deterministic and
+# the whole trajectory (per-epoch error + weights) hash-matches an
+# unrolled SQL twin; no libm, no float accumulation, no learning-rate
+# float. At corpus scale each epoch is ONE combine-friendly aggregate
+# scan of the feature relation (map-side partial sums), with O(dim)
+# driver state — the kmeans/kcenter precedent.
+
+QP_EPOCHS = 6
+_QP_DIM = 5
+
+
+def perceptron_features(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, y, x0..x4): label y = +-1 from the Gopher-rule keep decision;
+    features are the bias, the three RULE INDICATORS (0/1), and the
+    capped distinct-stopword count. Raw counts (tokens, chars) were
+    tried first and oscillate forever — a conjunction of range rules is
+    not linearly separable in raw counts, and batch updates with
+    1000x-scale features overshoot (n_wrong plateaued ~47%); in
+    indicator space AND is separable and the batch perceptron reaches
+    ZERO disagreement by epoch ~5. Map-side JVM expressions only."""
+    t = F.col(text_col)
+    rules = quality_rules(t)
+    return docs.select(
+        F.col(id_col),
+        F.when(rules["keep"], F.lit(1)).otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        rules["ok_len"].cast("long").alias("x1"),
+        rules["ok_mean_len"].cast("long").alias("x2"),
+        rules["ok_stopwords"].cast("long").alias("x3"),
+        F.least(distinct_stopword_count(t), F.lit(8))
+        .cast("long")
+        .alias("x4"),
+    )
+
+
+def quality_perceptron(docs, epochs: int = QP_EPOCHS):
+    """Batch-perceptron training trajectory:
+    (epoch, n_wrong, w0..w4) — n_wrong is the misclassified count under
+    the weights BEFORE that epoch's update (so epoch 1 reports the
+    zero-weight baseline: every margin is 0 and counts as wrong), and
+    w0..w4 are the weights AFTER folding the epoch's summed update
+    w += sum_{y*(w.x) <= 0} y*x (the batch form — data-parallel where
+    the classic per-sample rule is inherently sequential)."""
+    feats = perceptron_features(docs).localCheckpoint()
+    w = [0] * _QP_DIM
+    rows = []
+    for e in range(1, epochs + 1):
+        wx = sum(
+            (F.col(f"x{j}") * F.lit(w[j]) for j in range(_QP_DIM)),
+            F.lit(0).cast("long"),
+        )
+        cond = (F.col("y") * wx) <= 0
+        aggs = [
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_wrong")
+        ] + [
+            F.sum(F.when(cond, F.col("y") * F.col(f"x{j}")).otherwise(0))
+            .cast("long")
+            .alias(f"d{j}")
+            for j in range(_QP_DIM)
+        ]
+        r = feats.agg(*aggs).collect()[0]
+        w = [w[j] + int(r[f"d{j}"] or 0) for j in range(_QP_DIM)]
+        rows.append((e, int(r["n_wrong"]), *w))
+    schema = "epoch long, n_wrong long, " + ", ".join(
+        f"w{j} long" for j in range(_QP_DIM)
+    )
+    return docs.sparkSession.createDataFrame(rows, schema)
+
+
+def sql_quality_perceptron(epochs: int = QP_EPOCHS) -> str:
+    """DuckDB twin of `quality_perceptron`: epochs unrolled as
+    MATERIALIZED CTEs (each epoch reads the previous 1-row weight CTE)."""
+    r = sql_quality_rules("text")
+    ws = ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(_QP_DIM))
+    parts = [
+        f"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id, CAST(CASE WHEN {r['keep']} THEN 1 ELSE -1 END AS BIGINT) AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(CASE WHEN {r['ok_len']} THEN 1 ELSE 0 END AS BIGINT) AS x1,
+         CAST(CASE WHEN {r['ok_mean_len']} THEN 1 ELSE 0 END AS BIGINT) AS x2,
+         CAST(CASE WHEN {r['ok_stopwords']} THEN 1 ELSE 0 END AS BIGINT) AS x3,
+         CAST(least({r['n_distinct_stopwords']}, 8) AS BIGINT) AS x4
+  FROM documents),
+e0 AS (SELECT CAST(0 AS BIGINT) AS n_wrong, {ws})"""
+    ]
+    dot = " + ".join(f"p.w{j} * f.x{j}" for j in range(_QP_DIM))
+    for e in range(1, epochs + 1):
+        upd = ", ".join(
+            f"CAST(p.w{j} + sum(CASE WHEN f.y * ({dot}) <= 0"
+            f" THEN f.y * f.x{j} ELSE 0 END) AS BIGINT) AS w{j}"
+            for j in range(_QP_DIM)
+        )
+        grp = ", ".join(f"p.w{j}" for j in range(_QP_DIM))
+        parts.append(f"""
+e{e} AS MATERIALIZED (
+  SELECT CAST(sum(CASE WHEN f.y * ({dot}) <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_wrong,
+         {upd}
+  FROM f CROSS JOIN e{e - 1} p
+  GROUP BY {grp})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({e} AS BIGINT) AS epoch, n_wrong, "
+        + ", ".join(f"w{j}" for j in range(_QP_DIM))
+        + f" FROM e{e}"
+        for e in range(1, epochs + 1)
+    )
+    return ",".join(parts) + f"\n{union}\nORDER BY epoch\n"

@@ -646,3 +646,50 @@ class TestCutDuplicatedSpans:
         )
         assert got[0][0] == "KEEP Me"
         assert got[1][0] == "tail"
+
+
+class TestQualityPerceptron:
+    def test_converges_to_zero_disagreement(self, spark):
+        """In indicator space the Gopher keep-conjunction is linearly
+        separable, so the batch perceptron must reach zero disagreement
+        with the rule labels within the configured epochs — the learned
+        filter reproduces the heuristic it distilled."""
+        from fluxdb_spark.functions.text import quality_perceptron
+        from fluxdb_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        rows = sorted(
+            quality_perceptron(docs).collect(), key=lambda r: r.epoch
+        )
+        assert rows[0].n_wrong == docs.count()  # zero-weight baseline
+        assert rows[-1].n_wrong == 0, [
+            (r.epoch, r.n_wrong) for r in rows
+        ]
+        # once converged, weights freeze (no misclassified -> no update)
+        zero_epochs = [r for r in rows if r.n_wrong == 0]
+        ws = {(r.w0, r.w1, r.w2, r.w3, r.w4) for r in zero_epochs}
+        assert len(ws) == 1
+
+    def test_learned_weights_reproduce_labels(self, spark):
+        """Score every document with the final weights and require exact
+        agreement with quality_rules' keep decision."""
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.functions.text import (
+            perceptron_features,
+            quality_perceptron,
+        )
+        from fluxdb_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        final = sorted(
+            quality_perceptron(docs).collect(), key=lambda r: r.epoch
+        )[-1]
+        w = [final.w0, final.w1, final.w2, final.w3, final.w4]
+        feats = perceptron_features(docs)
+        score = sum(
+            (F.col(f"x{j}") * F.lit(w[j]) for j in range(5)),
+            F.lit(0).cast("long"),
+        )
+        disagree = feats.filter(F.col("y") * score <= 0).count()
+        assert disagree == 0

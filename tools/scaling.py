@@ -97,6 +97,7 @@ OPS = [
     "stream_kmv_overlap",
     "embed_kcenter_sample",
     "dedup_spans_cut",
+    "quality_perceptron",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
