@@ -79,6 +79,7 @@ def cmd_server(args, spark: SparkSession) -> int:
         or args.pq_index
         or args.binary_index
         or args.bpe_index
+        or args.spans_index
     ):
         # retrieval routes and gauges read the STANDING materialized
         # indexes (index-retrieval mode maintains them) — the serving
@@ -99,6 +100,7 @@ def cmd_server(args, spark: SparkSession) -> int:
             pq_dim=args.ann_dim,
             binary_dest=args.binary_index,
             bpe_dest=args.bpe_index,
+            spans_dest=args.spans_index,
         )
     metrics_server = None
     if args.metrics_port is not None:
@@ -432,6 +434,11 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         return 0
     if args.kind == "minhash":
         transform = rt.minhash_transform()
+    elif args.kind == "spans":
+        # the positional shingle-hash table behind /v1/spans (the
+        # serving-side contamination screen); posting-table shape —
+        # multi-row per version, liveness by latest height at read time
+        transform = rt.span_hash_transform()
     elif args.kind == "lsh":
         transform = rt.lsh_bucket_transform(dim=args.dim)
     elif args.kind == "quantize":
@@ -538,7 +545,10 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
         fold = {"minhash": ["doc_id"], "lsh": ["vec_id", "tbl"],
                 "kmeans": ["vec_id"], "quantize": ["vec_id"],
                 "pq": ["vec_id"], "binary": ["vec_id"],
-                "bpe": ["doc_id"]}[args.kind]
+                "bpe": ["doc_id"],
+                # spans is multi-row per version (liveness decided by the
+                # latest-height join, like bm25 postings): coalesce, no fold
+                "spans": None}[args.kind]
         n = rt.compact_derived(spark, args.dest, fold_keys=fold)
         print(f"# compacted {n} batch dir(s)")
     return 0
@@ -632,6 +642,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="materialized BPE-encoded corpus (index-retrieval --kind "
         "bpe dest, merge-list sidecar beside it); enables /v1/tokenize",
+    )
+    s.add_argument(
+        "--spans-index",
+        default=None,
+        help="materialized positional shingle-hash table (index-retrieval "
+        "--kind spans dest); enables /v1/spans (contamination screen)",
     )
     s.set_defaults(fn=cmd_server)
 
@@ -762,7 +778,7 @@ def build_parser() -> argparse.ArgumentParser:
     ridx.add_argument("--checkpoint", required=True)
     ridx.add_argument(
         "--kind",
-        choices=("minhash", "lsh", "kmeans", "bm25", "quantize", "pq",
+        choices=("minhash", "lsh", "kmeans", "bm25", "quantize", "pq", "spans",
                  "binary", "bpe"),
         default="minhash",
     )

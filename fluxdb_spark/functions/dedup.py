@@ -1081,6 +1081,15 @@ def duplicated_spans(
         .select("h")
     )
     occ = pos.join(dup, "h", "left_semi")
+    return merge_spans(occ, width, id_col)
+
+
+def merge_spans(occ: DataFrame, width: int, id_col: str) -> DataFrame:
+    """The gaps-and-islands interval merge shared by `duplicated_spans`
+    (corpus-internal) and the serving-side contamination probe
+    (retrieval.RetrievalService.spans): occ = (id, pos) duplicated
+    shingle starts -> maximal spans per id. The window partitions by id
+    — never a global sort."""
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = occ.select(
         F.col(id_col),

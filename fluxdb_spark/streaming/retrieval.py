@@ -381,6 +381,45 @@ def pq_codes_transform(
     return transform
 
 
+def span_hash_transform(width: int | None = None):
+    """Transform factory: changelog document rows -> POSITIONAL shingle
+    hash rows (doc_id, height, is_deletion, pos, h) — the standing
+    shingle index behind the serving-side contamination screen
+    (RetrievalService.spans: does an unseen text verbatim-overlap the
+    corpus?). Map-only fan-out of ~n_tokens rows per doc, the posting-
+    table shape (bm25_postings_transform precedent); tombstones carry no
+    text and explode to nothing — liveness resolves at read time via the
+    per-doc latest height, exactly like the postings read."""
+    from fluxdb_spark.functions.dedup import SPAN_WIDTH, positional_shingles
+    from fluxdb_spark.functions.hashing import hash60
+
+    width = SPAN_WIDTH if width is None else width
+
+    def transform(rows: DataFrame) -> DataFrame:
+        d = doc_relation(rows)
+        # posexplode_OUTER: a tombstone (null text) or a doc shorter than
+        # the shingle width explodes to a single null-pos marker row, so
+        # every (doc, height) version lands in the table and the read-time
+        # latest-height join cannot resurrect an older, longer version.
+        return d.select(
+            "doc_id",
+            "height",
+            "is_deletion",
+            F.posexplode_outer(
+                positional_shingles(F.col("text"), width)
+            ).alias("pos0", "shingle"),
+        ).select(
+            "doc_id",
+            "height",
+            "is_deletion",
+            (F.col("pos0") + 1).alias("pos"),
+            hash60(F.col("shingle")).alias("h"),
+        )
+
+    return transform
+
+
+
 def pq_books_path(dest: str) -> str:
     """Frozen PQ codebook location — a SIBLING of the derived table for
     the same reason as `centroids_path`: rebuild-on-rewrite and
@@ -853,6 +892,7 @@ class RetrievalService:
         pq_dim: int = 64,
         binary_dest: str | None = None,
         bpe_dest: str | None = None,
+        spans_dest: str | None = None,
     ):
         self.spark = spark
         self.ann_dest = ann_dest
@@ -871,6 +911,7 @@ class RetrievalService:
         self.pq_dim = pq_dim
         self.binary_dest = binary_dest
         self.bpe_dest = bpe_dest
+        self.spans_dest = spans_dest
 
     def metrics(self) -> dict:
         """Retrieval-index gauges for a /metrics snapshot — notably the
@@ -1076,6 +1117,59 @@ class RetrievalService:
         return binary_topk_from_tables(
             bz, qz, probe, k=k, rerank=rerank, dim=32 * len(word_cols)
         )
+
+    def spans(self, text: str, width: int | None = None) -> DataFrame:
+        """Contamination screen: which token RANGES of `text` appear
+        verbatim anywhere in the standing corpus? The probe is shingled
+        through the SAME expressions the maintainer runs (one-row
+        relation), its shingle hashes semi-join the live rows of the
+        standing span index, and matched positions merge into maximal
+        spans (dedup.merge_spans) — the eval-set decontamination check
+        run at SERVING time, before a document (or benchmark question)
+        is admitted. Per probe the cost is |probe shingles| lookups
+        against the index, never a corpus pass."""
+        if self.spans_dest is None:
+            raise ValueError("no span index configured")
+        from fluxdb_spark.functions.dedup import (
+            SPAN_WIDTH,
+            merge_spans,
+            positional_shingles,
+        )
+        from fluxdb_spark.functions.hashing import hash60
+
+        width = SPAN_WIDTH if width is None else width
+        derived = read_derived(self.spark, self.spans_dest)
+        if derived is None:
+            raise ValueError("span index is empty — run index-retrieval")
+        # lww_latest drops tombstoned docs; the null-marker rows of the
+        # outer explode guarantee every (doc, height) version is present
+        live_h = lww_latest(
+            derived.select("doc_id", "height", "is_deletion").distinct(),
+            ["doc_id"],
+        ).select("doc_id", "height")
+        corpus_h = (
+            derived.join(live_h, ["doc_id", "height"])
+            .filter(F.col("h").isNotNull())
+            .select("h")
+        )
+        probe = self.spark.createDataFrame(
+            [(0, text)], "probe_id long, text string"
+        )
+        occ = (
+            probe.select(
+                "probe_id",
+                F.posexplode(
+                    positional_shingles(F.col("text"), width)
+                ).alias("pos0", "shingle"),
+            )
+            .select(
+                "probe_id",
+                (F.col("pos0") + 1).alias("pos"),
+                hash60(F.col("shingle")).alias("h"),
+            )
+            .join(corpus_h.distinct(), "h", "left_semi")
+        )
+        return merge_spans(occ, width, "probe_id").drop("probe_id")
 
     def tokenize(self, text: str) -> DataFrame:
         """Encode ad-hoc text with the FROZEN tokenizer (the merge-list

@@ -28,6 +28,9 @@ Routes (GET, query-string params):
     /v1/pq_topk?vector=F1,F2,...[&k=N]      (materialized PQ codes)
     /v1/binary_topk?vec_id=N[&k=N]          (sign-bit scan + int8 rerank)
     /v1/tokenize?text=...                   (frozen BPE tokenizer)
+    /v1/spans?text=...                      (contamination screen: which
+                                             token ranges of the text
+                                             appear verbatim in corpus)
     /metrics            (optional, same source contract as MetricsServer)
 
 Responses are `{"rows": [...], "count": n}` JSON; errors are HTTP 400
@@ -212,6 +215,7 @@ class QueryServer:
             "/v1/pq_topk",
             "/v1/binary_topk",
             "/v1/tokenize",
+            "/v1/spans",
         ):
             if self.retrieval is None:
                 raise BadRequest("no retrieval indexes configured")
@@ -265,6 +269,10 @@ class QueryServer:
                 if not p.get("text"):
                     raise BadRequest("text must be non-empty")
                 df = self.retrieval.tokenize(p["text"])
+            elif path == "/v1/spans":
+                if not p.get("text"):
+                    raise BadRequest("text must be non-empty")
+                df = self.retrieval.spans(p["text"])
             elif path == "/v1/binary_topk":
                 try:
                     vid = int(p["vec_id"])

@@ -1096,3 +1096,94 @@ class TestMaterializedBpe:
     def test_unconfigured_service_raises(self, spark):
         with pytest.raises(ValueError, match="no BPE index"):
             rt.RetrievalService(spark).tokenize("hello")
+
+
+class TestMaterializedSpans:
+    """The standing span index + serving-side contamination screen:
+    RetrievalService.spans answers 'which token ranges of this unseen
+    text appear verbatim in the corpus' from the positional shingle-hash
+    table, with liveness by latest height (the posting-table shape)."""
+
+    def _svc(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "spans"), str(tmp_path / "ck_spans")
+        rt.refresh(
+            spark, str(store.root), dest, rt.span_hash_transform(4), ck
+        )
+        svc = rt.RetrievalService(spark, spans_dest=dest)
+        return svc, dest, ck
+
+    def _spans(self, svc, text):
+        return sorted(
+            (r.span_start, r.span_end, r.span_tokens)
+            for r in svc.spans(text, width=4).collect()
+        )
+
+    def test_contaminated_probe_flagged_clean_probe_empty(
+        self, spark, store, tmp_path
+    ):
+        store.write_batch(doc_rows(spark, DOCS1))
+        svc, _d, _c = self._svc(spark, store, tmp_path)
+        # probe embeds 6 corpus tokens at positions 4..9
+        probe = "my own words the quick brown fox jumps over here now"
+        assert self._spans(svc, probe) == [(4, 9, 6)]
+        assert self._spans(svc, "nothing here matches the corpus") == []
+
+    def test_update_moves_liveness_to_new_version(
+        self, spark, store, tmp_path
+    ):
+        store.write_batch(doc_rows(spark, {0: "alpha beta gamma delta "
+                                              "epsilon zeta"}))
+        svc, dest, ck = self._svc(spark, store, tmp_path)
+        assert self._spans(svc, "alpha beta gamma delta") == [(1, 4, 4)]
+        # replace the doc wholesale at a later height
+        store.write_batch(
+            make_changelog(
+                spark, [("doc", "docs", 50, "0", "one two three four five")]
+            ),
+            force=True,
+        )
+        rt.refresh(
+            spark, str(store.root), dest, rt.span_hash_transform(4), ck
+        )
+        assert self._spans(svc, "alpha beta gamma delta") == []
+        assert self._spans(svc, "one two three four") == [(1, 4, 4)]
+
+    def test_shortened_doc_does_not_resurrect_old_version(
+        self, spark, store, tmp_path
+    ):
+        store.write_batch(doc_rows(spark, {0: "alpha beta gamma delta "
+                                              "epsilon zeta"}))
+        svc, dest, ck = self._svc(spark, store, tmp_path)
+        # new version SHORTER than the shingle width -> emits only the
+        # null marker row; the old version must stop matching
+        store.write_batch(
+            make_changelog(spark, [("doc", "docs", 50, "0", "tiny doc")]),
+            force=True,
+        )
+        rt.refresh(
+            spark, str(store.root), dest, rt.span_hash_transform(4), ck
+        )
+        assert self._spans(svc, "alpha beta gamma delta") == []
+
+    def test_tombstone_removes_doc_from_screen(self, spark, store, tmp_path):
+        store.write_batch(doc_rows(spark, DOCS1))
+        svc, dest, ck = self._svc(spark, store, tmp_path)
+        probe = "the quick brown fox jumps over"
+        assert self._spans(svc, probe) != []
+        store.write_batch(
+            make_changelog(
+                spark,
+                [("doc", "docs", 60, "0", None), ("doc", "docs", 61, "1", None)],
+            ),
+            force=True,
+        )
+        rt.refresh(
+            spark, str(store.root), dest, rt.span_hash_transform(4), ck
+        )
+        # docs 0 and 1 carried the phrase; doc 2 does not
+        assert self._spans(svc, probe) == []
+
+    def test_unconfigured_and_empty_index_raise(self, spark, tmp_path):
+        svc = rt.RetrievalService(spark)
+        with pytest.raises(ValueError, match="no span index"):
+            svc.spans("anything")

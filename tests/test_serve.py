@@ -769,3 +769,102 @@ def test_index_retrieval_cli_bpe(spark, tmp_path, capsys):
     }
     assert set(live) == {0, 1}
     assert "</w>" in live[0]
+
+
+class TestSpansRoute:
+    def test_contamination_screen_over_http(self, spark, tmp_path):
+        """/v1/spans: the serving-side contamination screen — an unseen
+        text's verbatim-overlap ranges against the standing span index,
+        catching an append through the maintainer with no restart."""
+        from urllib.parse import quote
+
+        from fluxdb_spark.store import ChangelogStore
+        from fluxdb_spark.streaming import retrieval as rt
+        from tests.test_retrieval import DOCS1, DOCS2, doc_rows
+
+        dstore = ChangelogStore(spark, str(tmp_path / "ddb"))
+        dstore.write_batch(doc_rows(spark, DOCS1))
+        dest, ck = str(tmp_path / "spans"), str(tmp_path / "ck_spans")
+        rt.refresh(
+            spark, str(dstore.root), dest, rt.span_hash_transform(), ck
+        )
+        engine = FluxEngine(spark, str(tmp_path / "edb"))
+        service = rt.RetrievalService(spark, spans_dest=dest)
+        srv = QueryServer(engine, port=0, retrieval=service)
+        try:
+            probe = quote(
+                "intro words " + DOCS1[0] + " trailing words here"
+            )
+            got = _get(f"{srv.url}/v1/spans?text={probe}")
+            assert got["count"] == 1
+            (row,) = got["rows"]
+            assert row["span_start"] == 3
+            assert row["span_tokens"] >= 8
+            got = _get(
+                f"{srv.url}/v1/spans?text="
+                + quote("zero overlap with anything stored")
+            )
+            assert got["count"] == 0
+            # append while serving: the new doc screens immediately after
+            # the maintainer catch-up
+            dstore.write_batch(doc_rows(spark, DOCS2))
+            rt.refresh(
+                spark, str(dstore.root), dest, rt.span_hash_transform(), ck
+            )
+            newprobe = quote(DOCS2[4])
+            got = _get(f"{srv.url}/v1/spans?text={newprobe}")
+            assert got["count"] == 1
+            with pytest.raises(HTTPError) as e:
+                _get(f"{srv.url}/v1/spans?text=")
+            assert e.value.code == 400
+        finally:
+            srv.close()
+
+
+def test_index_retrieval_cli_spans(spark, tmp_path, capsys):
+    """index-retrieval --kind spans maintains the positional shingle-hash
+    table (posting-table shape: coalesce-only compaction), and the
+    service screens against it."""
+    from fluxdb_spark.__main__ import main
+    from fluxdb_spark.store import ChangelogStore
+    from fluxdb_spark.streaming import retrieval as rt
+    from tests.conftest import make_changelog
+
+    root = str(tmp_path / "dstore")
+    dest, ck = str(tmp_path / "spans"), str(tmp_path / "ck")
+    st = ChangelogStore(spark, root)
+    st.write_batch(
+        make_changelog(
+            spark,
+            [("doc", "docs", 1, "0",
+              "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        )
+    )
+    rc = main(
+        ["index-retrieval", "--store", root, "--dest", dest,
+         "--checkpoint", ck, "--kind", "spans"],
+        spark,
+    )
+    assert rc == 0
+    assert "spans index:" in capsys.readouterr().out
+    svc = rt.RetrievalService(spark, spans_dest=dest)
+    got = svc.spans("alpha beta gamma delta epsilon zeta eta theta").collect()
+    assert len(got) == 1 and got[0].span_tokens == 8
+    # second run: incremental + coalesce-only compaction
+    st.write_batch(
+        make_changelog(
+            spark,
+            [("doc", "docs", 2, "1",
+              "one two three four five six seven eight nine ten")],
+        )
+    )
+    rc = main(
+        ["index-retrieval", "--store", root, "--dest", dest,
+         "--checkpoint", ck, "--kind", "spans", "--compact"],
+        spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "# compacted" in out
+    got = svc.spans("one two three four five six seven eight").collect()
+    assert len(got) == 1
