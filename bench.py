@@ -151,6 +151,7 @@ HEADLINE = [
     "dedup_spans_cut",
     "event_paths",
     "quality_perceptron",
+    "leakage_safe_split",
 ]
 
 

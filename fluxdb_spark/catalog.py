@@ -158,6 +158,7 @@ _PRIORITY: list[str] = [
     "dedup_spans_cut",
     "event_paths",
     "quality_perceptron",
+    "leakage_safe_split",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3674,6 +3675,45 @@ def dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(d, 0.8)
     return dd.connected_components(pairs)
+
+
+_LEAKAGE_SPLIT_SQL = f"""
+WITH comp AS MATERIALIZED ({_CLUSTERS_SQL}),
+g AS (SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT)
+               AS group_key
+      FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT doc_id, group_key,
+       {cu.sql_hash_split("group_key", 0.1, 0.1)} AS split
+FROM g
+"""
+
+
+@_q("leakage_safe_split", "pipeline", _LEAKAGE_SPLIT_SQL)
+def leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split — the eval-integrity
+    primitive a plain hash_split cannot give: if two near-duplicate
+    documents land on opposite sides of the split, the eval set leaks
+    into training (Lee et al. 2021 measure exactly this contamination).
+    Composition: near-dup pairs (the exact PPJoin pipeline) -> connected
+    components -> every document keyed by its CLUSTER id (singletons by
+    their own id) -> the deterministic salted hash_split applied to the
+    GROUP key, so an entire near-dup cluster moves as one unit and no
+    pair can ever straddle the split. Stable under corpus growth for
+    unclustered docs (same hash_split guarantee), and the whole
+    assignment is engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    comp = dd.connected_components(dd.jaccard_pairs(d, 0.8))
+    g = (
+        d.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("group_key"),
+        )
+    )
+    return cu.hash_split(g, "group_key", val_frac=0.1, test_frac=0.1)
 
 
 @_q("dedup_minhash_lsh", "pipeline", _minhash_sql())

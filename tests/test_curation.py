@@ -399,3 +399,41 @@ class TestPpsSample:
                pps_sample(df, 1, weight_col="prio").collect()}
         # doc 2 holds ~all the weight -> clamped in; doc 1 near-zero prob
         assert 2 in out and out[2].weight == 1000000
+
+
+class TestLeakageSafeSplit:
+    def test_no_near_dup_pair_straddles_the_split(self, spark):
+        """The property the operator exists for: every near-dup pair's two
+        documents carry the same group_key and therefore the same split."""
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions import dedup as dd
+        from fluxdb_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        spec = {s.name: s for s in catalog()}["leakage_safe_split"]
+        split = {r.doc_id: (r.group_key, r.split)
+                 for r in spec.spark(spark, sf).collect()}
+        docs = load_table(spark, sf, "documents")
+        pairs = [(r.d1, r.d2)
+                 for r in dd.jaccard_pairs(docs, 0.8).collect()]
+        assert pairs, "corpus has near-dup pairs by construction"
+        for d1, d2 in pairs:
+            assert split[d1] == split[d2], (d1, d2, split[d1], split[d2])
+        # and a plain per-doc hash_split DOES straddle at least one pair
+        # (the leakage this operator prevents is real on this corpus)
+        from fluxdb_spark.functions import curation as cu
+
+        plain = {r.doc_id: r.split
+                 for r in cu.hash_split(
+                     docs.select("doc_id"), "doc_id", 0.1, 0.1
+                 ).collect()}
+        assert any(plain[d1] != plain[d2] for d1, d2 in pairs)
+
+    def test_every_doc_assigned_and_all_splits_present(self, spark):
+        from fluxdb_spark.catalog import catalog
+
+        sf = "/root/testdata/sf0.001"
+        spec = {s.name: s for s in catalog()}["leakage_safe_split"]
+        rows = spec.spark(spark, sf).collect()
+        assert len(rows) == 500
+        assert {r.split for r in rows} == {"train", "val", "test"}

@@ -98,6 +98,7 @@ OPS = [
     "embed_kcenter_sample",
     "dedup_spans_cut",
     "quality_perceptron",
+    "leakage_safe_split",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
