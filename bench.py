@@ -152,6 +152,7 @@ HEADLINE = [
     "event_paths",
     "quality_perceptron",
     "leakage_safe_split",
+    "source_divergence",
 ]
 
 

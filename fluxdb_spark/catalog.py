@@ -159,6 +159,7 @@ _PRIORITY: list[str] = [
     "event_paths",
     "quality_perceptron",
     "leakage_safe_split",
+    "source_divergence",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3926,6 +3927,22 @@ def embed_kcenter_sample(spark, sf_dir):
     relation (functions/similarity.kcenter_sample)."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.kcenter_sample(e, k=8)
+
+
+@_q("source_divergence", "pipeline", tx.sql_source_divergence())
+def source_divergence(spark, sf_dir):
+    """Outlier-source vocabulary audit: per source, the top-5 terms by
+    Pearson chi-square contribution against the corpus unigram
+    distribution — a spam domain or boilerplate-heavy feed surfaces as
+    a huge contribution on a handful of terms long before any quality
+    rule fires. Counts stay exact integers; the two divisions are a
+    fixed exact-int->double chain spelled identically in the SQL twin
+    (doubles hash-match). One (source, term) groupBy with map-side
+    combine; totals re-aggregate that relation and join back broadcast;
+    the per-source top-5 is a rank<=k window = partial WindowGroupLimit
+    (functions/text.source_divergence)."""
+    d = _td(spark, sf_dir)
+    return tx.source_divergence(d)
 
 
 @_q("quality_perceptron", "pipeline", tx.sql_quality_perceptron())

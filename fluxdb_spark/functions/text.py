@@ -1876,3 +1876,131 @@ e{e} AS MATERIALIZED (
         for e in range(1, epochs + 1)
     )
     return ",".join(parts) + f"\n{union}\nORDER BY epoch\n"
+
+
+# --- per-source vocabulary divergence (outlier-source detection) -------------
+
+
+def source_divergence(
+    docs,
+    top_terms: int = 5,
+    source_col: str = "source",
+    text_col: str = "text",
+):
+    """Which sources' vocabularies deviate most from the corpus, and on
+    which terms — the outlier-source audit a mix designer runs before
+    trusting a crawl feed (a spam domain or boilerplate-heavy source
+    shows up as a huge chi-square contribution on a handful of terms
+    long before any quality rule fires).
+
+    Per (source, term): obs = the source's count, exp = the corpus
+    share of the term scaled to the source's size, contribution =
+    (obs - exp)^2 / exp (the Pearson chi-square cell). Output: the
+    `top_terms` largest contributions per source, with the source's
+    token total — exact integer counts until the two divisions, whose
+    fixed exact-int -> double chain is spelled identically in the SQL
+    twin so even the doubles hash-match.
+
+    Scale shape: one explode -> (source, term) groupBy with map-side
+    combine (shuffle is |sources|*|vocab| counts, never corpus size);
+    corpus totals re-aggregate THAT relation (combine-friendly, no
+    second scan); totals join back by broadcast (|sources| + |vocab|
+    rows); the per-source top-k is a rank <= k window = partial
+    WindowGroupLimit."""
+    from fluxdb_spark.session import spread
+
+    st = (
+        spread(docs)
+        .select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .localCheckpoint(eager=False)
+    )
+    src_tot = st.groupBy("source").agg(
+        F.sum("obs").cast("long").alias("src_n")
+    )
+    term_tot = st.groupBy("term").agg(
+        F.sum("obs").cast("long").alias("term_n")
+    )
+    corpus_n = st.agg(F.sum("obs").cast("long").alias("corpus_n"))
+    exp = (
+        F.col("term_n").cast("double")
+        * F.col("src_n").cast("double")
+        / F.col("corpus_n").cast("double")
+    )
+    contrib = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    # rank on the ROUNDED contribution (the emitted column) so the
+    # Spark and SQL orderings see byte-identical keys
+    w = Window.partitionBy("source").orderBy(
+        F.desc("chi2_contrib"), F.asc("term")
+    )
+    return (
+        st.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(term_tot), "term")
+        .crossJoin(F.broadcast(corpus_n))
+        .select(
+            "source",
+            "term",
+            "obs",
+            "src_n",
+            F.round(exp, 4).alias("expected"),
+            F.round(contrib, 4).alias("chi2_contrib"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_terms)
+        .select(
+            "source",
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            "obs",
+            "src_n",
+            "expected",
+            "chi2_contrib",
+        )
+    )
+
+
+def sql_source_divergence(top_terms: int = 5) -> str:
+    """DuckDB twin of `source_divergence` (same count relations, the
+    divergence chain in the same textual op order)."""
+    return f"""
+WITH st AS MATERIALIZED (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+counts AS MATERIALIZED (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS obs
+  FROM st GROUP BY 1, 2),
+src_tot AS (SELECT source, CAST(sum(obs) AS BIGINT) AS src_n
+            FROM counts GROUP BY 1),
+term_tot AS (SELECT term, CAST(sum(obs) AS BIGINT) AS term_n
+             FROM counts GROUP BY 1),
+corpus AS (SELECT CAST(sum(obs) AS BIGINT) AS corpus_n FROM counts),
+scored AS (
+  SELECT c.source, c.term, c.obs, s.src_n,
+         round(CAST(t.term_n AS DOUBLE) * CAST(s.src_n AS DOUBLE)
+               / CAST(corpus_n AS DOUBLE), 4) AS expected,
+         round((CAST(c.obs AS DOUBLE)
+                - CAST(t.term_n AS DOUBLE) * CAST(s.src_n AS DOUBLE)
+                  / CAST(corpus_n AS DOUBLE))
+               * (CAST(c.obs AS DOUBLE)
+                  - CAST(t.term_n AS DOUBLE) * CAST(s.src_n AS DOUBLE)
+                    / CAST(corpus_n AS DOUBLE))
+               / (CAST(t.term_n AS DOUBLE) * CAST(s.src_n AS DOUBLE)
+                  / CAST(corpus_n AS DOUBLE)), 4) AS chi2_contrib
+  FROM counts c
+  JOIN src_tot s USING (source)
+  JOIN term_tot t USING (term)
+  CROSS JOIN corpus),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY chi2_contrib DESC, term) AS rank
+  FROM scored)
+SELECT source, CAST(rank AS BIGINT) AS rank, term, obs, src_n,
+       expected, chi2_contrib
+FROM ranked WHERE rank <= {top_terms}
+"""

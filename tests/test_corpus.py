@@ -693,3 +693,43 @@ class TestQualityPerceptron:
         )
         disagree = feats.filter(F.col("y") * score <= 0).count()
         assert disagree == 0
+
+
+class TestSourceDivergence:
+    def test_planted_outlier_source_dominates(self, spark):
+        """A source whose vocabulary is saturated with one alien term
+        must rank that term first with a contribution far above any
+        term of the well-mixed sources."""
+        from fluxdb_spark.functions.text import source_divergence
+
+        rows = []
+        for i in range(20):
+            rows.append((i, "common words shared by every source here", "clean_a"))
+            rows.append((100 + i, "common words shared by every source here", "clean_b"))
+            rows.append((200 + i, "viagra viagra viagra casino casino spamspam", "spammy"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = source_divergence(df).collect()
+        spam = [r for r in out if r.source == "spammy" and r.rank == 1]
+        assert spam and spam[0].term in {"viagra", "casino", "spamspam"}
+        spam_top = spam[0].chi2_contrib
+        clean_top = max(
+            r.chi2_contrib for r in out if r.source.startswith("clean")
+        )
+        assert spam_top > 5 * clean_top
+
+    def test_rank_bounds_and_exact_counts(self, spark):
+        from fluxdb_spark.functions.text import source_divergence
+        from fluxdb_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = source_divergence(docs, top_terms=3).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, []).append(r)
+        for src, rs in by_src.items():
+            assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+            assert len(rs) <= 3
+            assert all(x.obs <= x.src_n for x in rs)
+            # contributions are emitted in rank order
+            cs = [x.chi2_contrib for x in sorted(rs, key=lambda x: x.rank)]
+            assert cs == sorted(cs, reverse=True)

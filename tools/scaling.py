@@ -99,6 +99,7 @@ OPS = [
     "dedup_spans_cut",
     "quality_perceptron",
     "leakage_safe_split",
+    "source_divergence",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
