@@ -153,6 +153,7 @@ HEADLINE = [
     "quality_perceptron",
     "leakage_safe_split",
     "source_divergence",
+    "robust_stats",
 ]
 
 

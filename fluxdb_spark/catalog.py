@@ -160,6 +160,7 @@ _PRIORITY: list[str] = [
     "quality_perceptron",
     "leakage_safe_split",
     "source_divergence",
+    "robust_stats",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3960,6 +3961,117 @@ def quality_perceptron(spark, sf_dir):
     (functions/text.quality_perceptron)."""
     d = _td(spark, sf_dir)
     return tx.quality_perceptron(d)
+
+
+def _robust_stats_sql() -> str:
+    """DuckDB twin of `robust_stats` (shared HDR bucket arithmetic; the
+    winsorized mean's division chain in the same textual order)."""
+    idx = tx._hdr_idx_sql("cents")
+    lo1 = tx._hdr_lower_sql("b01")
+    lo99 = tx._hdr_lower_sql("b99")
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem),
+hist AS MATERIALIZED (
+  SELECT flag, {idx} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2),
+n AS (SELECT flag, CAST(sum(cnt) AS BIGINT) AS n_rows FROM hist GROUP BY 1),
+cum AS (SELECT flag, bucket,
+               sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS c
+        FROM hist),
+cuts AS (
+  SELECT n.flag,
+         (SELECT min(bucket) FROM cum
+          WHERE cum.flag = n.flag AND c >= ceil(0.01 * n_rows)) AS b01,
+         (SELECT min(bucket) FROM cum
+          WHERE cum.flag = n.flag AND c >= ceil(0.99 * n_rows)) AS b99
+  FROM n),
+th AS (SELECT flag, CAST({lo1} AS BIGINT) AS lo,
+              CAST({lo99} AS BIGINT) AS hi FROM cuts)
+SELECT v.flag AS l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(th.lo) AS BIGINT) AS p01_cents,
+       CAST(max(th.hi) AS BIGINT) AS p99_cents,
+       CAST(sum(v.cents) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE)
+         AS mean_raw,
+       CAST(sum(least(greatest(v.cents, th.lo), th.hi)) AS DOUBLE)
+         / CAST(count(*) * 100 AS DOUBLE) AS mean_winsorized
+FROM v JOIN th USING (flag)
+GROUP BY 1
+"""
+
+
+@_q("robust_stats", "relational", _robust_stats_sql())
+def robust_stats(spark, sf_dir):
+    """Outlier-robust (winsorized) aggregation WITHOUT sorting: per
+    return flag, the mean of l_extendedprice with values clamped to the
+    [p1, p99] thresholds read off the mergeable HDR bucket sketch — the
+    robust metric a 100 TB job cannot get from exact percentiles
+    (Spark's exact `percentile` buffers every value of a group in one
+    task; the sketch histogram is a combine-friendly groupBy over the
+    bounded bucket space). Thresholds are bucket lower bounds (exact
+    integer arithmetic, ~3% relative error — winsorization only needs a
+    stable cut, not an exact order statistic), clamping is map-side
+    against the broadcast per-flag thresholds, and every sum is exact
+    integer cents; the two emitted means are single double divisions
+    spelled identically in the SQL twin."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        ).alias("cents"),
+    ).localCheckpoint(eager=False)
+    hist = v.groupBy(
+        "flag", F.expr(tx._hdr_idx_expr("cents")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    n = hist.groupBy("flag").agg(F.sum("cnt").cast("long").alias("n_rows"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("c", F.sum("cnt").over(wc)).join(
+        F.broadcast(n), "flag"
+    )
+    th = cum.groupBy("flag").agg(
+        F.expr(
+            "CAST("
+            + tx._hdr_lower_sql(
+                "min(CASE WHEN c >= ceil(0.01 * n_rows)"
+                " THEN bucket END)"
+            )
+            + " AS BIGINT)"
+        ).alias("lo"),
+        F.expr(
+            "CAST("
+            + tx._hdr_lower_sql(
+                "min(CASE WHEN c >= ceil(0.99 * n_rows)"
+                " THEN bucket END)"
+            )
+            + " AS BIGINT)"
+        ).alias("hi"),
+    )
+    return (
+        v.join(F.broadcast(th), "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("lo").cast("long").alias("p01_cents"),
+            F.max("hi").cast("long").alias("p99_cents"),
+            (
+                F.sum("cents").cast("double")
+                / (F.count(F.lit(1)) * F.lit(100)).cast("double")
+            ).alias("mean_raw"),
+            (
+                F.sum(F.least(F.greatest(F.col("cents"), F.col("lo")),
+                              F.col("hi"))).cast("double")
+                / (F.count(F.lit(1)) * F.lit(100)).cast("double")
+            ).alias("mean_winsorized"),
+        )
+    )
 
 
 @_q("kmv_set_overlap", "pipeline", tx.sql_kmv_set_overlap())

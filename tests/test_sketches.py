@@ -386,3 +386,36 @@ class TestStreamingKmv:
         # both types exceed k=128 distinct users -> sketches are full
         assert sum(1 for g, _, _ in got if g == "a") == tx.KMV_K
         assert sum(1 for g, _, _ in got if g == "b") == tx.KMV_K
+
+
+class TestRobustStats:
+    def test_winsorized_mean_resists_planted_outliers(self, spark):
+        """Plant a handful of absurd outliers among many tame values in
+        one group: the raw mean must move far, the winsorized mean must
+        stay near the tame mean; an outlier-free group's two means agree
+        almost exactly (clamping at p1/p99 touches only the tails)."""
+        from fluxdb_spark.catalog import robust_stats as entry_fn  # noqa: F401
+        from fluxdb_spark.catalog import catalog
+
+        rows = []
+        for i in range(1000):
+            rows.append((i, "A", 100.00 + (i % 7)))     # tame: ~100-106
+        for i in range(5):
+            rows.append((2000 + i, "A", 9_000_000.00))  # absurd outliers
+        for i in range(1000):
+            rows.append((5000 + i, "N", 50.00 + (i % 3)))
+        df = spark.createDataFrame(
+            rows, "lid long, l_returnflag string, l_extendedprice double"
+        )
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="robust-")
+        df.write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        spec = {s.name: s for s in catalog()}["robust_stats"]
+        out = {r.l_returnflag: r for r in spec.spark(spark, d).collect()}
+        a = out["A"]
+        assert a.mean_raw > 40_000  # outliers wreck the raw mean
+        assert 95 < a.mean_winsorized < 115, a
+        n = out["N"]
+        assert abs(n.mean_raw - n.mean_winsorized) < 2.0, n

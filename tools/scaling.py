@@ -100,6 +100,7 @@ OPS = [
     "quality_perceptron",
     "leakage_safe_split",
     "source_divergence",
+    "robust_stats",
 ]
 
 # sweep a subset: SPARK_GRAFT_SCALING_OPS=op1,op2 python tools/scaling.py
