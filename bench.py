@@ -154,6 +154,7 @@ HEADLINE = [
     "leakage_safe_split",
     "source_divergence",
     "robust_stats",
+    "stream_source_divergence",
 ]
 
 

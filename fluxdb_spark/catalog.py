@@ -161,6 +161,7 @@ _PRIORITY: list[str] = [
     "leakage_safe_split",
     "source_divergence",
     "robust_stats",
+    "stream_source_divergence",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3944,6 +3945,45 @@ def source_divergence(spark, sf_dir):
     (functions/text.source_divergence)."""
     d = _td(spark, sf_dir)
     return tx.source_divergence(d)
+
+
+@_q("stream_source_divergence", "streaming", tx.sql_source_divergence())
+def stream_source_divergence(spark, sf_dir):
+    """STREAMING outlier-source audit: the (source, term) count table
+    maintained by Structured Streaming — counts are additive, so the
+    micro-batch merge IS the table update and state is bounded by
+    |sources| * |vocab| rows (vocabulary-bounded, never corpus-bounded;
+    Zipf growth), the profile-store shape of stream_rfm. The chi-square
+    divergence rollup runs serving-side on the standing counts exactly
+    as `source_divergence` computes it from a batch scan, and the
+    streamed result hash-matches the same SQL twin."""
+    import uuid
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    counts = (
+        raw.select(
+            F.col("source"),
+            F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    name = f"stream_srcdiv_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return tx.source_divergence_from_counts(spark.table(name))
 
 
 @_q("quality_perceptron", "pipeline", tx.sql_quality_perceptron())

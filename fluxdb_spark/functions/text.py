@@ -1917,8 +1917,15 @@ def source_divergence(
         )
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("obs"))
-        .localCheckpoint(eager=False)
     )
+    return source_divergence_from_counts(st, top_terms)
+
+
+def source_divergence_from_counts(st, top_terms: int = 5):
+    """The divergence rollup alone, over a (source, term, obs) count
+    relation from anywhere — the batch explode or the standing table a
+    streaming query maintains (`stream_source_divergence`)."""
+    st = st.localCheckpoint(eager=False)
     src_tot = st.groupBy("source").agg(
         F.sum("obs").cast("long").alias("src_n")
     )

@@ -257,7 +257,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_tumbling", "stream_dedup", "stream_stream_join",
         "stream_sessionize", "stream_simhash_dedup",
         "stream_hll_distinct", "stream_cms_heavy_hitters",
-        "stream_rfm", "stream_kmv_overlap",
+        "stream_rfm", "stream_kmv_overlap", "stream_source_divergence",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
