@@ -24,6 +24,7 @@ from fluxdb_spark.functions import dedup as dd
 from fluxdb_spark.functions import similarity as sim
 from fluxdb_spark.functions import text as tx
 from fluxdb_spark.functions.hashing import hash60, hash60_sql
+from fluxdb_spark.operators import bloomjoin as bj
 from fluxdb_spark.operators import temporal as tp
 from fluxdb_spark.operators import sharding as sh
 from fluxdb_spark.operators import snapshot as sn
@@ -162,6 +163,8 @@ _PRIORITY: list[str] = [
     "source_divergence",
     "robust_stats",
     "stream_source_divergence",
+    "editdist_join",
+    "bloom_semi_join",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3543,6 +3546,22 @@ def dedup_containment(spark, sf_dir):
     return dd.containment_pairs(d, 0.8)
 
 
+@_q("editdist_join", "pipeline", dd.sql_editdist("p_name", "part", 2))
+def editdist_join(spark, sf_dir):
+    """Edit-distance similarity join (Ed-Join, Xiao et al. 2008): all
+    p_name pairs within Levenshtein distance 2 — the entity-resolution
+    primitive for misspelled names / OCR noise. The pair search runs on
+    the DISTINCT value relation (vocabulary-bounded: 64 names at every
+    SF; a 100 TB column still collapses to its vocabulary under one
+    map-side-combined groupBy), candidates come from a rare-first
+    q-gram (q*k+1)-prefix self-join plus a broadcast wildcard band for
+    strings whose gram set is <= q*k, and the exact JVM `levenshtein`
+    verifies (functions/dedup.editdist_pairs). All-integer output; the
+    oracle is the naive distinct-value band self-join."""
+    p = _t(spark, sf_dir, "part")
+    return dd.editdist_pairs(p, "p_name", 2)
+
+
 @_q("dedup_spans", "pipeline", dd.sql_duplicated_spans())
 def dedup_spans(spark, sf_dir):
     """Exact-substring duplicated SPANS (Lee et al. 2021, ExactSubstr):
@@ -5114,6 +5133,43 @@ def grouping_sets(spark, sf_dir):
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
+    )
+
+
+@_q(
+    "bloom_semi_join",
+    "relational",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_orderkey = l.l_orderkey
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""",
+)
+def bloom_semi_join(spark, sf_dir):
+    """Bloom-pruned EXACT semi-join (the user-space runtime filter /
+    sideways-information-passing pattern): urgent-order keys fold into an
+    8 KB bitmap via one bit_or aggregate (partial blooms merge by OR),
+    the fact scan is pruned by a plan-literal bloom probe inside
+    WholeStageCodegen BEFORE any shuffle, and an exact left-semi join
+    over the survivors removes false positives — exactly the semi-join,
+    with the shuffle carrying match+fp rows instead of the whole table
+    (operators/bloomjoin.bloom_semi_join). The oracle is the plain
+    EXISTS form; bloom parameters cannot change the result."""
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    kept = bj.bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return kept.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
     )
 
 

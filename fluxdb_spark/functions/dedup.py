@@ -1236,3 +1236,140 @@ SELECT t.doc_id,
        t.n_tokens - coalesce(a.n_kept, 0) AS n_cut
 FROM tot t LEFT JOIN agg a USING (doc_id)
 """
+
+
+# --- edit-distance similarity join (Ed-Join) ----------------------------------
+#
+# The string-attribute member of the dedup family: all value pairs within
+# Levenshtein distance k — the entity-resolution primitive (misspelled
+# names, OCR noise, near-identical titles). Candidate generation follows
+# Ed-Join (Xiao, Wang, Lin 2008): character q-grams ordered by global
+# document frequency, and a pair within k edits MUST share a gram inside
+# each side's (q*k + 1)-prefix, because one edit destroys at most q
+# distinct grams, so |set(s) ∩ set(t)| >= |set(s)| - q*k. Strings whose
+# gram set is <= q*k (the bound is vacuous) are WILDCARDS and pair with
+# everything inside the +-k length band — a set bounded by the short-string
+# vocabulary, broadcast at scale.
+# Reference parity note: fluxdb has no string-similarity operators; this is
+# part of the beyond-reference training-data layer (SURVEY §2.8).
+
+EDITDIST_Q = 2
+
+
+def char_qgrams(s: Column, q: int = EDITDIST_Q) -> Column:
+    """Distinct character q-grams of a string (JVM-side; [] if len < q).
+    Same one-bind trick as `word_shingles` — bind the string once."""
+
+    def _grams(v: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.length(v) - (q - 1), F.lit(1))
+        body = F.array_distinct(F.transform(idx, lambda i: F.substring(v, i, q)))
+        return F.when(F.length(v) >= q, body).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(s), _grams), 1)
+
+
+def editdist_pairs(
+    df: DataFrame, col: str, k: int = 2, q: int = EDITDIST_Q
+) -> DataFrame:
+    """All DISTINCT-value pairs of `col` within Levenshtein distance k,
+    with per-value row counts.
+
+    Scale design: the pair search runs on the DISTINCT value relation —
+    vocabulary-bounded, not corpus-bounded (TPC-H p_name: 64 distinct at
+    every SF; a 100 TB attribute column still collapses to its vocabulary
+    under one map-side-combined groupBy). On that relation, Ed-Join prefix
+    filtering keeps the candidate join at prefix x prefix (rare-first, so
+    hot grams never meet), the +-k length band prunes the rest, and the
+    exact JVM `levenshtein` verifies — no false negatives: the count
+    bound covers every string with > q*k distinct grams, and the shorter
+    ones go through the wildcard band join.
+
+    Output: (val_a, val_b, dist, cnt_a, cnt_b) with val_a < val_b.
+    All-integer + strings, so the result hashes exactly vs the oracle.
+    """
+    prefix_len = q * k + 1
+    vals = (
+        df.groupBy(F.col(col).alias("val"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "val",
+            "cnt",
+            F.length("val").alias("len"),
+            char_qgrams(F.col("val"), q).alias("grams"),
+        )
+        .localCheckpoint()  # cut the scan before the multi-branch fan-out
+    )
+    g = vals.select("val", F.explode("grams").alias("gram"))
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("val").orderBy("df", "gram")
+    prefix = (
+        g.join(dfreq, on="gram")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("val", "gram")
+    )
+    meta_a = vals.select(
+        F.col("val").alias("val_a"),
+        F.col("len").alias("len_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    meta_b = vals.select(
+        F.col("val").alias("val_b"),
+        F.col("len").alias("len_b"),
+        F.col("cnt").alias("cnt_b"),
+    )
+    cand_prefix = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="gram")
+        .filter(F.col("a.val") < F.col("b.val"))
+        .select(
+            F.col("a.val").alias("val_a"), F.col("b.val").alias("val_b")
+        )
+    )
+    # wildcards: gram set too small for the count bound to bite — they
+    # must meet EVERY value in the +-k length band (broadcast: bounded by
+    # the short-string vocabulary)
+    wc = vals.filter(F.size("grams") <= q * k).select(
+        F.col("val").alias("wval"), F.col("len").alias("wlen")
+    )
+    allv = vals.select(F.col("val").alias("oval"), F.col("len").alias("olen"))
+    cand_wc = (
+        F.broadcast(wc)
+        .join(
+            allv,
+            (F.abs(F.col("wlen") - F.col("olen")) <= k)
+            & (F.col("wval") != F.col("oval")),
+        )
+        .select(
+            F.least("wval", "oval").alias("val_a"),
+            F.greatest("wval", "oval").alias("val_b"),
+        )
+    )
+    cand = cand_prefix.unionByName(cand_wc).distinct()
+    return (
+        cand.join(meta_a, on="val_a")
+        .join(meta_b, on="val_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= k)
+        .withColumn("dist", F.levenshtein("val_a", "val_b"))
+        .filter(F.col("dist") <= k)
+        .select("val_a", "val_b", "dist", "cnt_a", "cnt_b")
+    )
+
+
+def sql_editdist(col: str, table: str, k: int = 2) -> str:
+    """DuckDB twin of `editdist_pairs`: the naive distinct-value band
+    self-join with the same exact levenshtein verification."""
+    return f"""
+WITH vals AS (
+  SELECT {col} AS val, CAST(count(*) AS BIGINT) AS cnt,
+         length({col}) AS len
+  FROM {table} GROUP BY 1)
+SELECT a.val AS val_a, b.val AS val_b,
+       CAST(levenshtein(a.val, b.val) AS INT) AS dist,
+       a.cnt AS cnt_a, b.cnt AS cnt_b
+FROM vals a JOIN vals b
+  ON a.val < b.val AND abs(a.len - b.len) <= {k}
+WHERE levenshtein(a.val, b.val) <= {k}
+"""

@@ -1,4 +1,5 @@
 from fluxdb_spark.operators.asof import asof_join
+from fluxdb_spark.operators.bloomjoin import bloom_semi_join, build_bloom
 from fluxdb_spark.operators.ranges import range_join
 from fluxdb_spark.operators.skew import salted_agg, salted_join
 from fluxdb_spark.operators.temporal import (
@@ -26,6 +27,8 @@ __all__ = [
     "has_rows",
     "latest_checkpoint",
     "asof_join",
+    "bloom_semi_join",
+    "build_bloom",
     "range_join",
     "salted_agg",
     "salted_join",

@@ -153,6 +153,21 @@ class TestCorpusOpPlans:
         assert "CartesianProduct" not in p
 
 
+class TestEditdistShape:
+    def test_editdist_no_cartesian_wildcard_broadcast(self, spark, specs):
+        """The Ed-Join candidate join must be a hash join on the gram key
+        (never a cartesian pair scan), and the wildcard length-band join
+        must BUILD the bounded wildcard side (BroadcastNestedLoopJoin is
+        the correct physical op for a non-equi band join whose small side
+        is vocabulary-bounded)."""
+        p = plan_of(spark, specs, "editdist_join")
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "BroadcastHashJoin" in p
+        # keyed on the gram column, not a pair scan
+        assert "[gram" in p
+
+
 class TestQ18Shape:
     def test_q18_partial_agg_no_window(self, spark, specs):
         """Q18's big-order subquery must be a partial-aggregated groupBy

@@ -380,6 +380,56 @@ def test_containment_catches_what_jaccard_misses(spark):
     assert jaccard_pairs(df, 0.8).count() == 0
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=8),
+        min_size=2,
+        max_size=14,
+    ),
+    k=st.sampled_from([1, 2]),
+)
+def test_editdist_prefix_filter_is_lossless(spark, vals, k):
+    """Ed-Join candidate generation must surface EVERY distinct-value pair
+    within k edits — the q-gram prefix filter may only prune pairs that
+    cannot qualify, and strings whose gram set is <= q*k (including the
+    empty string) must flow through the wildcard band. Compared against a
+    brute-force python Levenshtein over the distinct values."""
+    from fluxdb_spark.functions.dedup import editdist_pairs
+
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    got = {
+        (r.val_a, r.val_b): (r.dist, r.cnt_a, r.cnt_b)
+        for r in editdist_pairs(df, "name", k).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    from collections import Counter
+
+    cnt = Counter(vals)
+    uniq = sorted(cnt)
+    want = {}
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1:]:
+            d = lev(a, b)
+            if d <= k:
+                want[(a, b)] = (d, cnt[a], cnt[b])
+    assert got == want
+
+
 # --- round-3 corpus operators: model equivalence on random corpora ---------
 
 
