@@ -155,6 +155,10 @@ HEADLINE = [
     "source_divergence",
     "robust_stats",
     "stream_source_divergence",
+    # edit-distance similarity join (Ed-Join on the distinct-value
+    # relation) and the bloom-pruned exact semi-join (runtime filter)
+    "editdist_join",
+    "bloom_semi_join",
 ]
 
 

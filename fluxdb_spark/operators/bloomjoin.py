@@ -60,7 +60,7 @@ def build_bloom(
     the merge is the bitwise OR, and only the <= m/64 non-zero words cross
     to the driver. Returns the dense word array (length m/64)."""
     assert m % 64 == 0
-    pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+    pow2 = F.lit(_POW2).cast("array<long>")
     pos = F.explode(F.array(*_positions(F.col(key_col), m, h))).alias("pos")
     words = (
         keys.select(pos)
@@ -86,8 +86,10 @@ def bloom_might_contain(
     seeded hash, test one bit with two array lookups and a bitwise AND —
     all inside WholeStageCodegen, no join, no Python."""
     m = len(bloom) * 64
-    words = F.array(*[F.lit(v).cast("long") for v in bloom])
-    pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+    # single array literals (one plan node each), not m/64 expression
+    # nodes — keeps plan construction O(1) as the bitmap grows
+    words = F.lit(bloom).cast("array<long>")
+    pow2 = F.lit(_POW2).cast("array<long>")
     cond = F.lit(True)
     for pos in _positions(key, m, h):
         word = F.element_at(words, (F.shiftright(pos, 6) + 1).cast("int"))
