@@ -159,6 +159,10 @@ HEADLINE = [
     # relation) and the bloom-pruned exact semi-join (runtime filter)
     "editdist_join",
     "bloom_semi_join",
+    # k-anonymity generalization ladder (one rollup scan) and EWMA
+    # smoothing over state histories (one-scan grid + shared lag window)
+    "k_anonymity",
+    "flux_series_ewma",
 ]
 
 

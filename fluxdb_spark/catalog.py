@@ -165,6 +165,8 @@ _PRIORITY: list[str] = [
     "stream_source_divergence",
     "editdist_join",
     "bloom_semi_join",
+    "k_anonymity",
+    "flux_series_ewma",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -408,6 +410,56 @@ def flux_state_series(spark, sf_dir):
     a map-side explode, at any N."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.state_series(log, "click", 100, 900, 100)
+
+
+@_q(
+    "flux_series_ewma",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900
+), v AS (
+  SELECT *, lead(height, 1, 901) OVER (
+              PARTITION BY primary_key ORDER BY height) AS next_h
+  FROM scoped
+), iv AS (
+  SELECT *,
+         100 + ((greatest(height - 100, 0) + 49) // 50) * 50 AS g_lo,
+         least(next_h - 1, 900) AS g_hi
+  FROM v WHERE NOT is_deletion
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS as_of_height, primary_key,
+         CAST(json_extract_string(value, '$.k') AS BIGINT) AS x
+  FROM iv, unnest(generate_series(g_lo, g_hi, 50)) AS t(g)
+  WHERE g_lo <= g_hi
+), lagged AS (
+  SELECT primary_key, as_of_height, x,
+         lag(x, 1) OVER w AS x1,
+         lag(x, 2) OVER w AS x2,
+         lag(x, 3) OVER w AS x3
+  FROM grid
+  WINDOW w AS (PARTITION BY primary_key ORDER BY as_of_height))
+SELECT primary_key, as_of_height, x,
+       round((8 * x + coalesce(4 * x1, 0) + coalesce(2 * x2, 0)
+              + coalesce(1 * x3, 0)) * 1.0
+             / (8 + CASE WHEN x1 IS NULL THEN 0 ELSE 4 END
+                  + CASE WHEN x2 IS NULL THEN 0 ELSE 2 END
+                  + CASE WHEN x3 IS NULL THEN 0 ELSE 1 END), 4) AS ewma
+FROM lagged
+""",
+)
+def flux_series_ewma(spark, sf_dir):
+    """EWMA smoothing over state histories at heights 100..900 step 50 —
+    the denoised-trajectory complement to `flux_series_anomalies`,
+    built on the same ONE-SCAN state_series grid. Bounded-horizon
+    power-of-two weights (8,4,2,1) over the key's last 4 observed grid
+    points, renormalized over the points that exist: integer numerator
+    and denominator, a single rounded division, bit-identical in both
+    engines (operators/temporal.series_ewma). The lag window reuses the
+    grid's per-key partitioning — one shuffle serves both."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.series_ewma(log, "click", 100, 900, 50)
 
 
 @_q(
@@ -4003,6 +4055,72 @@ def stream_source_divergence(spark, sf_dir):
     )
     q.awaitTermination()
     return tx.source_divergence_from_counts(spark.table(name))
+
+
+@_q(
+    "k_anonymity",
+    "pipeline",
+    """
+WITH groups AS (
+  SELECT CASE WHEN GROUPING(c_nationkey) = 0 AND GROUPING(c_mktsegment) = 0
+              THEN 'nation_segment'
+              WHEN GROUPING(c_nationkey) = 0 THEN 'nation'
+              ELSE 'all' END AS level,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer
+  GROUP BY ROLLUP (c_nationkey, c_mktsegment))
+SELECT level,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(n) AS BIGINT) AS min_group,
+       CAST(coalesce(sum(CASE WHEN n < 6 THEN n END), 0) AS BIGINT)
+         AS rows_at_risk,
+       round(coalesce(sum(CASE WHEN n < 6 THEN n END), 0) * 1.0 / sum(n), 4)
+         AS pct_at_risk
+FROM groups GROUP BY level
+""",
+)
+def k_anonymity(spark, sf_dir):
+    """k-anonymity audit across a GENERALIZATION LADDER (Sweeney 2002):
+    before releasing training data keyed on quasi-identifiers, measure
+    re-identification risk — any (nationality, market-segment) group
+    smaller than k is linkable. ONE rollup scan produces group sizes at
+    all three generalization levels (nation x segment, nation, fully
+    suppressed); a second aggregate over that |groups|-row relation
+    reports, per level, the group count, the smallest group, and the
+    row mass in sub-k groups — the report that picks the coarsest level
+    meeting the k bar. Scale: the rollup is one expand+groupBy with
+    map-side combine; everything after runs on the |QI-combos| relation
+    (vocabulary-bounded, never row-bounded). Complements `pii_scrub`
+    (content redaction) with structural linkage risk."""
+    c = _t(spark, sf_dir, "customer")
+    k = 6
+    groups = (
+        c.rollup("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("c_nationkey").alias("g_nat"),
+            F.grouping("c_mktsegment").alias("g_seg"),
+        )
+        .select(
+            F.when(
+                (F.col("g_nat") == 0) & (F.col("g_seg") == 0),
+                F.lit("nation_segment"),
+            )
+            .when(F.col("g_nat") == 0, F.lit("nation"))
+            .otherwise(F.lit("all"))
+            .alias("level"),
+            "n",
+        )
+    )
+    risk = F.sum(F.when(F.col("n") < k, F.col("n")))
+    return groups.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("n").alias("min_group"),
+        F.coalesce(risk, F.lit(0)).cast("long").alias("rows_at_risk"),
+        F.round(
+            F.coalesce(risk, F.lit(0)) / F.sum("n"), 4
+        ).alias("pct_at_risk"),
+    )
 
 
 @_q("quality_perceptron", "pipeline", tx.sql_quality_perceptron())

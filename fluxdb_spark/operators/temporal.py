@@ -576,3 +576,59 @@ def series_anomalies(
             rhs.alias("var_bound_n2"),
         )
     )
+
+
+def series_ewma(
+    changelog: DataFrame,
+    tablet_id: str,
+    start: int,
+    stop: int,
+    step: int,
+    metric_json_field: str = "k",
+    weights: tuple[int, ...] = (8, 4, 2, 1),
+    collection: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average over STATE HISTORIES: the
+    smoothing read the anomaly detector's complement — `series_anomalies`
+    flags spikes, this yields the denoised trajectory a dashboard or a
+    downstream forecast consumes.
+
+    Built on `state_series`' one-scan grid (per version, its live grid
+    interval exploded — never one read per grid point, the shape the
+    reference would be forced into via N ReadTabletAt passes,
+    read.go:35-178). The EWMA is the bounded-horizon, power-of-two form:
+    weights (8,4,2,1) over the key's last 4 OBSERVED grid points (decay
+    1/2 per step), renormalized over the points that exist — so the
+    numerator and denominator are exact INTEGER sums (no float decay
+    chain), the single rounding happens at the final division, and the
+    result is engine-portable bit-for-bit. Row-lag semantics: "previous"
+    means the key's previous live grid point; gaps (key absent at a grid
+    height) do not contribute zeros, they just aren't in the window.
+
+    One per-key window shuffle for the grid + one for the lags (same
+    partitioning: Catalyst reuses the exchange). Returns
+    (primary_key, as_of_height, x, ewma).
+    """
+    grid = state_series(
+        changelog, tablet_id, start, stop, step, collection=collection,
+        ordered=False,
+    ).select(
+        "as_of_height",
+        "primary_key",
+        F.get_json_object("value", f"$.{metric_json_field}")
+        .cast("long")
+        .alias("x"),
+    )
+    w = Window.partitionBy("primary_key").orderBy("as_of_height")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for lag, wt in enumerate(weights):
+        xl = F.lag("x", lag).over(w) if lag else F.col("x")
+        num = num + F.coalesce(xl * wt, F.lit(0))
+        den = den + F.when(xl.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return grid.select(
+        "primary_key",
+        "as_of_height",
+        "x",
+        F.round(num / den, 4).alias("ewma"),
+    )

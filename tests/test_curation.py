@@ -437,3 +437,26 @@ class TestLeakageSafeSplit:
         rows = spec.spark(spark, sf).collect()
         assert len(rows) == 500
         assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+class TestKAnonymity:
+    def test_generalization_ladder_semantics(self, spark):
+        """Coarsening the quasi-identifier can only merge groups, so the
+        at-risk row mass is monotone non-increasing up the ladder, and the
+        fully-suppressed level is one group holding every row."""
+        from fluxdb_spark.catalog import catalog
+
+        sf = "/root/testdata/sf0.001"
+        spec = {s.name: s for s in catalog()}["k_anonymity"]
+        rows = {r.level: r for r in spec.spark(spark, sf).collect()}
+        assert set(rows) == {"nation_segment", "nation", "all"}
+        assert (
+            rows["nation_segment"].rows_at_risk
+            >= rows["nation"].rows_at_risk
+            >= rows["all"].rows_at_risk
+        )
+        total = rows["all"].min_group
+        assert rows["all"].n_groups == 1 and rows["all"].rows_at_risk == 0
+        assert rows["nation"].n_groups <= rows["nation_segment"].n_groups
+        # group counts partition the same row mass at every level
+        assert rows["nation_segment"].min_group >= 0 and total > 0

@@ -461,3 +461,38 @@ class TestSeriesAnomalies:
                 ("tst", "tbl", 20, "a", '{"k": 1000}')]
         log = make_changelog(spark, rows)
         assert series_anomalies(log, "tbl", 10, 20, 10).count() == 0
+
+
+class TestSeriesEwma:
+    def test_hand_computed_with_gap_and_tombstone(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.operators.temporal import series_ewma
+
+        # key a: created at 10 (k=4), updated at 30 (k=8); lives on grid
+        #   10,20 with x=4 and 30,40 with x=8
+        # key b: created at 10 (k=6), DELETED at 25 -> grid 10,20 only;
+        #   the tombstone truncates, so no zero-contributions after 20
+        rows = [
+            ("tst", "tbl", 10, "a", '{"k": 4}'),
+            ("tst", "tbl", 30, "a", '{"k": 8}'),
+            ("tst", "tbl", 10, "b", '{"k": 6}'),
+            ("tst", "tbl", 25, "b", ""),
+        ]
+        log = make_changelog(spark, rows)
+        out = {
+            (r.primary_key, r.as_of_height): (r.x, r.ewma)
+            for r in series_ewma(log, "tbl", 10, 40, 10).collect()
+        }
+        # a@10: 8*4/8=4; a@20: (8*4+4*4)/12=4; a@30: (8*8+4*4+2*4)/14
+        # a@40: (8*8+4*8+2*4+1*4)/15
+        assert out[("a", 10)] == (4, 4.0)
+        assert out[("a", 20)] == (4, 4.0)
+        assert out[("a", 30)] == (8, round((8 * 8 + 4 * 4 + 2 * 4) / 14, 4))
+        assert out[("a", 40)] == (
+            8, round((8 * 8 + 4 * 8 + 2 * 4 + 1 * 4) / 15, 4)
+        )
+        # b stops at 20: the tombstone removes it from grid >= 30
+        assert out[("b", 10)] == (6, 6.0)
+        assert out[("b", 20)] == (6, 6.0)
+        assert ("b", 30) not in out and ("b", 40) not in out
+        assert len(out) == 6
