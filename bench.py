@@ -163,6 +163,8 @@ HEADLINE = [
     # smoothing over state histories (one-scan grid + shared lag window)
     "k_anonymity",
     "flux_series_ewma",
+    # duplication-hub centrality: integer PageRank on the near-dup graph
+    "dedup_pagerank",
 ]
 
 

@@ -167,6 +167,7 @@ _PRIORITY: list[str] = [
     "bloom_semi_join",
     "k_anonymity",
     "flux_series_ewma",
+    "dedup_pagerank",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3583,6 +3584,24 @@ def dedup_ngram(spark, sf_dir):
     """N-gram (3-word shingle) Jaccard near-dup pairs at >= 0.8."""
     d = _t(spark, sf_dir, "documents")
     return dd.jaccard_pairs(d, 0.8)
+
+
+@_q("dedup_pagerank", "pipeline", dd.sql_duplication_pagerank(_JACCARD_SQL))
+def dedup_pagerank(spark, sf_dir):
+    """Duplication-HUB centrality: integer PageRank over the >= 0.8
+    Jaccard near-dup graph — which documents are the templates and
+    boilerplate carriers at the center of the duplication structure
+    (score grows with centrality, not just raw degree). Three unrolled
+    power iterations in scaled-integer arithmetic (every division an
+    integral div spelled identically in the DuckDB twin — the k-means
+    fixed-point discipline), each one equi-join + combine-friendly
+    groupBy on the |pairs| relation; node count rides a 1-row
+    broadcast; top-k is sort+limit (functions/dedup.
+    duplication_pagerank). At corpus scale the pair input comes from
+    banded LSH; here it reuses dedup_ngram's exact prefix-filtered
+    join."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.duplication_pagerank(dd.jaccard_pairs(d, 0.8))
 
 
 @_q("dedup_containment", "pipeline", dd.sql_containment(0.8))

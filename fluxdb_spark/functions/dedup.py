@@ -1373,3 +1373,122 @@ FROM vals a JOIN vals b
   ON a.val < b.val AND abs(a.len - b.len) <= {k}
 WHERE levenshtein(a.val, b.val) <= {k}
 """
+
+
+# --- duplication-hub centrality (PageRank over the near-dup graph) -----------
+#
+# Document-level dedup yields PAIRS; the question a curation pipeline asks
+# next is "which documents are the HUBS of duplication" — the templates,
+# license blocks and boilerplate carriers that near-duplicate into many
+# others. PageRank over the undirected near-dup graph answers it: a doc's
+# score grows with how central it is to the duplication structure, not
+# just its raw degree. All arithmetic is SCALED-INTEGER (scores sum to
+# ~10^12), every division an integral `div` spelled identically in the
+# DuckDB twin, so three unrolled power iterations are bit-deterministic —
+# the same fixed-point discipline as the k-means/PQ codebook chains.
+
+PR_SCALE = 10**12
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85
+
+
+def duplication_pagerank(
+    pairs: DataFrame, iters: int = 3, top_k: int = 20
+) -> DataFrame:
+    """Top-k duplication hubs by integer PageRank over the (d1, d2) pair
+    relation.
+
+    Scale design: the graph relation is |near-dup pairs| — already the
+    output of the prefix-filtered exact join (or banded LSH at corpus
+    scale), orders of magnitude below the corpus. Each iteration is one
+    equi-join (edges x scores, shuffled on the node key) plus one
+    combine-friendly groupBy — no driver-side adjacency, no collect; the
+    node-count denominator rides a 1-row broadcast. Undirected edges mean
+    every node receives mass, so there is no dangling-mass correction.
+    The final top-k is sort+limit (TakeOrdered: per-partition top-k,
+    k*partitions merge), with rank assigned on the k-row result.
+
+    Returns (doc_id, degree, pr_scaled, rank), pr_scaled out of ~10^12.
+    """
+    edges = (
+        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+        )
+        .localCheckpoint()  # each iteration re-joins this relation
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nt = deg.agg(F.count(F.lit(1)).alias("n"))  # 1-row broadcast total
+    pr = (
+        deg.crossJoin(F.broadcast(nt))
+        .select(
+            F.col("src").alias("node"),
+            F.expr(f"{PR_SCALE} div n").alias("pr"),
+        )
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("pr div deg").alias("share"))
+        )
+        pr = (
+            contrib.groupBy("dst")
+            .agg(F.sum("share").alias("insum"))
+            .crossJoin(F.broadcast(nt))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.expr(f"(({PR_SCALE} div n) * {PR_DAMP_DEN - PR_DAMP_NUM}) div {PR_DAMP_DEN}")
+                    + F.expr(f"(insum * {PR_DAMP_NUM}) div {PR_DAMP_DEN}")
+                ).alias("pr"),
+            )
+        )
+    scored = pr.join(
+        deg.select(F.col("src").alias("node"), "deg"), "node"
+    ).select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.col("pr").alias("pr_scaled"),
+    )
+    top = scored.orderBy(F.desc("pr_scaled"), F.asc("doc_id")).limit(top_k)
+    w = Window.orderBy(F.desc("pr_scaled"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def sql_duplication_pagerank(
+    pairs_sql: str, iters: int = 3, top_k: int = 20
+) -> str:
+    """DuckDB twin: the same unrolled integer power iterations over a
+    MATERIALIZED pair relation. Every sum is cast back to BIGINT (DuckDB
+    sum(BIGINT) -> HUGEINT -> pandas float64, the round-9 dtype lesson)."""
+    s, dn, dd_ = PR_SCALE, PR_DAMP_NUM, PR_DAMP_DEN
+    base = f"(({s} // n) * {dd_ - dn}) // {dd_}"
+    ctes = [
+        f"pairs AS MATERIALIZED ({pairs_sql})",
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM pairs"
+        " UNION ALL SELECT d2, d1 FROM pairs)",
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg"
+        " FROM edges GROUP BY src)",
+        "nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)",
+        f"pr0 AS (SELECT src AS node, {s} // n AS pr FROM deg, nt)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"pr{i + 1} AS ("
+            f"SELECT e.dst AS node, "
+            f"{base} + (CAST(sum(p.pr // d.deg) AS BIGINT) * {dn}) // {dd_} AS pr "
+            f"FROM edges e JOIN pr{i} p ON e.src = p.node "
+            f"JOIN deg d ON e.src = d.src, nt "
+            f"GROUP BY e.dst, n)"
+        )
+    ctes.append(
+        f"top AS (SELECT p.node AS doc_id, d.deg AS degree, p.pr AS pr_scaled "
+        f"FROM pr{iters} p JOIN deg d ON p.node = d.src "
+        f"ORDER BY p.pr DESC, p.node ASC LIMIT {top_k})"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + ",\nranked AS (SELECT *, "
+        "CAST(row_number() OVER (ORDER BY pr_scaled DESC, doc_id ASC) "
+        "AS BIGINT) AS rank FROM top)\n"
+        "SELECT doc_id, degree, pr_scaled, rank FROM ranked"
+    )

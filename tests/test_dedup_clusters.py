@@ -70,3 +70,44 @@ def test_raises_when_chain_exceeds_iteration_budget(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=2)
+
+
+def pagerank_model(pairs, iters=3, scale=10**12):
+    """Exact python replica of the scaled-integer power iteration."""
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    pr = {v: scale // n for v in deg}
+    for _ in range(iters):
+        nxt = {}
+        for s, d in edges:
+            nxt[d] = nxt.get(d, 0) + pr[s] // deg[s]
+        pr = {
+            v: ((scale // n) * 15) // 100 + (m * 85) // 100
+            for v, m in nxt.items()
+        }
+    return pr
+
+
+class TestDuplicationPagerank:
+    def test_matches_integer_model_hub_ranks_first(self, spark):
+        from fluxdb_spark.functions.dedup import duplication_pagerank
+
+        # star: 0 is the hub of 1..5; plus an isolated near-dup pair 8-9
+        pairs = [(0, i) for i in range(1, 6)] + [(8, 9)]
+        df = spark.createDataFrame(pairs, "d1 long, d2 long")
+        got = {
+            r.doc_id: (r.degree, r.pr_scaled, r.rank)
+            for r in duplication_pagerank(df).collect()
+        }
+        model = pagerank_model(pairs)
+        ranked = sorted(model, key=lambda v: (-model[v], v))
+        for rank, v in enumerate(ranked, 1):
+            deg = sum(1 for a, b in pairs for x in (a, b) if x == v)
+            assert got[v] == (deg, model[v], rank), v
+        # the hub dominates every leaf and the isolated pair
+        assert ranked[0] == 0
+        # scaled mass stays ~conserved (integral truncation only)
+        assert abs(sum(model.values()) - 10**12) < 10**6
