@@ -165,6 +165,8 @@ HEADLINE = [
     "flux_series_ewma",
     # duplication-hub centrality: integer PageRank on the near-dup graph
     "dedup_pagerank",
+    # PMI-lift collocation mining (exact-integer, Zipf-bounded groupBys)
+    "collocations",
 ]
 
 

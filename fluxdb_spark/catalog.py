@@ -168,6 +168,7 @@ _PRIORITY: list[str] = [
     "k_anonymity",
     "flux_series_ewma",
     "dedup_pagerank",
+    "collocations",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4140,6 +4141,21 @@ def k_anonymity(spark, sf_dir):
             F.coalesce(risk, F.lit(0)) / F.sum("n"), 4
         ).alias("pct_at_risk"),
     )
+
+
+@_q("collocations", "pipeline", tx.sql_collocations())
+def collocations(spark, sf_dir):
+    """Collocation mining (Church & Hanks 1990): the adjacent word pairs
+    that co-occur far beyond what their unigram frequencies predict —
+    multi-word expressions a tokenizer or phrase table wants. Scored by
+    EXACT-INTEGER lift (10^6 * P(ab)/(P(a)P(b)) via a two-step integral
+    division that keeps intermediates under 64 bits — log-PMI's ranking
+    without libm, bit-identical in both engines). One bigram groupBy
+    (output Zipf-bounded vocabulary, never corpus rows), unigram counts
+    join back broadcast, bigram total on a 1-row broadcast, top-k via
+    sort+limit (functions/text.collocations)."""
+    d = _td(spark, sf_dir)
+    return tx.collocations(d)
 
 
 @_q("quality_perceptron", "pipeline", tx.sql_quality_perceptron())

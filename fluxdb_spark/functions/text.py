@@ -2011,3 +2011,127 @@ SELECT source, CAST(rank AS BIGINT) AS rank, term, obs, src_n,
        expected, chi2_contrib
 FROM ranked WHERE rank <= {top_terms}
 """
+
+
+# --- collocation mining (PMI-style lift, exact integer) ----------------------
+#
+# Which adjacent word pairs co-occur far more than their unigram
+# frequencies predict — the classic collocation / multi-word-expression
+# extractor (Church & Hanks 1990 PMI). The score is kept in EXACT INTEGER
+# arithmetic instead of log-space PMI: lift_ppm = 10^6 * P(ab)/(P(a)P(b))
+# computed as ((c_ab * 10^6) div c_a) * NB div c_b — same ranking as PMI
+# (log is monotone), no libm in either engine, bit-identical to the
+# oracle. Two-step division keeps intermediates under 64 bits: the first
+# quotient is <= 10^6 (c_ab <= c_a), so the second product is <= 10^6*NB.
+
+COLLOC_MIN_COUNT = 5
+_LIFT_SCALE = 1_000_000
+
+
+def bigram_pairs(text: Column) -> Column:
+    """All ADJACENT lowercase token pairs, in order (one-bind token-array
+    trick, as word_shingles)."""
+
+    def _pairs(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks) - 1, F.lit(1))
+        body = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        )
+        return F.when(F.size(toks) >= 2, body).otherwise(
+            F.array().cast("array<struct<w1:string,w2:string>>")
+        )
+
+    return F.element_at(
+        F.transform(F.array(tokens(F.lower(text))), _pairs), 1
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = COLLOC_MIN_COUNT,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by integer lift over the corpus.
+
+    Scale: one bigram explode + groupBy (map-side combined, output is the
+    bigram vocabulary — Zipf-bounded, not corpus-bounded) and one unigram
+    groupBy; the unigram relation joins back BROADCAST (vocabulary-sized);
+    the bigram total rides a 1-row broadcast; top-k is sort+limit.
+
+    Returns (w1, w2, c_ab, lift_ppm, rank).
+    """
+    bg = docs.select(
+        F.explode(bigram_pairs(F.col("text"))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nb = bg.agg(F.count(F.lit(1)).alias("n"))  # 1-row broadcast total
+    scored = (
+        bgc.join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"),
+                                   F.col("c").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"),
+                                   F.col("c").alias("c_b"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.expr(
+                f"(((c_ab * {_LIFT_SCALE}) div c_a) * n) div c_b"
+            ).alias("lift_ppm"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift_ppm"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)
+    w = Window.orderBy(F.desc("lift_ppm"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def sql_collocations(
+    min_count: int = COLLOC_MIN_COUNT, top_k: int = 20
+) -> str:
+    """DuckDB twin of `collocations` (identical two-step division)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)),
+bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM bg GROUP BY 1, 2 HAVING count(*) >= {min_count}),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+scored AS (
+  SELECT w1, w2, c_ab,
+         (((c_ab * {_LIFT_SCALE}) // ua.c) * n) // ub.c AS lift_ppm
+  FROM bgc JOIN uni ua ON ua.tok = w1 JOIN uni ub ON ub.tok = w2, nb),
+top AS (
+  SELECT * FROM scored
+  ORDER BY lift_ppm DESC, w1 ASC, w2 ASC LIMIT {top_k})
+SELECT w1, w2, c_ab, lift_ppm,
+       CAST(row_number() OVER (ORDER BY lift_ppm DESC, w1 ASC, w2 ASC)
+            AS BIGINT) AS rank
+FROM top
+"""

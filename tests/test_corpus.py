@@ -733,3 +733,55 @@ class TestSourceDivergence:
             # contributions are emitted in rank order
             cs = [x.chi2_contrib for x in sorted(rs, key=lambda x: x.rank)]
             assert cs == sorted(cs, reverse=True)
+
+
+class TestCollocations:
+    def test_matches_python_model(self, spark):
+        from collections import Counter
+
+        from fluxdb_spark.functions.text import collocations
+
+        docs = [
+            "new york is a big city",
+            "new york has new ideas",
+            "big city big dreams",
+            "york new city",
+            "a city so big",
+        ] * 3  # replicate so pairs clear min_count
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+        )
+        got = [
+            (r.w1, r.w2, r.c_ab, r.lift_ppm, r.rank)
+            for r in collocations(df, min_count=3, top_k=10).collect()
+        ]
+
+        bg = Counter()
+        uni = Counter()
+        for t in docs:
+            ws = t.lower().split(" ")
+            uni.update(ws)
+            bg.update(zip(ws, ws[1:]))
+        nb = sum(bg.values())
+        scored = [
+            (a, b, c, ((c * 1_000_000) // uni[a] * nb) // uni[b])
+            for (a, b), c in bg.items()
+            if c >= 3
+        ]
+        scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+        want = [
+            (a, b, c, l, i + 1) for i, (a, b, c, l) in enumerate(scored[:10])
+        ]
+        assert got == want
+        # "new york" (3x adjacent) must outrank generic "a city"
+        pairs_ranked = [(r[0], r[1]) for r in got]
+        assert ("new", "york") in pairs_ranked
+
+    def test_short_docs_yield_no_bigrams(self, spark):
+        from fluxdb_spark.functions.text import collocations
+
+        df = spark.createDataFrame(
+            [(0, "one"), (1, ""), (2, "two words")], "doc_id long, text string"
+        )
+        rows = collocations(df, min_count=1, top_k=10).collect()
+        assert [(r.w1, r.w2, r.c_ab) for r in rows] == [("two", "words", 1)]
