@@ -167,6 +167,8 @@ HEADLINE = [
     "dedup_pagerank",
     # PMI-lift collocation mining (exact-integer, Zipf-bounded groupBys)
     "collocations",
+    # per-doc integer tf-idf keywords (broadcast df, WindowGroupLimit)
+    "doc_keywords",
 ]
 
 

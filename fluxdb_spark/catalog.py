@@ -169,6 +169,7 @@ _PRIORITY: list[str] = [
     "flux_series_ewma",
     "dedup_pagerank",
     "collocations",
+    "doc_keywords",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4141,6 +4142,20 @@ def k_anonymity(spark, sf_dir):
             F.coalesce(risk, F.lit(0)) / F.sum("n"), 4
         ).alias("pct_at_risk"),
     )
+
+
+@_q("doc_keywords", "pipeline", tx.sql_doc_keywords())
+def doc_keywords(spark, sf_dir):
+    """Per-document keyword extraction: top-3 characteristic terms by
+    integer tf-idf (score = (tf*N) div df — ranks identically to
+    classic tf-idf, no libm log, bit-identical in both engines). The
+    doc-side fingerprint complement to BM25's query-side scoring. One
+    (doc, term) groupBy; df is a groupBy over THAT relation
+    (vocabulary-sized) joined back broadcast; per-doc top-k is a
+    rank<=k window = partial WindowGroupLimit, never a global sort
+    (functions/text.doc_keywords)."""
+    d = _td(spark, sf_dir)
+    return tx.doc_keywords(d)
 
 
 @_q("collocations", "pipeline", tx.sql_collocations())

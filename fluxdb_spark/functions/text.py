@@ -2135,3 +2135,78 @@ SELECT w1, w2, c_ab, lift_ppm,
             AS BIGINT) AS rank
 FROM top
 """
+
+
+# --- per-document keyword extraction (integer tf-idf) -------------------------
+
+KEYWORDS_PER_DOC = 3
+
+
+def doc_keywords(docs: DataFrame, top_k: int = KEYWORDS_PER_DOC) -> DataFrame:
+    """Top-k characteristic terms per document by integer tf-idf: score =
+    (tf * N) div df — the tf x inverse-document-frequency RATIO, which
+    ranks identically to classic tf-idf for any monotone idf transform,
+    in pure integral arithmetic (no libm log, bit-identical to the
+    oracle). Complements BM25 (query-side scoring) with the doc-side
+    fingerprint a tagger / indexer / summary pipeline wants.
+
+    Scale: one (doc, term) groupBy (map-side combined); df comes from a
+    second groupBy OVER THAT relation (vocabulary-sized output) and joins
+    back BROADCAST; N rides a 1-row broadcast; the per-doc top-k is a
+    rank <= k window partitioned by doc — a partial WindowGroupLimit,
+    never a global sort.
+
+    Returns (doc_id, term, tf, score, rank).
+    """
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.expr("(tf * n) div df").alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "score", "rank")
+    )
+
+
+def sql_doc_keywords(top_k: int = KEYWORDS_PER_DOC) -> str:
+    """DuckDB twin of `doc_keywords` (identical integral arithmetic)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, (tf * n) // df AS score
+  FROM tf JOIN dfreq USING (term), nd),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+              PARTITION BY doc_id ORDER BY score DESC, term ASC)
+            AS BIGINT) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {top_k}
+"""

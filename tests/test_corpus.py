@@ -785,3 +785,45 @@ class TestCollocations:
         )
         rows = collocations(df, min_count=1, top_k=10).collect()
         assert [(r.w1, r.w2, r.c_ab) for r in rows] == [("two", "words", 1)]
+
+
+class TestDocKeywords:
+    def test_matches_python_model(self, spark):
+        from collections import Counter
+
+        from fluxdb_spark.functions.text import doc_keywords
+
+        docs = [
+            (0, "apple apple banana cherry"),
+            (1, "banana banana banana date"),
+            (2, "apple cherry cherry cherry"),
+            (3, "date elderberry"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.term, r.tf, r.score, r.rank)
+            for r in doc_keywords(df, top_k=2).collect()
+        )
+
+        tf = Counter()
+        for i, t in docs:
+            tf.update((i, w) for w in t.lower().split(" "))
+        dfreq = Counter(term for _, term in tf)
+        n = len(docs)
+        want = []
+        for i, _ in docs:
+            terms = [
+                (term, c, (c * n) // dfreq[term])
+                for (d, term), c in tf.items()
+                if d == i
+            ]
+            terms.sort(key=lambda r: (-r[2], r[0]))
+            want += [
+                (i, term, c, s, rank + 1)
+                for rank, (term, c, s) in enumerate(terms[:2])
+            ]
+        assert got == sorted(want)
+        # the rarest term in a doc dominates its common ones:
+        # doc 3's elderberry (df=1) must rank over date (df=2)
+        d3 = [r for r in got if r[0] == 3]
+        assert d3[0][1] == "date" and [r for r in d3 if r[4] == 1][0][1] == "elderberry"
