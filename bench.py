@@ -169,6 +169,8 @@ HEADLINE = [
     "collocations",
     # per-doc integer tf-idf keywords (broadcast df, WindowGroupLimit)
     "doc_keywords",
+    # streaming-maintained collocation count tables + batch finisher
+    "stream_collocations",
 ]
 
 

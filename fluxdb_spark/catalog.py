@@ -170,6 +170,7 @@ _PRIORITY: list[str] = [
     "dedup_pagerank",
     "collocations",
     "doc_keywords",
+    "stream_collocations",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4076,6 +4077,54 @@ def stream_source_divergence(spark, sf_dir):
     )
     q.awaitTermination()
     return tx.source_divergence_from_counts(spark.table(name))
+
+
+@_q("stream_collocations", "streaming", tx.sql_collocations())
+def stream_collocations(spark, sf_dir):
+    """STREAMING collocation mining: the bigram and unigram count tables
+    maintained by Structured Streaming — counts are additive, so the
+    micro-batch merge IS the table update and state is bounded by the
+    Zipf-bounded bigram/unigram vocabularies, never the stream. The
+    integer-lift finisher runs serving-side on the standing counts
+    exactly as the batch `collocations` computes them from a scan, and
+    the streamed result hash-matches the same SQL twin."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+
+    tag = uuid.uuid4().hex[:8]
+    bg_name, uni_name = f"stream_bgc_{tag}", f"stream_uni_{tag}"
+    qs = []
+    bgc = (
+        tx.bigram_count_stream(_stream())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    uni = (
+        tx.unigram_count_stream(_stream())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    for df, name in ((bgc, bg_name), (uni, uni_name)):
+        qs.append(
+            df.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    for q in qs:
+        q.awaitTermination()
+    return tx.collocations_from_counts(
+        spark.table(bg_name), spark.table(uni_name)
+    )
 
 
 @_q(

@@ -2064,22 +2064,48 @@ def collocations(
 
     Returns (w1, w2, c_ab, lift_ppm, rank).
     """
-    bg = docs.select(
-        F.explode(bigram_pairs(F.col("text"))).alias("p")
-    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     bgc = (
-        bg.groupBy("w1", "w2")
+        bigram_count_stream(docs)
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
     )
     uni = (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("tok"))
+        unigram_count_stream(docs)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    nb = bg.agg(F.count(F.lit(1)).alias("n"))  # 1-row broadcast total
+    return collocations_from_counts(bgc, uni, min_count, top_k)
+
+
+def bigram_count_stream(docs: DataFrame) -> DataFrame:
+    """(w1, w2) one row per adjacent pair — the pre-aggregation relation
+    shared by the batch operator and the Structured-Streaming twin."""
+    return docs.select(
+        F.explode(bigram_pairs(F.col("text"))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def unigram_count_stream(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+
+
+def collocations_from_counts(
+    bgc: DataFrame,
+    uni: DataFrame,
+    min_count: int = COLLOC_MIN_COUNT,
+    top_k: int = 20,
+) -> DataFrame:
+    """Finish collocation scoring from COUNT TABLES (w1, w2, c_ab) and
+    (tok, c) — the seam the streaming twin shares: counts are additive,
+    so Structured Streaming can maintain both tables incrementally
+    (micro-batch merge IS the count merge) and this batch finisher runs
+    over state bounded by the Zipf vocabulary, never the stream."""
+    nb = bgc.agg(F.sum("c_ab").cast("long").alias("n"))  # 1-row broadcast
     scored = (
-        bgc.join(
+        bgc.filter(F.col("c_ab") >= min_count)
+        .join(
             F.broadcast(uni.select(F.col("tok").alias("w1"),
                                    F.col("c").alias("c_a"))),
             "w1",
