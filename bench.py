@@ -171,6 +171,8 @@ HEADLINE = [
     "doc_keywords",
     # streaming-maintained collocation count tables + batch finisher
     "stream_collocations",
+    # CMS inner-product join-size estimation (planner primitive)
+    "join_size_estimate",
 ]
 
 

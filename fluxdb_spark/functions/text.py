@@ -2236,3 +2236,104 @@ ranked AS (
   FROM scored)
 SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {top_k}
 """
+
+
+# --- sketch-based join-size estimation (CMS inner product) --------------------
+#
+# Cormode & Muthukrishnan 2005 §4.2: the inner product of two frequency
+# vectors — EXACTLY the row count of an inner equi-join, sum_k cA(k)*cB(k)
+# — is estimated by min over rows of the bucket-wise product of two
+# count-min sketches. This is the query-planner primitive: at 100 TB you
+# decide join strategy (broadcast? shuffle? which side builds?) from two
+# depth*width counter tables produced by one map-side-combined pass over
+# each input, never from the join itself. Guaranteed an OVERESTIMATE
+# (collisions only add mass), within e/width * |A|*|B| with the usual CMS
+# probability; both the sketches and the estimate are exact integer
+# arithmetic over the portable hash, so the whole thing hash-matches the
+# oracle.
+
+
+def _cms_key_sketch(df: DataFrame, key_col: str, depth: int, width: int):
+    keys = df.select(F.col(key_col).cast("string").alias("term"))
+    keyed = keys.select(
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+        "term",
+    ).select(
+        "r", _cms_bucket(F.col("term"), F.col("r"), width).alias("bucket")
+    )
+    return keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    a_key: str,
+    b_key: str,
+    depth: int = CMS_DEPTH,
+    width: int = 4096,
+) -> DataFrame:
+    """(method, n_rows) with the EXACT inner equi-join size beside the CMS
+    inner-product estimate. The exact side is computed as the inner
+    product of the two per-key count relations (sum cA*cB — the join
+    size without materializing the join); the estimate touches only the
+    two depth*width counter tables."""
+    ska = _cms_key_sketch(a, a_key, depth, width)
+    skb = _cms_key_sketch(b, b_key, depth, width)
+    est = (
+        ska.withColumnRenamed("cnt", "ca")
+        .join(skb.withColumnRenamed("cnt", "cb"), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("prod"))
+        .agg(F.min("prod").cast("long").alias("n_rows"))
+        .select(F.lit("cms_estimate").alias("method"), "n_rows")
+    )
+    ca = a.groupBy(F.col(a_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = b.groupBy(F.col(b_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    exact = (
+        ca.join(cb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("n_rows")
+        )
+        .select(F.lit("exact").alias("method"), "n_rows")
+    )
+    return exact.unionByName(est)
+
+
+def sql_cms_join_size(
+    a_table: str,
+    b_table: str,
+    a_key: str,
+    b_key: str,
+    depth: int = CMS_DEPTH,
+    width: int = 4096,
+) -> str:
+    """DuckDB twin of `cms_join_size` (same salted buckets)."""
+    return f"""
+WITH rws AS (SELECT unnest(range(0, {depth})) AS r),
+ka AS (SELECT CAST({a_key} AS VARCHAR) AS term FROM {a_table}),
+kb AS (SELECT CAST({b_key} AS VARCHAR) AS term FROM {b_table}),
+ska AS (SELECT r, {_cms_bucket_sql('term', 'r', width)} AS bucket,
+               CAST(count(*) AS BIGINT) AS ca
+        FROM ka, rws GROUP BY 1, 2),
+skb AS (SELECT r, {_cms_bucket_sql('term', 'r', width)} AS bucket,
+               CAST(count(*) AS BIGINT) AS cb
+        FROM kb, rws GROUP BY 1, 2),
+prods AS (SELECT a.r, CAST(sum(a.ca * b.cb) AS BIGINT) AS prod
+          FROM ska a JOIN skb b USING (r, bucket) GROUP BY 1),
+est AS (SELECT 'cms_estimate' AS method,
+               CAST(min(prod) AS BIGINT) AS n_rows FROM prods),
+ca AS (SELECT {a_key} AS k, CAST(count(*) AS BIGINT) AS c
+       FROM {a_table} GROUP BY 1),
+cb AS (SELECT {b_key} AS k, CAST(count(*) AS BIGINT) AS c
+       FROM {b_table} GROUP BY 1),
+exact AS (SELECT 'exact' AS method,
+                 CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) AS n_rows
+          FROM ca JOIN cb USING (k))
+SELECT * FROM exact UNION ALL SELECT * FROM est
+"""

@@ -419,3 +419,35 @@ class TestRobustStats:
         assert 95 < a.mean_winsorized < 115, a
         n = out["N"]
         assert abs(n.mean_raw - n.mean_winsorized) < 2.0, n
+
+
+class TestCmsJoinSize:
+    def test_overestimate_guarantee_and_exactness(self, spark):
+        """The CMS inner product can only ADD mass (collisions), so the
+        estimate must dominate the exact join size at any width; the
+        exact side must equal a real join count."""
+        from fluxdb_spark.functions.text import cms_join_size
+
+        a = spark.range(300).select((F.col("id") % 40).alias("k"))
+        b = spark.range(200).select((F.col("id") % 25).alias("j"))
+        out = {r.method: r.n_rows for r in
+               cms_join_size(a, b, "k", "j", width=64).collect()}
+        true = a.join(b, a.k == b.j).count()
+        assert out["exact"] == true
+        assert out["cms_estimate"] >= true
+        # a comfortably-wide sketch over few keys is near-exact
+        wide = {r.method: r.n_rows for r in
+                cms_join_size(a, b, "k", "j", width=4096).collect()}
+        assert wide["exact"] == true
+        assert true <= wide["cms_estimate"] <= int(true * 1.05)
+
+    def test_disjoint_keys_estimate_small(self, spark):
+        from fluxdb_spark.functions.text import cms_join_size
+
+        a = spark.range(100).select(F.col("id").alias("k"))
+        b = spark.range(100, 200).select(F.col("id").alias("j"))
+        out = {r.method: r.n_rows for r in
+               cms_join_size(a, b, "k", "j", width=4096).collect()}
+        assert out["exact"] == 0
+        # only collision mass remains
+        assert out["cms_estimate"] <= 20
