@@ -173,6 +173,8 @@ HEADLINE = [
     "stream_collocations",
     # CMS inner-product join-size estimation (planner primitive)
     "join_size_estimate",
+    # collocation count tables as transform-aggregate IVM (pre seam)
+    "collocations_materialized",
 ]
 
 

@@ -172,6 +172,7 @@ _PRIORITY: list[str] = [
     "doc_keywords",
     "stream_collocations",
     "join_size_estimate",
+    "collocations_materialized",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4192,6 +4193,69 @@ def k_anonymity(spark, sf_dir):
             F.coalesce(risk, F.lit(0)) / F.sum("n"), 4
         ).alias("pct_at_risk"),
     )
+
+
+@_q("collocations_materialized", "pipeline", tx.sql_collocations())
+def collocations_materialized(spark, sf_dir):
+    """`collocations` as a STANDING SERVICE: the bigram and unigram
+    count tables maintained as TRANSFORM-AGGREGATE IVM from the store's
+    commit log (materialize.py's new `pre` seam — each delta's documents
+    explode row-wise into bigrams/tokens before the algebraic count
+    fold, so a refresh costs O(delta x fan-out) + O(Zipf vocabulary),
+    never a corpus re-scan; exactly-once anchored to commit versions
+    like every aggregate it maintains). The integer-lift finisher reads
+    only the standing counts; hash-identical to the batch twin, same
+    oracle. Count folds assume the append-only corpus shape (an update
+    arriving as a new key version would need the live-version fold of
+    the retrieval transforms instead — documented, not silent)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluxdb_spark.streaming.materialize import (
+        materialize_aggregate,
+        read_aggregate,
+    )
+
+    store = _mat_store_docs(spark, sf_dir)
+    qroot = tempfile.mkdtemp(prefix="fluxdb-matq-")
+    bg_dest = os.path.join(qroot, "bgc")
+    uni_dest = os.path.join(qroot, "uni")
+
+    def pre_bg(rows):
+        return rows.select(
+            F.explode(tx.bigram_pairs(F.col("value"))).alias("p")
+        ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    def pre_uni(rows):
+        return rows.select(
+            F.explode(tx.tokens(F.lower(F.col("value")))).alias("tok")
+        )
+
+    jobs = (
+        (bg_dest, pre_bg, ["w1", "w2"], "c_ab"),
+        (uni_dest, pre_uni, ["tok"], "c"),
+    )
+    for dest, pre, cols, cname in jobs:
+        q = materialize_aggregate(
+            spark,
+            str(store.root),
+            dest,
+            cols,
+            [(cname, "count(1)", "sum")],
+            os.path.join(qroot, "ck_" + os.path.basename(dest)),
+            trigger_seconds=0.5,
+            pre=pre,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    out = tx.collocations_from_counts(
+        read_aggregate(spark, bg_dest), read_aggregate(spark, uni_dest)
+    ).localCheckpoint()
+    shutil.rmtree(qroot, ignore_errors=True)
+    return out
 
 
 @_q(

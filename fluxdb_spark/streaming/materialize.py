@@ -142,6 +142,7 @@ def materialize_aggregate(
     aggs: list[tuple[str, str, str]],
     checkpoint_dir: str,
     trigger_seconds: float = 1.0,
+    pre=None,
 ):
     """Start the maintenance stream: follow `src_root`'s commit log and
     fold each newly committed append into the aggregate table at `dest`.
@@ -149,6 +150,13 @@ def materialize_aggregate(
     `aggs`: (output_name, sql_expr_over_changelog_rows, merge) triples
     with merge in {sum, min, max} — e.g. ("n_rows", "count(1)", "sum"),
     ("max_height", "max(height)", "max"). Returns the StreamingQuery.
+
+    `pre` (optional): a ROW-WISE DataFrame transform applied to the
+    changelog rows before grouping — transform-aggregate IVM (e.g.
+    explode a document into bigrams, then count). Applied identically to
+    the delta fold and the rebuild path, so the fold stays exact; it
+    must be stateless per-row (no aggregation inside), which keeps the
+    refresh O(delta rows x fan-out).
 
     Scale shape per refresh: the delta read touches only the new
     commits' files (O(delta)); the partial aggregate is combine-friendly
@@ -214,6 +222,8 @@ def materialize_aggregate(
             store = ChangelogStore(spark, src_root)
             top = store._backend.commit_log.latest_version()
             full = store.changelog(at_version=top)
+            if pre is not None:
+                full = pre(full)
             _swap_in(
                 full.groupBy(*group_cols).agg(
                     *[F.expr(expr).alias(name) for name, expr, _m in aggs]
@@ -236,6 +246,8 @@ def materialize_aggregate(
             .load(files)
             .drop("height_band")
         )
+        if pre is not None:
+            rows = pre(rows)
         part = rows.groupBy(*group_cols).agg(
             *[F.expr(expr).alias(name) for name, expr, _m in aggs]
         )

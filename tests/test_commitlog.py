@@ -1304,3 +1304,74 @@ class TestMaterializeMultiGroup:
             for r in read_aggregate(spark, str(tmp_path / "g2")).collect()
         }
         assert got == {("tst", "tbl", 2), ("tst", "other", 1)}
+
+
+class TestTransformAggregate:
+    """The `pre` seam: transform-aggregate IVM (row-wise explode before
+    the algebraic fold) stays exact across incremental appends and the
+    rebuild path."""
+
+    def _run(self, spark, root, dest, ck):
+        from fluxdb_spark.functions.text import tokens
+        from fluxdb_spark.streaming.materialize import materialize_aggregate
+
+        def pre(rows):
+            return rows.select(
+                F.explode(tokens(F.lower(F.col("value")))).alias("tok")
+            )
+
+        q = materialize_aggregate(
+            spark, root, dest, ["tok"], [("c", "count(1)", "sum")], ck,
+            trigger_seconds=0.5, pre=pre,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def _expect(self, store):
+        from fluxdb_spark.functions.text import tokens
+
+        return {
+            (r.tok, r.c)
+            for r in store.changelog()
+            .select(F.explode(tokens(F.lower(F.col("value")))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+
+    def _read(self, spark, dest):
+        from fluxdb_spark.streaming.materialize import read_aggregate
+
+        return {
+            (r.tok, r.c) for r in read_aggregate(spark, dest).collect()
+        }
+
+    def test_incremental_equals_recompute(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+        docs = [
+            ("tst", "tbl", 1, "a", "big city big dreams"),
+            ("tst", "tbl", 2, "b", "new york new ideas"),
+        ]
+        store.write_batch(make_changelog(spark, docs[:1]))
+        self._run(spark, str(store.root), dest, ck)
+        assert self._read(spark, dest) == {
+            ("big", 2), ("city", 1), ("dreams", 1)
+        }
+        store.write_batch(make_changelog(spark, docs[1:]))
+        self._run(spark, str(store.root), dest, ck)
+        assert self._read(spark, dest) == self._expect(store)
+
+    def test_rewrite_triggers_exact_rebuild(self, spark, store, tmp_path):
+        dest, ck = str(tmp_path / "agg"), str(tmp_path / "ck")
+        store.write_batch(
+            make_changelog(spark, [("tst", "tbl", 1, "a", "x y x")])
+        )
+        store.write_batch(
+            make_changelog(spark, [("tst", "tbl", 2, "b", "y z")])
+        )
+        self._run(spark, str(store.root), dest, ck)
+        store.delete_where("primary_key = 'a'")
+        self._run(spark, str(store.root), dest, ck)
+        assert self._read(spark, dest) == self._expect(store)
