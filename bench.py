@@ -175,6 +175,8 @@ HEADLINE = [
     "join_size_estimate",
     # collocation count tables as transform-aggregate IVM (pre seam)
     "collocations_materialized",
+    # entity resolution: editdist pairs -> components -> survivorship
+    "entity_resolution",
 ]
 
 

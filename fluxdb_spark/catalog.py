@@ -173,6 +173,7 @@ _PRIORITY: list[str] = [
     "stream_collocations",
     "join_size_estimate",
     "collocations_materialized",
+    "entity_resolution",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3589,6 +3590,25 @@ def dedup_ngram(spark, sf_dir):
     """N-gram (3-word shingle) Jaccard near-dup pairs at >= 0.8."""
     d = _t(spark, sf_dir, "documents")
     return dd.jaccard_pairs(d, 0.8)
+
+
+@_q(
+    "entity_resolution",
+    "pipeline",
+    dd.sql_resolve_entities("p_name", "part", 2),
+)
+def entity_resolution(spark, sf_dir):
+    """End-to-end entity resolution on p_name: Ed-Join pair search ->
+    connected components (min-label propagation) -> survivorship by
+    frequency (the most-rows variant is each cluster's canonical form,
+    ties lexicographic) — the full data-cleaning loop as one relation a
+    MERGE can consume, every distinct value mapped (singletons to
+    themselves). Everything after the distinct groupBy runs on the
+    vocabulary-bounded value relation (functions/dedup.
+    resolve_entities); the oracle closes the same pair graph with a
+    recursive CTE."""
+    p = _t(spark, sf_dir, "part")
+    return dd.resolve_entities(p, "p_name", 2)
 
 
 @_q("dedup_pagerank", "pipeline", dd.sql_duplication_pagerank(_JACCARD_SQL))

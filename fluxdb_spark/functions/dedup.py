@@ -1492,3 +1492,93 @@ def sql_duplication_pagerank(
         "AS BIGINT) AS rank FROM top)\n"
         "SELECT doc_id, degree, pr_scaled, rank FROM ranked"
     )
+
+
+# --- entity resolution (editdist pairs -> clusters -> canonical form) --------
+
+
+def resolve_entities(
+    df: DataFrame, col: str, k: int = 2, q: int = EDITDIST_Q
+) -> DataFrame:
+    """End-to-end entity resolution on a string attribute: every distinct
+    value mapped to its cluster's CANONICAL form — the variant with the
+    most rows (survivorship by frequency, ties to the lexicographically
+    smallest), clusters being the connected components of the
+    Levenshtein-<=k pair graph from `editdist_pairs`. The full
+    data-cleaning loop (match -> cluster -> survive) as one relation a
+    MERGE/UPDATE can consume.
+
+    Scale: everything after the distinct groupBy runs on the
+    vocabulary-bounded value relation — pair search (Ed-Join prefix
+    filter), min-label propagation (O(diameter) iterations), and the
+    per-cluster rank window all see |distinct values| rows, never the
+    corpus.
+
+    Returns (name, n_rows, canonical, cluster_size) for EVERY distinct
+    value (singletons map to themselves).
+    """
+    vals = df.groupBy(F.col(col).alias("name")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    pairs = editdist_pairs(df, col, k, q).select(
+        F.col("val_a").alias("d1"), F.col("val_b").alias("d2")
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("name"), "component"
+    )
+    lab = vals.join(comp, "name", "left").select(
+        "name",
+        "n_rows",
+        F.coalesce(F.col("component"), F.col("name")).alias("cluster"),
+    )
+    w_rank = Window.partitionBy("cluster").orderBy(
+        F.desc("n_rows"), F.asc("name")
+    )
+    w_all = Window.partitionBy("cluster")
+    ranked = lab.select(
+        "name",
+        "n_rows",
+        "cluster",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("cluster_size"),
+    )
+    canon = ranked.filter(F.col("rn") == 1).select(
+        "cluster", F.col("name").alias("canonical")
+    )
+    return ranked.join(canon, "cluster").select(
+        "name", "n_rows", "canonical", "cluster_size"
+    )
+
+
+def sql_resolve_entities(col: str, table: str, k: int = 2) -> str:
+    """DuckDB twin of `resolve_entities`: recursive-CTE transitive
+    closure over the same naive editdist pair relation."""
+    return f"""
+WITH pairs0 AS MATERIALIZED (
+  SELECT val_a, val_b FROM ({sql_editdist(col, table, k)})),
+edges AS (
+  SELECT val_a AS a, val_b AS b FROM pairs0
+  UNION SELECT val_b, val_a FROM pairs0),
+reach AS (
+  WITH RECURSIVE r(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach)
+  SELECT node, min(reach) AS component FROM r GROUP BY node),
+vals AS (
+  SELECT {col} AS name, CAST(count(*) AS BIGINT) AS n_rows
+  FROM {table} GROUP BY 1),
+lab AS (
+  SELECT v.name, v.n_rows, coalesce(rc.component, v.name) AS cluster
+  FROM vals v LEFT JOIN reach rc ON rc.node = v.name),
+ranked AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY cluster ORDER BY n_rows DESC, name) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+           AS cluster_size
+  FROM lab),
+canon AS (SELECT cluster, name AS canonical FROM ranked WHERE rn = 1)
+SELECT r.name, r.n_rows, c.canonical, r.cluster_size
+FROM ranked r JOIN canon c USING (cluster)
+"""

@@ -111,3 +111,37 @@ class TestDuplicationPagerank:
         assert ranked[0] == 0
         # scaled mass stays ~conserved (integral truncation only)
         assert abs(sum(model.values()) - 10**12) < 10**6
+
+
+class TestEntityResolution:
+    def test_transitive_chain_frequency_survivorship(self, spark):
+        from fluxdb_spark.functions.dedup import resolve_entities
+
+        # chain: "kitten" ~ "sitten" ~ "sittin" (each 1 edit apart;
+        # kitten->sittin is 2, all one cluster at k=2); "dog" isolated.
+        # "sitten" has the most rows -> canonical for the whole chain.
+        rows = (
+            [("kitten",)] * 2 + [("sitten",)] * 5 + [("sittin",)] * 1
+            + [("dog",)] * 3
+        )
+        df = spark.createDataFrame(rows, "name string")
+        got = {
+            r.name: (r.n_rows, r.canonical, r.cluster_size)
+            for r in resolve_entities(df, "name", 2).collect()
+        }
+        assert got == {
+            "kitten": (2, "sitten", 3),
+            "sitten": (5, "sitten", 3),
+            "sittin": (1, "sitten", 3),
+            "dog": (3, "dog", 1),
+        }
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from fluxdb_spark.functions.dedup import resolve_entities
+
+        df = spark.createDataFrame(
+            [("abcd",)] * 2 + [("abce",)] * 2, "name string"
+        )
+        got = {r.name: r.canonical
+               for r in resolve_entities(df, "name", 1).collect()}
+        assert got == {"abcd": "abcd", "abce": "abcd"}
