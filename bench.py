@@ -177,6 +177,10 @@ HEADLINE = [
     "collocations_materialized",
     # entity resolution: editdist pairs -> components -> survivorship
     "entity_resolution",
+    # CMS sketches as streaming state (live planner statistics)
+    "stream_join_size",
+    # market-basket association rules (integer support/confidence/lift)
+    "basket_rules",
 ]
 
 

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fluxdb_spark.functions import baskets as bk
 from fluxdb_spark.functions import bpe
 from fluxdb_spark.functions import curation as cu
 from fluxdb_spark.functions import dedup as dd
@@ -174,6 +175,8 @@ _PRIORITY: list[str] = [
     "join_size_estimate",
     "collocations_materialized",
     "entity_resolution",
+    "stream_join_size",
+    "basket_rules",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4215,6 +4218,95 @@ def k_anonymity(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_join_size",
+    "streaming",
+    tx.sql_cms_join_size("events", "orders", "user_id", "o_custkey"),
+)
+def stream_join_size(spark, sf_dir):
+    """STREAMING join-size statistics: both CMS key sketches maintained
+    by Structured Streaming — counter tables are additive, so the
+    micro-batch merge IS the sketch merge and state is 2 x depth x width
+    rows FOREVER, the live planner-statistics feed (re-estimate a join's
+    size as streams grow without touching either input again). The
+    inner-product finisher runs serving-side on the standing counters;
+    the exact twin is computed batch-side for the parity check only.
+    Hash-matches the same oracle as `join_size_estimate`."""
+    import uuid
+
+    from fluxdb_spark.functions.text import _cms_bucket, CMS_DEPTH
+
+    width = 4096
+    tag = uuid.uuid4().hex[:8]
+    names = {}
+    for table, key in (("events", "user_id"), ("orders", "o_custkey")):
+        schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", f"{table}.parquet")
+            .parquet(sf_dir)
+        )
+        sk = (
+            raw.select(F.col(key).cast("string").alias("term"))
+            .select(
+                F.explode(
+                    F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+                ).alias("r"),
+                "term",
+            )
+            .select(
+                "r",
+                _cms_bucket(F.col("term"), F.col("r"), width).alias(
+                    "bucket"
+                ),
+            )
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        name = f"stream_cms_{table}_{tag}"
+        q = (
+            sk.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        names[table] = name
+    est = (
+        spark.table(names["events"])
+        .withColumnRenamed("cnt", "ca")
+        .join(
+            spark.table(names["orders"]).withColumnRenamed("cnt", "cb"),
+            ["r", "bucket"],
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("prod"))
+        .agg(F.min("prod").cast("long").alias("n_rows"))
+        .select(F.lit("cms_estimate").alias("method"), "n_rows")
+    )
+    ca = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    cb = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    exact = (
+        ca.join(cb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("long")
+            .alias("n_rows")
+        )
+        .select(F.lit("exact").alias("method"), "n_rows")
+    )
+    return exact.unionByName(est)
+
+
 @_q("collocations_materialized", "pipeline", tx.sql_collocations())
 def collocations_materialized(spark, sf_dir):
     """`collocations` as a STANDING SERVICE: the bigram and unigram
@@ -4276,6 +4368,30 @@ def collocations_materialized(spark, sf_dir):
     ).localCheckpoint()
     shutil.rmtree(qroot, ignore_errors=True)
     return out
+
+
+_BASKETS_SQL = """
+SELECT l.l_orderkey AS bk, p.p_name AS item
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey"""
+
+
+@_q("basket_rules", "relational", bk.sql_basket_rules(_BASKETS_SQL))
+def basket_rules(spark, sf_dir):
+    """Market-basket association rules (Agrawal & Srikant 1994, pair
+    form): which parts co-occur in the same order beyond chance —
+    support / directional confidence / lift over per-order item sets,
+    top-20 by lift. Exact-integer ppm scoring (the two-step integral
+    division of `collocations`); within-basket pair explode bounded by
+    basket size^2 per order, then everything runs on vocabulary-bounded
+    relations with item supports broadcast back
+    (functions/baskets.basket_rules)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    b = li.join(
+        F.broadcast(p.select("p_partkey", "p_name")),
+        li.l_partkey == p.p_partkey,
+    ).select(F.col("l_orderkey").alias("bk"), F.col("p_name").alias("item"))
+    return bk.basket_rules(b, "bk", "item")
 
 
 @_q(

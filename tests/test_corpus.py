@@ -827,3 +827,51 @@ class TestDocKeywords:
         # doc 3's elderberry (df=1) must rank over date (df=2)
         d3 = [r for r in got if r[0] == 3]
         assert d3[0][1] == "date" and [r for r in d3 if r[4] == 1][0][1] == "elderberry"
+
+
+class TestBasketRules:
+    def test_matches_python_model(self, spark):
+        from collections import Counter
+        from itertools import combinations
+
+        from fluxdb_spark.functions.baskets import basket_rules
+
+        baskets = {
+            1: ["bread", "butter", "milk"],
+            2: ["bread", "butter"],
+            3: ["bread", "butter", "jam"],
+            4: ["milk", "jam"],
+            5: ["bread", "milk"],
+            6: ["bread", "butter"],
+        }
+        rows = [(bk, i) for bk, items in baskets.items() for i in items]
+        df = spark.createDataFrame(rows, "bk long, item string")
+        got = [
+            (r.antecedent, r.consequent, r.support,
+             r.confidence_ppm, r.lift_ppm, r.rank)
+            for r in basket_rules(df, "bk", "item",
+                                  min_support=2, top_k=10).collect()
+        ]
+
+        sup = Counter()
+        pair = Counter()
+        for items in baskets.values():
+            s = sorted(set(items))
+            sup.update(s)
+            pair.update(combinations(s, 2))
+        n = len(baskets)
+        rules = []
+        for (a, b), s_ab in pair.items():
+            if s_ab < 2:
+                continue
+            for x, y in ((a, b), (b, a)):
+                conf = (s_ab * 1_000_000) // sup[x]
+                lift = (conf * n) // sup[y]
+                rules.append((x, y, s_ab, conf, lift))
+        rules.sort(key=lambda r: (-r[4], r[0], r[1]))
+        want = [r + (i + 1,) for i, r in enumerate(rules[:10])]
+        assert got == want
+        # bread->butter: 4/5 confidence; butter->bread: 4/4 = 1.0
+        by_pair = {(r[0], r[1]): r for r in got}
+        assert by_pair[("butter", "bread")][3] == 1_000_000
+        assert by_pair[("bread", "butter")][3] == 800_000
