@@ -181,6 +181,8 @@ HEADLINE = [
     "stream_join_size",
     # market-basket association rules (integer support/confidence/lift)
     "basket_rules",
+    # sequence-pattern matching over per-user event paths
+    "path_regex_match",
 ]
 
 

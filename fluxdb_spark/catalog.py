@@ -177,6 +177,7 @@ _PRIORITY: list[str] = [
     "entity_resolution",
     "stream_join_size",
     "basket_rules",
+    "path_regex_match",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4368,6 +4369,73 @@ def collocations_materialized(spark, sf_dir):
     ).localCheckpoint()
     shutil.rmtree(qroot, ignore_errors=True)
     return out
+
+
+_PATH_PATTERNS = ["cp", "s.*p", "e{2,}", "^v"]
+
+
+@_q(
+    "path_regex_match",
+    "pipeline",
+    """
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS path
+  FROM events GROUP BY 1)
+"""
+    + "\nUNION ALL\n".join(
+        f"""SELECT '{p.replace("'", "''")}' AS pattern,
+       CAST(count(*) FILTER (WHERE regexp_matches(path, '{p}'))
+            AS BIGINT) AS matched_users
+FROM paths"""
+        for p in _PATH_PATTERNS
+    ),
+)
+def path_regex_match(spark, sf_dir):
+    """Sequence-pattern matching over user event paths — the
+    MATCH_RECOGNIZE use case as one aggregation: each user's history
+    collapses to a path string (event-type initials in (ts, event_id)
+    order — unique initials by construction), and every pattern is a
+    regex over that string ('cp' = purchase immediately after click,
+    's.*p' = signup eventually converts, 'e{2,}' = consecutive errors,
+    '^v' = lands on a view). Patterns use the Java-regex/RE2 common
+    subset so both engines match identically. Scale: one per-user
+    shuffle (the same collect-sort shape as sessionization); path
+    length = user history, never corpus-wide state; pattern evaluation
+    is map-side over the |users| relation."""
+    ev = _t(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("code"),
+                        )
+                    )
+                ),
+                lambda x: x["code"],
+            ),
+            "",
+        ).alias("path")
+    )
+    aggs = [
+        F.sum(F.when(F.col("path").rlike(p), 1).otherwise(0))
+        .cast("long")
+        .alias(f"p{i}")
+        for i, p in enumerate(_PATH_PATTERNS)
+    ]
+    one = paths.agg(*aggs)
+    stack = ", ".join(
+        f"'{p}', p{i}" for i, p in enumerate(_PATH_PATTERNS)
+    )
+    return one.selectExpr(
+        f"stack({len(_PATH_PATTERNS)}, {stack}) "
+        "as (pattern, matched_users)"
+    )
 
 
 _BASKETS_SQL = """

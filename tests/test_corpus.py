@@ -875,3 +875,44 @@ class TestBasketRules:
         by_pair = {(r[0], r[1]): r for r in got}
         assert by_pair[("butter", "bread")][3] == 1_000_000
         assert by_pair[("bread", "butter")][3] == 800_000
+
+
+class TestPathRegexMatch:
+    def test_hand_built_paths(self, spark):
+        from fluxdb_spark.catalog import catalog
+        import datetime as dt
+
+        # Build a tiny events table through the entry's own logic by
+        # pointing it at a temp parquet dir shaped like the testdata.
+        import tempfile, os
+
+        rows = []
+        t0 = dt.datetime(2024, 1, 1)
+        # user 1: c p  -> matches 'cp', not 's.*p'
+        # user 2: s v p -> matches 's.*p'
+        # user 3: e e v -> matches 'e{2,}'
+        # user 4: v -> matches '^v'
+        seqs = {1: "cp", 2: "svp", 3: "eev", 4: "v"}
+        names = {"c": "click", "p": "purchase", "s": "signup",
+                 "e": "error", "v": "view"}
+        eid = 0
+        for u, seq in seqs.items():
+            for i, ch in enumerate(seq):
+                rows.append(
+                    (eid, t0 + dt.timedelta(minutes=eid), u,
+                     names[ch], 1.0, "{}")
+                )
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        d = tempfile.mkdtemp(prefix="fluxdb-pathre-")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        spec = {s.name: s for s in catalog()}["path_regex_match"]
+        got = {r.pattern: r.matched_users
+               for r in spec.spark(spark, d).collect()}
+        assert got == {"cp": 1, "s.*p": 1, "e{2,}": 1, "^v": 1}
