@@ -554,9 +554,70 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
     return 0
 
 
+def cmd_query(args, spark: SparkSession) -> int:
+    """Run any catalog operator by name — the single-command answer to
+    "a user of the reference could switch": every query the engine
+    claims (`catalog()`) is runnable, explainable, and self-verifiable
+    against its DuckDB oracle from the CLI."""
+    from fluxdb_spark.catalog import catalog
+
+    specs = {s.name: s for s in catalog()}
+    if args.name == "list":
+        for s in catalog():
+            mark = "" if s.oracle else "  (rows-only)"
+            print(f"{s.name}  [{s.category}]{mark}")
+        return 0
+    if args.name not in specs:
+        print(f"unknown query '{args.name}' — try 'list'", file=sys.stderr)
+        return 2
+    spec = specs[args.name]
+    df = spec.spark(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    rows = df.collect()
+    for r in rows[: args.limit]:
+        print(tuple(r))
+    if len(rows) > args.limit:
+        print(f"... ({len(rows)} rows total)")
+    if args.verify:
+        if spec.oracle is None:
+            print("# rows-only entry: no SQL oracle (machinery verified "
+                  "by its exact twin + tests)")
+            return 0
+        import duckdb
+
+        from tools.check_entry import TABLES, result_hash
+
+        con = duckdb.connect(":memory:")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+            )
+        res = con.execute(spec.oracle)
+        d_cols = [d[0] for d in res.description]
+        d_rows = res.fetchall()
+        ok = result_hash(df.columns, [tuple(r) for r in rows]) == result_hash(
+            d_cols, d_rows
+        )
+        print(f"# oracle {'MATCH' if ok else 'MISMATCH'} "
+              f"({len(rows)} vs {len(d_rows)} rows)")
+        return 0 if ok else 1
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fluxdb_spark")
     sub = p.add_subparsers(dest="mode", required=True)
+
+    q = sub.add_parser("query")
+    q.add_argument("name", help="catalog entry name, or 'list'")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+    q.add_argument("--verify", action="store_true",
+                   help="cross-check against the DuckDB oracle twin")
+    q.set_defaults(fn=cmd_query)
 
     i = sub.add_parser("inject")
     i.add_argument("--sf-dir", default="/root/testdata/sf0.001")

@@ -614,3 +614,34 @@ def test_replicate_derived_redacted(spark, tmp_path, capsys):
     rep = ChangelogStore(spark, str(tmp_path / "ddst"))
     got = {r.height: r.value for r in rep.changelog().collect()}
     assert got == {1: "[GONE]", 2: "ok"}
+
+
+class TestQueryMode:
+    def test_list_runs_and_names_everything(self, spark, capsys):
+        from fluxdb_spark.catalog import catalog
+
+        assert main(["query", "list"], spark) == 0
+        out = capsys.readouterr().out
+        for s in catalog()[:5]:
+            assert s.name in out
+        assert "rows-only" in out  # the IVF approximate entry is marked
+
+    def test_run_verify_match(self, spark, capsys):
+        assert (
+            main(["query", "tpch_q6", "--sf-dir", SF, "--verify"], spark)
+            == 0
+        )
+        assert "# oracle MATCH" in capsys.readouterr().out
+
+    def test_unknown_name_fails_cleanly(self, spark, capsys):
+        assert main(["query", "nope", "--sf-dir", SF], spark) == 2
+
+    def test_explain_prints_plan(self, spark, capsys):
+        assert (
+            main(
+                ["query", "region_revenue", "--sf-dir", SF, "--explain"],
+                spark,
+            )
+            == 0
+        )
+        assert "Physical Plan" in capsys.readouterr().out
