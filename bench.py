@@ -183,6 +183,8 @@ HEADLINE = [
     "basket_rules",
     # sequence-pattern matching over per-user event paths
     "path_regex_match",
+    # declarative data-quality expectations in one pass
+    "data_expectations",
 ]
 
 

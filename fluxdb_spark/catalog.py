@@ -178,6 +178,7 @@ _PRIORITY: list[str] = [
     "stream_join_size",
     "basket_rules",
     "path_regex_match",
+    "data_expectations",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4369,6 +4370,114 @@ def collocations_materialized(spark, sf_dir):
     ).localCheckpoint()
     shutil.rmtree(qroot, ignore_errors=True)
     return out
+
+
+@_q(
+    "data_expectations",
+    "pipeline",
+    """
+SELECT 'lineitem.l_quantity.in_range' AS rule,
+       CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+            AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS checked
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_orderkey.not_null',
+       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders.o_orderkey.unique',
+       CAST(coalesce(sum(c - 1), 0) AS BIGINT),
+       CAST(sum(c) AS BIGINT)
+FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'lineitem.l_orderkey.fk_orders',
+       CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders.o_totalprice.positive',
+       CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM orders
+""",
+)
+def data_expectations(spark, sf_dir):
+    """Declarative data-quality expectations evaluated as ONE relation
+    (the Great-Expectations use case, engine-side): range bounds,
+    not-null, key uniqueness, referential integrity (lineitem ->
+    orders), and domain positivity — each rule a (rule, violations,
+    checked) row, so a pipeline gates on `violations == 0` with a
+    single collect. Scale: per-table rules are map-side scans sharing
+    one pass per table (conditional aggregates); uniqueness is one
+    groupBy; the FK check is a broadcast-able left join — no rule
+    materializes bad rows unless asked."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    n1 = F.count(F.lit(1)).cast("long")
+    li_rules = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("range_v"),
+        F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_v"),
+        n1.alias("n"),
+    ).selectExpr(
+        "stack(2, "
+        "'lineitem.l_quantity.in_range', range_v, n, "
+        "'lineitem.l_orderkey.not_null', null_v, n) "
+        "as (rule, violations, checked)"
+    )
+    uniq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+            .cast("long")
+            .alias("violations"),
+            F.sum("c").cast("long").alias("checked"),
+        )
+        .select(
+            F.lit("orders.o_orderkey.unique").alias("rule"),
+            "violations",
+            "checked",
+        )
+    )
+    fk = (
+        li.join(
+            F.broadcast(o.select("o_orderkey")),
+            li.l_orderkey == o.o_orderkey,
+            "left",
+        )
+        .agg(
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("violations"),
+            n1.alias("checked"),
+        )
+        .select(
+            F.lit("lineitem.l_orderkey.fk_orders").alias("rule"),
+            "violations",
+            "checked",
+        )
+    )
+    pos = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("violations"),
+        n1.alias("checked"),
+    ).select(
+        F.lit("orders.o_totalprice.positive").alias("rule"),
+        "violations",
+        "checked",
+    )
+    return li_rules.unionByName(uniq).unionByName(fk).unionByName(pos)
 
 
 _PATH_PATTERNS = ["cp", "s.*p", "e{2,}", "^v"]

@@ -916,3 +916,36 @@ class TestPathRegexMatch:
         got = {r.pattern: r.matched_users
                for r in spec.spark(spark, d).collect()}
         assert got == {"cp": 1, "s.*p": 1, "e{2,}": 1, "^v": 1}
+
+
+class TestDataExpectations:
+    def test_clean_data_zero_violations_and_planted_fk_break(self, spark):
+        import os
+        import tempfile
+
+        from fluxdb_spark.catalog import catalog
+
+        spec = {s.name: s for s in catalog()}["data_expectations"]
+        rows = {r.rule: (r.violations, r.checked)
+                for r in spec.spark(spark, "/root/testdata/sf0.001").collect()}
+        assert len(rows) == 5
+        assert all(v == 0 for v, _ in rows.values())
+
+        # plant violations: an orphan lineitem, a dup orderkey, qty 99
+        d = tempfile.mkdtemp(prefix="fluxdb-expect-")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        bad_li = li.limit(1).withColumn("l_orderkey", F.lit(-1)).withColumn(
+            "l_quantity", F.lit(99.0)
+        )
+        li.unionByName(bad_li).coalesce(1).write.parquet(
+            os.path.join(d, "lineitem.parquet")
+        )
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        o.unionByName(o.limit(1)).coalesce(1).write.parquet(
+            os.path.join(d, "orders.parquet")
+        )
+        got = {r.rule: r.violations for r in spec.spark(spark, d).collect()}
+        assert got["lineitem.l_quantity.in_range"] == 1
+        assert got["lineitem.l_orderkey.fk_orders"] == 1
+        assert got["orders.o_orderkey.unique"] == 1
+        assert got["lineitem.l_orderkey.not_null"] == 0
