@@ -179,6 +179,7 @@ _PRIORITY: list[str] = [
     "basket_rules",
     "path_regex_match",
     "data_expectations",
+    "embed_recall_eval",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4370,6 +4371,66 @@ def collocations_materialized(spark, sf_dir):
     ).localCheckpoint()
     shutil.rmtree(qroot, ignore_errors=True)
     return out
+
+
+@_q(
+    "embed_recall_eval",
+    "pipeline",
+    f"""
+WITH ref AS (SELECT query_id, match_id
+             FROM ({sim.sql_quantized_topk(10, 5)})),
+pq AS (SELECT query_id, match_id FROM ({sim.sql_pq_topk(m=4, ks=8, iters=2, k=10)})),
+bin AS (SELECT query_id, match_id FROM ({sim.sql_binary_topk(10, 5, 40)})),
+possible AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ref)
+SELECT 'pq' AS method,
+       CAST(count(*) AS BIGINT) AS hits, n AS possible,
+       (CAST(count(*) AS BIGINT) * 1000000) // n AS recall_ppm
+FROM pq JOIN ref USING (query_id, match_id), possible GROUP BY n
+UNION ALL
+SELECT 'binary',
+       CAST(count(*) AS BIGINT), n,
+       (CAST(count(*) AS BIGINT) * 1000000) // n
+FROM bin JOIN ref USING (query_id, match_id), possible GROUP BY n
+""",
+)
+def embed_recall_eval(spark, sf_dir):
+    """The ANN EVALUATION HARNESS as a query: recall@10 of the two most
+    compressed ladder rungs (PQ codes, 1-bit Hamming + int8 rerank)
+    against the exact int8-cosine reference ranking, per method, as a
+    (method, hits, possible, recall_ppm) relation — the report a vector
+    platform publishes before switching index types, computed by the
+    same engine that serves the indexes. Every branch is the existing
+    oracle-exact operator, overlaps are integer set intersections on
+    (query_id, match_id), so the whole harness hash-matches the
+    composed SQL twin. Scale: each rung's own plan properties hold
+    unchanged; the overlap joins see k x queries rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    ref = sim.quantized_topk(e, q.select("vec_id"), k=10).select(
+        "query_id", "match_id"
+    ).localCheckpoint()
+    pq = sim.pq_topk(e, q, m=4, ks=8, iters=2, k=10).select(
+        "query_id", "match_id"
+    )
+    bn = sim.binary_topk(e, q.select("vec_id"), k=10, rerank=40).select(
+        "query_id", "match_id"
+    )
+    possible = ref.agg(F.count(F.lit(1)).alias("n"))
+
+    def _score(df, name):
+        return (
+            df.join(ref, ["query_id", "match_id"])
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .crossJoin(F.broadcast(possible))
+            .select(
+                F.lit(name).alias("method"),
+                "hits",
+                F.col("n").cast("long").alias("possible"),
+                F.expr("(hits * 1000000) div n").alias("recall_ppm"),
+            )
+        )
+
+    return _score(pq, "pq").unionByName(_score(bn, "binary"))
 
 
 @_q(
