@@ -185,6 +185,8 @@ HEADLINE = [
     "path_regex_match",
     # declarative data-quality expectations in one pass
     "data_expectations",
+    # temporal distribution drift between two snapshot heights
+    "flux_state_drift",
 ]
 
 

@@ -180,6 +180,7 @@ _PRIORITY: list[str] = [
     "path_regex_match",
     "data_expectations",
     "embed_recall_eval",
+    "flux_state_drift",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -473,6 +474,62 @@ def flux_series_ewma(spark, sf_dir):
     grid's per-key partitioning — one shuffle serves both."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.series_ewma(log, "click", 100, 900, 50)
+
+
+@_q(
+    "flux_state_drift",
+    "temporal",
+    tx.sql_divergence_chain(
+        f"""{CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900
+), v AS (
+  SELECT *, lead(height, 1, 901) OVER (
+              PARTITION BY primary_key ORDER BY height) AS next_h
+  FROM scoped
+), iv AS (
+  SELECT *,
+         300 + ((greatest(height - 300, 0) + 599) // 600) * 600 AS g_lo,
+         least(next_h - 1, 900) AS g_hi
+  FROM v WHERE NOT is_deletion
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS as_of_height,
+         CAST(json_extract_string(value, '$.k') AS BIGINT) // 10
+           AS bucket
+  FROM iv, unnest(generate_series(g_lo, g_hi, 600)) AS t(g)
+  WHERE g_lo <= g_hi
+), counts AS MATERIALIZED (
+  SELECT CAST(as_of_height AS VARCHAR) AS source,
+         CAST(bucket AS VARCHAR) AS term,
+         CAST(count(*) AS BIGINT) AS obs
+  FROM grid GROUP BY 1, 2)"""
+    ),
+)
+def flux_state_drift(spark, sf_dir):
+    """Temporal DISTRIBUTION DRIFT: did the tablet's value distribution
+    shift between two points in history? The state at heights 300 and
+    900 comes from ONE state_series scan (two grid points, never two
+    reads), values bucket into deciles, and the per-(snapshot, bucket)
+    counts run through the same exact chi-square divergence chain as
+    the corpus source audit — the buckets with the largest chi-square
+    contribution ARE the drift report. The ops answer to 'what changed
+    in this table since yesterday' at any scale: one per-key window
+    shuffle + a |snapshots| x |buckets| relation."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    grid = tp.state_series(log, "click", 300, 900, 600, ordered=False)
+    counts = (
+        grid.select(
+            F.col("as_of_height").cast("string").alias("source"),
+            F.expr(
+                "cast(get_json_object(value, '$.k') as bigint) div 10"
+            )
+            .cast("string")
+            .alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    return tx.source_divergence_from_counts(counts)
 
 
 @_q(

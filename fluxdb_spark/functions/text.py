@@ -1972,16 +1972,12 @@ def source_divergence_from_counts(st, top_terms: int = 5):
     )
 
 
-def sql_source_divergence(top_terms: int = 5) -> str:
-    """DuckDB twin of `source_divergence` (same count relations, the
-    divergence chain in the same textual op order)."""
+def sql_divergence_chain(counts_ctes: str, top_terms: int = 5) -> str:
+    """The chi-square divergence chain over any `counts(source, term,
+    obs)` CTE block — shared by the corpus audit and the temporal drift
+    twin, spelled in the same textual op order as the Spark side."""
     return f"""
-WITH st AS MATERIALIZED (
-  SELECT source, unnest(string_split(lower(text), ' ')) AS term
-  FROM documents),
-counts AS MATERIALIZED (
-  SELECT source, term, CAST(count(*) AS BIGINT) AS obs
-  FROM st GROUP BY 1, 2),
+WITH {counts_ctes},
 src_tot AS (SELECT source, CAST(sum(obs) AS BIGINT) AS src_n
             FROM counts GROUP BY 1),
 term_tot AS (SELECT term, CAST(sum(obs) AS BIGINT) AS term_n
@@ -2011,6 +2007,20 @@ SELECT source, CAST(rank AS BIGINT) AS rank, term, obs, src_n,
        expected, chi2_contrib
 FROM ranked WHERE rank <= {top_terms}
 """
+
+
+def sql_source_divergence(top_terms: int = 5) -> str:
+    """DuckDB twin of `source_divergence` (same count relations, the
+    divergence chain in the same textual op order)."""
+    return sql_divergence_chain(
+        """st AS MATERIALIZED (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+counts AS MATERIALIZED (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS obs
+  FROM st GROUP BY 1, 2)""",
+        top_terms,
+    )
 
 
 # --- collocation mining (PMI-style lift, exact integer) ----------------------

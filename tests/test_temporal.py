@@ -496,3 +496,38 @@ class TestSeriesEwma:
         assert out[("b", 20)] == (6, 6.0)
         assert ("b", 30) not in out and ("b", 40) not in out
         assert len(out) == 6
+
+
+class TestStateDrift:
+    def test_planted_shift_dominates(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.catalog import catalog  # noqa: F401
+        from fluxdb_spark.functions.text import (
+            source_divergence_from_counts,
+        )
+        from fluxdb_spark.operators.temporal import state_series
+        from pyspark.sql import functions as F
+
+        # 10 keys at value bucket 0 before height 500; after, five of
+        # them move to bucket 9 -> bucket 9's chi2 contribution at the
+        # later snapshot must rank first.
+        rows = [("tst", "tbl", 10, f"k{i}", '{"k": 5}') for i in range(10)]
+        rows += [("tst", "tbl", 600, f"k{i}", '{"k": 95}') for i in range(5)]
+        log = make_changelog(spark, rows)
+        grid = state_series(log, "tbl", 300, 900, 600, ordered=False)
+        counts = (
+            grid.select(
+                F.col("as_of_height").cast("string").alias("source"),
+                F.expr("cast(get_json_object(value, '$.k') as bigint) div 10")
+                .cast("string")
+                .alias("term"),
+            )
+            .groupBy("source", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        )
+        out = source_divergence_from_counts(counts).collect()
+        top_late = [r for r in out if r.source == "900" and r.rank == 1][0]
+        assert top_late.term == "9" and top_late.obs == 5
+        # the early snapshot is all one bucket
+        early = {r.term for r in out if r.source == "300"}
+        assert early == {"0"}
