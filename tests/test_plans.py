@@ -168,6 +168,40 @@ class TestEditdistShape:
         assert "[gram" in p
 
 
+class TestRound10Shapes:
+    """Batch plan gate for the round-10 additions: no pair scans, no
+    Python on the executors, and every top-k that claims sort+limit
+    really is a TakeOrdered (per-partition top-k + bounded merge)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "k_anonymity",
+            "flux_series_ewma",
+            "dedup_pagerank",
+            "collocations",
+            "doc_keywords",
+            "join_size_estimate",
+            "entity_resolution",
+            "basket_rules",
+            "path_regex_match",
+            "data_expectations",
+            "flux_state_drift",
+        ],
+    )
+    def test_no_cartesian_no_python(self, spark, specs, name):
+        p = plan_of(spark, specs, name)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    @pytest.mark.parametrize(
+        "name", ["dedup_pagerank", "collocations", "basket_rules"]
+    )
+    def test_topk_is_takeordered(self, spark, specs, name):
+        p = plan_of(spark, specs, name)
+        assert "TakeOrderedAndProject" in p
+
+
 class TestQ18Shape:
     def test_q18_partial_agg_no_window(self, spark, specs):
         """Q18's big-order subquery must be a partial-aggregated groupBy
