@@ -187,6 +187,9 @@ HEADLINE = [
     "data_expectations",
     # temporal distribution drift between two snapshot heights
     "flux_state_drift",
+    # Benford first-digit audit + key survival churn curve
+    "benford_audit",
+    "flux_key_survival",
 ]
 
 

@@ -181,6 +181,8 @@ _PRIORITY: list[str] = [
     "data_expectations",
     "embed_recall_eval",
     "flux_state_drift",
+    "benford_audit",
+    "flux_key_survival",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -474,6 +476,56 @@ def flux_series_ewma(spark, sf_dir):
     grid's per-key partitioning — one shuffle serves both."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.series_ewma(log, "click", 100, 900, 50)
+
+
+@_q(
+    "flux_key_survival",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900),
+per_key AS (
+  SELECT primary_key,
+         min(height) AS created_h,
+         arg_max(is_deletion, height) AS dead
+  FROM scoped GROUP BY 1)
+SELECT created_h // 100 AS band,
+       CAST(count(*) AS BIGINT) AS created,
+       CAST(count(*) FILTER (WHERE NOT dead) AS BIGINT) AS live,
+       (CAST(count(*) FILTER (WHERE NOT dead) AS BIGINT) * 1000000)
+         // CAST(count(*) AS BIGINT) AS survival_ppm
+FROM per_key GROUP BY 1
+""",
+)
+def flux_key_survival(spark, sf_dir):
+    """Key SURVIVAL curve — the churn analytic of a temporal store: of
+    the keys first created in each height band, how many are still live
+    at the read height (latest version not a tombstone)? One per-key
+    aggregate over the scoped changelog (min height + max_by liveness —
+    the LWW fold as an aggregate, no window), then a |bands|-row
+    rollup with integer-ppm survival. The reference would need a full
+    ReadTabletAt plus a client-side diff against creation records; here
+    it is one combine-friendly groupBy at any scale."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    scoped = log.filter(
+        (F.col("tablet_id") == "click") & (F.col("height") <= 900)
+    )
+    per_key = scoped.groupBy("primary_key").agg(
+        F.min("height").alias("created_h"),
+        F.expr("max_by(is_deletion, height)").alias("dead"),
+    )
+    live = F.sum(F.when(~F.col("dead"), 1).otherwise(0)).cast("long")
+    return per_key.groupBy(
+        F.expr("created_h div 100").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("created"),
+        live.alias("live"),
+        F.expr(
+            "(cast(sum(case when not dead then 1 else 0 end) as bigint)"
+            " * 1000000) div count(1)"
+        ).alias("survival_ppm"),
+    )
 
 
 @_q(
@@ -4428,6 +4480,72 @@ def collocations_materialized(spark, sf_dir):
     ).localCheckpoint()
     shutil.rmtree(qroot, ignore_errors=True)
     return out
+
+
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+@_q(
+    "benford_audit",
+    "pipeline",
+    f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+        FROM digits GROUP BY 1),
+expected(digit, benford_ppm) AS (VALUES {", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))})
+SELECT e.digit, coalesce(o.cnt, 0) AS cnt,
+       (coalesce(o.cnt, 0) * 1000000) // n AS share_ppm,
+       e.benford_ppm,
+       abs((coalesce(o.cnt, 0) * 1000000) // n - e.benford_ppm)
+         AS dev_ppm
+FROM expected e LEFT JOIN obs o USING (digit), n
+""",
+)
+def benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (synthetic or tampered financial data
+    rarely matches log10(1+1/d)): observed first-significant-digit
+    shares vs the Benford expectation in integer ppm, with the expected
+    distribution inlined as plan literals (no libm log at runtime —
+    first digits come from the integer-cents string, which both engines
+    format identically). One map-side scan + a 9-row rollup; deviations
+    are the audit signal, not a hard gate."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("n"))
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    expected = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        "digit long, benford_ppm long",
+    )
+    return (
+        expected.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            F.expr("(coalesce(cnt, 0) * 1000000) div n").alias("share_ppm"),
+            "benford_ppm",
+            F.abs(
+                F.expr("(coalesce(cnt, 0) * 1000000) div n")
+                - F.col("benford_ppm")
+            ).alias("dev_ppm"),
+        )
+    )
 
 
 @_q(

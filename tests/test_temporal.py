@@ -531,3 +531,43 @@ class TestStateDrift:
         # the early snapshot is all one bucket
         early = {r.term for r in out if r.source == "300"}
         assert early == {"0"}
+
+
+class TestKeySurvival:
+    def test_tombstone_and_revival_semantics(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.catalog import catalog  # noqa: F401
+        from pyspark.sql import functions as F
+
+        # band 0: a lives, b deleted; band 1 (height 150): c deleted
+        # then REVIVED at 400 -> counts as live (latest version wins)
+        rows = [
+            ("tst", "click", 10, "a", '{"k": 1}'),
+            ("tst", "click", 20, "b", '{"k": 2}'),
+            ("tst", "click", 500, "b", ""),
+            ("tst", "click", 150, "c", '{"k": 3}'),
+            ("tst", "click", 200, "c", ""),
+            ("tst", "click", 400, "c", '{"k": 4}'),
+        ]
+        log = make_changelog(spark, rows)
+        scoped = log.filter(
+            (F.col("tablet_id") == "click") & (F.col("height") <= 900)
+        )
+        per_key = scoped.groupBy("primary_key").agg(
+            F.min("height").alias("created_h"),
+            F.expr("max_by(is_deletion, height)").alias("dead"),
+        )
+        got = {
+            r.band: (r.created, r.live)
+            for r in per_key.groupBy(
+                F.expr("created_h div 100").alias("band")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("created"),
+                F.sum(F.when(~F.col("dead"), 1).otherwise(0))
+                .cast("long")
+                .alias("live"),
+            )
+            .collect()
+        }
+        assert got == {0: (2, 1), 1: (1, 1)}
