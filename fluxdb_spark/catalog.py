@@ -183,6 +183,7 @@ _PRIORITY: list[str] = [
     "flux_state_drift",
     "benford_audit",
     "flux_key_survival",
+    "dedup_recall_eval",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3983,6 +3984,73 @@ def dedup_simhash_pairs(spark, sf_dir):
     lossless at every scale factor."""
     d = _td(spark, sf_dir)
     return dd.simhash_pairs(d, max_distance=3)
+
+
+_SIMHASH_PAIRS_SQL = f"""
+SELECT a.doc_id AS d1, b.doc_id AS d2
+FROM ({dd.sql_simhash()}) a JOIN ({dd.sql_simhash()}) b
+  ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@_q(
+    "dedup_recall_eval",
+    "pipeline",
+    f"""
+WITH exact AS MATERIALIZED (SELECT d1, d2 FROM ({_JACCARD_SQL})),
+lsh AS (SELECT d1, d2 FROM ({_minhash_sql()})),
+sim AS MATERIALIZED ({_SIMHASH_PAIRS_SQL}),
+ex_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact),
+sim_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sim)
+SELECT 'lsh_recall' AS metric, hits, n AS possible,
+       (hits * 1000000) // n AS value_ppm
+FROM (SELECT CAST(count(*) AS BIGINT) AS hits
+      FROM lsh JOIN exact USING (d1, d2)), ex_n
+UNION ALL
+SELECT 'simhash_recall', hits, n, (hits * 1000000) // n
+FROM (SELECT CAST(count(*) AS BIGINT) AS hits
+      FROM sim JOIN exact USING (d1, d2)), ex_n
+UNION ALL
+SELECT 'simhash_precision', hits, n, (hits * 1000000) // n
+FROM (SELECT CAST(count(*) AS BIGINT) AS hits
+      FROM sim JOIN exact USING (d1, d2)), sim_n
+""",
+)
+def dedup_recall_eval(spark, sf_dir):
+    """The dedup-family EVALUATION HARNESS as a query (the sibling of
+    `embed_recall_eval`): banded-LSH recall against the exact
+    prefix-filtered Jaccard pairs (1.0 by the banding's design at this
+    threshold — the harness PROVES it per corpus), plus SimHash
+    pair recall and precision vs the same exact standard (SimHash
+    trades precision for a cheaper scan — the number that sizes the
+    verify stage at 100 TB). All overlaps are integer set
+    intersections on (d1, d2); hash-matches the composed SQL twin."""
+    d = _td(spark, sf_dir)
+    exact = dd.jaccard_pairs(d, 0.8).select("d1", "d2").localCheckpoint()
+    lsh = dd.minhash_lsh_dedup(d, 0.8).select("d1", "d2")
+    sim = dd.simhash_pairs(d, max_distance=3).select("d1", "d2")
+    ex_n = exact.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sim_n = sim.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def _score(pairs, denom, name):
+        return (
+            pairs.join(exact, ["d1", "d2"])
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .crossJoin(F.broadcast(denom))
+            .select(
+                F.lit(name).alias("metric"),
+                "hits",
+                F.col("n").alias("possible"),
+                F.expr("(hits * 1000000) div n").alias("value_ppm"),
+            )
+        )
+
+    return (
+        _score(lsh, ex_n, "lsh_recall")
+        .unionByName(_score(sim, ex_n, "simhash_recall"))
+        .unionByName(_score(sim, sim_n, "simhash_precision"))
+    )
 
 
 _SURVIVORS_SQL = f"""
