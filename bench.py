@@ -190,6 +190,8 @@ HEADLINE = [
     # Benford first-digit audit + key survival churn curve
     "benford_audit",
     "flux_key_survival",
+    # per-key integer least-squares trend over state histories
+    "flux_series_trend",
 ]
 
 

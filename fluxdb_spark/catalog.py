@@ -184,6 +184,7 @@ _PRIORITY: list[str] = [
     "benford_audit",
     "flux_key_survival",
     "dedup_recall_eval",
+    "flux_series_trend",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -477,6 +478,93 @@ def flux_series_ewma(spark, sf_dir):
     grid's per-key partitioning — one shuffle serves both."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return tp.series_ewma(log, "click", 100, 900, 50)
+
+
+@_q(
+    "flux_series_trend",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900
+), v AS (
+  SELECT *, lead(height, 1, 901) OVER (
+              PARTITION BY primary_key ORDER BY height) AS next_h
+  FROM scoped
+), iv AS (
+  SELECT *,
+         100 + ((greatest(height - 100, 0) + 49) // 50) * 50 AS g_lo,
+         least(next_h - 1, 900) AS g_hi
+  FROM v WHERE NOT is_deletion
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS x, primary_key,
+         CAST(json_extract_string(value, '$.k') AS BIGINT) AS y
+  FROM iv, unnest(generate_series(g_lo, g_hi, 50)) AS t(g)
+  WHERE g_lo <= g_hi
+), stats AS (
+  SELECT primary_key,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM grid GROUP BY 1 HAVING count(*) >= 3)
+SELECT primary_key, n,
+       (n * sxy - sx * sy) AS slope_num,
+       (n * sxx - sx * sx) AS slope_den,
+       ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+         AS slope_ppm,
+       CASE WHEN (n * sxy - sx * sy) > 0 THEN 'rising'
+            WHEN (n * sxy - sx * sy) < 0 THEN 'falling'
+            ELSE 'flat' END AS trend
+FROM stats
+""",
+)
+def flux_series_trend(spark, sf_dir):
+    """Per-key TREND over state histories: the least-squares slope of
+    each key's value trajectory on the state_series grid, kept as an
+    exact integer ratio (n·Σxy − ΣxΣy over n·Σx² − (Σx)², emitted with
+    a scaled integer quotient and a sign classification) — no floats,
+    no libm, bit-identical in both engines. Rising/falling/flat per key
+    is the screening read before `flux_series_anomalies`' spike test.
+    One grid scan + one combine-friendly per-key aggregate; output is
+    one row per live key. Heights are exact integers, so the grid x
+    values need no centering for exactness (the ratio is
+    translation-covariant)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    grid = tp.state_series(
+        log, "click", 100, 900, 50, ordered=False
+    ).select(
+        F.col("as_of_height").alias("x"),
+        "primary_key",
+        F.get_json_object("value", "$.k").cast("long").alias("y"),
+    )
+    stats = (
+        grid.groupBy("primary_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return stats.select(
+        "primary_key",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.expr(
+            "((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+        ).alias("slope_ppm"),
+        F.when(num > 0, F.lit("rising"))
+        .when(num < 0, F.lit("falling"))
+        .otherwise(F.lit("flat"))
+        .alias("trend"),
+    )
 
 
 @_q(

@@ -571,3 +571,53 @@ class TestKeySurvival:
             .collect()
         }
         assert got == {0: (2, 1), 1: (1, 1)}
+
+
+class TestSeriesTrend:
+    def test_exact_slope_on_crafted_series(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.catalog import catalog
+
+        # key a: y = 2 + x/10 on grid 10..50 -> slope 0.1 = 100000 ppm
+        # key b: constant -> flat; key c: 2 points -> filtered (n<3)
+        rows = [("tst", "click", h, "a", '{"k": %d}' % (2 + h // 10))
+                for h in (10, 20, 30, 40, 50)]
+        rows += [("tst", "click", h, "b", '{"k": 7}') for h in (10, 20, 30)]
+        rows += [("tst", "click", 10, "c", '{"k": 1}')]
+        log = make_changelog(spark, rows)
+        from fluxdb_spark.operators.temporal import state_series
+        from pyspark.sql import functions as F
+
+        grid = state_series(log, "click", 10, 50, 10, ordered=False).select(
+            F.col("as_of_height").alias("x"),
+            "primary_key",
+            F.get_json_object("value", "$.k").cast("long").alias("y"),
+        )
+        stats = (
+            grid.groupBy("primary_key")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("x").cast("long").alias("sx"),
+                F.sum("y").cast("long").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            )
+            .filter(F.col("n") >= 3)
+        )
+        out = {
+            r.primary_key: (r.n, r.slope_ppm)
+            for r in stats.select(
+                "primary_key",
+                "n",
+                F.expr(
+                    "((n * sxy - sx * sy) * 1000000)"
+                    " div (n * sxx - sx * sx)"
+                ).alias("slope_ppm"),
+            ).collect()
+        }
+        # c created at 10 lives on the whole grid with constant value,
+        # so it has 5 grid points and slope 0 (state series semantics:
+        # a version persists until superseded)
+        assert out["a"] == (5, 100000)
+        assert out["b"] == (5, 0)
+        assert out["c"] == (5, 0)
