@@ -192,6 +192,8 @@ HEADLINE = [
     "flux_key_survival",
     # per-key integer least-squares trend over state histories
     "flux_series_trend",
+    # period-over-period growth over the calendar-bounded daily rollup
+    "weekly_growth",
 ]
 
 

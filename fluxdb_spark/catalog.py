@@ -185,6 +185,7 @@ _PRIORITY: list[str] = [
     "flux_key_survival",
     "dedup_recall_eval",
     "flux_series_trend",
+    "weekly_growth",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4701,6 +4702,60 @@ def benford_audit(spark, sf_dir):
                 - F.col("benford_ppm")
             ).alias("dev_ppm"),
         )
+    )
+
+
+@_q(
+    "weekly_growth",
+    "relational",
+    """
+WITH daily AS (
+  SELECT CAST(strftime(o_orderdate, '%Y-%m-%d') AS VARCHAR) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1)
+SELECT day, n_orders, revenue_cents,
+       lag(revenue_cents) OVER (ORDER BY day) AS prev_cents,
+       CASE WHEN lag(revenue_cents) OVER (ORDER BY day) IS NULL THEN NULL
+            ELSE ((revenue_cents - lag(revenue_cents) OVER (ORDER BY day))
+                  * 1000000) // lag(revenue_cents) OVER (ORDER BY day)
+       END AS growth_ppm
+FROM daily
+""",
+)
+def weekly_growth(spark, sf_dir):
+    """Period-over-period growth reporting: daily revenue (exact integer
+    cents) with the previous period's value and the growth rate in
+    integer ppm — the standard reporting rollup, spelled so the only
+    sort is over the |days| relation (the window's input is the DAILY
+    aggregate, never order rows: at 100 TB the lag window sees
+    365 rows/year regardless of volume). Date bucketing via formatted
+    strings so both engines group identically."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("revenue_cents").over(w)
+    return daily.select(
+        "day",
+        "n_orders",
+        "revenue_cents",
+        prev.alias("prev_cents"),
+        F.when(prev.isNull(), F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "((revenue_cents - lag(revenue_cents) over (order by day))"
+                " * 1000000) div lag(revenue_cents) over (order by day)"
+            )
+        )
+        .alias("growth_ppm"),
     )
 
 
