@@ -194,6 +194,8 @@ HEADLINE = [
     "flux_series_trend",
     # period-over-period growth over the calendar-bounded daily rollup
     "weekly_growth",
+    # conversion-latency percentiles over the converted-user relation
+    "funnel_latency",
 ]
 
 

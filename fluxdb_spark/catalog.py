@@ -186,6 +186,7 @@ _PRIORITY: list[str] = [
     "dedup_recall_eval",
     "flux_series_trend",
     "weekly_growth",
+    "funnel_latency",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4702,6 +4703,58 @@ def benford_audit(spark, sf_dir):
                 - F.col("benford_ppm")
             ).alias("dev_ppm"),
         )
+    )
+
+
+@_q(
+    "funnel_latency",
+    "relational",
+    """
+WITH fc AS (
+  SELECT user_id, min(ts) AS c_ts FROM events
+  WHERE event_type = 'click' GROUP BY 1),
+lat AS (
+  SELECT e.user_id,
+         min(epoch_ms(e.ts)) - min(epoch_ms(f.c_ts)) AS lat_ms
+  FROM events e JOIN fc f USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= f.c_ts
+  GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(lat_ms, 0.5), 4) AS p50_ms,
+       round(quantile_cont(lat_ms, 0.9), 4) AS p90_ms
+FROM lat
+""",
+)
+def funnel_latency(spark, sf_dir):
+    """Conversion LATENCY distribution — the time-to-convert complement
+    to `event_funnel`'s conversion counts: per user, first click to the
+    first purchase at-or-after it, in integer milliseconds (timestamp
+    diffs cancel any timezone convention, unix_millis <-> epoch_ms),
+    then exact interpolated percentiles over the converted-user
+    relation. Two groupBys on the same user key (the exchange is
+    reused) and a final single-row rollup; the percentile's input is
+    |converted users|, never raw events."""
+    ev = normalize_event_ts(_t(spark, sf_dir, "events"))
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.min(F.unix_millis("ts")) - F.min(F.unix_millis("c_ts"))
+            ).alias("lat_ms")
+        )
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("lat_ms", F.lit(0.5)), 4).alias("p50_ms"),
+        F.round(F.percentile("lat_ms", F.lit(0.9)), 4).alias("p90_ms"),
     )
 
 
