@@ -4509,6 +4509,9 @@ def stream_join_size(spark, sf_dir):
     width = 4096
     tag = uuid.uuid4().hex[:8]
     names = {}
+    queries = []
+    # start BOTH maintenance streams before awaiting either: the two
+    # sketch lifecycles overlap instead of paying setup twice in series
     for table, key in (("events", "user_id"), ("orders", "o_custkey")):
         schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
         raw = (
@@ -4534,15 +4537,16 @@ def stream_join_size(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         name = f"stream_cms_{table}_{tag}"
-        q = (
+        queries.append(
             sk.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
         names[table] = name
+    for q in queries:
+        q.awaitTermination()
     est = (
         spark.table(names["events"])
         .withColumnRenamed("cnt", "ca")
