@@ -4622,8 +4622,10 @@ def collocations_materialized(spark, sf_dir):
         (bg_dest, pre_bg, ["w1", "w2"], "c_ab"),
         (uni_dest, pre_uni, ["tok"], "c"),
     )
-    for dest, pre, cols, cname in jobs:
-        q = materialize_aggregate(
+    # one maintainer per DEST (separate dests + checkpoints over the
+    # same commit log), started together so the lifecycles overlap
+    running = [
+        materialize_aggregate(
             spark,
             str(store.root),
             dest,
@@ -4633,9 +4635,13 @@ def collocations_materialized(spark, sf_dir):
             trigger_seconds=0.5,
             pre=pre,
         )
-        try:
+        for dest, pre, cols, cname in jobs
+    ]
+    try:
+        for q in running:
             q.processAllAvailable()
-        finally:
+    finally:
+        for q in running:
             q.stop()
     out = tx.collocations_from_counts(
         read_aggregate(spark, bg_dest), read_aggregate(spark, uni_dest)
