@@ -196,6 +196,8 @@ HEADLINE = [
     "weekly_growth",
     # conversion-latency percentiles over the converted-user relation
     "funnel_latency",
+    # cross-tablet reconciliation audit (replication verification)
+    "flux_tablet_reconcile",
 ]
 
 

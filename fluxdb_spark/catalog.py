@@ -187,6 +187,7 @@ _PRIORITY: list[str] = [
     "flux_series_trend",
     "weekly_growth",
     "funnel_latency",
+    "flux_tablet_reconcile",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -384,6 +385,57 @@ SELECT c.primary_key,
 FROM (SELECT * FROM live WHERE tablet_id = 'click') c
 JOIN (SELECT * FROM live WHERE tablet_id = 'view') v USING (primary_key)
 """
+
+
+@_q(
+    "flux_tablet_reconcile",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tablet_id, primary_key
+                               ORDER BY height DESC) AS rn
+  FROM changelog WHERE tablet_id IN ('click', 'view') AND height <= 700),
+live AS (SELECT * FROM ranked WHERE rn = 1 AND NOT is_deletion),
+sides AS (
+  SELECT primary_key,
+         max(CASE WHEN tablet_id = 'click' THEN value END) AS a_val,
+         max(CASE WHEN tablet_id = 'view' THEN value END) AS b_val
+  FROM live GROUP BY 1)
+SELECT
+  CAST(count(*) FILTER (WHERE a_val IS NOT NULL AND b_val IS NULL)
+       AS BIGINT) AS only_a,
+  CAST(count(*) FILTER (WHERE a_val IS NULL AND b_val IS NOT NULL)
+       AS BIGINT) AS only_b,
+  CAST(count(*) FILTER (WHERE a_val = b_val) AS BIGINT) AS both_equal,
+  CAST(count(*) FILTER (WHERE a_val IS NOT NULL AND b_val IS NOT NULL
+                          AND a_val != b_val) AS BIGINT) AS both_diff,
+  CAST(count(*) AS BIGINT) AS total_keys
+FROM sides
+""",
+)
+def flux_tablet_reconcile(spark, sf_dir):
+    """Cross-tablet RECONCILIATION at a height — the replication /
+    migration verification read: of every key live in either tablet at
+    height 700, how many exist only in A, only in B, in both with equal
+    values, in both with different values. Built on the same single
+    conditional-max_by fold as `flux_state_join` (how='outer': one
+    shuffle, no join operator) with a one-row conditional rollup on top
+    — at 100 TB the whole audit is one pass over the pruned history,
+    the exact check a `replicate` deployment runs after catch-up
+    (store.replicate's content check is this query's store-level
+    sibling)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    sj = tp.state_join(log, ["click", "view"], 700, how="outer")
+    a, b = F.col("click_value"), F.col("view_value")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return sj.agg(
+        flag(a.isNotNull() & b.isNull()).alias("only_a"),
+        flag(a.isNull() & b.isNotNull()).alias("only_b"),
+        flag(a == b).alias("both_equal"),
+        flag(a.isNotNull() & b.isNotNull() & (a != b)).alias("both_diff"),
+        F.count(F.lit(1)).cast("long").alias("total_keys"),
+    )
 
 
 @_q("flux_state_join", "temporal", _STATE_JOIN_SQL)

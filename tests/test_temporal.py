@@ -621,3 +621,34 @@ class TestSeriesTrend:
         assert out["a"] == (5, 100000)
         assert out["b"] == (5, 0)
         assert out["c"] == (5, 0)
+
+
+class TestTabletReconcile:
+    def test_venn_counts(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.operators.temporal import state_join
+        from pyspark.sql import functions as F
+
+        rows = [
+            ("tst", "A", 10, "k1", '{"k": 1}'),   # both equal
+            ("tst", "B", 20, "k1", '{"k": 1}'),
+            ("tst", "A", 10, "k2", '{"k": 2}'),   # both different
+            ("tst", "B", 20, "k2", '{"k": 3}'),
+            ("tst", "A", 10, "k3", '{"k": 4}'),   # only A
+            ("tst", "A", 10, "k4", '{"k": 5}'),   # A then deleted in A,
+            ("tst", "A", 30, "k4", ""),           #   live in B -> only B
+            ("tst", "B", 20, "k4", '{"k": 6}'),
+        ]
+        log = make_changelog(spark, rows)
+        sj = state_join(log, ["A", "B"], 700, how="outer")
+        a, b = F.col("A_value"), F.col("B_value")
+        flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+        r = sj.agg(
+            flag(a.isNotNull() & b.isNull()).alias("only_a"),
+            flag(a.isNull() & b.isNotNull()).alias("only_b"),
+            flag(a == b).alias("both_equal"),
+            flag(a.isNotNull() & b.isNotNull() & (a != b)).alias("both_diff"),
+            F.count(F.lit(1)).cast("long").alias("total_keys"),
+        ).collect()[0]
+        assert (r.only_a, r.only_b, r.both_equal, r.both_diff,
+                r.total_keys) == (1, 1, 1, 1, 4)
