@@ -198,6 +198,8 @@ HEADLINE = [
     "funnel_latency",
     # cross-tablet reconciliation audit (replication verification)
     "flux_tablet_reconcile",
+    # embedding-health audit over exact integer magnitudes
+    "embed_norm_audit",
 ]
 
 

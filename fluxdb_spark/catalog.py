@@ -188,6 +188,7 @@ _PRIORITY: list[str] = [
     "weekly_growth",
     "funnel_latency",
     "flux_tablet_reconcile",
+    "embed_norm_audit",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -4872,6 +4873,82 @@ def weekly_growth(spark, sf_dir):
         )
         .alias("growth_ppm"),
     )
+
+
+def _norm_audit_sql() -> str:
+    from fluxdb_spark.functions.text import _hdr_idx_sql, _hdr_lower_sql
+
+    return f"""
+WITH qz AS ({sim.sql_quantize_embeddings()}),
+mags AS MATERIALIZED (SELECT scale_e9 FROM qz),
+sk AS MATERIALIZED (
+  SELECT {_hdr_idx_sql('scale_e9')} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM mags GROUP BY 1),
+cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM sk),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk)
+SELECT 'n_vectors' AS metric, n AS value FROM tot
+UNION ALL
+SELECT 'zero_vectors',
+       CAST(count(*) FILTER (WHERE scale_e9 = 0) AS BIGINT) FROM mags
+UNION ALL
+SELECT 'min_nonzero_e9',
+       CAST(min(CASE WHEN scale_e9 > 0 THEN scale_e9 END) AS BIGINT)
+FROM mags
+UNION ALL
+SELECT 'max_e9', CAST(max(scale_e9) AS BIGINT) FROM mags
+UNION ALL
+SELECT 'p50_e9_lb',
+       (SELECT {_hdr_lower_sql('min(bucket)')}
+        FROM cum, tot WHERE cum >= ceil(0.5 * n))
+UNION ALL
+SELECT 'p99_e9_lb',
+       (SELECT {_hdr_lower_sql('min(bucket)')}
+        FROM cum, tot WHERE cum >= ceil(0.99 * n))
+"""
+
+
+@_q("embed_norm_audit", "pipeline", _norm_audit_sql())
+def embed_norm_audit(spark, sf_dir):
+    """Embedding-health audit — the screen for COLLAPSED embeddings
+    (a broken encoder emits near-zero or wildly-scaled vectors long
+    before any downstream metric notices): the distribution of each
+    vector's exact integer magnitude (the int8 quantizer's scale_e9 =
+    floor(absmax/127 * 1e9), already bit-portable) as zero-vector
+    count, nonzero min, max, and HDR-sketch p50/p99 lower bounds —
+    every statistic either exact or rank-based on the mergeable bucket
+    sketch, so the whole audit is map-side + a ~64-row rollup at any
+    corpus size. (metric, value) BIGINT rows."""
+    from fluxdb_spark.functions.text import _hdr_idx_expr, hdr_quantiles
+
+    e = _t(spark, sf_dir, "embeddings")
+    mags = sim.quantize_embeddings(e).select("scale_e9").localCheckpoint()
+    buckets = (
+        mags.select(F.expr(_hdr_idx_expr("scale_e9")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    q = hdr_quantiles(buckets, [0.5, 0.99]).select(
+        F.when(F.col("p") == 0.5, F.lit("p50_e9_lb"))
+        .otherwise(F.lit("p99_e9_lb"))
+        .alias("metric"),
+        F.col("est").cast("long").alias("value"),
+    )
+    summary = mags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.when(F.col("scale_e9") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_vectors"),
+        F.min(F.when(F.col("scale_e9") > 0, F.col("scale_e9")))
+        .cast("long")
+        .alias("min_nonzero_e9"),
+        F.max("scale_e9").cast("long").alias("max_e9"),
+    ).selectExpr(
+        "stack(4, 'n_vectors', n_vectors, 'zero_vectors', zero_vectors, "
+        "'min_nonzero_e9', min_nonzero_e9, 'max_e9', max_e9) "
+        "as (metric, value)"
+    )
+    return summary.unionByName(q)
 
 
 @_q(
