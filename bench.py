@@ -200,6 +200,9 @@ HEADLINE = [
     "flux_tablet_reconcile",
     # embedding-health audit over exact integer magnitudes
     "embed_norm_audit",
+    # standing Benford audit + ingest mutation-mix profile
+    "stream_benford",
+    "flux_mutation_profile",
 ]
 
 

@@ -189,6 +189,8 @@ _PRIORITY: list[str] = [
     "funnel_latency",
     "flux_tablet_reconcile",
     "embed_norm_audit",
+    "stream_benford",
+    "flux_mutation_profile",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -386,6 +388,64 @@ SELECT c.primary_key,
 FROM (SELECT * FROM live WHERE tablet_id = 'click') c
 JOIN (SELECT * FROM live WHERE tablet_id = 'view') v USING (primary_key)
 """
+
+
+@_q(
+    "flux_mutation_profile",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900),
+kinds AS (
+  SELECT height // 100 AS band, primary_key,
+         CASE WHEN is_deletion THEN 'delete'
+              WHEN height = min(height) OVER (PARTITION BY primary_key)
+                THEN 'insert'
+              ELSE 'update' END AS kind
+  FROM scoped)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_mutations,
+       CAST(count(*) FILTER (WHERE kind = 'insert') AS BIGINT)
+         AS n_inserts,
+       CAST(count(*) FILTER (WHERE kind = 'update') AS BIGINT)
+         AS n_updates,
+       CAST(count(*) FILTER (WHERE kind = 'delete') AS BIGINT)
+         AS n_deletes,
+       CAST(count(DISTINCT primary_key) AS BIGINT) AS keys_touched
+FROM kinds GROUP BY band
+""",
+)
+def flux_mutation_profile(spark, sf_dir):
+    """Ingest-ops MUTATION PROFILE per height band: the write-mix
+    dashboard of a temporal store — inserts (a key's first version)
+    vs updates vs tombstones plus distinct keys touched, per 100-height
+    band. One per-key window min classifies every mutation, then a
+    per-band conditional rollup; the reference exposes only raw
+    per-block write counters (W2) — this is the classified relation an
+    operator actually watches for update-storm or delete-storm
+    anomalies. \\|bands\\|-row output at any scale."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    scoped = log.filter(
+        (F.col("tablet_id") == "click") & (F.col("height") <= 900)
+    )
+    first_h = F.min("height").over(Window.partitionBy("primary_key"))
+    kinds = scoped.select(
+        F.expr("height div 100").alias("band"),
+        "primary_key",
+        F.when(F.col("is_deletion"), F.lit("delete"))
+        .when(F.col("height") == first_h, F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("kind"),
+    )
+    cnt = lambda k: F.sum(F.when(F.col("kind") == k, 1).otherwise(0)).cast("long")  # noqa: E731
+    return kinds.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mutations"),
+        cnt("insert").alias("n_inserts"),
+        cnt("update").alias("n_updates"),
+        cnt("delete").alias("n_deletes"),
+        F.countDistinct("primary_key").cast("long").alias("keys_touched"),
+    )
 
 
 @_q(
@@ -4906,6 +4966,86 @@ SELECT 'p99_e9_lb',
        (SELECT {_hdr_lower_sql('min(bucket)')}
         FROM cum, tot WHERE cum >= ceil(0.99 * n))
 """
+
+
+@_q(
+    "stream_benford",
+    "streaming",
+    f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE o_totalprice > 0),
+digits AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits),
+obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+        FROM digits GROUP BY 1),
+expected(digit, benford_ppm) AS (VALUES {", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))})
+SELECT e.digit, coalesce(o.cnt, 0) AS cnt,
+       (coalesce(o.cnt, 0) * 1000000) // n AS share_ppm,
+       e.benford_ppm,
+       abs((coalesce(o.cnt, 0) * 1000000) // n - e.benford_ppm)
+         AS dev_ppm
+FROM expected e LEFT JOIN obs o USING (digit), n
+""",
+)
+def stream_benford(spark, sf_dir):
+    """STREAMING Benford audit: the 9-counter digit table maintained by
+    Structured Streaming — counts are additive (micro-batch merge IS the
+    table update) and state is NINE rows forever, the cheapest standing
+    audit in the engine; the expectation join and ppm math run
+    serving-side on the standing counters and hash-match the batch
+    twin's oracle. The shape a payments pipeline runs continuously."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    digits = raw.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    name = f"stream_benford_{uuid.uuid4().hex[:8]}"
+    q = (
+        obs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    table = spark.table(name)
+    n = table.agg(F.sum("cnt").cast("long").alias("n"))
+    expected = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
+        "digit long, benford_ppm long",
+    )
+    return (
+        expected.join(table, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+            F.expr("(coalesce(cnt, 0) * 1000000) div n").alias("share_ppm"),
+            "benford_ppm",
+            F.abs(
+                F.expr("(coalesce(cnt, 0) * 1000000) div n")
+                - F.col("benford_ppm")
+            ).alias("dev_ppm"),
+        )
+    )
 
 
 @_q("embed_norm_audit", "pipeline", _norm_audit_sql())

@@ -652,3 +652,38 @@ class TestTabletReconcile:
         ).collect()[0]
         assert (r.only_a, r.only_b, r.both_equal, r.both_diff,
                 r.total_keys) == (1, 1, 1, 1, 4)
+
+
+class TestMutationProfile:
+    def test_insert_update_delete_classification(self, spark):
+        from tests.conftest import make_changelog
+        from pyspark.sql import Window, functions as F
+
+        rows = [
+            ("tst", "click", 10, "a", '{"k": 1}'),    # insert (band 0)
+            ("tst", "click", 150, "a", '{"k": 2}'),   # update (band 1)
+            ("tst", "click", 160, "a", ""),           # delete (band 1)
+            ("tst", "click", 20, "b", ""),            # first event IS a
+                                                      # delete -> delete
+        ]
+        log = make_changelog(spark, rows)
+        scoped = log.filter(
+            (F.col("tablet_id") == "click") & (F.col("height") <= 900)
+        )
+        first_h = F.min("height").over(Window.partitionBy("primary_key"))
+        kinds = scoped.select(
+            F.expr("height div 100").alias("band"),
+            "primary_key",
+            F.when(F.col("is_deletion"), F.lit("delete"))
+            .when(F.col("height") == first_h, F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("kind"),
+        )
+        got = {
+            (r.band, r.kind): 1
+            for r in kinds.collect()
+        }
+        assert got == {
+            (0, "insert"): 1, (1, "update"): 1,
+            (1, "delete"): 1, (0, "delete"): 1,
+        }
