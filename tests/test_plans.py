@@ -187,6 +187,14 @@ class TestRound10Shapes:
             "path_regex_match",
             "data_expectations",
             "flux_state_drift",
+            "benford_audit",
+            "flux_key_survival",
+            "flux_series_trend",
+            "weekly_growth",
+            "funnel_latency",
+            "flux_tablet_reconcile",
+            "embed_norm_audit",
+            "flux_mutation_profile",
         ],
     )
     def test_no_cartesian_no_python(self, spark, specs, name):
