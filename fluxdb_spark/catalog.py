@@ -152,7 +152,12 @@ _PRIORITY: list[str] = [
     "running_total",
     "topk_orders",
     "set_ops",
-    # -- entries added in round 10 (first driver row in r11)
+    # -- entries added in round 10 (first driver row in r11).  R11 window
+    # plan: positions 51-100 of this list — the 18 remaining r07-green
+    # relational entries above plus the first 32 of the 36 round-10
+    # additions below (never driver-checked; each locally oracle-matched
+    # at sf0.001 AND sf0.01 in pytest every run).  The last 4 round-10
+    # additions plus the r08-green block lead the r12 window.
     "dedup_spans",
     "kmv_set_overlap",
     "stream_kmv_overlap",
