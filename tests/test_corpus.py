@@ -949,3 +949,72 @@ class TestDataExpectations:
         assert got["lineitem.l_orderkey.fk_orders"] == 1
         assert got["orders.o_orderkey.unique"] == 1
         assert got["lineitem.l_orderkey.not_null"] == 0
+
+
+class TestBenfordAudit:
+    def test_planted_uniform_digits_deviate(self, spark):
+        import os
+        import tempfile
+
+        from fluxdb_spark.catalog import catalog
+
+        spec = {s.name: s for s in catalog()}["benford_audit"]
+        d = tempfile.mkdtemp(prefix="fluxdb-benford-")
+        # uniform first digits 1..9 (anti-Benford): every digit share
+        # ~111111 ppm, so digit 1's deviation is large and digit 4's
+        # small (benford(4) = 96910)
+        import datetime as dt
+
+        rows = [
+            (i, i % 9, "O", float(f"{(i % 9) + 1}00.00"),
+             dt.datetime(2024, 1, 1), "P")
+            for i in range(900)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+        got = {r.digit: (r.cnt, r.share_ppm, r.dev_ppm)
+               for r in spec.spark(spark, d).collect()}
+        assert all(got[dd][0] == 100 for dd in range(1, 10))
+        assert all(got[dd][1] == 111111 for dd in range(1, 10))
+        # digit 1 under-represented vs Benford, digit 9 over-represented
+        assert got[1][2] == 301030 - 111111
+        assert got[9][2] == 111111 - 45757
+        # real testdata: shares must sum to ~1e6
+        real = spec.spark(spark, "/root/testdata/sf0.001").collect()
+        assert abs(sum(r.share_ppm for r in real) - 1_000_000) < 10
+
+
+class TestWeeklyGrowth:
+    def test_hand_computed_growth(self, spark):
+        import datetime as dt
+        import os
+        import tempfile
+
+        from fluxdb_spark.catalog import catalog
+
+        spec = {s.name: s for s in catalog()}["weekly_growth"]
+        d = tempfile.mkdtemp(prefix="fluxdb-growth-")
+        rows = [
+            (1, 1, "O", 100.00, dt.datetime(2024, 1, 1), "P"),
+            (2, 1, "O", 150.00, dt.datetime(2024, 1, 2), "P"),
+            (3, 1, "O", 50.00, dt.datetime(2024, 1, 2), "P"),
+            (4, 1, "O", 100.00, dt.datetime(2024, 1, 3), "P"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string",
+        ).coalesce(1).write.parquet(os.path.join(d, "orders.parquet"))
+        got = {r.day: (r.n_orders, r.revenue_cents, r.prev_cents,
+                       r.growth_ppm)
+               for r in spec.spark(spark, d).collect()}
+        assert got["2024-01-01"] == (1, 10000, None, None)
+        # day 2: 20000 cents, +100% = 1_000_000 ppm
+        assert got["2024-01-02"] == (2, 20000, 10000, 1_000_000)
+        # day 3: 10000 cents, -50% = -500_000 ppm
+        assert got["2024-01-03"] == (1, 10000, 20000, -500_000)
