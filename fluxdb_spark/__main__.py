@@ -574,6 +574,18 @@ def cmd_query(args, spark: SparkSession) -> int:
     df = spec.spark(spark, args.sf_dir)
     if args.explain:
         df.explain("formatted")
+    if args.save:
+        # export sink: any catalog operator's result lands as a dataset
+        # (csv/json get a header-ful single-file-friendly layout; parquet
+        # and orc keep the parallel writer)
+        w = df.write.mode("overwrite")
+        if args.format in ("csv", "json"):
+            w = df.coalesce(1).write.mode("overwrite").option(
+                "header", "true"
+            )
+        getattr(w, args.format)(args.save)
+        print(f"# saved {args.format} -> {args.save}")
+        return 0
     rows = df.collect()
     for r in rows[: args.limit]:
         print(tuple(r))
@@ -617,6 +629,9 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--explain", action="store_true")
     q.add_argument("--verify", action="store_true",
                    help="cross-check against the DuckDB oracle twin")
+    q.add_argument("--save", help="write the result to this directory")
+    q.add_argument("--format", default="parquet",
+                   choices=("parquet", "orc", "csv", "json"))
     q.set_defaults(fn=cmd_query)
 
     i = sub.add_parser("inject")

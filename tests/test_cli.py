@@ -645,3 +645,24 @@ class TestQueryMode:
             == 0
         )
         assert "Physical Plan" in capsys.readouterr().out
+
+
+class TestQuerySave:
+    def test_save_parquet_and_csv_roundtrip(self, spark, tmp_path):
+        out = str(tmp_path / "q6")
+        assert (
+            main(["query", "tpch_q6", "--sf-dir", SF, "--save", out], spark)
+            == 0
+        )
+        assert spark.read.parquet(out).count() == 1
+        outc = str(tmp_path / "rev")
+        assert (
+            main(
+                ["query", "region_revenue", "--sf-dir", SF,
+                 "--save", outc, "--format", "csv"],
+                spark,
+            )
+            == 0
+        )
+        back = spark.read.option("header", "true").csv(outc)
+        assert back.count() > 0 and "r_name" in back.columns
