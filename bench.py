@@ -203,6 +203,8 @@ HEADLINE = [
     # standing Benford audit + ingest mutation-mix profile
     "stream_benford",
     "flux_mutation_profile",
+    # additive data-quality rules as standing streaming counters
+    "stream_data_expectations",
 ]
 
 

@@ -196,6 +196,7 @@ _PRIORITY: list[str] = [
     "embed_norm_audit",
     "stream_benford",
     "flux_mutation_profile",
+    "stream_data_expectations",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -5262,6 +5263,70 @@ def data_expectations(spark, sf_dir):
         "checked",
     )
     return li_rules.unionByName(uniq).unionByName(fk).unionByName(pos)
+
+
+@_q(
+    "stream_data_expectations",
+    "streaming",
+    """
+SELECT 'lineitem.l_quantity.in_range' AS rule,
+       CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+            AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS checked
+FROM lineitem
+UNION ALL
+SELECT 'lineitem.l_orderkey.not_null',
+       CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM lineitem
+""",
+)
+def stream_data_expectations(spark, sf_dir):
+    """STREAMING data-quality expectations — the ADDITIVE subset of
+    `data_expectations` (range bounds, not-null: per-row predicates
+    whose violation counts merge by sum, so the micro-batch merge IS
+    the audit update and state is one row per rule forever). The
+    relational rules (key uniqueness, referential integrity) stay
+    batch by design: their truth depends on cross-batch joins, the
+    honest boundary every streaming audit has. Counters hash-match the
+    batch twin's oracle rows for the same rules."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    counters = raw.select(
+        F.when(
+            (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+        )
+        .otherwise(0)
+        .alias("range_v"),
+        F.when(F.col("l_orderkey").isNull(), 1).otherwise(0).alias(
+            "null_v"
+        ),
+    ).agg(
+        F.sum("range_v").cast("long").alias("range_violations"),
+        F.sum("null_v").cast("long").alias("null_violations"),
+        F.count(F.lit(1)).cast("long").alias("checked"),
+    )
+    name = f"stream_expect_{uuid.uuid4().hex[:8]}"
+    q = (
+        counters.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).selectExpr(
+        "stack(2, "
+        "'lineitem.l_quantity.in_range', range_violations, checked, "
+        "'lineitem.l_orderkey.not_null', null_violations, checked) "
+        "as (rule, violations, checked)"
+    )
 
 
 _PATH_PATTERNS = ["cp", "s.*p", "e{2,}", "^v"]
