@@ -205,6 +205,8 @@ HEADLINE = [
     "flux_mutation_profile",
     # additive data-quality rules as standing streaming counters
     "stream_data_expectations",
+    # cross-source duplication matrix (mirror detection)
+    "source_dedup_matrix",
 ]
 
 

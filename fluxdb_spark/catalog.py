@@ -197,6 +197,7 @@ _PRIORITY: list[str] = [
     "stream_benford",
     "flux_mutation_profile",
     "stream_data_expectations",
+    "source_dedup_matrix",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -3934,6 +3935,60 @@ def entity_resolution(spark, sf_dir):
     recursive CTE."""
     p = _t(spark, sf_dir, "part")
     return dd.resolve_entities(p, "p_name", 2)
+
+
+@_q(
+    "source_dedup_matrix",
+    "pipeline",
+    f"""
+WITH pairs AS MATERIALIZED ({_JACCARD_SQL}),
+m AS (
+  SELECT da.source AS source_a, db.source AS source_b
+  FROM pairs
+  JOIN documents da ON da.doc_id = d1
+  JOIN documents db ON db.doc_id = d2)
+SELECT least(source_a, source_b) AS source_a,
+       greatest(source_a, source_b) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM m GROUP BY 1, 2
+""",
+)
+def source_dedup_matrix(spark, sf_dir):
+    """Cross-SOURCE duplication flow — which sources mirror which: the
+    near-dup pairs from the exact Jaccard join mapped back to their
+    documents' sources and rolled up into an unordered (source_a,
+    source_b, n_pairs) matrix. Off-diagonal mass is the mirror/
+    plagiarism signal (a crawl pipeline drops or down-weights the
+    copying source); the diagonal is within-source boilerplate. The
+    source lookup joins BROADCAST (two id->source projections); output
+    is |sources|^2/2 rows at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, 0.8).select("d1", "d2")
+    src = d.select("doc_id", "source")
+    m = (
+        pairs.join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("d1"),
+                    F.col("source").alias("sa"),
+                )
+            ),
+            "d1",
+        )
+        .join(
+            F.broadcast(
+                src.select(
+                    F.col("doc_id").alias("d2"),
+                    F.col("source").alias("sb"),
+                )
+            ),
+            "d2",
+        )
+    )
+    return m.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
 
 
 @_q("dedup_pagerank", "pipeline", dd.sql_duplication_pagerank(_JACCARD_SQL))
