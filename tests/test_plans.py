@@ -195,6 +195,7 @@ class TestRound10Shapes:
             "flux_tablet_reconcile",
             "embed_norm_audit",
             "flux_mutation_profile",
+            "source_dedup_matrix",
         ],
     )
     def test_no_cartesian_no_python(self, spark, specs, name):
