@@ -207,6 +207,8 @@ HEADLINE = [
     "stream_data_expectations",
     # cross-source duplication matrix (mirror detection)
     "source_dedup_matrix",
+    # Heaps-law vocabulary growth curve (tokenizer sizing)
+    "vocab_growth",
 ]
 
 

@@ -198,6 +198,7 @@ _PRIORITY: list[str] = [
     "flux_mutation_profile",
     "stream_data_expectations",
     "source_dedup_matrix",
+    "vocab_growth",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -5512,6 +5513,69 @@ def doc_keywords(spark, sf_dir):
     (functions/text.doc_keywords)."""
     d = _td(spark, sf_dir)
     return tx.doc_keywords(d)
+
+
+@_q(
+    "vocab_growth",
+    "pipeline",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+  FROM toks, unnest(range(1, len(t))) AS u(i)),
+firsts AS (
+  SELECT term, min(doc_id) AS first_doc FROM bg GROUP BY 1),
+nd AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS n FROM documents),
+binned AS (
+  SELECT least((first_doc * 10) // n, 9) AS decile,
+         CAST(count(*) AS BIGINT) AS new_terms
+  FROM firsts, nd GROUP BY 1)
+SELECT decile, new_terms,
+       CAST(sum(new_terms) OVER (ORDER BY decile) AS BIGINT)
+         AS vocab_size
+FROM binned
+""",
+)
+def vocab_growth(spark, sf_dir):
+    """Vocabulary GROWTH curve (Heaps' law, measured, on the BIGRAM
+    vocabulary — the unigram vocab of this corpus saturates in the
+    first docs; bigrams keep growing like a real corpus's tail): how
+    many NEW distinct terms each tenth of the corpus contributes, with
+    the cumulative vocabulary size — the read that sizes a tokenizer
+    and predicts whether dedup/BPE state stays Zipf-bounded as the
+    corpus grows. Spelled scale-first: the curve needs each term's
+    FIRST document only (one groupBy(term) min — vocabulary-sized
+    output), then a 10-row bucket rollup and a 10-row cumulative
+    window; nothing sorts or windows over corpus-sized data."""
+    d = _td(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        F.explode(tx.bigram_pairs(F.col("text"))).alias("p"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("term"),
+    )
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    nd = d.agg((F.max("doc_id") + 1).cast("long").alias("n"))
+    binned = (
+        firsts.crossJoin(F.broadcast(nd))
+        .select(
+            F.least(
+                F.expr("(first_doc * 10) div n"), F.lit(9).cast("long")
+            ).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return binned.select(
+        "decile",
+        "new_terms",
+        F.sum("new_terms").over(w).cast("long").alias("vocab_size"),
+    )
 
 
 @_q("collocations", "pipeline", tx.sql_collocations())
