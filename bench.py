@@ -209,6 +209,8 @@ HEADLINE = [
     "source_dedup_matrix",
     # Heaps-law vocabulary growth curve (tokenizer sizing)
     "vocab_growth",
+    # snapshot-index coverage observability (I3 cadence feedback)
+    "flux_index_coverage",
 ]
 
 

@@ -199,6 +199,7 @@ _PRIORITY: list[str] = [
     "stream_data_expectations",
     "source_dedup_matrix",
     "vocab_growth",
+    "flux_index_coverage",
     # -- r08-green block
     "embed_quantize",
     "semi_anti_join",
@@ -396,6 +397,65 @@ SELECT c.primary_key,
 FROM (SELECT * FROM live WHERE tablet_id = 'click') c
 JOIN (SELECT * FROM live WHERE tablet_id = 'view') v USING (primary_key)
 """
+
+
+@_q(
+    "flux_index_coverage",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+ranked8 AS (
+  SELECT *, row_number() OVER (PARTITION BY primary_key
+                               ORDER BY height DESC) AS rn
+  FROM changelog WHERE tablet_id = 'click' AND height <= 800),
+live8 AS (SELECT * FROM ranked8 WHERE rn = 1 AND NOT is_deletion),
+ranked5 AS (
+  SELECT *, row_number() OVER (PARTITION BY primary_key
+                               ORDER BY height DESC) AS rn
+  FROM changelog WHERE tablet_id = 'click' AND height <= 500),
+live5 AS (SELECT * FROM ranked5 WHERE rn = 1 AND NOT is_deletion)
+SELECT CAST(500 AS BIGINT) AS snapshot_height,
+       (SELECT CAST(count(*) AS BIGINT) FROM live8) AS live_keys,
+       (SELECT CAST(count(*) FILTER (WHERE height <= 500) AS BIGINT)
+        FROM live8) AS from_snapshot,
+       (SELECT CAST(count(*) FILTER (WHERE height > 500) AS BIGINT)
+        FROM live8) AS from_delta,
+       (SELECT CAST(count(*) AS BIGINT) FROM changelog
+        WHERE tablet_id = 'click' AND height > 500 AND height <= 800)
+         AS delta_rows_scanned,
+       (SELECT CAST(count(*) AS BIGINT) FROM live5) AS index_rows
+""",
+)
+def flux_index_coverage(spark, sf_dir):
+    """Snapshot-index COVERAGE observability: for the indexed read at
+    800 over the snapshot at 500, how much of the answer the index
+    actually served — live keys answered from the snapshot vs re-folded
+    from the delta, the raw delta row count the read must scan, and the
+    index's own size. The report that tells the adaptive scheduler
+    (I3's 25K/50K/100K/200K cadence) whether its snapshots land where
+    reads need them: a from_delta share creeping up means the cadence
+    lags the write rate. Two LWW folds + one filter count over the
+    same pruned scan; 1-row output."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    live8 = tp.state_at(log, "click", 800).localCheckpoint()
+    live5_n = tp.state_at(log, "click", 500).count()
+    delta_n = log.filter(
+        (F.col("tablet_id") == "click")
+        & (F.col("height") > 500)
+        & (F.col("height") <= 800)
+    ).count()
+    return live8.agg(
+        F.lit(500).cast("long").alias("snapshot_height"),
+        F.count(F.lit(1)).cast("long").alias("live_keys"),
+        F.sum(F.when(F.col("height") <= 500, 1).otherwise(0))
+        .cast("long")
+        .alias("from_snapshot"),
+        F.sum(F.when(F.col("height") > 500, 1).otherwise(0))
+        .cast("long")
+        .alias("from_delta"),
+        F.lit(delta_n).cast("long").alias("delta_rows_scanned"),
+        F.lit(live5_n).cast("long").alias("index_rows"),
+    )
 
 
 @_q(
