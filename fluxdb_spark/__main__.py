@@ -585,7 +585,10 @@ def cmd_query(args, spark: SparkSession) -> int:
             )
         getattr(w, args.format)(args.save)
         print(f"# saved {args.format} -> {args.save}")
-        return 0
+        if not args.verify:
+            return 0
+        # --save --verify: fall through so the oracle check the user
+        # asked for still runs (ADVICE r10: returning here skipped it)
     rows = df.collect()
     for r in rows[: args.limit]:
         print(tuple(r))

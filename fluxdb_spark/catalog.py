@@ -66,78 +66,25 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-10 window (driver checks exactly the first 50 entries per
-    # round).  Composition, per VERDICT r9 task 3:
-    #   1-2   the two PQ entries re-pinned after the oracle dtype fix
-    #         (CAST(adist AS BIGINT) in sql_pq_topk) -- they burned r9
-    #         slots but went red on the HUGEINT->float64 artifact;
-    #   3-17  the 15 late-r9 entries that have never had a driver row
-    #         (each locally oracle-matched in pytest every run);
-    #   18-19 unpivot_pricing + session_windows, whose newest rows were
-    #         r06-stale (siblings pivot_status/sessionization are fresh);
-    #   20-50 the first 31 of the 49 r07-green entries (oldest remaining
-    #         rows).  The other 18 r07-greens lead the r11 window along
-    #         with any entries added in round 10; after this round no
-    #         entry's newest row is older than r07 and no entry is
-    #         driver-unchecked.
-    "embed_topk_pq",
-    "embed_topk_pq_materialized",
-    "interval_overlap_join",
-    "event_funnel",
-    "cohort_retention",
-    "purchase_attribution",
-    "flux_state_join",
-    "embed_label_noise",
-    "rfm_segments",
-    "blocklist_audit",
-    "pps_sample",
-    "event_transitions",
-    "table_profile",
-    "dedup_containment",
-    "flux_series_anomalies",
-    "stream_rfm",
-    "stream_cms_heavy_hitters",
-    "unpivot_pricing",
-    "session_windows",
-    "flux_state_series",
-    "flux_time_weighted",
-    "asof_join_nearest",
-    "asof_join_tolerance",
-    "window_frames",
-    "typed_view_protobuf_nested",
-    "bm25_rank",
-    "bm25_multi",
-    "embed_kmeans",
-    "embed_topk_quantized",
-    "hybrid_rrf",
-    "cluster_balanced_sample",
-    "temperature_mix",
-    "length_buckets",
-    "curation_pipeline",
-    "hash_split",
-    "text_normalize",
-    "doc_chunking",
-    "multimodal_meta",
-    "multimodal_decode",
-    "dedup_minhash_lsh_materialized",
-    "embed_ann_lsh_materialized",
-    "embed_kmeans_materialized",
-    "embed_topk_projected",
-    "embed_covariance",
-    "paragraph_dedup",
-    "flux_row_at",
-    "flux_singlet_asof",
-    "flux_singlet_history",
-    "flux_checkpoint",
-    "asof_join",
-    # ---- position 51+ from here: leads the r11 window ----
-    # Remaining 18 r07-green entries first, then entries added in round
-    # 10 (first driver row in r11), then the r08-green block, and the
-    # r09-green block (freshest rows) at the very back.
+    # Round-11 window (driver checks exactly the first 50 entries per
+    # round).  Composition, per VERDICT r10 tasks 1-2:
+    #   1-17  the 17 remaining r07-green relational entries (oldest
+    #         surviving driver rows), minus embed_ann_ivf which is
+    #         rows-only BY DESIGN (oracle=None; its hash-checked twins
+    #         embed_ann_ivf_exact / embed_ann_ivf_materialized carry
+    #         the correctness signal) and is therefore pinned at the
+    #         very end of this list, permanently outside every window,
+    #         so it never burns a slot on a red-looking FAIL:no_oracle;
+    #   18-50 the first 33 of the 42 round-10 additions (never
+    #         driver-checked; each locally oracle-matched at sf0.001
+    #         every pytest run and at sf0.01 under FLUX_PARITY_SF001=1).
+    # R12 window plan (positions 51-100): the last 9 round-10 additions
+    # plus any round-11 additions, then the r08-green block.  After r12
+    # every entry except embed_ann_ivf has a driver row and nothing is
+    # never-checked.
     "asof_join_generic",
     "range_join_incidents",
     "multimodal_frames",
-    "embed_ann_ivf",
     "stratified_sample",
     "lang_distribution",
     "tumbling_hourly",
@@ -152,12 +99,7 @@ _PRIORITY: list[str] = [
     "running_total",
     "topk_orders",
     "set_ops",
-    # -- entries added in round 10 (first driver row in r11).  R11 window
-    # plan: positions 51-100 of this list — the 18 remaining r07-green
-    # relational entries above plus the first 32 of the 36 round-10
-    # additions below (never driver-checked; each locally oracle-matched
-    # at sf0.001 AND sf0.01 in pytest every run).  The last 4 round-10
-    # additions plus the r08-green block lead the r12 window.
+    # -- round-10 additions, first driver row here in r11 --
     "dedup_spans",
     "kmv_set_overlap",
     "stream_kmv_overlap",
@@ -191,6 +133,10 @@ _PRIORITY: list[str] = [
     "dedup_recall_eval",
     "flux_series_trend",
     "weekly_growth",
+    # ---- position 51+: leads the r12 window ----
+    # Last 9 round-10 additions first (never driver-checked),
+    # then the r08-green block, then r09-green, then the freshly
+    # r10-stamped block at the very back.
     "funnel_latency",
     "flux_tablet_reconcile",
     "embed_norm_audit",
@@ -200,7 +146,7 @@ _PRIORITY: list[str] = [
     "source_dedup_matrix",
     "vocab_growth",
     "flux_index_coverage",
-    # -- r08-green block
+    # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
     "scalar_subquery",
@@ -299,6 +245,61 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "decontaminate",
     "seq_packing",
+    # -- round-10 window block (freshest driver rows, r10) --
+    "embed_topk_pq",
+    "embed_topk_pq_materialized",
+    "interval_overlap_join",
+    "event_funnel",
+    "cohort_retention",
+    "purchase_attribution",
+    "flux_state_join",
+    "embed_label_noise",
+    "rfm_segments",
+    "blocklist_audit",
+    "pps_sample",
+    "event_transitions",
+    "table_profile",
+    "dedup_containment",
+    "flux_series_anomalies",
+    "stream_rfm",
+    "stream_cms_heavy_hitters",
+    "unpivot_pricing",
+    "session_windows",
+    "flux_state_series",
+    "flux_time_weighted",
+    "asof_join_nearest",
+    "asof_join_tolerance",
+    "window_frames",
+    "typed_view_protobuf_nested",
+    "bm25_rank",
+    "bm25_multi",
+    "embed_kmeans",
+    "embed_topk_quantized",
+    "hybrid_rrf",
+    "cluster_balanced_sample",
+    "temperature_mix",
+    "length_buckets",
+    "curation_pipeline",
+    "hash_split",
+    "text_normalize",
+    "doc_chunking",
+    "multimodal_meta",
+    "multimodal_decode",
+    "dedup_minhash_lsh_materialized",
+    "embed_ann_lsh_materialized",
+    "embed_kmeans_materialized",
+    "embed_topk_projected",
+    "embed_covariance",
+    "paragraph_dedup",
+    "flux_row_at",
+    "flux_singlet_asof",
+    "flux_singlet_history",
+    "flux_checkpoint",
+    "asof_join",
+    # embed_ann_ivf: rows-only by design (oracle=None); kept out
+    # of every correctness window -- see note at the top of this
+    # list.  Its exact twins are the hash-checked forms.
+    "embed_ann_ivf",
 ]
 
 
@@ -640,14 +641,20 @@ scoped AS (
          lag(x, 2) OVER w AS x2,
          lag(x, 3) OVER w AS x3
   FROM grid
-  WINDOW w AS (PARTITION BY primary_key ORDER BY as_of_height))
+  WINDOW w AS (PARTITION BY primary_key ORDER BY as_of_height)
+), weighted AS (
+  SELECT primary_key, as_of_height, x,
+         coalesce(8 * x, 0) + coalesce(4 * x1, 0) + coalesce(2 * x2, 0)
+           + coalesce(1 * x3, 0) AS num,
+         CASE WHEN x IS NULL THEN 0 ELSE 8 END
+           + CASE WHEN x1 IS NULL THEN 0 ELSE 4 END
+           + CASE WHEN x2 IS NULL THEN 0 ELSE 2 END
+           + CASE WHEN x3 IS NULL THEN 0 ELSE 1 END AS den
+  FROM lagged)
 SELECT primary_key, as_of_height, x,
-       round((8 * x + coalesce(4 * x1, 0) + coalesce(2 * x2, 0)
-              + coalesce(1 * x3, 0)) * 1.0
-             / (8 + CASE WHEN x1 IS NULL THEN 0 ELSE 4 END
-                  + CASE WHEN x2 IS NULL THEN 0 ELSE 2 END
-                  + CASE WHEN x3 IS NULL THEN 0 ELSE 1 END), 4) AS ewma
-FROM lagged
+       CASE WHEN den = 0 THEN NULL
+            ELSE round(num * 1.0 / den, 4) END AS ewma
+FROM weighted
 """,
 )
 def flux_series_ewma(spark, sf_dir):
@@ -4329,15 +4336,17 @@ sim AS MATERIALIZED ({_SIMHASH_PAIRS_SQL}),
 ex_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM exact),
 sim_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sim)
 SELECT 'lsh_recall' AS metric, hits, n AS possible,
-       (hits * 1000000) // n AS value_ppm
+       CASE WHEN n = 0 THEN NULL ELSE (hits * 1000000) // n END AS value_ppm
 FROM (SELECT CAST(count(*) AS BIGINT) AS hits
       FROM lsh JOIN exact USING (d1, d2)), ex_n
 UNION ALL
-SELECT 'simhash_recall', hits, n, (hits * 1000000) // n
+SELECT 'simhash_recall', hits, n,
+       CASE WHEN n = 0 THEN NULL ELSE (hits * 1000000) // n END
 FROM (SELECT CAST(count(*) AS BIGINT) AS hits
       FROM sim JOIN exact USING (d1, d2)), ex_n
 UNION ALL
-SELECT 'simhash_precision', hits, n, (hits * 1000000) // n
+SELECT 'simhash_precision', hits, n,
+       CASE WHEN n = 0 THEN NULL ELSE (hits * 1000000) // n END
 FROM (SELECT CAST(count(*) AS BIGINT) AS hits
       FROM sim JOIN exact USING (d1, d2)), sim_n
 """,
@@ -4367,7 +4376,12 @@ def dedup_recall_eval(spark, sf_dir):
                 F.lit(name).alias("metric"),
                 "hits",
                 F.col("n").alias("possible"),
-                F.expr("(hits * 1000000) div n").alias("value_ppm"),
+                # n = 0 (corpus with no near-dups): degrade to NULL on
+                # BOTH engines — ANSI div throws, DuckDB // raises
+                F.expr(
+                    "CASE WHEN n = 0 THEN NULL"
+                    " ELSE (hits * 1000000) div n END"
+                ).alias("value_ppm"),
             )
         )
 

@@ -626,9 +626,12 @@ def series_ewma(
         xl = F.lag("x", lag).over(w) if lag else F.col("x")
         num = num + F.coalesce(xl * wt, F.lit(0))
         den = den + F.when(xl.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    # den = 0 <=> every point in the window is NULL (metric key absent
+    # from the JSON): emit NULL, not an ANSI DIVIDE_BY_ZERO.  The oracle
+    # twin spells the same CASE WHEN den = 0 guard.
     return grid.select(
         "primary_key",
         "as_of_height",
         "x",
-        F.round(num / den, 4).alias("ewma"),
+        F.when(den > 0, F.round(num / den, 4)).alias("ewma"),
     )

@@ -89,3 +89,40 @@ def test_catalog_calls_leave_no_session_cache(spark):
     ):
         by_name[name].spark(spark, sf).collect()
         assert jcm.isEmpty(), f"{name} left a cached relation behind"
+
+
+def test_recall_eval_degrades_on_no_neardup_corpus(spark, tmp_path):
+    """ADVICE r10: on a corpus with zero exact/simhash pairs the ppm
+    division used to yield NULL rows on Spark but raise in DuckDB.
+    Both engines must now emit NULL value_ppm and identical hashes."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                " ".join(f"a{i}" for i in range(30)),
+                " ".join(f"b{i}" for i in range(30)),
+                " ".join(f"c{i}" for i in range(30)),
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [120] * 3,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    spec = SPECS["dedup_recall_eval"]
+    df = spec.spark(spark, str(tmp_path))
+    rows = [tuple(r) for r in df.collect()]
+    assert len(rows) == 3 and all(r[3] is None for r in rows)
+
+    con = duckdb.connect(":memory:")
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    res = con.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    assert result_hash(df.columns, rows) == result_hash(d_cols, d_rows)
+    con.close()

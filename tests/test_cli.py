@@ -666,3 +666,20 @@ class TestQuerySave:
         )
         back = spark.read.option("header", "true").csv(outc)
         assert back.count() > 0 and "r_name" in back.columns
+
+    def test_save_plus_verify_runs_the_oracle_check(
+        self, spark, tmp_path, capsys
+    ):
+        # ADVICE r10: --save used to return before the --verify branch,
+        # silently skipping the check the user asked for
+        out = str(tmp_path / "q6v")
+        rc = main(
+            ["query", "tpch_q6", "--sf-dir", SF, "--save", out,
+             "--verify"],
+            spark,
+        )
+        captured = capsys.readouterr().out
+        assert rc == 0
+        assert "# saved parquet" in captured
+        assert "# oracle MATCH" in captured
+        assert spark.read.parquet(out).count() == 1

@@ -497,6 +497,64 @@ class TestSeriesEwma:
         assert ("b", 30) not in out and ("b", 40) not in out
         assert len(out) == 6
 
+    def test_null_metric_renormalizes_on_both_engines(self, spark):
+        """A version whose value JSON lacks the metric key puts x=NULL
+        on the grid.  Both engines must renormalize identically: the
+        lag-0 term drops out (weight 8 not counted), and a point whose
+        whole window is NULL yields ewma NULL — ADVICE r10 flagged the
+        oracle SQL diverging here (uncoalesced 8*x)."""
+        import duckdb
+
+        from tests.conftest import make_changelog
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.operators.temporal import series_ewma
+
+        # user 7: k missing for its entire first version -> all-NULL
+        #   window at grids 100..250, then k=12 from 300 on.
+        # user 8: k at 100, missing at 160 (grid 200), k=20 at 220 ->
+        #   exercises NULL at lag 0 AND NULL at lag 1.
+        events = [
+            ("click", 100, 7, '{"j": 1}', 50.0),
+            ("click", 260, 7, '{"k": 12}', 50.0),
+            ("click", 100, 8, '{"k": 10}', 50.0),
+            ("click", 160, 8, '{"j": 1}', 50.0),
+            ("click", 220, 8, '{"k": 20}', 50.0),
+        ]
+        rows = [
+            ("evt", et, h, str(u), props) for (et, h, u, props, _) in events
+        ]
+        log = make_changelog(spark, rows)
+        got = {
+            (r.primary_key, r.as_of_height): (r.x, r.ewma)
+            for r in series_ewma(log, "click", 100, 900, 50).collect()
+        }
+        # hand-checked anchors
+        assert got[("7", 100)] == (None, None)      # den = 0
+        assert got[("7", 250)] == (None, None)      # whole window NULL
+        assert got[("7", 300)] == (12, 12.0)
+        assert got[("8", 200)] == (None, 10.0)      # (4*10+2*10)/6
+        assert got[("8", 250)] == (20, round(190 / 11, 4))  # x1 NULL
+
+        # oracle twin over the identical events relation
+        con = duckdb.connect(":memory:")
+        con.execute(
+            "CREATE TABLE events (event_type VARCHAR, event_id BIGINT,"
+            " user_id BIGINT, props VARCHAR, value DOUBLE)"
+        )
+        con.executemany("INSERT INTO events VALUES (?,?,?,?,?)", events)
+        sql = next(
+            s.oracle for s in catalog() if s.name == "flux_series_ewma"
+        )
+        want = {
+            (pk, h): (x, ew)
+            for pk, h, x, ew in con.execute(sql).fetchall()
+        }
+        norm = {
+            k: (x, float(ew) if ew is not None else None)
+            for k, (x, ew) in want.items()
+        }
+        assert norm == got
+
 
 class TestStateDrift:
     def test_planted_shift_dominates(self, spark):
