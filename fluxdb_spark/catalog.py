@@ -77,7 +77,9 @@ _PRIORITY: list[str] = [
     #         so it never burns a slot on a red-looking FAIL:no_oracle;
     #   18-50 the first 33 of the 42 round-10 additions (never
     #         driver-checked; each locally oracle-matched at sf0.001
-    #         every pytest run and at sf0.01 under FLUX_PARITY_SF001=1).
+    #         every pytest run, and at sf0.01 under
+    #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
+    #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
     # plus any round-11 additions, then the r08-green block.  After r12
     # every entry except embed_ann_ivf has a driver row and nothing is
@@ -3807,7 +3809,7 @@ FROM per_doc GROUP BY source
 """
 
 
-@_q("blocklist_audit", "text", _BLOCKLIST_SQL)
+@_q("blocklist_audit", "pipeline", _BLOCKLIST_SQL)
 def blocklist_audit(spark, sf_dir):
     """C4's blocklist drop rule as a per-source audit: exact-token hit
     counts ("duplicate" never trips "dup") flag documents map-side at
@@ -7369,7 +7371,7 @@ def embed_covariance(spark, sf_dir):
     return sim.embedding_covariance(e)
 
 
-@_q("embed_label_noise", "similarity", sim.sql_label_noise())
+@_q("embed_label_noise", "pipeline", sim.sql_label_noise())
 def embed_label_noise(spark, sf_dir):
     """Label-noise detection (confident-learning-style): every vector is
     assigned to its nearest CLASS centroid; off-diagonal confusion cells

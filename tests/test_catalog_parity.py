@@ -1,8 +1,19 @@
 """The local replica of the driver's correctness gate: every catalog entry
 with an oracle must hash-match DuckDB at sf0.001; rows-only entries must at
-least run and return rows."""
+least run and return rows.
+
+Scale opt-in (VERDICT r10 task 5): set FLUX_PARITY_SF to another testdata
+dir to run the identical full-catalog sweep there in one command —
+
+    FLUX_PARITY_SF=/root/testdata/sf0.01 \\
+        python -m pytest tests/test_catalog_parity.py -q
+
+makes the README's "hash-match at BOTH sf0.001 and sf0.01" claim
+reproducible without a manual tools/check_entry.py sweep."""
 
 from __future__ import annotations
+
+import os
 
 import duckdb
 import pytest
@@ -10,7 +21,7 @@ import pytest
 from fluxdb_spark.catalog import catalog
 from tools.check_entry import TABLES, result_hash
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("FLUX_PARITY_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="module")
