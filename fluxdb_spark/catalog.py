@@ -3333,12 +3333,16 @@ def _rfm_rollup(per_user):
     per_user = per_user.localCheckpoint(eager=False)
     mx = per_user.agg(F.max("r_us").alias("mx_us"))
     n = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    # pb feeds three tier-histogram broadcasts AND the final scored
+    # join — checkpoint it too, or each of the four consumers re-runs
+    # the HDR projection over the per-user relation (measured 1.37 ->
+    # 0.95 s warm at sf0.1; at 10^9 users it's three spare corpus scans)
     pb = per_user.crossJoin(F.broadcast(mx)).select(
         "cents",
         F.expr(tx._hdr_idx_expr("mx_us - r_us")).alias("rb"),
         F.expr(tx._hdr_idx_expr("freq")).alias("fb"),
         F.expr(tx._hdr_idx_expr("greatest(cents, 0)")).alias("mb"),
-    )
+    ).localCheckpoint(eager=False)
 
     def _tiers(col, asc, score_name):
         hist = pb.groupBy(F.col(col).alias("b")).agg(
