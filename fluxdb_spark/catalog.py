@@ -148,6 +148,8 @@ _PRIORITY: list[str] = [
     "source_dedup_matrix",
     "vocab_growth",
     "flux_index_coverage",
+    # -- round-11 additions (first driver row in r12) --
+    "embed_kcenter_refined",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -4572,6 +4574,28 @@ def embed_kcenter_sample(spark, sf_dir):
     relation (functions/similarity.kcenter_sample)."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.kcenter_sample(e, k=8)
+
+
+@_q(
+    "embed_kcenter_refined",
+    "pipeline",
+    sim.sql_kcenter_sample_refined(k=8, m=64),
+)
+def embed_kcenter_refined(spark, sf_dir):
+    """Sample-then-refine k-center — the AT-SCALE form of
+    `embed_kcenter_sample` (VERDICT r10 task 6): the exact greedy's k
+    corpus passes are inherent to farthest-point, so at 100 TB this
+    caps corpus passes at TWO regardless of k — one distributed
+    TakeOrdered draws the m=64 smallest portable-hash candidates (no
+    rand(); growth-stable and reproduced exactly in the SQL twin), the
+    Gonzalez rounds run on the m-row relation only, and one final
+    map-only corpus pass reports the TRUE full-corpus coverage radius
+    so the sampling's quality cost is measured, never hidden — the
+    same first-pass/verifier split as the dedup family's
+    LSH-first-exact-verify (functions/similarity.
+    kcenter_sample_refined)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.kcenter_sample_refined(e, k=8, m=64)
 
 
 @_q("source_divergence", "pipeline", tx.sql_source_divergence())

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from fluxdb_spark.functions.hashing import hash60, hash60_sql
 from fluxdb_spark.session import spread
 
 
@@ -2130,34 +2131,51 @@ def kcenter_sample(
     algorithm's nature: at corpus scale you run it on an already-reduced
     relation (kmeans centroids, a cluster-balanced sample), which is the
     paper's own deployment shape."""
-    q = (
-        spread(vecs)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            F.expr(
-                f"transform({vec_col}, "
-                f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
-            ).alias("q"),
-        )
-        .localCheckpoint()
+    q = _quantized(vecs, scale, id_col, vec_col).localCheckpoint()
+    picked, _ = _kcenter_greedy(q, k)
+    spark = vecs.sparkSession
+    return spark.createDataFrame(
+        picked, "rank long, vec_id long, min_dist_sq long"
     )
+
+
+def _quantized(vecs, scale, id_col, vec_col):
+    return spread(vecs).select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform({vec_col}, "
+            f"x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("q"),
+    )
+
+
+def _min_dist_expr(centers):
+    """min over plan-literal centers of the exact integer squared
+    distance to column `q` (zip_with fold; map-side only)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(int(v)) for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for c in centers
+    ]
+    return F.least(*dists) if len(dists) > 1 else dists[0]
+
+
+def _kcenter_greedy(q, k):
+    """The Gonzalez greedy rounds over a (vec_id, q) relation: seed =
+    smallest id, then k-1 farthest-point picks.  Each round is one
+    map-only pass over `q` into a TakeOrdered(1)."""
     seed = q.orderBy("vec_id").limit(1).collect()[0]
     picked = [(1, int(seed["vec_id"]), 0)]
     centers = [list(seed["q"])]
     for rank in range(2, k + 1):
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(int(v)) for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for c in centers
-        ]
-        mind = F.least(*dists) if len(dists) > 1 else dists[0]
+        mind = _min_dist_expr(centers)
         chosen = [pid for _, pid, _ in picked]
         row = (
             q.filter(~F.col("vec_id").isin(chosen))
@@ -2168,10 +2186,61 @@ def kcenter_sample(
         )
         picked.append((rank, int(row["vec_id"]), int(row["d"])))
         centers.append(list(row["q"]))
+    return picked, centers
+
+
+def kcenter_sample_refined(
+    vecs: DataFrame,
+    k: int = 8,
+    m: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sample-then-refine k-center — the AT-SCALE form of
+    `kcenter_sample` (the exact greedy's k corpus passes are inherent
+    to farthest-point; this caps corpus passes at TWO regardless of k,
+    the same first-pass/verifier split as the dedup family's
+    LSH-first-exact-verify):
+
+    1. ONE distributed pass draws m candidates deterministically — the
+       m smallest portable-hash values (TakeOrdered over the quantized
+       corpus; no rand(), so the draw is growth-stable and
+       reproducible in the SQL twin);
+    2. the Gonzalez greedy runs its k rounds over the m-row candidate
+       relation only — bounded work independent of corpus size;
+    3. ONE final map-only corpus pass computes the TRUE full-corpus
+       coverage radius against the chosen centers, so the quality cost
+       of sampling is measured and reported, never hidden: the 2-approx
+       guarantee holds w.r.t. the sample, and an isolated outlier the
+       hash draw missed shows up as a larger `radius_sq`.
+
+    Returns (rank, vec_id, min_dist_sq, radius_sq): per-pick distances
+    are within-sample; radius_sq is the same full-corpus scalar on
+    every row.  Driver state is O(m * dim) candidate vectors."""
+    q = _quantized(vecs, scale, id_col, vec_col).localCheckpoint()
+    cand = (
+        q.select(
+            hash60(F.col("vec_id").cast("string"), seed="kcenter")
+            .alias("h"),
+            "vec_id",
+            "q",
+        )
+        .orderBy("h", "vec_id")
+        .limit(m)
+        .select("vec_id", "q")
+        .localCheckpoint()
+    )
+    if cand.count() < k:
+        raise ValueError(f"sample of {m} yielded fewer than k={k} rows")
+    picked, centers = _kcenter_greedy(cand, k)
+    radius = q.agg(
+        F.max(_min_dist_expr(centers)).cast("long").alias("radius_sq")
+    )
     spark = vecs.sparkSession
     return spark.createDataFrame(
         picked, "rank long, vec_id long, min_dist_sq long"
-    )
+    ).crossJoin(F.broadcast(radius))
 
 
 def sql_kcenter_sample(k: int = 8, scale: int = 1_000_000) -> str:
@@ -2215,5 +2284,65 @@ sall{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL
 SELECT CAST(rank AS BIGINT) AS rank, vec_id,
        CAST(d AS BIGINT) AS min_dist_sq
 FROM sall{k}
+"""
+    )
+
+
+def sql_kcenter_sample_refined(
+    k: int = 8, m: int = 64, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of `kcenter_sample_refined`: the same hash-ordered
+    m-candidate draw (hash60 is portable), the greedy chain unrolled
+    over the candidate relation only, and the full-corpus radius as a
+    final aggregate over the unsampled exploded table."""
+    hexpr = hash60_sql("CAST(vec_id AS VARCHAR)", seed="kcenter")
+    head = f"""
+WITH src AS (SELECT vec_id, embedding FROM embeddings),
+qv AS (SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+       FROM src),
+e AS MATERIALIZED (SELECT vec_id, i AS pos, q[i] AS val
+      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
+cand AS MATERIALIZED (SELECT vec_id FROM qv
+      ORDER BY {hexpr}, vec_id LIMIT {m}),
+ec AS MATERIALIZED (SELECT e.* FROM e JOIN cand USING (vec_id)),
+sall1 AS MATERIALIZED (SELECT vec_id, 1 AS rank, CAST(0 AS BIGINT) AS d
+          FROM (SELECT min(vec_id) AS vec_id FROM cand))"""
+    parts = [head]
+    for i in range(2, k + 1):
+        prev = f"sall{i - 1}"
+        parts.append(f"""
+d{i} AS (SELECT a.vec_id, s.vec_id AS sid,
+                sum((a.val - b.val) * (a.val - b.val)) AS d
+         FROM ec a
+         JOIN {prev} s ON true
+         JOIN ec b ON b.vec_id = s.vec_id AND b.pos = a.pos
+         WHERE a.vec_id NOT IN (SELECT vec_id FROM {prev})
+         GROUP BY 1, 2),
+m{i} AS MATERIALIZED (SELECT vec_id, min(d) AS d FROM d{i} GROUP BY 1),
+n{i} AS (SELECT vec_id, {i} AS rank, d FROM
+         (SELECT vec_id, d,
+                 row_number() OVER (ORDER BY d DESC, vec_id) AS rn
+          FROM m{i}) WHERE rn = 1),
+sall{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL
+            SELECT * FROM n{i})""")
+    parts.append(f"""
+rad AS MATERIALIZED (
+  SELECT CAST(max(md) AS BIGINT) AS radius_sq FROM (
+    SELECT dd.vec_id, min(dd.d) AS md FROM (
+      SELECT a.vec_id, s.vec_id AS sid,
+             sum((a.val - b.val) * (a.val - b.val)) AS d
+      FROM e a
+      JOIN sall{k} s ON true
+      JOIN e b ON b.vec_id = s.vec_id AND b.pos = a.pos
+      GROUP BY 1, 2) dd
+    GROUP BY 1) mm)""")
+    return (
+        ",".join(parts)
+        + f"""
+SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+       CAST(d AS BIGINT) AS min_dist_sq, radius_sq
+FROM sall{k}, rad
 """
     )

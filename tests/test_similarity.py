@@ -676,3 +676,62 @@ class TestKcenterSample:
         a = sorted(tuple(r) for r in kcenter_sample(e, k=4).collect())
         b = sorted(tuple(r) for r in kcenter_sample(e, k=4).collect())
         assert a == b
+
+
+class TestKcenterRefined:
+    """Sample-then-refine: two corpus passes regardless of k, honest
+    full-corpus radius."""
+
+    def test_radius_bounds_and_sample_membership(self, spark):
+        from fluxdb_spark.functions.hashing import hash60
+        from fluxdb_spark.functions.similarity import (
+            kcenter_sample,
+            kcenter_sample_refined,
+        )
+        from fluxdb_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        k, m = 6, 48
+        ref = sorted(
+            kcenter_sample_refined(e, k=k, m=m).collect(),
+            key=lambda r: r.rank,
+        )
+        # one radius scalar on every row
+        assert len({r.radius_sq for r in ref}) == 1
+        radius = ref[0].radius_sq
+        # the exact greedy's k-th pick distance IS its coverage radius;
+        # restricting the pick pool to a sample can only lose coverage
+        exact = sorted(
+            kcenter_sample(e, k=k).collect(), key=lambda r: r.rank
+        )
+        assert radius >= exact[-1].min_dist_sq
+        # each refined pick must come from the deterministic m-sample
+        cand = {
+            r.vec_id
+            for r in e.select(
+                "vec_id",
+                hash60(F.col("vec_id").cast("string"), seed="kcenter")
+                .alias("h"),
+            )
+            .orderBy("h", "vec_id")
+            .limit(m)
+            .collect()
+        }
+        assert {r.vec_id for r in ref} <= cand
+        # greedy invariants hold within the sample
+        assert ref[0].min_dist_sq == 0
+        ds = [r.min_dist_sq for r in ref[1:]]
+        assert all(a >= b for a, b in zip(ds, ds[1:])), ds
+
+    def test_sample_smaller_than_k_raises(self, spark):
+        from fluxdb_spark.functions.similarity import kcenter_sample_refined
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 0.0]) for i in range(3)],
+            "vec_id long, embedding array<float>",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="fewer than k"):
+            kcenter_sample_refined(df, k=4, m=2)
