@@ -150,6 +150,10 @@ _PRIORITY: list[str] = [
     "flux_index_coverage",
     # -- round-11 additions (first driver row in r12) --
     "embed_kcenter_refined",
+    "doc_novelty",
+    "dedup_survivors_quality",
+    "hll_rollup",
+    "quality_calibration",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -4435,6 +4439,126 @@ def dedup_survivors(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(d, 0.8)
     return dd.dedup_survivors(pairs, d)
+
+
+_SURVIVORS_QUALITY_SQL = f"""
+WITH {dd.sql_shingles_ctes()},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN shsize sa ON sa.doc_id = d1 JOIN shsize sb ON sb.doc_id = d2
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach)
+  SELECT node, min(reach) AS component FROM r GROUP BY node),
+ranked AS (
+  SELECT m.node AS doc_id, m.component,
+         row_number() OVER (PARTITION BY m.component
+                            ORDER BY d.n_chars DESC, m.node) AS rn
+  FROM reach m JOIN documents d ON d.doc_id = m.node)
+SELECT doc_id, component, (rn = 1) AS keep FROM ranked
+UNION ALL
+SELECT doc_id, doc_id AS component, TRUE AS keep
+FROM documents WHERE doc_id NOT IN (SELECT node FROM reach)
+"""
+
+
+@_q("dedup_survivors_quality", "pipeline", _SURVIVORS_QUALITY_SQL)
+def dedup_survivors_quality(spark, sf_dir):
+    """Quality-aware survivorship: same clusters as `dedup_survivors`,
+    but each cluster keeps its HIGHEST-quality member (here the longest
+    by n_chars, ties to the smaller id) — the realistic mirror-site
+    policy: of five copies of an article you keep the most complete
+    one, not the one with the smallest key. The winner rank windows
+    only the clustered relation (bounded by the near-dup pair space);
+    unpaired docs pass through via one anti-join
+    (functions/dedup.dedup_survivors_quality)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, 0.8)
+    return dd.dedup_survivors_quality(pairs, d)
+
+
+@_q("doc_novelty", "pipeline", dd.sql_doc_novelty())
+def doc_novelty(spark, sf_dir):
+    """Per-document NOVELTY share: the ppm of a doc's distinct shingles
+    whose corpus-wide first occurrence (min doc id) is this doc — the
+    originality signal next to the dedup verdicts: a doc can pass every
+    near-dup rule yet contribute almost nothing new. One shingle
+    explode, one combine-friendly min groupBy, one equi-join back on
+    the same key (exchange reuse), one per-doc rollup — cost tracks the
+    shingle relation, never a pair space
+    (functions/dedup.doc_novelty)."""
+    d = _td(spark, sf_dir)
+    return dd.doc_novelty(d)
+
+
+@_q("hll_rollup", "pipeline", tx.sql_hll_rollup())
+def hll_rollup(spark, sf_dir):
+    """Hierarchical distinct-term counts via SKETCH MERGE: per-source
+    HLL register relations, with the corpus-level `__all__` estimate
+    derived by element-wise max over the per-source sketches — never a
+    second corpus scan. The property that matters at 100 TB: sketch
+    once at the finest level, roll up to ANY coarser level (hour ->
+    day, shard -> cluster) as a bounded-size merge; the harmonic sum
+    stays exact BIGINT so the merge itself is hash-checked
+    (functions/text.hll_rollup)."""
+    d = _td(spark, sf_dir)
+    return tx.hll_rollup(d)
+
+
+_CALIBRATION_SQL = f"""
+WITH lm AS ({tx.SQL_BIGRAM_LM}),
+rules AS (SELECT doc_id, {tx.sql_quality_rules('text')['keep']} AS keep
+          FROM documents),
+j AS (SELECT CAST(floor(avg_logp * 8) AS BIGINT) AS lp_band, keep
+      FROM lm JOIN rules USING (doc_id))
+SELECT lp_band,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       (CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         // CAST(count(*) AS BIGINT) AS keep_ppm
+FROM j GROUP BY lp_band
+"""
+
+
+@_q("quality_calibration", "pipeline", _CALIBRATION_SQL)
+def quality_calibration(spark, sf_dir):
+    """Reliability curve of the cheap fluency score against the
+    expensive rule decision: per eighth-integer log-likelihood band of
+    the in-corpus bigram LM, how often do the Gopher rules keep the doc —
+    the table that decides whether a score threshold can REPLACE the
+    rule cascade at scale (CCNet's exact argument for LM-perplexity
+    filtering). Inherits bigram_lm_scores' model join; the rule side is
+    map-side; the rollup is |bands| rows."""
+    d = _td(spark, sf_dir)
+    lm = tx.bigram_lm_scores(d)
+    rules = d.select(
+        "doc_id", tx.quality_rules(F.col("text"))["keep"].alias("keep")
+    )
+    return (
+        lm.join(rules, "doc_id")
+        .select(
+            F.floor(F.col("avg_logp") * 8).cast("long").alias("lp_band"),
+            "keep",
+        )
+        .groupBy("lp_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+        )
+        .withColumn("keep_ppm", F.expr("(n_keep * 1000000) div n_docs"))
+    )
 
 
 @_q(

@@ -1582,3 +1582,98 @@ canon AS (SELECT cluster, name AS canonical FROM ranked WHERE rn = 1)
 SELECT r.name, r.n_rows, c.canonical, r.cluster_size
 FROM ranked r JOIN canon c USING (cluster)
 """
+
+
+# --- novelty scoring & quality-aware survivorship ----------------------------
+
+
+def doc_novelty(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document NOVELTY share: the fraction of a doc's distinct
+    shingles whose corpus-wide FIRST occurrence (min doc id — the
+    deterministic "who wrote it first" order) is this document.  The
+    memorization-risk / originality signal a training-data pipeline
+    reads next to the dedup verdicts: a doc can evade every near-dup
+    rule while contributing almost nothing the corpus didn't already
+    have (novelty ~ 0), or be pure fresh text (novelty ~ 1e6 ppm).
+
+    Scale shape: one shingle-hash explode (the dedup_ngram first
+    stage), one combine-friendly min groupBy over the |distinct
+    shingles| relation, one equi-join back on the same shingle key
+    (Catalyst reuses the exchange), one per-doc rollup.  No pair space
+    anywhere — cost tracks the shingle relation, not near-dup density.
+    Returns (doc_id, n_shingles, n_novel, novelty_ppm)."""
+    sh = exploded_shingle_hashes(docs, id_col).localCheckpoint(eager=False)
+    owner = sh.groupBy("shingle").agg(F.min(id_col).alias("owner"))
+    return (
+        sh.join(owner, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("owner") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("(n_novel * 1000000) div n_shingles")
+        )
+    )
+
+
+def sql_doc_novelty() -> str:
+    """DuckDB twin of `doc_novelty` (string shingles instead of the
+    64-bit hash — identical min-owner semantics; a 64-bit collision is
+    the same ~1e-8 caveat jaccard_pairs documents)."""
+    return f"""
+WITH {sql_shingles_ctes()},
+owner AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       (CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000000) // CAST(count(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN owner USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def dedup_survivors_quality(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware survivor selection: cluster the near-dup pairs and
+    keep the HIGHEST-scoring member of each cluster (ties -> smallest
+    id), passing every unpaired doc through — the realistic pipeline
+    policy vs `dedup_survivors`' min-id canon: when five mirrors carry
+    the same article, you keep the most complete copy, not the one with
+    the smallest key.  Returns (doc_id, component, keep).
+
+    Scale shape: connected components is the shared O(diameter)
+    min-label loop; the winner rank windows only the CLUSTERED relation
+    (bounded by the near-dup pair space, never the corpus), and the
+    unpaired pass-through is one anti-join."""
+    comp = connected_components(pairs)
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(score_col)),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc(score_col), F.asc("doc_id")
+    )
+    clustered = scored.select(
+        "doc_id",
+        "component",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+    unpaired = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, on="doc_id", how="left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("component"),
+            F.lit(True).alias("keep"),
+        )
+    )
+    return clustered.unionByName(unpaired)

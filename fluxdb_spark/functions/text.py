@@ -1303,6 +1303,97 @@ FROM est, exact
 """
 
 
+def hll_rollup(docs, group_col: str = "source", text_col: str = "text"):
+    """Hierarchical distinct-count via SKETCH MERGE — the property that
+    makes HLL the 100 TB tool: build the register relation once per
+    group, then derive the corpus-level estimate by MERGING the group
+    sketches (element-wise max over registers), never rescanning the
+    data.  At scale this is the difference between "distinct terms per
+    source AND overall" costing one corpus pass versus two — and the
+    same merge serves any rollup level (hour -> day -> month, shard ->
+    cluster) for free.
+
+    Returns one row per group plus a `__all__` row, all carrying
+    (level, m, zero_registers, harmonic_sum_e52, est_distinct); the
+    harmonic sum stays exact BIGINT so the merge is hash-checkable."""
+    from fluxdb_spark.session import spread
+
+    base = spread(docs).select(
+        F.col(group_col).alias("level"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    reg, rho = hll_register_cols(F.col("term"))
+    regs = (
+        base.select("level", reg.alias("register"), rho.alias("rho"))
+        .groupBy("level", "register")
+        .agg(F.max("rho").alias("max_rho"))
+        .localCheckpoint(eager=False)
+    )
+    per = hll_estimate(regs, ["level"])
+    merged = regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+    total = hll_estimate(merged).select(
+        F.lit("__all__").alias("level"),
+        "m",
+        "zero_registers",
+        "harmonic_sum_e52",
+        "est_distinct",
+    )
+    return per.unionByName(total)
+
+
+def sql_hll_rollup(group_col: str = "source") -> str:
+    """DuckDB twin of `hll_rollup`: identical register construction per
+    group, identical element-wise-max merge for the `__all__` row."""
+    table = ", ".join(repr(x) for x in _hll_ln_table())
+    w_expr = f"h % {1 << HLL_WINDOW}"
+    est_cols = f"""
+         CAST({HLL_M} AS BIGINT) AS m,
+         CAST({HLL_M} - nz AS BIGINT) AS zero_registers,
+         CAST(sum_nz + ({HLL_M} - nz) * CAST({1 << HLL_WINDOW} AS BIGINT)
+              AS BIGINT) AS harmonic_sum_e52,
+         round(CASE WHEN {_HLL_RAW_NUM!r}
+                         / CAST(sum_nz + ({HLL_M} - nz)
+                                * CAST({1 << HLL_WINDOW} AS BIGINT) AS DOUBLE)
+                      <= {2.5 * HLL_M}
+                    AND ({HLL_M} - nz) > 0
+               THEN [{table}][CAST({HLL_M} - nz AS INT)]
+               ELSE {_HLL_RAW_NUM!r}
+                    / CAST(sum_nz + ({HLL_M} - nz)
+                           * CAST({1 << HLL_WINDOW} AS BIGINT) AS DOUBLE)
+               END, 4) AS est_distinct"""
+    return f"""
+WITH toks AS (SELECT {group_col} AS level,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+hashed AS (SELECT level, {hash60_sql('term')} AS h FROM toks),
+rho_rows AS (
+  SELECT level,
+         CAST(floor(h / {1 << HLL_WINDOW}) AS BIGINT) AS register,
+         CASE WHEN {w_expr} = 0 THEN {HLL_WINDOW + 1}
+              ELSE {HLL_WINDOW} - length(bin(CAST({w_expr} AS BIGINT))) + 1
+         END AS rho
+  FROM hashed),
+regs AS MATERIALIZED (
+  SELECT level, register, max(rho) AS max_rho FROM rho_rows GROUP BY 1, 2),
+gagg AS (
+  SELECT level,
+         CAST(sum(CAST(1 AS BIGINT) << ({HLL_WINDOW} - max_rho)) AS BIGINT)
+           AS sum_nz,
+         CAST(count(*) AS BIGINT) AS nz
+  FROM regs GROUP BY 1),
+mregs AS (SELECT register, max(max_rho) AS max_rho FROM regs GROUP BY 1),
+magg AS (
+  SELECT '__all__' AS level,
+         CAST(sum(CAST(1 AS BIGINT) << ({HLL_WINDOW} - max_rho)) AS BIGINT)
+           AS sum_nz,
+         CAST(count(*) AS BIGINT) AS nz
+  FROM mregs),
+allagg AS (SELECT * FROM gagg UNION ALL SELECT * FROM magg)
+SELECT level,{est_cols}
+FROM allagg
+"""
+
+
 # --- base-2 exponential histogram quantiles ---------------------------------
 #
 # The quantile member of the sketch family (CMS: frequencies, HLL:

@@ -62,6 +62,52 @@ def test_survivors(spark):
     }
 
 
+def test_survivors_quality_keeps_best_member(spark):
+    from fluxdb_spark.functions.dedup import dedup_survivors_quality
+
+    # cluster {1,2,3}: doc 3 is the longest -> it survives, NOT min-id 1;
+    # cluster {7,9}: tie on length -> smaller id 7 survives;
+    # doc 5 unpaired -> passes through
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], "d1 long, d2 long")
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (5, 5), (7, 40), (9, 40)],
+        "doc_id long, n_chars long",
+    )
+    out = {r.doc_id: (r.component, r.keep) for r in
+           dedup_survivors_quality(pairs, docs).collect()}
+    assert out == {
+        1: (1, False),
+        2: (1, False),
+        3: (1, True),
+        5: (5, True),
+        7: (7, True),
+        9: (7, False),
+    }
+
+
+def test_doc_novelty_planted_copy(spark):
+    from fluxdb_spark.functions.dedup import doc_novelty
+
+    orig = "alpha beta gamma delta epsilon zeta"
+    fresh = "one two three four five six"
+    half = "alpha beta gamma delta apple pear plum peach"
+    docs = spark.createDataFrame(
+        [(0, orig), (1, orig), (2, fresh), (3, half)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty_ppm)
+           for r in doc_novelty(docs).collect()}
+    # doc 0 owns all its shingles (first occurrence by min id)
+    assert out[0] == (4, 4, 1_000_000)
+    # doc 1 is a byte copy: every shingle is owned by doc 0
+    assert out[1] == (4, 0, 0)
+    # doc 2 is all fresh
+    assert out[2] == (4, 4, 1_000_000)
+    # doc 3: 6 shingles, 2 copied from doc 0 ('alpha beta gamma',
+    # 'beta gamma delta'), 4 fresh
+    assert out[3] == (6, 4, 666_666)
+
+
 def test_raises_when_chain_exceeds_iteration_budget(spark):
     # a 6-hop chain cannot finish min-label propagation in 2 iterations;
     # a silent early exit would return wrongly split components

@@ -128,6 +128,58 @@ class TestHllDistinct:
             assert 1 <= r.max_rho <= 53
 
 
+class TestHllRollup:
+    """Hierarchical rollup: the `__all__` row must equal the sketch of
+    the whole corpus — merged from per-group registers, never rescanned."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, t, s) for i, (t, s) in enumerate(rows)],
+            "doc_id long, text string, source string",
+        )
+
+    def test_all_row_equals_whole_corpus_sketch(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        rows = [(f"a{i} shared{i % 40}", "s1") for i in range(120)] + [
+            (f"b{i} shared{i % 40}", "s2") for i in range(80)
+        ]
+        docs = self._docs(spark, rows)
+        out = {r.level: r for r in tx.hll_rollup(docs).collect()}
+        assert set(out) == {"s1", "s2", "__all__"}
+        whole = tx.hll_estimate(tx.hll_registers(docs)).collect()[0]
+        merged = out["__all__"]
+        assert merged.harmonic_sum_e52 == whole.harmonic_sum_e52
+        assert merged.est_distinct == whole.est_distinct
+        # per-group estimates see only their own vocabulary
+        assert out["s1"].est_distinct > out["s2"].est_distinct
+
+
+class TestQualityCalibration:
+    def test_band_counts_reconcile_with_rules(self, spark):
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions import text as tx
+        from fluxdb_spark.sources.tables import load_table
+
+        sf = "/root/testdata/sf0.001"
+        spec = next(s for s in catalog() if s.name == "quality_calibration")
+        rows = spec.spark(spark, sf).collect()
+        assert all(0 <= r.keep_ppm <= 1_000_000 for r in rows)
+        d = load_table(spark, sf, "documents")
+        # n_keep summed over bands == rule keeps among docs with >= 2
+        # tokens (the LM join drops docs with no bigram)
+        lm_docs = tx.bigram_lm_scores(d).count()
+        keep_total = (
+            d.select(tx.quality_rules(F.col("text"))["keep"].alias("k"))
+            .filter("k")
+            .count()
+        )
+        assert sum(r.n_docs for r in rows) == lm_docs
+        assert sum(r.n_keep for r in rows) <= keep_total
+        # monotone-ish sanity: at least one band must carry keeps
+        assert any(r.n_keep > 0 for r in rows)
+
+
 class TestHdrQuantiles:
     """Base-2 exponential-histogram quantile sketch (text.hdr_buckets /
     hdr_quantiles): relative-error bound and exact mergeability — the
