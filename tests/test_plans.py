@@ -365,6 +365,35 @@ class TestSketchTieredScoringPlans:
         )
 
 
+class TestRound11AdditionPlans:
+    """Shape pins for the round-11 additions (the global python/cartesian
+    sweep already covers them)."""
+
+    @pytest.mark.parametrize(
+        "name", ["doc_novelty", "hll_rollup", "quality_calibration"]
+    )
+    def test_rollups_have_no_rank_machinery(self, spark, specs, name):
+        # these are groupBy-only shapes: a rank window appearing here
+        # would mean a data-proportional sort crept into a sketch/rollup
+        p = plan_of(spark, specs, name)
+        assert "row_number" not in p and "ntile" not in p
+
+    def test_survivor_rank_is_per_component(self, spark, specs):
+        """The quality-survivor rank must window BY COMPONENT (bounded by
+        the near-dup pair space) — an empty partition spec would be a
+        one-task corpus sort."""
+        p = plan_of(spark, specs, "dedup_survivors_quality")
+        assert "windowspecdefinition(component" in p
+
+    def test_kcenter_refined_radius_pass_is_map_only(self, spark, specs):
+        """The full-corpus radius pass of the refined k-center must stay
+        expression-only: plan-literal centers, no join against a center
+        relation, no Python."""
+        p = plan_of(spark, specs, "embed_kcenter_refined")
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+
+
 class TestRound10AdditionPlans:
     def test_kmv_sketch_rank_is_group_limited(self, spark, specs):
         """The per-group k-smallest cut must compile to WindowGroupLimit
