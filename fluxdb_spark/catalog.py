@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     # -- round-11 additions (first driver row in r12) --
     "embed_kcenter_refined",
     "doc_novelty",
+    "doc_novelty_materialized",
     "dedup_survivors_quality",
     "hll_rollup",
     "quality_calibration",
@@ -4499,6 +4500,72 @@ def doc_novelty(spark, sf_dir):
     (functions/dedup.doc_novelty)."""
     d = _td(spark, sf_dir)
     return dd.doc_novelty(d)
+
+
+@_q("doc_novelty_materialized", "pipeline", dd.sql_doc_novelty())
+def doc_novelty_materialized(spark, sf_dir):
+    """`doc_novelty` as a STANDING SERVICE: the shingle-owner table
+    (shingle -> min doc id) is maintained by transform-aggregate IVM
+    from the store's commit log — min is a monotone algebraic fold, so
+    under monotone append the owner NEVER changes once set and each
+    refresh costs O(delta x shingle fan-out), never a corpus re-scan.
+    The novelty read then joins corpus shingles against the standing
+    owners: the expensive corpus-wide min groupBy (the wide aggregation
+    that dominates the batch form) is amortized into the deltas and
+    gone from the query path. Hash-identical to `doc_novelty` (same
+    oracle)."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluxdb_spark.streaming.materialize import (
+        materialize_aggregate,
+        read_aggregate,
+    )
+
+    store = _mat_store_docs(spark, sf_dir)
+    qroot = tempfile.mkdtemp(prefix="fluxdb-matq-")
+    dest, ck = os.path.join(qroot, "owners"), os.path.join(qroot, "ck")
+
+    def pre(rows):
+        return rows.select(
+            F.col("primary_key").cast("long").alias("doc_id"),
+            F.explode(dd.word_shingles(F.col("value"))).alias("sh"),
+        ).select("doc_id", F.xxhash64("sh").alias("shingle"))
+
+    q = materialize_aggregate(
+        spark,
+        str(store.root),
+        dest,
+        ["shingle"],
+        [("owner", "min(doc_id)", "min")],
+        ck,
+        trigger_seconds=0.5,
+        pre=pre,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    owners = read_aggregate(spark, dest)
+    d = _td(spark, sf_dir)
+    sh = dd.exploded_shingle_hashes(d)
+    out = (
+        sh.join(owners, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("(n_novel * 1000000) div n_shingles")
+        )
+        .localCheckpoint()
+    )
+    shutil.rmtree(qroot, ignore_errors=True)
+    return out
 
 
 @_q("hll_rollup", "pipeline", tx.sql_hll_rollup())
