@@ -211,6 +211,16 @@ HEADLINE = [
     "vocab_growth",
     # snapshot-index coverage observability (I3 cadence feedback)
     "flux_index_coverage",
+    # round-11 additions: sample-then-refine k-center (2 corpus passes
+    # for any k), first-occurrence novelty scoring (batch + owner-table
+    # IVM), quality-aware survivorship, HLL hierarchy merge, and the
+    # fluency-vs-rules calibration curve
+    "embed_kcenter_refined",
+    "doc_novelty",
+    "doc_novelty_materialized",
+    "dedup_survivors_quality",
+    "hll_rollup",
+    "quality_calibration",
 ]
 
 

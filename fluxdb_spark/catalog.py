@@ -154,6 +154,7 @@ _PRIORITY: list[str] = [
     "doc_novelty_materialized",
     "dedup_survivors_quality",
     "hll_rollup",
+    "stream_hll_rollup",
     "quality_calibration",
     # -- r08/r09-green block --
     "embed_quantize",
@@ -6712,6 +6713,48 @@ def stream_hll_distinct(spark, sf_dir):
         )
     )
     return est.join(exact, "event_type")
+
+
+@_q("stream_hll_rollup", "streaming", tx.sql_hll_rollup())
+def stream_hll_rollup(spark, sf_dir):
+    """STREAMING hierarchical distinct counts: the per-source HLL
+    register table maintained by Structured Streaming (state is
+    |sources| x 256 rows FOREVER — the bounded-state property that
+    makes sketches the streaming answer to distinct counting), with the
+    corpus-level `__all__` estimate merged serving-side from the
+    standing per-source sketches by element-wise max. The register
+    construction, merge, and libm-free estimator are all shared with
+    the batch `hll_rollup` — and the streaming-maintained result
+    hash-matches the same SQL twin."""
+    import uuid
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    base = raw.select(
+        F.col("source").alias("level"),
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    reg, rho = tx.hll_register_cols(F.col("term"))
+    agg = (
+        base.select("level", reg.alias("register"), rho.alias("rho"))
+        .groupBy("level", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    name = f"stream_hll_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return tx.hll_rollup_from_registers(spark.table(name))
 
 
 @_q("stream_cms_heavy_hitters", "streaming", tx.sql_cms_heavy_hitters())

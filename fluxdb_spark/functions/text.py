@@ -1329,6 +1329,14 @@ def hll_rollup(docs, group_col: str = "source", text_col: str = "text"):
         .agg(F.max("rho").alias("max_rho"))
         .localCheckpoint(eager=False)
     )
+    return hll_rollup_from_registers(regs)
+
+
+def hll_rollup_from_registers(regs):
+    """The rollup finisher over a (level, register, max_rho) relation —
+    shared by the batch scan and the streaming-maintained register
+    table: per-level estimates plus the `__all__` row merged by
+    element-wise max, never a rescan of the data."""
     per = hll_estimate(regs, ["level"])
     merged = regs.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
     total = hll_estimate(merged).select(

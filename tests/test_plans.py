@@ -316,6 +316,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_sessionize", "stream_simhash_dedup",
         "stream_hll_distinct", "stream_cms_heavy_hitters",
         "stream_rfm", "stream_kmv_overlap", "stream_source_divergence",
+        "stream_hll_rollup",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):

@@ -809,3 +809,55 @@ def test_paragraph_dedup_keeps_each_span_exactly_once(spark, docs):
             x for x in out[owner[0]].clean_text.split(". ") if x
         ]
         assert s in spans_kept
+
+
+# --- novelty conservation: per-doc novel counts tile the vocabulary ---------
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa bb cc dd ee ff gg hh".split()),
+            min_size=3,
+            max_size=12,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=2,
+        max_size=8,
+    ),
+)
+def test_novelty_counts_tile_the_vocabulary(spark, docs):
+    """Every distinct corpus shingle has exactly ONE first-occurrence
+    owner, so sum(n_novel) over docs == |global distinct shingles| —
+    the conservation law that makes novelty a partition of the
+    vocabulary, not a fuzzy score.  Also n_novel <= n_shingles per doc
+    and doc 0 (the smallest id with any shingle) is fully novel."""
+    from fluxdb_spark.functions.dedup import doc_novelty, SHINGLE_WORDS
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rows = doc_novelty(df).collect()
+
+    def shingles(t):
+        toks = t.lower().split(" ")
+        return {
+            " ".join(toks[i : i + SHINGLE_WORDS])
+            for i in range(len(toks) - SHINGLE_WORDS + 1)
+        }
+
+    vocab = set()
+    for t in docs:
+        vocab |= shingles(t)
+    assert sum(r.n_novel for r in rows) == len(vocab)
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert r.n_shingles == len(shingles(docs[r.doc_id]))
+    if rows:
+        first = min(r.doc_id for r in rows)
+        got = next(r for r in rows if r.doc_id == first)
+        assert got.n_novel == got.n_shingles
