@@ -153,6 +153,7 @@ _PRIORITY: list[str] = [
     "doc_novelty",
     "doc_novelty_materialized",
     "dedup_survivors_quality",
+    "dedup_cluster_stats",
     "hll_rollup",
     "stream_hll_rollup",
     "quality_calibration",
@@ -4441,6 +4442,69 @@ def dedup_survivors(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(d, 0.8)
     return dd.dedup_survivors(pairs, d)
+
+
+_CLUSTER_STATS_SQL = f"""
+WITH {dd.sql_shingles_ctes()},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2
+  FROM inter JOIN shsize sa ON sa.doc_id = d1 JOIN shsize sb ON sb.doc_id = d2
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach)
+  SELECT node, min(reach) AS component FROM r GROUP BY node),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM reach GROUP BY 1
+  UNION ALL
+  SELECT doc_id, CAST(1 AS BIGINT) FROM documents
+  WHERE doc_id NOT IN (SELECT node FROM reach))
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY 1
+"""
+
+
+@_q("dedup_cluster_stats", "pipeline", _CLUSTER_STATS_SQL)
+def dedup_cluster_stats(spark, sf_dir):
+    """Near-dup CLUSTER-SIZE distribution — the tuning observability
+    read before committing to a dedup threshold: how many size-2 twins
+    vs giant mirror farms, and how many docs each band removes
+    (n_docs - n_clusters per band = deletions). Unpaired docs count as
+    size-1 clusters so the histogram tiles the corpus. Everything after
+    the shared CC loop runs on |clusters| then |size-bands| rows."""
+    d = _t(spark, sf_dir, "documents")
+    comp = dd.connected_components(dd.jaccard_pairs(d, 0.8))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    singles = (
+        d.select("doc_id")
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            F.col("doc_id").alias("component"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return (
+        sizes.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+    )
 
 
 _SURVIVORS_QUALITY_SQL = f"""
