@@ -156,6 +156,7 @@ _PRIORITY: list[str] = [
     "dedup_cluster_stats",
     "hll_rollup",
     "stream_hll_rollup",
+    "hdr_rollup",
     "quality_calibration",
     # -- r08/r09-green block --
     "embed_quantize",
@@ -6777,6 +6778,20 @@ def stream_hll_distinct(spark, sf_dir):
         )
     )
     return est.join(exact, "event_type")
+
+
+@_q("hdr_rollup", "pipeline", tx.sql_hdr_rollup())
+def hdr_rollup(spark, sf_dir):
+    """Hierarchical QUANTILES via sketch merge — the quantile member of
+    the rollup family beside `hll_rollup`: per-source HDR histograms of
+    document length, with the corpus-level `__all__` p50/p99 derived by
+    summing the per-source bucket counts. Exact quantiles don't merge
+    (a p99 of p99s means nothing); the log-bucket histogram does —
+    sketch once at the finest level, answer any coarser level as a
+    bounded bucket-count sum. The cumulative windows order only the
+    per-level bucket space (functions/text.hdr_rollup)."""
+    d = _td(spark, sf_dir)
+    return tx.hdr_rollup(d)
 
 
 @_q("stream_hll_rollup", "streaming", tx.sql_hll_rollup())

@@ -1536,6 +1536,97 @@ ORDER BY p
 """
 
 
+def hdr_rollup(
+    docs,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    ps: tuple[float, ...] = (0.5, 0.99),
+):
+    """Hierarchical QUANTILES via sketch merge — the quantile member of
+    the rollup family (`hll_rollup`: distinct counts): per-group HDR
+    bucket histograms, with the corpus-level `__all__` quantiles derived
+    by SUMMING the group histograms.  The point at 100 TB: exact
+    quantiles don't merge (a p99 of p99s is meaningless), but the
+    log-bucket histogram does — sketch once at the finest level, answer
+    any coarser level as a bounded-size bucket-count sum.
+
+    Returns (level, p, est): one row per group and probe plus the
+    `__all__` rows; est is the bucket lower bound, within 2^-HDR_B
+    relative error of the true rank statistic on BOTH levels."""
+    hist = (
+        docs.groupBy(
+            F.col(group_col).alias("level"),
+            F.expr(_hdr_idx_expr(value_col)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    merged = (
+        hist.groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .select(F.lit("__all__").alias("level"), "bucket", "cnt")
+    )
+    allh = hist.unionByName(merged)
+    n = allh.groupBy("level").agg(F.sum("cnt").alias("n"))
+    cum = allh.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("level")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    probes = None
+    for p in ps:
+        row = (
+            cum.join(F.broadcast(n), "level")
+            .filter(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")))
+            .groupBy("level")
+            .agg(F.min("bucket").alias("bucket"))
+            .select(
+                "level",
+                F.lit(p).alias("p"),
+                F.expr(_hdr_lower_expr("bucket")).alias("est"),
+            )
+        )
+        probes = row if probes is None else probes.unionByName(row)
+    return probes
+
+
+def sql_hdr_rollup(
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    ps: tuple[float, ...] = (0.5, 0.99),
+) -> str:
+    """DuckDB twin of `hdr_rollup`: identical bucket mapping, identical
+    histogram sum for the `__all__` level."""
+    probe_rows = [
+        f"""SELECT level, CAST({p!r} AS DOUBLE) AS p,
+       {_hdr_lower_sql('min(bucket)')} AS est
+FROM cum JOIN tot USING (level)
+WHERE cum >= ceil({p!r} * n) GROUP BY level"""
+        for p in ps
+    ]
+    return f"""
+WITH v AS (SELECT {group_col} AS level,
+                  CAST({value_col} AS BIGINT) AS val FROM documents),
+hist AS MATERIALIZED (
+  SELECT level, {_hdr_idx_sql('val')} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM v GROUP BY 1, 2),
+allh AS MATERIALIZED (
+  SELECT * FROM hist
+  UNION ALL
+  SELECT '__all__' AS level, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM hist GROUP BY 2),
+tot AS (SELECT level, CAST(sum(cnt) AS BIGINT) AS n FROM allh GROUP BY 1),
+cum AS (SELECT level, bucket,
+               sum(cnt) OVER (PARTITION BY level ORDER BY bucket) AS cum
+        FROM allh)
+{" UNION ALL ".join(probe_rows)}
+"""
+
+
 def hdr_quantiles_with_exact(docs, ps: list[float], text_col: str = "text"):
     """(p, est, exact) rows: the sketch estimate beside the true
     rank-based quantile — the validation shape a pipeline runs before

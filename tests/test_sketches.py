@@ -155,6 +155,39 @@ class TestHllRollup:
         assert out["s1"].est_distinct > out["s2"].est_distinct
 
 
+class TestHdrRollup:
+    """Quantile rollup: the `__all__` estimates from summed per-group
+    histograms must equal the whole-relation sketch's estimates."""
+
+    def test_merged_quantiles_equal_whole_relation_sketch(self, spark):
+        from fluxdb_spark.functions import text as tx
+
+        rows = [(i, (i % 7) * 37 + 1, "s1" if i % 3 else "s2")
+                for i in range(400)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, n_chars long, source string"
+        )
+        out = {(r.level, r.p): r.est
+               for r in tx.hdr_rollup(docs, ps=(0.5, 0.99)).collect()}
+        whole = (
+            docs.select(
+                F.expr(tx._hdr_idx_expr("n_chars")).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        want = {r.p: r.est
+                for r in tx.hdr_quantiles(whole, [0.5, 0.99]).collect()}
+        assert out[("__all__", 0.5)] == want[0.5]
+        assert out[("__all__", 0.99)] == want[0.99]
+        # every (level, p) present
+        assert set(out) == {
+            (lv, p) for lv in ("s1", "s2", "__all__") for p in (0.5, 0.99)
+        }
+        # estimates never exceed the true max and are >= 0
+        assert all(0 <= v <= 223 for v in out.values())
+
+
 class TestQualityCalibration:
     def test_band_counts_reconcile_with_rules(self, spark):
         from fluxdb_spark.catalog import catalog
