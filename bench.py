@@ -221,6 +221,11 @@ HEADLINE = [
     "dedup_survivors_quality",
     "hll_rollup",
     "quality_calibration",
+    # late round-11: cluster-size observability, streaming HLL hierarchy,
+    # and quantile rollup via histogram sum
+    "dedup_cluster_stats",
+    "stream_hll_rollup",
+    "hdr_rollup",
 ]
 
 
