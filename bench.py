@@ -226,6 +226,9 @@ HEADLINE = [
     "dedup_cluster_stats",
     "stream_hll_rollup",
     "hdr_rollup",
+    # language-ID eval harness and the z-order clustering audit
+    "lang_id_eval",
+    "zorder_layout",
 ]
 
 

@@ -26,6 +26,7 @@ from fluxdb_spark.functions import similarity as sim
 from fluxdb_spark.functions import text as tx
 from fluxdb_spark.functions.hashing import hash60, hash60_sql
 from fluxdb_spark.operators import bloomjoin as bj
+from fluxdb_spark.operators import layout as ly
 from fluxdb_spark.operators import temporal as tp
 from fluxdb_spark.operators import sharding as sh
 from fluxdb_spark.operators import snapshot as sn
@@ -157,6 +158,8 @@ _PRIORITY: list[str] = [
     "hll_rollup",
     "stream_hll_rollup",
     "hdr_rollup",
+    "lang_id_eval",
+    "zorder_layout",
     "quality_calibration",
     # -- r08/r09-green block --
     "embed_quantize",
@@ -3764,6 +3767,83 @@ def lang_distribution(spark, sf_dir):
     d = _td(spark, sf_dir)
     return d.groupBy(tx.lang_id(F.col("text")).alias("lang_pred")).agg(
         F.count(F.lit(1)).alias("n")
+    )
+
+
+_LANG_EVAL_SQL = f"""
+WITH pred AS (
+  SELECT lang AS gold, {tx.sql_lang_id('text')} AS lang_pred
+  FROM documents),
+cells AS MATERIALIZED (
+  SELECT gold, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2),
+gtot AS (SELECT gold, CAST(sum(n) AS BIGINT) AS n_gold FROM cells GROUP BY 1),
+ptot AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS n_pred
+         FROM cells GROUP BY 1)
+SELECT c.gold, c.lang_pred, c.n,
+       (c.n * 1000000) // g.n_gold AS recall_ppm,
+       (c.n * 1000000) // p.n_pred AS precision_ppm
+FROM cells c JOIN gtot g USING (gold) JOIN ptot p USING (lang_pred)
+"""
+
+
+@_q(
+    "zorder_layout",
+    "relational",
+    ly.sql_zorder_cells("lineitem", "l_orderkey", "l_partkey"),
+)
+def zorder_layout(spark, sf_dir):
+    """Z-ORDER multi-dimensional clustering, audited: bucket
+    (l_orderkey, l_partkey) into 256 equal-width bins each, interleave
+    the bits (Morton shift-or-mask chain — exact integer, both
+    engines), and report per coarse z-cell the row count and min/max of
+    BOTH dimensions. The point at 100 TB: a single-column sort gives
+    file-level min/max pruning on that column only; after
+    repartitionByRange on the z-value every file bounds both columns
+    tightly, so a predicate on EITHER dimension skips files. The cell
+    relation is the audit of what that layout buys — tight per-cell
+    ranges on both dims (pinned in test_plans/test_corpus). One min/max
+    aggregate broadcast, one map-side projection, one bounded-cell
+    rollup (operators/layout.zorder_cells; reference §1.2's one-
+    dimensional key order is the problem this solves)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ly.zorder_cells(li, "l_orderkey", "l_partkey")
+
+
+@_q("lang_id_eval", "pipeline", _LANG_EVAL_SQL)
+def lang_id_eval(spark, sf_dir):
+    """The language-ID EVALUATION HARNESS as a query (the third member
+    of the eval triad beside `embed_recall_eval` / `dedup_recall_eval`):
+    the full confusion matrix of the marker-set heuristic against the
+    corpus's gold lang labels, each cell carrying per-language recall
+    (cell / gold-row total) and precision (cell / predicted-column
+    total) in integer ppm — the report that decides whether the cheap
+    heuristic can gate a language-filtered training mix. One map-side
+    classification pass into a |langs|^2-bounded rollup; the two margin
+    relations re-aggregate the cell relation and join back broadcast."""
+    d = _td(spark, sf_dir)
+    cells = (
+        d.groupBy(
+            F.col("lang").alias("gold"),
+            tx.lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    gtot = cells.groupBy("gold").agg(F.sum("n").cast("long").alias("n_gold"))
+    ptot = cells.groupBy("lang_pred").agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    return (
+        cells.join(F.broadcast(gtot), "gold")
+        .join(F.broadcast(ptot), "lang_pred")
+        .select(
+            "gold",
+            "lang_pred",
+            "n",
+            F.expr("(n * 1000000) div n_gold").alias("recall_ppm"),
+            F.expr("(n * 1000000) div n_pred").alias("precision_ppm"),
+        )
     )
 
 

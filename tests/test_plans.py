@@ -411,3 +411,44 @@ class TestRound10AdditionPlans:
         p = plan_of(spark, specs, "dedup_spans")
         assert "LeftSemi" in p
         assert "CartesianProduct" not in p
+
+
+class TestZorderLayout:
+    """The data-skipping claim itself: after z-order clustering, cells
+    bound BOTH dimensions tightly; a single-column order bounds only
+    its own column."""
+
+    def test_cells_bound_both_dimensions(self, spark):
+        from fluxdb_spark.operators.layout import zorder_cells
+        import pyspark.sql.functions as F
+
+        # deterministic uniform grid: 64x64 points
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        cells = zorder_cells(df, "x", "y").collect()
+        assert sum(r.n for r in cells) == 4096
+        # 256 coarse cells over a 64x64 grid -> each cell is a 4x4 tile:
+        # BOTH dimension ranges must be tiny vs the global 0..63
+        mean_xr = sum(r.max_x - r.min_x for r in cells) / len(cells)
+        mean_yr = sum(r.max_y - r.min_y for r in cells) / len(cells)
+        assert mean_xr <= 4 and mean_yr <= 4, (mean_xr, mean_yr)
+        # the single-column-sort counterfactual: bucket by x only into
+        # the same number of cells -> y stays unbounded (~global range)
+        xsort = (
+            df.groupBy((F.col("x") * 256 / 64).cast("long").alias("c"))
+            .agg(
+                (F.max("y") - F.min("y")).alias("yr"),
+            )
+            .collect()
+        )
+        mean_yr_xsort = sum(r.yr for r in xsort) / len(xsort)
+        assert mean_yr_xsort >= 60  # y range is the whole domain
+        assert mean_yr * 4 < mean_yr_xsort
+
+    def test_entry_plan_is_one_pass(self, spark, specs):
+        p = plan_of(spark, specs, "zorder_layout")
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p  # bounds ride a broadcast
+        assert "row_number" not in p
