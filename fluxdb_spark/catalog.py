@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 9 round-11 additions (18 never-checked entries total), then
-    # the first 32 of the r08-green block.  After r12 every entry except
+    # + the 11 round-11 additions (20 never-checked entries total), then
+    # the first 30 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
