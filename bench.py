@@ -229,6 +229,8 @@ HEADLINE = [
     # language-ID eval harness and the z-order clustering audit
     "lang_id_eval",
     "zorder_layout",
+    # the corpus datasheet as one query
+    "data_card",
 ]
 
 

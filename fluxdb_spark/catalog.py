@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 11 round-11 additions (20 never-checked entries total), then
-    # the first 30 of the r08-green block.  After r12 every entry except
+    # + the 12 round-11 additions (21 never-checked entries total), then
+    # the first 29 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -160,6 +160,7 @@ _PRIORITY: list[str] = [
     "hdr_rollup",
     "lang_id_eval",
     "zorder_layout",
+    "data_card",
     "quality_calibration",
     # -- r08/r09-green block --
     "embed_quantize",
@@ -3785,6 +3786,111 @@ SELECT c.gold, c.lang_pred, c.n,
        (c.n * 1000000) // p.n_pred AS precision_ppm
 FROM cells c JOIN gtot g USING (gold) JOIN ptot p USING (lang_pred)
 """
+
+
+_DATA_CARD_SQL = f"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({tx.sql_token_count('text')}) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN {tx.sql_quality_rules('text')['keep']}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS quality_keep_docs,
+         CAST(sum(CASE WHEN {tx.sql_pii_stats('text')['n_emails']}
+                       + {tx.sql_pii_stats('text')['n_phones']} > 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS pii_docs,
+         CAST(sum(CASE WHEN {tx.sql_lang_id('text')} = 'en'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS en_docs
+  FROM documents),
+vocab AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab_terms
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+        FROM documents)),
+exact AS (
+  SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS exact_dup_docs
+  FROM (SELECT count(*) AS c FROM (
+          SELECT lower(array_to_string((string_split(text, ' '))[1:8], ' '))
+            AS norm_key
+          FROM documents) GROUP BY norm_key HAVING count(*) > 1)),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS neardup_pairs
+       FROM (SELECT a.doc_id AS d1, b.doc_id AS d2
+             FROM ({dd.sql_simhash()}) a JOIN ({dd.sql_simhash()}) b
+               ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3))
+SELECT 'n_docs' AS metric, n_docs AS value FROM base
+UNION ALL SELECT 'total_tokens', total_tokens FROM base
+UNION ALL SELECT 'mean_doc_tokens_x100',
+                 (total_tokens * 100) // n_docs FROM base
+UNION ALL SELECT 'vocab_terms', vocab_terms FROM vocab
+UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM exact
+UNION ALL SELECT 'neardup_pairs_simhash', neardup_pairs FROM nd
+UNION ALL SELECT 'quality_keep_docs', quality_keep_docs FROM base
+UNION ALL SELECT 'pii_docs', pii_docs FROM base
+UNION ALL SELECT 'lang_en_ppm', (en_docs * 1000000) // n_docs FROM base
+"""
+
+
+@_q("data_card", "pipeline", _DATA_CARD_SQL)
+def data_card(spark, sf_dir):
+    """The DATASHEET a corpus release publishes, as one query (Gebru et
+    al. "Datasheets for Datasets" — the numbers section): document and
+    token counts, vocabulary size, exact-dup and near-dup mass, Gopher
+    keep rate, PII incidence, language share — every number integer-
+    exact and produced by the engine's own primitives, so the published
+    card and the pipeline can never disagree. One conditional-aggregate
+    scan carries all doc-level metrics; vocabulary is one distinct
+    groupBy; dup mass reuses the exact-key groupBy and the banded
+    SimHash pair join. Returns (metric, value) BIGINT rows."""
+    d = _td(spark, sf_dir)
+    pii = tx.pii_stats(F.col("text"))
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(tx.token_count(F.col("text"))).cast("long").alias(
+            "total_tokens"
+        ),
+        F.sum(
+            F.when(tx.quality_rules(F.col("text"))["keep"], 1).otherwise(0)
+        ).cast("long").alias("quality_keep_docs"),
+        F.sum(
+            F.when(pii["n_emails"] + pii["n_phones"] > 0, 1).otherwise(0)
+        ).cast("long").alias("pii_docs"),
+        F.sum(
+            F.when(tx.lang_id(F.col("text")) == "en", 1).otherwise(0)
+        ).cast("long").alias("en_docs"),
+    )
+    vocab = (
+        d.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
+        .agg(F.countDistinct("term").cast("long").alias("vocab_terms"))
+    )
+    norm_key = F.lower(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    )
+    exact = (
+        d.groupBy(norm_key.alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long")
+             .alias("exact_dup_docs"))
+    )
+    nd = dd.simhash_pairs(d, max_distance=3).agg(
+        F.count(F.lit(1)).cast("long").alias("neardup_pairs")
+    )
+    one = (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(nd))
+    )
+    return one.selectExpr(
+        "stack(9, "
+        "'n_docs', n_docs, "
+        "'total_tokens', total_tokens, "
+        "'mean_doc_tokens_x100', (total_tokens * 100) div n_docs, "
+        "'vocab_terms', vocab_terms, "
+        "'exact_dup_docs', exact_dup_docs, "
+        "'neardup_pairs_simhash', neardup_pairs, "
+        "'quality_keep_docs', quality_keep_docs, "
+        "'pii_docs', pii_docs, "
+        "'lang_en_ppm', (en_docs * 1000000) div n_docs"
+        ") as (metric, value)"
+    )
 
 
 @_q(
