@@ -36,7 +36,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from fluxdb_spark import get_spark  # noqa: E402
 from fluxdb_spark.catalog import catalog  # noqa: E402
 
-OPS = ["dedup_ngram", "dedup_containment"]
+# doc_novelty joins the probe in round 11: unlike the pair growers its
+# cost is the |distinct shingles| min-groupBy (no pair space), so its
+# curve should stay near-linear in docs even as the pair workload blows
+# up 1000x -- the probe demonstrates exactly that separation.
+OPS = ["dedup_ngram", "dedup_containment", "doc_novelty"]
 REPLICAS = {"sf0.1x1": 1, "sf0.1x3": 3, "sf0.1x10": 10}
 BASE = "/root/testdata/sf0.1"
 
@@ -87,10 +91,10 @@ def main() -> None:
             out[name][label] = round(best, 3)
             rows[name][label] = n
             print(f"# {name} @ {label} ({reps * 5000} docs): "
-                  f"{out[name][label]}s, {n} pairs", file=sys.stderr)
+                  f"{out[name][label]}s, {n} rows", file=sys.stderr)
     shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({"metric": "dedup_scale_probe", "times": out,
-                      "pairs": rows, "docs": {k: v * 5000 for k, v in
+                      "rows_out": rows, "docs": {k: v * 5000 for k, v in
                                               REPLICAS.items()}}))
     spark.stop()
 
