@@ -231,6 +231,8 @@ HEADLINE = [
     "zorder_layout",
     # the corpus datasheet as one query
     "data_card",
+    # forecast backtest over state histories (trend vs naive)
+    "flux_series_backtest",
 ]
 
 

@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 12 round-11 additions (21 never-checked entries total), then
-    # the first 29 of the r08-green block.  After r12 every entry except
+    # + the 13 round-11 additions (22 never-checked entries total), then
+    # the first 28 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -161,6 +161,7 @@ _PRIORITY: list[str] = [
     "lang_id_eval",
     "zorder_layout",
     "data_card",
+    "flux_series_backtest",
     "quality_calibration",
     # -- r08/r09-green block --
     "embed_quantize",
@@ -771,6 +772,65 @@ def flux_series_trend(spark, sf_dir):
         .otherwise(F.lit("flat"))
         .alias("trend"),
     )
+
+
+@_q(
+    "flux_series_backtest",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+scoped AS (
+  SELECT * FROM changelog WHERE tablet_id = 'click' AND height <= 900
+), v AS (
+  SELECT *, lead(height, 1, 901) OVER (
+              PARTITION BY primary_key ORDER BY height) AS next_h
+  FROM scoped
+), iv AS (
+  SELECT *,
+         100 + ((greatest(height - 100, 0) + 49) // 50) * 50 AS g_lo,
+         least(next_h - 1, 900) AS g_hi
+  FROM v WHERE NOT is_deletion
+), grid AS (
+  SELECT CAST(g AS BIGINT) AS as_of_height, primary_key,
+         CAST(json_extract_string(value, '$.k') AS BIGINT) AS y
+  FROM iv, unnest(generate_series(g_lo, g_hi, 50)) AS t(g)
+  WHERE g_lo <= g_hi
+), lagged AS (
+  SELECT primary_key, y,
+         lag(y, 1) OVER w AS y1,
+         lag(y, 2) OVER w AS y2
+  FROM grid
+  WINDOW w AS (PARTITION BY primary_key ORDER BY as_of_height)
+), evals AS (
+  SELECT * FROM lagged
+  WHERE y IS NOT NULL AND y1 IS NOT NULL AND y2 IS NOT NULL
+), per_key AS (
+  SELECT primary_key,
+         CAST(count(*) AS BIGINT) AS n_evals,
+         CAST(sum(abs(y - y1)) AS BIGINT) AS naive_abs_err,
+         CAST(sum(abs(y - (2 * y1 - y2))) AS BIGINT) AS drift_abs_err
+  FROM evals GROUP BY 1)
+SELECT primary_key, n_evals, naive_abs_err, drift_abs_err,
+       CASE WHEN naive_abs_err = 0 THEN NULL
+            ELSE (drift_abs_err * 1000000) // naive_abs_err END
+         AS drift_vs_naive_ppm
+FROM per_key
+""",
+)
+def flux_series_backtest(spark, sf_dir):
+    """One-step-ahead FORECAST BACKTEST over state histories: at every
+    grid point with two prior observations, score the two zero-parameter
+    forecasters made from the previous point — naive (last value) and
+    drift (last value + last step) — against the realized value, per
+    key. The read that tells an operator whether trend-following beats
+    last-value on THEIR data before wiring a model: drift_vs_naive_ppm
+    < 1e6 means the trajectories reward extrapolation, above it they
+    mean-revert and naive wins (the classic M-competition result).
+    Exact integer absolute errors; the lag window rides the grid's
+    per-key partitioning — one shuffle serves both, the
+    `flux_series_ewma` pattern (operators/temporal.series_backtest)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return tp.series_backtest(log, "click", 100, 900, 50)
 
 
 @_q(

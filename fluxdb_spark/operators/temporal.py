@@ -635,3 +635,70 @@ def series_ewma(
         "x",
         F.when(den > 0, F.round(num / den, 4)).alias("ewma"),
     )
+
+
+def series_backtest(
+    changelog: DataFrame,
+    tablet_id: str,
+    start: int,
+    stop: int,
+    step: int,
+    metric_json_field: str = "k",
+    collection: str | None = None,
+) -> DataFrame:
+    """One-step-ahead FORECAST BACKTEST over state histories: at every
+    grid point where a key has two prior observations, score the two
+    standard zero-parameter forecasters made from the PREVIOUS point —
+    naive (y-hat = y1) and drift (y-hat = 2*y1 - y2, last value plus
+    last step) — against the realized value.  The read that tells an
+    operator whether trend-following beats last-value on THEIR data
+    before anyone wires a fancier model: if drift_vs_naive_ppm < 1e6,
+    the trajectories reward extrapolation; above it they mean-revert
+    and naive wins (the classic M-competition result).
+
+    Exact integers end to end: absolute errors are BIGINT, only the
+    final ppm ratio divides (NULL when a key's naive error sum is 0 —
+    constant series, nothing to beat).  One state_series grid scan; the
+    two lags ride the grid's per-key partitioning (one shuffle serves
+    both, the `series_ewma` pattern).  Returns (primary_key, n_evals,
+    naive_abs_err, drift_abs_err, drift_vs_naive_ppm)."""
+    grid = state_series(
+        changelog, tablet_id, start, stop, step, collection=collection,
+        ordered=False,
+    ).select(
+        "as_of_height",
+        "primary_key",
+        F.get_json_object("value", f"$.{metric_json_field}")
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.partitionBy("primary_key").orderBy("as_of_height")
+    lagged = grid.select(
+        "primary_key",
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+    ).filter(
+        F.col("y").isNotNull()
+        & F.col("y1").isNotNull()
+        & F.col("y2").isNotNull()
+    )
+    per_key = lagged.groupBy("primary_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evals"),
+        F.sum(F.abs(F.col("y") - F.col("y1")))
+        .cast("long")
+        .alias("naive_abs_err"),
+        F.sum(F.abs(F.col("y") - (2 * F.col("y1") - F.col("y2"))))
+        .cast("long")
+        .alias("drift_abs_err"),
+    )
+    return per_key.select(
+        "primary_key",
+        "n_evals",
+        "naive_abs_err",
+        "drift_abs_err",
+        F.expr(
+            "CASE WHEN naive_abs_err = 0 THEN NULL"
+            " ELSE (drift_abs_err * 1000000) div naive_abs_err END"
+        ).alias("drift_vs_naive_ppm"),
+    )

@@ -745,3 +745,39 @@ class TestMutationProfile:
             (0, "insert"): 1, (1, "update"): 1,
             (1, "delete"): 1, (0, "delete"): 1,
         }
+
+
+class TestSeriesBacktest:
+    def test_linear_rewards_drift_alternating_rewards_naive(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.operators.temporal import series_backtest
+
+        # key a: perfectly linear (k = height) -> drift forecast exact,
+        #   naive off by one step every time -> ratio 0 ppm
+        # key b: alternating 10,20,10,20,10 -> naive off by 10 per
+        #   eval, drift off by 20 (extrapolates the flip) -> 2e6 ppm
+        rows = [("tst", "tbl", h, "a", f'{{"k": {h}}}') for h in
+                range(10, 51, 10)]
+        vals = {10: 10, 20: 20, 30: 10, 40: 20, 50: 10}
+        rows += [("tst", "tbl", h, "b", f'{{"k": {v}}}') for h, v in
+                 vals.items()]
+        log = make_changelog(spark, rows)
+        out = {r.primary_key: r for r in
+               series_backtest(log, "tbl", 10, 50, 10).collect()}
+        a, b = out["a"], out["b"]
+        assert a.n_evals == 3 and b.n_evals == 3
+        assert a.drift_abs_err == 0 and a.naive_abs_err == 30
+        assert a.drift_vs_naive_ppm == 0
+        assert b.naive_abs_err == 30 and b.drift_abs_err == 60
+        assert b.drift_vs_naive_ppm == 2_000_000
+
+    def test_constant_series_yields_null_ratio(self, spark):
+        from tests.conftest import make_changelog
+        from fluxdb_spark.operators.temporal import series_backtest
+
+        rows = [("tst", "tbl", h, "c", '{"k": 7}') for h in
+                range(10, 41, 10)]
+        log = make_changelog(spark, rows)
+        r = series_backtest(log, "tbl", 10, 40, 10).collect()[0]
+        assert r.naive_abs_err == 0 and r.drift_abs_err == 0
+        assert r.drift_vs_naive_ppm is None
