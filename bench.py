@@ -233,6 +233,12 @@ HEADLINE = [
     "data_card",
     # forecast backtest over state histories (trend vs naive)
     "flux_series_backtest",
+    # weighted sampling without replacement, batch + streaming reservoir
+    "wor_sample",
+    "stream_wor_sample",
+    # labeled-embedding Fisher separation and the cross-modal agreement screen
+    "embed_class_separation",
+    "embed_text_consistency",
 ]
 
 

@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 13 round-11 additions (22 never-checked entries total), then
-    # the first 28 of the r08-green block.  After r12 every entry except
+    # + the 17 round-11 additions (26 never-checked entries total), then
+    # the first 24 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -163,6 +163,10 @@ _PRIORITY: list[str] = [
     "data_card",
     "flux_series_backtest",
     "quality_calibration",
+    "wor_sample",
+    "stream_wor_sample",
+    "embed_class_separation",
+    "embed_text_consistency",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -8851,3 +8855,111 @@ def cluster_balanced_sample(spark, sf_dir):
     return cu.cap_per_group(km, "cluster", 25, key_col="vec_id").select(
         "cluster", "vec_id", F.col("rn").cast("long").alias("rn")
     )
+
+
+@_q("wor_sample", "pipeline", cu.sql_wor_sample(100))
+def wor_sample(spark, sf_dir):
+    """EXACTLY-k weighted sampling without replacement (Efraimidis &
+    Spirtakis 2006): top-100 documents under the portable priority
+    floor(ln(u)/w * 1e9), u a salted unit hash, w the token count —
+    inclusion proportional to length, sample size fixed (the complement
+    of `pps_sample`'s expected-n Poisson draw; a token-budgeted mix
+    often needs exactly k rows). Scale shape: the priority is map-side
+    and the plan is TakeOrderedAndProject — per-partition heaps, no
+    corpus shuffle, k rows to the driver; per-shard top-k sets merge
+    into the global sample by the same key, so the draw distributes and
+    resumes. (Plain `_t` reader: the priority projection is too cheap
+    to justify `spread`'s small-file repartition, and the gate pins the
+    Exchange-free shape.)"""
+    return cu.wor_sample(_t(spark, sf_dir, "documents"), 100)
+
+
+@_q(
+    "stream_wor_sample",
+    "streaming",
+    cu.sql_wor_sample_grouped(10),
+)
+def stream_wor_sample(spark, sf_dir):
+    """STREAMING weighted reservoir (ES 2006 A-Res): per-source
+    exactly-10 WOR samples maintained as GroupState — state is EXACTLY
+    the sample (10 priority/id/weight triples + a seen-counter per
+    source, FOREVER), because a row cut from the top-k can never
+    re-enter: its priority is fixed at ingest, the same lossless-trim
+    argument as the streaming KMV sketch. Priorities are JVM-side in
+    the prepared projection; the pandas fold sorts integers. The
+    drained reservoirs hash-match the batch per-source top-k under the
+    same key — the sampling twin of stream_kmv_overlap."""
+    import uuid
+
+    from fluxdb_spark.streaming.stateful import wor_stream
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = wor_stream(raw)
+    name = f"stream_wor_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink holds one row per group per micro-batch; the
+    # seen-counter is monotone, so max-ver is each group's final state.
+    t = spark.table(name)
+    w = Window.partitionBy("g").orderBy(F.desc("ver"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("source"),
+            F.explode(F.arrays_zip("pris", "ids", "ws")).alias("z"),
+        )
+        .select(
+            "source",
+            F.col("z.ids").alias("doc_id"),
+            F.col("z.ws").alias("weight"),
+            F.col("z.pris").alias("pri_e9"),
+        )
+    )
+
+
+@_q("embed_class_separation", "pipeline", sim.sql_class_separation())
+def embed_class_separation(spark, sf_dir):
+    """Per-class Fisher separation (between-class scatter of each label
+    centroid to the global centroid vs within-class scatter of members
+    to their own centroid) — the labeled-embedding health screen beside
+    `embed_label_noise`: a class whose ratio collapses toward 0 is
+    indistinguishable from the corpus mean (mislabeled, duplicated, or
+    encoder failure). Exact floor(sum/count) integer centroids and
+    int64 scatters; `fisher` is one IEEE multiply + divide,
+    NULL-guarded. One centroid fold + one map-only pass against
+    plan-literal centroids into a |labels|-row rollup."""
+    return sim.class_separation(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "embed_text_consistency",
+    "pipeline",
+    sim.sql_pair_cosine(_JACCARD_SQL),
+)
+def embed_text_consistency(spark, sf_dir):
+    """Cross-modal agreement screen: every exact text near-dup pair
+    (3-word-shingle Jaccard >= 0.8, the `dedup_ngram` PPJoin pipeline)
+    scored with its embedding cosine (`cos4`, exact fixed-point) — the
+    text index says the two documents are the same thing; a LOW cosine
+    on such a pair means the embedding pipeline disagrees with the
+    bytes (stale vectors, encoder drift, id misalignment), precisely
+    the defect an embedding-backed dedup/retrieval stack must catch
+    before it ships. Work scales with |pairs| (two equi-joins against
+    the quantized corpus), never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dd.jaccard_pairs(d, 0.8)
+    return sim.pair_cosine(pairs, e)

@@ -766,3 +766,102 @@ s AS (SELECT doc_id, w,
 SELECT doc_id, w AS weight, threshold
 FROM s WHERE {h} < threshold
 """
+
+
+def wor_priority(key: Column, weight: Column, seed: str = "wor") -> Column:
+    """The Efraimidis-Spirtakis sampling key as a portable BIGINT:
+    floor(ln(u) / w * 1e9) with u = (hash60(key)+1)/2^60 in (0, 1].
+    Ranking by u^(1/w) descending IS a weighted draw without
+    replacement (ES 2006, "Weighted random sampling with a reservoir"),
+    and ln(u)/w is its monotone twin. The hash->unit transform is
+    exact IEEE (long add, long->double cast, power-of-two divide); ln
+    is the one libm call, nano-floored so both engines emit the same
+    integer (the bigram-LM avg_logp precedent), and ties — possible
+    after flooring — break on the id, deterministically."""
+    u = (hash60(key.cast("string"), seed) + F.lit(1)).cast("double") / F.lit(
+        float(2**60)
+    )
+    return (
+        F.floor(F.ln(u) / weight.cast("double") * F.lit(1e9)).cast("long")
+    )
+
+
+def sql_wor_priority(key_expr: str, weight_expr: str, seed: str = "wor") -> str:
+    """DuckDB twin of `wor_priority` (same bits, same op order)."""
+    h = hash60_sql(f"CAST({key_expr} AS VARCHAR)", seed)
+    return (
+        f"CAST(floor(ln(CAST({h} + 1 AS DOUBLE) / 1152921504606846976.0)"
+        f" / CAST({weight_expr} AS DOUBLE) * 1e9) AS BIGINT)"
+    )
+
+
+def wor_sample(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+    seed: str = "wor",
+) -> DataFrame:
+    """EXACTLY-k weighted sampling without replacement (Efraimidis &
+    Spirtakis 2006): the top-k documents under the `wor_priority` key,
+    inclusion probability proportional to token count. The fixed-size
+    complement of `pps_sample` (Poisson PPS draws an *expected* ~n; a
+    token-budgeted training mix often needs exactly k rows).
+
+    Scale shape: the priority is a pure map-side projection and the
+    top-k is TakeOrdered — per-partition heaps of k rows, no global
+    sort, no shuffle of the corpus; k rows reach the driver. The same
+    key also merges across shards (the per-shard top-k union's top-k
+    is the global sample), which is what makes the draw resumable and
+    distributable."""
+    w = (
+        F.col(weight_col) if weight_col else token_count(F.col(text_col))
+    ).cast("long")
+    return (
+        docs.select(
+            F.col(id_col),
+            w.alias("weight"),
+        )
+        .withColumn("pri_e9", wor_priority(F.col(id_col), F.col("weight"), seed))
+        .orderBy(F.desc("pri_e9"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sql_wor_sample(
+    k: int,
+    seed: str = "wor",
+    weight_expr: str | None = None,
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of `wor_sample` (token_count weight by default)."""
+    w = weight_expr or "len(string_split(text, ' '))"
+    pri = sql_wor_priority("doc_id", "weight", seed)
+    return f"""
+WITH b AS (SELECT doc_id, CAST({w} AS BIGINT) AS weight FROM {source}),
+p AS (SELECT doc_id, weight, {pri} AS pri_e9 FROM b)
+SELECT doc_id, weight, pri_e9 FROM p
+ORDER BY pri_e9 DESC, doc_id LIMIT {k}
+"""
+
+
+def sql_wor_sample_grouped(
+    k: int,
+    group_col: str = "source",
+    seed: str = "wor",
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of the per-group weighted reservoir (streaming
+    `wor_stream` drained == batch per-group top-k under the same key)."""
+    pri = sql_wor_priority("doc_id", "weight", seed)
+    return f"""
+WITH b AS (SELECT {group_col} AS g, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+           FROM {source}),
+p AS (SELECT g, doc_id, weight, {pri} AS pri_e9 FROM b),
+r AS (SELECT *, row_number()
+        OVER (PARTITION BY g ORDER BY pri_e9 DESC, doc_id) AS rn
+      FROM p)
+SELECT g AS {group_col}, doc_id, weight, pri_e9 FROM r WHERE rn <= {k}
+"""

@@ -2346,3 +2346,188 @@ SELECT CAST(rank AS BIGINT) AS rank, vec_id,
 FROM sall{k}, rad
 """
     )
+
+
+def class_separation(
+    corpus: DataFrame,
+    scale: int = 1_000_000,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class Fisher separation over the embedding corpus — the
+    labeled-data health screen beside `label_noise_matrix`: for every
+    label, the between-class scatter (squared distance of the class
+    centroid to the GLOBAL centroid) against the within-class scatter
+    (mean squared distance of members to their own centroid). A class
+    whose fisher ratio collapses toward 0 is indistinguishable from the
+    corpus mean — mislabeled, duplicated, or an encoder failure —
+    exactly what a training-mix owner checks before weighting classes.
+
+    Exactness: centroids are the floor(sum/count) integers of
+    `label_centroids` (the global centroid the same fold over all rows),
+    distances exact int64 sums; `fisher` is between*n/within in IEEE
+    doubles, one multiply + one divide, NULL-guarded when a class has
+    zero within-scatter. Scale shape: one |labels|*dim centroid fold +
+    one dim-row global fold, then a MAP-ONLY pass against plan-literal
+    centroids (the label_noise/kmeans precedent) into a |labels|-row
+    groupBy; between-distances are driver math on |labels|*dim longs."""
+    labels, cents = label_centroids(corpus, scale, label_col, vec_col)
+    g_rows = (
+        corpus.select(
+            F.posexplode(_quantize(F.col(vec_col), scale)).alias(
+                "pos", "val"
+            )
+        )
+        .groupBy("pos")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("gv")
+        )
+        .collect()
+    )
+    gcent = [gv for _, gv in sorted((r["pos"], r["gv"]) for r in g_rows)]
+    between = {
+        lbl: sum((c - g) ** 2 for c, g in zip(cv, gcent))
+        for lbl, cv in zip(labels, cents)
+    }
+    lbl_lit = F.lit(labels)
+    dists = _int_centroid_dists(_quantize(F.col(vec_col), scale), cents)
+    own_idx = F.array_position(lbl_lit, F.col(label_col)) - 1
+    own_d = F.filter(dists, lambda d: d["idx"] == own_idx)[0]["dist"]
+    per = (
+        corpus.select(F.col(label_col).alias("label"), own_d.alias("own_d"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("own_d").cast("long").alias("within_sum"),
+        )
+    )
+    bt = corpus.sparkSession.createDataFrame(
+        [(int(lbl), int(between[lbl])) for lbl in labels],
+        "label long, between_d long",
+    )
+    return per.join(F.broadcast(bt), "label").withColumn(
+        "fisher",
+        F.when(
+            F.col("within_sum") > 0,
+            F.col("between_d").cast("double")
+            * F.col("n_vecs")
+            / F.col("within_sum"),
+        ),
+    )
+
+
+def sql_class_separation(scale: int = 1_000_000) -> str:
+    """DuckDB twin of `class_separation` — the same floor(sum/count)
+    centroids (per label and global) and exact integer scatters."""
+    return f"""
+WITH qv AS (SELECT vec_id, label,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+                AS q
+            FROM embeddings),
+e AS (SELECT vec_id, label, i AS pos, q[i] AS val
+      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
+cent AS (SELECT label AS clabel, pos,
+           CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT)
+             AS cv
+         FROM e GROUP BY 1, 2),
+gcent AS (SELECT pos,
+            CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT)
+              AS gv
+          FROM e GROUP BY 1),
+btw AS (SELECT clabel AS label,
+          CAST(sum((cv - gv) * (cv - gv)) AS BIGINT) AS between_d
+        FROM cent JOIN gcent USING (pos) GROUP BY 1),
+own AS (SELECT e.vec_id, e.label,
+          sum((e.val - c.cv) * (e.val - c.cv)) AS own_d
+        FROM e JOIN cent c ON c.pos = e.pos AND c.clabel = e.label
+        GROUP BY 1, 2),
+per AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+          CAST(sum(own_d) AS BIGINT) AS within_sum
+        FROM own GROUP BY 1)
+SELECT p.label, n_vecs, within_sum, between_d,
+       CASE WHEN within_sum > 0
+            THEN CAST(between_d AS DOUBLE) * n_vecs / within_sum
+       END AS fisher
+FROM per p JOIN btw USING (label)
+"""
+
+
+def pair_cosine(
+    pairs: DataFrame,
+    vecs: DataFrame,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append the exact fixed-point cosine (`cos4`, floored to 1e-4) of
+    each (d1, d2) pair's embeddings to an explicit pair relation — the
+    cross-modal agreement primitive: the pair generator (text near-dup,
+    entity match, label block) says two rows are the same thing; this
+    says whether the embedding space agrees. dot and both norms are
+    exact int64 sums over the fixed-point vectors, cos is one IEEE
+    divide of a correctly-rounded sqrt, NULL when either side is the
+    zero vector. Scale shape: two equi-joins of the pair relation
+    against the quantized corpus — work scales with |pairs|, never
+    all-pairs; the arithmetic is JVM higher-order folds, map-side."""
+    q = _quantized(vecs, scale, id_col, vec_col)
+    a = q.select(F.col("vec_id").alias("d1"), F.col("q").alias("q1"))
+    b = q.select(F.col("vec_id").alias("d2"), F.col("q").alias("q2"))
+    zero = F.lit(0).cast("long")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda u, v: u * v),
+            zero,
+            lambda acc, v: acc + v,
+        )
+
+    cos4 = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.floor(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("n1").cast("double") * F.col("n2").cast("double"))
+            * F.lit(10000)
+        )
+        / F.lit(10000.0),
+    )
+    return (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .withColumn("dot", dot("q1", "q2"))
+        .withColumn("n1", dot("q1", "q1"))
+        .withColumn("n2", dot("q2", "q2"))
+        .withColumn("cos4", cos4)
+        .drop("q1", "q2", "dot", "n1", "n2")
+    )
+
+
+def sql_pair_cosine(pairs_sql: str, scale: int = 1_000_000) -> str:
+    """DuckDB twin of `pair_cosine` over a (d1, d2, jaccard) pair query
+    on the documents table, joined to the embeddings view by id."""
+    return f"""
+WITH pairs AS MATERIALIZED ({pairs_sql}),
+qv AS (SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+       FROM embeddings),
+e AS (SELECT vec_id, i AS pos, q[i] AS val
+      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
+d AS (SELECT p.d1, p.d2,
+        sum(e1.val * e2.val) AS dot,
+        sum(e1.val * e1.val) AS n1,
+        sum(e2.val * e2.val) AS n2
+      FROM pairs p
+      JOIN e e1 ON e1.vec_id = p.d1
+      JOIN e e2 ON e2.vec_id = p.d2 AND e2.pos = e1.pos
+      GROUP BY 1, 2)
+SELECT p.d1, p.d2, p.jaccard,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN floor(CAST(dot AS DOUBLE)
+                       / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                       * 10000) / 10000.0
+       END AS cos4
+FROM d JOIN pairs p USING (d1, d2)
+"""

@@ -206,3 +206,109 @@ def kmv_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming weighted reservoir (exactly-k WOR over a stream) ---------------
+#
+# State per group is EXACTLY the sample: the k best (priority, id, weight)
+# triples under the Efraimidis-Spirtakis key (functions/curation.wor_priority)
+# plus a monotone seen-counter. A row cut from the top-k can never re-enter
+# (its priority is fixed at ingest), so the trim is lossless — the same
+# argument that bounds the KMV sketch above — and the drained reservoir is
+# bit-identical to the batch top-k over the same rows, which is what the SQL
+# twin checks. Priorities are computed JVM-side in the prepared projection;
+# the pandas fold only sorts integers.
+
+WOR_STREAM_K = 10
+
+_WOR_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        StructField("pris", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("ws", ArrayType(LongType())),
+    ]
+)
+
+_WOR_OUT_SCHEMA = StructType(
+    [
+        StructField("g", StringType()),
+        StructField("ver", LongType()),
+        StructField("pris", ArrayType(LongType())),
+        StructField("ids", ArrayType(LongType())),
+        StructField("ws", ArrayType(LongType())),
+    ]
+)
+
+
+def _wor_group(
+    key: tuple,
+    pdfs: "Iterator[pd.DataFrame]",
+    state: GroupState,
+) -> "Iterator[pd.DataFrame]":
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        n_seen, pris, ids, ws = state.get
+        pris = np.asarray(pris, dtype=np.int64)
+        ids = np.asarray(ids, dtype=np.int64)
+        ws = np.asarray(ws, dtype=np.int64)
+    else:
+        n_seen = 0
+        pris = ids = ws = np.empty(0, dtype=np.int64)
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        pris = np.concatenate([pris, pdf["pri"].to_numpy(dtype=np.int64)])
+        ids = np.concatenate([ids, pdf["id"].to_numpy(dtype=np.int64)])
+        ws = np.concatenate([ws, pdf["w"].to_numpy(dtype=np.int64)])
+        # priority DESC, id ASC — lexsort's last key is primary
+        order = np.lexsort((ids, -pris))[:WOR_STREAM_K]
+        pris, ids, ws = pris[order], ids[order], ws[order]
+    state.update(
+        (
+            int(n_seen),
+            [int(v) for v in pris],
+            [int(v) for v in ids],
+            [int(v) for v in ws],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "g": [key[0]],
+            "ver": [int(n_seen)],
+            "pris": [[int(v) for v in pris]],
+            "ids": [[int(v) for v in ids]],
+            "ws": [[int(v) for v in ws]],
+        }
+    )
+
+
+def wor_stream(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group weighted reservoirs over a streaming frame: (g, ver,
+    pris, ids, ws) per group per micro-batch, the arrays at most
+    WOR_STREAM_K long and ordered (priority DESC, id ASC). Drain, keep
+    each group's max-ver row, posexplode the arrays — bit-identical to
+    the batch per-group top-k under the same key (ES 2006 A-Res: the
+    reservoir IS the running top-k of fixed per-row priorities)."""
+    from fluxdb_spark.functions.curation import wor_priority
+    from fluxdb_spark.functions.text import token_count
+
+    w = token_count(F.col(text_col)).cast("long")
+    prepared = docs.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        w.alias("w"),
+    ).withColumn("pri", wor_priority(F.col("id"), F.col("w")))
+    return prepared.groupBy("g").applyInPandasWithState(
+        _wor_group,
+        outputStructType=_WOR_OUT_SCHEMA,
+        stateStructType=_WOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -460,3 +460,67 @@ class TestKAnonymity:
         assert rows["nation"].n_groups <= rows["nation_segment"].n_groups
         # group counts partition the same row mass at every level
         assert rows["nation_segment"].min_group >= 0 and total > 0
+
+
+class TestWorSample:
+    def test_exactly_k_and_deterministic(self, docs):
+        a = curation.wor_sample(docs, 50).collect()
+        b = curation.wor_sample(docs, 50).collect()
+        assert len(a) == 50
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_nested_across_k(self, docs):
+        # a larger draw must CONTAIN the smaller one (priorities are
+        # fixed per row, so growing k only extends the prefix)
+        small = {r.doc_id for r in curation.wor_sample(docs, 20).collect()}
+        big = {r.doc_id for r in curation.wor_sample(docs, 80).collect()}
+        assert small <= big
+
+    def test_shard_topk_union_merges_to_global(self, docs):
+        # the distributability property: top-k of the union of per-shard
+        # top-k draws == the global draw (what makes WOR resumable)
+        k = 30
+        global_draw = [
+            (r.pri_e9, r.doc_id)
+            for r in curation.wor_sample(docs, k).collect()
+        ]
+        shards = [
+            curation.wor_sample(
+                docs.filter(F.col("doc_id") % 3 == i), k
+            ).collect()
+            for i in range(3)
+        ]
+        merged = sorted(
+            ((r.pri_e9, r.doc_id) for rows in shards for r in rows),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        assert sorted(global_draw, key=lambda t: (-t[0], t[1])) == merged
+
+    def test_takeordered_plan_no_corpus_shuffle(self, docs):
+        plan = (
+            curation.wor_sample(docs, 50)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan  # per-partition heaps, no sort
+
+    def test_weight_biases_inclusion(self, docs):
+        # heavier docs must be over-represented vs the corpus average:
+        # the sampled mean token count exceeds the corpus mean (the
+        # whole point of weighted vs uniform draws)
+        from fluxdb_spark.functions.text import token_count
+
+        k = 100
+        sample_mean = (
+            curation.wor_sample(docs, k)
+            .agg(F.avg("weight"))
+            .collect()[0][0]
+        )
+        corpus_mean = (
+            docs.select(token_count(F.col("text")).alias("w"))
+            .agg(F.avg("w"))
+            .collect()[0][0]
+        )
+        assert sample_mean > corpus_mean

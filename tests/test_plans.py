@@ -316,7 +316,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_sessionize", "stream_simhash_dedup",
         "stream_hll_distinct", "stream_cms_heavy_hitters",
         "stream_rfm", "stream_kmv_overlap", "stream_source_divergence",
-        "stream_hll_rollup",
+        "stream_hll_rollup", "stream_wor_sample",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
@@ -393,6 +393,29 @@ class TestRound11AdditionPlans:
         p = plan_of(spark, specs, "embed_kcenter_refined")
         assert "CartesianProduct" not in p
         assert "SortMergeJoin" not in p
+
+
+class TestRound11LateAdditionPlans:
+    """Shape pins for the late round-11 additions (the global
+    python/cartesian sweep already covers them)."""
+
+    def test_wor_sample_is_takeordered_no_shuffle(self, spark, specs):
+        """The WOR draw must stay per-partition heaps + map-side
+        priority: an Exchange here would mean the corpus is being
+        sorted to pick k rows."""
+        p = plan_of(spark, specs, "wor_sample")
+        assert "TakeOrderedAndProject" in p
+        assert "Exchange" not in p
+
+    def test_class_separation_joins_broadcast(self, spark, specs):
+        """The |labels|-row between-scatter relation must ride a
+        broadcast back onto the per-label rollup, and both folds must
+        partial-aggregate map-side."""
+        p = plan_of(spark, specs, "embed_class_separation")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "partial" in p.lower()
+        assert "row_number" not in p and "ntile" not in p
 
 
 class TestRound10AdditionPlans:

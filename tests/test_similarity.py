@@ -735,3 +735,74 @@ class TestKcenterRefined:
 
         with _pytest.raises(ValueError, match="fewer than k"):
             kcenter_sample_refined(df, k=4, m=2)
+
+
+class TestClassSeparation:
+    def test_tiles_corpus_and_positive_scatter(self, corpus):
+        rows = sim.class_separation(corpus).collect()
+        assert sum(r.n_vecs for r in rows) == corpus.count()
+        # random synthetic labels: every class has members and spread
+        assert all(r.n_vecs > 0 and r.within_sum > 0 for r in rows)
+        assert all(r.fisher is not None and r.fisher >= 0 for r in rows)
+
+    def test_separable_classes_dominate_collapsed_ones(self, spark):
+        # two tight, far-apart classes vs one class sitting ON the
+        # global centroid: fisher must rank the separated ones higher
+        rows = [
+            (0, 0, [10.0, 0.0]), (1, 0, [10.5, 0.0]),
+            (2, 1, [-10.0, 0.0]), (3, 1, [-10.5, 0.0]),
+            (4, 2, [0.0, 0.2]), (5, 2, [0.0, -0.2]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<float>"
+        )
+        by = {r.label: r.fisher for r in sim.class_separation(df).collect()}
+        assert by[0] > by[2] and by[1] > by[2]
+
+    def test_zero_within_scatter_yields_null(self, spark):
+        # a degenerate class (all members identical) must NULL-guard the
+        # ratio, not emit Infinity (the ADVICE r10 division precedent)
+        rows = [
+            (0, 0, [1.0, 1.0]), (1, 0, [1.0, 1.0]),
+            (2, 1, [3.0, 0.0]), (3, 1, [5.0, 0.0]),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<float>"
+        )
+        by = {r.label: r.fisher for r in sim.class_separation(df).collect()}
+        assert by[0] is None and by[1] is not None
+
+
+class TestPairCosine:
+    def _pairs(self, spark, ids):
+        return spark.createDataFrame(
+            [(a, b, 1.0) for a, b in ids], "d1 long, d2 long, jaccard double"
+        )
+
+    def test_identical_and_opposite_vectors(self, spark):
+        vecs = spark.createDataFrame(
+            [
+                (0, [3.0, 4.0]),
+                (1, [3.0, 4.0]),
+                (2, [-3.0, -4.0]),
+                (3, [0.0, 0.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            (r.d1, r.d2): r.cos4
+            for r in sim.pair_cosine(
+                self._pairs(spark, [(0, 1), (0, 2), (0, 3)]), vecs
+            ).collect()
+        }
+        assert out[(0, 1)] == 1.0
+        assert out[(0, 2)] == -1.0
+        assert out[(0, 3)] is None  # zero vector NULL-guards, no NaN
+
+    def test_work_scales_with_pairs_not_corpus(self, corpus, spark):
+        # the pair relation drives the joins: no pair, no cosine rows
+        out = sim.pair_cosine(self._pairs(spark, [(1, 2)]), corpus)
+        rows = out.collect()
+        assert len(rows) == 1 and rows[0].cos4 is not None
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan

@@ -877,3 +877,83 @@ class TestLiveToMaterializedAggregate:
             .collect()
         }
         assert got == want == {("tbl", 3, 3)}
+
+
+class TestStreamWorSample:
+    """Streaming weighted reservoir (stateful.wor_stream)."""
+
+    def test_drained_reservoir_matches_batch_topk(self, spark):
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions.curation import wor_priority
+        from fluxdb_spark.functions.text import token_count
+        from fluxdb_spark.streaming.stateful import WOR_STREAM_K
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.source, r.doc_id, r.weight, r.pri_e9)
+            for r in specs["stream_wor_sample"].spark(spark, sf).collect()
+        }
+        d = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "source",
+            "doc_id",
+            token_count(F.col("text")).cast("long").alias("weight"),
+        )
+        ranked = d.withColumn(
+            "pri_e9", wor_priority(F.col("doc_id"), F.col("weight"))
+        ).collect()
+        want = set()
+        by_src: dict[str, list] = {}
+        for r in ranked:
+            by_src.setdefault(r.source, []).append(r)
+        for rows in by_src.values():
+            rows.sort(key=lambda r: (-r.pri_e9, r.doc_id))
+            want |= {
+                (r.source, r.doc_id, r.weight, r.pri_e9)
+                for r in rows[:WOR_STREAM_K]
+            }
+        assert got == want
+
+    def test_trim_is_lossless_across_batches(self):
+        """A row evicted from the reservoir in batch 1 must not block a
+        better late row in batch 2, and a worse late row never enters."""
+        import pandas as pd
+
+        from fluxdb_spark.streaming.stateful import WOR_STREAM_K, _wor_group
+
+        class FakeState:
+            def __init__(self):
+                self.exists = False
+                self._t = None
+
+            @property
+            def get(self):
+                return self._t
+
+            def update(self, t):
+                self._t = t
+                self.exists = True
+
+        st = FakeState()
+        mk = lambda trips: pd.DataFrame(
+            {
+                "id": [t[0] for t in trips],
+                "w": [t[1] for t in trips],
+                "pri": [t[2] for t in trips],
+            }
+        )
+        # batch 1: k+2 rows; the two lowest priorities are trimmed
+        b1 = [(i, 10, -100 - i) for i in range(WOR_STREAM_K + 2)]
+        out1 = list(_wor_group(("s",), iter([mk(b1)]), st))[0].iloc[0]
+        assert out1["ver"] == WOR_STREAM_K + 2
+        assert len(out1["ids"]) == WOR_STREAM_K
+        assert set(out1["ids"]) == set(range(WOR_STREAM_K))
+        # batch 2: one row better than everything, one worse
+        b2 = [(100, 10, -1), (101, 10, -999)]
+        out2 = list(_wor_group(("s",), iter([mk(b2)]), st))[0].iloc[0]
+        assert out2["ver"] == WOR_STREAM_K + 4
+        assert out2["ids"][0] == 100  # best priority leads
+        assert 101 not in out2["ids"]  # worse-than-cut never enters
+        assert len(out2["ids"]) == WOR_STREAM_K
