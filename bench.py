@@ -239,6 +239,11 @@ HEADLINE = [
     # labeled-embedding Fisher separation and the cross-modal agreement screen
     "embed_class_separation",
     "embed_text_consistency",
+    # dedup threshold tuning, seasonality profile, OOD screen, per-group WOR
+    "dedup_threshold_sweep",
+    "event_seasonality",
+    "embed_outliers",
+    "wor_sample_stratified",
 ]
 
 

@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 17 round-11 additions (26 never-checked entries total), then
-    # the first 24 of the r08-green block.  After r12 every entry except
+    # + the 21 round-11 additions (30 never-checked entries total), then
+    # the first 20 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -167,6 +167,10 @@ _PRIORITY: list[str] = [
     "stream_wor_sample",
     "embed_class_separation",
     "embed_text_consistency",
+    "dedup_threshold_sweep",
+    "event_seasonality",
+    "embed_outliers",
+    "wor_sample_stratified",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -4229,7 +4233,10 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-_JACCARD_SQL = f"""
+def _jaccard_sql(threshold: float) -> str:
+    """Naive exact shingle-Jaccard pair SQL at `threshold` — the oracle
+    that proves the PPJoin prefix filter lossless at every cut point."""
+    return f"""
 WITH {dd.sql_shingles_ctes()},
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
@@ -4241,8 +4248,11 @@ scored AS (
   FROM inter
   JOIN shsize sa ON sa.doc_id = d1
   JOIN shsize sb ON sb.doc_id = d2)
-SELECT d1, d2, jaccard FROM scored WHERE jaccard >= 0.8
+SELECT d1, d2, jaccard FROM scored WHERE jaccard >= {threshold}
 """
+
+
+_JACCARD_SQL = _jaccard_sql(0.8)
 
 
 @_q("dedup_ngram", "pipeline", _JACCARD_SQL)
@@ -8963,3 +8973,145 @@ def embed_text_consistency(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     pairs = dd.jaccard_pairs(d, 0.8)
     return sim.pair_cosine(pairs, e)
+
+
+@_q(
+    "dedup_threshold_sweep",
+    "pipeline",
+    f"""
+WITH pairs AS MATERIALIZED ({_jaccard_sql(0.75)}),
+b AS (SELECT CAST(floor(jaccard * 20) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1)
+SELECT band, band * 5 AS thresh_x100, n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY band DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS surviving_pairs
+FROM b
+""",
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Threshold-tuning table for near-dup dedup from ONE exact pair
+    pass: pair counts per 0.05-wide Jaccard band at base threshold
+    0.75, with the running top-down total — `surviving_pairs` at band b
+    IS the pair volume a dedup run at threshold b/20 would have to
+    verify/merge, so the cut point is chosen from this table instead of
+    re-running the pipeline per candidate threshold. Scale shape: the
+    PPJoin pair pipeline once (the documented exactness grower); the
+    band rollup and the cumulative window live on the <= 6-row band
+    relation (the HDR-bucket precedent), never the pairs."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, 0.75)
+    bands = (
+        pairs.select(
+            F.floor(F.col("jaccard") * 20).cast("long").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bands.select(
+        "band",
+        (F.col("band") * 5).alias("thresh_x100"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("surviving_pairs"),
+    )
+
+
+@_q(
+    "event_seasonality",
+    "pipeline",
+    """
+WITH p AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hour
+  FROM events),
+cells AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+dmarg AS (SELECT dow, CAST(sum(n) AS BIGINT) AS n_dow FROM cells GROUP BY 1),
+hmarg AS (SELECT hour, CAST(sum(n) AS BIGINT) AS n_hour FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT c.dow, c.hour, c.n,
+       (c.n * 1000000) // t.total AS share_ppm,
+       (c.n * t.total * 1000000) // (d.n_dow * h.n_hour) AS lift_ppm
+FROM cells c JOIN dmarg d USING (dow) JOIN hmarg h USING (hour), tot t
+""",
+)
+def event_seasonality(spark, sf_dir):
+    """Day-of-week x hour-of-day traffic profile with an independence
+    lift — the seasonality fingerprint an ops/capacity owner reads:
+    `lift_ppm` > 1e6 means that cell exceeds what its day and hour
+    margins independently predict (a Tuesday-3am spike is an incident,
+    not a Tuesday or a 3am). Calendar math is pure integer arithmetic
+    on epoch micros (1970-01-01 was a Thursday, hence the +4 — no
+    engine dow() convention to disagree on). Scale shape: one map-side
+    projection into a <= 168-cell rollup; margins and the total ride
+    broadcasts back onto the bounded cell relation."""
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    hour_us = 3_600_000_000
+    us = F.unix_micros(F.col("ts"))
+    cells = (
+        ev.select(
+            ((us / day_us).cast("long") + 4) % 7,
+            (us % day_us).cast("long") / hour_us,
+        )
+        .toDF("dow", "hour")
+        .withColumn("hour", F.col("hour").cast("long"))
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dmarg = cells.groupBy("dow").agg(
+        F.sum("n").cast("long").alias("n_dow")
+    )
+    hmarg = cells.groupBy("hour").agg(
+        F.sum("n").cast("long").alias("n_hour")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        cells.join(F.broadcast(dmarg), "dow")
+        .join(F.broadcast(hmarg), "hour")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.expr("(n * 1000000) div total").alias("share_ppm"),
+            F.expr("(n * total * 1000000) div (n_dow * n_hour)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+@_q("embed_outliers", "pipeline", sim.sql_embedding_outliers(20))
+def embed_outliers(spark, sf_dir):
+    """The 20 vectors farthest from the global centroid — the
+    out-of-distribution screen beside `embed_norm_audit` (a corrupted
+    or wrong-modality vector can carry a perfectly normal magnitude and
+    still sit nowhere near the data); these are the rows a curation
+    pass inspects by hand before a training run ingests them. Exact
+    integer distances against the plan-literal centroid; the top-k is
+    TakeOrdered, never a corpus sort."""
+    return sim.embedding_outliers(_t(spark, sf_dir, "embeddings"), 20)
+
+
+@_q(
+    "wor_sample_stratified",
+    "pipeline",
+    cu.sql_wor_sample_grouped(5, group_col="lang"),
+)
+def wor_sample_stratified(spark, sf_dir):
+    """Exactly-5-PER-LANGUAGE weighted sampling without replacement —
+    the hard-quota draw (`stratified_sample` fixes RATES, `wor_sample`
+    draws globally and can starve a rare language; a per-language eval
+    set needs COUNTS). Same portable Efraimidis-Spirtakis key; the
+    per-group rank compiles to WindowGroupLimit so each map task
+    forwards at most k rows per language into the shuffle — never a
+    corpus sort."""
+    d = _t(spark, sf_dir, "documents")
+    return cu.wor_sample_grouped(d, 5, "lang").select(
+        "lang", "doc_id", "weight", "pri_e9"
+    )

@@ -865,3 +865,37 @@ r AS (SELECT *, row_number()
       FROM p)
 SELECT g AS {group_col}, doc_id, weight, pri_e9 FROM r WHERE rn <= {k}
 """
+
+
+def wor_sample_grouped(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "wor",
+) -> DataFrame:
+    """Exactly-k-PER-GROUP weighted sampling without replacement: the
+    same Efraimidis-Spirtakis key as `wor_sample`, quota'd per group —
+    the weighted counterpart of `cap_per_group`'s uniform cap, and the
+    draw a training mix with hard per-language quotas actually needs
+    (stratified_sample fixes RATES, this fixes COUNTS; `wor_sample`
+    draws globally and can starve a rare language).
+
+    Scale shape: the rank window partitions by the group and compiles
+    to WindowGroupLimit, so each map task forwards at most k rows per
+    group into the shuffle — never a corpus sort (the kmv/cap_per_group
+    precedent)."""
+    w = token_count(F.col(text_col)).cast("long")
+    base = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        w.alias("weight"),
+    ).withColumn("pri_e9", wor_priority(F.col(id_col), F.col("weight"), seed))
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("pri_e9"), F.col(id_col)
+    )
+    return (
+        base.withColumn("rn", F.row_number().over(win).cast("long"))
+        .filter(F.col("rn") <= k)
+    )

@@ -2372,21 +2372,7 @@ def class_separation(
     centroids (the label_noise/kmeans precedent) into a |labels|-row
     groupBy; between-distances are driver math on |labels|*dim longs."""
     labels, cents = label_centroids(corpus, scale, label_col, vec_col)
-    g_rows = (
-        corpus.select(
-            F.posexplode(_quantize(F.col(vec_col), scale)).alias(
-                "pos", "val"
-            )
-        )
-        .groupBy("pos")
-        .agg(
-            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
-            .cast("long")
-            .alias("gv")
-        )
-        .collect()
-    )
-    gcent = [gv for _, gv in sorted((r["pos"], r["gv"]) for r in g_rows)]
+    gcent = global_centroid(corpus, scale, vec_col)
     between = {
         lbl: sum((c - g) ** 2 for c, g in zip(cv, gcent))
         for lbl, cv in zip(labels, cents)
@@ -2530,4 +2516,90 @@ SELECT p.d1, p.d2, p.jaccard,
                        * 10000) / 10000.0
        END AS cos4
 FROM d JOIN pairs p USING (d1, d2)
+"""
+
+
+def global_centroid(
+    corpus: DataFrame,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """The corpus-wide centroid as EXACT integers — the same
+    floor(sum/count) fold as `label_centroids` over all rows; the
+    driver collects exactly dim longs (bounded-collect contract)."""
+    rows = (
+        corpus.select(
+            F.posexplode(_quantize(F.col(vec_col), scale)).alias(
+                "pos", "val"
+            )
+        )
+        .groupBy("pos")
+        .agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("gv")
+        )
+        .collect()
+    )
+    return [gv for _, gv in sorted((r["pos"], r["gv"]) for r in rows)]
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    k: int = 20,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The k vectors FARTHEST from the global centroid — the
+    out-of-distribution screen beside `embed_norm_audit`'s magnitude
+    check: a vector can have a perfectly normal norm and still sit
+    nowhere near the data (wrong modality, corrupted row, adversarial
+    insert); those are exactly the rows a curation pass inspects by
+    hand. Exact integer squared distances against the plan-literal
+    centroid (one `global_centroid` fold first), so the ranking is
+    bit-deterministic; the top-k is TakeOrdered — per-partition heaps,
+    no corpus shuffle, the `wor_sample` scale contract."""
+    gcent = global_centroid(corpus, scale, vec_col)
+    dist = F.aggregate(
+        F.zip_with(
+            _quantize(F.col(vec_col), scale),
+            F.lit(gcent),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            dist.alias("dist_sq"),
+        )
+        .orderBy(F.desc("dist_sq"), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def sql_embedding_outliers(k: int = 20, scale: int = 1_000_000) -> str:
+    """DuckDB twin of `embedding_outliers` — same centroid fold, same
+    exact integer distances, same (dist DESC, id) order."""
+    return f"""
+WITH qv AS (SELECT vec_id, label,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+                AS q
+            FROM embeddings),
+e AS (SELECT vec_id, label, i AS pos, q[i] AS val
+      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
+gcent AS (SELECT pos,
+            CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT)
+              AS gv
+          FROM e GROUP BY 1),
+d AS (SELECT e.vec_id, e.label,
+        CAST(sum((e.val - g.gv) * (e.val - g.gv)) AS BIGINT) AS dist_sq
+      FROM e JOIN gcent g USING (pos) GROUP BY 1, 2)
+SELECT vec_id, label, dist_sq FROM d
+ORDER BY dist_sq DESC, vec_id LIMIT {k}
 """

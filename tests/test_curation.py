@@ -524,3 +524,29 @@ class TestWorSample:
             .collect()[0][0]
         )
         assert sample_mean > corpus_mean
+
+
+class TestWorSampleGrouped:
+    def test_exact_quota_per_group(self, docs):
+        out = curation.wor_sample_grouped(docs, 3, "lang").collect()
+        by_lang: dict[str, int] = {}
+        for r in out:
+            by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+        n_langs = docs.select("lang").distinct().count()
+        assert len(by_lang) == n_langs
+        assert all(v == 3 for v in by_lang.values())
+
+    def test_grouped_draw_is_the_groupwise_global_draw(self, docs):
+        # each language's quota must equal wor_sample run on that
+        # language alone (the per-group key is the global key)
+        out = curation.wor_sample_grouped(docs, 4, "lang")
+        got = {
+            (r.lang, r.doc_id) for r in out.collect()
+        }
+        want = set()
+        for lang in [r.lang for r in docs.select("lang").distinct().collect()]:
+            sub = curation.wor_sample(
+                docs.filter(F.col("lang") == lang), 4
+            )
+            want |= {(lang, r.doc_id) for r in sub.collect()}
+        assert got == want

@@ -191,3 +191,30 @@ class TestEntityResolution:
         got = {r.name: r.canonical
                for r in resolve_entities(df, "name", 1).collect()}
         assert got == {"abcd": "abcd", "abce": "abcd"}
+
+
+class TestThresholdSweep:
+    """dedup_threshold_sweep semantics: the band histogram must tile the
+    pair set, and the running total must be the survivor count at each
+    candidate threshold."""
+
+    def test_bands_tile_pairs_and_cumulative_is_monotone(self, spark):
+        from fluxdb_spark.catalog import catalog
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        rows = sorted(
+            specs["dedup_threshold_sweep"].spark(spark, sf).collect(),
+            key=lambda r: -r.band,
+        )
+        from fluxdb_spark.functions import dedup as dd
+        from fluxdb_spark.sources.tables import load_table
+
+        pairs = dd.jaccard_pairs(load_table(spark, sf, "documents"), 0.75)
+        assert sum(r.n_pairs for r in rows) == pairs.count()
+        # top-down cumulative: surviving at band b == pairs with jaccard >= b/20
+        run = 0
+        for r in rows:
+            run += r.n_pairs
+            assert r.surviving_pairs == run
+            assert r.thresh_x100 == r.band * 5

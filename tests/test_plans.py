@@ -417,6 +417,31 @@ class TestRound11LateAdditionPlans:
         assert "partial" in p.lower()
         assert "row_number" not in p and "ntile" not in p
 
+    def test_embed_outliers_is_takeordered(self, spark, specs):
+        """The OOD top-k must be per-partition heaps against the
+        plan-literal centroid — no corpus sort, no join against a
+        centroid relation."""
+        p = plan_of(spark, specs, "embed_outliers")
+        assert "TakeOrderedAndProject" in p
+        assert "SortMergeJoin" not in p
+        assert "row_number" not in p
+
+    def test_stratified_wor_rank_is_group_limited(self, spark, specs):
+        """The per-language quota must compile to WindowGroupLimit so
+        each map task forwards at most k rows per group (the
+        kmv/cap_per_group contract)."""
+        p = plan_of(spark, specs, "wor_sample_stratified")
+        assert "WindowGroupLimit" in p
+
+    def test_seasonality_margins_ride_broadcasts(self, spark, specs):
+        """The <= 168-cell rollup must take its margins and total by
+        broadcast — a shuffle join here would mean the bounded cell
+        relation is being treated as data-proportional."""
+        p = plan_of(spark, specs, "event_seasonality")
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+
 
 class TestRound10AdditionPlans:
     def test_kmv_sketch_rank_is_group_limited(self, spark, specs):

@@ -806,3 +806,31 @@ class TestPairCosine:
         assert len(rows) == 1 and rows[0].cos4 is not None
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_surfaces_first(self, spark):
+        # a cluster near the origin + one far-away row: the plant must
+        # lead the ranking even though its NORM equals another member's
+        # (the screen embed_norm_audit cannot perform)
+        rows = [(i, 0, [1.0, 0.0]) for i in range(9)]
+        rows.append((9, 0, [0.0, 50.0]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<float>"
+        )
+        out = sim.embedding_outliers(df, 3).collect()
+        assert out[0].vec_id == 9
+        assert out[0].dist_sq > out[1].dist_sq
+
+    def test_global_centroid_is_exact_floor_mean(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, -1.0]), (1, [2.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        # quantized: [1e6, -1e6], [2e6, 2e6] -> floor(mean) = [1.5e6, 5e5]
+        assert sim.global_centroid(df) == [1_500_000, 500_000]
+
+    def test_deterministic_tiebreak_on_id(self, corpus):
+        a = [r.vec_id for r in sim.embedding_outliers(corpus, 20).collect()]
+        b = [r.vec_id for r in sim.embedding_outliers(corpus, 20).collect()]
+        assert a == b and len(a) == 20
