@@ -244,6 +244,9 @@ HEADLINE = [
     "event_seasonality",
     "embed_outliers",
     "wor_sample_stratified",
+    # token-budget planning curve and the streaming anomaly watchlist
+    "token_budget_curve",
+    "stream_embed_outliers",
 ]
 
 

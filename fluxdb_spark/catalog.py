@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 21 round-11 additions (30 never-checked entries total), then
-    # the first 20 of the r08-green block.  After r12 every entry except
+    # + the 23 round-11 additions (32 never-checked entries total), then
+    # the first 18 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -171,6 +171,8 @@ _PRIORITY: list[str] = [
     "event_seasonality",
     "embed_outliers",
     "wor_sample_stratified",
+    "token_budget_curve",
+    "stream_embed_outliers",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -9114,4 +9116,147 @@ def wor_sample_stratified(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return cu.wor_sample_grouped(d, 5, "lang").select(
         "lang", "doc_id", "weight", "pri_e9"
+    )
+
+
+@_q(
+    "token_budget_curve",
+    "pipeline",
+    f"""
+WITH lm AS ({tx.SQL_BIGRAM_LM}),
+j AS (SELECT CAST(floor(l.avg_logp * 8) AS BIGINT) AS lp_band,
+             CAST({tx.sql_token_count('d.text')} AS BIGINT) AS toks
+      FROM lm l JOIN documents d USING (doc_id)),
+b AS (SELECT lp_band, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS band_tokens
+      FROM j GROUP BY 1)
+SELECT lp_band, n_docs, band_tokens,
+       CAST(sum(n_docs) OVER (ORDER BY lp_band DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_docs,
+       CAST(sum(band_tokens) OVER (ORDER BY lp_band DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM b
+""",
+)
+def token_budget_curve(spark, sf_dir):
+    """The data-mix PLANNING CURVE: documents and tokens available at
+    every fluency cut, cumulated from the most fluent band down —
+    "keep everything above band b" reads its doc and token budget off
+    one row, so the quality-vs-volume trade is priced as a table
+    instead of re-running the filter per candidate cut (the
+    `dedup_threshold_sweep` argument applied to quality filtering; the
+    CCNet head/middle/tail decision is one lookup here). Bands are the
+    eighth-integer log-likelihood bands of `quality_calibration`.
+    Scale shape: inherits bigram_lm_scores' model join; the rollup and
+    both cumulative windows live on the bounded band relation, never
+    the corpus."""
+    d = _td(spark, sf_dir)
+    lm = tx.bigram_lm_scores(d)
+    toks = d.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("toks")
+    )
+    bands = (
+        lm.join(toks, "doc_id")
+        .select(
+            F.floor(F.col("avg_logp") * 8).cast("long").alias("lp_band"),
+            "toks",
+        )
+        .groupBy("lp_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("band_tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("lp_band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bands.select(
+        "lp_band",
+        "n_docs",
+        "band_tokens",
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("band_tokens").over(w).cast("long").alias("cum_tokens"),
+    )
+
+
+@_q(
+    "stream_embed_outliers",
+    "streaming",
+    sim.sql_embedding_outliers_grouped(10),
+)
+def stream_embed_outliers(spark, sf_dir):
+    """STREAMING per-class anomaly watchlist: the 10 farthest-from-
+    centroid vectors per label, maintained as GroupState — the standing
+    form of `embed_outliers` an ingest pipeline keeps current so the
+    odd rows are ALREADY identified when a curation pass starts. The
+    centroid is frozen batch-side into plan literals (the PQ-codebook /
+    k-means-sidecar precedent: scoring models do not drift with the
+    stream), distances are exact integers computed JVM-side in the
+    prepared projection, and the state fold is LITERALLY the weighted
+    reservoir's (`stateful.wor_stream`'s top-k-by-fixed-priority trim,
+    priority = distance): a vector cut from the watchlist can never
+    re-enter, so the trim is lossless and the drained state hash-matches
+    the batch per-label top-k."""
+    import uuid
+
+    from fluxdb_spark.streaming.stateful import (
+        _WOR_OUT_SCHEMA,
+        _WOR_STATE_SCHEMA,
+        _wor_group,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gcent = sim.global_centroid(_t(spark, sf_dir, "embeddings"))
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    qvec = F.expr(
+        "transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    dist = F.aggregate(
+        F.zip_with(qvec, F.lit(gcent), lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    prepared = raw.select(
+        F.col("label").cast("string").alias("g"),
+        F.col("vec_id").alias("id"),
+        dist.alias("w"),
+    ).withColumn("pri", F.col("w"))
+    out = prepared.groupBy("g").applyInPandasWithState(
+        _wor_group,
+        outputStructType=_WOR_OUT_SCHEMA,
+        stateStructType=_WOR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_outliers_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    w = Window.partitionBy("g").orderBy(F.desc("ver"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").cast("long").alias("label"),
+            F.explode(F.arrays_zip("pris", "ids")).alias("z"),
+        )
+        .select(
+            "label",
+            F.col("z.ids").alias("vec_id"),
+            F.col("z.pris").alias("dist_sq"),
+        )
     )

@@ -2603,3 +2603,29 @@ d AS (SELECT e.vec_id, e.label,
 SELECT vec_id, label, dist_sq FROM d
 ORDER BY dist_sq DESC, vec_id LIMIT {k}
 """
+
+
+def sql_embedding_outliers_grouped(k: int = 10, scale: int = 1_000_000) -> str:
+    """DuckDB twin of the PER-LABEL outlier watchlist (the streaming
+    `stream_embed_outliers` drained == batch per-label top-k by the same
+    exact integer distance, ties on vec_id)."""
+    return f"""
+WITH qv AS (SELECT vec_id, label,
+              list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))
+                AS q
+            FROM embeddings),
+e AS (SELECT vec_id, label, i AS pos, q[i] AS val
+      FROM qv, UNNEST(range(1, len(q) + 1)) AS u(i)),
+gcent AS (SELECT pos,
+            CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT)
+              AS gv
+          FROM e GROUP BY 1),
+d AS (SELECT e.vec_id, e.label,
+        CAST(sum((e.val - g.gv) * (e.val - g.gv)) AS BIGINT) AS dist_sq
+      FROM e JOIN gcent g USING (pos) GROUP BY 1, 2),
+r AS (SELECT *, row_number()
+        OVER (PARTITION BY label ORDER BY dist_sq DESC, vec_id) AS rn
+      FROM d)
+SELECT label, vec_id, dist_sq FROM r WHERE rn <= {k}
+"""

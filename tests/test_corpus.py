@@ -1018,3 +1018,43 @@ class TestWeeklyGrowth:
         assert got["2024-01-02"] == (2, 20000, 10000, 1_000_000)
         # day 3: 10000 cents, -50% = -500_000 ppm
         assert got["2024-01-03"] == (1, 10000, 20000, -500_000)
+
+
+class TestTokenBudgetCurve:
+    """token_budget_curve semantics: the curve must conserve the scored
+    corpus exactly, and the cumulative columns must be the top-down
+    running totals a cut decision reads."""
+
+    def test_curve_conserves_scored_corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions import text as tx
+        from fluxdb_spark.sources.tables import load_table
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        rows = sorted(
+            specs["token_budget_curve"].spark(spark, sf).collect(),
+            key=lambda r: -r.lp_band,
+        )
+        d = load_table(spark, sf, "documents")
+        scored = tx.bigram_lm_scores(d).join(
+            d.select(
+                "doc_id",
+                tx.token_count(F.col("text")).cast("long").alias("toks"),
+            ),
+            "doc_id",
+        )
+        n_scored, tok_scored = scored.agg(
+            F.count(F.lit(1)), F.sum("toks")
+        ).collect()[0]
+        # totals: the last (least-fluent) row's cumulative == everything
+        assert rows[-1].cum_docs == n_scored
+        assert rows[-1].cum_tokens == tok_scored
+        # running totals are exact partial sums, top-down
+        run_d = run_t = 0
+        for r in rows:
+            run_d += r.n_docs
+            run_t += r.band_tokens
+            assert (r.cum_docs, r.cum_tokens) == (run_d, run_t)

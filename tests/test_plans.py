@@ -316,7 +316,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_sessionize", "stream_simhash_dedup",
         "stream_hll_distinct", "stream_cms_heavy_hitters",
         "stream_rfm", "stream_kmv_overlap", "stream_source_divergence",
-        "stream_hll_rollup", "stream_wor_sample",
+        "stream_hll_rollup", "stream_wor_sample", "stream_embed_outliers",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
@@ -441,6 +441,14 @@ class TestRound11LateAdditionPlans:
         assert "BroadcastHashJoin" in p
         assert "SortMergeJoin" not in p
         assert "CartesianProduct" not in p
+
+    def test_token_budget_curve_windows_only_bands(self, spark, specs):
+        """Both cumulative windows must run over the bounded lp_band
+        relation — a rank or ntile would mean a data-proportional
+        sort crept back into the quality-cut machinery."""
+        p = plan_of(spark, specs, "token_budget_curve")
+        assert "row_number" not in p and "ntile" not in p
+        assert "windowspecdefinition(lp_band" in p
 
 
 class TestRound10AdditionPlans:

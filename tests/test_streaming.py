@@ -957,3 +957,44 @@ class TestStreamWorSample:
         assert out2["ids"][0] == 100  # best priority leads
         assert 101 not in out2["ids"]  # worse-than-cut never enters
         assert len(out2["ids"]) == WOR_STREAM_K
+
+
+class TestStreamEmbedOutliers:
+    """Streaming per-class anomaly watchlist (frozen-centroid top-k as
+    GroupState, the _wor_group fold with priority = distance)."""
+
+    def test_drained_watchlist_matches_batch_topk(self, spark):
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions import similarity as sim
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.label, r.vec_id, r.dist_sq)
+            for r in specs["stream_embed_outliers"].spark(spark, sf).collect()
+        }
+        e = spark.read.parquet(f"{sf}/embeddings.parquet")
+        gcent = sim.global_centroid(e)
+        from pyspark.sql import functions as F
+
+        dist = F.aggregate(
+            F.zip_with(
+                F.expr(
+                    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+                    " * 1000000) AS BIGINT))"
+                ),
+                F.lit(gcent),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        rows = e.select("label", "vec_id", dist.alias("d")).collect()
+        by_label: dict[int, list] = {}
+        for r in rows:
+            by_label.setdefault(r.label, []).append(r)
+        want = set()
+        for members in by_label.values():
+            members.sort(key=lambda r: (-r.d, r.vec_id))
+            want |= {(r.label, r.vec_id, r.d) for r in members[:10]}
+        assert got == want
