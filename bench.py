@@ -247,6 +247,8 @@ HEADLINE = [
     # token-budget planning curve and the streaming anomaly watchlist
     "token_budget_curve",
     "stream_embed_outliers",
+    # MinHash-LSH S-curve: analytic vs empirical per Jaccard band
+    "dedup_lsh_tuning",
 ]
 
 

@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 23 round-11 additions (32 never-checked entries total), then
-    # the first 18 of the r08-green block.  After r12 every entry except
+    # + the 24 round-11 additions (33 never-checked entries total), then
+    # the first 17 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -173,6 +173,7 @@ _PRIORITY: list[str] = [
     "wor_sample_stratified",
     "token_budget_curve",
     "stream_embed_outliers",
+    "dedup_lsh_tuning",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -9259,4 +9260,116 @@ def stream_embed_outliers(spark, sf_dir):
             F.col("z.ids").alias("vec_id"),
             F.col("z.pris").alias("dist_sq"),
         )
+    )
+
+
+# The analytic MinHash-LSH S-curve for the shipped config (K=8 sigs,
+# B=4 bands, R=2 rows/band): P(candidate | jaccard=s) = 1-(1-s^R)^B.
+# Written once as engine-common SQL text (CAST/floor/mul only — no pow,
+# no libm), evaluated at each 0.05-band midpoint, so Spark and DuckDB
+# produce the identical BIGINT ppm literal.
+_LSH_S = "least(CAST(band AS DOUBLE) / 20.0 + 0.025, 1.0)"
+_LSH_T = f"(1.0 - {_LSH_S} * {_LSH_S})"
+_LSH_THEORY = (
+    f"CAST(floor((1.0 - {_LSH_T} * {_LSH_T} * {_LSH_T} * {_LSH_T})"
+    " * 1000000) AS BIGINT)"
+)
+
+
+def _lsh_tuning_sql() -> str:
+    k = dd.MINHASH_K
+    chunks = dd.sql_shingle_hash_chunks("shingle", k)
+    hash_cols = ", ".join(f"{c} AS h{i}" for i, c in enumerate(chunks))
+    sig_cols = ", ".join(f"min(h{i}) AS sig{i}" for i in range(k))
+    band_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, sig{2 * b} AS h0, sig{2 * b + 1} AS h1"
+        " FROM sigs"
+        for b in range(k // 2)
+    )
+    return f"""
+WITH {dd.sql_shingles_ctes()},
+shingle_hashes AS (
+  SELECT shingle, {hash_cols} FROM (SELECT DISTINCT shingle FROM sh)),
+sigs AS (
+  SELECT doc_id, {sig_cols}
+  FROM sh JOIN shingle_hashes USING (shingle) GROUP BY doc_id),
+lbands AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM lbands a JOIN lbands b
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+   AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+exact AS MATERIALIZED (
+  SELECT i.d1, i.d2,
+         round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) AS jaccard
+  FROM inter i
+  JOIN shsize sa ON sa.doc_id = i.d1
+  JOIN shsize sb ON sb.doc_id = i.d2
+  WHERE round(i.inter * 1.0 / (sa.n + sb.n - i.inter), 4) >= 0.75),
+emp AS (
+  SELECT CAST(floor(e.jaccard * 20) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_caught
+  FROM exact e LEFT JOIN cands c ON c.d1 = e.d1 AND c.d2 = e.d2
+  GROUP BY 1),
+theory AS (
+  SELECT CAST(band AS BIGINT) AS band, {_LSH_THEORY} AS theory_ppm
+  FROM (SELECT unnest(range(0, 21)) AS band))
+SELECT t.band, t.theory_ppm, e.n_pairs, e.n_caught,
+       CASE WHEN e.n_pairs > 0 THEN (e.n_caught * 1000000) // e.n_pairs END
+         AS caught_ppm
+FROM theory t LEFT JOIN emp e USING (band)
+"""
+
+
+@_q("dedup_lsh_tuning", "pipeline", _lsh_tuning_sql())
+def dedup_lsh_tuning(spark, sf_dir):
+    """The MinHash-LSH TUNING CURVE for the shipped (K=8, B=4, R=2)
+    config: per 0.05-wide Jaccard band, the analytic candidate
+    probability 1-(1-s^2)^4 at the band midpoint (plan-literal math —
+    CAST/floor/multiply only, no libm) beside the EMPIRICAL catch rate
+    of raw band candidates against the exact pairs, where exact pairs
+    are affordable (bands >= 0.75; below the knee the exact standard is
+    precisely what LSH exists to avoid computing, so those rows
+    honestly carry theory only). The table that answers "what recall
+    does this banding buy at threshold t, and does this corpus behave
+    like the theory says" before a 100 TB run commits to a config.
+    Scale shape: signatures + banded self-join are the standard LSH
+    build; the exact side is the PPJoin pipeline once; rollup and the
+    final join live on the 21-row band relation."""
+    d = _td(spark, sf_dir)
+    theory = (
+        spark.range(21)
+        .select(F.col("id").cast("long").alias("band"))
+        .select("band", F.expr(_LSH_THEORY).alias("theory_ppm"))
+    )
+    pairs = dd.jaccard_pairs(d, 0.75)
+    cand = dd.lsh_candidate_pairs(dd.minhash_signatures(d)).withColumn(
+        "caught", F.lit(1)
+    )
+    emp = (
+        pairs.join(cand, ["d1", "d2"], "left")
+        .select(
+            F.floor(F.col("jaccard") * 20).cast("long").alias("band"),
+            F.coalesce(F.col("caught"), F.lit(0)).alias("c"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("c").cast("long").alias("n_caught"),
+        )
+    )
+    return theory.join(F.broadcast(emp), "band", "left").select(
+        "band",
+        "theory_ppm",
+        "n_pairs",
+        "n_caught",
+        F.expr(
+            "CASE WHEN n_pairs > 0 THEN (n_caught * 1000000) div n_pairs END"
+        ).alias("caught_ppm"),
     )

@@ -218,3 +218,32 @@ class TestThresholdSweep:
             run += r.n_pairs
             assert r.surviving_pairs == run
             assert r.thresh_x100 == r.band * 5
+
+
+class TestLshTuning:
+    """dedup_lsh_tuning semantics: the analytic S-curve and the empirical
+    catch rates must both behave like the theory they encode."""
+
+    def test_theory_monotone_and_empirical_catch(self, spark):
+        from fluxdb_spark.catalog import catalog
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        rows = sorted(
+            specs["dedup_lsh_tuning"].spark(spark, sf).collect(),
+            key=lambda r: r.band,
+        )
+        assert [r.band for r in rows] == list(range(21))
+        # analytic curve: monotone non-decreasing, 0-ish at s~0, ~1 at s=1
+        t = [r.theory_ppm for r in rows]
+        assert all(a <= b for a, b in zip(t, t[1:]))
+        assert t[0] < 10_000 and t[20] == 1_000_000
+        # empirical: only the affordable bands (>= 0.75) carry counts,
+        # and every exact pair there is caught (banding lossless above
+        # the knee — the dedup_recall_eval property, per band)
+        for r in rows:
+            if r.band < 15:
+                assert r.n_pairs is None
+            elif r.n_pairs is not None:
+                assert r.n_caught == r.n_pairs
+                assert r.caught_ppm == 1_000_000
