@@ -777,21 +777,31 @@ def wor_priority(key: Column, weight: Column, seed: str = "wor") -> Column:
     exact IEEE (long add, long->double cast, power-of-two divide); ln
     is the one libm call, nano-floored so both engines emit the same
     integer (the bigram-LM avg_logp precedent), and ties — possible
-    after flooring — break on the id, deterministically."""
+    after flooring — break on the id, deterministically.
+
+    A non-positive weight NULLs the priority on BOTH engines (ln(u)/0
+    is -inf, which Spark's long cast saturates but DuckDB's refuses —
+    the cross-engine divergence class ADVICE r10 flagged); the default
+    token_count weight is always >= 1, so this only guards caller-
+    supplied weight columns. NULL priorities sort last under DESC in
+    both engines (Spark desc() and DuckDB's default are NULLS LAST)."""
     u = (hash60(key.cast("string"), seed) + F.lit(1)).cast("double") / F.lit(
         float(2**60)
     )
-    return (
-        F.floor(F.ln(u) / weight.cast("double") * F.lit(1e9)).cast("long")
+    return F.when(
+        weight > 0,
+        F.floor(F.ln(u) / weight.cast("double") * F.lit(1e9)).cast("long"),
     )
 
 
 def sql_wor_priority(key_expr: str, weight_expr: str, seed: str = "wor") -> str:
-    """DuckDB twin of `wor_priority` (same bits, same op order)."""
+    """DuckDB twin of `wor_priority` (same bits, same op order, same
+    non-positive-weight NULL guard)."""
     h = hash60_sql(f"CAST({key_expr} AS VARCHAR)", seed)
     return (
+        f"CASE WHEN {weight_expr} > 0 THEN "
         f"CAST(floor(ln(CAST({h} + 1 AS DOUBLE) / 1152921504606846976.0)"
-        f" / CAST({weight_expr} AS DOUBLE) * 1e9) AS BIGINT)"
+        f" / CAST({weight_expr} AS DOUBLE) * 1e9) AS BIGINT) END"
     )
 
 

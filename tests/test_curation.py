@@ -550,3 +550,33 @@ class TestWorSampleGrouped:
             )
             want |= {(lang, r.doc_id) for r in sub.collect()}
         assert got == want
+
+
+class TestWorPriorityGuard:
+    def test_nonpositive_weight_nulls_priority(self, spark):
+        # ln(u)/0 is -inf: Spark's long cast saturates, DuckDB's refuses
+        # — both engines must NULL instead (the ADVICE r10 div class)
+        df = spark.createDataFrame(
+            [(1, 0), (2, -3), (3, 10)], "doc_id long, w long"
+        )
+        out = {
+            r.doc_id: r.p
+            for r in df.select(
+                "doc_id",
+                curation.wor_priority(F.col("doc_id"), F.col("w")).alias("p"),
+            ).collect()
+        }
+        assert out[1] is None and out[2] is None
+        assert out[3] is not None
+
+    def test_sql_twin_agrees_on_guard(self):
+        import duckdb
+
+        con = duckdb.connect(":memory:")
+        expr = curation.sql_wor_priority("doc_id", "w")
+        rows = con.execute(
+            f"SELECT doc_id, {expr} AS p FROM (VALUES (1, 0), (2, -3),"
+            " (3, 10)) t(doc_id, w) ORDER BY doc_id"
+        ).fetchall()
+        assert rows[0][1] is None and rows[1][1] is None
+        assert rows[2][1] is not None
