@@ -249,6 +249,9 @@ HEADLINE = [
     "stream_embed_outliers",
     # MinHash-LSH S-curve: analytic vs empirical per Jaccard band
     "dedup_lsh_tuning",
+    # MinHash estimator quality and the temperature-mix budget sweep
+    "dedup_minhash_estimator",
+    "temperature_budget_sweep",
 ]
 
 

@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 24 round-11 additions (33 never-checked entries total), then
-    # the first 17 of the r08-green block.  After r12 every entry except
+    # + the 26 round-11 additions (35 never-checked entries total), then
+    # the first 15 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -174,6 +174,8 @@ _PRIORITY: list[str] = [
     "token_budget_curve",
     "stream_embed_outliers",
     "dedup_lsh_tuning",
+    "dedup_minhash_estimator",
+    "temperature_budget_sweep",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -8943,6 +8945,23 @@ def stream_wor_sample(spark, sf_dir):
     )
 
 
+_GCENT_CACHE: dict[str, list] = {}
+
+
+def _gcent(spark, sf_dir):
+    """The corpus-wide embedding centroid for an sf_dir, computed once
+    and memoized — the fold is deterministic exact integers (the
+    `_bpe_merges` amortization pattern), and three entries
+    (embed_class_separation / embed_outliers / stream_embed_outliers)
+    score against the same centroid, so sharing it is pure
+    amortization, not a semantic coupling."""
+    if sf_dir not in _GCENT_CACHE:
+        _GCENT_CACHE[sf_dir] = sim.global_centroid(
+            _t(spark, sf_dir, "embeddings")
+        )
+    return _GCENT_CACHE[sf_dir]
+
+
 @_q("embed_class_separation", "pipeline", sim.sql_class_separation())
 def embed_class_separation(spark, sf_dir):
     """Per-class Fisher separation (between-class scatter of each label
@@ -8954,7 +8973,9 @@ def embed_class_separation(spark, sf_dir):
     int64 scatters; `fisher` is one IEEE multiply + divide,
     NULL-guarded. One centroid fold + one map-only pass against
     plan-literal centroids into a |labels|-row rollup."""
-    return sim.class_separation(_t(spark, sf_dir, "embeddings"))
+    return sim.class_separation(
+        _t(spark, sf_dir, "embeddings"), gcent=_gcent(spark, sf_dir)
+    )
 
 
 @_q(
@@ -9098,7 +9119,9 @@ def embed_outliers(spark, sf_dir):
     pass inspects by hand before a training run ingests them. Exact
     integer distances against the plan-literal centroid; the top-k is
     TakeOrdered, never a corpus sort."""
-    return sim.embedding_outliers(_t(spark, sf_dir, "embeddings"), 20)
+    return sim.embedding_outliers(
+        _t(spark, sf_dir, "embeddings"), 20, gcent=_gcent(spark, sf_dir)
+    )
 
 
 @_q(
@@ -9209,7 +9232,7 @@ def stream_embed_outliers(spark, sf_dir):
     )
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    gcent = sim.global_centroid(_t(spark, sf_dir, "embeddings"))
+    gcent = _gcent(spark, sf_dir)
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -9373,3 +9396,161 @@ def dedup_lsh_tuning(spark, sf_dir):
             "CASE WHEN n_pairs > 0 THEN (n_caught * 1000000) div n_pairs END"
         ).alias("caught_ppm"),
     )
+
+
+def _minhash_estimator_sql() -> str:
+    k = dd.MINHASH_K
+    chunks = dd.sql_shingle_hash_chunks("shingle", k)
+    hash_cols = ", ".join(f"{c} AS h{i}" for i, c in enumerate(chunks))
+    sig_cols = ", ".join(f"min(h{i}) AS sig{i}" for i in range(k))
+    agree = " + ".join(
+        f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    return f"""
+WITH {dd.sql_shingles_ctes()},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT d1, d2,
+         round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+  FROM inter
+  JOIN shsize sa ON sa.doc_id = d1
+  JOIN shsize sb ON sb.doc_id = d2
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+shingle_hashes AS (
+  SELECT shingle, {hash_cols} FROM (SELECT DISTINCT shingle FROM sh)),
+sigs AS (
+  SELECT doc_id, {sig_cols}
+  FROM sh JOIN shingle_hashes USING (shingle) GROUP BY doc_id),
+scored AS (
+  SELECT CAST(floor(p.jaccard * 20) AS BIGINT) AS band,
+         CAST(({agree}) * 125000 AS BIGINT) AS est_ppm,
+         CAST(round(p.jaccard * 1000000) AS BIGINT) AS jac_ppm
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.d1
+  JOIN sigs b ON b.doc_id = p.d2)
+SELECT band, CAST(count(*) AS BIGINT) AS n_pairs,
+       (CAST(sum(abs(est_ppm - jac_ppm)) AS BIGINT)) // count(*)
+         AS mean_abs_err_ppm,
+       (CAST(sum(CASE WHEN est_ppm >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         * 1000000) // count(*) AS agree4_ppm
+FROM scored GROUP BY band
+"""
+
+
+@_q("dedup_minhash_estimator", "pipeline", _minhash_estimator_sql())
+def dedup_minhash_estimator(spark, sf_dir):
+    """MinHash ESTIMATOR-QUALITY table: per exact-Jaccard band, how far
+    the 8-slot signature agreement (an unbiased Jaccard estimate in
+    1/8th steps) lands from the true value, and how often it clears the
+    >= 4/8 cut — the number that justifies `decontaminate_fuzzy`'s
+    agreement threshold and sizes the sketch before anyone trusts it at
+    100 TB (K signatures estimate Jaccard with sd sqrt(J(1-J)/K); this
+    measures it on THIS corpus). Scale shape: the exact pair relation
+    drives two equi-joins against the |docs|-row signature table; the
+    rollup is <= 5 bands."""
+    k = dd.MINHASH_K
+    d = _td(spark, sf_dir)
+    pairs = dd.jaccard_pairs(d, 0.8)
+    sigs = dd.minhash_signatures(d).localCheckpoint()
+    a = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(k)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    scored = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            F.floor(F.col("jaccard") * 20).cast("long").alias("band"),
+            (agree * F.lit(125000)).cast("long").alias("est_ppm"),
+            F.expr("CAST(round(jaccard * 1000000) AS BIGINT)").alias(
+                "jac_ppm"
+            ),
+        )
+    )
+    return scored.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(abs(est_ppm - jac_ppm)) AS BIGINT) div count(*)"
+        ).alias("mean_abs_err_ppm"),
+        F.expr(
+            "(CAST(sum(CASE WHEN est_ppm >= 500000 THEN 1 ELSE 0 END)"
+            " AS BIGINT) * 1000000) div count(*)"
+        ).alias("agree4_ppm"),
+    )
+
+
+def _tmix_budget_sql(target: int = 200) -> str:
+    def block(w_expr: str, tau_x100: int) -> str:
+        return f"""
+SELECT CAST({tau_x100} AS BIGINT) AS tau_x100,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum({tx.sql_token_count('d.text')}), 0) AS BIGINT)
+         AS n_tokens
+FROM documents d
+JOIN (SELECT grp,
+             least({cu.SAMPLE_BUCKETS},
+                   CAST(floor({float(target)} * {w_expr}
+                        / sum({w_expr}) OVER (
+                            ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+                        / n * {cu.SAMPLE_BUCKETS}) AS BIGINT)) AS rate
+      FROM (SELECT lang AS grp, count(*) AS n FROM documents GROUP BY 1)) r
+  ON d.lang = r.grp
+WHERE {cu.sql_bucket('doc_id', 'tmix')} < r.rate"""
+
+    blocks = [
+        block("pow(CAST(n AS DOUBLE), 0.0)", 0),
+        block("sqrt(CAST(n AS DOUBLE))", 50),
+        block("pow(CAST(n AS DOUBLE), 1.0)", 100),
+    ]
+    return "\nUNION ALL\n".join(blocks)
+
+
+@_q("temperature_budget_sweep", "pipeline", _tmix_budget_sql())
+def temperature_budget_sweep(spark, sf_dir):
+    """The temperature-mixing BUDGET SWEEP: realized document and token
+    counts of the same deterministic hash-selected mix at tau = 0
+    (uniform across languages), 0.5 (the sqrt flattening most LLM mixes
+    ship), and 1 (natural proportions) — the `token_budget_curve`
+    argument applied to mixture rebalancing: the tau-vs-budget trade is
+    priced as one table instead of materializing a mix per candidate.
+    Counts are REALIZED (the exact salted-hash filter `temperature_mix`
+    applies), not expectations, so the table states precisely what the
+    pipeline would produce. tau=0/1 evaluate through IEEE-exact pow
+    identities and tau=0.5 through correctly-rounded sqrt — the only
+    portable points on the pow curve, which is why the sweep ships
+    these three. Scale shape: per tau, one |groups|-row rate relation
+    broadcast back and one conditional-aggregate scan."""
+    d = _t(spark, sf_dir, "documents")
+    parts = []
+    for tau_x100, tau in ((0, 0.0), (50, 0.5), (100, 1.0)):
+        kept = cu.temperature_mix(d, "lang", 200, tau)
+        parts.append(
+            kept.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(
+                    F.sum(tx.token_count(F.col("text"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_tokens"),
+            ).select(
+                F.lit(tau_x100).cast("long").alias("tau_x100"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

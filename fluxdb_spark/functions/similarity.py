@@ -2353,6 +2353,7 @@ def class_separation(
     scale: int = 1_000_000,
     label_col: str = "label",
     vec_col: str = "embedding",
+    gcent: list[int] | None = None,
 ) -> DataFrame:
     """Per-class Fisher separation over the embedding corpus — the
     labeled-data health screen beside `label_noise_matrix`: for every
@@ -2372,7 +2373,8 @@ def class_separation(
     centroids (the label_noise/kmeans precedent) into a |labels|-row
     groupBy; between-distances are driver math on |labels|*dim longs."""
     labels, cents = label_centroids(corpus, scale, label_col, vec_col)
-    gcent = global_centroid(corpus, scale, vec_col)
+    if gcent is None:
+        gcent = global_centroid(corpus, scale, vec_col)
     between = {
         lbl: sum((c - g) ** 2 for c, g in zip(cv, gcent))
         for lbl, cv in zip(labels, cents)
@@ -2551,6 +2553,7 @@ def embedding_outliers(
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    gcent: list[int] | None = None,
 ) -> DataFrame:
     """The k vectors FARTHEST from the global centroid — the
     out-of-distribution screen beside `embed_norm_audit`'s magnitude
@@ -2561,7 +2564,8 @@ def embedding_outliers(
     centroid (one `global_centroid` fold first), so the ranking is
     bit-deterministic; the top-k is TakeOrdered — per-partition heaps,
     no corpus shuffle, the `wor_sample` scale contract."""
-    gcent = global_centroid(corpus, scale, vec_col)
+    if gcent is None:
+        gcent = global_centroid(corpus, scale, vec_col)
     dist = F.aggregate(
         F.zip_with(
             _quantize(F.col(vec_col), scale),

@@ -580,3 +580,27 @@ class TestWorPriorityGuard:
         ).fetchall()
         assert rows[0][1] is None and rows[1][1] is None
         assert rows[2][1] is not None
+
+
+class TestTemperatureBudgetSweep:
+    def test_sweep_equals_materialized_mix(self, spark, docs):
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions.text import token_count
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.tau_x100: (r.n_docs, r.n_tokens)
+            for r in specs["temperature_budget_sweep"].spark(spark, sf).collect()
+        }
+        assert set(got) == {0, 50, 100}
+        for tau_x100, tau in ((0, 0.0), (50, 0.5), (100, 1.0)):
+            kept = curation.temperature_mix(docs, "lang", 200, tau)
+            n = kept.count()
+            toks = (
+                kept.select(token_count(F.col("text")).alias("t"))
+                .agg(F.sum("t"))
+                .collect()[0][0]
+                or 0
+            )
+            assert got[tau_x100] == (n, toks)

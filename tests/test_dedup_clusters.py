@@ -247,3 +247,21 @@ class TestLshTuning:
             elif r.n_pairs is not None:
                 assert r.n_caught == r.n_pairs
                 assert r.caught_ppm == 1_000_000
+
+
+class TestMinhashEstimator:
+    def test_bands_tile_exact_pairs_and_error_is_bounded(self, spark):
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions import dedup as dd
+        from fluxdb_spark.sources.tables import load_table
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        rows = specs["dedup_minhash_estimator"].spark(spark, sf).collect()
+        pairs = dd.jaccard_pairs(load_table(spark, sf, "documents"), 0.8)
+        assert sum(r.n_pairs for r in rows) == pairs.count()
+        assert all(16 <= r.band <= 20 for r in rows)
+        # K=8 slots estimate J in 1/8th steps: per-pair error is at most
+        # max(J, 1-J) but the MEAN at J >= 0.8 must sit well inside the
+        # one-slot quantization width (125000 ppm) + sampling noise
+        assert all(r.mean_abs_err_ppm <= 250_000 for r in rows)

@@ -861,3 +861,54 @@ def test_novelty_counts_tile_the_vocabulary(spark, docs):
         first = min(r.doc_id for r in rows)
         got = next(r for r in rows if r.doc_id == first)
         assert got.n_novel == got.n_shingles
+
+
+# --- weighted WOR sampling: the shard-merge algebra -------------------------
+#
+# The distributability claim of curation.wor_sample: because every row's
+# Efraimidis-Spirtakis priority is a pure function of (id, weight), the
+# top-k of ANY shard union equals the top-k of the whole relation — for
+# any sharding, any weights, any k. Both sides run the same JVM ln, so
+# the property is exact (no cross-libm ulp concern).
+
+
+@st.composite
+def weighted_docs(draw):
+    ids = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=2,
+            max_size=14,
+            unique=True,
+        )
+    )
+    return [
+        (i, draw(st.integers(min_value=1, max_value=500))) for i in ids
+    ]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=weighted_docs(), k=st.integers(min_value=1, max_value=6),
+       n_shards=st.integers(min_value=2, max_value=4))
+def test_wor_shard_merge_equals_global(spark, rows, k, n_shards):
+    from fluxdb_spark.functions.curation import wor_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    global_draw = {
+        (r.doc_id, r.pri_e9)
+        for r in wor_sample(df, k, weight_col="w").collect()
+    }
+    merged = []
+    for s in range(n_shards):
+        merged.extend(
+            wor_sample(
+                df.filter(F.col("doc_id") % n_shards == s), k, weight_col="w"
+            ).collect()
+        )
+    merged.sort(key=lambda r: (-r.pri_e9, r.doc_id))
+    want = {(r.doc_id, r.pri_e9) for r in merged[:k]}
+    assert global_draw == want
