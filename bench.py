@@ -252,6 +252,8 @@ HEADLINE = [
     # MinHash estimator quality and the temperature-mix budget sweep
     "dedup_minhash_estimator",
     "temperature_budget_sweep",
+    # streaming fluency scoring vs a frozen model (stream-static join)
+    "stream_lm_score",
 ]
 
 

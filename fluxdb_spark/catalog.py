@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 26 round-11 additions (35 never-checked entries total), then
-    # the first 15 of the r08-green block.  After r12 every entry except
+    # + the 27 round-11 additions (36 never-checked entries total), then
+    # the first 14 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -176,6 +176,7 @@ _PRIORITY: list[str] = [
     "dedup_lsh_tuning",
     "dedup_minhash_estimator",
     "temperature_budget_sweep",
+    "stream_lm_score",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -9554,3 +9555,68 @@ def temperature_budget_sweep(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@_q("stream_lm_score", "streaming", tx.SQL_BIGRAM_LM)
+def stream_lm_score(spark, sf_dir):
+    """STREAMING fluency scoring against a FROZEN model — the engine's
+    stream-STATIC join demonstration, and CCNet's actual deployment
+    shape: the LM is trained once batch-side and frozen (KenLM's role),
+    then the document stream explodes to bigrams, joins the static
+    model relation (Spark broadcasts the static side into each
+    micro-batch — no stream-stream state, no watermark needed for the
+    join), and folds per-doc sums/counts as standing aggregation state.
+    The drained score table IS the batch `lm_score` relation — same
+    oracle, hash-identical. At 100 TB the standing table is the
+    pipeline's scores column, maintained as documents arrive instead of
+    recomputed per epoch."""
+    import uuid
+
+    from fluxdb_spark.functions.text import bigram_structs, floor4
+
+    d = _td(spark, sf_dir)
+    # frozen model: built batch-side ONCE, the static side of the join
+    bg_static = d.select(
+        "doc_id", F.explode(bigram_structs(F.col("text"))).alias("bg")
+    ).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    model = (
+        bg_static.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .withColumn(
+            "logp",
+            F.ln(
+                F.col("c12")
+                / F.sum("c12").over(Window.partitionBy("w1"))
+            ),
+        )
+        .localCheckpoint()
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    bg_stream = raw.select(
+        "doc_id", F.explode(bigram_structs(F.col("text"))).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    scored = (
+        bg_stream.join(model, ["w1", "w2"])  # stream-static equi-join
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            floor4(F.avg("logp")).alias("avg_logp"),
+        )
+    )
+    name = f"stream_lm_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -998,3 +998,27 @@ class TestStreamEmbedOutliers:
             members.sort(key=lambda r: (-r.d, r.vec_id))
             want |= {(r.label, r.vec_id, r.d) for r in members[:10]}
         assert got == want
+
+
+class TestStreamLmScore:
+    """Stream-static join: the drained streaming score table must be
+    hash-identical to the batch lm_score relation."""
+
+    def test_drain_equals_batch_lm(self, spark):
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions import text as tx
+        from fluxdb_spark.sources.tables import load_table
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.doc_id, r.n_bigrams, r.avg_logp)
+            for r in specs["stream_lm_score"].spark(spark, sf).collect()
+        }
+        want = {
+            (r.doc_id, r.n_bigrams, r.avg_logp)
+            for r in tx.bigram_lm_scores(
+                load_table(spark, sf, "documents")
+            ).collect()
+        }
+        assert got == want and got
