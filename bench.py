@@ -254,6 +254,8 @@ HEADLINE = [
     "temperature_budget_sweep",
     # streaming fluency scoring vs a frozen model (stream-static join)
     "stream_lm_score",
+    # order-invariant dataset fingerprint (same-data check)
+    "corpus_fingerprint",
 ]
 
 

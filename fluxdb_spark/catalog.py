@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 27 round-11 additions (36 never-checked entries total), then
-    # the first 14 of the r08-green block.  After r12 every entry except
+    # + the 28 round-11 additions (37 never-checked entries total), then
+    # the first 13 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -177,6 +177,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_estimator",
     "temperature_budget_sweep",
     "stream_lm_score",
+    "corpus_fingerprint",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -9620,3 +9621,58 @@ def stream_lm_score(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@_q(
+    "corpus_fingerprint",
+    "pipeline",
+    f"""
+WITH per_doc AS (
+  SELECT source,
+         {hash60_sql("concat(CAST(doc_id AS VARCHAR), '|', text)")} AS h
+  FROM documents),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(bit_xor(h) AS BIGINT) AS fingerprint
+  FROM per_doc GROUP BY source)
+SELECT source, n_docs, fingerprint FROM per_source
+UNION ALL
+SELECT '__all__', CAST(sum(n_docs) AS BIGINT),
+       CAST(bit_xor(fingerprint) AS BIGINT)
+FROM per_source
+""",
+)
+def corpus_fingerprint(spark, sf_dir):
+    """Order-invariant dataset fingerprint — the "is this EXACTLY the
+    data the last run trained on" check a reproducible pipeline runs
+    before committing compute: per-source XOR-fold of portable
+    per-document content hashes (id|text), plus the corpus level as an
+    XOR of the per-source fingerprints — the sketch-merge property
+    again (hll_rollup's argument): fingerprint once at the finest
+    level, roll up to any coarser level without a second scan, and
+    compare fingerprints across clusters/runs/engines in O(1). XOR is
+    commutative/associative and map-side combinable, so the fold is
+    one scan with a |sources|-row shuffle at any corpus size; any
+    single-document change flips the fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    per_source = (
+        d.select(
+            "source",
+            hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+                )
+            ).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.bit_xor("h").cast("long").alias("fingerprint"),
+        )
+    )
+    allrow = per_source.agg(
+        F.lit("__all__").alias("source"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.bit_xor("fingerprint").cast("long").alias("fingerprint"),
+    ).select("source", "n_docs", "fingerprint")
+    return per_source.unionByName(allrow)

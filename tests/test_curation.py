@@ -604,3 +604,61 @@ class TestTemperatureBudgetSweep:
                 or 0
             )
             assert got[tau_x100] == (n, toks)
+
+
+class TestCorpusFingerprint:
+    def _run(self, spark, df):
+        from fluxdb_spark.functions.hashing import hash60
+
+        per = (
+            df.select(
+                "source",
+                hash60(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("text"),
+                    )
+                ).alias("h"),
+            )
+            .groupBy("source")
+            .agg(F.bit_xor("h").cast("long").alias("fp"))
+        )
+        return {r.source: r.fp for r in per.collect()}
+
+    def test_single_doc_change_flips_only_its_source(self, spark):
+        rows = [(i, f"src{i % 2}", f"text {i}") for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        base = self._run(spark, df)
+        mutated = spark.createDataFrame(
+            [(i, s, t if i != 3 else t + " edited") for i, s, t in rows],
+            "doc_id long, source string, text string",
+        )
+        after = self._run(spark, mutated)
+        assert after["src1"] != base["src1"]  # doc 3 lives in src1
+        assert after["src0"] == base["src0"]
+
+    def test_order_and_partitioning_invariant(self, spark):
+        rows = [(i, f"src{i % 3}", f"doc {i}") for i in range(9)]
+        df1 = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        df2 = spark.createDataFrame(
+            list(reversed(rows)), "doc_id long, source string, text string"
+        ).repartition(7)
+        assert self._run(spark, df1) == self._run(spark, df2)
+
+    def test_corpus_level_is_merge_of_sources(self, spark):
+        from functools import reduce
+
+        from fluxdb_spark.catalog import catalog
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r.source: (r.n_docs, r.fingerprint)
+            for r in specs["corpus_fingerprint"].spark(spark, sf).collect()
+        }
+        n_all, fp_all = rows.pop("__all__")
+        assert n_all == sum(n for n, _ in rows.values())
+        assert fp_all == reduce(
+            lambda a, b: a ^ b, (fp for _, fp in rows.values())
+        )
