@@ -256,6 +256,8 @@ HEADLINE = [
     "stream_lm_score",
     # order-invariant dataset fingerprint (same-data check)
     "corpus_fingerprint",
+    # Poisson-bootstrap CI on per-source keep rates
+    "quality_keep_bootstrap",
 ]
 
 

@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 28 round-11 additions (37 never-checked entries total), then
-    # the first 13 of the r08-green block.  After r12 every entry except
+    # + the 29 round-11 additions (38 never-checked entries total), then
+    # the first 12 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -178,6 +178,7 @@ _PRIORITY: list[str] = [
     "temperature_budget_sweep",
     "stream_lm_score",
     "corpus_fingerprint",
+    "quality_keep_bootstrap",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -9676,3 +9677,134 @@ def corpus_fingerprint(spark, sf_dir):
         F.bit_xor("fingerprint").cast("long").alias("fingerprint"),
     ).select("source", "n_docs", "fingerprint")
     return per_source.unionByName(allrow)
+
+
+# Poisson(1) CDF thresholds in 2^60 fixed point (floor(cum_k * 2^60) for
+# k = 0..4, weights clamped at 5) — computed once in Python doubles and
+# embedded as identical integer literals in BOTH engines, so the
+# bootstrap weights are bit-portable with no runtime exp()/factorial.
+_POIS_T = [
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+]
+_BOOT_B = 32
+
+
+def _pois_w_sql(u_expr: str) -> str:
+    return (
+        f"CASE WHEN {u_expr} < {_POIS_T[0]} THEN 0"
+        f" WHEN {u_expr} < {_POIS_T[1]} THEN 1"
+        f" WHEN {u_expr} < {_POIS_T[2]} THEN 2"
+        f" WHEN {u_expr} < {_POIS_T[3]} THEN 3"
+        f" WHEN {u_expr} < {_POIS_T[4]} THEN 4"
+        " ELSE 5 END"
+    )
+
+
+@_q(
+    "quality_keep_bootstrap",
+    "pipeline",
+    f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CASE WHEN {tx.sql_quality_rules('text')['keep']} THEN 1 ELSE 0 END
+           AS keep
+  FROM documents),
+point AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         (CAST(sum(keep) AS BIGINT) * 1000000) // count(*) AS keep_ppm
+  FROM base GROUP BY source),
+resamples AS (
+  SELECT source, b,
+         {_pois_w_sql(hash60_sql(
+             "concat(CAST(doc_id AS VARCHAR), '|', CAST(b AS VARCHAR))",
+             "boot"))} AS w,
+         keep
+  FROM base, UNNEST(range(0, {_BOOT_B})) AS u(b)),
+per_b AS (
+  SELECT source, b,
+         CASE WHEN sum(w) > 0
+              THEN (CAST(sum(w * keep) AS BIGINT) * 1000000)
+                   // CAST(sum(w) AS BIGINT) END AS kp
+  FROM resamples GROUP BY 1, 2),
+ci AS (
+  SELECT source, CAST(min(kp) AS BIGINT) AS boot_lo_ppm,
+         CAST(max(kp) AS BIGINT) AS boot_hi_ppm,
+         CAST(sum(kp) AS BIGINT) // count(kp) AS boot_mean_ppm
+  FROM per_b GROUP BY source)
+SELECT p.source, p.n_docs, p.keep_ppm, c.boot_lo_ppm, c.boot_hi_ppm,
+       c.boot_mean_ppm
+FROM point p JOIN ci c USING (source)
+""",
+)
+def quality_keep_bootstrap(spark, sf_dir):
+    """Per-source Gopher keep-rate WITH UNCERTAINTY — the Poisson
+    bootstrap (Chamandy et al., the industry-standard one-pass
+    bootstrap at massive scale: classic resampling needs n draws with
+    replacement per replicate, which cannot stream; Poisson(1) weights
+    per (row, replicate) are iid-close and embarrassingly map-side):
+    32 deterministic resamples from fixed-point CDF thresholds on a
+    salted hash, min/max/mean of the replicate keep-rates beside the
+    point estimate. The table that says whether two sources' quality
+    REALLY differ or the gap is sampling noise — the decision gate
+    before `source_caps` demotes one. Scale shape: B x map-side weight
+    projection into a |sources| x B rollup, then a |sources|-row CI
+    fold; no row ever shuffles."""
+    d = _td(spark, sf_dir)
+    base = d.select(
+        "source",
+        "doc_id",
+        F.when(tx.quality_rules(F.col("text"))["keep"], 1)
+        .otherwise(0)
+        .alias("keep"),
+    ).localCheckpoint(eager=False)
+    point = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "(CAST(sum(keep) AS BIGINT) * 1000000) div count(*)"
+        ).alias("keep_ppm"),
+    )
+    u = hash60(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        ),
+        "boot",
+    )
+    w = (
+        F.when(u < _POIS_T[0], 0)
+        .when(u < _POIS_T[1], 1)
+        .when(u < _POIS_T[2], 2)
+        .when(u < _POIS_T[3], 3)
+        .when(u < _POIS_T[4], 4)
+        .otherwise(5)
+    )
+    per_b = (
+        base.select(
+            "source",
+            "doc_id",
+            "keep",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .select("source", "b", w.alias("w"), "keep")
+        .groupBy("source", "b")
+        .agg(
+            F.expr(
+                "CASE WHEN sum(w) > 0 THEN"
+                " (CAST(sum(w * keep) AS BIGINT) * 1000000)"
+                " div CAST(sum(w) AS BIGINT) END"
+            ).alias("kp")
+        )
+    )
+    ci = per_b.groupBy("source").agg(
+        F.min("kp").cast("long").alias("boot_lo_ppm"),
+        F.max("kp").cast("long").alias("boot_hi_ppm"),
+        F.expr("CAST(sum(kp) AS BIGINT) div count(kp)").alias(
+            "boot_mean_ppm"
+        ),
+    )
+    return point.join(F.broadcast(ci), "source")

@@ -662,3 +662,23 @@ class TestCorpusFingerprint:
         assert fp_all == reduce(
             lambda a, b: a ^ b, (fp for _, fp in rows.values())
         )
+
+
+class TestKeepBootstrap:
+    def test_ci_brackets_point_and_replicates_disperse(self, spark):
+        from fluxdb_spark.catalog import catalog
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        rows = specs["quality_keep_bootstrap"].spark(spark, sf).collect()
+        assert rows
+        for r in rows:
+            # a resampled mean can drift a little, but the replicate
+            # envelope must bracket the point estimate and be ordered
+            assert r.boot_lo_ppm <= r.boot_hi_ppm
+            assert r.boot_lo_ppm <= r.keep_ppm <= r.boot_hi_ppm
+            assert r.boot_lo_ppm <= r.boot_mean_ppm <= r.boot_hi_ppm
+        # with 25-doc sources and a non-degenerate rule, at least one
+        # source must show genuine replicate dispersion (lo < hi) —
+        # otherwise the bootstrap collapsed to a constant
+        assert any(r.boot_lo_ppm < r.boot_hi_ppm for r in rows)
