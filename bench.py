@@ -258,6 +258,9 @@ HEADLINE = [
     "corpus_fingerprint",
     # Poisson-bootstrap CI on per-source keep rates
     "quality_keep_bootstrap",
+    # state fingerprint (replica verification) + its streaming corpus twin
+    "flux_state_fingerprint",
+    "stream_corpus_fingerprint",
 ]
 
 

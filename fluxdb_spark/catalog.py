@@ -82,8 +82,8 @@ _PRIORITY: list[str] = [
     #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
     #         tests/test_catalog_parity.py).
     # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 29 round-11 additions (38 never-checked entries total), then
-    # the first 12 of the r08-green block.  After r12 every entry except
+    # + the 31 round-11 additions (40 never-checked entries total), then
+    # the first 10 of the r08-green block.  After r12 every entry except
     # embed_ann_ivf has a driver row and nothing is never-checked.
     "asof_join_generic",
     "range_join_incidents",
@@ -179,6 +179,8 @@ _PRIORITY: list[str] = [
     "stream_lm_score",
     "corpus_fingerprint",
     "quality_keep_bootstrap",
+    "flux_state_fingerprint",
+    "stream_corpus_fingerprint",
     # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
@@ -9808,3 +9810,127 @@ def quality_keep_bootstrap(spark, sf_dir):
         ),
     )
     return point.join(F.broadcast(ci), "source")
+
+
+@_q(
+    "flux_state_fingerprint",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY tablet_id, primary_key
+                               ORDER BY height DESC) AS rn
+  FROM changelog WHERE height <= 700),
+live AS (
+  SELECT tablet_id,
+         {hash60_sql("concat(primary_key, '|', coalesce(value, ''))")} AS h
+  FROM ranked WHERE rn = 1 AND NOT is_deletion),
+per_tablet AS (
+  SELECT tablet_id, CAST(count(*) AS BIGINT) AS n_live,
+         CAST(bit_xor(h) AS BIGINT) AS fingerprint
+  FROM live GROUP BY tablet_id)
+SELECT tablet_id, n_live, fingerprint FROM per_tablet
+UNION ALL
+SELECT '__all__', CAST(sum(n_live) AS BIGINT),
+       CAST(bit_xor(fingerprint) AS BIGINT)
+FROM per_tablet
+""",
+)
+def flux_state_fingerprint(spark, sf_dir):
+    """Order-invariant STATE fingerprint at a height — replica
+    verification in O(1) exchange: two replicas (or a replica and its
+    reprocessed rebuild) each fingerprint their own `state_at(H)` with
+    one local scan and compare |tablets|+1 longs, instead of shipping
+    both states through `flux_tablet_reconcile`'s full outer join; only
+    on a mismatch does the row-level reconcile run, scoped to the
+    tablets whose fingerprints differ (the Merkle-tree argument,
+    flattened to one level). Same XOR-fold algebra as
+    `corpus_fingerprint` — commutative, map-side combinable, collection
+    level merged from tablet level with no rescan — applied to the LWW
+    state relation (pk|value of live rows at the height)."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    live = tp.collection_state_at(log, 700).select(
+        "tablet_id",
+        hash60(
+            F.concat(
+                F.col("primary_key"),
+                F.lit("|"),
+                F.coalesce(F.col("value"), F.lit("")),
+            )
+        ).alias("h"),
+    )
+    per_tablet = live.groupBy("tablet_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_live"),
+        F.bit_xor("h").cast("long").alias("fingerprint"),
+    )
+    allrow = per_tablet.agg(
+        F.lit("__all__").alias("tablet_id"),
+        F.sum("n_live").cast("long").alias("n_live"),
+        F.bit_xor("fingerprint").cast("long").alias("fingerprint"),
+    ).select("tablet_id", "n_live", "fingerprint")
+    return per_tablet.unionByName(allrow)
+
+
+@_q(
+    "stream_corpus_fingerprint",
+    "streaming",
+    f"""
+WITH per_doc AS (
+  SELECT source,
+         {hash60_sql("concat(CAST(doc_id AS VARCHAR), '|', text)")} AS h
+  FROM documents),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(bit_xor(h) AS BIGINT) AS fingerprint
+  FROM per_doc GROUP BY source)
+SELECT source, n_docs, fingerprint FROM per_source
+UNION ALL
+SELECT '__all__', CAST(sum(n_docs) AS BIGINT),
+       CAST(bit_xor(fingerprint) AS BIGINT)
+FROM per_source
+""",
+)
+def stream_corpus_fingerprint(spark, sf_dir):
+    """STREAMING dataset fingerprint: the same-data check maintained as
+    documents ARRIVE — XOR is algebraic, so the standing state is one
+    (count, fingerprint) pair per source forever and the micro-batch
+    merge IS the update; the collection row folds serving-side on the
+    drained |sources|-row table. The version check is then always
+    current instead of a pre-run scan (the `stream_benford` shape
+    applied to data versioning); drained state hash-matches the batch
+    `corpus_fingerprint` relation, same oracle."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    per_source = raw.select(
+        "source",
+        hash60(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+            )
+        ).alias("h"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.bit_xor("h").cast("long").alias("fingerprint"),
+    )
+    name = f"stream_fp_{uuid.uuid4().hex[:8]}"
+    q = (
+        per_source.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = spark.table(name)
+    allrow = t.agg(
+        F.lit("__all__").alias("source"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.bit_xor("fingerprint").cast("long").alias("fingerprint"),
+    ).select("source", "n_docs", "fingerprint")
+    return t.unionByName(allrow)

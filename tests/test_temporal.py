@@ -781,3 +781,64 @@ class TestSeriesBacktest:
         r = series_backtest(log, "tbl", 10, 40, 10).collect()[0]
         assert r.naive_abs_err == 0 and r.drift_abs_err == 0
         assert r.drift_vs_naive_ppm is None
+
+
+class TestStateFingerprint:
+    """flux_state_fingerprint: the O(1)-exchange replica check must
+    agree with the state relation it summarizes, and differ when the
+    state differs."""
+
+    def test_fingerprint_detects_a_divergent_replica(self, spark):
+        from fluxdb_spark.catalog import catalog
+        from fluxdb_spark.functions.hashing import hash60
+        from fluxdb_spark.operators import temporal as tp
+        from fluxdb_spark.sources.changelog import changelog_from_events
+        from fluxdb_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        rows = {
+            r.tablet_id: (r.n_live, r.fingerprint)
+            for r in specs["flux_state_fingerprint"].spark(spark, sf).collect()
+        }
+        n_all, fp_all = rows.pop("__all__")
+        assert n_all == sum(n for n, _ in rows.values())
+        from functools import reduce
+
+        assert fp_all == reduce(
+            lambda a, b: a ^ b, (fp for _, fp in rows.values())
+        )
+        # a replica whose state diverges by ONE row must fingerprint
+        # differently in exactly the affected tablet
+        log = changelog_from_events(load_table(spark, sf, "events"))
+        state = tp.collection_state_at(log, 700)
+        some = state.limit(1).collect()[0]
+        mutated = state.withColumn(
+            "value",
+            F.when(
+                (F.col("tablet_id") == some.tablet_id)
+                & (F.col("primary_key") == some.primary_key),
+                F.concat(F.coalesce(F.col("value"), F.lit("")), F.lit("X")),
+            ).otherwise(F.col("value")),
+        )
+        fp2 = {
+            r.tablet_id: r.fingerprint
+            for r in mutated.select(
+                "tablet_id",
+                hash60(
+                    F.concat(
+                        F.col("primary_key"),
+                        F.lit("|"),
+                        F.coalesce(F.col("value"), F.lit("")),
+                    )
+                ).alias("h"),
+            )
+            .groupBy("tablet_id")
+            .agg(F.bit_xor("h").cast("long").alias("fingerprint"))
+            .collect()
+        }
+        assert fp2[some.tablet_id] != rows[some.tablet_id][1]
+        for t, (n, fp) in rows.items():
+            if t != some.tablet_id:
+                assert fp2[t] == fp
