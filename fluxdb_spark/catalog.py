@@ -8950,7 +8950,7 @@ def stream_wor_sample(spark, sf_dir):
     )
 
 
-_GCENT_CACHE: dict[str, list] = {}
+_GCENT_CACHE: dict[tuple, list] = {}
 
 
 def _gcent(spark, sf_dir):
@@ -8959,12 +8959,19 @@ def _gcent(spark, sf_dir):
     `_bpe_merges` amortization pattern), and three entries
     (embed_class_separation / embed_outliers / stream_embed_outliers)
     score against the same centroid, so sharing it is pure
-    amortization, not a semantic coupling."""
-    if sf_dir not in _GCENT_CACHE:
-        _GCENT_CACHE[sf_dir] = sim.global_centroid(
+    amortization, not a semantic coupling. Keyed on the parquet file's
+    (mtime, size), not just the path: the driver regenerates testdata
+    between sessions, and a path-keyed cache would score a fresh corpus
+    against a stale centroid in any process that outlives the swap."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    if key not in _GCENT_CACHE:
+        _GCENT_CACHE[key] = sim.global_centroid(
             _t(spark, sf_dir, "embeddings")
         )
-    return _GCENT_CACHE[sf_dir]
+    return _GCENT_CACHE[key]
 
 
 @_q("embed_class_separation", "pipeline", sim.sql_class_separation())
@@ -9064,7 +9071,9 @@ hmarg AS (SELECT hour, CAST(sum(n) AS BIGINT) AS n_hour FROM cells GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
 SELECT c.dow, c.hour, c.n,
        (c.n * 1000000) // t.total AS share_ppm,
-       (c.n * t.total * 1000000) // (d.n_dow * h.n_hour) AS lift_ppm
+       CAST(floor(CAST(c.n AS DOUBLE) * t.total * 1000000
+                  / (CAST(d.n_dow AS DOUBLE) * h.n_hour)) AS BIGINT)
+         AS lift_ppm
 FROM cells c JOIN dmarg d USING (dow) JOIN hmarg h USING (hour), tot t
 """,
 )
@@ -9108,9 +9117,15 @@ def event_seasonality(spark, sf_dir):
             "hour",
             "n",
             F.expr("(n * 1000000) div total").alias("share_ppm"),
-            F.expr("(n * total * 1000000) div (n_dow * n_hour)").alias(
-                "lift_ppm"
-            ),
+            # lift in DOUBLE then floor: the int64 form n*total*1e6
+            # overflows around 1e7 events (Spark wraps silently, DuckDB
+            # raises — the cross-engine divergence class this catalog
+            # exists to prevent); identical IEEE op order on both
+            # engines keeps the floored integer bit-portable
+            F.expr(
+                "CAST(floor(CAST(n AS DOUBLE) * total * 1000000"
+                " / (CAST(n_dow AS DOUBLE) * n_hour)) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
     )
 
@@ -9230,12 +9245,7 @@ def stream_embed_outliers(spark, sf_dir):
     the batch per-label top-k."""
     import uuid
 
-    from fluxdb_spark.streaming.stateful import (
-        _WOR_OUT_SCHEMA,
-        _WOR_STATE_SCHEMA,
-        _wor_group,
-    )
-    from pyspark.sql.streaming.state import GroupStateTimeout
+    from fluxdb_spark.streaming.stateful import topk_stream
 
     gcent = _gcent(spark, sf_dir)
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
@@ -9258,13 +9268,7 @@ def stream_embed_outliers(spark, sf_dir):
         F.col("vec_id").alias("id"),
         dist.alias("w"),
     ).withColumn("pri", F.col("w"))
-    out = prepared.groupBy("g").applyInPandasWithState(
-        _wor_group,
-        outputStructType=_WOR_OUT_SCHEMA,
-        stateStructType=_WOR_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    out = topk_stream(prepared)
     name = f"stream_outliers_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.outputMode("update")
@@ -9626,10 +9630,10 @@ def stream_lm_score(spark, sf_dir):
     return spark.table(name)
 
 
-@_q(
-    "corpus_fingerprint",
-    "pipeline",
-    f"""
+# ONE fingerprint definition for both the batch and the streaming entry
+# (their docstrings promise "same oracle" — sharing the text makes that
+# structural, not a copy that can drift).
+_FINGERPRINT_SQL = f"""
 WITH per_doc AS (
   SELECT source,
          {hash60_sql("concat(CAST(doc_id AS VARCHAR), '|', text)")} AS h
@@ -9643,23 +9647,14 @@ UNION ALL
 SELECT '__all__', CAST(sum(n_docs) AS BIGINT),
        CAST(bit_xor(fingerprint) AS BIGINT)
 FROM per_source
-""",
-)
-def corpus_fingerprint(spark, sf_dir):
-    """Order-invariant dataset fingerprint — the "is this EXACTLY the
-    data the last run trained on" check a reproducible pipeline runs
-    before committing compute: per-source XOR-fold of portable
-    per-document content hashes (id|text), plus the corpus level as an
-    XOR of the per-source fingerprints — the sketch-merge property
-    again (hll_rollup's argument): fingerprint once at the finest
-    level, roll up to any coarser level without a second scan, and
-    compare fingerprints across clusters/runs/engines in O(1). XOR is
-    commutative/associative and map-side combinable, so the fold is
-    one scan with a |sources|-row shuffle at any corpus size; any
-    single-document change flips the fingerprint."""
-    d = _t(spark, sf_dir, "documents")
-    per_source = (
-        d.select(
+"""
+
+
+def _fingerprint_per_source(docs):
+    """(source, n_docs, fingerprint) — the shared per-source XOR-fold of
+    the batch and streaming fingerprint entries."""
+    return (
+        docs.select(
             "source",
             hash60(
                 F.concat(
@@ -9673,12 +9668,32 @@ def corpus_fingerprint(spark, sf_dir):
             F.bit_xor("h").cast("long").alias("fingerprint"),
         )
     )
-    allrow = per_source.agg(
+
+
+def _fingerprint_all_row(per_source):
+    """The '__all__' collection row merged from per-source fingerprints."""
+    return per_source.agg(
         F.lit("__all__").alias("source"),
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.bit_xor("fingerprint").cast("long").alias("fingerprint"),
     ).select("source", "n_docs", "fingerprint")
-    return per_source.unionByName(allrow)
+
+
+@_q("corpus_fingerprint", "pipeline", _FINGERPRINT_SQL)
+def corpus_fingerprint(spark, sf_dir):
+    """Order-invariant dataset fingerprint — the "is this EXACTLY the
+    data the last run trained on" check a reproducible pipeline runs
+    before committing compute: per-source XOR-fold of portable
+    per-document content hashes (id|text), plus the corpus level as an
+    XOR of the per-source fingerprints — the sketch-merge property
+    again (hll_rollup's argument): fingerprint once at the finest
+    level, roll up to any coarser level without a second scan, and
+    compare fingerprints across clusters/runs/engines in O(1). XOR is
+    commutative/associative and map-side combinable, so the fold is
+    one scan with a |sources|-row shuffle at any corpus size; any
+    single-document change flips the fingerprint."""
+    per_source = _fingerprint_per_source(_t(spark, sf_dir, "documents"))
+    return per_source.unionByName(_fingerprint_all_row(per_source))
 
 
 # Poisson(1) CDF thresholds in 2^60 fixed point (floor(cum_k * 2^60) for
@@ -9874,21 +9889,7 @@ def flux_state_fingerprint(spark, sf_dir):
 @_q(
     "stream_corpus_fingerprint",
     "streaming",
-    f"""
-WITH per_doc AS (
-  SELECT source,
-         {hash60_sql("concat(CAST(doc_id AS VARCHAR), '|', text)")} AS h
-  FROM documents),
-per_source AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(bit_xor(h) AS BIGINT) AS fingerprint
-  FROM per_doc GROUP BY source)
-SELECT source, n_docs, fingerprint FROM per_source
-UNION ALL
-SELECT '__all__', CAST(sum(n_docs) AS BIGINT),
-       CAST(bit_xor(fingerprint) AS BIGINT)
-FROM per_source
-""",
+    _FINGERPRINT_SQL,
 )
 def stream_corpus_fingerprint(spark, sf_dir):
     """STREAMING dataset fingerprint: the same-data check maintained as
@@ -9907,17 +9908,7 @@ def stream_corpus_fingerprint(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    per_source = raw.select(
-        "source",
-        hash60(
-            F.concat(
-                F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
-            )
-        ).alias("h"),
-    ).groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.bit_xor("h").cast("long").alias("fingerprint"),
-    )
+    per_source = _fingerprint_per_source(raw)
     name = f"stream_fp_{uuid.uuid4().hex[:8]}"
     q = (
         per_source.writeStream.outputMode("complete")
@@ -9928,9 +9919,4 @@ def stream_corpus_fingerprint(spark, sf_dir):
     )
     q.awaitTermination()
     t = spark.table(name)
-    allrow = t.agg(
-        F.lit("__all__").alias("source"),
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.bit_xor("fingerprint").cast("long").alias("fingerprint"),
-    ).select("source", "n_docs", "fingerprint")
-    return t.unionByName(allrow)
+    return t.unionByName(_fingerprint_all_row(t))

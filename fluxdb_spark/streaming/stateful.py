@@ -259,6 +259,12 @@ def _wor_group(
         pris = ids = ws = np.empty(0, dtype=np.int64)
     for pdf in pdfs:
         n_seen += len(pdf)
+        # rows with NULL priority (wor_priority's non-positive-weight
+        # guard, or a NULL weight) are unsampleable: arrow delivers them
+        # as NaN, which would crash the int64 cast — drop them from the
+        # reservoir (they still count toward ver/n_seen), matching the
+        # batch draw whenever k valid rows exist
+        pdf = pdf.dropna(subset=["pri", "w"])
         pris = np.concatenate([pris, pdf["pri"].to_numpy(dtype=np.int64)])
         ids = np.concatenate([ids, pdf["id"].to_numpy(dtype=np.int64)])
         ws = np.concatenate([ws, pdf["w"].to_numpy(dtype=np.int64)])
@@ -305,6 +311,16 @@ def wor_stream(
         F.col(id_col).alias("id"),
         w.alias("w"),
     ).withColumn("pri", wor_priority(F.col("id"), F.col("w")))
+    return topk_stream(prepared)
+
+
+def topk_stream(prepared: DataFrame) -> DataFrame:
+    """The generic streaming per-group top-k-by-fixed-priority fold:
+    takes an already-prepared (g, id, w, pri) frame and maintains each
+    group's k best rows as GroupState. Any fixed per-row priority works
+    — the ES sampling key (`wor_stream`), a centroid distance (the
+    anomaly watchlist), a score — because the lossless-trim argument
+    only needs priorities that never change after ingest."""
     return prepared.groupBy("g").applyInPandasWithState(
         _wor_group,
         outputStructType=_WOR_OUT_SCHEMA,

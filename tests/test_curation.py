@@ -673,11 +673,14 @@ class TestKeepBootstrap:
         rows = specs["quality_keep_bootstrap"].spark(spark, sf).collect()
         assert rows
         for r in rows:
-            # a resampled mean can drift a little, but the replicate
-            # envelope must bracket the point estimate and be ordered
-            assert r.boot_lo_ppm <= r.boot_hi_ppm
-            assert r.boot_lo_ppm <= r.keep_ppm <= r.boot_hi_ppm
+            # the replicate envelope is ordered and contains its own
+            # mean by construction; it USUALLY brackets the point
+            # estimate but is not guaranteed to (32 replicates of a
+            # small skewed source can all land on one side), so bound
+            # the bootstrap mean's distance from the point estimate
+            # instead of pinning strict containment
             assert r.boot_lo_ppm <= r.boot_mean_ppm <= r.boot_hi_ppm
+            assert abs(r.boot_mean_ppm - r.keep_ppm) <= 300_000
         # with 25-doc sources and a non-degenerate rule, at least one
         # source must show genuine replicate dispersion (lo < hi) —
         # otherwise the bootstrap collapsed to a constant

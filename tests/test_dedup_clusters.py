@@ -238,15 +238,22 @@ class TestLshTuning:
         t = [r.theory_ppm for r in rows]
         assert all(a <= b for a, b in zip(t, t[1:]))
         assert t[0] < 10_000 and t[20] == 1_000_000
-        # empirical: only the affordable bands (>= 0.75) carry counts,
-        # and every exact pair there is caught (banding lossless above
-        # the knee — the dedup_recall_eval property, per band)
+        # empirical: only the affordable bands (>= 0.75) carry counts.
+        # Banding is PROBABILISTIC (catch prob 1-(1-s^2)^4 < 1 even
+        # above the knee), so pinning lossless-per-band would flake on
+        # a testdata regeneration; bound the aggregate catch by the
+        # analytic curve's band-15 floor (~97.4%) with slack instead.
+        n_pairs = n_caught = 0
         for r in rows:
             if r.band < 15:
                 assert r.n_pairs is None
             elif r.n_pairs is not None:
-                assert r.n_caught == r.n_pairs
-                assert r.caught_ppm == 1_000_000
+                assert 0 <= r.n_caught <= r.n_pairs
+                assert r.caught_ppm <= 1_000_000
+                n_pairs += r.n_pairs
+                n_caught += r.n_caught
+        assert n_pairs > 0
+        assert n_caught * 1_000_000 >= n_pairs * 950_000
 
 
 class TestMinhashEstimator:
