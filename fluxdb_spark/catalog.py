@@ -67,79 +67,25 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-11 window (driver checks exactly the first 50 entries per
-    # round).  Composition, per VERDICT r10 tasks 1-2:
-    #   1-17  the 17 remaining r07-green relational entries (oldest
-    #         surviving driver rows), minus embed_ann_ivf which is
-    #         rows-only BY DESIGN (oracle=None; its hash-checked twins
-    #         embed_ann_ivf_exact / embed_ann_ivf_materialized carry
-    #         the correctness signal) and is therefore pinned at the
-    #         very end of this list, permanently outside every window,
-    #         so it never burns a slot on a red-looking FAIL:no_oracle;
-    #   18-50 the first 33 of the 42 round-10 additions (never
-    #         driver-checked; each locally oracle-matched at sf0.001
-    #         every pytest run, and at sf0.01 under
-    #         FLUX_PARITY_SF=/root/testdata/sf0.01 pytest
-    #         tests/test_catalog_parity.py).
-    # R12 window plan (positions 51-100): the last 9 round-10 additions
-    # + the 31 round-11 additions (40 never-checked entries total), then
-    # the first 10 of the r08-green block.  After r12 every entry except
-    # embed_ann_ivf has a driver row and nothing is never-checked.
-    "asof_join_generic",
-    "range_join_incidents",
-    "multimodal_frames",
-    "stratified_sample",
-    "lang_distribution",
-    "tumbling_hourly",
-    "sliding_windows",
-    "stats_aggs",
-    "percentiles",
-    "distinct_counts",
-    "grouping_sets",
-    "rollup_pricing",
-    "cube_orders",
-    "window_ranks",
-    "running_total",
-    "topk_orders",
-    "set_ops",
-    # -- round-10 additions, first driver row here in r11 --
-    "dedup_spans",
-    "kmv_set_overlap",
-    "stream_kmv_overlap",
-    "embed_kcenter_sample",
-    "dedup_spans_cut",
-    "event_paths",
-    "quality_perceptron",
-    "leakage_safe_split",
-    "source_divergence",
-    "robust_stats",
-    "stream_source_divergence",
-    "editdist_join",
-    "bloom_semi_join",
-    "k_anonymity",
-    "flux_series_ewma",
-    "dedup_pagerank",
-    "collocations",
-    "doc_keywords",
-    "stream_collocations",
-    "join_size_estimate",
-    "collocations_materialized",
-    "entity_resolution",
-    "stream_join_size",
-    "basket_rules",
-    "path_regex_match",
-    "data_expectations",
-    "embed_recall_eval",
-    "flux_state_drift",
-    "benford_audit",
-    "flux_key_survival",
-    "dedup_recall_eval",
-    "flux_series_trend",
-    "weekly_growth",
-    # ---- position 51+: leads the r12 window ----
-    # Last 9 round-10 additions first (never driver-checked),
-    # then the r08-green block, then r09-green, then the freshly
-    # r10-stamped block at the very back.
+    # Round-12 window (driver checks exactly the first 50 entries per
+    # round).  Composition, per VERDICT r11 task 1 (the staged rotation,
+    # now physically applied):
+    #   1-9   the last 9 round-10 additions (never driver-checked);
+    #   10-40 the 31 round-11 additions (never driver-checked; each
+    #         locally oracle-matched at sf0.001 every pytest run and at
+    #         sf0.01 under FLUX_PARITY_SF, plus the judge's independent
+    #         check_entry replay in r11);
+    #   41-50 the first 10 of the r08-green block (oldest driver rows).
+    # After r12 every entry except rows-only embed_ann_ivf has a driver
+    # row and nothing is never-checked.
+    #
+    # R13 window plan (positions 51-100): the tail below is ordered by
+    # newest-green driver round (r08 block, then r09, r10, r11), so the
+    # next rotation is again one reorder: move positions 51-100 (the
+    # remaining 40 r08-greens + first 10 r09-greens, tpch_q5 ..
+    # stream_tumbling-era entries) to the front.  test_catalog_parity
+    # enforces that the live window never contains an entry stamped in
+    # the two newest CORRECTNESS rounds.
     "funnel_latency",
     "flux_tablet_reconcile",
     "embed_norm_audit",
@@ -149,7 +95,6 @@ _PRIORITY: list[str] = [
     "source_dedup_matrix",
     "vocab_growth",
     "flux_index_coverage",
-    # -- round-11 additions (first driver row in r12) --
     "embed_kcenter_refined",
     "doc_novelty",
     "doc_novelty_materialized",
@@ -181,7 +126,6 @@ _PRIORITY: list[str] = [
     "quality_keep_bootstrap",
     "flux_state_fingerprint",
     "stream_corpus_fingerprint",
-    # -- r08/r09-green block --
     "embed_quantize",
     "semi_anti_join",
     "scalar_subquery",
@@ -192,6 +136,7 @@ _PRIORITY: list[str] = [
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
+    # ---- position 51+: leads the r13 window ----
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
@@ -232,6 +177,7 @@ _PRIORITY: list[str] = [
     "stream_tumbling",
     "stream_dedup",
     "stream_stream_join",
+    # -- r09-green block --
     "dsir_select",
     "perplexity_buckets",
     "cms_heavy_hitters",
@@ -280,7 +226,7 @@ _PRIORITY: list[str] = [
     "doc_fingerprint",
     "decontaminate",
     "seq_packing",
-    # -- round-10 window block (freshest driver rows, r10) --
+    # -- r10-green block --
     "embed_topk_pq",
     "embed_topk_pq_materialized",
     "interval_overlap_join",
@@ -331,6 +277,57 @@ _PRIORITY: list[str] = [
     "flux_singlet_history",
     "flux_checkpoint",
     "asof_join",
+    # -- r11-green block (freshest driver rows) --
+    "asof_join_generic",
+    "range_join_incidents",
+    "multimodal_frames",
+    "stratified_sample",
+    "lang_distribution",
+    "tumbling_hourly",
+    "sliding_windows",
+    "stats_aggs",
+    "percentiles",
+    "distinct_counts",
+    "grouping_sets",
+    "rollup_pricing",
+    "cube_orders",
+    "window_ranks",
+    "running_total",
+    "topk_orders",
+    "set_ops",
+    "dedup_spans",
+    "kmv_set_overlap",
+    "stream_kmv_overlap",
+    "embed_kcenter_sample",
+    "dedup_spans_cut",
+    "event_paths",
+    "quality_perceptron",
+    "leakage_safe_split",
+    "source_divergence",
+    "robust_stats",
+    "stream_source_divergence",
+    "editdist_join",
+    "bloom_semi_join",
+    "k_anonymity",
+    "flux_series_ewma",
+    "dedup_pagerank",
+    "collocations",
+    "doc_keywords",
+    "stream_collocations",
+    "join_size_estimate",
+    "collocations_materialized",
+    "entity_resolution",
+    "stream_join_size",
+    "basket_rules",
+    "path_regex_match",
+    "data_expectations",
+    "embed_recall_eval",
+    "flux_state_drift",
+    "benford_audit",
+    "flux_key_survival",
+    "dedup_recall_eval",
+    "flux_series_trend",
+    "weekly_growth",
     # embed_ann_ivf: rows-only by design (oracle=None); kept out
     # of every correctness window -- see note at the top of this
     # list.  Its exact twins are the hash-checked forms.
@@ -8920,7 +8917,7 @@ def stream_wor_sample(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    out = wor_stream(raw)
+    out = wor_stream(raw, k=10)  # same k as the sql_wor_sample_grouped twin
     name = f"stream_wor_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.outputMode("update")
@@ -9090,14 +9087,22 @@ def event_seasonality(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     day_us = 86_400_000_000
     hour_us = 3_600_000_000
-    us = F.unix_micros(F.col("ts"))
+    # FLOOR division via pmod, all-integer (ADVICE r11): a double
+    # divide truncated toward zero agrees with DuckDB's // only for
+    # post-1970 timestamps; (a - pmod(a, b)) div b floors for every
+    # sign, and Spark's % matches DuckDB's C-style remainder, so both
+    # engines compute identical dow/hour for any epoch.
+    us = "unix_micros(ts)"
+    rem = f"({us} % {day_us})"
     cells = (
         ev.select(
-            ((us / day_us).cast("long") + 4) % 7,
-            (us % day_us).cast("long") / hour_us,
+            F.expr(
+                f"((({us} - pmod({us}, {day_us})) div {day_us}) + 4) % 7"
+            ).alias("dow"),
+            F.expr(
+                f"({rem} - pmod({rem}, {hour_us})) div {hour_us}"
+            ).alias("hour"),
         )
-        .toDF("dow", "hour")
-        .withColumn("hour", F.col("hour").cast("long"))
         .groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -9268,7 +9273,7 @@ def stream_embed_outliers(spark, sf_dir):
         F.col("vec_id").alias("id"),
         dist.alias("w"),
     ).withColumn("pri", F.col("w"))
-    out = topk_stream(prepared)
+    out = topk_stream(prepared, k=10)  # same k as the SQL twin's rn <= 10
     name = f"stream_outliers_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.outputMode("update")
@@ -9734,13 +9739,17 @@ point AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          (CAST(sum(keep) AS BIGINT) * 1000000) // count(*) AS keep_ppm
   FROM base GROUP BY source),
-resamples AS (
-  SELECT source, b,
-         {_pois_w_sql(hash60_sql(
+draws AS (
+  -- hash once per (row, replicate); the CASE below reads u five times
+  -- (ADVICE r11: inlining the digest 5x made DuckDB eval it 5x)
+  SELECT source, b, keep,
+         {hash60_sql(
              "concat(CAST(doc_id AS VARCHAR), '|', CAST(b AS VARCHAR))",
-             "boot"))} AS w,
-         keep
-  FROM base, UNNEST(range(0, {_BOOT_B})) AS u(b)),
+             "boot")} AS u
+  FROM base, UNNEST(range(0, {_BOOT_B})) AS r(b)),
+resamples AS (
+  SELECT source, b, {_pois_w_sql("u")} AS w, keep
+  FROM draws),
 per_b AS (
   SELECT source, b,
          CASE WHEN sum(w) > 0

@@ -783,8 +783,11 @@ def wor_priority(key: Column, weight: Column, seed: str = "wor") -> Column:
     is -inf, which Spark's long cast saturates but DuckDB's refuses —
     the cross-engine divergence class ADVICE r10 flagged); the default
     token_count weight is always >= 1, so this only guards caller-
-    supplied weight columns. NULL priorities sort last under DESC in
-    both engines (Spark desc() and DuckDB's default are NULLS LAST)."""
+    supplied weight columns. Every draw (batch, grouped, streaming
+    reservoir) EXCLUDES NULL-priority rows — an unsampleable row never
+    pads a sample, even when a group has fewer than k valid rows
+    (ADVICE r11: the streaming fold already dropped them; the batch and
+    SQL forms filter explicitly so all three agree)."""
     u = (hash60(key.cast("string"), seed) + F.lit(1)).cast("double") / F.lit(
         float(2**60)
     )
@@ -834,6 +837,7 @@ def wor_sample(
             w.alias("weight"),
         )
         .withColumn("pri_e9", wor_priority(F.col(id_col), F.col("weight"), seed))
+        .filter(F.col("pri_e9").isNotNull())
         .orderBy(F.desc("pri_e9"), F.col(id_col))
         .limit(k)
     )
@@ -851,7 +855,7 @@ def sql_wor_sample(
     return f"""
 WITH b AS (SELECT doc_id, CAST({w} AS BIGINT) AS weight FROM {source}),
 p AS (SELECT doc_id, weight, {pri} AS pri_e9 FROM b)
-SELECT doc_id, weight, pri_e9 FROM p
+SELECT doc_id, weight, pri_e9 FROM p WHERE pri_e9 IS NOT NULL
 ORDER BY pri_e9 DESC, doc_id LIMIT {k}
 """
 
@@ -872,7 +876,7 @@ WITH b AS (SELECT {group_col} AS g, doc_id,
 p AS (SELECT g, doc_id, weight, {pri} AS pri_e9 FROM b),
 r AS (SELECT *, row_number()
         OVER (PARTITION BY g ORDER BY pri_e9 DESC, doc_id) AS rn
-      FROM p)
+      FROM p WHERE pri_e9 IS NOT NULL)
 SELECT g AS {group_col}, doc_id, weight, pri_e9 FROM r WHERE rn <= {k}
 """
 
@@ -902,6 +906,7 @@ def wor_sample_grouped(
         F.col(id_col),
         w.alias("weight"),
     ).withColumn("pri_e9", wor_priority(F.col(id_col), F.col("weight"), seed))
+    base = base.filter(F.col("pri_e9").isNotNull())
     win = Window.partitionBy(group_col).orderBy(
         F.desc("pri_e9"), F.col(id_col)
     )

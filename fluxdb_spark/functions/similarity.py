@@ -2494,7 +2494,14 @@ def pair_cosine(
 
 def sql_pair_cosine(pairs_sql: str, scale: int = 1_000_000) -> str:
     """DuckDB twin of `pair_cosine` over a (d1, d2, jaccard) pair query
-    on the documents table, joined to the embeddings view by id."""
+    on the documents table, joined to the embeddings view by id.
+
+    Edge parity (ADVICE r11): a zero-length embedding UNNESTs to no
+    rows, so the aggregate CTE never sees that pair — the final
+    projection therefore drives from the PAIRS relation (inner-joined
+    to qv so both ids must exist, exactly Spark's equi-joins) with a
+    LEFT JOIN to the aggregates, surfacing degenerate pairs with NULL
+    cos4 on both engines."""
     return f"""
 WITH pairs AS MATERIALIZED ({pairs_sql}),
 qv AS (SELECT vec_id,
@@ -2512,12 +2519,15 @@ d AS (SELECT p.d1, p.d2,
       JOIN e e2 ON e2.vec_id = p.d2 AND e2.pos = e1.pos
       GROUP BY 1, 2)
 SELECT p.d1, p.d2, p.jaccard,
-       CASE WHEN n1 > 0 AND n2 > 0
-            THEN floor(CAST(dot AS DOUBLE)
-                       / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+       CASE WHEN d.n1 > 0 AND d.n2 > 0
+            THEN floor(CAST(d.dot AS DOUBLE)
+                       / sqrt(CAST(d.n1 AS DOUBLE) * CAST(d.n2 AS DOUBLE))
                        * 10000) / 10000.0
        END AS cos4
-FROM d JOIN pairs p USING (d1, d2)
+FROM pairs p
+JOIN qv v1 ON v1.vec_id = p.d1
+JOIN qv v2 ON v2.vec_id = p.d2
+LEFT JOIN d ON d.d1 = p.d1 AND d.d2 = p.d2
 """
 
 

@@ -241,53 +241,69 @@ _WOR_OUT_SCHEMA = StructType(
 )
 
 
-def _wor_group(
-    key: tuple,
-    pdfs: "Iterator[pd.DataFrame]",
-    state: GroupState,
-) -> "Iterator[pd.DataFrame]":
-    import numpy as np
-    import pandas as pd
+def _wor_group_fn(k: int):
+    """Bind the reservoir size into the stateful fold.  k is a plan
+    constant (it defines the state shape), so it travels as a closure —
+    every caller passes the SAME k its batch/SQL twin uses, instead of
+    silently inheriting a module constant (ADVICE r11)."""
 
-    if state.exists:
-        n_seen, pris, ids, ws = state.get
-        pris = np.asarray(pris, dtype=np.int64)
-        ids = np.asarray(ids, dtype=np.int64)
-        ws = np.asarray(ws, dtype=np.int64)
-    else:
-        n_seen = 0
-        pris = ids = ws = np.empty(0, dtype=np.int64)
-    for pdf in pdfs:
-        n_seen += len(pdf)
-        # rows with NULL priority (wor_priority's non-positive-weight
-        # guard, or a NULL weight) are unsampleable: arrow delivers them
-        # as NaN, which would crash the int64 cast — drop them from the
-        # reservoir (they still count toward ver/n_seen), matching the
-        # batch draw whenever k valid rows exist
-        pdf = pdf.dropna(subset=["pri", "w"])
-        pris = np.concatenate([pris, pdf["pri"].to_numpy(dtype=np.int64)])
-        ids = np.concatenate([ids, pdf["id"].to_numpy(dtype=np.int64)])
-        ws = np.concatenate([ws, pdf["w"].to_numpy(dtype=np.int64)])
-        # priority DESC, id ASC — lexsort's last key is primary
-        order = np.lexsort((ids, -pris))[:WOR_STREAM_K]
-        pris, ids, ws = pris[order], ids[order], ws[order]
-    state.update(
-        (
-            int(n_seen),
-            [int(v) for v in pris],
-            [int(v) for v in ids],
-            [int(v) for v in ws],
+    def _wor_group(
+        key: tuple,
+        pdfs: "Iterator[pd.DataFrame]",
+        state: GroupState,
+    ) -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n_seen, pris, ids, ws = state.get
+            pris = np.asarray(pris, dtype=np.int64)
+            ids = np.asarray(ids, dtype=np.int64)
+            ws = np.asarray(ws, dtype=np.int64)
+        else:
+            n_seen = 0
+            pris = ids = ws = np.empty(0, dtype=np.int64)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            # rows with NULL priority (wor_priority's non-positive-weight
+            # guard, or a NULL weight) are unsampleable: arrow delivers
+            # them as NaN, which would crash the int64 cast — drop them
+            # from the reservoir (they still count toward ver/n_seen),
+            # matching the batch draw, which excludes NULL priorities
+            # the same way
+            pdf = pdf.dropna(subset=["pri", "w"])
+            pris = np.concatenate(
+                [pris, pdf["pri"].to_numpy(dtype=np.int64)]
+            )
+            ids = np.concatenate([ids, pdf["id"].to_numpy(dtype=np.int64)])
+            ws = np.concatenate([ws, pdf["w"].to_numpy(dtype=np.int64)])
+            # priority DESC, id ASC — lexsort's last key is primary
+            order = np.lexsort((ids, -pris))[:k]
+            pris, ids, ws = pris[order], ids[order], ws[order]
+        state.update(
+            (
+                int(n_seen),
+                [int(v) for v in pris],
+                [int(v) for v in ids],
+                [int(v) for v in ws],
+            )
         )
-    )
-    yield pd.DataFrame(
-        {
-            "g": [key[0]],
-            "ver": [int(n_seen)],
-            "pris": [[int(v) for v in pris]],
-            "ids": [[int(v) for v in ids]],
-            "ws": [[int(v) for v in ws]],
-        }
-    )
+        yield pd.DataFrame(
+            {
+                "g": [key[0]],
+                "ver": [int(n_seen)],
+                "pris": [[int(v) for v in pris]],
+                "ids": [[int(v) for v in ids]],
+                "ws": [[int(v) for v in ws]],
+            }
+        )
+
+    return _wor_group
+
+
+# default-k binding, kept importable for the unit tests that drive the
+# fold directly
+_wor_group = _wor_group_fn(WOR_STREAM_K)
 
 
 def wor_stream(
@@ -295,6 +311,7 @@ def wor_stream(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    k: int = WOR_STREAM_K,
 ) -> DataFrame:
     """Per-group weighted reservoirs over a streaming frame: (g, ver,
     pris, ids, ws) per group per micro-batch, the arrays at most
@@ -311,18 +328,20 @@ def wor_stream(
         F.col(id_col).alias("id"),
         w.alias("w"),
     ).withColumn("pri", wor_priority(F.col("id"), F.col("w")))
-    return topk_stream(prepared)
+    return topk_stream(prepared, k=k)
 
 
-def topk_stream(prepared: DataFrame) -> DataFrame:
+def topk_stream(prepared: DataFrame, k: int = WOR_STREAM_K) -> DataFrame:
     """The generic streaming per-group top-k-by-fixed-priority fold:
     takes an already-prepared (g, id, w, pri) frame and maintains each
     group's k best rows as GroupState. Any fixed per-row priority works
     — the ES sampling key (`wor_stream`), a centroid distance (the
     anomaly watchlist), a score — because the lossless-trim argument
-    only needs priorities that never change after ingest."""
+    only needs priorities that never change after ingest. Pass the SAME
+    k the batch/SQL twin uses — the trim size is part of the contract,
+    not a tuning knob (ADVICE r11)."""
     return prepared.groupBy("g").applyInPandasWithState(
-        _wor_group,
+        _wor_group_fn(k),
         outputStructType=_WOR_OUT_SCHEMA,
         stateStructType=_WOR_STATE_SCHEMA,
         outputMode="update",

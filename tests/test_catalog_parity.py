@@ -46,6 +46,47 @@ def test_priority_names_all_exist():
     assert len(set(_PRIORITY)) == len(_PRIORITY), "duplicate priority names"
 
 
+def test_priority_window_is_stale_first():
+    """Rotation guard (VERDICT r11 task 2): the driver stamps exactly the
+    first 50 _PRIORITY entries per round, so a window that still contains
+    entries stamped in the two NEWEST recorded rounds means the rotation
+    ritual was skipped and that round's validation budget re-checks
+    already-fresh rows.  This test goes red at the start of the round
+    after a window runs, forcing the one-reorder rotation before anything
+    else."""
+    import glob
+    import json
+    import re
+
+    from fluxdb_spark.catalog import _PRIORITY
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    )
+    if not rounds:
+        pytest.skip("no driver correctness artifacts in this checkout")
+    fresh: set[str] = set()
+    for r in rounds[-2:]:
+        with open(os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")) as f:
+            recorded = json.load(f)
+        fresh.update(
+            n
+            for n, res in recorded.items()
+            if isinstance(res, dict)
+            and res.get("rows_match")
+            and res.get("schema_match")
+            and res.get("hash_match")
+        )
+    stale_window = [n for n in _PRIORITY[:50] if n in fresh]
+    assert not stale_window, (
+        f"window wastes slots on entries already stamped in rounds "
+        f"{rounds[-2:]}: rotate _PRIORITY (move positions 51-100 to the "
+        f"front) -- {stale_window[:8]}..."
+    )
+
+
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, duck, name):
     spec = SPECS[name]
