@@ -261,6 +261,9 @@ HEADLINE = [
     # state fingerprint (replica verification) + its streaming corpus twin
     "flux_state_fingerprint",
     "stream_corpus_fingerprint",
+    # round-12 addition: the threshold-tuning table priced from the LSH
+    # candidate path (the at-scale form of dedup_threshold_sweep)
+    "dedup_threshold_sweep_lsh",
 ]
 
 
@@ -282,6 +285,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     warm_dir = "/root/testdata/sf0.001"
     times: dict[str, float] = {}
+    data_fp: int | None = None
     chunks = [HEADLINE[i : i + CHUNK] for i in range(0, len(HEADLINE), CHUNK)]
     for ci, chunk in enumerate(chunks):
         spark = get_spark(app_name=f"fluxdb_spark_bench_{ci}")
@@ -290,6 +294,21 @@ def main() -> None:
         # Warm the JVM + parquet footers so per-query numbers measure the
         # query, not session startup.
         specs["flux_checkpoint"].spark(spark, sf_dir).collect()
+
+        if data_fp is None:
+            # Stamp the testdata GENERATION into the bench record (the
+            # driver regenerates /root/testdata per round, shifting
+            # absolute timings ~15%): the engine's own order-invariant
+            # corpus fingerprint, outside any timing loop.  Totals are
+            # comparable across rounds only when data_fingerprint
+            # matches.
+            data_fp = next(
+                int(r["fingerprint"])
+                for r in specs["corpus_fingerprint"]
+                .spark(spark, sf_dir)
+                .collect()
+                if r["source"] == "__all__"
+            )
 
         # Warm each plan's generated code at the smallest SF: janino/JIT
         # compile of a plan is a per-plan constant (seconds for the big
@@ -349,6 +368,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                "data_fingerprint": data_fp,
             }
         )
     )
@@ -361,6 +381,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(times),
                 "sf": sf_val,
+                "data_fingerprint": data_fp,
             }
         )
     )

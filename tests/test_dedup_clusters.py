@@ -220,6 +220,44 @@ class TestThresholdSweep:
             assert r.thresh_x100 == r.band * 5
 
 
+class TestThresholdSweepLsh:
+    """dedup_threshold_sweep_lsh reconciliation (VERDICT r11 task 6): the
+    banded-candidate sweep must be a per-band UNDERCOUNT of the exact
+    sweep (LSH candidates are a subset of all pairs), and in the
+    high-recall region of the S-curve it must catch nearly all of them."""
+
+    def test_bands_reconcile_with_exact(self, spark):
+        from fluxdb_spark.catalog import catalog
+
+        specs = {s.name: s for s in catalog()}
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            r.band: r.n_pairs
+            for r in specs["dedup_threshold_sweep"].spark(spark, sf).collect()
+        }
+        lsh_rows = sorted(
+            specs["dedup_threshold_sweep_lsh"].spark(spark, sf).collect(),
+            key=lambda r: -r.band,
+        )
+        run = 0
+        for r in lsh_rows:
+            # containment: every LSH band exists in the exact table and
+            # never exceeds it
+            assert r.band in exact, f"band {r.band} absent from exact sweep"
+            assert 0 < r.n_pairs <= exact[r.band]
+            run += r.n_pairs
+            assert r.surviving_pairs == run
+            assert r.thresh_x100 == r.band * 5
+        # high-recall region (jaccard >= 0.8, bands >= 16): the analytic
+        # catch probability is >= 1-(1-0.8^2)^4 ~ 0.983 per pair, so
+        # requiring half is generous enough to survive any testdata
+        # regeneration while still catching a broken candidate path
+        hi_exact = sum(n for b, n in exact.items() if b >= 16)
+        hi_lsh = sum(r.n_pairs for r in lsh_rows if r.band >= 16)
+        if hi_exact >= 10:
+            assert hi_lsh * 2 >= hi_exact
+
+
 class TestLshTuning:
     """dedup_lsh_tuning semantics: the analytic S-curve and the empirical
     catch rates must both behave like the theory they encode."""
