@@ -264,6 +264,9 @@ HEADLINE = [
     # round-12 addition: the threshold-tuning table priced from the LSH
     # candidate path (the at-scale form of dedup_threshold_sweep)
     "dedup_threshold_sweep_lsh",
+    # pairwise corpus diversity without pairs + the Zipf/tokenizer audit
+    "corpus_self_overlap",
+    "token_freq_spectrum",
 ]
 
 

@@ -139,6 +139,8 @@ _PRIORITY: list[str] = [
     # ---- position 51+: leads the r13 window ----
     # -- round-12 additions (first driver row in r13) --
     "dedup_threshold_sweep_lsh",
+    "corpus_self_overlap",
+    "token_freq_spectrum",
     # -- r08-green block (continued) --
     "tpch_q5",
     "tpch_q6",
@@ -9104,6 +9106,206 @@ def dedup_threshold_sweep_lsh(spark, sf_dir):
         (F.col("band") * 5).alias("thresh_x100"),
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("surviving_pairs"),
+    )
+
+
+# Engine-common ratio expressions for corpus_self_overlap: computed in
+# IEEE doubles and floored (the event_seasonality lift precedent — the
+# integer `* 1000000 div` idiom overflows once the numerator passes
+# ~9e12, which per-source shingle-instance counts reach long before
+# 100 TB), identical text on both engines via F.expr.
+_DUP_PPM = (
+    "CASE WHEN n_instances > 0 THEN"
+    " CAST(floor(CAST(n_instances - n_distinct AS DOUBLE) * 1000000"
+    " / CAST(n_instances AS DOUBLE)) AS BIGINT) END"
+)
+_MEAN_PAIR_PPM = (
+    "CASE WHEN n_docs >= 2 AND pair_events IS NOT NULL THEN"
+    " CAST(floor(CAST(pair_events AS DOUBLE) * 1000000"
+    " / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2)) AS BIGINT) END"
+)
+
+
+@_q(
+    "corpus_self_overlap",
+    "pipeline",
+    f"""
+WITH toks AS (SELECT source, string_split(lower(text), ' ') AS t
+              FROM documents),
+shingle_lists AS (
+  SELECT source,
+         list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingles
+  FROM toks WHERE len(t) >= 3),
+sh AS (SELECT source, unnest(shingles) AS shingle FROM shingle_lists),
+dfrel AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS df
+          FROM sh GROUP BY 1, 2),
+per_source AS (
+  SELECT source,
+         CAST(sum(df) AS BIGINT) AS n_instances,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum((df * (df - 1)) // 2) AS BIGINT) AS pair_events
+  FROM dfrel GROUP BY 1),
+base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1),
+j AS (SELECT b.source, b.n_docs,
+             coalesce(p.n_instances, 0) AS n_instances,
+             coalesce(p.n_distinct, 0) AS n_distinct,
+             p.pair_events
+      FROM base b LEFT JOIN per_source p USING (source))
+SELECT source, n_docs, n_instances, n_distinct,
+       {_DUP_PPM} AS dup_ppm,
+       {_MEAN_PAIR_PPM} AS mean_pair_overlap_ppm
+FROM j
+""",
+)
+def corpus_self_overlap(spark, sf_dir):
+    """Per-source corpus diversity profile WITHOUT materializing pairs —
+    the Self-BLEU-class statistic at relation scale: the shingle
+    document-frequency fold gives every pairwise-overlap aggregate
+    exactly, because sum over shingles of C(df, 2) counts each
+    (doc-pair, shared-shingle) event once. `dup_ppm` is the share of
+    shingle instances that repeat an earlier doc's shingle within the
+    source (internal duplication mass — the signal that a source is
+    boilerplate); `mean_pair_overlap_ppm` is the average number of
+    3-word shingles a random doc pair shares, x1e6 — the diversity
+    number a training-mix owner compares across sources before
+    weighting them. The same shingle vocabulary as the dedup family, so
+    the numbers reconcile with the near-dup pipeline's thresholds.
+    Scale shape: one shingle explode -> (source, shingle) groupBy ->
+    |sources|-row rollup — map-side combinable end to end, no joins of
+    the corpus against itself, no windows; ratios floor in IEEE doubles
+    (the lift_ppm precedent) so counts past the int64 ppm ceiling stay
+    portable."""
+    d = _td(spark, sf_dir)
+    sh = d.select(
+        "source",
+        F.explode(dd.word_shingles(F.col("text"))).alias("shingle"),
+    )
+    dfrel = sh.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    per_source = dfrel.groupBy("source").agg(
+        F.sum("df").cast("long").alias("n_instances"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.expr("(df * (df - 1)) div 2")).cast("long").alias(
+            "pair_events"
+        ),
+    )
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    j = base.join(F.broadcast(per_source), "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_instances"), F.lit(0).cast("long")).alias(
+            "n_instances"
+        ),
+        F.coalesce(F.col("n_distinct"), F.lit(0).cast("long")).alias(
+            "n_distinct"
+        ),
+        "pair_events",
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_instances",
+        "n_distinct",
+        F.expr(_DUP_PPM).alias("dup_ppm"),
+        F.expr(_MEAN_PAIR_PPM).alias("mean_pair_overlap_ppm"),
+    )
+
+
+def _log2_bucket_sql(expr: str) -> str:
+    """Integer log2 bucket as a pure-comparison CASE ladder, identical
+    text on both engines (the _POIS_T shared-literal pattern).  A libm
+    log2/ln would misround exact powers of two (ln(8)/ln(2) floors to 2
+    on some libms), so buckets come from 62 integer compares instead —
+    constant-folded by both optimizers."""
+    whens = " ".join(
+        f"WHEN {expr} < {1 << (b + 1)} THEN {b}" for b in range(62)
+    )
+    return f"CAST(CASE {whens} ELSE 62 END AS BIGINT)"
+
+
+_SPECTRUM_SHARE = (
+    "CAST(floor(CAST(occ AS DOUBLE) * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+_SPECTRUM_TOP_MASS = (
+    "CAST(floor(CAST(cum_occ AS DOUBLE) * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+
+
+@_q(
+    "token_freq_spectrum",
+    "pipeline",
+    f"""
+WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+             FROM documents),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+b AS (SELECT {_log2_bucket_sql('cnt')} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(cnt) AS BIGINT) AS occ
+      FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(occ) AS BIGINT) AS total FROM b),
+w AS (SELECT bucket, n_types, occ, total,
+             CAST(sum(occ) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_occ
+      FROM b, t)
+SELECT bucket, n_types, occ,
+       {_SPECTRUM_SHARE} AS occ_share_ppm,
+       {_SPECTRUM_TOP_MASS} AS top_mass_ppm
+FROM w
+""",
+)
+def token_freq_spectrum(spark, sf_dir):
+    """Type-frequency spectrum of the unigram vocabulary — the Zipf
+    audit that sizes a tokenizer: per log2-frequency bucket, how many
+    distinct types live there (`n_types`), how many token occurrences
+    they carry (`occ`), each bucket's share of the corpus, and the
+    cumulative mass from the most-frequent bucket down (`top_mass_ppm`
+    at bucket b = the corpus coverage a vocabulary truncated at
+    frequency >= 2^b achieves). Bucket 0 is the hapax legomena — the
+    mass a min-frequency-2 cut discards. Complements `vocab_growth`
+    (Heaps curve: vocab vs corpus size) and `heavy_hitters` (the named
+    top-k): this is the whole distribution in <= 63 rows. Scale shape:
+    tokenize-explode -> vocab-bounded groupBy (Zipf-bounded, the
+    collocations precedent) -> map to bucket by 62 integer compares (no
+    libm log2 — exact powers of two misround) -> <= 63-row rollup;
+    the cumulative window and shares live on that bounded relation."""
+    d = _td(spark, sf_dir)
+    c = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    b = (
+        c.select(F.expr(_log2_bucket_sql("cnt")).alias("bucket"), "cnt")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("cnt").cast("long").alias("occ"),
+        )
+    )
+    t = b.agg(F.sum("occ").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .withColumn("cum_occ", F.sum("occ").over(w).cast("long"))
+        .select(
+            "bucket",
+            "n_types",
+            "occ",
+            F.expr(_SPECTRUM_SHARE).alias("occ_share_ppm"),
+            F.expr(_SPECTRUM_TOP_MASS).alias("top_mass_ppm"),
+        )
     )
 
 

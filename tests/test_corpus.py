@@ -1058,3 +1058,117 @@ class TestTokenBudgetCurve:
             run_d += r.n_docs
             run_t += r.band_tokens
             assert (r.cum_docs, r.cum_tokens) == (run_d, run_t)
+
+
+class TestCorpusSelfOverlap:
+    """corpus_self_overlap semantics on constructed data: the C(df,2)
+    fold must equal the brute-force pairwise shared-shingle count."""
+
+    def test_matches_bruteforce_pairwise(self, spark):
+        from itertools import combinations
+
+        from fluxdb_spark.functions import dedup as dd
+
+        docs = [
+            # source A: three docs, two identical (maximal overlap)
+            (0, "a", "the quick brown fox jumps"),
+            (1, "a", "the quick brown fox jumps"),
+            (2, "a", "an entirely different text here"),
+            # source B: two docs sharing exactly one 3-gram
+            (3, "b", "one two three four"),
+            (4, "b", "zero one two three"),
+            # source C: two docs with zero overlap (one too short to
+            # shingle at all) — a defined, zero mean
+            (5, "c", "lonely document with words"),
+            (6, "c", "too short"),
+            # source D: a single doc — no pairs, mean undefined
+            (7, "d", "only one document lives here"),
+        ]
+        df = spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        )
+        sh = df.select(
+            "doc_id",
+            "source",
+            F.explode(dd.word_shingles(F.col("text"))).alias("s"),
+        ).collect()
+        by_doc: dict[int, set] = {}
+        src_of: dict[int, str] = {}
+        for r in sh:
+            by_doc.setdefault(r.doc_id, set()).add(r.s)
+            src_of[r.doc_id] = r.source
+        want_pairs: dict[str, int] = {"a": 0, "b": 0, "c": 0, "d": 0}
+        for d1, d2 in combinations(sorted(by_doc), 2):
+            if src_of[d1] == src_of[d2]:
+                want_pairs[src_of[d1]] += len(by_doc[d1] & by_doc[d2])
+
+        import fluxdb_spark.catalog as cat
+
+        spec = {s.name: s for s in cat.catalog()}["corpus_self_overlap"]
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {
+                r.source: r
+                for r in spec.spark(spark, td).collect()
+            }
+        # source a: docs 0,1 identical (3 shingles each) + doc 2 disjoint
+        a = got["a"]
+        assert a.n_docs == 3
+        assert a.n_instances == 9 and a.n_distinct == 6
+        # pair_events: C(2,2 shared shingles)=3 shingles with df=2 -> 3
+        total_pairs_a = 3 * 2 // 2
+        assert want_pairs["a"] == 3
+        assert a.mean_pair_overlap_ppm == 3 * 1_000_000 // total_pairs_a
+        assert a.dup_ppm == (9 - 6) * 1_000_000 // 9
+        # source b: exactly one shared 3-gram across its single pair
+        b = got["b"]
+        assert want_pairs["b"] == 1
+        assert b.mean_pair_overlap_ppm == 1_000_000
+        # source c: one pair with zero shared shingles -> mean 0; the
+        # short doc contributes no shingles but still counts in n_docs
+        c = got["c"]
+        assert c.n_docs == 2
+        assert c.mean_pair_overlap_ppm == 0
+        assert c.dup_ppm == 0
+        # source d: a single doc has no pairs -> mean undefined (NULL)
+        d = got["d"]
+        assert d.n_docs == 1
+        assert d.mean_pair_overlap_ppm is None
+
+
+class TestTokenFreqSpectrum:
+    """token_freq_spectrum semantics on constructed data: buckets are
+    exact integer log2 of the term frequency and top_mass is the
+    coverage of a frequency-floor vocabulary cut."""
+
+    def test_buckets_and_top_mass(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        # term frequencies: x -> 8 (bucket 3), y -> 4 (bucket 2),
+        # z -> 2, w -> 2 (bucket 1), h1/h2 -> 1 (bucket 0, hapax)
+        text = " ".join(["x"] * 8 + ["y"] * 4 + ["z", "w"] * 2 + ["h1", "h2"])
+        df = spark.createDataFrame(
+            [(0, "s", text)], "doc_id long, source string, text string"
+        )
+        spec = {s.name: s for s in cat.catalog()}["token_freq_spectrum"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            rows = {r.bucket: r for r in spec.spark(spark, td).collect()}
+        assert set(rows) == {0, 1, 2, 3}
+        assert (rows[3].n_types, rows[3].occ) == (1, 8)
+        assert (rows[2].n_types, rows[2].occ) == (1, 4)
+        assert (rows[1].n_types, rows[1].occ) == (2, 4)
+        assert (rows[0].n_types, rows[0].occ) == (2, 2)
+        total = 18
+        # top-down coverage: freq>=8 cut covers 8/18, >=4 covers 12/18, ...
+        assert rows[3].top_mass_ppm == 8 * 1_000_000 // total
+        assert rows[2].top_mass_ppm == 12 * 1_000_000 // total
+        assert rows[1].top_mass_ppm == 16 * 1_000_000 // total
+        assert rows[0].top_mass_ppm == 1_000_000
+        assert rows[0].occ_share_ppm == 2 * 1_000_000 // total
