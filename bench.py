@@ -267,6 +267,9 @@ HEADLINE = [
     # pairwise corpus diversity without pairs + the Zipf/tokenizer audit
     "corpus_self_overlap",
     "token_freq_spectrum",
+    # ANN index skew audit and ingest-time decontamination
+    "ivf_balance_audit",
+    "stream_decontaminate",
 ]
 
 

@@ -141,6 +141,8 @@ _PRIORITY: list[str] = [
     "dedup_threshold_sweep_lsh",
     "corpus_self_overlap",
     "token_freq_spectrum",
+    "ivf_balance_audit",
+    "stream_decontaminate",
     # -- r08-green block (continued) --
     "tpch_q5",
     "tpch_q6",
@@ -5005,10 +5007,10 @@ def pps_sample(spark, sf_dir):
 
 _DECONTAM_8GRAM = ", ".join(f"t[i+{j}]" for j in range(8))
 
-@_q(
-    "decontaminate",
-    "pipeline",
-    f"""
+# ONE oracle for the batch and streaming decontamination entries (the
+# fingerprint-pair precedent: sharing the text makes the "drained state
+# == batch relation" claim structural, not a copy that can drift).
+_DECONTAM_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
 sl AS (
   SELECT doc_id,
@@ -5021,8 +5023,10 @@ SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
 FROM sh s JOIN bench USING (shingle)
 WHERE s.doc_id % 10 != 0
 GROUP BY 1
-""",
-)
+"""
+
+
+@_q("decontaminate", "pipeline", _DECONTAM_SQL)
 def decontaminate(spark, sf_dir):
     """Benchmark decontamination: flag training docs sharing any 8-word
     shingle with the benchmark pool (here: every 10th doc stands in for
@@ -5051,6 +5055,67 @@ def decontaminate_fuzzy(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 10 == 0)
     train = d.filter(F.col("doc_id") % 10 != 0)
     return cu.decontaminate_fuzzy(spread(train), bench)
+
+
+@_q("stream_decontaminate", "streaming", _DECONTAM_SQL)
+def stream_decontaminate(spark, sf_dir):
+    """STANDING benchmark decontamination — the deployment shape of
+    `decontaminate` at ingest time: the eval pool's 8-gram shingle set
+    is frozen batch-side (eval sets are static by definition — the
+    stream_lm_score frozen-model precedent), then the document stream
+    explodes to its distinct shingles and stream-static-joins the
+    broadcast pool; the standing per-doc hit counter is the aggregation
+    state. A contaminated doc is flagged the moment it ARRIVES instead
+    of at the next epoch-boundary batch sweep — at 100 TB, the
+    difference between quarantining a leak before and after it enters a
+    training mix. State is bounded by the FLAGGED docs only (the join
+    drops clean docs before the fold), and the shingle arrays are
+    already distinct per doc, so a plain count after the one-row-per-
+    pool-shingle join equals the batch count(DISTINCT) — the drained
+    table hash-matches the batch relation (same oracle constant)."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    d = _t(spark, sf_dir, "documents")
+    # frozen eval pool: built batch-side ONCE, broadcast into every
+    # micro-batch
+    pool = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.explode(
+                dd.word_shingles(F.col("text"), 8)
+            ).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    hits = (
+        raw.filter(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.explode(
+                dd.word_shingles(F.col("text"), 8)
+            ).alias("shingle"),
+        )
+        .join(F.broadcast(pool), "shingle")  # stream-static equi-join
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    name = f"stream_decontam_{uuid.uuid4().hex[:8]}"
+    q = (
+        hits.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
 
 
 _HDR_PS = [0.5, 0.9, 0.99]
@@ -9305,6 +9370,74 @@ def token_freq_spectrum(spark, sf_dir):
             "occ",
             F.expr(_SPECTRUM_SHARE).alias("occ_share_ppm"),
             F.expr(_SPECTRUM_TOP_MASS).alias("top_mass_ppm"),
+        )
+    )
+
+
+_IVF_BAL_SHARE = (
+    "CAST(floor(CAST(n_vecs AS DOUBLE) * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+_IVF_BAL_LIFT = (
+    "CAST(floor(CAST(n_vecs AS DOUBLE) * 8 * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _ivf_balance_sql() -> str:
+    body, a = sim._sql_kmeans_ctes(8, 3)
+    return f"""{body},
+cells AS (SELECT CAST(cluster AS BIGINT) AS cell,
+                 CAST(count(*) AS BIGINT) AS n_vecs
+          FROM {a} GROUP BY 1),
+t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM cells),
+w AS (SELECT cell, n_vecs, total,
+             CAST(sum(n_vecs) OVER (ORDER BY n_vecs DESC, cell
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS worst_probe_cum
+      FROM cells, t)
+SELECT cell, n_vecs,
+       {_IVF_BAL_SHARE} AS share_ppm,
+       {_IVF_BAL_LIFT} AS balance_lift_ppm,
+       worst_probe_cum
+FROM w
+"""
+
+
+@_q("ivf_balance_audit", "pipeline", _ivf_balance_sql())
+def ivf_balance_audit(spark, sf_dir):
+    """IVF index health audit: per-cell occupancy of the coarse
+    quantizer (the same exact-integer Lloyd assignment the kmeans/
+    semantic-bucketing family uses, k=8 cells), each cell's corpus
+    share, its balance lift (1e6 = perfectly even; a 3e6 cell means
+    probes landing there scan 3x the ideal), and the worst-case probe
+    cost curve: `worst_probe_cum` at row r is the candidate count a
+    query pays if its n_probe = r probes all land on the r fullest
+    cells — the number that decides whether an IVF index needs
+    re-training or cell splitting before a latency target is promised.
+    The audit a 100 TB ANN service runs after every index build: skewed
+    cells, not average recall, are what break tail latency. Scale
+    shape: the Lloyd passes are map-only against plan-literal centroids
+    (the kmeans_clusters shape, shuffles carry k*dim rows); the audit
+    itself is a k-row rollup + windows on that bounded relation."""
+    e = _t(spark, sf_dir, "embeddings")
+    km = sim.kmeans_clusters(e, k=8, iters=3).select("vec_id", "cluster")
+    cells = km.groupBy(
+        F.col("cluster").cast("long").alias("cell")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    t = cells.agg(F.sum("n_vecs").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("n_vecs"), F.asc("cell")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.crossJoin(F.broadcast(t))
+        .withColumn("worst_probe_cum", F.sum("n_vecs").over(w).cast("long"))
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr(_IVF_BAL_SHARE).alias("share_ppm"),
+            F.expr(_IVF_BAL_LIFT).alias("balance_lift_ppm"),
+            "worst_probe_cum",
         )
     )
 

@@ -318,6 +318,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_rfm", "stream_kmv_overlap", "stream_source_divergence",
         "stream_hll_rollup", "stream_wor_sample", "stream_embed_outliers",
         "stream_lm_score", "stream_corpus_fingerprint",
+        "stream_decontaminate",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
