@@ -270,6 +270,9 @@ HEADLINE = [
     # ANN index skew audit and ingest-time decontamination
     "ivf_balance_audit",
     "stream_decontaminate",
+    # packing fragmentation audit and the topic-x-quality matrix
+    "packing_fragmentation",
+    "cluster_quality_matrix",
 ]
 
 

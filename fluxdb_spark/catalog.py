@@ -143,6 +143,8 @@ _PRIORITY: list[str] = [
     "token_freq_spectrum",
     "ivf_balance_audit",
     "stream_decontaminate",
+    "packing_fragmentation",
+    "cluster_quality_matrix",
     # -- r08-green block (continued) --
     "tpch_q5",
     "tpch_q6",
@@ -6601,6 +6603,99 @@ def seq_packing(spark, sf_dir):
     return cu.pack_sequences(d, budget=256, shard_col="source")
 
 
+_PACK_CROSS_PPM = (
+    "CAST(floor(CAST(n_crossing AS DOUBLE) * 1000000"
+    " / CAST(n_docs AS DOUBLE)) AS BIGINT)"
+)
+_PACK_TAIL_PPM = (
+    "CASE WHEN n_tokens % 256 = 0 THEN CAST(1000000 AS BIGINT)"
+    " ELSE CAST(floor(CAST(n_tokens % 256 AS DOUBLE) * 1000000"
+    " / 256.0) AS BIGINT) END"
+)
+
+
+@_q(
+    "packing_fragmentation",
+    "pipeline",
+    f"""
+WITH toks AS (
+  SELECT source AS shard, doc_id, len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+cum AS (
+  SELECT shard, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM toks),
+per AS (
+  SELECT shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN (prev + n_tok - 1) // 256 > prev // 256
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+  FROM cum GROUP BY 1)
+SELECT shard, n_docs, n_tokens,
+       CAST((n_tokens - 1) // 256 + 1 AS BIGINT) AS n_seqs,
+       n_crossing,
+       {_PACK_CROSS_PPM} AS crossing_ppm,
+       {_PACK_TAIL_PPM} AS tail_fill_ppm
+FROM per
+""",
+)
+def packing_fragmentation(spark, sf_dir):
+    """Packing-quality audit of the `seq_packing` layout: per shard, how
+    many documents CROSS a 256-token sequence boundary (a crossing doc
+    is split between two training sequences — the attention-
+    contamination cost of concat-then-chunk packing that drives
+    best-fit packing research), plus the tail fill of the final partial
+    sequence — the ONLY padding this scheme pays. `crossing_ppm` is the
+    number a pipeline owner weighs against the zero-padding benefit
+    before choosing a packing strategy; it rises with mean doc length /
+    budget, so it's also a drift alarm when a source's documents grow.
+    Scale shape: the same per-shard prefix-sum window the packer itself
+    uses (parallel across shards), folded map-side into a |shards|-row
+    rollup — the audit costs exactly one pass over the token counts."""
+    d = _t(spark, sf_dir, "documents")
+    from fluxdb_spark.functions.text import token_count
+
+    toks = d.select(
+        F.col("source").alias("shard"),
+        F.col("doc_id"),
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    prev = F.coalesce(
+        F.sum("n_tok").over(
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    cum = toks.select("shard", "n_tok", prev.alias("prev"))
+    per = cum.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (prev + n_tok - 1) div 256 > prev div 256"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("long")
+        .alias("n_crossing"),
+    )
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST((n_tokens - 1) div 256 + 1 AS BIGINT)").alias(
+            "n_seqs"
+        ),
+        "n_crossing",
+        F.expr(_PACK_CROSS_PPM).alias("crossing_ppm"),
+        F.expr(_PACK_TAIL_PPM).alias("tail_fill_ppm"),
+    )
+
+
 @_q(
     "token_budget_mix",
     "pipeline",
@@ -9402,6 +9497,73 @@ SELECT cell, n_vecs,
        worst_probe_cum
 FROM w
 """
+
+
+_CQM_KEEP_PPM = (
+    "CAST(floor(CAST(n_keep AS DOUBLE) * 1000000"
+    " / CAST(n_docs AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _cluster_quality_sql() -> str:
+    body, a = sim._sql_kmeans_ctes(4, 3)
+    keep = tx.sql_quality_rules("d.text")["keep"]
+    return f"""{body},
+q AS (SELECT a.cluster, CASE WHEN {keep} THEN 1 ELSE 0 END AS keep,
+             len(string_split(d.text, ' ')) AS n_tok
+      FROM {a} a JOIN documents d ON d.doc_id = a.vec_id),
+per AS (SELECT CAST(cluster AS BIGINT) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_keep,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tok
+        FROM q GROUP BY 1)
+SELECT cluster, n_docs, {_CQM_KEEP_PPM} AS keep_ppm,
+       CAST(sum_tok // n_docs AS BIGINT) AS mean_tokens
+FROM per
+"""
+
+
+@_q("cluster_quality_matrix", "pipeline", _cluster_quality_sql())
+def cluster_quality_matrix(spark, sf_dir):
+    """Topic x quality curation matrix: the exact-integer k-means cells
+    (semantic topics) joined to the Gopher quality verdicts — per
+    cluster, how many docs, what share survives the rule filter, and
+    the mean token length. THE table that turns two one-dimensional
+    screens into a decision: a cluster with many docs and a low keep
+    rate is a boilerplate topic to cap (cheaper than filtering doc by
+    doc), one with few docs and a high keep rate is a coverage gap to
+    upweight. Scale shape: cells come from the map-only Lloyd passes
+    (plan-literal centroids); the cluster relation joins documents on
+    the shared id — an id-aligned equi-join both sides are naturally
+    keyed by (bucketable/co-partitionable at scale) — and folds into a
+    k-row matrix."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    km = sim.kmeans_clusters(e, k=4, iters=3).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+    q = km.join(
+        d.select(
+            "doc_id",
+            F.when(tx.quality_rules(F.col("text"))["keep"], 1)
+            .otherwise(0)
+            .alias("keep"),
+            tx.token_count(F.col("text")).cast("long").alias("n_tok"),
+        ),
+        "doc_id",
+    )
+    per = q.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.sum("n_tok").cast("long").alias("sum_tok"),
+    )
+    return per.select(
+        "cluster",
+        "n_docs",
+        F.expr(_CQM_KEEP_PPM).alias("keep_ppm"),
+        F.expr("CAST(sum_tok div n_docs AS BIGINT)").alias("mean_tokens"),
+    )
 
 
 @_q("ivf_balance_audit", "pipeline", _ivf_balance_sql())

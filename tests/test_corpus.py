@@ -1172,3 +1172,41 @@ class TestTokenFreqSpectrum:
         assert rows[1].top_mass_ppm == 16 * 1_000_000 // total
         assert rows[0].top_mass_ppm == 1_000_000
         assert rows[0].occ_share_ppm == 2 * 1_000_000 // total
+
+
+class TestPackingFragmentation:
+    """packing_fragmentation semantics on constructed lengths: crossing
+    and tail arithmetic must match a hand-simulated 256-token packer."""
+
+    def test_crossing_and_tail(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        # shard s: docs of 100, 100, 100 tokens -> doc 2 (prev=200)
+        # spans 200..299, crossing the 256 boundary; total 300 ->
+        # 2 sequences, tail = 300 % 256 = 44 tokens.
+        # shard t: 256 + 256 tokens -> no crossings, tail exactly full.
+        rows = [
+            (0, "s", " ".join(["w"] * 100)),
+            (1, "s", " ".join(["w"] * 100)),
+            (2, "s", " ".join(["w"] * 100)),
+            (3, "t", " ".join(["w"] * 256)),
+            (4, "t", " ".join(["w"] * 256)),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        spec = {s.name: s for s in cat.catalog()}["packing_fragmentation"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {r.shard: r for r in spec.spark(spark, td).collect()}
+        s = got["s"]
+        assert (s.n_docs, s.n_tokens, s.n_seqs, s.n_crossing) == (3, 300, 2, 1)
+        assert s.crossing_ppm == 333_333
+        assert s.tail_fill_ppm == 44 * 1_000_000 // 256
+        t = got["t"]
+        assert (t.n_docs, t.n_tokens, t.n_seqs, t.n_crossing) == (2, 512, 2, 0)
+        assert t.crossing_ppm == 0
+        assert t.tail_fill_ppm == 1_000_000
