@@ -273,6 +273,8 @@ HEADLINE = [
     # packing fragmentation audit and the topic-x-quality matrix
     "packing_fragmentation",
     "cluster_quality_matrix",
+    # margin-normalized alignment mining (bitext criterion)
+    "embed_margin_pairs",
 ]
 
 

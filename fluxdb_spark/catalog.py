@@ -145,6 +145,7 @@ _PRIORITY: list[str] = [
     "stream_decontaminate",
     "packing_fragmentation",
     "cluster_quality_matrix",
+    "embed_margin_pairs",
     # -- r08-green block (continued) --
     "tpch_q5",
     "tpch_q6",
@@ -7001,6 +7002,127 @@ ranked AS (
 SELECT query_id, match_id, score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= 10
 """
+
+
+# Margin ratio in EXACT integers (guarded to a nonnegative numerator so
+# DuckDB's floor-// and Spark's truncate-div agree): x10000 margin =
+# cos * 2 * kf * kb / (fsum*kb + bsum*kf), the Artetxe-Schwenk ratio
+# with both k-NN averages brought to one integer denominator.
+_MARGIN_X10000 = (
+    "CASE WHEN fsum * kb + bsum * kf > 0 AND cos_e6 >= 0 THEN"
+    " CAST((cos_e6 * 20000 * kf * kb)"
+    " {div} (fsum * kb + bsum * kf) AS BIGINT) END"
+)
+
+_MARGIN_SQL = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings
+           WHERE label = 0 AND vec_id < 100),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+idx AS (SELECT unnest(range(1, 65)) AS i),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         CAST(floor({_DOT_SQL} / ({_NORM_Q} * {_NORM_C}) * 1000000)
+              AS BIGINT) AS cos_e6
+  FROM q, c, idx
+  GROUP BY q.vec_id, c.vec_id),
+fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_e6 DESC, match_id) AS rn FROM scored),
+fagg AS (SELECT query_id, CAST(sum(cos_e6) AS BIGINT) AS fsum,
+                CAST(count(*) AS BIGINT) AS kf
+         FROM fr WHERE rn <= 4 GROUP BY 1),
+br AS (SELECT *, row_number() OVER (PARTITION BY match_id
+                 ORDER BY cos_e6 DESC, query_id) AS rn FROM scored),
+bagg AS (SELECT match_id, CAST(sum(cos_e6) AS BIGINT) AS bsum,
+                CAST(count(*) AS BIGINT) AS kb
+         FROM br WHERE rn <= 4 GROUP BY 1),
+m AS (SELECT s.query_id, s.match_id, s.cos_e6,
+             {_MARGIN_X10000.format(div='//')} AS margin_x10000
+      FROM scored s JOIN fagg f USING (query_id)
+      JOIN bagg b USING (match_id)),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY margin_x10000 DESC, match_id) AS rank FROM m)
+SELECT query_id, match_id, cos_e6, margin_x10000,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+@_q("embed_margin_pairs", "pipeline", _MARGIN_SQL)
+def embed_margin_pairs(spark, sf_dir):
+    """Margin-normalized cross-set alignment mining (Artetxe & Schwenk
+    2019 — the LASER/CCMatrix bitext-mining criterion): for a batch of
+    label-0 queries against the label-1 pool, score every pair by
+    cosine DIVIDED by the mean of both sides' 4-NN cosines — raw cosine
+    alone over-selects hub vectors that are close to EVERYTHING; the
+    margin ratio cancels each side's neighborhood density, which is why
+    the published pipelines mine aligned pairs with it instead. Top-3
+    margin-ranked matches per query. Exactness: cosine floors to e6
+    integers, both k-NN sums stay integer, and the margin is ONE
+    guarded integer division brought to a common denominator — no
+    float averages whose summation order could differ across engines.
+    Scale shape: the bounded query batch broadcasts (scoring is
+    map-side, the embed_topk precedent); the forward rank windows per
+    query, the backward rank windows per candidate over <= |batch|
+    rows; at 100 TB the label-1 pool side would come from the ANN
+    ladder's candidates instead of the full scan — this entry is the
+    exact verifier of that pipeline stage."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("label") == 0) & (F.col("vec_id") < 100)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = e.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("cvec")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "match_id",
+        F.floor(
+            sim.dot(F.col("qvec"), F.col("cvec"))
+            / (sim.norm(F.col("qvec")) * sim.norm(F.col("cvec")))
+            * F.lit(1000000)
+        )
+        .cast("long")
+        .alias("cos_e6"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_e6"), F.asc("match_id")
+    )
+    fagg = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= 4)
+        .groupBy("query_id")
+        .agg(
+            F.sum("cos_e6").cast("long").alias("fsum"),
+            F.count(F.lit(1)).cast("long").alias("kf"),
+        )
+    )
+    wb = Window.partitionBy("match_id").orderBy(
+        F.desc("cos_e6"), F.asc("query_id")
+    )
+    bagg = (
+        scored.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 4)
+        .groupBy("match_id")
+        .agg(
+            F.sum("cos_e6").cast("long").alias("bsum"),
+            F.count(F.lit(1)).cast("long").alias("kb"),
+        )
+    )
+    m = (
+        scored.join(F.broadcast(fagg), "query_id")
+        .join(bagg, "match_id")
+        .withColumn(
+            "margin_x10000", F.expr(_MARGIN_X10000.format(div="div"))
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("margin_x10000"), F.asc("match_id")
+    )
+    return (
+        m.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "match_id", "cos_e6", "margin_x10000", "rank")
+    )
 
 
 @_q("embed_ann_ivf_exact", "pipeline", _BRUTE_TOPK10_SQL)

@@ -397,6 +397,45 @@ class TestRound11AdditionPlans:
         assert "SortMergeJoin" not in p
 
 
+class TestRound12AdditionPlans:
+    """Shape pins for the round-12 additions (the global python/cartesian
+    sweep already covers them)."""
+
+    def test_self_overlap_is_windowless_map_fold(self, spark, specs):
+        """The whole point of corpus_self_overlap is pairwise statistics
+        WITHOUT pairs: no window and no sort-merge join may appear — the
+        C(df,2) fold is groupBys plus one broadcast join-back."""
+        p = plan_of(spark, specs, "corpus_self_overlap")
+        assert "row_number" not in p and "Window" not in p
+        assert "SortMergeJoin" not in p
+
+    def test_spectrum_windows_only_buckets(self, spark, specs):
+        """token_freq_spectrum's cumulative window must order by the
+        <= 63-row bucket relation, never a corpus/vocab-sized one."""
+        p = plan_of(spark, specs, "token_freq_spectrum")
+        assert "windowspecdefinition(bucket" in p
+
+    def test_packing_audit_windows_per_shard(self, spark, specs):
+        """The fragmentation audit rides the packer's own per-shard
+        prefix sum: the window must partition by shard."""
+        p = plan_of(spark, specs, "packing_fragmentation")
+        assert "windowspecdefinition(shard" in p
+
+    def test_margin_query_batch_broadcasts(self, spark, specs):
+        """embed_margin_pairs' scoring pass must broadcast the bounded
+        query batch — a sort-merge join of the candidate pool against
+        the batch would shuffle the corpus side."""
+        p = plan_of(spark, specs, "embed_margin_pairs")
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+
+    def test_ivf_audit_assignment_is_map_only(self, spark, specs):
+        """Cell assignment must score against plan-literal centroids —
+        no join of the corpus against a centroid relation."""
+        p = plan_of(spark, specs, "ivf_balance_audit")
+        assert "CartesianProduct" not in p
+
+
 class TestRound11LateAdditionPlans:
     """Shape pins for the late round-11 additions (the global
     python/cartesian sweep already covers them)."""

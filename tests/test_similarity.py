@@ -834,3 +834,47 @@ class TestEmbeddingOutliers:
         a = [r.vec_id for r in sim.embedding_outliers(corpus, 20).collect()]
         b = [r.vec_id for r in sim.embedding_outliers(corpus, 20).collect()]
         assert a == b and len(a) == 20
+
+
+class TestMarginPairs:
+    """embed_margin_pairs semantics: the margin ratio must DEMOTE a hub
+    vector (close to every query) below a slightly-lower-cosine but
+    uniquely-aligned candidate — the whole point of margin mining."""
+
+    def test_hub_demoted_below_aligned_pair(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        def vec(assign):
+            v = [0.0] * 64
+            for i, x in assign:
+                v[i] = x
+            return v
+
+        rows = [
+            # four orthogonal queries, label 0
+            (0, vec([(0, 1.0)]), 0),
+            (1, vec([(1, 1.0)]), 0),
+            (2, vec([(2, 1.0)]), 0),
+            (3, vec([(3, 1.0)]), 0),
+            # hub: cos 0.5 with EVERY query (label 1)
+            (10, vec([(0, 0.5), (1, 0.5), (2, 0.5), (3, 0.5)]), 1),
+            # aligned: cos 0.45 with q0 only, 0 with the others
+            (11, vec([(0, 0.45), (4, 0.8930845)]), 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        spec = {s.name: s for s in cat.catalog()}["embed_margin_pairs"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "embeddings.parquet"))
+            got = sorted(
+                (r.query_id, r.rank, r.match_id)
+                for r in spec.spark(spark, td).collect()
+                if r.query_id == 0
+            )
+        # raw cosine would rank the hub (0.5) above the aligned pair
+        # (0.45); the margin inverts that
+        assert got == [(0, 1, 11), (0, 2, 10)]
