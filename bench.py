@@ -275,6 +275,9 @@ HEADLINE = [
     "cluster_quality_matrix",
     # margin-normalized alignment mining (bitext criterion)
     "embed_margin_pairs",
+    # standing seasonality counters and the cluster chaining audit
+    "stream_seasonality",
+    "dedup_chaining_audit",
 ]
 
 

@@ -146,6 +146,8 @@ _PRIORITY: list[str] = [
     "packing_fragmentation",
     "cluster_quality_matrix",
     "embed_margin_pairs",
+    "stream_seasonality",
+    "dedup_chaining_audit",
     # -- r08-green block (continued) --
     "tpch_q5",
     "tpch_q6",
@@ -4752,6 +4754,105 @@ SELECT cluster_size,
        CAST(sum(cluster_size) AS BIGINT) AS n_docs
 FROM sizes GROUP BY 1
 """
+
+
+_CHAIN_DENSITY_PPM = (
+    "CAST(floor(CAST(pairs_total AS DOUBLE) * 1000000"
+    " / CAST(possible_total AS DOUBLE)) AS BIGINT)"
+)
+
+_CHAINING_AUDIT_SQL = f"""
+WITH {dd.sql_shingles_ctes()},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT d1, d2, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+  FROM inter JOIN shsize sa ON sa.doc_id = d1 JOIN shsize sb ON sb.doc_id = d2
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM r JOIN edges e ON e.a = r.reach)
+  SELECT node, min(reach) AS component FROM r GROUP BY node),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM reach GROUP BY 1),
+percl AS (
+  SELECT r.component,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(min(round(p.jaccard * 10000)) AS BIGINT) AS min_j_e4
+  FROM pairs p JOIN reach r ON r.node = p.d1 GROUP BY 1),
+band AS (
+  SELECT s.cluster_size,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(min(c.min_j_e4) AS BIGINT) AS worst_min_j_e4,
+         CAST(sum(c.n_pairs) AS BIGINT) AS pairs_total,
+         CAST(sum((s.cluster_size * (s.cluster_size - 1)) // 2) AS BIGINT)
+           AS possible_total
+  FROM sizes s JOIN percl c USING (component) GROUP BY 1)
+SELECT cluster_size, n_clusters, worst_min_j_e4,
+       {_CHAIN_DENSITY_PPM} AS density_ppm
+FROM band
+"""
+
+
+@_q("dedup_chaining_audit", "pipeline", _CHAINING_AUDIT_SQL)
+def dedup_chaining_audit(spark, sf_dir):
+    """Chaining audit of the near-dup clusters — the known failure mode
+    of connected components over pair thresholds: A~B~C can cluster
+    with A and C nowhere near each other, and a survivor-per-cluster
+    dedup then deletes documents that were never duplicates of the
+    kept one. Per cluster-size band: the worst minimum intra-cluster
+    pair Jaccard (a chain's weakest link sits AT the threshold) and the
+    edge density vs the complete graph (a chain of size s has s-1 of
+    the s(s-1)/2 possible pairs -> low ppm; a true mirror farm sits at
+    1e6). Low density + threshold-hugging worst link = clusters built
+    by chaining -> raise the threshold or verify before deleting.
+    Scale shape: rides the SAME pair relation and CC loop the cluster
+    entries share; everything after is |clusters|- then |bands|-row
+    rollups."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(d, 0.8)
+    comp = dd.connected_components(pairs)
+    p2 = pairs.join(
+        comp.withColumnRenamed("doc_id", "d1"), "d1"
+    ).select(
+        "component",
+        F.round(F.col("jaccard") * 10000).cast("long").alias("j_e4"),
+    )
+    percl = p2.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("j_e4").cast("long").alias("min_j_e4"),
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    band = (
+        sizes.join(percl, "component")
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.min("min_j_e4").cast("long").alias("worst_min_j_e4"),
+            F.sum("n_pairs").cast("long").alias("pairs_total"),
+            F.sum(
+                F.expr("(cluster_size * (cluster_size - 1)) div 2")
+            )
+            .cast("long")
+            .alias("possible_total"),
+        )
+    )
+    return band.select(
+        "cluster_size",
+        "n_clusters",
+        "worst_min_j_e4",
+        F.expr(_CHAIN_DENSITY_PPM).alias("density_ppm"),
+    )
 
 
 @_q("dedup_cluster_stats", "pipeline", _CLUSTER_STATS_SQL)
@@ -9726,10 +9827,10 @@ def ivf_balance_audit(spark, sf_dir):
     )
 
 
-@_q(
-    "event_seasonality",
-    "pipeline",
-    """
+# ONE oracle for the batch and streaming seasonality entries (the
+# fingerprint/decontaminate precedent: shared text makes "drained cells
+# finish to the same table" structural).
+_SEASONALITY_SQL = """
 WITH p AS (
   SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
          (epoch_us(ts) % 86400000000) // 3600000000 AS hour
@@ -9745,50 +9846,42 @@ SELECT c.dow, c.hour, c.n,
                   / (CAST(d.n_dow AS DOUBLE) * h.n_hour)) AS BIGINT)
          AS lift_ppm
 FROM cells c JOIN dmarg d USING (dow) JOIN hmarg h USING (hour), tot t
-""",
+"""
+
+# FLOOR division via pmod, all-integer (ADVICE r11): a double divide
+# truncated toward zero agrees with DuckDB's // only for post-1970
+# timestamps; (a - pmod(a, b)) div b floors for every sign, and Spark's
+# % matches DuckDB's C-style remainder, so both engines compute
+# identical dow/hour for any epoch.  Shared by the batch and streaming
+# seasonality entries.
+_SEASON_US = "unix_micros(ts)"
+_SEASON_DOW = (
+    f"((({_SEASON_US} - pmod({_SEASON_US}, 86400000000))"
+    f" div 86400000000) + 4) % 7"
 )
-def event_seasonality(spark, sf_dir):
-    """Day-of-week x hour-of-day traffic profile with an independence
-    lift — the seasonality fingerprint an ops/capacity owner reads:
-    `lift_ppm` > 1e6 means that cell exceeds what its day and hour
-    margins independently predict (a Tuesday-3am spike is an incident,
-    not a Tuesday or a 3am). Calendar math is pure integer arithmetic
-    on epoch micros (1970-01-01 was a Thursday, hence the +4 — no
-    engine dow() convention to disagree on). Scale shape: one map-side
-    projection into a <= 168-cell rollup; margins and the total ride
-    broadcasts back onto the bounded cell relation."""
-    ev = _t(spark, sf_dir, "events")
-    day_us = 86_400_000_000
-    hour_us = 3_600_000_000
-    # FLOOR division via pmod, all-integer (ADVICE r11): a double
-    # divide truncated toward zero agrees with DuckDB's // only for
-    # post-1970 timestamps; (a - pmod(a, b)) div b floors for every
-    # sign, and Spark's % matches DuckDB's C-style remainder, so both
-    # engines compute identical dow/hour for any epoch.
-    us = "unix_micros(ts)"
-    rem = f"({us} % {day_us})"
-    cells = (
-        ev.select(
-            F.expr(
-                f"((({us} - pmod({us}, {day_us})) div {day_us}) + 4) % 7"
-            ).alias("dow"),
-            F.expr(
-                f"({rem} - pmod({rem}, {hour_us})) div {hour_us}"
-            ).alias("hour"),
-        )
-        .groupBy("dow", "hour")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-    )
-    dmarg = cells.groupBy("dow").agg(
+_SEASON_HOUR = (
+    f"(({_SEASON_US} % 86400000000)"
+    f" - pmod(({_SEASON_US} % 86400000000), 3600000000)) div 3600000000"
+)
+
+
+def _seasonality_finish(cells):
+    """Margins + independence lift over the <= 168-row cell relation —
+    the serving-side finisher both the batch scan and the drained
+    streaming state run (stream_collocations' finisher precedent).
+    The margin grouping keys are ALIASED (fresh attribute ids) because
+    the drained memory-table relation otherwise self-joins with
+    conflicting attributes."""
+    dmarg = cells.groupBy(F.col("dow").alias("d_dow")).agg(
         F.sum("n").cast("long").alias("n_dow")
     )
-    hmarg = cells.groupBy("hour").agg(
+    hmarg = cells.groupBy(F.col("hour").alias("h_hour")).agg(
         F.sum("n").cast("long").alias("n_hour")
     )
     tot = cells.agg(F.sum("n").cast("long").alias("total"))
     return (
-        cells.join(F.broadcast(dmarg), "dow")
-        .join(F.broadcast(hmarg), "hour")
+        cells.join(F.broadcast(dmarg), F.col("dow") == F.col("d_dow"))
+        .join(F.broadcast(hmarg), F.col("hour") == F.col("h_hour"))
         .crossJoin(F.broadcast(tot))
         .select(
             "dow",
@@ -9806,6 +9899,71 @@ def event_seasonality(spark, sf_dir):
             ).alias("lift_ppm"),
         )
     )
+
+
+@_q("event_seasonality", "pipeline", _SEASONALITY_SQL)
+def event_seasonality(spark, sf_dir):
+    """Day-of-week x hour-of-day traffic profile with an independence
+    lift — the seasonality fingerprint an ops/capacity owner reads:
+    `lift_ppm` > 1e6 means that cell exceeds what its day and hour
+    margins independently predict (a Tuesday-3am spike is an incident,
+    not a Tuesday or a 3am). Calendar math is pure integer arithmetic
+    on epoch micros (1970-01-01 was a Thursday, hence the +4 — no
+    engine dow() convention to disagree on). Scale shape: one map-side
+    projection into a <= 168-cell rollup; margins and the total ride
+    broadcasts back onto the bounded cell relation."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            F.expr(_SEASON_DOW).alias("dow"),
+            F.expr(_SEASON_HOUR).alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return _seasonality_finish(cells)
+
+
+@_q("stream_seasonality", "streaming", _SEASONALITY_SQL)
+def stream_seasonality(spark, sf_dir):
+    """STANDING seasonality profile: the <= 168 dow x hour counters
+    maintained as Structured Streaming state (counts are additive, so
+    the micro-batch merge IS the table update — the stream_benford
+    shape), with margins and the independence lift computed
+    serving-side from the drained cells by the SAME finisher the batch
+    scan uses. The capacity dashboard this feeds never re-scans
+    history: at 100 TB of events the profile is already current when
+    the on-call looks. Drained cells finish to a table that
+    hash-matches the batch entry (shared oracle constant); the integer
+    pmod calendar math is the shared expression too, so no engine (or
+    stream/batch) dow() convention can disagree."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = normalize_event_ts(raw)
+    cells = (
+        ev.select(
+            F.expr(_SEASON_DOW).alias("dow"),
+            F.expr(_SEASON_HOUR).alias("hour"),
+        )
+        .groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    name = f"stream_season_{uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _seasonality_finish(spark.table(name))
 
 
 @_q("embed_outliers", "pipeline", sim.sql_embedding_outliers(20))

@@ -310,3 +310,45 @@ class TestMinhashEstimator:
         # max(J, 1-J) but the MEAN at J >= 0.8 must sit well inside the
         # one-slot quantization width (125000 ppm) + sampling noise
         assert all(r.mean_abs_err_ppm <= 250_000 for r in rows)
+
+
+class TestChainingAudit:
+    """dedup_chaining_audit semantics: a transitively-chained cluster
+    must show sub-complete density and a threshold-hugging weakest
+    link, while a true mirror pair shows density 1e6 and min 10000."""
+
+    def test_chain_vs_mirror(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        toks = [f"t{i:02d}" for i in range(1, 27)]
+        mk = lambda lo, hi: " ".join(toks[lo - 1 : hi])
+        rows = [
+            # chain: A~B (j=.8182) and B~C (j=.8182) but A!~C (j=.6667)
+            (0, "s", mk(1, 22)),
+            (1, "s", mk(3, 24)),
+            (2, "s", mk(5, 26)),
+            # mirror pair: identical docs, j=1.0
+            (10, "s", " ".join(f"u{i}" for i in range(10))),
+            (11, "s", " ".join(f"u{i}" for i in range(10))),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        spec = {s.name: s for s in cat.catalog()}["dedup_chaining_audit"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {
+                r.cluster_size: r for r in spec.spark(spark, td).collect()
+            }
+        assert set(got) == {2, 3}
+        chain = got[3]
+        assert chain.n_clusters == 1
+        assert chain.worst_min_j_e4 == 8182
+        assert chain.density_ppm == 666_666  # 2 of 3 possible edges
+        mirror = got[2]
+        assert mirror.n_clusters == 1
+        assert mirror.worst_min_j_e4 == 10_000
+        assert mirror.density_ppm == 1_000_000

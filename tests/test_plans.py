@@ -318,7 +318,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_rfm", "stream_kmv_overlap", "stream_source_divergence",
         "stream_hll_rollup", "stream_wor_sample", "stream_embed_outliers",
         "stream_lm_score", "stream_corpus_fingerprint",
-        "stream_decontaminate",
+        "stream_decontaminate", "stream_seasonality",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
