@@ -278,6 +278,9 @@ HEADLINE = [
     # standing seasonality counters and the cluster chaining audit
     "stream_seasonality",
     "dedup_chaining_audit",
+    # crawl-health curves: quality drift and content novelty by decile
+    "corpus_drift_curve",
+    "novelty_trend",
 ]
 
 

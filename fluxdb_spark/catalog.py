@@ -148,6 +148,8 @@ _PRIORITY: list[str] = [
     "embed_margin_pairs",
     "stream_seasonality",
     "dedup_chaining_audit",
+    "corpus_drift_curve",
+    "novelty_trend",
     # -- r08-green block (continued) --
     "tpch_q5",
     "tpch_q6",
@@ -4930,6 +4932,156 @@ def dedup_survivors_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(d, 0.8)
     return dd.dedup_survivors_quality(pairs, d)
+
+
+_NOVELTY_TREND_PPM = (
+    "CAST(floor(CAST(novel_sum AS DOUBLE) * 1000000"
+    " / CAST(sh_sum AS DOUBLE)) AS BIGINT)"
+)
+_COPY_DOCS_PPM = (
+    "CAST(floor(CAST(n_copies AS DOUBLE) * 1000000"
+    " / CAST(n_docs AS DOUBLE)) AS BIGINT)"
+)
+
+_NOVELTY_TREND_SQL = f"""
+WITH {dd.sql_shingles_ctes()},
+owner AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1),
+perdoc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN owner = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_novel
+  FROM sh JOIN owner USING (shingle) GROUP BY doc_id),
+nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+b AS (SELECT least((p.doc_id * 10) // d.n, 9) AS decile,
+             p.n_shingles, p.n_novel
+      FROM perdoc p, nd d),
+per AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_shingles) AS BIGINT) AS sh_sum,
+         CAST(sum(n_novel) AS BIGINT) AS novel_sum,
+         CAST(sum(CASE WHEN n_novel = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_copies
+  FROM b GROUP BY 1)
+SELECT decile, n_docs,
+       {_NOVELTY_TREND_PPM} AS novel_ppm,
+       {_COPY_DOCS_PPM} AS copy_docs_ppm
+FROM per
+"""
+
+
+_DRIFT_KEEP_PPM = (
+    "CAST(floor(CAST(n_keep AS DOUBLE) * 1000000"
+    " / CAST(n_docs AS DOUBLE)) AS BIGINT)"
+)
+
+_DRIFT_CURVE_SQL = f"""
+WITH nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+q AS (SELECT least((d.doc_id * 10) // x.n, 9) AS decile,
+             CASE WHEN {tx.sql_quality_rules('d.text')['keep']}
+                  THEN 1 ELSE 0 END AS keep,
+             len(string_split(d.text, ' ')) AS n_tok,
+             d.n_chars
+      FROM documents d, nd x),
+per AS (
+  SELECT decile,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(keep) AS BIGINT) AS n_keep,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM q GROUP BY 1)
+SELECT decile, n_docs,
+       {_DRIFT_KEEP_PPM} AS keep_ppm,
+       CAST(sum_tok // n_docs AS BIGINT) AS mean_tokens,
+       CAST(sum_chars // n_docs AS BIGINT) AS mean_chars
+FROM per
+"""
+
+
+@_q("corpus_drift_curve", "pipeline", _DRIFT_CURVE_SQL)
+def corpus_drift_curve(spark, sf_dir):
+    """Is the crawl getting WORSE? Quality and length per
+    ingestion-order decile — the temporal axis the per-source and
+    global quality tables flatten away: a keep-rate that sags in the
+    late deciles means the newest data is dirtier (seed exhaustion,
+    spam catching up with the crawler), caught from the rollup instead
+    of after a training regression. Reads beside `novelty_trend` (new
+    content) and `vocab_growth` (new terms) as the third crawl-health
+    curve. Scale shape: one map-side projection (rule verdicts are
+    pure JVM expressions) into a 10-row rollup; the corpus-size scalar
+    rides a 1-row broadcast."""
+    d = _td(spark, sf_dir)
+    nd = d.agg((F.max("doc_id") + 1).cast("long").alias("n"))
+    per = (
+        d.crossJoin(F.broadcast(nd))
+        .select(
+            F.least(
+                F.expr("(doc_id * 10) div n"), F.lit(9).cast("long")
+            ).alias("decile"),
+            F.when(tx.quality_rules(F.col("text"))["keep"], 1)
+            .otherwise(0)
+            .alias("keep"),
+            tx.token_count(F.col("text")).cast("long").alias("n_tok"),
+            "n_chars",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    return per.select(
+        "decile",
+        "n_docs",
+        F.expr(_DRIFT_KEEP_PPM).alias("keep_ppm"),
+        F.expr("CAST(sum_tok div n_docs AS BIGINT)").alias("mean_tokens"),
+        F.expr("CAST(sum_chars div n_docs AS BIGINT)").alias("mean_chars"),
+    )
+
+
+@_q("novelty_trend", "pipeline", _NOVELTY_TREND_SQL)
+def novelty_trend(spark, sf_dir):
+    """Is the crawl saturating? Per ingestion-order decile (the
+    vocab_growth axis), the shingle-level novelty share and the
+    fraction of docs contributing NOTHING new (pure copies of earlier
+    content) — `vocab_growth` tracks new TERMS, this tracks new
+    CONTENT, and the two diverge exactly when a source starts
+    recombining old text. A falling novel_ppm curve tells the crawl
+    owner more breadth beats more depth BEFORE the next 10 TB lands.
+    Scale shape: the doc_novelty fold (shingle explode, min-owner
+    groupBy, exchange-reused join-back) into a 10-row rollup; the
+    corpus-size scalar rides a 1-row broadcast."""
+    d = _td(spark, sf_dir)
+    perdoc = dd.doc_novelty(d)
+    nd = d.agg((F.max("doc_id") + 1).cast("long").alias("n"))
+    per = (
+        perdoc.crossJoin(F.broadcast(nd))
+        .select(
+            F.least(
+                F.expr("(doc_id * 10) div n"), F.lit(9).cast("long")
+            ).alias("decile"),
+            "n_shingles",
+            "n_novel",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_shingles").cast("long").alias("sh_sum"),
+            F.sum("n_novel").cast("long").alias("novel_sum"),
+            F.sum(F.when(F.col("n_novel") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_copies"),
+        )
+    )
+    return per.select(
+        "decile",
+        "n_docs",
+        F.expr(_NOVELTY_TREND_PPM).alias("novel_ppm"),
+        F.expr(_COPY_DOCS_PPM).alias("copy_docs_ppm"),
+    )
 
 
 @_q("doc_novelty", "pipeline", dd.sql_doc_novelty())

@@ -352,3 +352,33 @@ class TestChainingAudit:
         assert mirror.n_clusters == 1
         assert mirror.worst_min_j_e4 == 10_000
         assert mirror.density_ppm == 1_000_000
+
+
+class TestNoveltyTrend:
+    """novelty_trend semantics: a pure copy planted in a later decile
+    must show up as that decile's copy share and zero novelty."""
+
+    def test_planted_copy_decile(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        texts = {
+            i: f"w{i}a w{i}b w{i}c w{i}d w{i}e"  # fully disjoint tokens
+            for i in range(10)
+        }
+        texts[5] = texts[0]  # decile 5 is a byte copy of decile 0
+        df = spark.createDataFrame(
+            [(i, "s", texts[i]) for i in range(10)],
+            "doc_id long, source string, text string",
+        )
+        spec = {s.name: s for s in cat.catalog()}["novelty_trend"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {r.decile: r for r in spec.spark(spark, td).collect()}
+        assert set(got) == set(range(10))
+        assert got[0].novel_ppm == 1_000_000 and got[0].copy_docs_ppm == 0
+        assert got[5].novel_ppm == 0 and got[5].copy_docs_ppm == 1_000_000
+        for i in (1, 2, 3, 4, 6, 7, 8, 9):
+            assert got[i].novel_ppm == 1_000_000, i
