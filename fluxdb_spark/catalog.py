@@ -79,13 +79,15 @@ _PRIORITY: list[str] = [
     # After r12 every entry except rows-only embed_ann_ivf has a driver
     # row and nothing is never-checked.
     #
-    # R13 window plan (positions 51-100): the tail below is ordered by
-    # newest-green driver round (r08 block, then r09, r10, r11), so the
-    # next rotation is again one reorder: move positions 51-100 (the
-    # remaining 40 r08-greens + first 10 r09-greens, tpch_q5 ..
-    # stream_tumbling-era entries) to the front.  test_catalog_parity
-    # enforces that the live window never contains an entry stamped in
-    # the two newest CORRECTNESS rounds.
+    # R13 window plan (positions 51-100): the 12 round-12 additions
+    # (dedup_threshold_sweep_lsh .. novelty_trend, never driver-checked;
+    # each locally oracle-matched at three SFs on landing) lead, then
+    # the tail is ordered by newest-green driver round (r08 block, then
+    # r09, r10, r11), so the next rotation is again one reorder: move
+    # positions 51-100 (the 12 additions + the first 38 r08-greens) to
+    # the front.  test_catalog_parity enforces that the live window
+    # never contains an entry stamped in the two newest CORRECTNESS
+    # rounds.
     "funnel_latency",
     "flux_tablet_reconcile",
     "embed_norm_audit",
