@@ -4822,7 +4822,9 @@ def dedup_chaining_audit(spark, sf_dir):
     entries share; everything after is |clusters|- then |bands|-row
     rollups."""
     d = _t(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(d, 0.8)
+    # materialize the pair pipeline ONCE: both the CC loop and the
+    # jaccard join-back consume it (the branching-consumers pattern)
+    pairs = dd.jaccard_pairs(d, 0.8).localCheckpoint()
     comp = dd.connected_components(pairs)
     p2 = pairs.join(
         comp.withColumnRenamed("doc_id", "d1"), "d1"
