@@ -281,6 +281,10 @@ HEADLINE = [
     # crawl-health curves: quality drift and content novelty by decile
     "corpus_drift_curve",
     "novelty_trend",
+    # rule-ablation table and the standing spectrum / IVF-balance audits
+    "quality_rules_ablation",
+    "stream_token_spectrum",
+    "stream_ivf_balance",
 ]
 
 

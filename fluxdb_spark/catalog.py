@@ -79,15 +79,15 @@ _PRIORITY: list[str] = [
     # After r12 every entry except rows-only embed_ann_ivf has a driver
     # row and nothing is never-checked.
     #
-    # R13 window plan (positions 51-100): the 12 round-12 additions
-    # (dedup_threshold_sweep_lsh .. novelty_trend, never driver-checked;
-    # each locally oracle-matched at three SFs on landing) lead, then
-    # the tail is ordered by newest-green driver round (r08 block, then
-    # r09, r10, r11), so the next rotation is again one reorder: move
-    # positions 51-100 (the 12 additions + the first 38 r08-greens) to
-    # the front.  test_catalog_parity enforces that the live window
-    # never contains an entry stamped in the two newest CORRECTNESS
-    # rounds.
+    # R13 window plan (positions 51-100): the 15 round-12 additions
+    # (dedup_threshold_sweep_lsh .. stream_ivf_balance, never driver-
+    # checked; each locally oracle-matched at three SFs on landing)
+    # lead, then the tail is ordered by newest-green driver round (r08
+    # block, then r09, r10, r11), so the next rotation is again one
+    # reorder: move positions 51-100 (the 15 additions + the first 35
+    # r08-greens) to the front.  test_catalog_parity enforces that the
+    # live window never contains an entry stamped in the two newest
+    # CORRECTNESS rounds.
     "funnel_latency",
     "flux_tablet_reconcile",
     "embed_norm_audit",
@@ -152,6 +152,9 @@ _PRIORITY: list[str] = [
     "dedup_chaining_audit",
     "corpus_drift_curve",
     "novelty_trend",
+    "quality_rules_ablation",
+    "stream_token_spectrum",
+    "stream_ivf_balance",
     # -- r08-green block (continued) --
     "tpch_q5",
     "tpch_q6",
@@ -4975,6 +4978,98 @@ FROM per
 """
 
 
+_ABL_KEEP_PPM = (
+    "CAST(floor(CAST(n_keep AS DOUBLE) * 1000000"
+    " / CAST(n AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _ablation_row_sql(rule: str, short: str) -> str:
+    return f"""
+SELECT '{rule}' AS rule,
+       fail_{short} AS n_fail,
+       sole_{short} AS n_sole_fail,
+       {_ABL_KEEP_PPM} AS keep_ppm,
+       CAST(floor(CAST(n_keep + sole_{short} AS DOUBLE) * 1000000
+                  / CAST(n AS DOUBLE)) AS BIGINT) AS keep_without_ppm
+FROM a"""
+
+
+def _ablation_sql() -> str:
+    r = tx.sql_quality_rules("text")
+    v = (
+        f"SELECT CASE WHEN {r['ok_len']} THEN 1 ELSE 0 END AS l,"
+        f" CASE WHEN {r['ok_mean_len']} THEN 1 ELSE 0 END AS m,"
+        f" CASE WHEN {r['ok_stopwords']} THEN 1 ELSE 0 END AS s"
+        " FROM documents"
+    )
+    return f"""
+WITH v AS ({v}),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(l * m * s) AS BIGINT) AS n_keep,
+             CAST(sum(1 - l) AS BIGINT) AS fail_len,
+             CAST(sum((1 - l) * m * s) AS BIGINT) AS sole_len,
+             CAST(sum(1 - m) AS BIGINT) AS fail_mean,
+             CAST(sum(l * (1 - m) * s) AS BIGINT) AS sole_mean,
+             CAST(sum(1 - s) AS BIGINT) AS fail_stop,
+             CAST(sum(l * m * (1 - s)) AS BIGINT) AS sole_stop
+      FROM v)
+{_ablation_row_sql('ok_len', 'len')}
+UNION ALL{_ablation_row_sql('ok_mean_len', 'mean')}
+UNION ALL{_ablation_row_sql('ok_stopwords', 'stop')}
+"""
+
+
+@_q("quality_rules_ablation", "pipeline", _ablation_sql())
+def quality_rules_ablation(spark, sf_dir):
+    """Per-rule attribution for the Gopher quality filter — the table a
+    filter owner reads before tightening or dropping a rule: for each
+    of the three rules, how many docs fail it at all, how many docs it
+    ALONE removes (every other rule passes — the rule's marginal bite),
+    and the keep rate the corpus would have WITHOUT it. A rule whose
+    n_sole_fail is ~0 is redundant (its rejections are all caught
+    elsewhere); one whose keep_without_ppm jumps is doing real work and
+    deserves a calibration pass (`quality_calibration`) before touching
+    it. Scale shape: the rule verdicts are the same map-side JVM
+    expressions the filter itself runs, folded into ONE aggregate row;
+    the three output rows are projections of that 1-row relation."""
+    d = _td(spark, sf_dir)
+    r = tx.quality_rules(F.col("text"))
+    v = d.select(
+        F.when(r["ok_len"], 1).otherwise(0).alias("l"),
+        F.when(r["ok_mean_len"], 1).otherwise(0).alias("m"),
+        F.when(r["ok_stopwords"], 1).otherwise(0).alias("s"),
+    )
+    a = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("l * m * s")).cast("long").alias("n_keep"),
+        F.sum(F.expr("1 - l")).cast("long").alias("fail_len"),
+        F.sum(F.expr("(1 - l) * m * s")).cast("long").alias("sole_len"),
+        F.sum(F.expr("1 - m")).cast("long").alias("fail_mean"),
+        F.sum(F.expr("l * (1 - m) * s")).cast("long").alias("sole_mean"),
+        F.sum(F.expr("1 - s")).cast("long").alias("fail_stop"),
+        F.sum(F.expr("l * m * (1 - s)")).cast("long").alias("sole_stop"),
+    ).localCheckpoint()  # 1 row; three projections below consume it
+
+    def row(rule, short):
+        return a.select(
+            F.lit(rule).alias("rule"),
+            F.col(f"fail_{short}").alias("n_fail"),
+            F.col(f"sole_{short}").alias("n_sole_fail"),
+            F.expr(_ABL_KEEP_PPM).alias("keep_ppm"),
+            F.expr(
+                f"CAST(floor(CAST(n_keep + sole_{short} AS DOUBLE)"
+                " * 1000000 / CAST(n AS DOUBLE)) AS BIGINT)"
+            ).alias("keep_without_ppm"),
+        )
+
+    return (
+        row("ok_len", "len")
+        .unionByName(row("ok_mean_len", "mean"))
+        .unionByName(row("ok_stopwords", "stop"))
+    )
+
+
 _DRIFT_KEEP_PPM = (
     "CAST(floor(CAST(n_keep AS DOUBLE) * 1000000"
     " / CAST(n_docs AS DOUBLE)) AS BIGINT)"
@@ -9777,10 +9872,9 @@ _SPECTRUM_TOP_MASS = (
 )
 
 
-@_q(
-    "token_freq_spectrum",
-    "pipeline",
-    f"""
+# ONE oracle for the batch and streaming spectrum entries (the
+# seasonality/decontaminate shared-constant precedent).
+_SPECTRUM_SQL = f"""
 WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
              FROM documents),
 c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
@@ -9798,31 +9892,14 @@ SELECT bucket, n_types, occ,
        {_SPECTRUM_SHARE} AS occ_share_ppm,
        {_SPECTRUM_TOP_MASS} AS top_mass_ppm
 FROM w
-""",
-)
-def token_freq_spectrum(spark, sf_dir):
-    """Type-frequency spectrum of the unigram vocabulary — the Zipf
-    audit that sizes a tokenizer: per log2-frequency bucket, how many
-    distinct types live there (`n_types`), how many token occurrences
-    they carry (`occ`), each bucket's share of the corpus, and the
-    cumulative mass from the most-frequent bucket down (`top_mass_ppm`
-    at bucket b = the corpus coverage a vocabulary truncated at
-    frequency >= 2^b achieves). Bucket 0 is the hapax legomena — the
-    mass a min-frequency-2 cut discards. Complements `vocab_growth`
-    (Heaps curve: vocab vs corpus size) and `heavy_hitters` (the named
-    top-k): this is the whole distribution in <= 63 rows. Scale shape:
-    tokenize-explode -> vocab-bounded groupBy (Zipf-bounded, the
-    collocations precedent) -> map to bucket by 62 integer compares (no
-    libm log2 — exact powers of two misround) -> <= 63-row rollup;
-    the cumulative window and shares live on that bounded relation."""
-    d = _td(spark, sf_dir)
-    c = (
-        d.select(
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
-        )
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+"""
+
+
+def _spectrum_finish(c):
+    """Bucket ladder -> <= 63-row rollup -> shares/coverage — the
+    serving-side finisher both the batch scan and the drained streaming
+    vocabulary counters run (seasonality-finisher precedent).  Input is
+    any (term, cnt) relation."""
     b = (
         c.select(F.expr(_log2_bucket_sql("cnt")).alias("bucket"), "cnt")
         .groupBy("bucket")
@@ -9846,6 +9923,71 @@ def token_freq_spectrum(spark, sf_dir):
             F.expr(_SPECTRUM_TOP_MASS).alias("top_mass_ppm"),
         )
     )
+
+
+@_q("token_freq_spectrum", "pipeline", _SPECTRUM_SQL)
+def token_freq_spectrum(spark, sf_dir):
+    """Type-frequency spectrum of the unigram vocabulary — the Zipf
+    audit that sizes a tokenizer: per log2-frequency bucket, how many
+    distinct types live there (`n_types`), how many token occurrences
+    they carry (`occ`), each bucket's share of the corpus, and the
+    cumulative mass from the most-frequent bucket down (`top_mass_ppm`
+    at bucket b = the corpus coverage a vocabulary truncated at
+    frequency >= 2^b achieves). Bucket 0 is the hapax legomena — the
+    mass a min-frequency-2 cut discards. Complements `vocab_growth`
+    (Heaps curve: vocab vs corpus size) and `heavy_hitters` (the named
+    top-k): this is the whole distribution in <= 63 rows. Scale shape:
+    tokenize-explode -> vocab-bounded groupBy (Zipf-bounded, the
+    collocations precedent) -> map to bucket by 62 integer compares (no
+    libm log2 — exact powers of two misround) -> <= 63-row rollup;
+    the cumulative window and shares live on that bounded relation."""
+    d = _td(spark, sf_dir)
+    c = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return _spectrum_finish(c)
+
+
+@_q("stream_token_spectrum", "streaming", _SPECTRUM_SQL)
+def stream_token_spectrum(spark, sf_dir):
+    """STANDING type-frequency spectrum: the vocabulary counters
+    maintained as Structured Streaming state (additive counts, the
+    stream_benford/stream_seasonality shape; state is the vocabulary —
+    Zipf-bounded, the same sublinear growth `vocab_growth` measures),
+    bucketed and finished serving-side by the SAME ladder and
+    coverage finisher the batch scan uses. The tokenizer-sizing
+    dashboard stays current as the corpus ingests instead of re-scanning
+    it per decision; drained counters finish to a table that
+    hash-matches the batch entry (shared oracle constant)."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    c = (
+        raw.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    name = f"stream_spectrum_{uuid.uuid4().hex[:8]}"
+    q = (
+        c.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _spectrum_finish(spark.table(name))
 
 
 _IVF_BAL_SHARE = (
@@ -9945,7 +10087,33 @@ def cluster_quality_matrix(spark, sf_dir):
     )
 
 
-@_q("ivf_balance_audit", "pipeline", _ivf_balance_sql())
+# ONE oracle for the batch and streaming balance-audit entries.
+_IVF_BALANCE_SQL = _ivf_balance_sql()
+
+
+def _ivf_balance_finish(cells):
+    """share/lift/worst-probe windows over the k-row cell relation —
+    shared by the batch audit and the drained streaming counters."""
+    t = cells.agg(F.sum("n_vecs").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("n_vecs"), F.asc("cell")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.crossJoin(F.broadcast(t))
+        .withColumn(
+            "worst_probe_cum", F.sum("n_vecs").over(w).cast("long")
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr(_IVF_BAL_SHARE).alias("share_ppm"),
+            F.expr(_IVF_BAL_LIFT).alias("balance_lift_ppm"),
+            "worst_probe_cum",
+        )
+    )
+
+
+@_q("ivf_balance_audit", "pipeline", _IVF_BALANCE_SQL)
 def ivf_balance_audit(spark, sf_dir):
     """IVF index health audit: per-cell occupancy of the coarse
     quantizer (the same exact-integer Lloyd assignment the kmeans/
@@ -9966,21 +10134,46 @@ def ivf_balance_audit(spark, sf_dir):
     cells = km.groupBy(
         F.col("cluster").cast("long").alias("cell")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
-    t = cells.agg(F.sum("n_vecs").cast("long").alias("total"))
-    w = Window.orderBy(F.desc("n_vecs"), F.asc("cell")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    return _ivf_balance_finish(cells)
+
+
+@_q("stream_ivf_balance", "streaming", _IVF_BALANCE_SQL)
+def stream_ivf_balance(spark, sf_dir):
+    """STANDING IVF balance audit: the coarse quantizer's centroids are
+    trained batch-side ONCE and frozen as plan literals (the codebook-
+    sidecar precedent — `assign_to_centroids(corpus, cents)` provably
+    reproduces `kmeans_clusters` on the training corpus), then the
+    vector stream assigns map-side and the k occupancy counters live as
+    additive streaming state. The index-health dashboard the ANN
+    service watches BETWEEN retrains: when a cell's standing lift
+    drifts past the latency budget, retraining is a decision made from
+    k counters, not a corpus re-scan. Drained counters finish through
+    the batch audit's shared finisher and hash-match its oracle."""
+    import uuid
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(e, k=8, iters=3)  # frozen, batch-side
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
     )
-    return (
-        cells.crossJoin(F.broadcast(t))
-        .withColumn("worst_probe_cum", F.sum("n_vecs").over(w).cast("long"))
-        .select(
-            "cell",
-            "n_vecs",
-            F.expr(_IVF_BAL_SHARE).alias("share_ppm"),
-            F.expr(_IVF_BAL_LIFT).alias("balance_lift_ppm"),
-            "worst_probe_cum",
-        )
+    cells = (
+        sim.assign_to_centroids(raw, cents)
+        .groupBy(F.col("cluster").cast("long").alias("cell"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
     )
+    name = f"stream_ivf_{uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _ivf_balance_finish(spark.table(name))
 
 
 # ONE oracle for the batch and streaming seasonality entries (the

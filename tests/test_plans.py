@@ -319,6 +319,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_hll_rollup", "stream_wor_sample", "stream_embed_outliers",
         "stream_lm_score", "stream_corpus_fingerprint",
         "stream_decontaminate", "stream_seasonality",
+        "stream_token_spectrum", "stream_ivf_balance",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
