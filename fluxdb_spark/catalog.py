@@ -10090,6 +10090,26 @@ def cluster_quality_matrix(spark, sf_dir):
 # ONE oracle for the batch and streaming balance-audit entries.
 _IVF_BALANCE_SQL = _ivf_balance_sql()
 
+_KCENTS8_CACHE: dict[tuple, list] = {}
+
+
+def _kcents8(spark, sf_dir):
+    """The frozen k=8 coarse-quantizer centroids for an sf_dir, trained
+    once and memoized (the `_gcent` amortization pattern, same
+    (mtime, size) key discipline) — both balance-audit entries assign
+    against the SAME frozen model, which is exactly the semantics of a
+    standing IVF index; `assign_to_centroids` over the training corpus
+    provably reproduces `kmeans_clusters` (see kmeans_centroids)."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    if key not in _KCENTS8_CACHE:
+        _KCENTS8_CACHE[key] = sim.kmeans_centroids(
+            _t(spark, sf_dir, "embeddings"), k=8, iters=3
+        )
+    return _KCENTS8_CACHE[key]
+
 
 def _ivf_balance_finish(cells):
     """share/lift/worst-probe windows over the k-row cell relation —
@@ -10130,7 +10150,9 @@ def ivf_balance_audit(spark, sf_dir):
     (the kmeans_clusters shape, shuffles carry k*dim rows); the audit
     itself is a k-row rollup + windows on that bounded relation."""
     e = _t(spark, sf_dir, "embeddings")
-    km = sim.kmeans_clusters(e, k=8, iters=3).select("vec_id", "cluster")
+    km = sim.assign_to_centroids(e, _kcents8(spark, sf_dir)).select(
+        "vec_id", "cluster"
+    )
     cells = km.groupBy(
         F.col("cluster").cast("long").alias("cell")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
@@ -10151,8 +10173,7 @@ def stream_ivf_balance(spark, sf_dir):
     the batch audit's shared finisher and hash-match its oracle."""
     import uuid
 
-    e = _t(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(e, k=8, iters=3)  # frozen, batch-side
+    cents = _kcents8(spark, sf_dir)  # frozen, batch-side, memoized
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     raw = (
         spark.readStream.schema(schema)
