@@ -67,79 +67,24 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-12 window (driver checks exactly the first 50 entries per
-    # round).  Composition, per VERDICT r11 task 1 (the staged rotation,
+    # Round-13 window (driver checks exactly the first 50 entries per
+    # round).  Composition, per VERDICT r12 task 1 (the staged rotation,
     # now physically applied):
-    #   1-9   the last 9 round-10 additions (never driver-checked);
-    #   10-40 the 31 round-11 additions (never driver-checked; each
-    #         locally oracle-matched at sf0.001 every pytest run and at
-    #         sf0.01 under FLUX_PARITY_SF, plus the judge's independent
-    #         check_entry replay in r11);
-    #   41-50 the first 10 of the r08-green block (oldest driver rows).
-    # After r12 every entry except rows-only embed_ann_ivf has a driver
-    # row and nothing is never-checked.
+    #   1-15  the 15 round-12 additions (never driver-checked; each
+    #         locally oracle-matched at three SFs on landing, plus the
+    #         judge's independent check_entry replay in r12);
+    #   16-50 the 35 stalest r08-green entries (oldest driver rows).
+    # After r13 stamps, EVERY oracle-bearing entry in the catalog has a
+    # driver row and the stalest remaining stamp is r08.
     #
-    # R13 window plan (positions 51-100): the 15 round-12 additions
-    # (dedup_threshold_sweep_lsh .. stream_ivf_balance, never driver-
-    # checked; each locally oracle-matched at three SFs on landing)
-    # lead, then the tail is ordered by newest-green driver round (r08
-    # block, then r09, r10, r11), so the next rotation is again one
-    # reorder: move positions 51-100 (the 15 additions + the first 35
-    # r08-greens) to the front.  test_catalog_parity enforces that the
-    # live window never contains an entry stamped in the two newest
+    # R14 window plan (positions 51-100): any round-13 additions go
+    # right after position 50 (they lead the next window), then the
+    # tail continues in staleness order — the rest of the r08 block,
+    # then r09, r10, r11, and the r12-stamped former window LAST
+    # (freshest).  The next rotation is again one reorder: move
+    # positions 51-100 to the front.  test_catalog_parity enforces that
+    # the live window never contains an entry stamped in the two newest
     # CORRECTNESS rounds.
-    "funnel_latency",
-    "flux_tablet_reconcile",
-    "embed_norm_audit",
-    "stream_benford",
-    "flux_mutation_profile",
-    "stream_data_expectations",
-    "source_dedup_matrix",
-    "vocab_growth",
-    "flux_index_coverage",
-    "embed_kcenter_refined",
-    "doc_novelty",
-    "doc_novelty_materialized",
-    "dedup_survivors_quality",
-    "dedup_cluster_stats",
-    "hll_rollup",
-    "stream_hll_rollup",
-    "hdr_rollup",
-    "lang_id_eval",
-    "zorder_layout",
-    "data_card",
-    "flux_series_backtest",
-    "quality_calibration",
-    "wor_sample",
-    "stream_wor_sample",
-    "embed_class_separation",
-    "embed_text_consistency",
-    "dedup_threshold_sweep",
-    "event_seasonality",
-    "embed_outliers",
-    "wor_sample_stratified",
-    "token_budget_curve",
-    "stream_embed_outliers",
-    "dedup_lsh_tuning",
-    "dedup_minhash_estimator",
-    "temperature_budget_sweep",
-    "stream_lm_score",
-    "corpus_fingerprint",
-    "quality_keep_bootstrap",
-    "flux_state_fingerprint",
-    "stream_corpus_fingerprint",
-    "embed_quantize",
-    "semi_anti_join",
-    "scalar_subquery",
-    "scalar_showcase",
-    "date_funcs",
-    "pivot_status",
-    "skew_salted_agg",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    # ---- position 51+: leads the r13 window ----
-    # -- round-12 additions (first driver row in r13) --
     "dedup_threshold_sweep_lsh",
     "corpus_self_overlap",
     "token_freq_spectrum",
@@ -155,7 +100,6 @@ _PRIORITY: list[str] = [
     "quality_rules_ablation",
     "stream_token_spectrum",
     "stream_ivf_balance",
-    # -- r08-green block (continued) --
     "tpch_q5",
     "tpch_q6",
     "tpch_q7",
@@ -191,6 +135,8 @@ _PRIORITY: list[str] = [
     "flux_shard_assignment",
     "flux_shard_progress",
     "flux_gap_check",
+    # ---- position 51+: leads the r14 window ----
+    # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",
     "stream_tumbling",
@@ -296,7 +242,7 @@ _PRIORITY: list[str] = [
     "flux_singlet_history",
     "flux_checkpoint",
     "asof_join",
-    # -- r11-green block (freshest driver rows) --
+    # -- r11-green block --
     "asof_join_generic",
     "range_join_incidents",
     "multimodal_frames",
@@ -347,6 +293,57 @@ _PRIORITY: list[str] = [
     "dedup_recall_eval",
     "flux_series_trend",
     "weekly_growth",
+    # -- r12-stamped former window (freshest driver rows) --
+    "funnel_latency",
+    "flux_tablet_reconcile",
+    "embed_norm_audit",
+    "stream_benford",
+    "flux_mutation_profile",
+    "stream_data_expectations",
+    "source_dedup_matrix",
+    "vocab_growth",
+    "flux_index_coverage",
+    "embed_kcenter_refined",
+    "doc_novelty",
+    "doc_novelty_materialized",
+    "dedup_survivors_quality",
+    "dedup_cluster_stats",
+    "hll_rollup",
+    "stream_hll_rollup",
+    "hdr_rollup",
+    "lang_id_eval",
+    "zorder_layout",
+    "data_card",
+    "flux_series_backtest",
+    "quality_calibration",
+    "wor_sample",
+    "stream_wor_sample",
+    "embed_class_separation",
+    "embed_text_consistency",
+    "dedup_threshold_sweep",
+    "event_seasonality",
+    "embed_outliers",
+    "wor_sample_stratified",
+    "token_budget_curve",
+    "stream_embed_outliers",
+    "dedup_lsh_tuning",
+    "dedup_minhash_estimator",
+    "temperature_budget_sweep",
+    "stream_lm_score",
+    "corpus_fingerprint",
+    "quality_keep_bootstrap",
+    "flux_state_fingerprint",
+    "stream_corpus_fingerprint",
+    "embed_quantize",
+    "semi_anti_join",
+    "scalar_subquery",
+    "scalar_showcase",
+    "date_funcs",
+    "pivot_status",
+    "skew_salted_agg",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
     # embed_ann_ivf: rows-only by design (oracle=None); kept out
     # of every correctness window -- see note at the top of this
     # list.  Its exact twins are the hash-checked forms.
@@ -2830,6 +2827,7 @@ def purchase_attribution(spark, sf_dir):
 
 
 @_q(
+    # -- r11-green block --
     "asof_join_generic",
     "relational",
     """

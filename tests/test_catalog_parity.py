@@ -61,15 +61,18 @@ def test_priority_window_is_stale_first():
     from fluxdb_spark.catalog import _PRIORITY
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # keep (round, path) pairs from the glob: reconstructing the name
+    # from the round number would FileNotFoundError on non-zero-padded
+    # artifacts like CORRECTNESS_r9.json (ADVICE r12)
     rounds = sorted(
-        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        (int(re.search(r"_r(\d+)\.json$", p).group(1)), p)
         for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
     )
     if not rounds:
         pytest.skip("no driver correctness artifacts in this checkout")
     fresh: set[str] = set()
-    for r in rounds[-2:]:
-        with open(os.path.join(repo, f"CORRECTNESS_r{r:02d}.json")) as f:
+    for _r, path in rounds[-2:]:
+        with open(path) as f:
             recorded = json.load(f)
         fresh.update(
             n
@@ -82,7 +85,7 @@ def test_priority_window_is_stale_first():
     stale_window = [n for n in _PRIORITY[:50] if n in fresh]
     assert not stale_window, (
         f"window wastes slots on entries already stamped in rounds "
-        f"{rounds[-2:]}: rotate _PRIORITY (move positions 51-100 to the "
+        f"{[r for r, _ in rounds[-2:]]}: rotate _PRIORITY (move positions 51-100 to the "
         f"front) -- {stale_window[:8]}..."
     )
 
