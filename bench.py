@@ -324,12 +324,20 @@ def main() -> None:
             # comparable across rounds only when data_fingerprint
             # matches.
             data_fp = next(
-                int(r["fingerprint"])
-                for r in specs["corpus_fingerprint"]
-                .spark(spark, sf_dir)
-                .collect()
-                if r["source"] == "__all__"
+                (
+                    int(r["fingerprint"])
+                    for r in specs["corpus_fingerprint"]
+                    .spark(spark, sf_dir)
+                    .collect()
+                    if r["source"] == "__all__"
+                ),
+                None,
             )
+            if data_fp is None:
+                raise RuntimeError(
+                    "corpus_fingerprint returned no source='__all__' row; "
+                    "cannot stamp data_fingerprint into the bench record"
+                )
 
         # Warm each plan's generated code at the smallest SF: janino/JIT
         # compile of a plan is a per-plan constant (seconds for the big

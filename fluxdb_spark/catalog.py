@@ -6993,15 +6993,20 @@ FROM per
 """,
 )
 def packing_fragmentation(spark, sf_dir):
-    """Packing-quality audit of the `seq_packing` layout: per shard, how
-    many documents CROSS a 256-token sequence boundary (a crossing doc
-    is split between two training sequences — the attention-
-    contamination cost of concat-then-chunk packing that drives
-    best-fit packing research), plus the tail fill of the final partial
-    sequence — the ONLY padding this scheme pays. `crossing_ppm` is the
-    number a pipeline owner weighs against the zero-padding benefit
-    before choosing a packing strategy; it rises with mean doc length /
-    budget, so it's also a drift alarm when a source's documents grow.
+    """Packing-quality audit of the STRICT concat-then-chunk view of the
+    same doc_id-ordered layout `seq_packing` uses: per shard, how many
+    documents WOULD cross a 256-token boundary if the token stream were
+    chunked exactly at 256 (a crossing doc is split between two training
+    sequences — the attention-contamination cost that drives best-fit
+    packing research), plus the tail fill of the final partial sequence.
+    Note the packer itself SPILLS rather than splits (`seq_packing`
+    assigns each doc wholly to the sequence its start falls in), so
+    n_seqs/n_crossing here quantify what the layout would pay under
+    strict chunking — the cost the spill policy avoids — not the
+    packer's own seq_id count. `crossing_ppm` is the number a pipeline
+    owner weighs against the zero-padding benefit before choosing a
+    packing strategy; it rises with mean doc length / budget, so it's
+    also a drift alarm when a source's documents grow.
     Scale shape: the same per-shard prefix-sum window the packer itself
     uses (parallel across shards), folded map-side into a |shards|-row
     rollup — the audit costs exactly one pass over the token counts."""
@@ -9992,14 +9997,19 @@ _IVF_BAL_SHARE = (
     "CAST(floor(CAST(n_vecs AS DOUBLE) * 1000000"
     " / CAST(total AS DOUBLE)) AS BIGINT)"
 )
-_IVF_BAL_LIFT = (
-    "CAST(floor(CAST(n_vecs AS DOUBLE) * 8 * 1000000"
-    " / CAST(total AS DOUBLE)) AS BIGINT)"
-)
+def _ivf_bal_lift(k: int) -> str:
+    """Engine-common lift expression: cell share vs the 1/k uniform
+    ideal, in ppm.  k is explicit so the shared finisher can never be
+    reused with a different-k cell relation while silently keeping the
+    k=8 constant (ADVICE r12)."""
+    return (
+        f"CAST(floor(CAST(n_vecs AS DOUBLE) * {int(k)} * 1000000"
+        " / CAST(total AS DOUBLE)) AS BIGINT)"
+    )
 
 
-def _ivf_balance_sql() -> str:
-    body, a = sim._sql_kmeans_ctes(8, 3)
+def _ivf_balance_sql(k: int = 8) -> str:
+    body, a = sim._sql_kmeans_ctes(k, 3)
     return f"""{body},
 cells AS (SELECT CAST(cluster AS BIGINT) AS cell,
                  CAST(count(*) AS BIGINT) AS n_vecs
@@ -10012,7 +10022,7 @@ w AS (SELECT cell, n_vecs, total,
       FROM cells, t)
 SELECT cell, n_vecs,
        {_IVF_BAL_SHARE} AS share_ppm,
-       {_IVF_BAL_LIFT} AS balance_lift_ppm,
+       {_ivf_bal_lift(k)} AS balance_lift_ppm,
        worst_probe_cum
 FROM w
 """
@@ -10088,7 +10098,11 @@ def cluster_quality_matrix(spark, sf_dir):
 # ONE oracle for the batch and streaming balance-audit entries.
 _IVF_BALANCE_SQL = _ivf_balance_sql()
 
-_KCENTS8_CACHE: dict[tuple, list] = {}
+# keyed by sf_dir; value = ((mtime_ns, size), centroids).  One entry per
+# sf_dir, replaced on generation mismatch, so a long-lived session that
+# sees the driver regenerate testdata doesn't accumulate stale models
+# (ADVICE r12).
+_KCENTS8_CACHE: dict[str, tuple] = {}
 
 
 def _kcents8(spark, sf_dir):
@@ -10101,17 +10115,24 @@ def _kcents8(spark, sf_dir):
     import os
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    key = (sf_dir, st.st_mtime_ns, st.st_size)
-    if key not in _KCENTS8_CACHE:
-        _KCENTS8_CACHE[key] = sim.kmeans_centroids(
-            _t(spark, sf_dir, "embeddings"), k=8, iters=3
+    gen = (st.st_mtime_ns, st.st_size)
+    hit = _KCENTS8_CACHE.get(sf_dir)
+    if hit is None or hit[0] != gen:
+        hit = (
+            gen,
+            sim.kmeans_centroids(
+                _t(spark, sf_dir, "embeddings"), k=8, iters=3
+            ),
         )
-    return _KCENTS8_CACHE[key]
+        _KCENTS8_CACHE[sf_dir] = hit
+    return hit[1]
 
 
-def _ivf_balance_finish(cells):
+def _ivf_balance_finish(cells, k: int = 8):
     """share/lift/worst-probe windows over the k-row cell relation —
-    shared by the batch audit and the drained streaming counters."""
+    shared by the batch audit and the drained streaming counters.  k
+    must match the quantizer that produced `cells` (the lift compares
+    each cell's share to the 1/k ideal)."""
     t = cells.agg(F.sum("n_vecs").cast("long").alias("total"))
     w = Window.orderBy(F.desc("n_vecs"), F.asc("cell")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -10125,7 +10146,7 @@ def _ivf_balance_finish(cells):
             "cell",
             "n_vecs",
             F.expr(_IVF_BAL_SHARE).alias("share_ppm"),
-            F.expr(_IVF_BAL_LIFT).alias("balance_lift_ppm"),
+            F.expr(_ivf_bal_lift(k)).alias("balance_lift_ppm"),
             "worst_probe_cum",
         )
     )
@@ -10154,7 +10175,7 @@ def ivf_balance_audit(spark, sf_dir):
     cells = km.groupBy(
         F.col("cluster").cast("long").alias("cell")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
-    return _ivf_balance_finish(cells)
+    return _ivf_balance_finish(cells, k=8)
 
 
 @_q("stream_ivf_balance", "streaming", _IVF_BALANCE_SQL)
@@ -10192,7 +10213,7 @@ def stream_ivf_balance(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return _ivf_balance_finish(spark.table(name))
+    return _ivf_balance_finish(spark.table(name), k=8)
 
 
 # ONE oracle for the batch and streaming seasonality entries (the

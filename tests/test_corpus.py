@@ -1210,3 +1210,29 @@ class TestPackingFragmentation:
         assert (t.n_docs, t.n_tokens, t.n_seqs, t.n_crossing) == (2, 512, 2, 0)
         assert t.crossing_ppm == 0
         assert t.tail_fill_ppm == 1_000_000
+
+
+class TestIvfBalanceFinisherK:
+    """_ivf_balance_finish computes balance_lift_ppm from its explicit k
+    parameter (ADVICE r12: a hardcoded k=8 would silently mis-scale the
+    lift for any other quantizer size)."""
+
+    def test_lift_uses_k(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        cells = spark.createDataFrame(
+            [(0, 10), (1, 30), (2, 20), (3, 40)],
+            "cell long, n_vecs long",
+        )
+        total = 100
+        got4 = {r.cell: r for r in cat._ivf_balance_finish(cells, k=4).collect()}
+        got8 = {r.cell: r for r in cat._ivf_balance_finish(cells, k=8).collect()}
+        for c, n in [(0, 10), (1, 30), (2, 20), (3, 40)]:
+            assert got4[c].share_ppm == n * 1_000_000 // total
+            assert got4[c].balance_lift_ppm == n * 4 * 1_000_000 // total
+            assert got8[c].balance_lift_ppm == n * 8 * 1_000_000 // total
+        # worst-probe cumulative: cells ordered by n_vecs desc
+        assert got4[3].worst_probe_cum == 40
+        assert got4[1].worst_probe_cum == 70
+        assert got4[2].worst_probe_cum == 90
+        assert got4[0].worst_probe_cum == 100

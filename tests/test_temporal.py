@@ -163,6 +163,19 @@ class TestSingletHistory:
             ("", 5, "a"),
         ]
 
+    def test_speculative_prepend_survives_height_ties(self, mk, mkspec):
+        # reference CHANGELOG.md:29 ordering fix (read.go:380-393): ALL
+        # speculative entries are PREPENDED — before every durable entry,
+        # even durable ones at a higher height, and stably first when a
+        # speculative and a durable entry share the same height.
+        log = mk([("sg1", 2, "", "dur2"), ("sg1", 5, "", "dur5")])
+        spec = mkspec([("sg1", 2, "", "spec2")])
+        assert rows_of(singlet_history(log, "sg1", spec)) == [
+            ("", 2, "spec2"),  # speculative block first, despite dur5 > 2
+            ("", 5, "dur5"),
+            ("", 2, "dur2"),
+        ]
+
     def test_history_includes_tombstones(self, mk):
         # history is the raw version log — deletions are visible entries
         log = mk([("sg1", 1, "", "v1"), ("sg1", 2, "", "")])
