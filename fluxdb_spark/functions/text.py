@@ -2,7 +2,8 @@
 
 All hot-path expressions are built-in `pyspark.sql.functions` (JVM-side,
 codegen'd) — no Python UDFs. Each primitive has a DuckDB-SQL twin in
-`catalog.py`; the shared constants here keep the two in lockstep.
+the `fluxdb_spark.catalog` package; the shared constants here keep the
+two in lockstep.
 """
 
 from __future__ import annotations

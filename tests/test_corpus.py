@@ -1236,3 +1236,46 @@ class TestIvfBalanceFinisherK:
         assert got4[1].worst_probe_cum == 70
         assert got4[2].worst_probe_cum == 90
         assert got4[0].worst_probe_cum == 100
+
+
+class TestPackingBudgetSweep:
+    """packing_budget_sweep on constructed lengths: crossing and waste
+    arithmetic per budget must match a hand-simulated chunker."""
+
+    def test_sweep_arithmetic(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        # one shard, docs of 100/100/100 tokens (total 300).
+        rows = [
+            (0, "s", " ".join(["w"] * 100)),
+            (1, "s", " ".join(["w"] * 100)),
+            (2, "s", " ".join(["w"] * 100)),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        spec = {s.name: s for s in cat.catalog()}["packing_budget_sweep"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {r.budget: r for r in spec.spark(spark, td).collect()}
+        assert set(got) == {64, 128, 256, 512}
+        # hand simulation: prev = 0, 100, 200
+        expect = {
+            64: (5, 3),   # ceil(300/64)=5 seqs; all three docs cross
+            128: (3, 2),  # docs 1 and 2 cross
+            256: (2, 1),  # doc 2 crosses (the fragmentation-test case)
+            512: (1, 0),  # everything fits in one seq
+        }
+        for b, (n_seqs, n_cross) in expect.items():
+            r = got[b]
+            assert (r.n_seqs, r.n_crossing) == (n_seqs, n_cross), b
+            assert r.n_docs == 3
+            assert r.crossing_ppm == n_cross * 1_000_000 // 3
+            waste = n_seqs * b - 300
+            assert r.waste_ppm == waste * 1_000_000 // (n_seqs * b)
+        # the decision-table property: waste falls, crossing rises
+        assert got[64].waste_ppm < got[512].waste_ppm
+        assert got[64].n_crossing > got[512].n_crossing

@@ -382,3 +382,47 @@ class TestNoveltyTrend:
         assert got[5].novel_ppm == 0 and got[5].copy_docs_ppm == 1_000_000
         for i in (1, 2, 3, 4, 6, 7, 8, 9):
             assert got[i].novel_ppm == 1_000_000, i
+
+
+class TestBucketSkew:
+    """dedup_bucket_skew: identical docs share every band bucket; the
+    priced pair volume sum C(sz,2) reconciles with the real candidate
+    join's output."""
+
+    def test_identical_docs_bucket_together(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+        from fluxdb_spark.functions import dedup as dd
+
+        rows = [
+            (0, "s", "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "s", "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "s", "one two three four five six seven eight nine"),
+            (3, "s", "red orange yellow green blue indigo violet pink"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        spec = {s.name: s for s in cat.catalog()}["dedup_bucket_skew"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {r.band: r for r in spec.spark(spark, td).collect()}
+            docs = spark.read.parquet(os.path.join(td, "documents.parquet"))
+            n_cand = dd.lsh_candidate_pairs(
+                dd.minhash_signatures(docs)
+            ).count()
+        assert set(got) == {0, 1, 2, 3}
+        for band, r in got.items():
+            assert r.n_rows == 4
+            # docs 0 and 1 are byte-identical -> same signature -> same
+            # bucket in EVERY band, so each band prices >= 1 pair
+            assert r.max_bucket >= 2
+            assert r.cand_pairs >= 1
+            assert r.top_bucket_ppm == r.max_bucket * 1_000_000 // 4
+        # priced volume bounds the DISTINCT candidate count from the
+        # real banded join (multiplicity across bands collapses)
+        total_priced = sum(r.cand_pairs for r in got.values())
+        assert n_cand <= total_priced
+        assert n_cand >= 1

@@ -550,3 +550,56 @@ class TestZorderLayout:
         assert "CartesianProduct" not in p
         assert "SortMergeJoin" not in p  # bounds ride a broadcast
         assert "row_number" not in p
+
+
+class TestRound13AdditionPlans:
+    """Shape pins for the round-13 additions (the global python/
+    cartesian sweep already covers them)."""
+
+    def test_key_skew_windows_share_tablet_partition(self, spark, specs):
+        """Both windows (tablet total + rank) must partition by
+        tablet_id, and the rank<=5 filter must compile to
+        WindowGroupLimit so the key relation is never globally
+        sorted."""
+        p = plan_of(spark, specs, "flux_key_skew")
+        assert "windowspecdefinition(tablet_id" in p
+        assert "WindowGroupLimit" in p
+
+    def test_write_amp_head_window_is_per_key(self, spark, specs):
+        """The head pick must ride the state_at partitioning
+        (tablet_id, primary_key) and the rn=1 filter must group-limit."""
+        p = plan_of(spark, specs, "flux_write_amplification")
+        assert "windowspecdefinition(tablet_id" in p
+        assert "primary_key" in p.split("windowspecdefinition(tablet_id", 1)[1][:80]
+        assert "WindowGroupLimit" in p
+
+    def test_budget_sweep_single_window_then_explode(self, spark, specs):
+        """ONE budget-independent prefix-sum window per shard; the
+        4-way budget fan-out is a map-side Generate AFTER it — a plan
+        with one window per budget (4 shuffles) fails here."""
+        p = plan_of(spark, specs, "packing_budget_sweep")
+        assert p.count("windowspecdefinition(shard") >= 1
+        assert p.count("Window") - p.count("WindowGroupLimit") <= 4
+        assert "Generate" in p and "explode" in p
+
+    def test_bucket_skew_is_pure_rollup(self, spark, specs):
+        """Occupancy and the per-band stats are combine-friendly
+        aggregates — no window machinery, no pair materialization
+        (the candidate volume is sum C(sz,2) over bucket sizes)."""
+        p = plan_of(spark, specs, "dedup_bucket_skew")
+        assert "windowspecdefinition" not in p
+        assert "SortMergeJoin" not in p or "CartesianProduct" not in p
+
+    def test_matryoshka_rungs_group_limit(self, spark, specs):
+        """Every rung's top-10 must compile to WindowGroupLimit (per-
+        query heaps), not a global sort of the scored corpus."""
+        p = plan_of(spark, specs, "embed_matryoshka_eval")
+        assert "WindowGroupLimit" in p
+        assert "windowspecdefinition(query_id" in p
+
+    def test_ann_recall_probe_join_broadcasts(self, spark, specs):
+        """The probe join must broadcast the bounded query side into
+        the cell-pruned corpus scan."""
+        p = plan_of(spark, specs, "embed_ann_recall_curve")
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p

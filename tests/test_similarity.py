@@ -878,3 +878,75 @@ class TestMarginPairs:
         # raw cosine would rank the hub (0.5) above the aligned pair
         # (0.45); the margin inverts that
         assert got == [(0, 1, 11), (0, 2, 10)]
+
+
+class TestMatryoshkaEval:
+    """embed_matryoshka_eval: the m=64 rung is the identity anchor;
+    a constructed corpus whose first-8 dims are uninformative shows
+    truncation recall loss exactly where designed."""
+
+    def test_identity_anchor_on_testdata(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        spec = {s.name: s for s in cat.catalog()}["embed_matryoshka_eval"]
+        got = {r.m_dims: r for r in spec.spark(
+            spark, "/root/testdata/sf0.001").collect()}
+        assert set(got) == {8, 16, 32, 64}
+        full = got[64]
+        assert full.n_hits == full.n_queries * 10
+        assert full.recall_ppm == 1_000_000
+        for r in got.values():
+            assert 0 <= r.n_hits <= r.n_queries * 10
+
+    def test_truncation_loses_designed_recall(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        # 1 query (id 0) + 14 candidates (ids 10..23), dim 64.
+        # dims 1-8 are IDENTICAL for every candidate -> at m=8 the
+        # top-10 is pure match_id-asc tie-break: ids 10..19.
+        # dims 9-64 make ids 22 and 23 the two TRUE best matches and
+        # leave the rest ordered by id, so full top-10 =
+        # {22, 23} + ids 10..17 -> m=8 hits exactly 8 of 10.
+        def vec(best: float, ident: float = 1.0) -> list[float]:
+            return [ident] * 8 + [best] * 56
+
+        rows = [(0, vec(1.0), 0)]
+        for i in range(10, 22):
+            rows.append((i, vec(0.0), 0))
+        for i in (22, 23):
+            rows.append((i, vec(1.0), 0))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        spec = {s.name: s for s in cat.catalog()}["embed_matryoshka_eval"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "embeddings.parquet"))
+            got = {r.m_dims: r for r in spec.spark(spark, td).collect()}
+        assert got[64].recall_ppm == 1_000_000
+        assert got[8].n_hits == 8
+        assert got[8].recall_ppm == 800_000
+
+
+class TestAnnRecallCurve:
+    """embed_ann_recall_curve: the full-probe row is EXACTLY brute
+    force, and recall is monotone in n_probe (probe sets are nested
+    and a non-top-10 candidate can never displace a true top-10 member
+    under the shared (score, match_id) total order)."""
+
+    def test_exact_anchor_and_monotonicity(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        spec = {s.name: s for s in cat.catalog()}["embed_ann_recall_curve"]
+        got = sorted(
+            spec.spark(spark, "/root/testdata/sf0.001").collect(),
+            key=lambda r: r.n_probe,
+        )
+        assert [r.n_probe for r in got] == [1, 2, 4, 8]
+        full = got[-1]
+        assert full.n_hits == full.n_queries * 10
+        assert full.recall_ppm == 1_000_000
+        hits = [r.n_hits for r in got]
+        assert hits == sorted(hits)

@@ -855,3 +855,83 @@ class TestStateFingerprint:
         for t, (n, fp) in rows.items():
             if t != some.tablet_id:
                 assert fp2[t] == fp
+
+
+def _write_events(spark, td, rows):
+    """rows: (event_id, user_id, event_type, value). props = 'p<id>'."""
+    import os
+
+    df = spark.createDataFrame(
+        [
+            (eid, None, uid, et, val, f"p{eid}")
+            for eid, uid, et, val in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.parquet(os.path.join(td, "events.parquet"))
+
+
+class TestFluxKeySkew:
+    """flux_key_skew semantics on a constructed log: rank ordering,
+    top-5 cap, and exact share arithmetic."""
+
+    def test_hot_key_share(self, spark):
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        rows = []
+        eid = 0
+        # tablet 'a': user 1 x6, user 2 x3, users 3..8 x1 -> 15 writes
+        for _ in range(6):
+            rows.append((eid, 1, "a", 50.0)); eid += 1
+        for _ in range(3):
+            rows.append((eid, 2, "a", 50.0)); eid += 1
+        for u in range(3, 9):
+            rows.append((eid, u, "a", 50.0)); eid += 1
+        spec = {s.name: s for s in cat.catalog()}["flux_key_skew"]
+        with tempfile.TemporaryDirectory() as td:
+            _write_events(spark, td, rows)
+            got = sorted(
+                ((r.primary_key, r.n_versions, r.rank, r.share_ppm)
+                 for r in spec.spark(spark, td).collect()),
+                key=lambda t: t[2],
+            )
+        assert len(got) == 5  # top-5 cap despite 8 keys
+        assert got[0] == ("1", 6, 1, 6 * 1_000_000 // 15)
+        assert got[1] == ("2", 3, 2, 3 * 1_000_000 // 15)
+        # singles tie-break by key asc
+        assert [g[0] for g in got[2:]] == ["3", "4", "5"]
+        assert all(g[3] == 1_000_000 // 15 for g in got[2:])
+
+
+class TestWriteAmplification:
+    """flux_write_amplification on a constructed log: head-version
+    liveness, tombstone handling, exact ratio arithmetic."""
+
+    def test_versions_live_ratio(self, spark):
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        # tablet 'a': key 1 -> 3 versions, head live (50.0);
+        #             key 2 -> 2 versions, head a tombstone (5.0 < 10).
+        rows = [
+            (1, 1, "a", 50.0),
+            (2, 1, "a", 50.0),
+            (3, 2, "a", 50.0),
+            (4, 1, "a", 50.0),
+            (5, 2, "a", 5.0),
+        ]
+        spec = {s.name: s for s in cat.catalog()}[
+            "flux_write_amplification"
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            _write_events(spark, td, rows)
+            [r] = spec.spark(spark, td).collect()
+        assert (r.tablet_id, r.n_versions, r.n_keys, r.n_live) == (
+            "a", 5, 2, 1,
+        )
+        assert r.write_amp_x100 == 5 * 100 // 2
+        assert r.live_ppm == 1 * 1_000_000 // 2

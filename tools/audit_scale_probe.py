@@ -1,0 +1,188 @@
+"""Scale-probe the round-12 audit entries one step past the largest
+driver SF: `dedup_threshold_sweep_lsh` (candidate-pair growth) and
+`ivf_balance_audit` (cell-occupancy stability).
+
+These two entries exist to answer the 100x question — does the LSH
+candidate volume stay bounded, and does IVF cell skew stay flat, as the
+corpus grows?  The driver ships at most 5,000 documents / 2,000 vectors
+(sf0.1), so this probe builds larger corpora in /tmp the same way
+tools/dedup_scale_probe.py does (replicate sf0.1 with a per-replica
+perturbation so replicas don't collapse into byte-identical clones) and
+records the curves that decide 100 TB behavior:
+
+- LSH sweep: `candidate_pairs` (banded-join output BEFORE verification)
+  and `verified_pairs` per corpus size, plus candidates-per-doc.  The
+  scale claim is that candidates/doc stays near-constant (the banded
+  equi-join prices per-bucket collisions, never the n^2 pair space);
+  all-pairs at the same sizes would grow as docs^2.
+- IVF balance: `max_share_ppm` / `max_lift_ppm` and the 2-probe worst
+  cumulative share per corpus size.  The scale claim is that occupancy
+  SHARE is scale-invariant — doubling the corpus doubles every cell,
+  so share/lift curves stay flat and probe cost grows linearly with
+  corpus, not with skew.
+
+    python tools/audit_scale_probe.py      # prints one JSON line
+
+Replication realism: documents get a per-replica token suffix (keeps
+internal near-dup structure, prevents cross-replica exact clones);
+embeddings get one dimension deterministically nudged per replica
+(keeps the cluster geometry, prevents identical-vector collapse).  No
+randomness anywhere — the probe is reproducible byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fluxdb_spark import get_spark  # noqa: E402
+from fluxdb_spark.catalog import catalog  # noqa: E402
+from fluxdb_spark.functions import dedup as dd  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+ROOT = "/tmp/fluxdb-audit-scale"
+DOC_REPLICAS = {"x1": 1, "x3": 3, "x10": 10}
+VEC_REPLICAS = {"x1": 1, "x2": 2, "x4": 4, "x8": 8}
+
+
+def build_docs(spark, replicas: int, dest: str) -> int:
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n = docs.count()
+    parts = []
+    for r in range(replicas):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+                (
+                    F.col("text")
+                    if r == 0
+                    else F.concat(F.col("text"), F.lit(f" replica{r}tok"))
+                ).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    os.makedirs(dest, exist_ok=True)
+    out.coalesce(max(1, replicas)).write.mode("overwrite").parquet(
+        os.path.join(dest, "documents.parquet")
+    )
+    return n * replicas
+
+
+def build_vecs(spark, replicas: int, dest: str) -> int:
+    vecs = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n = vecs.count()
+    parts = []
+    for r in range(replicas):
+        emb = F.col("embedding")
+        if r > 0:
+            # nudge dimension (r % dim) by a small deterministic offset:
+            # cluster geometry survives, byte-identity doesn't.
+            dim_idx = r % 64
+            # keep element type float32: a double literal would upcast
+            # the array and break the cross-replica unionByName
+            emb = F.transform(
+                emb,
+                lambda x, i: F.when(
+                    i == F.lit(dim_idx),
+                    x + F.lit(0.001 * r).cast("float"),
+                ).otherwise(x),
+            )
+        parts.append(
+            vecs.select(
+                (F.col("vec_id") + F.lit(r * n)).alias("vec_id"),
+                *[
+                    c
+                    for c in vecs.columns
+                    if c not in ("vec_id", "embedding")
+                ],
+                emb.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    os.makedirs(dest, exist_ok=True)
+    out.coalesce(max(1, replicas)).write.mode("overwrite").parquet(
+        os.path.join(dest, "embeddings.parquet")
+    )
+    return n * replicas
+
+
+def main() -> None:
+    spark = get_spark(app_name="audit_scale_probe")
+    specs = {s.name: s for s in catalog()}
+    shutil.rmtree(ROOT, ignore_errors=True)
+
+    lsh: dict[str, dict] = {}
+    for label, reps in DOC_REPLICAS.items():
+        sf_dir = os.path.join(ROOT, f"docs{label}")
+        n_docs = build_docs(spark, reps, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_cand = dd.lsh_candidate_pairs(dd.minhash_signatures(docs)).count()
+        spec = specs["dedup_threshold_sweep_lsh"]
+        spec.spark(spark, sf_dir).count()  # warm the plan
+        best, n_rows, verified = float("inf"), 0, 0
+        for _ in range(2):
+            t0 = time.time()
+            rows = spec.spark(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        n_rows = len(rows)
+        verified = max(r.surviving_pairs for r in rows) if rows else 0
+        lsh[label] = {
+            "docs": n_docs,
+            "candidate_pairs": n_cand,
+            "cand_per_doc_x100": round(100.0 * n_cand / n_docs, 1),
+            "allpairs_space": n_docs * (n_docs - 1) // 2,
+            "verified_pairs": int(verified),
+            "bands_rows": n_rows,
+            "sec": round(best, 3),
+        }
+        print(f"# lsh {label}: {lsh[label]}", file=sys.stderr)
+
+    ivf: dict[str, dict] = {}
+    for label, reps in VEC_REPLICAS.items():
+        sf_dir = os.path.join(ROOT, f"vecs{label}")
+        n_vecs = build_vecs(spark, reps, sf_dir)
+        spec = specs["ivf_balance_audit"]
+        spec.spark(spark, sf_dir).count()  # warm (trains + memoizes centroids)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            rows = spec.spark(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        by_cum = sorted(rows, key=lambda r: r.worst_probe_cum)
+        two_probe_cum = by_cum[1].worst_probe_cum if len(by_cum) > 1 else 0
+        ivf[label] = {
+            "vecs": n_vecs,
+            "cells": len(rows),
+            "max_share_ppm": max(r.share_ppm for r in rows),
+            "min_share_ppm": min(r.share_ppm for r in rows),
+            "max_lift_ppm": max(r.balance_lift_ppm for r in rows),
+            "two_probe_share_ppm": int(
+                round(1_000_000.0 * two_probe_cum / n_vecs)
+            ),
+            "sec": round(best, 3),
+        }
+        print(f"# ivf {label}: {ivf[label]}", file=sys.stderr)
+
+    shutil.rmtree(ROOT, ignore_errors=True)
+    print(
+        json.dumps(
+            {"metric": "audit_scale_probe", "lsh_sweep": lsh, "ivf_balance": ivf}
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
