@@ -53,19 +53,33 @@ VEC_REPLICAS = {"x1": 1, "x2": 2, "x4": 4, "x8": 8}
 
 
 def build_docs(spark, replicas: int, dest: str) -> int:
+    """Replicate the sf0.1 documents with a per-replica WORD-TAG
+    bijection: every word of replica r gets the prefix `r<r>x`, so each
+    replica keeps the original's internal near-dup structure EXACTLY
+    (word mapping is a bijection, shingle equality is preserved) while
+    cross-replica Jaccard is 0.  The grown corpus therefore carries a
+    CONSTANT duplication rate — the realistic growth model — unlike a
+    suffix-token perturbation, which leaves replicas mutual near-dups
+    and manufactures a quadratic 10x-clique pair graph (that variant is
+    what tools/dedup_scale_probe.py's exactness growers price)."""
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     n = docs.count()
     parts = []
     for r in range(replicas):
+        text = F.col("text")
+        if r > 0:
+            text = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(F.lit(f"r{r}x"), w),
+                ),
+                " ",
+            )
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
                 *[c for c in docs.columns if c not in ("doc_id", "text")],
-                (
-                    F.col("text")
-                    if r == 0
-                    else F.concat(F.col("text"), F.lit(f" replica{r}tok"))
-                ).alias("text"),
+                text.alias("text"),
             )
         )
     out = parts[0]
