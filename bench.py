@@ -293,6 +293,8 @@ HEADLINE = [
     "dedup_bucket_skew",
     "embed_matryoshka_eval",
     "embed_ann_recall_curve",
+    "stream_key_skew",
+    "dedup_minhash_k_sweep",
 ]
 
 

@@ -144,6 +144,8 @@ _PRIORITY: list[str] = [
     "dedup_bucket_skew",
     "embed_matryoshka_eval",
     "embed_ann_recall_curve",
+    "stream_key_skew",
+    "dedup_minhash_k_sweep",
     # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",

@@ -518,3 +518,55 @@ def _fingerprint_all_row(per_source):
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.bit_xor("fingerprint").cast("long").alias("fingerprint"),
     ).select("source", "n_docs", "fingerprint")
+
+
+# Engine-common integer share for the hot-key audits (double-floor form:
+# version counts at 100 TB pass the int64 `* 1000000` ceiling).
+_KEY_SHARE_PPM = (
+    "CAST(floor(CAST(n_versions AS DOUBLE) * 1000000"
+    " / CAST(tablet_versions AS DOUBLE)) AS BIGINT)"
+)
+
+# ONE oracle for the batch and streaming hot-key audits.
+_KEY_SKEW_SQL = f"""
+WITH {CHANGELOG_CTE},
+per AS (
+  SELECT tablet_id, primary_key, CAST(count(*) AS BIGINT) AS n_versions
+  FROM changelog GROUP BY 1, 2),
+w AS (
+  SELECT tablet_id, primary_key, n_versions,
+         CAST(sum(n_versions) OVER (PARTITION BY tablet_id) AS BIGINT)
+           AS tablet_versions,
+         row_number() OVER (PARTITION BY tablet_id
+                            ORDER BY n_versions DESC, primary_key ASC)
+           AS rank
+  FROM per)
+SELECT tablet_id, primary_key, n_versions, CAST(rank AS BIGINT) AS rank,
+       {_KEY_SHARE_PPM} AS share_ppm
+FROM w WHERE rank <= 5
+"""
+
+
+def _key_skew_finish(per):
+    """Top-5 + share windows over the per-(tablet, key) count relation —
+    shared by the batch audit and the drained streaming counters.  Both
+    windows ride ONE tablet_id hash partition; rank<=5 compiles to
+    WindowGroupLimit."""
+    tot = Window.partitionBy("tablet_id")
+    rnk = Window.partitionBy("tablet_id").orderBy(
+        F.desc("n_versions"), F.asc("primary_key")
+    )
+    w = per.select(
+        "tablet_id",
+        "primary_key",
+        "n_versions",
+        F.sum("n_versions").over(tot).cast("long").alias("tablet_versions"),
+        F.row_number().over(rnk).alias("rank"),
+    ).filter(F.col("rank") <= 5)
+    return w.select(
+        "tablet_id",
+        "primary_key",
+        "n_versions",
+        F.col("rank").cast("long").alias("rank"),
+        F.expr(_KEY_SHARE_PPM).alias("share_ppm"),
+    )

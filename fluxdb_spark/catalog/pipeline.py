@@ -5356,3 +5356,139 @@ def embed_ann_recall_curve(spark, sf_dir):
         "n_hits",
         F.expr(_ANN_RECALL_PPM).alias("recall_ppm"),
     )
+
+
+_KSWEEP_SLOTS = (2, 4, 8)
+_KSWEEP_CUT = 750000  # ppm twin of the 0.75 near-dup cut
+
+
+def _minhash_k_sweep_sql() -> str:
+    k = dd.MINHASH_K
+    chunks = dd.sql_shingle_hash_chunks("shingle", k)
+    hash_cols = ", ".join(f"{c} AS h{i}" for i, c in enumerate(chunks))
+    sig_cols = ", ".join(f"min(h{i}) AS sig{i}" for i in range(k))
+    def agree(n):
+        return " + ".join(
+            f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END"
+            for i in range(n)
+        )
+    sweep = "\nUNION ALL\n".join(
+        f"SELECT {n} AS k_slots, CAST(a{n} * {1_000_000 // n} AS BIGINT)"
+        f" AS est_ppm, jac_ppm FROM scored"
+        for n in _KSWEEP_SLOTS
+    )
+    return f"""
+WITH {dd.sql_shingles_ctes()},
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT d1, d2,
+         round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+  FROM inter
+  JOIN shsize sa ON sa.doc_id = d1
+  JOIN shsize sb ON sb.doc_id = d2
+  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.6),
+shingle_hashes AS (
+  SELECT shingle, {hash_cols} FROM (SELECT DISTINCT shingle FROM sh)),
+sigs AS (
+  SELECT doc_id, {sig_cols}
+  FROM sh JOIN shingle_hashes USING (shingle) GROUP BY doc_id),
+scored AS (
+  SELECT {", ".join(f"CAST(({agree(n)}) AS BIGINT) AS a{n}" for n in _KSWEEP_SLOTS)},
+         CAST(round(p.jaccard * 1000000) AS BIGINT) AS jac_ppm
+  FROM pairs p
+  JOIN sigs a ON a.doc_id = p.d1
+  JOIN sigs b ON b.doc_id = p.d2),
+sweep AS ({sweep})
+SELECT k_slots, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(abs(est_ppm - jac_ppm)) AS BIGINT) // count(*)
+         AS mean_abs_err_ppm,
+       (CAST(sum(CASE WHEN est_ppm >= {_KSWEEP_CUT}
+                       AND jac_ppm < {_KSWEEP_CUT} THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // count(*) AS false_accept_ppm,
+       (CAST(sum(CASE WHEN est_ppm < {_KSWEEP_CUT}
+                       AND jac_ppm >= {_KSWEEP_CUT} THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // count(*) AS false_reject_ppm
+FROM sweep GROUP BY k_slots
+"""
+
+
+@_q("dedup_minhash_k_sweep", "pipeline", _minhash_k_sweep_sql())
+def dedup_minhash_k_sweep(spark, sf_dir):
+    """Signature-size ablation — the MinHash matryoshka: Jaccard
+    estimates from the FIRST 2 / 4 / 8 slots of the same signature
+    (min-hashes are i.i.d., so any prefix is a valid smaller sketch)
+    scored against exact Jaccard on the exact pair set at the 0.6 cut:
+    per K, mean absolute estimate error and the false-accept /
+    false-reject rates against the 0.75 near-dup threshold. This is
+    the table that prices signature WIDTH at 100 TB — K is a linear
+    multiplier on signature storage, shuffle bytes, and band count, and
+    the sd sqrt(J(1-J)/K) theory line becomes a measured error on THIS
+    corpus (`dedup_minhash_estimator` fixes K=8 and sweeps bands; this
+    sweeps K at the decision cut). Scale shape: the exact pair relation
+    drives two equi-joins against the |docs|-row signature table (the
+    estimator precedent); the 3-way K explode happens on the scored
+    |pairs|-row relation map-side and folds to |K| rows."""
+    k = dd.MINHASH_K
+    d = _td(spark, sf_dir)
+    pairs = dd.jaccard_pairs(d, 0.6)
+    sigs = dd.minhash_signatures(d).localCheckpoint()
+    a = sigs.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(k)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(k)],
+    )
+    def agree(n):
+        return sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(n)
+        )
+    scored = (
+        pairs.join(a, "d1")
+        .join(b, "d2")
+        .select(
+            *[
+                (agree(n) * F.lit(1_000_000 // n))
+                .cast("long")
+                .alias(f"est{n}")
+                for n in _KSWEEP_SLOTS
+            ],
+            F.expr("CAST(round(jaccard * 1000000) AS BIGINT)").alias(
+                "jac_ppm"
+            ),
+        )
+    )
+    sweep = scored.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("long").alias("k_slots"),
+                        F.col(f"est{n}").alias("est_ppm"),
+                    )
+                    for n in _KSWEEP_SLOTS
+                ]
+            )
+        ).alias("s"),
+        "jac_ppm",
+    ).select("s.k_slots", "s.est_ppm", "jac_ppm")
+    cut = _KSWEEP_CUT
+    return sweep.groupBy("k_slots").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(abs(est_ppm - jac_ppm)) AS BIGINT) div count(*)"
+        ).alias("mean_abs_err_ppm"),
+        F.expr(
+            f"(CAST(sum(CASE WHEN est_ppm >= {cut} AND jac_ppm < {cut}"
+            " THEN 1 ELSE 0 END) AS BIGINT) * 1000000) div count(*)"
+        ).alias("false_accept_ppm"),
+        F.expr(
+            f"(CAST(sum(CASE WHEN est_ppm < {cut} AND jac_ppm >= {cut}"
+            " THEN 1 ELSE 0 END) AS BIGINT) * 1000000) div count(*)"
+        ).alias("false_reject_ppm"),
+    )

@@ -35,6 +35,7 @@ from fluxdb_spark.catalog._shared import (
     _DECONTAM_SQL,
     _FINGERPRINT_SQL,
     _IVF_BALANCE_SQL,
+    _KEY_SKEW_SQL,
     _RFM_SQL,
     _SEASONALITY_SQL,
     _SEASON_DOW,
@@ -46,6 +47,7 @@ from fluxdb_spark.catalog._shared import (
     _gcent,
     _ivf_balance_finish,
     _kcents8,
+    _key_skew_finish,
     _rfm_per_user,
     _rfm_rollup,
     _seasonality_finish,
@@ -1281,3 +1283,42 @@ def stream_corpus_fingerprint(spark, sf_dir):
     q.awaitTermination()
     t = spark.table(name)
     return t.unionByName(_fingerprint_all_row(t))
+
+
+@_q("stream_key_skew", "streaming", _KEY_SKEW_SQL)
+def stream_key_skew(spark, sf_dir):
+    """STANDING hot-key audit: the per-(tablet, key) version counters of
+    `flux_key_skew` maintained as Structured Streaming state (counts
+    are additive — the micro-batch merge IS the update), so the shard-
+    hotspot forecast is already current when a backfill is planned
+    instead of a history re-scan. State is EXACT per-key counters —
+    deliberately the same cardinality the batch groupBy shuffles
+    (|tablet, key| longs); for cardinality-hostile keyspaces the
+    sketch-bounded alternative is `stream_cms_heavy_hitters`, and this
+    entry is the exact verifier you run where state fits. Drained
+    counters finish serving-side through the SAME top-5/share finisher
+    the batch audit uses and hash-match its oracle constant — the
+    structural form of the twin claim."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    per = (
+        changelog_from_events(raw)
+        .groupBy("tablet_id", "primary_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_versions"))
+    )
+    name = f"stream_keyskew_{uuid.uuid4().hex[:8]}"
+    q = (
+        per.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _key_skew_finish(spark.table(name))

@@ -29,6 +29,7 @@ from fluxdb_spark.sources.tables import load_table, normalize_event_ts
 from fluxdb_spark.session import spread
 
 from fluxdb_spark.catalog._core import _q, _t
+from fluxdb_spark.catalog._shared import _KEY_SKEW_SQL, _key_skew_finish
 
 
 
@@ -1308,11 +1309,9 @@ def flux_state_fingerprint(spark, sf_dir):
 
 # Engine-common integer ratios for the write-path audits, in the
 # overflow-proof double-floor form (version counts at 100 TB pass the
-# ~9e12 int64 `* 1000000` ceiling long before the corpus does).
-_KEY_SHARE_PPM = (
-    "CAST(floor(CAST(n_versions AS DOUBLE) * 1000000"
-    " / CAST(tablet_versions AS DOUBLE)) AS BIGINT)"
-)
+# ~9e12 int64 `* 1000000` ceiling long before the corpus does).  The
+# hot-key share/oracle/finisher live in _shared — the streaming twin
+# (stream_key_skew) drains into the same finisher.
 _WRITE_AMP_X100 = (
     "CAST(floor(CAST(n_versions AS DOUBLE) * 100"
     " / CAST(n_keys AS DOUBLE)) AS BIGINT)"
@@ -1323,27 +1322,7 @@ _LIVE_PPM = (
 )
 
 
-@_q(
-    "flux_key_skew",
-    "temporal",
-    f"""
-WITH {CHANGELOG_CTE},
-per AS (
-  SELECT tablet_id, primary_key, CAST(count(*) AS BIGINT) AS n_versions
-  FROM changelog GROUP BY 1, 2),
-w AS (
-  SELECT tablet_id, primary_key, n_versions,
-         CAST(sum(n_versions) OVER (PARTITION BY tablet_id) AS BIGINT)
-           AS tablet_versions,
-         row_number() OVER (PARTITION BY tablet_id
-                            ORDER BY n_versions DESC, primary_key ASC)
-           AS rank
-  FROM per)
-SELECT tablet_id, primary_key, n_versions, CAST(rank AS BIGINT) AS rank,
-       {_KEY_SHARE_PPM} AS share_ppm
-FROM w WHERE rank <= 5
-""",
-)
+@_q("flux_key_skew", "temporal", _KEY_SKEW_SQL)
 def flux_key_skew(spark, sf_dir):
     """Write-path hot-key audit: per tablet, the top-5 keys by version
     count with their share of the tablet's writes — the WRITE-side
@@ -1361,24 +1340,7 @@ def flux_key_skew(spark, sf_dir):
     per = log.groupBy("tablet_id", "primary_key").agg(
         F.count(F.lit(1)).cast("long").alias("n_versions")
     )
-    tot = Window.partitionBy("tablet_id")
-    rnk = Window.partitionBy("tablet_id").orderBy(
-        F.desc("n_versions"), F.asc("primary_key")
-    )
-    w = per.select(
-        "tablet_id",
-        "primary_key",
-        "n_versions",
-        F.sum("n_versions").over(tot).cast("long").alias("tablet_versions"),
-        F.row_number().over(rnk).alias("rank"),
-    ).filter(F.col("rank") <= 5)
-    return w.select(
-        "tablet_id",
-        "primary_key",
-        "n_versions",
-        F.col("rank").cast("long").alias("rank"),
-        F.expr(_KEY_SHARE_PPM).alias("share_ppm"),
-    )
+    return _key_skew_finish(per)
 
 
 @_q(

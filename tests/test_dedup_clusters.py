@@ -426,3 +426,50 @@ class TestBucketSkew:
         total_priced = sum(r.cand_pairs for r in got.values())
         assert n_cand <= total_priced
         assert n_cand >= 1
+
+
+class TestMinhashKSweep:
+    """dedup_minhash_k_sweep semantics: identical docs estimate J=1
+    with zero error at every K; estimate granularity is 1e6/K."""
+
+    def test_identical_docs_zero_error(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        rows = [
+            (0, "s", "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "s", "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "s", "one two three four five six seven eight nine"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        spec = {s.name: s for s in cat.catalog()}["dedup_minhash_k_sweep"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {r.k_slots: r for r in spec.spark(spark, td).collect()}
+        # the only exact pair >= 0.6 is the identical (0, 1) pair:
+        # every signature prefix agrees fully -> est = 1e6 = true J,
+        # zero error, no false accept/reject at any K
+        assert set(got) == {2, 4, 8}
+        for k, r in got.items():
+            assert r.n_pairs == 1
+            assert r.mean_abs_err_ppm == 0
+            assert r.false_accept_ppm == 0
+            assert r.false_reject_ppm == 0
+
+    def test_structure_on_testdata(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        spec = {s.name: s for s in cat.catalog()}["dedup_minhash_k_sweep"]
+        got = {r.k_slots: r for r in spec.spark(
+            spark, "/root/testdata/sf0.001").collect()}
+        assert set(got) == {2, 4, 8}
+        n = {r.n_pairs for r in got.values()}
+        assert len(n) == 1  # same exact pair set at every K
+        for k, r in got.items():
+            assert 0 <= r.mean_abs_err_ppm <= 1_000_000
+            assert 0 <= r.false_accept_ppm <= 1_000_000
+            assert 0 <= r.false_reject_ppm <= 1_000_000

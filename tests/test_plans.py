@@ -320,6 +320,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_lm_score", "stream_corpus_fingerprint",
         "stream_decontaminate", "stream_seasonality",
         "stream_token_spectrum", "stream_ivf_balance",
+        "stream_key_skew",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):

@@ -1022,3 +1022,23 @@ class TestStreamLmScore:
             ).collect()
         }
         assert got == want and got
+
+
+class TestStreamKeySkew:
+    """The standing hot-key audit's drained counters must finish to a
+    table EQUAL to the batch audit (shared finisher + shared oracle
+    constant make the claim structural; this pins it end-to-end)."""
+
+    def test_drain_equals_batch(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        specs = {s.name: s for s in cat.catalog()}
+        sf = "/root/testdata/sf0.001"
+        batch = sorted(
+            tuple(r) for r in specs["flux_key_skew"].spark(spark, sf).collect()
+        )
+        stream = sorted(
+            tuple(r) for r in specs["stream_key_skew"].spark(spark, sf).collect()
+        )
+        assert stream == batch
+        assert len(batch) > 0
