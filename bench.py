@@ -295,6 +295,8 @@ HEADLINE = [
     "embed_ann_recall_curve",
     "stream_key_skew",
     "dedup_minhash_k_sweep",
+    "dedup_shingle_df_spectrum",
+    "stream_shingle_df",
 ]
 
 

@@ -146,6 +146,8 @@ _PRIORITY: list[str] = [
     "embed_ann_recall_curve",
     "stream_key_skew",
     "dedup_minhash_k_sweep",
+    "dedup_shingle_df_spectrum",
+    "stream_shingle_df",
     # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",

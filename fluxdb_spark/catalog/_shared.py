@@ -570,3 +570,58 @@ def _key_skew_finish(per):
         F.col("rank").cast("long").alias("rank"),
         F.expr(_KEY_SHARE_PPM).alias("share_ppm"),
     )
+
+
+# Engine-common candidate-pair share for the shingle-df audits (double-
+# floor form: the priced pair volume at 100 TB passes the int64
+# `* 1000000` ceiling long before the corpus does).
+_DF_CAND_SHARE = (
+    "CAST(floor(CAST(cand_pairs AS DOUBLE) * 1000000"
+    " / CAST(total_pairs AS DOUBLE)) AS BIGINT)"
+)
+
+# ONE oracle for the batch and streaming shingle-df spectrum audits.
+_SHINGLE_DF_SQL = f"""
+WITH {dd.sql_shingles_ctes()},
+df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+b AS (SELECT {_log2_bucket_sql('df')} AS bucket,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(df) AS BIGINT) AS n_postings,
+             CAST(sum(df * (df - 1) // 2) AS BIGINT) AS cand_pairs
+      FROM df GROUP BY 1),
+t AS (SELECT CAST(sum(cand_pairs) AS BIGINT) AS total_pairs FROM b)
+SELECT bucket, n_shingles, n_postings, cand_pairs,
+       CASE WHEN total_pairs = 0 THEN CAST(0 AS BIGINT)
+            ELSE {_DF_CAND_SHARE} END AS cand_share_ppm
+FROM b, t
+"""
+
+
+def _shingle_df_finish(dfrel):
+    """df-bucket ladder -> <=63-row rollup -> priced candidate volume —
+    shared by the batch scan and the drained standing shingle counters.
+    Input is any (shingle, df) relation.  `df*(df-1) div 2` is exact and
+    engine-agreeing (nonnegative, always even before the halving); the
+    pair space is priced, never materialized."""
+    b = (
+        dfrel.select(F.expr(_log2_bucket_sql("df")).alias("bucket"), "df")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum("df").cast("long").alias("n_postings"),
+            F.sum(F.expr("df * (df - 1) div 2"))
+            .cast("long")
+            .alias("cand_pairs"),
+        )
+    )
+    t = b.agg(F.sum("cand_pairs").cast("long").alias("total_pairs"))
+    return b.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n_shingles",
+        "n_postings",
+        "cand_pairs",
+        F.expr(
+            f"CASE WHEN total_pairs = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE {_DF_CAND_SHARE} END"
+        ).alias("cand_share_ppm"),
+    )

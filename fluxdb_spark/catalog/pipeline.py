@@ -38,6 +38,7 @@ from fluxdb_spark.catalog._shared import (
     _SEASONALITY_SQL,
     _SEASON_DOW,
     _SEASON_HOUR,
+    _SHINGLE_DF_SQL,
     _SPECTRUM_SQL,
     _fingerprint_all_row,
     _fingerprint_per_source,
@@ -45,6 +46,7 @@ from fluxdb_spark.catalog._shared import (
     _ivf_balance_finish,
     _kcents8,
     _seasonality_finish,
+    _shingle_df_finish,
     _spectrum_finish,
 )
 
@@ -5492,3 +5494,28 @@ def dedup_minhash_k_sweep(spark, sf_dir):
             " THEN 1 ELSE 0 END) AS BIGINT) * 1000000) div count(*)"
         ).alias("false_reject_ppm"),
     )
+
+
+@_q("dedup_shingle_df_spectrum", "pipeline", _SHINGLE_DF_SQL)
+def dedup_shingle_df_spectrum(spark, sf_dir):
+    """Shingle document-frequency spectrum — the dedup JOIN-COST
+    forecast, one funnel stage before `dedup_bucket_skew`: a naive
+    shingle self-equi-join does sum_s C(df(s), 2) work, so per log2(df)
+    bucket this prices the type count, the posting count, and the EXACT
+    candidate-pair volume that join would generate, with each bucket's
+    share of the total.  The tail bucket IS the hot-shingle cliff
+    (one stopword shingle in 100k docs = 5e9 candidates) that
+    `jaccard_pairs`' PPJoin prefix filter exists to dodge — a corpus
+    whose top bucket carries most of the mass mandates prefix filtering
+    before any exact dedup is launched.  Scale shape: one
+    distinct-shingle explode into a combine-friendly groupBy (the
+    shuffle carries |shingle vocab| rows after map-side combine), then
+    the 62-compare ladder + pricing fold to the <=63-row bucket
+    relation; the pair space is priced, never materialized."""
+    d = _td(spark, sf_dir)
+    df = (
+        dd.exploded_shingles(d)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return _shingle_df_finish(df)

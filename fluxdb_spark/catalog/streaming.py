@@ -38,6 +38,7 @@ from fluxdb_spark.catalog._shared import (
     _KEY_SKEW_SQL,
     _RFM_SQL,
     _SEASONALITY_SQL,
+    _SHINGLE_DF_SQL,
     _SEASON_DOW,
     _SEASON_HOUR,
     _SESSIONIZE_SQL,
@@ -51,6 +52,7 @@ from fluxdb_spark.catalog._shared import (
     _rfm_per_user,
     _rfm_rollup,
     _seasonality_finish,
+    _shingle_df_finish,
     _spectrum_finish,
 )
 
@@ -1322,3 +1324,43 @@ def stream_key_skew(spark, sf_dir):
     )
     q.awaitTermination()
     return _key_skew_finish(spark.table(name))
+
+
+@_q("stream_shingle_df", "streaming", _SHINGLE_DF_SQL)
+def stream_shingle_df(spark, sf_dir):
+    """STANDING shingle-df spectrum: the per-shingle document-frequency
+    counters of `dedup_shingle_df_spectrum` maintained as Structured
+    Streaming state (counts are additive — the micro-batch merge IS the
+    update), so the dedup join-cost forecast is already current when a
+    dedup job is planned instead of a corpus re-scan.  State is the
+    distinct-shingle vocabulary — exactly the global df table PPJoin's
+    prefix ordering needs anyway, so the standing counters double as
+    that model's refresh path (the `stream_token_spectrum` shape, one
+    n-gram order up).  Drained counters finish serving-side through the
+    SAME ladder/pricing finisher the batch audit uses and hash-match its
+    oracle constant — the structural form of the twin claim."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    df = (
+        raw.select(
+            F.explode(dd.word_shingles(F.col("text"))).alias("shingle")
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    name = f"stream_shingledf_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _shingle_df_finish(spark.table(name))

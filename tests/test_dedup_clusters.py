@@ -473,3 +473,68 @@ class TestMinhashKSweep:
             assert 0 <= r.mean_abs_err_ppm <= 1_000_000
             assert 0 <= r.false_accept_ppm <= 1_000_000
             assert 0 <= r.false_reject_ppm <= 1_000_000
+
+
+class TestShingleDfSpectrum:
+    """dedup_shingle_df_spectrum semantics on constructed data: two
+    identical docs put every shared 3-shingle at df=2 (bucket 1, one
+    candidate pair each); a disjoint doc's shingles sit at df=1
+    (bucket 0, zero candidates)."""
+
+    def test_constructed_buckets_and_pricing(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        rows = [
+            (0, "s", "alpha beta gamma delta"),
+            (1, "s", "alpha beta gamma delta"),
+            (2, "s", "one two three four"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        spec = {s.name: s for s in cat.catalog()}[
+            "dedup_shingle_df_spectrum"
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {r.bucket: r for r in spec.spark(spark, td).collect()}
+        # docs 0/1: shingles {alpha beta gamma, beta gamma delta} at df=2
+        # doc 2:    shingles {one two three, two three four} at df=1
+        assert set(got) == {0, 1}
+        assert got[0].n_shingles == 2
+        assert got[0].n_postings == 2
+        assert got[0].cand_pairs == 0
+        assert got[0].cand_share_ppm == 0
+        assert got[1].n_shingles == 2
+        assert got[1].n_postings == 4
+        assert got[1].cand_pairs == 2  # C(2,2)=1 per shared shingle
+        assert got[1].cand_share_ppm == 1_000_000
+
+    def test_pricing_reconciles_on_testdata(self, spark):
+        import fluxdb_spark.catalog as cat
+        from pyspark.sql import functions as F
+        from fluxdb_spark.functions import dedup as dd
+
+        sf = "/root/testdata/sf0.001"
+        spec = {s.name: s for s in cat.catalog()}[
+            "dedup_shingle_df_spectrum"
+        ]
+        rows = spec.spark(spark, sf).collect()
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        # priced candidate volume == the actual naive self-join size
+        naive = (
+            dd.exploded_shingles(docs)
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .selectExpr("sum(df * (df - 1) div 2) AS n")
+            .collect()[0]
+            .n
+        )
+        assert sum(r.cand_pairs for r in rows) == naive
+        total = sum(r.cand_pairs for r in rows)
+        for r in rows:
+            assert 0 <= r.cand_share_ppm <= 1_000_000
+        assert total > 0

@@ -321,6 +321,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_decontaminate", "stream_seasonality",
         "stream_token_spectrum", "stream_ivf_balance",
         "stream_key_skew",
+        "stream_shingle_df",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):

@@ -1042,3 +1042,27 @@ class TestStreamKeySkew:
         )
         assert stream == batch
         assert len(batch) > 0
+
+
+class TestStreamShingleDf:
+    """The standing shingle-df spectrum's drained counters must finish
+    to a table EQUAL to the batch audit (shared finisher + shared oracle
+    constant make the claim structural; this pins it end-to-end)."""
+
+    def test_drain_equals_batch(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        specs = {s.name: s for s in cat.catalog()}
+        sf = "/root/testdata/sf0.001"
+        batch = sorted(
+            tuple(r)
+            for r in specs["dedup_shingle_df_spectrum"]
+            .spark(spark, sf)
+            .collect()
+        )
+        stream = sorted(
+            tuple(r)
+            for r in specs["stream_shingle_df"].spark(spark, sf).collect()
+        )
+        assert stream == batch
+        assert len(batch) > 0
