@@ -297,6 +297,8 @@ HEADLINE = [
     "dedup_minhash_k_sweep",
     "dedup_shingle_df_spectrum",
     "stream_shingle_df",
+    "flux_version_gap_histogram",
+    "embed_dim_variance_spectrum",
 ]
 
 

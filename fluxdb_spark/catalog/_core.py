@@ -148,6 +148,8 @@ _PRIORITY: list[str] = [
     "dedup_minhash_k_sweep",
     "dedup_shingle_df_spectrum",
     "stream_shingle_df",
+    "flux_version_gap_histogram",
+    "embed_dim_variance_spectrum",
     # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",

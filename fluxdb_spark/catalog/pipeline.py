@@ -5519,3 +5519,25 @@ def dedup_shingle_df_spectrum(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
     return _shingle_df_finish(df)
+
+
+@_q(
+    "embed_dim_variance_spectrum",
+    "pipeline",
+    sim.sql_dim_variance_spectrum(),
+)
+def embed_dim_variance_spectrum(spark, sf_dir):
+    """Per-dimension variance spectrum — prices BOTH index-truncation
+    strategies before a narrow index is built: prefix_mass_ppm at row
+    m-1 is the variance mass the first m dims keep (the matryoshka
+    rung `embed_matryoshka_eval` then measures as recall), and
+    ranked_mass_ppm is the best-r-dims upper bound the PCA rotation
+    (`embed_pca_project`) chases; a prefix curve hugging the ranked
+    curve says truncate without a rotation.  Exact fixed-point moments
+    (the covariance discipline): integer numerators, integer windows on
+    the |dim|-row relation, one IEEE division for the reported var_fp.
+    Scale shape: one posexplode into a combine-friendly groupBy — the
+    shuffle carries dim rows per partition after map-side combine,
+    never O(rows)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.dim_variance_spectrum(e)

@@ -29,7 +29,11 @@ from fluxdb_spark.sources.tables import load_table, normalize_event_ts
 from fluxdb_spark.session import spread
 
 from fluxdb_spark.catalog._core import _q, _t
-from fluxdb_spark.catalog._shared import _KEY_SKEW_SQL, _key_skew_finish
+from fluxdb_spark.catalog._shared import (
+    _KEY_SKEW_SQL,
+    _key_skew_finish,
+    _log2_bucket_sql,
+)
 
 
 
@@ -1407,5 +1411,61 @@ def flux_write_amplification(spark, sf_dir):
             "n_live",
             F.expr(_WRITE_AMP_X100).alias("write_amp_x100"),
             F.expr(_LIVE_PPM).alias("live_ppm"),
+        )
+    )
+
+
+@_q(
+    "flux_version_gap_histogram",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+g AS (
+  SELECT tablet_id,
+         height - lag(height) OVER (PARTITION BY tablet_id, primary_key
+                                    ORDER BY height) AS gap
+  FROM changelog),
+f AS (SELECT tablet_id, CAST(gap AS BIGINT) AS gap FROM g
+      WHERE gap IS NOT NULL)
+SELECT tablet_id, {_log2_bucket_sql('gap')} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap,
+       CAST(max(gap) AS BIGINT) AS max_gap
+FROM f GROUP BY 1, 2
+""",
+)
+def flux_version_gap_histogram(spark, sf_dir):
+    """Write-CADENCE audit: per tablet, the log2 histogram of height
+    gaps between consecutive versions of the same key.  The adaptive
+    index cadence (I3, indexing_test.go:79-218 thresholds) and the
+    snapshot-prune horizon both assume a typical re-write interval;
+    this table is the measured distribution that assumption has to
+    survive.  A heavy LOW tail (gap ~ 1: keys rewritten every block)
+    means snapshots churn dead versions and the tablet wants
+    write-buffer coalescing; a heavy HIGH tail (gaps >> cadence) means
+    indexes carry long-idle keys and the prune horizon (I6) is what
+    bounds state.  Heights are globally unique (the W1 monotonic
+    guard), so lag over (tablet, key) is deterministic.  Scale shape:
+    the per-key window rides the SAME (tablet, key) hash partitioning
+    every read-path operator already shuffles by — one sort within
+    partitions, no second shuffle; the 62-compare ladder + rollup fold
+    map-side to <= 63 rows per tablet."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    w = Window.partitionBy("tablet_id", "primary_key").orderBy("height")
+    g = log.select(
+        "tablet_id",
+        (F.col("height") - F.lag("height").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.select(
+            "tablet_id",
+            F.expr(_log2_bucket_sql("gap")).alias("bucket"),
+            "gap",
+        )
+        .groupBy("tablet_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap"),
+            F.max("gap").cast("long").alias("max_gap"),
         )
     )

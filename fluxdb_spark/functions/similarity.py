@@ -2643,3 +2643,126 @@ r AS (SELECT *, row_number()
       FROM d)
 SELECT label, vec_id, dist_sq FROM r WHERE rn <= {k}
 """
+
+
+_DIM_MASS_RANKED = (
+    "CAST(floor(CAST(cum_ranked AS DOUBLE) * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+_DIM_MASS_PREFIX = (
+    "CAST(floor(CAST(cum_prefix AS DOUBLE) * 1000000"
+    " / CAST(total AS DOUBLE)) AS BIGINT)"
+)
+
+
+def dim_variance_spectrum(
+    corpus: DataFrame,
+    dim: int = 64,
+    scale: int = 10_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension variance spectrum of the embedding corpus — the
+    table that prices BOTH truncation strategies before an index is
+    built: `prefix_mass_ppm` at row m-1 is the variance mass the first
+    m dimensions carry (what `embed_matryoshka_eval`'s rungs actually
+    keep), and `ranked_mass_ppm` at rank r is the mass the best r
+    dimensions would carry (the PCA upper bound `embed_pca_project`
+    chases).  A corpus whose prefix curve hugs its ranked curve is
+    matryoshka-truncatable without a rotation; a wide gap says pay for
+    the PCA.
+
+    Exactness: embeddings are fixed-point-quantized (the
+    `embedding_covariance` discipline), so per-dim Sx/Sxx/n are exact
+    integers, the variance NUMERATOR num = n*Sxx - Sx^2 is an exact
+    int64, every rank/cumulative is integer arithmetic, and the one
+    reported float (`var_fp` = num/n^2) is a single IEEE division both
+    engines round identically.  Overflow: num <= (n*scale)^2 needs n <=
+    ~3e5 at scale 1e4 (pass scale=100 for ~3e9-row corpora); cumulative
+    sums stay under dim * num_max.
+
+    Scale shape: one posexplode into a combine-friendly groupBy — after
+    map-side partials the shuffle carries `dim` rows per partition,
+    never O(rows); every window runs on the |dim|-row relation."""
+    q = spread(corpus).select(_quantize(F.col(vec_col), scale).alias("v"))
+    s = (
+        q.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    v = s.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.expr("n * sxx - sx * sx").alias("num"),
+        "n",
+    )
+    ranked = Window.orderBy(F.desc("num"), F.asc("dim")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix = Window.orderBy(F.asc("dim")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rnk = Window.orderBy(F.desc("num"), F.asc("dim"))
+    w = v.select(
+        "dim",
+        "num",
+        "n",
+        F.sum("num").over(Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )).alias("total"),
+        F.row_number().over(rnk).cast("long").alias("rank"),
+        F.sum("num").over(ranked).alias("cum_ranked"),
+        F.sum("num").over(prefix).alias("cum_prefix"),
+    )
+    return w.select(
+        "dim",
+        F.expr(
+            "CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE)"
+        ).alias("var_fp"),
+        "rank",
+        F.expr(
+            f"CASE WHEN total = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE {_DIM_MASS_RANKED} END"
+        ).alias("ranked_mass_ppm"),
+        F.expr(
+            f"CASE WHEN total = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE {_DIM_MASS_PREFIX} END"
+        ).alias("prefix_mass_ppm"),
+    )
+
+
+def sql_dim_variance_spectrum(dim: int = 64, scale: int = 10_000) -> str:
+    """DuckDB twin of `dim_variance_spectrum`: identical quantization,
+    exact BIGINT moments, integer rank/cumulative windows, the same
+    double-floor mass shares, and the same single-division var_fp."""
+    return f"""
+WITH q AS (SELECT list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+           FROM embeddings),
+e AS (SELECT CAST(i AS BIGINT) AS dim, v[i + 1] AS x
+      FROM q, UNNEST(range(0, {dim})) t(i)),
+s AS (SELECT dim, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM e GROUP BY 1),
+v AS (SELECT dim, n * sxx - sx * sx AS num, n FROM s),
+w AS (SELECT dim, num, n,
+        CAST(sum(num) OVER () AS BIGINT) AS total,
+        CAST(row_number() OVER (ORDER BY num DESC, dim ASC) AS BIGINT)
+          AS rank,
+        CAST(sum(num) OVER (ORDER BY num DESC, dim ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_ranked,
+        CAST(sum(num) OVER (ORDER BY dim ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_prefix
+      FROM v)
+SELECT dim, CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_fp, rank,
+       CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+            ELSE {_DIM_MASS_RANKED} END AS ranked_mass_ppm,
+       CASE WHEN total = 0 THEN CAST(0 AS BIGINT)
+            ELSE {_DIM_MASS_PREFIX} END AS prefix_mass_ppm
+FROM w
+"""

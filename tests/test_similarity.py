@@ -950,3 +950,56 @@ class TestAnnRecallCurve:
         assert full.recall_ppm == 1_000_000
         hits = [r.n_hits for r in got]
         assert hits == sorted(hits)
+
+
+class TestDimVarianceSpectrum:
+    """embed_dim_variance_spectrum semantics: the ranked curve dominates
+    the prefix curve at every depth (top-r mass >= the mass of the
+    specific first-r subset), and a constructed single-hot-dim corpus
+    puts all mass on that dim."""
+
+    def test_ranked_dominates_prefix_on_testdata(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        spec = {s.name: s for s in cat.catalog()}[
+            "embed_dim_variance_spectrum"
+        ]
+        rows = spec.spark(spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 64
+        assert sorted(r.rank for r in rows) == list(range(1, 65))
+        by_rank = {r.rank: r.ranked_mass_ppm for r in rows}
+        by_dim = {r.dim: r.prefix_mass_ppm for r in rows}
+        for r in range(1, 65):
+            assert by_rank[r] >= by_dim[r - 1]
+        assert by_rank[64] == by_dim[63] == 1_000_000
+        assert all(
+            by_rank[r] <= by_rank[r + 1] for r in range(1, 64)
+        )
+
+    def test_single_hot_dim(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        rows = [
+            (0, 0, [1.0] + [0.5] * 63),
+            (1, 0, [-1.0] + [0.5] * 63),
+            (2, 0, [0.0] + [0.5] * 63),
+            (3, 0, [0.5] + [0.5] * 63),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<float>"
+        )
+        spec = {s.name: s for s in cat.catalog()}[
+            "embed_dim_variance_spectrum"
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "embeddings.parquet"))
+            got = {r.dim: r for r in spec.spark(spark, td).collect()}
+        assert got[0].rank == 1
+        assert got[0].ranked_mass_ppm == 1_000_000
+        assert got[0].prefix_mass_ppm == 1_000_000
+        assert got[0].var_fp > 0
+        for d in range(1, 64):
+            assert got[d].var_fp == 0.0

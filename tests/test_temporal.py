@@ -935,3 +935,42 @@ class TestWriteAmplification:
         )
         assert r.write_amp_x100 == 5 * 100 // 2
         assert r.live_ppm == 1 * 1_000_000 // 2
+
+
+class TestVersionGapHistogram:
+    """flux_version_gap_histogram semantics: gap counts reconcile with
+    the changelog (every non-first version of a key contributes exactly
+    one gap) and min/max sit inside their bucket's [2^b, 2^(b+1))
+    range."""
+
+    def test_reconciles_and_buckets_bound(self, spark):
+        import fluxdb_spark.catalog as cat
+        from pyspark.sql import functions as F
+        from fluxdb_spark.sources import changelog_from_events, load_table
+
+        sf = "/root/testdata/sf0.001"
+        spec = {s.name: s for s in cat.catalog()}[
+            "flux_version_gap_histogram"
+        ]
+        rows = spec.spark(spark, sf).collect()
+        assert rows
+        log = changelog_from_events(load_table(spark, sf, "events"))
+        per_tablet = {
+            r.tablet_id: r.n
+            for r in log.groupBy("tablet_id")
+            .agg(
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct("primary_key")
+                ).alias("n")
+            )
+            .collect()
+        }
+        got = {}
+        for r in rows:
+            got[r.tablet_id] = got.get(r.tablet_id, 0) + r.n_gaps
+            lo, hi = 1 << r.bucket, 1 << (r.bucket + 1)
+            if r.bucket == 0:
+                lo = 0  # bucket 0 holds every gap < 2
+            assert lo <= r.min_gap <= r.max_gap < hi
+        assert got == per_tablet
