@@ -299,6 +299,8 @@ HEADLINE = [
     "stream_shingle_df",
     "flux_version_gap_histogram",
     "embed_dim_variance_spectrum",
+    "interval_merge",
+    "dedup_prefix_filter_audit",
 ]
 
 

@@ -150,6 +150,8 @@ _PRIORITY: list[str] = [
     "stream_shingle_df",
     "flux_version_gap_histogram",
     "embed_dim_variance_spectrum",
+    "interval_merge",
+    "dedup_prefix_filter_audit",
     # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",

@@ -5541,3 +5541,221 @@ def embed_dim_variance_spectrum(spark, sf_dir):
     never O(rows)."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.dim_variance_spectrum(e)
+
+
+_FUNNEL_TS = (0.6, 0.75, 0.9)
+_FUNNEL_REDUCTION = (
+    "CAST(floor(CAST(n_candidates AS DOUBLE) * 1000000"
+    " / CAST(naive_pairs AS DOUBLE)) AS BIGINT)"
+)
+_FUNNEL_YIELD = (
+    "CAST(floor(CAST(n_final AS DOUBLE) * 1000000"
+    " / CAST(n_candidates AS DOUBLE)) AS BIGINT)"
+)
+
+
+def _funnel_tag_sql() -> str:
+    """The largest threshold whose prefix still contains the row (prefixes
+    shrink as t rises, so prefix(0.9) subset prefix(0.75) subset
+    prefix(0.6)) — lets ONE self-join answer all three thresholds."""
+    t_hi, t_mid, t_lo = _FUNNEL_TS[2], _FUNNEL_TS[1], _FUNNEL_TS[0]
+    return (
+        f"CASE WHEN rn <= n - ceil({t_hi} * n) + 1"
+        f" THEN {int(t_hi * 1_000_000)}"
+        f" WHEN rn <= n - ceil({t_mid} * n) + 1"
+        f" THEN {int(t_mid * 1_000_000)}"
+        f" ELSE {int(t_lo * 1_000_000)} END"
+    )
+
+
+def _funnel_cand_case(t: float) -> str:
+    """Candidate-at-t predicate over the tagged pair relation: both
+    endpoints in prefix(t) (pair_maxt covers it) AND the t length
+    filter."""
+    ppm = int(t * 1_000_000)
+    return (
+        f"CAST(sum(CASE WHEN pair_maxt >= {ppm}"
+        f" AND nb >= ceil({t} * na) AND nb * {t} <= na"
+        f" THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
+def _prefix_funnel_sql() -> str:
+    t_lo = _FUNNEL_TS[0]
+    cands = ", ".join(
+        f"{_funnel_cand_case(t)} AS c{int(t * 100)}" for t in _FUNNEL_TS
+    )
+    fins = ", ".join(
+        f"CAST(sum(CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS f{int(t * 100)}"
+        for t in _FUNNEL_TS
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({int(t * 1_000_000)} AS BIGINT) AS threshold_ppm,"
+        f" naive_pairs, c{int(t * 100)} AS n_candidates,"
+        f" f{int(t * 100)} AS n_final FROM one"
+        for t in _FUNNEL_TS
+    )
+    return f"""
+WITH {dd.sql_shingles_ctes()},
+df AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+naive AS (SELECT CAST(sum(df * (df - 1) // 2) AS BIGINT) AS naive_pairs
+          FROM df),
+r AS (SELECT s.doc_id, s.shingle,
+        row_number() OVER (PARTITION BY s.doc_id
+                           ORDER BY d.df, s.shingle) AS rn,
+        z.n
+      FROM sh s JOIN df d USING (shingle) JOIN shsize z USING (doc_id)),
+pre AS (SELECT doc_id, shingle, n, {_funnel_tag_sql()} AS maxt
+        FROM r WHERE rn <= n - ceil({t_lo} * n) + 1),
+j AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS na, b.n AS nb,
+             max(least(a.maxt, b.maxt)) AS pair_maxt
+      FROM pre a JOIN pre b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       AND b.n >= ceil({t_lo} * a.n) AND b.n * {t_lo} <= a.n
+      GROUP BY 1, 2, 3, 4),
+cand AS (SELECT {cands} FROM j),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+exact AS (SELECT round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+          FROM inter
+          JOIN shsize sa ON sa.doc_id = d1
+          JOIN shsize sb ON sb.doc_id = d2),
+fin AS (SELECT {fins} FROM exact),
+one AS (SELECT * FROM cand, fin, naive)
+SELECT threshold_ppm, naive_pairs, n_candidates, n_final,
+       CASE WHEN naive_pairs = 0 THEN CAST(0 AS BIGINT)
+            ELSE {_FUNNEL_REDUCTION} END AS cand_reduction_ppm,
+       CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+            ELSE {_FUNNEL_YIELD} END AS verify_yield_ppm
+FROM ({union})
+"""
+
+
+@_q("dedup_prefix_filter_audit", "pipeline", _prefix_funnel_sql())
+def dedup_prefix_filter_audit(spark, sf_dir):
+    """PPJoin funnel conversion — measures what prefix filtering
+    actually BUYS on this corpus, per threshold in {0.6, 0.75, 0.9}:
+    the priced naive candidate volume sum C(df,2) (what
+    `dedup_shingle_df_spectrum` forecasts), the candidates the prefix +
+    length filters actually admit, the exact pairs that survive
+    verification, and the two conversion rates (candidate reduction vs
+    naive; verify yield per candidate).  This is the empirical form of
+    the `jaccard_pairs` docstring's central claim — at 100 TB the
+    reduction column is the difference between a feasible dedup job and
+    a quadratic one, and a LOW verify yield at the operating threshold
+    says raise the threshold or add banding before scaling up.  Same
+    prefix rule as production (df-ascending order; the in-doc tiebreak
+    is arbitrary under that rule — strings here, hashes in production —
+    so candidate counts are representative while n_final is EXACTLY the
+    production pair count).  Scale shape: prefixes NEST (prefix(0.9)
+    subset prefix(0.75) subset prefix(0.6)), so each prefix row is
+    tagged with the largest threshold that keeps it and ONE self-join
+    at the loosest threshold answers all three — pair_maxt +
+    per-threshold length predicates replace three joins; everything
+    folds to one row before the 3-row explode."""
+    d = _td(spark, sf_dir)
+    sh = dd.exploded_shingles(d)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    naive = F.broadcast(
+        dfreq.agg(
+            F.sum(F.expr("df * (df - 1) div 2"))
+            .cast("long")
+            .alias("naive_pairs")
+        )
+    )
+    shsize = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    t_lo = _FUNNEL_TS[0]
+    pre = (
+        sh.join(dfreq, "shingle")
+        .join(shsize, "doc_id")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number().over(w_ord).alias("rn"),
+            "n",
+        )
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(t_lo) * F.col("n")) + 1
+        )
+        .withColumn("maxt", F.expr(_funnel_tag_sql()))
+        .localCheckpoint()  # both join sides read it
+    )
+    a = pre.select(
+        F.col("doc_id").alias("d1"),
+        F.col("shingle").alias("s1"),
+        F.col("n").alias("na"),
+        F.col("maxt").alias("ta"),
+    )
+    b = pre.select(
+        F.col("doc_id").alias("d2"),
+        F.col("shingle").alias("s2"),
+        F.col("n").alias("nb"),
+        F.col("maxt").alias("tb"),
+    )
+    j = (
+        a.join(b, F.col("s1") == F.col("s2"))
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            & (F.col("nb") >= F.ceil(F.lit(t_lo) * F.col("na")))
+            & (F.col("nb") * F.lit(t_lo) <= F.col("na"))
+        )
+        .groupBy("d1", "d2", "na", "nb")
+        .agg(F.max(F.least("ta", "tb")).alias("pair_maxt"))
+    )
+    cand = j.agg(
+        *[
+            F.expr(_funnel_cand_case(t)).alias(f"c{int(t * 100)}")
+            for t in _FUNNEL_TS
+        ]
+    )
+    pairs = dd.jaccard_pairs(d, t_lo)
+    fin = pairs.agg(
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN jaccard >= {t} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"f{int(t * 100)}")
+            for t in _FUNNEL_TS
+        ]
+    )
+    one = cand.crossJoin(F.broadcast(fin)).crossJoin(naive)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(t * 1_000_000))
+                        .cast("long")
+                        .alias("threshold_ppm"),
+                        F.col(f"c{int(t * 100)}").alias("n_candidates"),
+                        F.col(f"f{int(t * 100)}").alias("n_final"),
+                    )
+                    for t in _FUNNEL_TS
+                ]
+            )
+        ).alias("s"),
+        "naive_pairs",
+    ).select("s.threshold_ppm", "naive_pairs", "s.n_candidates", "s.n_final")
+    return stacked.select(
+        "threshold_ppm",
+        "naive_pairs",
+        "n_candidates",
+        "n_final",
+        F.expr(
+            f"CASE WHEN naive_pairs = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE {_FUNNEL_REDUCTION} END"
+        ).alias("cand_reduction_ppm"),
+        F.expr(
+            f"CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE {_FUNNEL_YIELD} END"
+        ).alias("verify_yield_ppm"),
+    )

@@ -2957,3 +2957,106 @@ def window_frames(spark, sf_dir):
         .cast("double")
         .alias("moving_sum3"),
     )
+
+
+@_q(
+    "interval_merge",
+    "relational",
+    """
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', l_shipdate) AS BIGINT)
+           AS s,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', l_shipdate) AS BIGINT)
+           + CAST(floor(l_quantity) AS BIGINT) AS e
+  FROM lineitem),
+o AS (
+  SELECT l_suppkey, s, e,
+         max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv),
+f AS (
+  SELECT l_suppkey, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+           AS is_new
+  FROM o),
+g AS (
+  SELECT l_suppkey, s, e,
+         sum(is_new) OVER (PARTITION BY l_suppkey ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM f),
+isl AS (
+  SELECT l_suppkey, island,
+         min(s) AS island_start, max(e) AS island_end,
+         CAST(count(*) AS BIGINT) AS n_merged
+  FROM g GROUP BY 1, 2)
+SELECT l_suppkey,
+       CAST(sum(n_merged) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(island_end - island_start + 1) AS BIGINT) AS covered_days,
+       CAST(max(n_merged) AS BIGINT) AS max_merged
+FROM isl GROUP BY 1
+""",
+)
+def interval_merge(spark, sf_dir):
+    """Gaps-and-islands interval MERGE — the missing set-union of the
+    interval family (`interval_overlap_join` pairs intervals,
+    `range_join_incidents` bands them; this COALESCES them): per
+    supplier, each shipment occupies [shipdate, shipdate + quantity
+    days], and overlapping occupations merge into islands — islands
+    per key, total covered days, and the largest pile-up.  The classic
+    uptime / contract-coverage / occupancy operator, done the only way
+    that scales: a prefix-max window (is a new island starting?) plus a
+    running flag-sum (which island is this row in?) — two windows on
+    ONE (key, start) in-partition sort, where the naive formulation is
+    an interval self-join that goes quadratic per hot key.  Integer
+    day arithmetic end-to-end (floor() pins the double->int cast, which
+    truncates in Spark but rounds in DuckDB).  Scale shape: one shuffle
+    on l_suppkey, both windows and both rollups ride it map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    epoch = F.lit("1992-01-01").cast("timestamp")
+    iv = li.select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate"), epoch).cast("long").alias("s"),
+        (
+            F.datediff(F.col("l_shipdate"), epoch).cast("long")
+            + F.floor("l_quantity").cast("long")
+        ).alias("e"),
+    )
+    w_prev = Window.partitionBy("l_suppkey").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("l_suppkey").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = iv.select(
+        "l_suppkey",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = (
+        flagged.withColumn("island", F.sum("is_new").over(w_run))
+        .groupBy("l_suppkey", "island")
+        .agg(
+            F.min("s").alias("island_start"),
+            F.max("e").alias("island_end"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+    )
+    return islands.groupBy("l_suppkey").agg(
+        F.sum("n_merged").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start") + 1)
+        .cast("long")
+        .alias("covered_days"),
+        F.max("n_merged").cast("long").alias("max_merged"),
+    )

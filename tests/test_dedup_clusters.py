@@ -538,3 +538,39 @@ class TestShingleDfSpectrum:
         for r in rows:
             assert 0 <= r.cand_share_ppm <= 1_000_000
         assert total > 0
+
+
+class TestPrefixFilterAudit:
+    """dedup_prefix_filter_audit semantics: funnel dominance at every
+    threshold, naive volume reconciles with the df spectrum's priced
+    total, and n_final equals the production jaccard_pairs count."""
+
+    def test_funnel_on_testdata(self, spark):
+        import fluxdb_spark.catalog as cat
+        from fluxdb_spark.functions import dedup as dd
+
+        sf = "/root/testdata/sf0.001"
+        specs = {s.name: s for s in cat.catalog()}
+        rows = {
+            r.threshold_ppm: r
+            for r in specs["dedup_prefix_filter_audit"]
+            .spark(spark, sf)
+            .collect()
+        }
+        assert set(rows) == {600000, 750000, 900000}
+        spectrum = (
+            specs["dedup_shingle_df_spectrum"].spark(spark, sf).collect()
+        )
+        priced = sum(r.cand_pairs for r in spectrum)
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        for ppm, r in rows.items():
+            assert r.naive_pairs == priced
+            assert r.naive_pairs >= r.n_candidates >= r.n_final >= 0
+            t = ppm / 1_000_000
+            assert r.n_final == dd.jaccard_pairs(docs, t).count()
+        # prefixes shrink as t rises -> candidates can't grow
+        assert (
+            rows[600000].n_candidates
+            >= rows[750000].n_candidates
+            >= rows[900000].n_candidates
+        )
