@@ -301,6 +301,7 @@ HEADLINE = [
     "embed_dim_variance_spectrum",
     "interval_merge",
     "dedup_prefix_filter_audit",
+    "embed_pq_distortion",
 ]
 
 

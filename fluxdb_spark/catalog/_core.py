@@ -152,6 +152,7 @@ _PRIORITY: list[str] = [
     "embed_dim_variance_spectrum",
     "interval_merge",
     "dedup_prefix_filter_audit",
+    "embed_pq_distortion",
     # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",

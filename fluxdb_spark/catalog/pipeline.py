@@ -5759,3 +5759,20 @@ def dedup_prefix_filter_audit(spark, sf_dir):
             f" ELSE {_FUNNEL_YIELD} END"
         ).alias("verify_yield_ppm"),
     )
+
+
+@_q("embed_pq_distortion", "pipeline", sim.sql_pq_distortion())
+def embed_pq_distortion(spark, sf_dir):
+    """PQ quantization-loss audit — completes the ANN tuning tripod
+    (`ivf_balance_audit` = probe cost, `embed_ann_recall_curve` = probe
+    quality, this = code quality): per subspace, the exact integer
+    squared reconstruction error (total / floor-mean / max) of the
+    assignment the encoder actually makes, plus codebook utilization
+    (live codewords out of ks).  At 100 TB this is what's checked
+    BEFORE encoding the corpus: a subspace with outsized error or
+    3-of-8 utilization says re-cut subspaces or raise ks while it costs
+    a retrain, not a re-encode of the fleet.  One map-only corpus scan
+    (codebooks as plan literals, m errors per row explode map-side to m
+    rows); every cell is an exact int64."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.pq_distortion(e)

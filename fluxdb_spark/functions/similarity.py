@@ -2766,3 +2766,106 @@ SELECT dim, CAST(num AS DOUBLE) / CAST(n * n AS DOUBLE) AS var_fp, rank,
             ELSE {_DIM_MASS_PREFIX} END AS prefix_mass_ppm
 FROM w
 """
+
+
+def pq_distortion(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ quantization-loss audit — the third leg of the
+    ANN tuning tripod (`ivf_balance_audit` prices probe COST,
+    `embed_ann_recall_curve` prices probe QUALITY; this prices the
+    CODE): for each of the m subspaces, the exact integer squared
+    reconstruction error of assigning every vector to its nearest
+    codeword (total / floor-mean / max), plus codebook UTILIZATION
+    (live codewords out of ks — a subspace assigning to 3 of 8
+    codewords wastes code bits that another subspace needs).  A
+    lopsided error or utilization profile says re-cut the subspaces or
+    raise ks BEFORE encoding the corpus.
+
+    Exactness: codebooks come from the exact fixed-point Lloyd loop and
+    the per-vector error is the same integer argmin distance the
+    encoder uses, so every output cell is an exact int64 (the mean is
+    floor-divided — both engines agree for nonnegative integers).
+
+    Scale shape: training is the bounded kmeans contract; the audit
+    pass is ONE map-only corpus scan — the m per-subspace errors ride a
+    single explode of an m-literal struct array, folding map-side to m
+    rows; codebooks are plan literals."""
+    books = pq_codebooks(
+        corpus, m, ks, iters, dim, scale, id_col, vec_col
+    )
+    sub = dim // m
+    structs = []
+    for s in range(m):
+        near = _nearest_int_centroid(
+            _quantize(F.slice(F.col(vec_col), s * sub + 1, sub), scale),
+            books[s],
+        )
+        structs.append(
+            F.struct(
+                F.lit(s).cast("long").alias("subspace"),
+                near["dist"].alias("d"),
+                near["idx"].alias("cw"),
+            )
+        )
+    ex = (
+        spread(corpus)
+        .select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+    )
+    return ex.groupBy("subspace").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.countDistinct("cw").cast("long").alias("n_live_codewords"),
+        F.sum("d").cast("long").alias("total_sq_err"),
+        F.max("d").cast("long").alias("max_vec_err"),
+        F.expr(
+            "CAST(sum(d) AS BIGINT) div CAST(count(*) AS BIGINT)"
+        ).alias("mean_sq_err"),
+    )
+
+
+def sql_pq_distortion(
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of `pq_distortion`: one prefixed kmeans chain per
+    subspace (the sql_pq_topk composition); the final-assignment CTE
+    already carries each vector's exact squared distance to its
+    assigned codeword, so the audit is one rollup per chain."""
+    sub = dim // m
+    chains, rows = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        body, a = _sql_kmeans_ctes(
+            ks,
+            iters,
+            scale,
+            source_cte=(
+                f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                " FROM embeddings"
+            ),
+            prefix=f"s{s}",
+        )
+        chains.append(body if s == 0 else body.replace("\nWITH ", "\n", 1))
+        rows.append(
+            f"SELECT CAST({s} AS BIGINT) AS subspace,"
+            f" CAST(count(*) AS BIGINT) AS n_vecs,"
+            f" CAST(count(DISTINCT cluster) AS BIGINT)"
+            f" AS n_live_codewords,"
+            f" CAST(sum(d) AS BIGINT) AS total_sq_err,"
+            f" CAST(max(d) AS BIGINT) AS max_vec_err,"
+            f" CAST(sum(d) AS BIGINT) // CAST(count(*) AS BIGINT)"
+            f" AS mean_sq_err"
+            f" FROM {a}"
+        )
+    return ",".join(chains) + "\n" + "\nUNION ALL\n".join(rows)

@@ -1003,3 +1003,51 @@ class TestDimVarianceSpectrum:
         assert got[0].var_fp > 0
         for d in range(1, 64):
             assert got[d].var_fp == 0.0
+
+
+class TestPqDistortion:
+    """embed_pq_distortion semantics: a corpus of exactly ks distinct
+    patterns per subspace quantizes losslessly (every codeword live,
+    zero error); on real data the invariants hold (n_vecs uniform,
+    mean = total div n, utilization within [1, ks])."""
+
+    def test_lossless_on_separable_corpus(self, spark):
+        import os
+        import tempfile
+
+        from fluxdb_spark.functions import similarity as sim
+
+        # 8 distinct vectors, repeated 3x each: seeds are the first 8
+        # distinct rows, so Lloyd converges to the 8 points exactly.
+        base = [[float(v + 1)] * 64 for v in range(8)]
+        rows = [
+            (i, 0, base[i % 8]) for i in range(24)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<float>"
+        )
+        got = {
+            r.subspace: r
+            for r in sim.pq_distortion(df).collect()
+        }
+        assert set(got) == {0, 1, 2, 3}
+        for s, r in got.items():
+            assert r.n_vecs == 24
+            assert r.n_live_codewords == 8
+            assert r.total_sq_err == 0
+            assert r.max_vec_err == 0
+            assert r.mean_sq_err == 0
+
+    def test_invariants_on_testdata(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        spec = {s.name: s for s in cat.catalog()}["embed_pq_distortion"]
+        rows = spec.spark(spark, "/root/testdata/sf0.001").collect()
+        assert sorted(r.subspace for r in rows) == [0, 1, 2, 3]
+        n = {r.n_vecs for r in rows}
+        assert len(n) == 1
+        for r in rows:
+            assert 1 <= r.n_live_codewords <= 8
+            assert 0 <= r.mean_sq_err <= r.total_sq_err
+            assert r.max_vec_err <= r.total_sq_err
+            assert r.mean_sq_err == r.total_sq_err // r.n_vecs

@@ -138,6 +138,7 @@ def main() -> None:
     shutil.rmtree(ROOT, ignore_errors=True)
 
     lsh: dict[str, dict] = {}
+    funnel: dict[str, dict] = {}
     for label, reps in DOC_REPLICAS.items():
         sf_dir = os.path.join(ROOT, f"docs{label}")
         n_docs = build_docs(spark, reps, sf_dir)
@@ -162,6 +163,33 @@ def main() -> None:
             "sec": round(best, 3),
         }
         print(f"# lsh {label}: {lsh[label]}", file=sys.stderr)
+
+        # PPJoin funnel on the same grown corpus: under a constant
+        # duplication rate the naive volume, the admitted candidates,
+        # and the verified pairs all grow LINEARLY with the corpus
+        # (replica vocabularies are disjoint), so reduction_ppm and
+        # candidates-per-doc stay flat — the feasibility invariant the
+        # audit exists to certify before a 100x scale-up.
+        fspec = specs["dedup_prefix_filter_audit"]
+        fspec.spark(spark, sf_dir).count()  # warm the plan
+        fbest, frows = float("inf"), []
+        for _ in range(2):
+            t0 = time.time()
+            frows = fspec.spark(spark, sf_dir).collect()
+            fbest = min(fbest, time.time() - t0)
+        r60 = next(r for r in frows if r.threshold_ppm == 600000)
+        funnel[label] = {
+            "docs": n_docs,
+            "naive_pairs": int(r60.naive_pairs),
+            "candidates": int(r60.n_candidates),
+            "cand_per_doc_x100": round(
+                100.0 * r60.n_candidates / n_docs, 1
+            ),
+            "reduction_ppm": int(r60.cand_reduction_ppm),
+            "verify_yield_ppm": int(r60.verify_yield_ppm),
+            "sec": round(fbest, 3),
+        }
+        print(f"# funnel {label}: {funnel[label]}", file=sys.stderr)
 
     ivf: dict[str, dict] = {}
     for label, reps in VEC_REPLICAS.items():
@@ -192,7 +220,12 @@ def main() -> None:
     shutil.rmtree(ROOT, ignore_errors=True)
     print(
         json.dumps(
-            {"metric": "audit_scale_probe", "lsh_sweep": lsh, "ivf_balance": ivf}
+            {
+                "metric": "audit_scale_probe",
+                "lsh_sweep": lsh,
+                "prefix_funnel": funnel,
+                "ivf_balance": ivf,
+            }
         )
     )
     spark.stop()
