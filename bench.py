@@ -302,6 +302,7 @@ HEADLINE = [
     "interval_merge",
     "dedup_prefix_filter_audit",
     "embed_pq_distortion",
+    "stream_pq_distortion",
 ]
 
 

@@ -77,14 +77,15 @@ _PRIORITY: list[str] = [
     # After r13 stamps, EVERY oracle-bearing entry in the catalog has a
     # driver row and the stalest remaining stamp is r08.
     #
-    # R14 window plan (positions 51-100): any round-13 additions go
-    # right after position 50 (they lead the next window), then the
-    # tail continues in staleness order — the rest of the r08 block,
-    # then r09, r10, r11, and the r12-stamped former window LAST
-    # (freshest).  The next rotation is again one reorder: move
-    # positions 51-100 to the front.  test_catalog_parity enforces that
-    # the live window never contains an entry stamped in the two newest
-    # CORRECTNESS rounds.
+    # R14 window plan (positions 51-100): the 16 round-13 additions sit
+    # right after position 50 (flux_key_skew ... stream_pq_distortion —
+    # they lead the next window; each landed locally oracle-matched at
+    # three SFs), then the tail continues in staleness order — the rest
+    # of the r08 block, then r09, r10, r11, and the r12-stamped former
+    # window LAST (freshest).  The next rotation is again one reorder:
+    # move positions 51-100 to the front.  test_catalog_parity enforces
+    # that the live window never contains an entry stamped in the two
+    # newest CORRECTNESS rounds.
     "dedup_threshold_sweep_lsh",
     "corpus_self_overlap",
     "token_freq_spectrum",
@@ -153,6 +154,7 @@ _PRIORITY: list[str] = [
     "interval_merge",
     "dedup_prefix_filter_audit",
     "embed_pq_distortion",
+    "stream_pq_distortion",
     # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",

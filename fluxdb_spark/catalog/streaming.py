@@ -1364,3 +1364,39 @@ def stream_shingle_df(spark, sf_dir):
     )
     q.awaitTermination()
     return _shingle_df_finish(spark.table(name))
+
+
+@_q("stream_pq_distortion", "streaming", sim.sql_pq_distortion())
+def stream_pq_distortion(spark, sf_dir):
+    """STANDING PQ quantization-loss audit: the codebooks are trained
+    batch-side ONCE and frozen as plan literals (the stream_ivf_balance
+    contract), then the vector stream assigns map-side and the
+    per-(subspace, codeword) error partials (n / sum / max — all
+    additive) live as streaming state: the CODE-health dashboard an ANN
+    service watches BETWEEN retrains, next to the cell-balance one.  A
+    drifting corpus shows up as rising standing error or dying
+    codewords long before recall does.  Drained partials finish
+    serving-side through the SAME rollup finisher the batch audit uses
+    and hash-match its oracle — the structural form of the twin
+    claim."""
+    import uuid
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = sim.pq_codebooks(e, m=4, ks=8, iters=2)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    cells = sim.pq_cell_partials(raw, books)
+    name = f"stream_pqdist_{uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sim.pq_distortion_finish(spark.table(name))

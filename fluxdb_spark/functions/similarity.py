@@ -2801,6 +2801,25 @@ def pq_distortion(
     books = pq_codebooks(
         corpus, m, ks, iters, dim, scale, id_col, vec_col
     )
+    return pq_distortion_finish(
+        pq_cell_partials(corpus, books, dim, scale, vec_col)
+    )
+
+
+def pq_cell_partials(
+    corpus: DataFrame,
+    books: list[list[list[int]]],
+    dim: int = 64,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(subspace, codeword) error partials (n, sum_d, max_d) over
+    FROZEN codebooks — the additive form of the distortion audit: all
+    three aggregates merge (count/sum/max of exact integers), so the
+    same relation is a batch groupBy or standing streaming state.  The
+    assignment is map-only (codebooks as plan literals); the m errors
+    per row ride one m-literal struct explode."""
+    m = len(books)
     sub = dim // m
     structs = []
     for s in range(m):
@@ -2815,18 +2834,30 @@ def pq_distortion(
                 near["idx"].alias("cw"),
             )
         )
-    ex = (
-        spread(corpus)
-        .select(F.explode(F.array(*structs)).alias("s"))
-        .select("s.*")
+    # spread() inspects .rdd, which streaming DataFrames forbid — a
+    # stream is already micro-batch-partitioned by its source anyway.
+    src = corpus if corpus.isStreaming else spread(corpus)
+    ex = src.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+    return ex.groupBy("subspace", "cw").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sum_d"),
+        F.max("d").cast("long").alias("max_d"),
     )
-    return ex.groupBy("subspace").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.countDistinct("cw").cast("long").alias("n_live_codewords"),
-        F.sum("d").cast("long").alias("total_sq_err"),
-        F.max("d").cast("long").alias("max_vec_err"),
+
+
+def pq_distortion_finish(cells: DataFrame) -> DataFrame:
+    """(subspace, cw) partials -> the m-row audit — shared by the batch
+    scan and the drained standing counters (the batch/streaming twin
+    finisher contract): utilization is the live-codeword row count,
+    total/max re-merge, the floor-mean is engine-agreeing integer
+    division."""
+    return cells.groupBy("subspace").agg(
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.count(F.lit(1)).cast("long").alias("n_live_codewords"),
+        F.sum("sum_d").cast("long").alias("total_sq_err"),
+        F.max("max_d").cast("long").alias("max_vec_err"),
         F.expr(
-            "CAST(sum(d) AS BIGINT) div CAST(count(*) AS BIGINT)"
+            "CAST(sum(sum_d) AS BIGINT) div CAST(sum(n) AS BIGINT)"
         ).alias("mean_sq_err"),
     )
 

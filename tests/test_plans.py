@@ -322,6 +322,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_token_spectrum", "stream_ivf_balance",
         "stream_key_skew",
         "stream_shingle_df",
+        "stream_pq_distortion",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):

@@ -1066,3 +1066,26 @@ class TestStreamShingleDf:
         )
         assert stream == batch
         assert len(batch) > 0
+
+
+class TestStreamPqDistortion:
+    """The standing PQ distortion audit's drained partials must finish
+    to a table EQUAL to the batch audit (shared frozen codebooks +
+    shared rollup finisher + shared oracle make the claim structural;
+    this pins it end-to-end)."""
+
+    def test_drain_equals_batch(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        specs = {s.name: s for s in cat.catalog()}
+        sf = "/root/testdata/sf0.001"
+        batch = sorted(
+            tuple(r)
+            for r in specs["embed_pq_distortion"].spark(spark, sf).collect()
+        )
+        stream = sorted(
+            tuple(r)
+            for r in specs["stream_pq_distortion"].spark(spark, sf).collect()
+        )
+        assert stream == batch
+        assert len(batch) == 4
