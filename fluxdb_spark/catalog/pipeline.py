@@ -5054,13 +5054,22 @@ _BUCKET_TOP_PPM = (
 
 
 def _bucket_skew_sql() -> str:
+    # band structure DERIVED from the production constants, exactly as
+    # dd._banded derives it (bands = LSH_BANDS, rows = k // bands) —
+    # hardcoding either constant here would silently desynchronize the
+    # oracle from the plan if the banding is retuned.
     k = dd.MINHASH_K
+    bands = dd.LSH_BANDS
+    rpb = k // bands
     chunks = dd.sql_shingle_hash_chunks("shingle", k)
     hash_cols = ", ".join(f"{c} AS h{i}" for i, c in enumerate(chunks))
     sig_cols = ", ".join(f"min(h{i}) AS sig{i}" for i in range(k))
+    h_names = ", ".join(f"h{r}" for r in range(rpb))
     band_rows = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band, sig{2 * b} AS h0, sig{2 * b + 1} AS h1 FROM sigs"
-        for b in range(k // 2)
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"sig{b * rpb + r} AS h{r}" for r in range(rpb))
+        + " FROM sigs"
+        for b in range(bands)
     )
     return f"""
 WITH {dd.sql_shingles_ctes()},
@@ -5071,8 +5080,8 @@ sigs AS (
   FROM sh JOIN shingle_hashes USING (shingle) GROUP BY doc_id),
 bands AS ({band_rows}),
 occ AS (
-  SELECT band, h0, h1, CAST(count(*) AS BIGINT) AS sz
-  FROM bands GROUP BY 1, 2, 3),
+  SELECT band, {h_names}, CAST(count(*) AS BIGINT) AS sz
+  FROM bands GROUP BY ALL),
 per AS (
   SELECT band,
          CAST(count(*) AS BIGINT) AS n_buckets,
@@ -5105,10 +5114,10 @@ def dedup_bucket_skew(spark, sf_dir):
     never materialized."""
     d = _t(spark, sf_dir, "documents")
     banded = dd._banded(dd.minhash_signatures(d))
+    rpb = dd.MINHASH_K // dd.LSH_BANDS  # same derivation as dd._banded
     occ = banded.groupBy(
         F.col("bucket.band").alias("band"),
-        F.col("bucket.h0").alias("h0"),
-        F.col("bucket.h1").alias("h1"),
+        *[F.col(f"bucket.h{r}").alias(f"h{r}") for r in range(rpb)],
     ).agg(F.count(F.lit(1)).cast("long").alias("sz"))
     per = occ.groupBy("band").agg(
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
@@ -5143,12 +5152,14 @@ t{m} AS (
     SELECT q.vec_id AS query_id, c.vec_id AS match_id,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY sum(CAST(q.embedding[i] AS DOUBLE)
-                          * CAST(c.embedding[i] AS DOUBLE))
-                      / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE)
-                                  * CAST(q.embedding[i] AS DOUBLE)))
-                         * sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
-                                    * CAST(c.embedding[i] AS DOUBLE)))) DESC,
+             ORDER BY round(
+                 sum(CAST(q.embedding[i] AS DOUBLE)
+                     * CAST(c.embedding[i] AS DOUBLE))
+                 / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE)
+                             * CAST(q.embedding[i] AS DOUBLE)))
+                    * sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
+                               * CAST(c.embedding[i] AS DOUBLE)))),
+                 4) DESC,
                       c.vec_id ASC) AS rank
     FROM qset q, cset c, (SELECT unnest(range(1, {m + 1})) AS i) ix
     WHERE q.vec_id != c.vec_id
@@ -5196,12 +5207,17 @@ def embed_matryoshka_eval(spark, sf_dir):
     n_q = full.select("query_id").distinct().count()
     per = []
     for m in _MAT_DIMS:
-        ec = e.select(
-            "vec_id", F.slice("embedding", 1, m).alias("embedding")
-        )
-        t = sim.brute_force_topk(ec, ec.filter(q_pred), k=10).select(
-            "query_id", "match_id"
-        )
+        if m == max(_MAT_DIMS):
+            # the identity anchor IS the checkpointed baseline — reuse
+            # it instead of re-scoring the full-width corpus
+            t = full
+        else:
+            ec = e.select(
+                "vec_id", F.slice("embedding", 1, m).alias("embedding")
+            )
+            t = sim.brute_force_topk(ec, ec.filter(q_pred), k=10).select(
+                "query_id", "match_id"
+            )
         per.append(
             t.join(full, ["query_id", "match_id"]).agg(
                 F.lit(m).cast("long").alias("m_dims"),
@@ -5269,19 +5285,22 @@ scored AS (
 ranked AS (
   SELECT n_probe, query_id, match_id,
          row_number() OVER (PARTITION BY n_probe, query_id
-                            ORDER BY score DESC, match_id ASC) AS rank
+                            ORDER BY round(score, 4) DESC,
+                                     match_id ASC) AS rank
   FROM scored),
 approx AS (SELECT n_probe, query_id, match_id FROM ranked WHERE rank <= 10),
 fullsc AS (
   SELECT q.vec_id AS query_id, c.vec_id AS match_id,
          row_number() OVER (
            PARTITION BY q.vec_id
-           ORDER BY sum(CAST(q.embedding[i] AS DOUBLE)
-                        * CAST(c.embedding[i] AS DOUBLE))
-                    / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE)
-                                * CAST(q.embedding[i] AS DOUBLE)))
-                       * sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
-                                  * CAST(c.embedding[i] AS DOUBLE)))) DESC,
+           ORDER BY round(
+               sum(CAST(q.embedding[i] AS DOUBLE)
+                   * CAST(c.embedding[i] AS DOUBLE))
+               / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(q.embedding[i] AS DOUBLE)))
+                  * sqrt(sum(CAST(c.embedding[i] AS DOUBLE)
+                             * CAST(c.embedding[i] AS DOUBLE)))),
+               4) DESC,
                     c.vec_id ASC) AS rank
   FROM qset q, embeddings c, idx
   WHERE q.vec_id != c.vec_id

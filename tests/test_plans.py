@@ -591,7 +591,8 @@ class TestRound13AdditionPlans:
         (the candidate volume is sum C(sz,2) over bucket sizes)."""
         p = plan_of(spark, specs, "dedup_bucket_skew")
         assert "windowspecdefinition" not in p
-        assert "SortMergeJoin" not in p or "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
 
     def test_matryoshka_rungs_group_limit(self, spark, specs):
         """Every rung's top-10 must compile to WindowGroupLimit (per-

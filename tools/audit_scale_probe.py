@@ -23,11 +23,15 @@ records the curves that decide 100 TB behavior:
 
     python tools/audit_scale_probe.py      # prints one JSON line
 
-Replication realism: documents get a per-replica token suffix (keeps
-internal near-dup structure, prevents cross-replica exact clones);
-embeddings get one dimension deterministically nudged per replica
-(keeps the cluster geometry, prevents identical-vector collapse).  No
-randomness anywhere — the probe is reproducible byte-for-byte.
+Replication realism: documents get a per-replica WORD-TAG BIJECTION
+(every word of replica r is prefixed `r<r>x`, so each replica keeps the
+original's internal near-dup structure EXACTLY while cross-replica
+Jaccard is 0 — the corpus grows at CONSTANT duplication rate; see
+build_docs for why a suffix-token perturbation would instead
+manufacture a quadratic cross-replica clique); embeddings get one
+dimension deterministically nudged per replica (keeps the cluster
+geometry, prevents identical-vector collapse).  No randomness anywhere
+— the probe is reproducible byte-for-byte.
 """
 
 from __future__ import annotations
