@@ -303,6 +303,7 @@ HEADLINE = [
     "dedup_prefix_filter_audit",
     "embed_pq_distortion",
     "stream_pq_distortion",
+    "flux_tombstone_audit",
 ]
 
 

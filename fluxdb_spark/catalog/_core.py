@@ -155,6 +155,7 @@ _PRIORITY: list[str] = [
     "dedup_prefix_filter_audit",
     "embed_pq_distortion",
     "stream_pq_distortion",
+    "flux_tombstone_audit",
     # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",

@@ -1469,3 +1469,93 @@ def flux_version_gap_histogram(spark, sf_dir):
             F.max("gap").cast("long").alias("max_gap"),
         )
     )
+
+
+@_q(
+    "flux_tombstone_audit",
+    "temporal",
+    f"""
+WITH {CHANGELOG_CTE},
+o AS (
+  SELECT tablet_id, primary_key, is_deletion,
+         row_number() OVER (PARTITION BY tablet_id, primary_key
+                            ORDER BY height) AS rn,
+         row_number() OVER (PARTITION BY tablet_id, primary_key
+                            ORDER BY height DESC) AS rrn,
+         lag(is_deletion) OVER (PARTITION BY tablet_id, primary_key
+                                ORDER BY height) AS prev_del
+  FROM changelog),
+per AS (
+  SELECT tablet_id, primary_key,
+         CAST(max(CASE WHEN rn = 1 AND is_deletion THEN 1 ELSE 0 END)
+              AS BIGINT) AS orphan,
+         CAST(max(CASE WHEN rrn = 1 AND is_deletion THEN 1 ELSE 0 END)
+              AS BIGINT) AS dead,
+         CAST(sum(CASE WHEN prev_del AND NOT is_deletion THEN 1 ELSE 0
+              END) AS BIGINT) AS resurrections
+  FROM o GROUP BY 1, 2)
+SELECT tablet_id,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(orphan) AS BIGINT) AS orphan_keys,
+       CAST(sum(CASE WHEN resurrections > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS resurrected_keys,
+       CAST(sum(dead) AS BIGINT) AS dead_keys,
+       CAST(sum(resurrections) AS BIGINT) AS n_resurrections
+FROM per GROUP BY 1
+""",
+)
+def flux_tombstone_audit(spark, sf_dir):
+    """Tombstone-hygiene audit: per tablet, the delete-lifecycle
+    classification of every key — ORPHAN deletes (first event is a
+    deletion: the upstream ordering breach the W1 monotonic guard
+    exists to reject), RESURRECTED keys (any delete -> insert
+    transition: these defeat last-writer-wins tombstone GC, so the
+    prune horizon (I6) must outlast the longest resurrection cycle, not
+    just the newest snapshot), DEAD keys (last event is a deletion: the
+    standing tombstones a snapshot retains), and the total resurrection
+    count.  The table that prices tombstone retention BEFORE a prune is
+    scheduled.  Scale shape: all three windows (first / last / lag)
+    ride ONE (tablet, key) hash partition — the same partitioning every
+    read-path operator shuffles by — and the two rollups fold map-side
+    to |keys| then |tablets| rows."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    asc = Window.partitionBy("tablet_id", "primary_key").orderBy("height")
+    desc = Window.partitionBy("tablet_id", "primary_key").orderBy(
+        F.desc("height")
+    )
+    o = log.select(
+        "tablet_id",
+        "primary_key",
+        "is_deletion",
+        F.row_number().over(asc).alias("rn"),
+        F.row_number().over(desc).alias("rrn"),
+        F.lag("is_deletion").over(asc).alias("prev_del"),
+    )
+    per = o.groupBy("tablet_id", "primary_key").agg(
+        F.max(
+            F.when((F.col("rn") == 1) & F.col("is_deletion"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("orphan"),
+        F.max(
+            F.when((F.col("rrn") == 1) & F.col("is_deletion"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("dead"),
+        F.sum(
+            F.when(F.col("prev_del") & ~F.col("is_deletion"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrections"),
+    )
+    return per.groupBy("tablet_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("orphan").cast("long").alias("orphan_keys"),
+        F.sum(F.when(F.col("resurrections") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("resurrected_keys"),
+        F.sum("dead").cast("long").alias("dead_keys"),
+        F.sum("resurrections").cast("long").alias("n_resurrections"),
+    )

@@ -974,3 +974,39 @@ class TestVersionGapHistogram:
                 lo = 0  # bucket 0 holds every gap < 2
             assert lo <= r.min_gap <= r.max_gap < hi
         assert got == per_tablet
+
+
+class TestTombstoneAudit:
+    """flux_tombstone_audit semantics on a constructed log: orphan
+    deletes, resurrection cycles, and dead keys classify exactly
+    (is_deletion is value < 10 in the changelog mapping)."""
+
+    def test_lifecycle_classification(self, spark):
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        rows = [
+            # key 1: insert, delete, insert, delete -> resurrected once,
+            # dead, not orphan
+            (100, 1, "click", 50.0),
+            (200, 1, "click", 5.0),
+            (300, 1, "click", 60.0),
+            (400, 1, "click", 5.0),
+            # key 2: delete first (orphan), then insert -> resurrected,
+            # not dead
+            (150, 2, "click", 5.0),
+            (250, 2, "click", 70.0),
+            # key 3: plain live key
+            (175, 3, "click", 80.0),
+        ]
+        spec = {s.name: s for s in cat.catalog()}["flux_tombstone_audit"]
+        with tempfile.TemporaryDirectory() as td:
+            _write_events(spark, td, rows)
+            got = {r.tablet_id: r for r in spec.spark(spark, td).collect()}
+        r = got["click"]
+        assert r.n_keys == 3
+        assert r.orphan_keys == 1       # key 2
+        assert r.resurrected_keys == 2  # keys 1 and 2
+        assert r.dead_keys == 1         # key 1
+        assert r.n_resurrections == 2   # one cycle each
