@@ -77,8 +77,8 @@ _PRIORITY: list[str] = [
     # After r13 stamps, EVERY oracle-bearing entry in the catalog has a
     # driver row and the stalest remaining stamp is r08.
     #
-    # R14 window plan (positions 51-100): the 16 round-13 additions sit
-    # right after position 50 (flux_key_skew ... stream_pq_distortion —
+    # R14 window plan (positions 51-100): the 17 round-13 additions sit
+    # right after position 50 (flux_key_skew ... flux_tombstone_audit —
     # they lead the next window; each landed locally oracle-matched at
     # three SFs), then the tail continues in staleness order — the rest
     # of the r08 block, then r09, r10, r11, and the r12-stamped former
