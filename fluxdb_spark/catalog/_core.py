@@ -67,78 +67,25 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-13 window (driver checks exactly the first 50 entries per
-    # round).  Composition, per VERDICT r12 task 1 (the staged rotation,
+    # Round-14 window (driver checks exactly the first 50 entries per
+    # round).  Composition, per VERDICT r13 task 1 (the staged rotation,
     # now physically applied):
-    #   1-15  the 15 round-12 additions (never driver-checked; each
+    #   1-17  the 17 round-13 additions (never driver-checked; each
     #         locally oracle-matched at three SFs on landing, plus the
-    #         judge's independent check_entry replay in r12);
-    #   16-50 the 35 stalest r08-green entries (oldest driver rows).
-    # After r13 stamps, EVERY oracle-bearing entry in the catalog has a
-    # driver row and the stalest remaining stamp is r08.
+    #         judge's independent check_entry replay in r13);
+    #   18-50 the 33 stalest remaining stamps (the tail of the r08-green
+    #         block, then the r09-green block head) -- after r14 stamps,
+    #         the stalest remaining stamp is r09.
     #
-    # R14 window plan (positions 51-100): the 17 round-13 additions sit
-    # right after position 50 (flux_key_skew ... flux_tombstone_audit —
-    # they lead the next window; each landed locally oracle-matched at
-    # three SFs), then the tail continues in staleness order — the rest
-    # of the r08 block, then r09, r10, r11, and the r12-stamped former
-    # window LAST (freshest).  The next rotation is again one reorder:
-    # move positions 51-100 to the front.  test_catalog_parity enforces
-    # that the live window never contains an entry stamped in the two
-    # newest CORRECTNESS rounds.
-    "dedup_threshold_sweep_lsh",
-    "corpus_self_overlap",
-    "token_freq_spectrum",
-    "ivf_balance_audit",
-    "stream_decontaminate",
-    "packing_fragmentation",
-    "cluster_quality_matrix",
-    "embed_margin_pairs",
-    "stream_seasonality",
-    "dedup_chaining_audit",
-    "corpus_drift_curve",
-    "novelty_trend",
-    "quality_rules_ablation",
-    "stream_token_spectrum",
-    "stream_ivf_balance",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "region_revenue",
-    "stream_simhash_dedup",
-    "bm25_rank_materialized",
-    "embed_topk_quantized_materialized",
-    "embed_ann_ivf_materialized",
-    "neardup_probe_materialized",
-    "semantic_dedup",
-    "typed_view_protobuf",
-    "embed_neardup_lsh",
-    "flux_state_at",
-    "flux_state_at_indexed",
-    "flux_state_diff",
-    "flux_state_at_speculative",
-    "flux_has_rows",
-    "flux_tablet_index",
-    "flux_shard_assignment",
-    "flux_shard_progress",
-    "flux_gap_check",
-    # ---- position 51+: leads the r14 window ----
-    # -- round-13 additions (first driver row in r14; each locally
-    #    oracle-matched at three SFs on landing) --
+    # R15 window plan (positions 51-100): the tail continues in
+    # staleness order -- the rest of the r09 block, then r10, r11, the
+    # r12-stamped block, and the r13-stamped former window LAST
+    # (freshest).  Entries added during round 14 go right after
+    # position 50, so they lead the r15 window.  The next rotation is
+    # again one reorder: move positions 51-100 to the front.
+    # test_catalog_parity enforces that the live window never contains
+    # an entry stamped in the two newest CORRECTNESS rounds.
+    # -- round-13 additions (first driver row in r14) --
     "flux_key_skew",
     "flux_write_amplification",
     "packing_budget_sweep",
@@ -191,6 +138,8 @@ _PRIORITY: list[str] = [
     "token_budget_mix",
     "skew_salted_join",
     "tpch_q1",
+    # ---- position 51+: leads the r15 window ----
+    # (entries added during round 14 are inserted right here)
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",
@@ -364,6 +313,57 @@ _PRIORITY: list[str] = [
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
+    # -- r13-stamped former window (freshest driver rows) --
+    "dedup_threshold_sweep_lsh",
+    "corpus_self_overlap",
+    "token_freq_spectrum",
+    "ivf_balance_audit",
+    "stream_decontaminate",
+    "packing_fragmentation",
+    "cluster_quality_matrix",
+    "embed_margin_pairs",
+    "stream_seasonality",
+    "dedup_chaining_audit",
+    "corpus_drift_curve",
+    "novelty_trend",
+    "quality_rules_ablation",
+    "stream_token_spectrum",
+    "stream_ivf_balance",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    "region_revenue",
+    "stream_simhash_dedup",
+    "bm25_rank_materialized",
+    "embed_topk_quantized_materialized",
+    "embed_ann_ivf_materialized",
+    "neardup_probe_materialized",
+    "semantic_dedup",
+    "typed_view_protobuf",
+    "embed_neardup_lsh",
+    "flux_state_at",
+    "flux_state_at_indexed",
+    "flux_state_diff",
+    "flux_state_at_speculative",
+    "flux_has_rows",
+    "flux_tablet_index",
+    "flux_shard_assignment",
+    "flux_shard_progress",
+    "flux_gap_check",
     # embed_ann_ivf: rows-only by design (oracle=None); kept out
     # of every correctness window -- see note at the top of this
     # list.  Its exact twins are the hash-checked forms.
