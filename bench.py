@@ -403,6 +403,32 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Persist the COMPLETE per-query map in-repo (VERDICT r13 task 2): the
+    # driver's tail capture truncates the detailed stdout line past ~25
+    # queries, so round-over-round per-query regression diffs read this
+    # file instead of the driver artifact.
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as f:
+            json.dump(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "n_queries": len(times),
+                    "queries": times,
+                    "sf": sf_val,
+                    "data_fingerprint": data_fp,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    except OSError as e:
+        print(f"# BENCH_DETAIL.json not written: {e}", file=sys.stderr)
     # Detailed line first (full per-query breakdown for humans / archives),
     # then a short total-only line LAST on stdout: the driver tail-captures
     # a bounded window and the detailed line outgrew it at ~80 queries

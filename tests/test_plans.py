@@ -54,6 +54,28 @@ class TestPushdownAndPruning:
         # untouched wide columns must NOT be read
         assert "l_returnflag" not in read and "l_orderkey" not in read
 
+    def test_q17_semi_join_prefilters_aggregate(self, spark, specs):
+        """Q17's per-part average must aggregate only lineitem rows whose
+        part survives the brand/size filter (VERDICT r13 task 3): the
+        plan must contain a broadcast LeftSemi join BELOW the partial
+        aggregate, so at 100x the groupBy's input shrinks by part
+        selectivity instead of carrying every distinct part."""
+        p = plan_of(spark, specs, "tpch_q17")
+        lines = p.splitlines()
+        # in the tree section the semi-join's PARENT prints directly above
+        # it one indent out: that parent must be the partial HashAggregate
+        semi = next(
+            (i for i, l in enumerate(lines)
+             if "BroadcastHashJoin LeftSemi" in l),
+            None,
+        )
+        assert semi is not None, "semi-join pre-filter missing from Q17 plan"
+        assert "HashAggregate" in lines[semi - 1], (
+            "semi-join is not the direct child of the per-part aggregate:\n"
+            + "\n".join(lines[: semi + 2])
+        )
+        assert "partial_avg" in p, "per-part avg lost its map-side partial"
+
     def test_temporal_read_pushes_through_changelog_view(self, spark, specs):
         """state_at's (tablet, height) predicates must reach the raw events
         scan even though the query is written against the derived changelog
