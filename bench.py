@@ -304,6 +304,9 @@ HEADLINE = [
     "embed_pq_distortion",
     "stream_pq_distortion",
     "flux_tombstone_audit",
+    # round-14 additions
+    "flux_snapshot_cadence_sweep",
+    "stream_snapshot_cadence",
 ]
 
 

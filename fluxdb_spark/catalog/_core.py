@@ -139,7 +139,10 @@ _PRIORITY: list[str] = [
     "skew_salted_join",
     "tpch_q1",
     # ---- position 51+: leads the r15 window ----
-    # (entries added during round 14 are inserted right here)
+    # -- round-14 additions (each locally oracle-matched at three SFs
+    #    on landing) --
+    "flux_snapshot_cadence_sweep",
+    "stream_snapshot_cadence",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

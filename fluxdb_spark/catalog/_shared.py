@@ -625,3 +625,176 @@ def _shingle_df_finish(dfrel):
             f" ELSE {_DF_CAND_SHARE} END"
         ).alias("cand_share_ppm"),
     )
+
+
+# =========================================================================
+# Snapshot-cadence sweep (round 14): the I3 pricing question answered as
+# one relation.  The adaptive indexer (indexing.go thresholds, SURVEY
+# §2.4 I3) has to pick a snapshot cadence per tablet; this audit prices
+# every candidate cadence from ONE pass over the changelog — index rows
+# WRITTEN (sum over snapshots of cumulative distinct keys) vs rows READ
+# at the head (last-snapshot keys + delta) vs the raw index-less scan.
+# The batch entry and the streaming twin share this profile/finisher:
+# the profile is per-(tablet, key, 128-height-bucket) counters (count /
+# max — additive and mergeable, so the micro-batch merge IS the update),
+# and every cadence is a multiple of the bucket width, which makes the
+# bucket arithmetic EXACT: snapshot heights are multiples of 128, so
+# `h0 <= k*c  <=>  ceil(h0/128) <= k*c/128` and
+# `height > k*c <=> ceil(height/128) > k*c/128` hold with no rounding.
+# =========================================================================
+
+_CADENCES = (128, 256, 512)
+_CB_WIDTH = 128  # bucket width; every cadence is a multiple of it
+
+# Engine-common guarded ratios (double-floor form per the house rule).
+_READ_SAVINGS_PPM = (
+    "CASE WHEN raw_rows = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor((CAST(raw_rows AS DOUBLE)"
+    " - CAST(read_rows AS DOUBLE)) * 1000000"
+    " / CAST(raw_rows AS DOUBLE)) AS BIGINT) END"
+)
+_INDEX_WRITE_X100 = (
+    "CASE WHEN raw_rows = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor(CAST(index_rows AS DOUBLE) * 100"
+    " / CAST(raw_rows AS DOUBLE)) AS BIGINT) END"
+)
+
+
+def _cadence_sql() -> str:
+    """ONE oracle for the batch and streaming cadence sweeps, derived
+    from the SAME _CADENCES/_CB_WIDTH constants the Spark finisher uses
+    (a hardcoded cadence list would silently desynchronize on retune).
+    The oracle works on raw heights — the bucket trick is a Spark-side
+    state-size device, exact by the multiples-of-128 argument above."""
+    cads = ", ".join(str(c) for c in _CADENCES)
+    return f"""
+WITH {CHANGELOG_CTE},
+cad AS (SELECT CAST(unnest([{cads}]) AS BIGINT) AS cadence),
+hd AS (SELECT max(height) AS h FROM changelog),
+k AS (SELECT cadence, CAST(h // cadence AS BIGINT) AS ks FROM cad, hd),
+per_key AS (
+  SELECT tablet_id, primary_key, min(height) AS h0
+  FROM changelog GROUP BY 1, 2),
+idx AS (
+  SELECT k.cadence, pk.tablet_id,
+         CAST(sum(CASE WHEN greatest(1, (h0 + cadence - 1) // cadence) <= ks
+                       THEN ks - greatest(1, (h0 + cadence - 1) // cadence) + 1
+                       ELSE 0 END) AS BIGINT) AS index_rows,
+         CAST(sum(CASE WHEN ks > 0 AND h0 <= ks * cadence
+                       THEN 1 ELSE 0 END) AS BIGINT) AS snap_rows
+  FROM per_key pk CROSS JOIN k GROUP BY 1, 2),
+dl AS (
+  SELECT k.cadence, c.tablet_id,
+         CAST(count(*) AS BIGINT) AS raw_rows,
+         CAST(sum(CASE WHEN ks = 0 OR c.height > ks * cadence
+                       THEN 1 ELSE 0 END) AS BIGINT) AS delta_rows,
+         CAST(max(ks) AS BIGINT) AS n_snapshots
+  FROM changelog c CROSS JOIN k GROUP BY 1, 2),
+j AS (
+  SELECT dl.tablet_id, dl.cadence, n_snapshots, index_rows, snap_rows,
+         delta_rows, snap_rows + delta_rows AS read_rows, raw_rows
+  FROM dl JOIN idx ON dl.cadence = idx.cadence
+                  AND dl.tablet_id = idx.tablet_id)
+SELECT tablet_id, cadence, n_snapshots, index_rows, snap_rows, delta_rows,
+       read_rows, raw_rows,
+       {_READ_SAVINGS_PPM} AS read_savings_ppm,
+       {_INDEX_WRITE_X100} AS index_write_x100
+FROM j
+"""
+
+
+_CADENCE_SQL = _cadence_sql()
+
+
+def _cadence_profile(log):
+    """Per-(tablet, key, ceil-128-bucket) write counters — the shared
+    state shape: count and max are additive/mergeable, so the SAME
+    groupBy is the batch profile and the streaming state update."""
+    return log.groupBy(
+        "tablet_id",
+        "primary_key",
+        F.expr(f"(height + {_CB_WIDTH - 1}) div {_CB_WIDTH}").alias("cb"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.max("height").cast("long").alias("hmax"),
+    )
+
+
+def _cadence_finish(per):
+    """Bucketed counters -> the |tablets| x |cadences| pricing table —
+    shared by the batch scan and the drained standing counters.  All
+    rank-free arithmetic: the per-key snapshot-membership count is the
+    closed form `ks - k_min + 1` (no per-snapshot explode), and every
+    branch below runs on the bounded profile relation, never the
+    changelog."""
+    per = per.localCheckpoint()  # head + firsts + delta all read it
+    cadarr = F.array(*[F.lit(c).cast("long") for c in _CADENCES])
+    k = (
+        per.agg(F.max("hmax").alias("h"))
+        .select(F.explode(cadarr).alias("cadence"), "h")
+        .select(
+            "cadence",
+            F.expr("h div cadence").cast("long").alias("ks"),
+            F.expr(f"cadence div {_CB_WIDTH}").cast("long").alias("cr"),
+        )
+    )
+    firsts = per.groupBy("tablet_id", "primary_key").agg(
+        F.min("cb").alias("cb0")
+    )
+    idx = (
+        firsts.crossJoin(F.broadcast(k))
+        .groupBy(
+            F.col("cadence").alias("i_cadence"),
+            F.col("tablet_id").alias("i_tablet"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN greatest(1, (cb0 + cr - 1) div cr) <= ks"
+                    " THEN ks - greatest(1, (cb0 + cr - 1) div cr) + 1"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("index_rows"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN ks > 0 AND cb0 <= ks * cr THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("snap_rows"),
+        )
+    )
+    dl = (
+        per.crossJoin(F.broadcast(k))
+        .groupBy("cadence", "tablet_id")
+        .agg(
+            F.sum("nv").cast("long").alias("raw_rows"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN ks = 0 OR cb > ks * cr THEN nv ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("delta_rows"),
+            F.max("ks").cast("long").alias("n_snapshots"),
+        )
+    )
+    j = dl.join(
+        idx,
+        (F.col("cadence") == F.col("i_cadence"))
+        & (F.col("tablet_id") == F.col("i_tablet")),
+    ).withColumn("read_rows", F.col("snap_rows") + F.col("delta_rows"))
+    return j.select(
+        "tablet_id",
+        "cadence",
+        "n_snapshots",
+        "index_rows",
+        "snap_rows",
+        "delta_rows",
+        "read_rows",
+        "raw_rows",
+        F.expr(_READ_SAVINGS_PPM).alias("read_savings_ppm"),
+        F.expr(_INDEX_WRITE_X100).alias("index_write_x100"),
+    )

@@ -32,6 +32,7 @@ from fluxdb_spark.session import spread
 from fluxdb_spark.catalog._core import _q, _t, _td
 from fluxdb_spark.catalog._shared import (
     _BENFORD_PPM,
+    _CADENCE_SQL,
     _DECONTAM_SQL,
     _FINGERPRINT_SQL,
     _IVF_BALANCE_SQL,
@@ -54,6 +55,8 @@ from fluxdb_spark.catalog._shared import (
     _seasonality_finish,
     _shingle_df_finish,
     _spectrum_finish,
+    _cadence_finish,
+    _cadence_profile,
 )
 
 
@@ -1400,3 +1403,37 @@ def stream_pq_distortion(spark, sf_dir):
     )
     q.awaitTermination()
     return sim.pq_distortion_finish(spark.table(name))
+
+
+@_q("stream_snapshot_cadence", "streaming", _CADENCE_SQL)
+def stream_snapshot_cadence(spark, sf_dir):
+    """STANDING snapshot-cadence advisor: the per-(tablet, key,
+    128-height-bucket) write counters of `flux_snapshot_cadence_sweep`
+    maintained as Structured Streaming state (count and max are
+    additive/mergeable — the micro-batch merge IS the update), so the
+    cadence pricing table is already current when the indexer (I3)
+    re-evaluates a tablet's threshold instead of a history re-scan.
+    State is bounded by |tablet x key x height/128|, a 128x reduction
+    over per-version state.  Drained counters finish serving-side
+    through the SAME closed-form finisher the batch sweep uses and
+    hash-match its oracle constant — the structural form of the twin
+    claim."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    per = _cadence_profile(changelog_from_events(raw))
+    name = f"stream_cadence_{uuid.uuid4().hex[:8]}"
+    q = (
+        per.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _cadence_finish(spark.table(name))

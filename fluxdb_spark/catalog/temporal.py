@@ -30,7 +30,10 @@ from fluxdb_spark.session import spread
 
 from fluxdb_spark.catalog._core import _q, _t
 from fluxdb_spark.catalog._shared import (
+    _CADENCE_SQL,
     _KEY_SKEW_SQL,
+    _cadence_finish,
+    _cadence_profile,
     _key_skew_finish,
     _log2_bucket_sql,
 )
@@ -1559,3 +1562,24 @@ def flux_tombstone_audit(spark, sf_dir):
         F.sum("dead").cast("long").alias("dead_keys"),
         F.sum("resurrections").cast("long").alias("n_resurrections"),
     )
+
+
+@_q("flux_snapshot_cadence_sweep", "temporal", _CADENCE_SQL)
+def flux_snapshot_cadence_sweep(spark, sf_dir):
+    """Snapshot-CADENCE pricing sweep: for every candidate index cadence
+    (the I3 decision, indexing.go's threshold ladder re-expressed as a
+    priced table), per tablet — index rows WRITTEN across all snapshots
+    (cumulative distinct keys per snapshot, in closed form), rows READ
+    at the chain head through that index (last-snapshot keys + delta),
+    and the raw index-less scan, with the savings/overhead ratios an
+    operator actually budgets against.  `flux_write_amplification` says
+    whether to index; this says at WHICH cadence: the cadence whose
+    read_savings_ppm has flattened while index_write_x100 keeps
+    climbing is the knee.  Scale shape: ONE pass builds per-(tablet,
+    key, 128-height-bucket) counters (map-side combine); every cadence
+    is a multiple of the bucket width so the bucket arithmetic is exact
+    (no rounding at snapshot boundaries); the per-key membership count
+    is the closed form `ks - k_min + 1` — no per-snapshot explode, no
+    window, nothing downstream of the profile touches the changelog."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    return _cadence_finish(_cadence_profile(log))

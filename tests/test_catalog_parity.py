@@ -90,6 +90,7 @@ def test_priority_window_is_stale_first():
     )
 
 
+@pytest.mark.sweep
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_query_matches_oracle(spark, duck, name):
     spec = SPECS[name]

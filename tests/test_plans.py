@@ -345,6 +345,7 @@ class TestWholeCatalogAntiPatterns:
         "stream_key_skew",
         "stream_shingle_df",
         "stream_pq_distortion",
+        "stream_snapshot_cadence",
     }
 
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
@@ -368,6 +369,28 @@ class TestWholeCatalogAntiPatterns:
             if bad:
                 offenders[name] = bad
         assert not offenders, offenders
+
+
+class TestCadenceSweepPlan:
+    """The cadence sweep's 100 TB claim is that NOTHING downstream of the
+    one bucket-counter groupBy touches the changelog: no per-snapshot
+    explode, no rank window, cadence table broadcast.  Pin the rank-free
+    shape — a regression to a per-snapshot generate/explode or a window
+    would show up here before it shows up as a slow cluster."""
+
+    def test_rank_free_closed_form(self, spark, specs):
+        p = plan_of(spark, specs, "flux_snapshot_cadence_sweep")
+        assert "Window" not in p, "closed form regressed to a rank window"
+        # the only Generate allowed is the cadence-literal explode on the
+        # 1-row head scalar — never on the profile relation (a profile-
+        # side explode would be the per-snapshot blowup the closed form
+        # exists to avoid)
+        # (it appears once per consumer branch — idx and delta each
+        # rebuild the 3-row cadence table from the checkpointed profile)
+        gen = [l for l in p.splitlines() if l.lstrip().startswith("(")
+               and "Generate" in l]
+        assert len(gen) <= 2, f"unexpected Generate nodes: {gen}"
+        assert "CartesianProduct" not in p
 
 
 class TestSketchTieredScoringPlans:

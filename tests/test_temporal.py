@@ -1010,3 +1010,108 @@ class TestTombstoneAudit:
         assert r.resurrected_keys == 2  # keys 1 and 2
         assert r.dead_keys == 1         # key 1
         assert r.n_resurrections == 2   # one cycle each
+
+
+class TestCadenceSweep:
+    """flux_snapshot_cadence_sweep semantics on a constructed log,
+    verified against a naive per-snapshot model (literally materialize
+    every snapshot's key set and count), so the closed-form
+    `ks - k_min + 1` membership arithmetic and the 128-bucket state
+    trick are checked against first principles, not against themselves.
+    The streaming twin must drain to the identical relation."""
+
+    ROWS = [
+        # (event_id/height, user_id/key, tablet, value)
+        (0, 1, "click", 50.0),     # key 1 first at height 0
+        (600, 1, "click", 60.0),
+        (1290, 1, "click", 5.0),
+        (200, 2, "click", 70.0),   # key 2 first at 200
+        (1000, 2, "click", 80.0),
+        (1100, 3, "click", 90.0),  # key 3 first at 1100
+        (520, 4, "view", 40.0),    # second tablet
+        (530, 4, "view", 41.0),
+    ]
+
+    def _naive(self):
+        from collections import defaultdict
+
+        heights = defaultdict(list)   # (tablet, key) -> heights
+        for h, k, t, _v in self.ROWS:
+            heights[(t, k)].append(h)
+        H = max(h for h, *_ in self.ROWS)
+        out = {}
+        tablets = {t for _h, _k, t, _v in self.ROWS}
+        for c in (128, 256, 512):
+            K = H // c
+            snaps = [k * c for k in range(1, K + 1)]
+            for t in tablets:
+                keys = {k: min(hs) for (tt, k), hs in heights.items()
+                        if tt == t}
+                rows = [h for (tt, _k), hs in heights.items()
+                        if tt == t for h in hs]
+                index_rows = sum(
+                    sum(1 for h0 in keys.values() if h0 <= s)
+                    for s in snaps
+                )
+                last = snaps[-1] if snaps else 0
+                snap_rows = (
+                    sum(1 for h0 in keys.values() if h0 <= last)
+                    if snaps else 0
+                )
+                delta = (
+                    sum(1 for h in rows if h > last)
+                    if snaps else len(rows)
+                )
+                raw = len(rows)
+                read = snap_rows + delta
+                out[(t, c)] = (
+                    K, index_rows, snap_rows, delta, read, raw,
+                    int((raw - read) * 1_000_000 / raw) if raw else 0,
+                    int(index_rows * 100 / raw) if raw else 0,
+                )
+        return out
+
+    def test_matches_naive_model(self, spark):
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        specs = {s.name: s for s in cat.catalog()}
+        want = self._naive()
+        with tempfile.TemporaryDirectory() as td:
+            _write_events(spark, td, self.ROWS)
+            got = specs["flux_snapshot_cadence_sweep"].spark(
+                spark, td
+            ).collect()
+        assert len(got) == len(want)
+        for r in got:
+            k, ir, sr, dr, rr, raw, sav, wx = want[(r.tablet_id, r.cadence)]
+            assert (
+                r.n_snapshots, r.index_rows, r.snap_rows, r.delta_rows,
+                r.read_rows, r.raw_rows, r.read_savings_ppm,
+                r.index_write_x100,
+            ) == (k, ir, sr, dr, rr, raw, sav, wx), (r.tablet_id, r.cadence)
+
+    def test_stream_twin_drains_equal(self, spark):
+        """Drained standing counters finish to a table EQUAL to the
+        batch sweep (shared finisher + shared oracle constant make the
+        claim structural; this pins it end-to-end on real data — the
+        streaming source needs the single-file sf layout)."""
+        import fluxdb_spark.catalog as cat
+
+        specs = {s.name: s for s in cat.catalog()}
+        sf = "/root/testdata/sf0.001"
+        batch = sorted(
+            tuple(r)
+            for r in specs["flux_snapshot_cadence_sweep"]
+            .spark(spark, sf)
+            .collect()
+        )
+        stream = sorted(
+            tuple(r)
+            for r in specs["stream_snapshot_cadence"]
+            .spark(spark, sf)
+            .collect()
+        )
+        assert stream == batch
+        assert len(batch) > 0

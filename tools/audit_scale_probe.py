@@ -20,6 +20,14 @@ records the curves that decide 100 TB behavior:
   SHARE is scale-invariant — doubling the corpus doubles every cell,
   so share/lift curves stay flat and probe cost grows linearly with
   corpus, not with skew.
+- PQ distortion (round 14): per-subspace floor-mean squared error and
+  codebook utilization per corpus size, batch AND drained-streaming.
+  The scale claims are (a) the audit is a map-only scan, so wall time
+  grows at most linearly while every RATIO holds flat (the nudge
+  preserves cluster geometry — doubling the corpus doubles each
+  (subspace, codeword) partial), and (b) the streaming twin's drained
+  partials finish to the IDENTICAL row set at every size — the
+  drain-equals-batch contract measured past the driver SFs.
 
     python tools/audit_scale_probe.py      # prints one JSON line
 
@@ -196,6 +204,7 @@ def main() -> None:
         print(f"# funnel {label}: {funnel[label]}", file=sys.stderr)
 
     ivf: dict[str, dict] = {}
+    pq: dict[str, dict] = {}
     for label, reps in VEC_REPLICAS.items():
         sf_dir = os.path.join(ROOT, f"vecs{label}")
         n_vecs = build_vecs(spark, reps, sf_dir)
@@ -221,6 +230,43 @@ def main() -> None:
         }
         print(f"# ivf {label}: {ivf[label]}", file=sys.stderr)
 
+        # PQ distortion on the same grown corpus (VERDICT r13 task 4):
+        # the audit is one map-only scan against plan-literal codebooks,
+        # so wall time should grow linearly with vectors while the
+        # RATIOS are scale-invariant — the per-replica nudge preserves
+        # the cluster geometry, so doubling the corpus doubles every
+        # (subspace, codeword) error partial and the floor-mean holds
+        # flat.  The streaming twin drains the identical partials
+        # through the shared finisher; collecting both and comparing
+        # row sets certifies drain-equals-batch PAST sf0.1, not just at
+        # the driver SFs.
+        pspec = specs["embed_pq_distortion"]
+        pspec.spark(spark, sf_dir).count()  # warm (trains + memoizes books)
+        pbest, prows = float("inf"), []
+        for _ in range(2):
+            t0 = time.time()
+            prows = pspec.spark(spark, sf_dir).collect()
+            pbest = min(pbest, time.time() - t0)
+        t0 = time.time()
+        srows = specs["stream_pq_distortion"].spark(spark, sf_dir).collect()
+        s_sec = time.time() - t0
+        key = lambda r: r.subspace  # noqa: E731
+        pq[label] = {
+            "vecs": n_vecs,
+            "mean_sq_err": [
+                int(r.mean_sq_err) for r in sorted(prows, key=key)
+            ],
+            "total_sq_err": int(sum(r.total_sq_err for r in prows)),
+            "min_live_codewords": min(
+                int(r.n_live_codewords) for r in prows
+            ),
+            "stream_twin_match": sorted(map(tuple, prows))
+            == sorted(map(tuple, srows)),
+            "sec": round(pbest, 3),
+            "stream_sec": round(s_sec, 3),
+        }
+        print(f"# pq {label}: {pq[label]}", file=sys.stderr)
+
     shutil.rmtree(ROOT, ignore_errors=True)
     print(
         json.dumps(
@@ -229,6 +275,7 @@ def main() -> None:
                 "lsh_sweep": lsh,
                 "prefix_funnel": funnel,
                 "ivf_balance": ivf,
+                "pq_distortion": pq,
             }
         )
     )
