@@ -307,6 +307,7 @@ HEADLINE = [
     # round-14 additions
     "flux_snapshot_cadence_sweep",
     "stream_snapshot_cadence",
+    "dedup_winnow",
 ]
 
 

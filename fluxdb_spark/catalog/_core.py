@@ -143,6 +143,7 @@ _PRIORITY: list[str] = [
     #    on landing) --
     "flux_snapshot_cadence_sweep",
     "stream_snapshot_cadence",
+    "dedup_winnow",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

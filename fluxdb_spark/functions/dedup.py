@@ -1677,3 +1677,66 @@ def dedup_survivors_quality(
         )
     )
     return clustered.unionByName(unpaired)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03 — the MOSS
+# algorithm).  Round 14.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # k-char grams
+WINNOW_W = 4  # window width over the gram-hash sequence
+
+
+def winnow_fingerprints(
+    text: Column, k: int = WINNOW_K, w: int = WINNOW_W
+) -> Column:
+    """Distinct winnowed fingerprints of a document: hash every k-char
+    gram of the lowercased text, slide a w-window over the hash
+    sequence, keep each window's MINIMUM, dedupe.  The winnowing
+    guarantee: any substring shared between two documents of length
+    >= w + k - 1 chars produces at least one shared fingerprint, while
+    the expected selected density is only 2/(w+1) of the grams — the
+    sublinear fingerprint family plagiarism/clone detection uses.
+
+    All JVM-side array expressions — no shuffle, no Python: the text and
+    the gram-hash array are each bound ONCE per row as lambda variables
+    (the `word_shingles` singleton-transform idiom; inlining them would
+    re-evaluate per element)."""
+
+    def _minima(gg: Column) -> Column:
+        widx = F.sequence(F.lit(1), F.size(gg) - (w - 1), F.lit(1))
+        body = F.array_distinct(
+            F.transform(widx, lambda j: F.array_min(F.slice(gg, j, w)))
+        )
+        return F.when(F.size(gg) >= w, body).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    def _grams(tt: Column) -> Column:
+        gidx = F.sequence(F.lit(1), F.length(tt) - (k - 1), F.lit(1))
+        g = F.transform(gidx, lambda i: hash60(tt.substr(i, F.lit(k))))
+        guarded = F.when(F.length(tt) >= k, g).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        return F.element_at(F.transform(F.array(guarded), _minima), 1)
+
+    return F.element_at(F.transform(F.array(F.lower(text)), _grams), 1)
+
+
+def sql_winnow_ctes(
+    k: int = WINNOW_K, w: int = WINNOW_W, source: str = "documents"
+) -> str:
+    """DuckDB twin of `winnow_fingerprints`, as CTEs producing
+    `fp(doc_id, fp)` — one row per distinct winnowed fingerprint."""
+    gh = hash60_sql(f"substr(t, i, {k})")
+    return f"""
+    wt AS (SELECT doc_id, lower(text) AS t FROM {source}),
+    wg AS (SELECT doc_id,
+                  list_transform(range(1, len(t) - {k - 2}), i -> {gh}) AS g
+           FROM wt WHERE len(t) >= {k}),
+    wf AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(g) - {w - 2}),
+                                j -> list_min(g[j:j+{w - 1}]))) AS f
+           FROM wg WHERE len(g) >= {w}),
+    fp AS (SELECT doc_id, unnest(f) AS fp FROM wf)"""

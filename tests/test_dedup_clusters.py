@@ -574,3 +574,60 @@ class TestPrefixFilterAudit:
             >= rows[750000].n_candidates
             >= rows[900000].n_candidates
         )
+
+
+class TestWinnowing:
+    """winnow_fingerprints semantics pinned against a from-scratch
+    Python model (independent md5 arithmetic), plus the two properties
+    the algorithm is FOR: the detection guarantee (shared run >= w+k-1
+    chars => shared fingerprint) and sub-gram selected density."""
+
+    @staticmethod
+    def _model(text, k=8, w=4):
+        import hashlib
+
+        t = text.lower()
+        if len(t) < k:
+            return set()
+        grams = [
+            int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        if len(grams) < w:
+            return set()
+        return {min(grams[j:j + w]) for j in range(len(grams) - w + 1)}
+
+    def test_matches_python_model(self, spark):
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.functions import dedup as dd
+
+        texts = [
+            "The quick brown fox jumps over the lazy dog",
+            "pack my box with five dozen liquor jugs",
+            "short",
+            "exactly11ch",
+            "aaaaaaaaaaaaaaaaaaaaaa",  # degenerate repeat
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: set(r.fps)
+            for r in df.select(
+                "doc_id",
+                dd.winnow_fingerprints(F.col("text")).alias("fps"),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == self._model(t), t
+
+    def test_detection_guarantee_and_density(self, spark):
+        shared = "a stretch of text both documents contain verbatim"
+        a = "left preamble xyz " + shared + " right tail qrs"
+        b = "completely different opening words here " + shared
+        fa, fb = self._model(a), self._model(b)
+        # guarantee: the shared run is far longer than w+k-1=11 chars
+        assert fa & fb, "winnowing missed a guaranteed shared run"
+        # density: selected fingerprints are a strict subset of grams
+        assert len(fa) < len(a) - 8 + 1
