@@ -308,6 +308,7 @@ HEADLINE = [
     "flux_snapshot_cadence_sweep",
     "stream_snapshot_cadence",
     "dedup_winnow",
+    "session_gap_sweep",
 ]
 
 

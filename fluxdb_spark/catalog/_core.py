@@ -144,6 +144,7 @@ _PRIORITY: list[str] = [
     "flux_snapshot_cadence_sweep",
     "stream_snapshot_cadence",
     "dedup_winnow",
+    "session_gap_sweep",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

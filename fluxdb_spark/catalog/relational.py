@@ -3070,3 +3070,162 @@ def interval_merge(spark, sf_dir):
         .alias("covered_days"),
         F.max("n_merged").cast("long").alias("max_merged"),
     )
+
+
+# Session-gap sweep constants (round 14).  The sweep prices the gap
+# threshold the way flux_snapshot_cadence_sweep prices the index
+# cadence: every candidate from ONE pass.
+_SESSION_GAPS_S = (300, 1800, 7200)
+
+# Engine-common integer ratios ({div} -> `div` in Spark, `//` in DuckDB;
+# both truncate-floor for the nonnegative operands here).
+_SESS_MEAN_EVENTS = (
+    "CASE WHEN n_sessions = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(n_events * 100 {div} n_sessions AS BIGINT) END"
+)
+_SESS_MEAN_DUR = (
+    "CASE WHEN n_sessions = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST((in_session_us {div} n_sessions) {div} 1000000"
+    " AS BIGINT) END"
+)
+
+
+def _session_sweep_sql() -> str:
+    """Oracle derived from the SAME _SESSION_GAPS_S constants the Spark
+    plan explodes (a hardcoded threshold list would silently
+    desynchronize on retune)."""
+    rows = ", ".join(
+        f"(CAST({t} AS BIGINT),"
+        f" CAST(sum(CASE WHEN gap_us > CAST({t} AS BIGINT) * 1000000 THEN 1 ELSE 0 END)"
+        f" AS BIGINT),"
+        f" CAST(sum(CASE WHEN gap_us > CAST({t} AS BIGINT) * 1000000 THEN gap_us"
+        f" ELSE 0 END) AS BIGINT))"
+        for t in _SESSION_GAPS_S
+    )
+    sel = "SELECT unnest([" + ", ".join(
+        f"{{'threshold_s': s{i}[1], 'n_boundaries': s{i}[2],"
+        f" 'cut_us': s{i}[3]}}"
+        for i in range(len(_SESSION_GAPS_S))
+    ) + "], recursive := true), n_users, n_events, span_us FROM g"
+    structs = ", ".join(f"{r} AS s{i}" for i, r in enumerate([
+        f"(CAST({t} AS BIGINT),"
+        f" CAST(sum(CASE WHEN gap_us > CAST({t} AS BIGINT) * 1000000 THEN 1 ELSE 0 END)"
+        f" AS BIGINT),"
+        f" CAST(sum(CASE WHEN gap_us > CAST({t} AS BIGINT) * 1000000 THEN gap_us"
+        f" ELSE 0 END) AS BIGINT))"
+        for t in _SESSION_GAPS_S
+    ]))
+    return f"""
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events),
+pu AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(us) - min(us) AS BIGINT) AS span_us
+  FROM o GROUP BY 1),
+g AS (
+  SELECT CAST((SELECT count(*) FROM pu) AS BIGINT) AS n_users,
+         CAST((SELECT sum(n_events) FROM pu) AS BIGINT) AS n_events,
+         CAST((SELECT sum(span_us) FROM pu) AS BIGINT) AS span_us,
+         {structs}
+  FROM o WHERE gap_us IS NOT NULL),
+st AS ({sel}),
+fin AS (
+  SELECT threshold_s, n_users, n_events,
+         n_users + n_boundaries AS n_sessions,
+         span_us - cut_us AS in_session_us
+  FROM st)
+SELECT threshold_s, n_users, n_events, n_sessions,
+       {_SESS_MEAN_EVENTS.format(div='//')} AS mean_events_x100,
+       {_SESS_MEAN_DUR.format(div='//')} AS mean_session_s
+FROM fin
+"""
+
+
+@_q("session_gap_sweep", "relational", _session_sweep_sql())
+def session_gap_sweep(spark, sf_dir):
+    """Session-GAP pricing sweep: the 30-minute constant `sessionization`
+    hardcodes, priced across every candidate threshold from ONE pass —
+    per threshold, global session count, mean events per session and
+    mean session duration (a gap > t splits exactly one session, so
+    sessions = users + split boundaries and in-session time = total
+    span minus the cut gaps; both are conditional sums over the SAME
+    lag relation, no per-threshold re-segmentation).  The knee of this
+    curve is how a 30-minute default is justified instead of assumed.
+    Scale shape: one lag window riding the per-user partitioning the
+    sessionizers already shuffle by, one map-side-combined rollup;
+    thresholds are conditional aggregates, and the 3-row explode
+    happens on the single global-rollup row."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        us.alias("us"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    pu = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("long").alias("span_us"),
+    )
+    gl = pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("span_us").cast("long").alias("span_us"),
+    )
+    cuts = o.filter(F.col("gap_us").isNotNull()).agg(
+        *[
+            x
+            for t in _SESSION_GAPS_S
+            for x in (
+                F.sum(
+                    F.when(F.col("gap_us") > t * 1_000_000, 1).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"nb{t}"),
+                F.sum(
+                    F.when(
+                        F.col("gap_us") > t * 1_000_000, F.col("gap_us")
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"cut{t}"),
+            )
+        ]
+    )
+    one = gl.crossJoin(F.broadcast(cuts))
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("long").alias("threshold_s"),
+                        F.col(f"nb{t}").alias("n_boundaries"),
+                        F.col(f"cut{t}").alias("cut_us"),
+                    )
+                    for t in _SESSION_GAPS_S
+                ]
+            )
+        ).alias("s"),
+        "n_users",
+        "n_events",
+        "span_us",
+    ).select(
+        "s.threshold_s",
+        "n_users",
+        "n_events",
+        (F.col("n_users") + F.col("s.n_boundaries")).alias("n_sessions"),
+        (F.col("span_us") - F.col("s.cut_us")).alias("in_session_us"),
+    )
+    return stacked.select(
+        "threshold_s",
+        "n_users",
+        "n_events",
+        "n_sessions",
+        F.expr(_SESS_MEAN_EVENTS.format(div="div")).alias(
+            "mean_events_x100"
+        ),
+        F.expr(_SESS_MEAN_DUR.format(div="div")).alias("mean_session_s"),
+    )
