@@ -309,6 +309,7 @@ HEADLINE = [
     "stream_snapshot_cadence",
     "dedup_winnow",
     "session_gap_sweep",
+    "dedup_weighted_jaccard",
 ]
 
 

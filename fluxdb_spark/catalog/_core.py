@@ -145,6 +145,7 @@ _PRIORITY: list[str] = [
     "stream_snapshot_cadence",
     "dedup_winnow",
     "session_gap_sweep",
+    "dedup_weighted_jaccard",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

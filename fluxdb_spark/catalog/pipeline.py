@@ -707,7 +707,12 @@ JOIN sigs t ON t.doc_id = c.probe_id
 """
 
 
-def _minhash_sql(threshold: float = 0.8) -> str:
+def _minhash_cands_ctes() -> str:
+    """CTE block `sh`/`shsize`/.../`cands(d1, d2)` — the LSH candidate
+    relation in SQL, shared by every oracle that verifies ON candidates
+    (plain `dedup_minhash_lsh`, the weighted-Jaccard verifier) so the
+    banding structure stays derived from MINHASH_K/LSH_BANDS in exactly
+    one place."""
     k = dd.MINHASH_K
     chunks = dd.sql_shingle_hash_chunks("shingle", k)
     hash_cols = ", ".join(f"{c} AS h{i}" for i, c in enumerate(chunks))
@@ -716,8 +721,7 @@ def _minhash_sql(threshold: float = 0.8) -> str:
         f"SELECT doc_id, {b} AS band, sig{2 * b} AS h0, sig{2 * b + 1} AS h1 FROM sigs"
         for b in range(k // 2)
     )
-    return f"""
-WITH {dd.sql_shingles_ctes()},
+    return f"""{dd.sql_shingles_ctes()},
 shingle_hashes AS (
   SELECT shingle, {hash_cols} FROM (SELECT DISTINCT shingle FROM sh)),
 sigs AS (
@@ -727,7 +731,12 @@ bands AS ({band_rows}),
 cands AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id),
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id)"""
+
+
+def _minhash_sql(threshold: float = 0.8) -> str:
+    return f"""
+WITH {_minhash_cands_ctes()},
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -5897,3 +5906,103 @@ def dedup_winnow(spark, sf_dir):
             F.expr(_WINNOW_SIM_PPM).alias("sim_ppm"),
         )
     )
+
+
+# Weighted-Jaccard verify constants (round 14).  Integer IDF proxy:
+# a shingle in df documents weighs 1000000 div df — a singleton shingle
+# weighs 1e6, a corpus-wide one ~0.  Threshold on the WEIGHTED score.
+WJ_THRESHOLD_PPM = 500_000
+
+_WJ_PPM = (
+    "CAST(shared_w * 1000000 {div} (w1 + w2 - shared_w) AS BIGINT)"
+)
+
+
+def _weighted_jaccard_sql() -> str:
+    return f"""
+WITH {_minhash_cands_ctes()},
+wdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+w AS (SELECT shingle, CAST(1000000 // df AS BIGINT) AS w FROM wdf),
+dw AS (SELECT sh.doc_id, CAST(sum(w.w) AS BIGINT) AS wsum
+       FROM sh JOIN w USING (shingle) GROUP BY 1),
+shared AS (
+  SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS n_shared,
+         CAST(sum(w.w) AS BIGINT) AS shared_w
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  JOIN w ON w.shingle = a.shingle
+  GROUP BY 1, 2),
+fin AS (
+  SELECT s.d1, s.d2, n_shared, shared_w,
+         wa.wsum AS w1, wb.wsum AS w2
+  FROM shared s
+  JOIN dw wa ON wa.doc_id = s.d1
+  JOIN dw wb ON wb.doc_id = s.d2)
+SELECT d1, d2, n_shared, shared_w, w1, w2,
+       {_WJ_PPM.format(div='//')} AS wj_ppm
+FROM fin WHERE {_WJ_PPM.format(div='//')} >= {WJ_THRESHOLD_PPM}
+"""
+
+
+@_q("dedup_weighted_jaccard", "pipeline", _weighted_jaccard_sql())
+def dedup_weighted_jaccard(spark, sf_dir):
+    """IDF-WEIGHTED Jaccard verification over the MinHash-LSH candidate
+    pairs: shared RARE shingles count for more than shared boilerplate
+    (weight = 1e6 div df, exact integers), which is the verdict plain
+    Jaccard gets wrong on template-heavy corpora — two docs sharing a
+    boilerplate header score high unweighted but near zero weighted,
+    and two docs sharing one rare paragraph score the reverse.
+    Candidates still come from the UNWEIGHTED MinHash banding (cheap,
+    recall-bounded by the LSH curve); the weights change the verdict,
+    not the candidate generation — so this composes with every LSH
+    economics audit already in the catalog.  Scale shape: the df/weight
+    table is one combine-friendly groupBy on the shingle vocabulary;
+    the shared-weight join is CANDIDATE-bounded (cands -> d1 shingles
+    -> d2 shingle match), never all-pairs; per-doc weight sums join
+    back on the surviving-pair relation."""
+    d = _td(spark, sf_dir)
+    sh = dd.exploded_shingles(d).localCheckpoint()  # df + dw + pair sides
+    cands = dd.lsh_candidate_pairs(dd.minhash_signatures(d))
+    w = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .select("shingle", F.expr("1000000 div df").cast("long").alias("w"))
+    )
+    shw = sh.join(w, "shingle")
+    dw = shw.groupBy("doc_id").agg(
+        F.sum("w").cast("long").alias("wsum")
+    )
+    a = shw.select(
+        F.col("doc_id").alias("sa"), "shingle", F.col("w").alias("wa")
+    )
+    b = sh.select(F.col("doc_id").alias("sb"), F.col("shingle").alias("sh_b"))
+    shared = (
+        cands.join(a, F.col("d1") == F.col("sa"))
+        .join(
+            b,
+            (F.col("d2") == F.col("sb"))
+            & (F.col("shingle") == F.col("sh_b")),
+        )
+        .groupBy("d1", "d2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum("wa").cast("long").alias("shared_w"),
+        )
+    )
+    w1 = dw.select(F.col("doc_id").alias("j1"), F.col("wsum").alias("w1"))
+    w2 = dw.select(F.col("doc_id").alias("j2"), F.col("wsum").alias("w2"))
+    fin = (
+        shared.join(w1, F.col("d1") == F.col("j1"))
+        .join(w2, F.col("d2") == F.col("j2"))
+        .select("d1", "d2", "n_shared", "shared_w", "w1", "w2")
+    )
+    return fin.select(
+        "d1",
+        "d2",
+        "n_shared",
+        "shared_w",
+        "w1",
+        "w2",
+        F.expr(_WJ_PPM.format(div="div")).alias("wj_ppm"),
+    ).filter(F.col("wj_ppm") >= WJ_THRESHOLD_PPM)

@@ -631,3 +631,46 @@ class TestWinnowing:
         assert fa & fb, "winnowing missed a guaranteed shared run"
         # density: selected fingerprints are a strict subset of grams
         assert len(fa) < len(a) - 8 + 1
+
+
+class TestWeightedJaccard:
+    """dedup_weighted_jaccard's reason to exist: shared BOILERPLATE must
+    score near zero weighted while shared RARE content scores high —
+    the verdict flip plain Jaccard cannot make.  Constructed corpus:
+    many docs share a template; two docs additionally share a rare
+    paragraph."""
+
+    def test_verdict_flips_on_boilerplate(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        template = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+            " lambda mu nu xi omicron pi rho sigma tau upsilon"
+        )
+        rare = "xenon krypton argon neon helium radon barium cerium"
+        docs = []
+        # 20 template docs, each with its own rare tail: pairwise they
+        # share ONLY the boilerplate (plain Jaccard ~0.6 -- above the
+        # weighted threshold if weighting did nothing), but the shared
+        # shingles all have df >= 20 while each doc's own tail is rare,
+        # so the weighted score collapses
+        for i in range(20):
+            docs.append((i, template + f" uniq{i}a uniq{i}b uniq{i}c uniq{i}d"))
+        # 2 docs sharing the RARE paragraph verbatim (identical text):
+        # weighted Jaccard of identical sets is 1.0 regardless of weights
+        docs.append((100, template + " " + rare))
+        docs.append((101, template + " " + rare))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        spec = {s.name: s for s in cat.catalog()}["dedup_weighted_jaccard"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {(r.d1, r.d2): r for r in spec.spark(spark, td).collect()}
+        # the rare-content pair survives the weighted threshold
+        assert (100, 101) in got
+        assert got[(100, 101)].wj_ppm >= 500_000
+        # template-only pairs (plain Jaccard 1.0, LSH-certain candidates)
+        # are killed by the weighting: their shingles have df >= 20
+        assert not any(d1 < 100 and d2 < 100 for d1, d2 in got), got.keys()
