@@ -310,6 +310,7 @@ HEADLINE = [
     "dedup_winnow",
     "session_gap_sweep",
     "dedup_weighted_jaccard",
+    "stream_winnow",
 ]
 
 

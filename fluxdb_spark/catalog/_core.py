@@ -146,6 +146,7 @@ _PRIORITY: list[str] = [
     "dedup_winnow",
     "session_gap_sweep",
     "dedup_weighted_jaccard",
+    "stream_winnow",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

@@ -798,3 +798,108 @@ def _cadence_finish(per):
         F.expr(_READ_SAVINGS_PPM).alias("read_savings_ppm"),
         F.expr(_INDEX_WRITE_X100).alias("index_write_x100"),
     )
+
+
+# =========================================================================
+# Winnowing pair audit (round 14).  The df cap is MOSS's common-code
+# elimination AND the quadratic-blowup guard: a fingerprint present in
+# more than 1/WINNOW_MAXDF_SHARE of the corpus identifies boilerplate,
+# not copying, and is dropped BEFORE the pair join — so the join volume
+# is bounded by sum(C(min(df, cap), 2)) instead of the corpus-quadratic
+# hot-fingerprint blowup.  The floor keeps the audit populated at tiny
+# SFs.  Constants/oracle/finisher live here because the batch audit
+# (`dedup_winnow`) and the standing twin (`stream_winnow`) share them —
+# the structural form of the drain-equals-batch claim.
+# =========================================================================
+
+WINNOW_MAXDF_FLOOR = 20
+WINNOW_MAXDF_SHARE = 100
+WINNOW_MIN_SHARED = 5
+
+_WINNOW_SIM_PPM = (
+    "CAST(floor(CAST(shared_fps AS DOUBLE) * 1000000"
+    " / CAST(n_fps_1 + n_fps_2 - shared_fps AS DOUBLE)) AS BIGINT)"
+)
+_WINNOW_MAXDF = (
+    f"greatest({WINNOW_MAXDF_FLOOR}, n_docs {{div}} {WINNOW_MAXDF_SHARE})"
+)
+
+# ONE oracle for the batch and streaming winnow audits.  n_docs comes
+# from the fingerprint relation itself (docs long enough to fingerprint)
+# so the streaming twin needs no second input.
+_WINNOW_SQL = f"""
+WITH {dd.sql_winnow_ctes()},
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM fp),
+wdf AS (SELECT fp.fp, CAST(count(*) AS BIGINT) AS df FROM fp GROUP BY 1),
+keep AS (SELECT wdf.fp FROM wdf, nd
+         WHERE df <= {_WINNOW_MAXDF.format(div='//')}),
+fk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
+nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fk GROUP BY 1),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(count(*) AS BIGINT) AS shared_fps
+  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2, shared_fps,
+       n1.nf AS n_fps_1, n2.nf AS n_fps_2,
+       {_WINNOW_SIM_PPM} AS sim_ppm
+FROM p
+JOIN nf n1 ON n1.doc_id = p.d1
+JOIN nf n2 ON n2.doc_id = p.d2
+WHERE shared_fps >= {WINNOW_MIN_SHARED}
+"""
+
+
+def _winnow_profile(docs):
+    """The (doc_id, fp) distinct winnowed-fingerprint relation — per-doc
+    JVM array work, map-only; the SAME select is the batch profile and
+    the streaming state update (rows are distinct per doc by
+    construction, so the streaming groupBy merge is idempotent)."""
+    return docs.select(
+        "doc_id",
+        F.explode(dd.winnow_fingerprints(F.col("text"))).alias("fp"),
+    )
+
+
+def _winnow_finish(fps):
+    """Fingerprint relation -> surviving copy-suspect pairs — shared by
+    the batch audit and the drained standing postings."""
+    fps = fps.localCheckpoint()  # n_docs + df counts + both join sides
+    nd = fps.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.expr(f"df <= {_WINNOW_MAXDF.format(div='div')}"))
+        .select("fp")
+    )
+    fk = fps.join(keep, "fp").localCheckpoint()  # nf + both pair sides
+    nf = fk.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("nf")
+    )
+    a = fk.select(F.col("doc_id").alias("d1"), "fp")
+    b = fk.select(F.col("doc_id").alias("d2"), F.col("fp").alias("fp_b"))
+    p = (
+        a.join(
+            b, (F.col("fp") == F.col("fp_b")) & (F.col("d1") < F.col("d2"))
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )
+    n1 = nf.select(F.col("doc_id").alias("j1"), F.col("nf").alias("n_fps_1"))
+    n2 = nf.select(F.col("doc_id").alias("j2"), F.col("nf").alias("n_fps_2"))
+    return (
+        p.join(n1, F.col("d1") == F.col("j1"))
+        .join(n2, F.col("d2") == F.col("j2"))
+        .select(
+            "d1",
+            "d2",
+            "shared_fps",
+            "n_fps_1",
+            "n_fps_2",
+            F.expr(_WINNOW_SIM_PPM).alias("sim_ppm"),
+        )
+    )

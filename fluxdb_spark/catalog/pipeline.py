@@ -48,6 +48,9 @@ from fluxdb_spark.catalog._shared import (
     _seasonality_finish,
     _shingle_df_finish,
     _spectrum_finish,
+    _WINNOW_SQL,
+    _winnow_finish,
+    _winnow_profile,
 )
 
 
@@ -5806,108 +5809,6 @@ def embed_pq_distortion(spark, sf_dir):
     return sim.pq_distortion(e)
 
 
-# Winnowing pair audit constants (round 14).  The df cap is MOSS's
-# common-code elimination AND the quadratic-blowup guard: a fingerprint
-# present in more than 1/WINNOW_MAXDF_SHARE of the corpus identifies
-# boilerplate, not copying, and is dropped BEFORE the pair join — so the
-# join volume is bounded by sum(C(min(df, cap), 2)) instead of the
-# corpus-quadratic hot-fingerprint blowup.  The floor keeps the audit
-# populated at tiny SFs.
-WINNOW_MAXDF_FLOOR = 20
-WINNOW_MAXDF_SHARE = 100
-WINNOW_MIN_SHARED = 5
-
-_WINNOW_SIM_PPM = (
-    "CAST(floor(CAST(shared_fps AS DOUBLE) * 1000000"
-    " / CAST(n_fps_1 + n_fps_2 - shared_fps AS DOUBLE)) AS BIGINT)"
-)
-_WINNOW_MAXDF = (
-    f"greatest({WINNOW_MAXDF_FLOOR}, n_docs {{div}} {WINNOW_MAXDF_SHARE})"
-)
-
-
-@_q(
-    "dedup_winnow",
-    "pipeline",
-    f"""
-WITH {dd.sql_winnow_ctes()},
-nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-wdf AS (SELECT fp.fp, CAST(count(*) AS BIGINT) AS df FROM fp GROUP BY 1),
-keep AS (SELECT wdf.fp FROM wdf, nd
-         WHERE df <= {_WINNOW_MAXDF.format(div='//')}),
-fk AS (SELECT f.doc_id, f.fp FROM fp f JOIN keep USING (fp)),
-nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf FROM fk GROUP BY 1),
-p AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2,
-         CAST(count(*) AS BIGINT) AS shared_fps
-  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT d1, d2, shared_fps,
-       n1.nf AS n_fps_1, n2.nf AS n_fps_2,
-       {_WINNOW_SIM_PPM} AS sim_ppm
-FROM p
-JOIN nf n1 ON n1.doc_id = p.d1
-JOIN nf n2 ON n2.doc_id = p.d2
-WHERE shared_fps >= {WINNOW_MIN_SHARED}
-""",
-)
-def dedup_winnow(spark, sf_dir):
-    """Winnowed-fingerprint copy detection (Schleimer/Wilkerson/Aiken's
-    MOSS, the span-level complement to `dedup_ngram`'s word-Jaccard and
-    `dedup_spans`' exact substrings): document pairs sharing >=
-    WINNOW_MIN_SHARED winnowed fingerprints, with fingerprint-Jaccard
-    sim_ppm.  The winnowing guarantee makes the audit sound — any
-    shared run >= w+k-1 = 11 chars leaves a shared fingerprint — while
-    selecting only ~2/(w+1) of the grams, so the posting list is
-    sublinear in text bytes.  Scale shape: fingerprinting is per-doc
-    array work (map-only, no Python); the adaptive df cap (MOSS's
-    common-code elimination) drops boilerplate fingerprints BEFORE the
-    pair join, bounding it at sum C(min(df,cap),2) — the same
-    hot-key-exclusion economics `dedup_ngram`'s prefix filter buys; the
-    per-doc totals join back on the bounded surviving-pair relation."""
-    d = _td(spark, sf_dir)
-    fps = d.select(
-        "doc_id",
-        F.explode(dd.winnow_fingerprints(F.col("text"))).alias("fp"),
-    ).localCheckpoint()  # df counts + both join sides read it
-    nd = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    keep = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .crossJoin(F.broadcast(nd))
-        .filter(F.expr(f"df <= {_WINNOW_MAXDF.format(div='div')}"))
-        .select("fp")
-    )
-    fk = fps.join(keep, "fp").localCheckpoint()  # nf + both pair sides
-    nf = fk.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("nf")
-    )
-    a = fk.select(F.col("doc_id").alias("d1"), "fp")
-    b = fk.select(
-        F.col("doc_id").alias("d2"), F.col("fp").alias("fp_b")
-    )
-    p = (
-        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("d1") < F.col("d2")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= WINNOW_MIN_SHARED)
-    )
-    n1 = nf.select(F.col("doc_id").alias("j1"), F.col("nf").alias("n_fps_1"))
-    n2 = nf.select(F.col("doc_id").alias("j2"), F.col("nf").alias("n_fps_2"))
-    return (
-        p.join(n1, F.col("d1") == F.col("j1"))
-        .join(n2, F.col("d2") == F.col("j2"))
-        .select(
-            "d1",
-            "d2",
-            "shared_fps",
-            "n_fps_1",
-            "n_fps_2",
-            F.expr(_WINNOW_SIM_PPM).alias("sim_ppm"),
-        )
-    )
-
-
 # Weighted-Jaccard verify constants (round 14).  Integer IDF proxy:
 # a shingle in df documents weighs 1000000 div df — a singleton shingle
 # weighs 1e6, a corpus-wide one ~0.  Threshold on the WEIGHTED score.
@@ -6006,3 +5907,23 @@ def dedup_weighted_jaccard(spark, sf_dir):
         "w2",
         F.expr(_WJ_PPM.format(div="div")).alias("wj_ppm"),
     ).filter(F.col("wj_ppm") >= WJ_THRESHOLD_PPM)
+
+
+@_q("dedup_winnow", "pipeline", _WINNOW_SQL)
+def dedup_winnow(spark, sf_dir):
+    """Winnowed-fingerprint copy detection (Schleimer/Wilkerson/Aiken's
+    MOSS, the span-level complement to `dedup_ngram`'s word-Jaccard and
+    `dedup_spans`' exact substrings): document pairs sharing >=
+    WINNOW_MIN_SHARED winnowed fingerprints, with fingerprint-Jaccard
+    sim_ppm.  The winnowing guarantee makes the audit sound — any
+    shared run >= w+k-1 = 11 chars leaves a shared fingerprint — while
+    selecting only ~2/(w+1) of the grams, so the posting list is
+    sublinear in text bytes.  Scale shape: fingerprinting is per-doc
+    array work (map-only, no Python); the adaptive df cap (MOSS's
+    common-code elimination) drops boilerplate fingerprints BEFORE the
+    pair join, bounding it at sum C(min(df,cap),2) — the same
+    hot-key-exclusion economics `dedup_ngram`'s prefix filter buys; the
+    per-doc totals join back on the bounded surviving-pair relation.
+    Profile/finisher/oracle are shared with the standing twin
+    `stream_winnow` (catalog/_shared.py)."""
+    return _winnow_finish(_winnow_profile(_td(spark, sf_dir)))

@@ -57,6 +57,9 @@ from fluxdb_spark.catalog._shared import (
     _spectrum_finish,
     _cadence_finish,
     _cadence_profile,
+    _WINNOW_SQL,
+    _winnow_finish,
+    _winnow_profile,
 )
 
 
@@ -1437,3 +1440,39 @@ def stream_snapshot_cadence(spark, sf_dir):
     )
     q.awaitTermination()
     return _cadence_finish(spark.table(name))
+
+
+@_q("stream_winnow", "streaming", _WINNOW_SQL)
+def stream_winnow(spark, sf_dir):
+    """STANDING winnowed-fingerprint postings: the (doc, fingerprint)
+    relation of `dedup_winnow` maintained as Structured Streaming state
+    (fingerprints are distinct per doc by construction, so the
+    micro-batch merge is idempotent counting), the copy-detection
+    firewall a training-data intake runs as documents ARRIVE — the
+    adaptive df cap re-evaluates against the standing corpus size at
+    every drain, so boilerplate that only becomes common over time is
+    retro-dropped.  Winnowing itself is per-doc map-side array work on
+    the stream.  Drained postings finish serving-side through the SAME
+    df-cap + pair-join finisher the batch audit uses and hash-match its
+    oracle constant — the structural form of the twin claim."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    per = _winnow_profile(raw).groupBy("doc_id", "fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    name = f"stream_winnow_{uuid.uuid4().hex[:8]}"
+    q = (
+        per.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _winnow_finish(spark.table(name).select("doc_id", "fp"))

@@ -316,6 +316,7 @@ class TestPhysicalDML:
 
 
 class TestDMLCrashRecovery:
+    @pytest.mark.sweep
     def test_crash_at_every_fileop_heals_and_stays_exact(
         self, spark, tmp_path, monkeypatch
     ):

@@ -346,8 +346,10 @@ class TestWholeCatalogAntiPatterns:
         "stream_shingle_df",
         "stream_pq_distortion",
         "stream_snapshot_cadence",
+        "stream_winnow",
     }
 
+    @pytest.mark.sweep
     def test_no_python_and_no_cartesian_anywhere(self, spark, specs):
         offenders: dict[str, list[str]] = {}
         for name, spec in specs.items():

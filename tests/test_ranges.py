@@ -47,6 +47,7 @@ def as_set(df):
 
 class TestEquivalence:
     @pytest.mark.parametrize("width", [1, 3, 8, 64, 1000])
+    @pytest.mark.sweep
     def test_matches_naive_at_any_bucket_width(
         self, points, intervals, width
     ):

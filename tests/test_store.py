@@ -601,6 +601,7 @@ class TestStoreLifecycle:
     engine read exact after EVERY stage — the composition a long-running
     deployment actually executes, not just each job in isolation."""
 
+    @pytest.mark.sweep
     def test_full_lifecycle_reads_stay_exact(self, spark, tmp_path):
         from fluxdb_spark.operators.snapshot import (
             build_tablet_index,
@@ -1355,6 +1356,7 @@ class _FileOpCrasher:
             monkeypatch.setattr(_os, name, wrapper)
 
 
+@pytest.mark.sweep
 class TestCrashFuzzStore:
     """Crash-fuzz the exactly-once commit protocol (the storage analog of
     the fork-fuzz property test): inject a crash at EVERY possible

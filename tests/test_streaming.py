@@ -1089,3 +1089,25 @@ class TestStreamPqDistortion:
         )
         assert stream == batch
         assert len(batch) == 4
+
+
+class TestStreamWinnow:
+    """The standing winnowed-fingerprint postings must finish to a table
+    EQUAL to the batch audit (shared profile + finisher + oracle
+    constant make the claim structural; this pins it end-to-end)."""
+
+    def test_drain_equals_batch(self, spark):
+        import fluxdb_spark.catalog as cat
+
+        specs = {s.name: s for s in cat.catalog()}
+        sf = "/root/testdata/sf0.001"
+        batch = sorted(
+            tuple(r)
+            for r in specs["dedup_winnow"].spark(spark, sf).collect()
+        )
+        stream = sorted(
+            tuple(r)
+            for r in specs["stream_winnow"].spark(spark, sf).collect()
+        )
+        assert stream == batch
+        assert len(batch) > 0
