@@ -311,6 +311,7 @@ HEADLINE = [
     "session_gap_sweep",
     "dedup_weighted_jaccard",
     "stream_winnow",
+    "embed_knn_graph_audit",
 ]
 
 

@@ -147,6 +147,7 @@ _PRIORITY: list[str] = [
     "session_gap_sweep",
     "dedup_weighted_jaccard",
     "stream_winnow",
+    "embed_knn_graph_audit",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

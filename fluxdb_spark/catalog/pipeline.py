@@ -5927,3 +5927,94 @@ def dedup_winnow(spark, sf_dir):
     Profile/finisher/oracle are shared with the standing twin
     `stream_winnow` (catalog/_shared.py)."""
     return _winnow_finish(_winnow_profile(_td(spark, sf_dir)))
+
+
+# kNN-graph audit constants (round 14).
+KNN_GRAPH_K = 5
+
+_KNN_MEAN_OUT_X100 = (
+    "CASE WHEN n_nodes = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(n_edges * 100 {div} n_nodes AS BIGINT) END"
+)
+_KNN_RECIP_PPM = (
+    "CASE WHEN n_edges = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(n_reciprocal * 1000000 {div} n_edges AS BIGINT) END"
+)
+
+
+def _knn_graph_sql() -> str:
+    return f"""
+WITH {sim.sql_knn_graph_edges(k=KNN_GRAPH_K)},
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM e),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+              CAST(count(DISTINCT d1) AS BIGINT) AS n_connected
+       FROM edges),
+rc AS (SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+       FROM edges x JOIN edges y ON x.d1 = y.d2 AND x.d2 = y.d1),
+ind AS (SELECT CAST(coalesce(max(c), 0) AS BIGINT) AS max_in_degree
+        FROM (SELECT count(*) AS c FROM edges GROUP BY d2))
+SELECT n_nodes, n_nodes - n_connected AS n_isolated, n_edges,
+       n_reciprocal, max_in_degree,
+       {_KNN_MEAN_OUT_X100.format(div='//')} AS mean_out_x100,
+       {_KNN_RECIP_PPM.format(div='//')} AS reciprocity_ppm
+FROM nn, st, rc, ind
+"""
+
+
+@_q("embed_knn_graph_audit", "pipeline", _knn_graph_sql())
+def embed_knn_graph_audit(spark, sf_dir):
+    """kNN-GRAPH health audit — the go/no-go read BEFORE building a
+    graph ANN index (HNSW-family) or graph dedup (SemDeDup
+    neighborhoods) over the corpus: isolated-node count (vectors the
+    bucketing never pairs — they would be unreachable in the graph
+    index), reciprocity (mutual-neighbor rate; low reciprocity means
+    asymmetric neighborhoods and poor greedy-search convergence), and
+    max in-degree (hub nodes that bloat every search path).  Edges come
+    from `knn_graph_edges` — LSH bucket SELF-join candidates (no query
+    broadcast; this is the form that survives when the query set IS the
+    corpus), exact rounded-cosine rank <= k per node compiling to
+    WindowGroupLimit.  Scale shape: candidate volume is sum over
+    buckets of |bucket|^2, never n^2; every rollup below the edge
+    relation is map-side combined; the reciprocity join runs on the
+    k*n-bounded edge relation."""
+    e = _t(spark, sf_dir, "embeddings")
+    edges = sim.knn_graph_edges(e, k=KNN_GRAPH_K).localCheckpoint()
+    nn = e.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    st = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.countDistinct("d1").cast("long").alias("n_connected"),
+    )
+    er = edges.select(F.col("d1").alias("r1"), F.col("d2").alias("r2"))
+    rc = (
+        edges.join(
+            er, (F.col("d1") == F.col("r2")) & (F.col("d2") == F.col("r1"))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    ind = (
+        edges.groupBy("d2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(F.max("c"), F.lit(0))
+            .cast("long")
+            .alias("max_in_degree")
+        )
+    )
+    return (
+        nn.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(rc))
+        .crossJoin(F.broadcast(ind))
+        .select(
+            "n_nodes",
+            (F.col("n_nodes") - F.col("n_connected")).alias("n_isolated"),
+            "n_edges",
+            "n_reciprocal",
+            "max_in_degree",
+            F.expr(_KNN_MEAN_OUT_X100.format(div="div")).alias(
+                "mean_out_x100"
+            ),
+            F.expr(_KNN_RECIP_PPM.format(div="div")).alias(
+                "reciprocity_ppm"
+            ),
+        )
+    )

@@ -2900,3 +2900,116 @@ def sql_pq_distortion(
             f" FROM {a}"
         )
     return ",".join(chains) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def knn_graph_edges(
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Directed k-nearest-neighbor GRAPH over the whole corpus, built the
+    scale way: multi-table sign-bit LSH buckets generate candidates by
+    SELF-equi-join (no query broadcast — both sides are the corpus, so
+    this is the form that survives when the "query set" is the corpus
+    itself), exact rounded cosine ranks within each node's candidate
+    set, rank <= k keeps the edges (WindowGroupLimit — at most k rows
+    per node leave each map task).  This is the construction step under
+    graph ANN indexes (HNSW-family) and graph dedup (SemDeDup
+    neighborhoods); `embed_knn_graph_audit` reads its health."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    sigs = (
+        spread(corpus)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
+        )
+        .select("vid", "vec", "tb.tbl", "tb.bucket")
+        .localCheckpoint()  # both sides of the self-join read it
+    )
+    a = sigs.select(
+        F.col("vid").alias("d1"), F.col("vec").alias("v1"), "tbl", "bucket"
+    )
+    b = sigs.select(
+        F.col("vid").alias("d2"), F.col("vec").alias("v2"), "tbl", "bucket"
+    )
+    cand = (
+        a.join(b, on=["tbl", "bucket"])
+        .filter(F.col("d1") != F.col("d2"))
+        .select("d1", "v1", "d2", "v2")
+        .dropDuplicates(["d1", "d2"])
+    )
+    scored = cand.withColumn("score", cosine(F.col("v1"), F.col("v2")))
+    w = Window.partitionBy("d1").orderBy(F.desc("score"), F.asc("d2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("d1", "d2", "score", "rank")
+    )
+
+
+def sql_knn_graph_edges(
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    source_cte: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
+    """DuckDB twin of `knn_graph_edges` as CTEs ending in
+    `edges(d1, d2, score, rank)` (same seeded planes, same round-4
+    cosine ranking, same id tiebreak)."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    planes_lit = (
+        "["
+        + ", ".join(
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(w) for w in p) + "]" for p in tbl
+            )
+            + "]"
+            for tbl in tables
+        )
+        + "]"
+    )
+    return f"""
+pl AS (SELECT {planes_lit} AS hp),
+e AS ({source_cte}),
+sig AS (
+  SELECT e.vec_id, t.tbl,
+         CAST(sum(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * hp[t.tbl + 1][pr.p + 1][i])) > 0
+                  THEN CAST(pow(2, pr.p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, pl, range(0, {n_tables}) t(tbl), range(0, {n_planes}) pr(p)
+  GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id),
+kidx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+kscored AS (
+  SELECT cand.d1, cand.d2,
+         round(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+            * sqrt(sum(CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))), 4) AS score
+  FROM cand
+  JOIN e q ON q.vec_id = cand.d1
+  JOIN e c ON c.vec_id = cand.d2
+  CROSS JOIN kidx
+  GROUP BY 1, 2),
+edges AS (
+  SELECT d1, d2, score, CAST(rn AS BIGINT) AS rank FROM (
+    SELECT d1, d2, score,
+           row_number() OVER (PARTITION BY d1
+                              ORDER BY score DESC, d2 ASC) AS rn
+    FROM kscored)
+  WHERE rn <= {k})"""

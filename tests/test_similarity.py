@@ -1051,3 +1051,50 @@ class TestPqDistortion:
             assert 0 <= r.mean_sq_err <= r.total_sq_err
             assert r.max_vec_err <= r.total_sq_err
             assert r.mean_sq_err == r.total_sq_err // r.n_vecs
+
+
+class TestKnnGraph:
+    """knn_graph_edges semantics on a planted corpus: identical twin
+    vectors must be each other's rank-1 neighbor (a reciprocal edge),
+    and the audit must count them as such."""
+
+    def test_planted_twins_are_reciprocal(self, spark):
+        import os
+        import tempfile
+
+        import numpy as np
+
+        import fluxdb_spark.catalog as cat
+
+        rng = np.random.RandomState(7)
+        rows = []
+        # 30 random unit-ish vectors
+        for i in range(30):
+            rows.append((i, [float(x) for x in rng.randn(64)]))
+        # twins: 100/101 nearly identical (cosine ~1), far from the rest
+        base = rng.randn(64)
+        rows.append((100, [float(x) for x in base]))
+        rows.append((101, [float(x) for x in base + 1e-4]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        specs = {s.name: s for s in cat.catalog()}
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "embeddings.parquet"))
+            from fluxdb_spark.functions import similarity as sim
+
+            edges = {
+                (r.d1, r.d2): r.rank
+                for r in sim.knn_graph_edges(
+                    spark.read.parquet(os.path.join(td, "embeddings.parquet"))
+                ).collect()
+            }
+            audit = specs["embed_knn_graph_audit"].spark(spark, td).collect()
+        # identical twins collide in every LSH table -> candidate, and
+        # cosine ~1 ranks them first mutually
+        assert edges.get((100, 101)) == 1
+        assert edges.get((101, 100)) == 1
+        row = audit[0]
+        assert row.n_nodes == 32
+        assert row.n_reciprocal >= 2  # at least the twin edge, both ways
+        assert 0 < row.reciprocity_ppm <= 1_000_000

@@ -64,6 +64,21 @@ DOC_REPLICAS = {"x1": 1, "x3": 3, "x10": 10}
 VEC_REPLICAS = {"x1": 1, "x2": 2, "x4": 4, "x8": 8}
 
 
+def _write_single_file(df, dest_dir: str, name: str) -> None:
+    """Write `df` as ONE parquet FILE named like the driver's testdata
+    (sf_dir/<table>.parquet as a file, not a directory): the streaming
+    twins read with pathGlobFilter on that exact leaf name, so a
+    directory layout would silently stream zero rows (that artifact
+    produced a false twin-mismatch in the first r14 probe run)."""
+    import glob as _glob
+
+    tmp = os.path.join(dest_dir, f"_{name}_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.replace(part, os.path.join(dest_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
 def build_docs(spark, replicas: int, dest: str) -> int:
     """Replicate the sf0.1 documents with a per-replica WORD-TAG
     bijection: every word of replica r gets the prefix `r<r>x`, so each
@@ -98,9 +113,7 @@ def build_docs(spark, replicas: int, dest: str) -> int:
     for p in parts[1:]:
         out = out.unionByName(p)
     os.makedirs(dest, exist_ok=True)
-    out.coalesce(max(1, replicas)).write.mode("overwrite").parquet(
-        os.path.join(dest, "documents.parquet")
-    )
+    _write_single_file(out, dest, "documents")
     return n * replicas
 
 
@@ -138,9 +151,7 @@ def build_vecs(spark, replicas: int, dest: str) -> int:
     for p in parts[1:]:
         out = out.unionByName(p)
     os.makedirs(dest, exist_ok=True)
-    out.coalesce(max(1, replicas)).write.mode("overwrite").parquet(
-        os.path.join(dest, "embeddings.parquet")
-    )
+    _write_single_file(out, dest, "embeddings")
     return n * replicas
 
 
