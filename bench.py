@@ -312,6 +312,7 @@ HEADLINE = [
     "dedup_weighted_jaccard",
     "stream_winnow",
     "embed_knn_graph_audit",
+    "embed_ivfpq_topk",
 ]
 
 

@@ -148,6 +148,7 @@ _PRIORITY: list[str] = [
     "dedup_weighted_jaccard",
     "stream_winnow",
     "embed_knn_graph_audit",
+    "embed_ivfpq_topk",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

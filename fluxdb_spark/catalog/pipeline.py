@@ -6018,3 +6018,22 @@ def embed_knn_graph_audit(spark, sf_dir):
             ),
         )
     )
+
+
+@_q("embed_ivfpq_topk", "pipeline", sim.sql_ivfpq_topk())
+def embed_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (the FAISS IVFADC architecture assembled from the
+    engine's own exact stages): coarse integer k-means routes vectors
+    to inverted cells, PQ codes replace the floats, queries probe their
+    2 nearest of 8 cells and score candidates by ADC lookup.  Both
+    stages are the fixed-point machinery, so — unlike the numpy-coarse
+    `embed_ann_ivf`, which is rows-only by design — this PARTIAL-probe
+    composite is fully oracle-hashed, probe selection included: the one
+    entry that certifies the assembled billion-vector serving layout
+    end to end.  Scale shape: one map-only pass emits (cell, m codes)
+    per vector — the only relation the query path scans; queries
+    broadcast with in-plan LUTs + probe lists; candidate join is an
+    equi-join on cell (|corpus| * n_probe / n_cells ADC lookups per
+    query); top-k is the bounded per-query window."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk(e, e.filter(F.col("vec_id") < 5))

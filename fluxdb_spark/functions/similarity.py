@@ -3013,3 +3013,195 @@ edges AS (
                               ORDER BY score DESC, d2 ASC) AS rn
     FROM kscored)
   WHERE rn <= {k})"""
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the FAISS IVFADC layout, Jegou et al. 2011 §IV): a coarse
+    quantizer routes each vector to one of `n_cells` inverted lists, a
+    product quantizer stores it as m codeword ids, and a query probes
+    its `n_probe` nearest cells scoring candidates by ADC lookup — the
+    assembled architecture behind every billion-vector ANN deployment.
+
+    Unlike `embed_ann_ivf` (numpy float coarse quantizer, rows-only by
+    design), BOTH stages here are the exact fixed-point machinery: the
+    coarse quantizer is `kmeans_centroids` (integer Lloyd) and the PQ
+    stage is the integer codebook/ADC path — so the PARTIAL-probe
+    result is deterministic and fully oracle-hashable, probe selection
+    included.
+
+    Scale shape: one map-only corpus pass emits (cell, codes) — m small
+    ints plus a cell id per vector, the only thing the query path ever
+    scans; queries broadcast with their m*ks-entry LUTs and probe-cell
+    lists precomputed in-plan (centroids and codebooks are plan
+    literals); the candidate join is an equi-join on cell, so per-query
+    work is |corpus| * n_probe / n_cells ADC lookups, not dim
+    multiplies over the corpus; top-k is the bounded per-query
+    window."""
+    cents = kmeans_centroids(
+        corpus, k=n_cells, iters=iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    books = pq_codebooks(corpus, m, ks, iters, dim, scale, id_col, vec_col)
+    sub = dim // m
+    qz = _quantize(F.col(vec_col), scale)
+    codes = F.array(
+        *[
+            _nearest_int_centroid(
+                _quantize(
+                    F.slice(F.col(vec_col), s * sub + 1, sub), scale
+                ),
+                books[s],
+            )["idx"]
+            for s in range(m)
+        ]
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("match_id"),
+        _nearest_int_centroid(qz, cents)["idx"].alias("cell"),
+        codes.alias("codes"),
+    )
+    probe = F.transform(
+        F.slice(_int_centroid_dists(qz, cents), 1, n_probe),
+        lambda s: s["idx"],
+    )
+    luts = F.array(
+        *[
+            _codeword_dists(
+                _quantize(
+                    F.slice(F.col(vec_col), s * sub + 1, sub), scale
+                ),
+                books[s],
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe).alias("cell"),
+        luts.alias("lut"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn(
+            "adist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("lut"),
+                    F.col("codes"),
+                    lambda l, cd: F.element_at(
+                        l, (cd + F.lit(1)).cast("int")
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "cell", "adist", "rank")
+    )
+
+
+def sql_ivfpq_topk(
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    n_queries: int = 5,
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of `ivfpq_topk`: the coarse-quantizer kmeans chain
+    (prefix `cq`, full-width vectors) gives cells + per-query probe
+    lists; one prefixed chain per PQ subspace gives codes + LUTs (the
+    sql_pq_topk composition); the ADC sum is joined through the probe
+    relation so the PARTIAL-probe candidate set is reproduced
+    exactly."""
+    sub = dim // m
+    cq_body, cq_a = _sql_kmeans_ctes(n_cells, iters, scale, prefix="cq")
+    chains, finals = [cq_body], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        body, a = _sql_kmeans_ctes(
+            ks,
+            iters,
+            scale,
+            source_cte=(
+                f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                " FROM embeddings"
+            ),
+            prefix=f"s{s}",
+        )
+        chains.append(body.replace("\nWITH ", "\n", 1))
+        finals.append((f"s{s}", a))
+    qd = ",".join(
+        f"""
+{p}qd AS (SELECT e.vec_id AS query_id, c.cluster,
+          sum((e.val - c.cv) * (e.val - c.cv)) AS d
+          FROM {p}e e JOIN {p}cent{iters - 1} c USING (pos)
+          WHERE e.vec_id < {n_queries} GROUP BY 1, 2)"""
+        for p, _a in finals
+    )
+    code_joins = " ".join(
+        f"JOIN {a} x{i} USING (vec_id)"
+        for i, (_p, a) in enumerate(finals)
+        if i > 0
+    )
+    lut_joins = " ".join(
+        f"JOIN {p}qd q{i} ON q{i}.cluster = x{i}.cluster"
+        + ("" if i == 0 else f" AND q{i}.query_id = q0.query_id")
+        for i, (p, _a) in enumerate(finals)
+    )
+    adist = " + ".join(f"q{i}.d" for i in range(m))
+    return (
+        ",".join(chains)
+        + ","
+        + qd
+        + f""",
+cqqd AS (SELECT e.vec_id AS query_id, c.cluster,
+         sum((e.val - c.cv) * (e.val - c.cv)) AS d
+         FROM cqe e JOIN cqcent{iters - 1} c USING (pos)
+         WHERE e.vec_id < {n_queries} GROUP BY 1, 2),
+cqprobe AS (SELECT query_id, cluster AS cell FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY d, cluster) AS rn
+    FROM cqqd) WHERE rn <= {n_probe}),
+cqcell AS (SELECT vec_id, CAST(cluster AS BIGINT) AS cell FROM {cq_a}),
+ad AS (SELECT q0.query_id, x0.vec_id AS match_id, ce.cell,
+              {adist} AS adist
+       FROM {finals[0][1]} x0 {code_joins}
+       JOIN cqcell ce ON ce.vec_id = x0.vec_id
+       {lut_joins}
+       JOIN cqprobe pr ON pr.query_id = q0.query_id
+                      AND pr.cell = ce.cell
+       WHERE x0.vec_id != q0.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adist, match_id) AS rank
+           FROM ad)
+SELECT query_id, match_id, cell, CAST(adist AS BIGINT) AS adist,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+    )

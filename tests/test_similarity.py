@@ -1098,3 +1098,31 @@ class TestKnnGraph:
         assert row.n_nodes == 32
         assert row.n_reciprocal >= 2  # at least the twin edge, both ways
         assert 0 < row.reciprocity_ppm <= 1_000_000
+
+
+class TestIvfPq:
+    """The IVF-PQ composite must degrade to the flat PQ ADC scan when
+    every cell is probed: same codebooks, same LUTs, so the only thing
+    partial probe changes is the CANDIDATE set.  Pinning the full-probe
+    identity checks the assembly (cell routing, probe join, ADC) adds
+    exactly nothing to the scoring math."""
+
+    def test_full_probe_equals_flat_pq(self, spark):
+        from pyspark.sql import functions as F
+
+        from fluxdb_spark.functions import similarity as sim
+
+        e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 5)
+        ivfpq = {
+            (r.query_id, r.match_id): (r.adist, r.rank)
+            for r in sim.ivfpq_topk(
+                e, q, n_cells=8, n_probe=8
+            ).collect()
+        }
+        flat = {
+            (r.query_id, r.match_id): (r.adist, r.rank)
+            for r in sim.pq_topk(e, q).collect()
+        }
+        assert ivfpq == flat
+        assert len(flat) == 50
