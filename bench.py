@@ -313,6 +313,7 @@ HEADLINE = [
     "stream_winnow",
     "embed_knn_graph_audit",
     "embed_ivfpq_topk",
+    "embed_ivfpq_materialized",
 ]
 
 

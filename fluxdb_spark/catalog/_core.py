@@ -149,6 +149,7 @@ _PRIORITY: list[str] = [
     "stream_winnow",
     "embed_knn_graph_audit",
     "embed_ivfpq_topk",
+    "embed_ivfpq_materialized",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

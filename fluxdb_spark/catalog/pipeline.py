@@ -6037,3 +6037,58 @@ def embed_ivfpq_topk(spark, sf_dir):
     query); top-k is the bounded per-query window."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.ivfpq_topk(e, e.filter(F.col("vec_id") < 5))
+
+
+@_q("embed_ivfpq_materialized", "pipeline", sim.sql_ivfpq_topk())
+def embed_ivfpq_materialized(spark, sf_dir):
+    """`embed_ivfpq_topk` as a STANDING SERVICE — the complete FAISS-
+    style serving deployment: the coarse centroids AND the PQ codebooks
+    are trained once on the store's live corpus and frozen to model
+    sidecars, the inverted file (vec_id -> cell) and the codes table
+    (vec_id -> m codeword ids) are maintained by the row-wise IVM
+    maintainers in a persistent service directory beside the store, and
+    the PARTIAL-probe query path joins the two standing tables — query
+    time never re-trains, never re-encodes, never touches a float
+    vector.  Both assignments are the same exact integer argmin on both
+    paths, so this is bit-identical to the recompute form (same
+    oracle, probe selection included)."""
+    import os
+
+    from fluxdb_spark.streaming import retrieval as rt
+
+    store = _mat_store_vecs(spark, sf_dir)
+    svc = os.path.join(os.path.dirname(str(store.root)), "ivfpq_svc")
+    cells_dest, codes_dest = (
+        os.path.join(svc, "cells"),
+        os.path.join(svc, "codes"),
+    )
+    cents = rt.load_centroids(cells_dest)
+    books = rt.load_pq_books(codes_dest)
+    if cents is None or books is None:
+        live = rt.lww_latest(
+            rt.vector_relation(store.changelog()), ["vec_id"]
+        ).select("vec_id", "embedding")
+        cents = sim.kmeans_centroids(live, k=8, iters=2)
+        books = sim.pq_codebooks(live, m=4, ks=8, iters=2)
+        rt.save_centroids(cells_dest, cents)
+        rt.save_pq_books(codes_dest, books)
+    rt.refresh(
+        spark, str(store.root), cells_dest,
+        rt.centroid_assign_transform(cents),
+        os.path.join(svc, "cells_ck"),
+    )
+    rt.refresh(
+        spark, str(store.root), codes_dest,
+        rt.pq_codes_transform(books),
+        os.path.join(svc, "codes_ck"),
+    )
+    cells = rt.lww_latest(
+        rt.read_derived(spark, cells_dest), ["vec_id"]
+    ).select("vec_id", "cluster")
+    codes = rt.lww_latest(
+        rt.read_derived(spark, codes_dest), ["vec_id"]
+    ).select("vec_id", "codes")
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivfpq_topk_from_tables(
+        cells, codes, cents, books, e.filter(F.col("vec_id") < 5)
+    ).localCheckpoint()

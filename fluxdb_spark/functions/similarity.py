@@ -3073,6 +3073,60 @@ def ivfpq_topk(
         _nearest_int_centroid(qz, cents)["idx"].alias("cell"),
         codes.alias("codes"),
     )
+    return _ivfpq_score(
+        c, queries, cents, books, k, n_probe, dim, scale, id_col, vec_col
+    )
+
+
+def ivfpq_topk_from_tables(
+    cells: DataFrame,
+    codes: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivfpq_topk` with BOTH corpus-side relations read from
+    MATERIALIZED tables — `cells` (id, cluster: the inverted file) and
+    `codes` (id, codes: the compressed corpus) maintained by the
+    row-wise IVM maintainers over the FROZEN models — the serving
+    shape: query time never touches the float corpus, it scans m small
+    ints + a cell id per vector.  Bit-identical to the recompute form
+    (same frozen models, same exact integer assignment on both
+    paths)."""
+    c = codes.select(F.col(id_col), "codes").join(
+        cells.select(F.col(id_col), F.col("cluster").alias("cell")),
+        id_col,
+    ).select(F.col(id_col).alias("match_id"), "cell", "codes")
+    return _ivfpq_score(
+        c, queries, cents, books, k, n_probe, dim, scale, id_col, vec_col
+    )
+
+
+def _ivfpq_score(
+    c: DataFrame,
+    queries: DataFrame,
+    cents: list[list[int]],
+    books: list[list[list[int]]],
+    k: int,
+    n_probe: int,
+    dim: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The IVFADC query path over a (match_id, cell, codes) relation —
+    shared by the recompute and materialized forms: probe-cell lists
+    and ADC LUTs ride in-plan with the broadcast queries; candidates
+    equi-join on cell; top-k is the bounded per-query window."""
+    m = len(books)
+    sub = dim // m
+    qz = _quantize(F.col(vec_col), scale)
     probe = F.transform(
         F.slice(_int_centroid_dists(qz, cents), 1, n_probe),
         lambda s: s["idx"],
