@@ -314,6 +314,7 @@ HEADLINE = [
     "embed_knn_graph_audit",
     "embed_ivfpq_topk",
     "embed_ivfpq_materialized",
+    "embed_mips_topk",
 ]
 
 

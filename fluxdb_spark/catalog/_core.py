@@ -150,6 +150,7 @@ _PRIORITY: list[str] = [
     "embed_knn_graph_audit",
     "embed_ivfpq_topk",
     "embed_ivfpq_materialized",
+    "embed_mips_topk",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

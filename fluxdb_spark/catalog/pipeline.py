@@ -6122,3 +6122,81 @@ def embed_ivfpq_materialized(spark, sf_dir):
     return sim.ivfpq_topk_from_tables(
         cells, codes, cents, books, e.filter(F.col("vec_id") < 5)
     ).localCheckpoint()
+
+
+_MIPS_SCALE = 1_000_000
+MIPS_K = 10
+
+
+def _mips_sql(k: int = MIPS_K, dim: int = 64, n_queries: int = 5) -> str:
+    return f"""
+WITH mq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_MIPS_SCALE}) AS BIGINT))
+           AS q
+  FROM embeddings),
+qs AS (SELECT vec_id AS query_id, q AS qq FROM mq
+       WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT qs.query_id, c.vec_id AS match_id,
+         CAST(list_sum(list_transform(range(1, {dim + 1}),
+                                      i -> qs.qq[i] * c.q[i]))
+              AS BIGINT) AS ip
+  FROM qs, mq c WHERE c.vec_id <> qs.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY ip DESC, match_id ASC) AS rn
+  FROM scored)
+SELECT query_id, match_id, ip, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
+@_q("embed_mips_topk", "pipeline", _mips_sql())
+def embed_mips_topk(spark, sf_dir):
+    """Maximum-INNER-PRODUCT search (MIPS) — the retrieval objective of
+    recommender and two-tower ranking models, where vector NORM carries
+    signal (a popular item's long embedding should outrank a niche
+    near-parallel one), so cosine top-k (`embed_topk`) is the WRONG
+    operator and this is its unnormalized sibling.  Scores are exact
+    integer dot products over the fixed-point-quantized vectors — no
+    float summation order, no rounding gotcha, ranks hash-match the
+    oracle bit-for-bit.  Scale shape: queries broadcast with their
+    quantized arrays in-plan; one map-only corpus scan scores
+    |corpus| x |queries| pairs JVM-side; per-query top-k is the bounded
+    window.  At 100 TB the corpus side reduces to any of the shipped
+    ANN ladders via the standard MIPS->cosine norm-augmentation
+    (append sqrt(M^2-|x|^2) to corpus vectors, 0 to queries), which
+    this exact form is the verification oracle for."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = spread(e).select(
+        F.col("vec_id").alias("match_id"),
+        sim._quantize(F.col("embedding"), _MIPS_SCALE).alias("cq"),
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        sim._quantize(F.col("embedding"), _MIPS_SCALE).alias("qq"),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .withColumn(
+            "ip",
+            F.aggregate(
+                F.zip_with(
+                    F.col("cq"), F.col("qq"), lambda x, y: x * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ip"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= MIPS_K)
+        .select("query_id", "match_id", "ip", "rank")
+    )

@@ -1126,3 +1126,36 @@ class TestIvfPq:
         }
         assert ivfpq == flat
         assert len(flat) == 50
+
+
+class TestMipsTopk:
+    """MIPS vs cosine: norm must carry signal.  A long vector at a
+    slight angle outranks a short parallel one under inner product —
+    the exact ordering cosine inverts."""
+
+    def test_norm_beats_angle(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        q = [1.0] + [0.0] * 63
+        short_parallel = [0.5] + [0.0] * 63          # ip 0.5, cos 1.0
+        long_angled = [2.0, 1.0] + [0.0] * 62        # ip 2.0, cos 0.89
+        rows = [
+            (0, q),
+            (10, short_parallel),
+            (11, long_angled),
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        spec = {s.name: s for s in cat.catalog()}["embed_mips_topk"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "embeddings.parquet"))
+            got = {
+                (r.query_id, r.rank): r.match_id
+                for r in spec.spark(spark, td).collect()
+            }
+        assert got[(0, 1)] == 11  # MIPS: the long vector wins
+        assert got[(0, 2)] == 10
