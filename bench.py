@@ -315,6 +315,7 @@ HEADLINE = [
     "embed_ivfpq_topk",
     "embed_ivfpq_materialized",
     "embed_mips_topk",
+    "phrase_search_postings",
 ]
 
 

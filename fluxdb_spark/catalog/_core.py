@@ -151,6 +151,7 @@ _PRIORITY: list[str] = [
     "embed_ivfpq_topk",
     "embed_ivfpq_materialized",
     "embed_mips_topk",
+    "phrase_search_postings",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

@@ -6200,3 +6200,79 @@ def embed_mips_topk(spark, sf_dir):
         .filter(F.col("rank") <= MIPS_K)
         .select("query_id", "match_id", "ip", "rank")
     )
+
+
+PHRASE_TOP = 3
+
+
+def _phrase_search_sql(top: int = PHRASE_TOP) -> str:
+    return f"""
+WITH ptoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+               FROM documents),
+post AS (SELECT doc_id, i AS pos, t[i] AS term
+         FROM ptoks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+big AS (SELECT a.doc_id, concat(a.term, ' ', b.term) AS phrase
+        FROM post a JOIN post b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cnt AS (SELECT phrase, count(*) AS c FROM big GROUP BY 1),
+top3 AS (SELECT phrase FROM (
+           SELECT phrase,
+                  row_number() OVER (ORDER BY c DESC, phrase ASC) AS rn
+           FROM cnt) WHERE rn <= {top})
+SELECT big.phrase, big.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM big JOIN top3 USING (phrase)
+GROUP BY 1, 2
+"""
+
+
+@_q("phrase_search_postings", "pipeline", _phrase_search_sql())
+def phrase_search_postings(spark, sf_dir):
+    """Exact PHRASE search through a positional postings index — the
+    Lucene-family architecture re-expressed relationally: the corpus is
+    one (doc, position, term) postings relation, and a phrase query is
+    an equi-join of its terms' postings on (doc, pos+1) adjacency —
+    never a substring scan of the text.  The entry indexes the corpus,
+    takes its top-3 bigram phrases (frequency desc, phrase asc —
+    deterministic), and answers all of them through the postings join,
+    returning per-doc match counts.  Scale shape: the postings relation
+    partitions by doc_id and the adjacency self-join is co-partitioned
+    on it (one shuffle that every phrase query amortizes); the phrase
+    pick is TakeOrdered over the bounded distinct-bigram relation, and
+    the final rollup folds map-side.  (Corpus-wide bigram STATISTICS
+    have a cheaper map-side form — `collocations`' array-zip — but an
+    ad-hoc phrase query against standing postings is exactly this
+    join.)"""
+    d = _td(spark, sf_dir)
+    post = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "term"
+        ),
+    ).localCheckpoint()  # both sides of the adjacency join read it
+    a = post.select(
+        "doc_id", F.col("pos").alias("p1"), F.col("term").alias("t1")
+    )
+    b = post.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("p2"),
+        F.col("term").alias("t2"),
+    )
+    big = a.join(
+        b,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("p2") == F.col("p1") + 1),
+    ).select(
+        "doc_id", F.concat(F.col("t1"), F.lit(" "), F.col("t2")).alias("phrase")
+    ).localCheckpoint()  # phrase pick + final rollup read it
+    top = (
+        big.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("phrase"))
+        .limit(PHRASE_TOP)
+        .select("phrase")
+    )
+    return (
+        big.join(F.broadcast(top), "phrase")
+        .groupBy("phrase", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )

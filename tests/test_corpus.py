@@ -1279,3 +1279,37 @@ class TestPackingBudgetSweep:
         # the decision-table property: waste falls, crossing rises
         assert got[64].waste_ppm < got[512].waste_ppm
         assert got[64].n_crossing > got[512].n_crossing
+
+
+class TestPhraseSearch:
+    """phrase_search_postings on a constructed corpus: the postings
+    adjacency join must count exact phrase occurrences (overlaps
+    included) and pick the top phrases deterministically."""
+
+    def test_counts_and_pick(self, spark):
+        import os
+        import tempfile
+
+        import fluxdb_spark.catalog as cat
+
+        docs = [
+            (0, "red fox red fox red"),     # "red fox" x2, "fox red" x2
+            (1, "red fox jumps high"),      # "red fox" x1
+            (2, "blue sky blue sky"),       # "blue sky" x2, "sky blue" x1
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        spec = {s.name: s for s in cat.catalog()}["phrase_search_postings"]
+        with tempfile.TemporaryDirectory() as td:
+            df.write.parquet(os.path.join(td, "documents.parquet"))
+            got = {
+                (r.phrase, r.doc_id): r.n_matches
+                for r in spec.spark(spark, td).collect()
+            }
+        # counts: red fox=3, fox red=2, blue sky=2, sky blue=1, others 1
+        # top-3 by (count desc, phrase asc): red fox(3), blue sky(2), fox red(2)
+        phrases = {p for p, _d in got}
+        assert phrases == {"red fox", "blue sky", "fox red"}
+        assert got[("red fox", 0)] == 2
+        assert got[("red fox", 1)] == 1
+        assert got[("fox red", 0)] == 2
+        assert got[("blue sky", 2)] == 2
