@@ -316,6 +316,7 @@ HEADLINE = [
     "embed_ivfpq_materialized",
     "embed_mips_topk",
     "phrase_search_postings",
+    "flux_retention_sweep",
 ]
 
 

@@ -152,6 +152,7 @@ _PRIORITY: list[str] = [
     "embed_ivfpq_materialized",
     "embed_mips_topk",
     "phrase_search_postings",
+    "flux_retention_sweep",
     "tpch_q12",
     "dedup_exact",
     "dedup_ngram",

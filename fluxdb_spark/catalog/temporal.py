@@ -1583,3 +1583,106 @@ def flux_snapshot_cadence_sweep(spark, sf_dir):
     window, nothing downstream of the profile touches the changelog."""
     log = changelog_from_events(_t(spark, sf_dir, "events"))
     return _cadence_finish(_cadence_profile(log))
+
+
+# Retention-policy sweep constants (round 14): candidate keep-last-N
+# policies priced from one pass, the cadence-sweep discipline applied
+# to version GC.
+_RETENTION_NS = (1, 2, 4)
+
+_RECLAIM_PPM = (
+    "CASE WHEN n_rows = 0 THEN CAST(0 AS BIGINT)"
+    " ELSE CAST(floor(CAST(reclaimed_rows AS DOUBLE) * 1000000"
+    " / CAST(n_rows AS DOUBLE)) AS BIGINT) END"
+)
+
+
+def _retention_sql() -> str:
+    """Oracle derived from the SAME _RETENTION_NS constants the Spark
+    plan aggregates over."""
+    aggs = ", ".join(
+        f"CAST(sum(greatest(nv - {n}, 0)) AS BIGINT) AS rec{n}"
+        for n in _RETENTION_NS
+    )
+    arms = ", ".join(
+        f"{{'keep_n': CAST({n} AS BIGINT), 'reclaimed_rows': rec{n}}}"
+        for n in _RETENTION_NS
+    )
+    return f"""
+WITH {CHANGELOG_CTE},
+pk AS (
+  SELECT tablet_id, primary_key, CAST(count(*) AS BIGINT) AS nv
+  FROM changelog GROUP BY 1, 2),
+pt AS (
+  SELECT tablet_id,
+         CAST(sum(nv) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         {aggs}
+  FROM pk GROUP BY 1),
+st AS (
+  SELECT tablet_id, n_rows, n_keys,
+         unnest([{arms}], recursive := true)
+  FROM pt)
+SELECT tablet_id, keep_n, n_rows, n_keys, reclaimed_rows,
+       n_rows - reclaimed_rows AS survivor_rows,
+       {_RECLAIM_PPM} AS reclaim_ppm
+FROM st
+"""
+
+
+@_q("flux_retention_sweep", "temporal", _retention_sql())
+def flux_retention_sweep(spark, sf_dir):
+    """Version-RETENTION pricing sweep: the cadence-sweep discipline
+    applied to GC — for every candidate keep-last-N-versions policy,
+    per tablet, the rows a retention pass would reclaim vs keep
+    (reclaimed = sum over keys of max(nv - N, 0); exact, since
+    retention truncates each key's history independently).  Where
+    `flux_write_amplification` says how redundant the log IS and
+    `flux_tombstone_audit` says which keys are safely prunable, this
+    prices what each POLICY would actually recover — the number a
+    storage budget negotiates against before scheduling the I6 prune.
+    Scale shape: ONE per-(tablet, key) count (map-side combine — the
+    same relation every write-path audit folds), one |keys|-row
+    rollup; policies are conditional sums and the 3-row explode
+    happens on the |tablets|-row relation."""
+    log = changelog_from_events(_t(spark, sf_dir, "events"))
+    pk = log.groupBy("tablet_id", "primary_key").agg(
+        F.count(F.lit(1)).cast("long").alias("nv")
+    )
+    pt = pk.groupBy("tablet_id").agg(
+        F.sum("nv").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        *[
+            F.sum(F.greatest(F.col("nv") - n, F.lit(0)))
+            .cast("long")
+            .alias(f"rec{n}")
+            for n in _RETENTION_NS
+        ],
+    )
+    stacked = pt.select(
+        "tablet_id",
+        "n_rows",
+        "n_keys",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).cast("long").alias("keep_n"),
+                        F.col(f"rec{n}").alias("reclaimed_rows"),
+                    )
+                    for n in _RETENTION_NS
+                ]
+            )
+        ).alias("s"),
+    )
+    return stacked.select(
+        "tablet_id",
+        "s.keep_n",
+        "n_rows",
+        "n_keys",
+        F.col("s.reclaimed_rows").alias("reclaimed_rows"),
+        (F.col("n_rows") - F.col("s.reclaimed_rows")).alias(
+            "survivor_rows"
+        ),
+        F.expr(_RECLAIM_PPM).alias("reclaim_ppm"),
+    )

@@ -1115,3 +1115,43 @@ class TestCadenceSweep:
         )
         assert stream == batch
         assert len(batch) > 0
+
+
+class TestRetentionSweep:
+    """flux_retention_sweep on a constructed log, verified against a
+    model that ACTUALLY truncates each key's history to its newest N
+    versions and counts the difference."""
+
+    def test_matches_truncation_model(self, spark):
+        import tempfile
+        from collections import Counter
+
+        import fluxdb_spark.catalog as cat
+
+        rows, eid = [], 0
+        # click: key 1 -> 5 versions, key 2 -> 2, key 3 -> 1
+        for k, n in [(1, 5), (2, 2), (3, 1)]:
+            for _ in range(n):
+                rows.append((eid, k, "click", 50.0))
+                eid += 1
+        # view: key 4 -> 3 versions
+        for _ in range(3):
+            rows.append((eid, 4, "view", 60.0))
+            eid += 1
+        spec = {s.name: s for s in cat.catalog()}["flux_retention_sweep"]
+        with tempfile.TemporaryDirectory() as td:
+            _write_events(spark, td, rows)
+            got = {
+                (r.tablet_id, r.keep_n): r
+                for r in spec.spark(spark, td).collect()
+            }
+        per = {"click": Counter({1: 5, 2: 2, 3: 1}), "view": Counter({4: 3})}
+        for (t, n), r in got.items():
+            nv = per[t]
+            reclaimed = sum(max(c - n, 0) for c in nv.values())
+            total = sum(nv.values())
+            assert r.n_rows == total and r.n_keys == len(nv)
+            assert r.reclaimed_rows == reclaimed, (t, n)
+            assert r.survivor_rows == total - reclaimed
+            assert r.reclaim_ppm == int(reclaimed * 1_000_000 / total)
+        assert len(got) == 6  # 2 tablets x 3 policies
