@@ -808,6 +808,96 @@ def kmeans_centroids(
     return cents
 
 
+def _pq_books_fit(
+    corpus: DataFrame,
+    m: int,
+    ks: int,
+    iters: int,
+    dim: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[list[int]]]:
+    """All m subspace Lloyd fits FUSED into one driver loop — arithmetic
+    bit-identical to m independent `_kmeans_fit` calls over the sliced
+    vectors (same seeds: the first ks rows by id slice the same way for
+    every subspace; same per-(cluster, pos) integer sums; same
+    floor-divided update; empty clusters keep their previous codeword),
+    but the corpus is scanned ONCE per pass instead of once per subspace
+    and the driver runs one job per pass instead of m: 1 checkpoint +
+    1 seed collect + (iters-1) update collects total, vs m of each.  At
+    100 TB the saved work is (m-1) full corpus scans per iteration."""
+    if iters < 1:
+        raise ValueError(f"kmeans needs iters >= 1, got {iters}")
+    sub = dim // m
+    base = (
+        spread(corpus)
+        .select(
+            F.col(id_col),
+            F.array(
+                *[
+                    _quantize(
+                        F.slice(F.col(vec_col), s * sub + 1, sub), scale
+                    )
+                    for s in range(m)
+                ]
+            ).alias("qs"),
+        )
+        .localCheckpoint()
+    )
+    seeds = base.orderBy(id_col).limit(ks).collect()  # O(ks) rows
+    if len(seeds) < ks:
+        raise ValueError(
+            f"kmeans needs at least k={ks} corpus rows, got {len(seeds)}"
+        )
+    books = [[list(r.qs[s]) for r in seeds] for s in range(m)]
+    for i in range(iters - 1):
+        assigned = [
+            _nearest_int_centroid(F.col("qs")[s], books[s])["idx"]
+            for s in range(m)
+        ]
+        upd = (
+            base.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(s).alias("s"),
+                                assigned[s].alias("cluster"),
+                                F.col("qs")[s].alias("q"),
+                            )
+                            for s in range(m)
+                        ]
+                    )
+                ).alias("z")
+            )
+            .select(
+                F.col("z.s").alias("s"),
+                F.col("z.cluster").alias("cluster"),
+                F.posexplode("z.q").alias("pos", "val"),
+            )
+            .groupBy("s", "cluster", "pos")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()  # exactly m*ks*sub rows
+        )
+        new = {(r.s, r.cluster, r.pos): r.cv for r in upd}
+        books = [
+            [
+                [
+                    new.get((s, c, p), books[s][c][p])
+                    for p in range(sub)
+                ]
+                for c in range(ks)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
 def assign_to_centroids(
     vectors: DataFrame,
     cents: list[list[int]],
@@ -1282,28 +1372,18 @@ def pq_codebooks(
     Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
     Search"): the dim-dimensional space splits into `m` contiguous
     sub-vectors of dim/m dims, each clustered independently into `ks`
-    codewords. Training is the exact integer Lloyd loop (`_kmeans_fit`),
-    so codebooks — and everything derived from them — are deterministic
-    and oracle-checkable, unlike float PQ. Driver state is m*ks*(dim/m)
-    = ks*dim longs, constant in corpus size; training is one-time model
-    fitting, after which encode/search never rescan the float corpus."""
+    codewords. Training is the exact integer Lloyd loop (`_pq_books_fit`
+    — all m fits fused into one pass per iteration, bit-identical to m
+    independent `_kmeans_fit` calls), so codebooks — and everything
+    derived from them — are deterministic and oracle-checkable, unlike
+    float PQ. Driver state is m*ks*(dim/m) = ks*dim longs, constant in
+    corpus size; training is one-time model fitting, after which
+    encode/search never rescan the float corpus."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
-    sub = dim // m
-    return [
-        kmeans_centroids(
-            corpus.select(
-                F.col(id_col),
-                F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
-            ),
-            k=ks,
-            iters=iters,
-            scale=scale,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        for s in range(m)
-    ]
+    return _pq_books_fit(
+        corpus, m, ks, iters, dim, scale, id_col, vec_col
+    )
 
 
 def pq_encode(
@@ -2124,13 +2204,14 @@ def kcenter_sample(
     distance is the k-center coverage radius).
 
     Scale shape: the quantized corpus is localCheckpointed once; each of
-    the k-1 rounds is one MAP-ONLY pass (squared distances to <= k-1
-    plan-literal centers via zip_with folds, min via least) into a
-    TakeOrdered(1) — no shuffle, no join; driver state is O(k * dim)
-    center literals, the kmeans precedent. The k passes are the
-    algorithm's nature: at corpus scale you run it on an already-reduced
-    relation (kmeans centroids, a cluster-balanced sample), which is the
-    paper's own deployment shape."""
+    the k-1 rounds is one MAP-ONLY constant-size pass (the running
+    min-distance to the chosen set is carried incrementally — one
+    1-center zip_with fold + least per round, O(n * dim) work instead of
+    O(n * r * dim)) into a TakeOrdered(1) — no shuffle, no join; driver
+    state is O(k * dim) center literals, the kmeans precedent. The k
+    passes are the algorithm's nature: at corpus scale you run it on an
+    already-reduced relation (kmeans centroids, a cluster-balanced
+    sample), which is the paper's own deployment shape."""
     q = _quantized(vecs, scale, id_col, vec_col).localCheckpoint()
     picked, _ = _kcenter_greedy(q, k)
     spark = vecs.sparkSession
@@ -2169,23 +2250,75 @@ def _min_dist_expr(centers):
 
 def _kcenter_greedy(q, k):
     """The Gonzalez greedy rounds over a (vec_id, q) relation: seed =
-    smallest id, then k-1 farthest-point picks.  Each round is one
-    map-only pass over `q` into a TakeOrdered(1)."""
+    smallest id, then k-1 farthest-point picks.
+
+    The running min-distance to the chosen set is carried INCREMENTALLY
+    (d_r = least(d_{r-1}, dist to the newest center), materialized per
+    round): each round is one constant-size map pass over the corpus —
+    one 1-center distance + a least — instead of re-deriving min over
+    all r centers (whose plan grows r*dim literals per round and whose
+    work grows O(r * n * dim)).  Bit-identical picks and distances: min
+    of mins equals min over all, and the pick's reported distance is the
+    carried d BEFORE its own center joins the set, exactly as before."""
     seed = q.orderBy("vec_id").limit(1).collect()[0]
     picked = [(1, int(seed["vec_id"]), 0)]
     centers = [list(seed["q"])]
+    cur = q.select(
+        "vec_id", "q", _min_dist_expr(centers[:1]).alias("d")
+    ).localCheckpoint()
     for rank in range(2, k + 1):
-        mind = _min_dist_expr(centers)
         chosen = [pid for _, pid, _ in picked]
         row = (
-            q.filter(~F.col("vec_id").isin(chosen))
-            .select("vec_id", mind.alias("d"), "q")
+            cur.filter(~F.col("vec_id").isin(chosen))
             .orderBy(F.desc("d"), F.asc("vec_id"))
             .limit(1)
             .collect()[0]
         )
         picked.append((rank, int(row["vec_id"]), int(row["d"])))
         centers.append(list(row["q"]))
+        if rank < k:
+            cur = cur.select(
+                "vec_id",
+                "q",
+                F.least(
+                    F.col("d"), _min_dist_expr(centers[-1:])
+                ).alias("d"),
+            ).localCheckpoint()
+    return picked, centers
+
+
+def _kcenter_greedy_local(rows, k):
+    """`_kcenter_greedy` over an ALREADY-COLLECTED candidate list of
+    (vec_id, q) — the sample-then-refine path's inner loop runs on the
+    driver instead of as k Spark jobs over an m-row relation (the
+    candidate set is bounded driver state by contract, so collecting it
+    once is strictly cheaper than scanning it k times as jobs).
+    Bit-identical: exact integer squared distances (Python ints), the
+    same farthest-point pick with ties to the smallest id, and each
+    pick's reported distance is the min over the centers chosen so far
+    (maintained incrementally — min of mins equals min over all)."""
+    rows = [(int(v), [int(x) for x in q]) for v, q in rows]
+    seed_id, seed_q = min(rows, key=lambda r: r[0])
+    picked = [(1, seed_id, 0)]
+    centers = [list(seed_q)]
+    # running min squared distance to the chosen set, per candidate
+    dist = {
+        v: sum((a - b) * (a - b) for a, b in zip(q, seed_q))
+        for v, q in rows
+        if v != seed_id
+    }
+    qs = {v: q for v, q in rows}
+    for rank in range(2, k + 1):
+        far_id = max(dist, key=lambda v: (dist[v], -v))
+        far_d = dist.pop(far_id)
+        picked.append((rank, far_id, far_d))
+        c = qs[far_id]
+        centers.append(list(c))
+        for v in dist:
+            q = qs[v]
+            d = sum((a - b) * (a - b) for a, b in zip(q, c))
+            if d < dist[v]:
+                dist[v] = d
     return picked, centers
 
 
@@ -2229,11 +2362,13 @@ def kcenter_sample_refined(
         .orderBy("h", "vec_id")
         .limit(m)
         .select("vec_id", "q")
-        .localCheckpoint()
+        .collect()  # O(m * dim) driver state by contract
     )
-    if cand.count() < k:
+    if len(cand) < k:
         raise ValueError(f"sample of {m} yielded fewer than k={k} rows")
-    picked, centers = _kcenter_greedy(cand, k)
+    picked, centers = _kcenter_greedy_local(
+        [(r["vec_id"], r["q"]) for r in cand], k
+    )
     radius = q.agg(
         F.max(_min_dist_expr(centers)).cast("long").alias("radius_sq")
     )
@@ -2924,28 +3059,36 @@ def knn_graph_edges(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+    # Candidate generation works on (id, bucket) ONLY — the self-join and
+    # the pair dedup shuffle ~16-byte id pairs, never the vectors (the
+    # §8-style decide-with-small-rows split: the same pair can fall out
+    # of several tables, so shipping both payload vectors through the
+    # dedup exchange multiplies the heavy bytes by the duplication
+    # factor).  Vectors re-attach once, AFTER the pair space is distinct.
     sigs = (
         spread(corpus)
         .select(
             F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
             F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
         )
-        .select("vid", "vec", "tb.tbl", "tb.bucket")
+        .select("vid", "tb.tbl", "tb.bucket")
         .localCheckpoint()  # both sides of the self-join read it
     )
-    a = sigs.select(
-        F.col("vid").alias("d1"), F.col("vec").alias("v1"), "tbl", "bucket"
-    )
-    b = sigs.select(
-        F.col("vid").alias("d2"), F.col("vec").alias("v2"), "tbl", "bucket"
-    )
-    cand = (
+    a = sigs.select(F.col("vid").alias("d1"), "tbl", "bucket")
+    b = sigs.select(F.col("vid").alias("d2"), "tbl", "bucket")
+    pairs = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("d1") != F.col("d2"))
-        .select("d1", "v1", "d2", "v2")
+        .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
+    v1 = corpus.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")
+    )
+    v2 = corpus.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("v2")
+    )
+    cand = pairs.join(v1, "d1").join(v2, "d2")
     scored = cand.withColumn("score", cosine(F.col("v1"), F.col("v2")))
     w = Window.partitionBy("d1").orderBy(F.desc("score"), F.asc("d2"))
     return (

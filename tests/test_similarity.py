@@ -1159,3 +1159,44 @@ class TestMipsTopk:
             }
         assert got[(0, 1)] == 11  # MIPS: the long vector wins
         assert got[(0, 2)] == 10
+
+
+class TestFusedTrainers:
+    """Round-14 optimization seams: restructured trainers must be
+    bit-identical to the shapes they replaced."""
+
+    def test_pq_books_fused_equals_sequential_fits(self, corpus):
+        # pq_codebooks fuses the m subspace Lloyd fits into one driver
+        # loop; the contract is bit-identity with m independent
+        # kmeans_centroids calls over the sliced vectors
+        m, ks, iters, dim = 4, 8, 3, 64
+        sub = dim // m
+        fused = sim.pq_codebooks(corpus, m=m, ks=ks, iters=iters)
+        seq = [
+            sim.kmeans_centroids(
+                corpus.select(
+                    F.col("vec_id"),
+                    F.slice(F.col("embedding"), s * sub + 1, sub).alias(
+                        "embedding"
+                    ),
+                ),
+                k=ks,
+                iters=iters,
+            )
+            for s in range(m)
+        ]
+        assert fused == seq
+
+    def test_kcenter_local_greedy_equals_spark_greedy(self, corpus):
+        # kcenter_sample_refined now runs the Gonzalez rounds on the
+        # driver over the collected candidate set; same picks, same
+        # distances, same tie-breaks as the Spark-job greedy
+        q = sim._quantized(corpus, 1_000_000, "vec_id", "embedding")
+        cand = q.orderBy("vec_id").limit(40).localCheckpoint()
+        picked_spark, centers_spark = sim._kcenter_greedy(cand, 8)
+        rows = [(r["vec_id"], r["q"]) for r in cand.collect()]
+        picked_local, centers_local = sim._kcenter_greedy_local(rows, 8)
+        assert picked_local == [
+            (r, int(v), int(d)) for r, v, d in picked_spark
+        ]
+        assert centers_local == [[int(x) for x in c] for c in centers_spark]

@@ -1,0 +1,47 @@
+"""Dump .explain('formatted') for catalog entries to plans/r14/.
+
+Usage: python tools/dump_plans.py <suffix> q1 q2 ... [--sf dir]
+Writes plans/r14/<query>_<suffix>.txt
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fluxdb_spark import get_spark  # noqa: E402
+from fluxdb_spark.catalog import catalog  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.1"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    suffix, names = args[0], args[1:]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r14",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="dump_plans")
+    specs = {s.name: s for s in catalog()}
+    for name in names:
+        df = specs[name].spark(spark, sf_dir)
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
