@@ -38,6 +38,16 @@ def cosine(a: Column, b: Column) -> Column:
     return F.round(dot(a, b) / (norm(a) * norm(b)), 4)
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine(a, b)` with the two self-norms precomputed per ROW instead
+    of per PAIR.  Callers must pass na == norm(a), nb == norm(b); the
+    arithmetic is then bit-identical to `cosine` (same dot fold, the same
+    sqrt over the same sum, same divide, same round-4) while the per-pair
+    work drops from three zip_with folds to one — in every pair join each
+    row's norm used to be recomputed once per candidate it met."""
+    return F.round(dot(a, b) / (na * nb), 4)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,15 +57,24 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of `corpus` for every row of `queries`."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     c = spread(corpus).select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "score",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("match_id")
@@ -81,16 +100,21 @@ def blocked_neardup_pairs(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("_n1"),
     )
     b = corpus.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("d2"),
         F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("_n2"),
     )
     return (
         a.join(b, on="blk")
         .filter(F.col("d1") < F.col("d2"))
-        .withColumn("score", cosine(F.col("v1"), F.col("v2")))
+        .withColumn(
+            "score",
+            cosine_pre(F.col("v1"), F.col("v2"), F.col("_n1"), F.col("_n2")),
+        )
         .filter(F.col("score") >= threshold)
         .select("d1", "d2", "score")
     )
@@ -170,32 +194,39 @@ def lsh_topk(
         .select(
             F.col(id_col).alias("match_id"),
             F.col(vec_col).alias("cvec"),
+            norm(F.col(vec_col)).alias("_cn"),
             F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
         )
-        .select("match_id", "cvec", "tb.tbl", "tb.bucket")
+        .select("match_id", "cvec", "_cn", "tb.tbl", "tb.bucket")
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
             F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
         )
-        .select("query_id", "qvec", "tb.tbl", "tb.bucket")
+        .select("query_id", "qvec", "_qn", "tb.tbl", "tb.bucket")
     )
     return _lsh_bucket_join_rerank(c, q, k)
 
 
 def _lsh_bucket_join_rerank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     """Candidate equi-join on (table, bucket) + exact cosine re-rank —
-    shared by the recompute path and the materialized-bucket path."""
+    shared by the recompute path and the materialized-bucket path.  Both
+    sides arrive with their self-norm precomputed per row (_qn / _cn), so
+    the re-rank is one dot fold per surviving pair, not three."""
     # a pair colliding in several tables must score once: distinct first
     cand = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
         .filter(F.col("match_id") != F.col("query_id"))
-        .select("query_id", "qvec", "match_id", "cvec")
+        .select("query_id", "qvec", "_qn", "match_id", "cvec", "_cn")
         .dropDuplicates(["query_id", "match_id"])
     )
-    scored = cand.withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    scored = cand.withColumn(
+        "score",
+        cosine_pre(F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("match_id")
     )
@@ -229,6 +260,7 @@ def lsh_topk_from_buckets(
     c = buckets.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
         "tbl",
         "bucket",
     )
@@ -236,9 +268,10 @@ def lsh_topk_from_buckets(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
+            norm(F.col(vec_col)).alias("_qn"),
             F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
         )
-        .select("query_id", "qvec", "tb.tbl", "tb.bucket")
+        .select("query_id", "qvec", "_qn", "tb.tbl", "tb.bucket")
     )
     return _lsh_bucket_join_rerank(c, q, k)
 
@@ -267,29 +300,45 @@ def lsh_neardup_pairs(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+    # Candidate generation on (id, bucket) ONLY — the self-join and the
+    # pair dedup shuffle ~16-byte id pairs, never the 64-float payloads
+    # (same §8 decide-with-small-rows split as `knn_graph_edges`); the
+    # vectors re-attach once, WITH their per-row norms, after the pair
+    # space is distinct.
     sigs = (
         spread(corpus)
         .select(
             F.col(id_col).alias("vid"),
-            F.col(vec_col).alias("vec"),
             F.explode(_lsh_buckets(F.col(vec_col), tables)).alias("tb"),
         )
-        .select("vid", "vec", "tb.tbl", "tb.bucket")
+        .select("vid", "tb.tbl", "tb.bucket")
+        .localCheckpoint()  # both sides of the self-join read it
     )
-    a = sigs.select(
-        F.col("vid").alias("d1"), F.col("vec").alias("v1"), "tbl", "bucket"
-    )
-    b = sigs.select(
-        F.col("vid").alias("d2"), F.col("vec").alias("v2"), "tbl", "bucket"
-    )
-    cand = (
+    a = sigs.select(F.col("vid").alias("d1"), "tbl", "bucket")
+    b = sigs.select(F.col("vid").alias("d2"), "tbl", "bucket")
+    pairs = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "v1", "d2", "v2")
+        .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
+    v1 = corpus.select(
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("_n1"),
+    )
+    v2 = corpus.select(
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("_n2"),
+    )
     return (
-        cand.withColumn("score", cosine(F.col("v1"), F.col("v2")))
+        pairs.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn(
+            "score",
+            cosine_pre(F.col("v1"), F.col("v2"), F.col("_n1"), F.col("_n2")),
+        )
         .filter(F.col("score") >= threshold)
         .select("d1", "d2", "score")
     )
@@ -418,6 +467,7 @@ def ivf_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
         best_cell.alias("cell"),
     )
     probe_cells = F.transform(
@@ -431,12 +481,18 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_cells).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
         .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "score",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("match_id")
@@ -540,15 +596,20 @@ def projected_topk(
     c = spread(corpus).select(
         F.col(id_col).alias("match_id"),
         random_projection(F.col(vec_col), planes).alias("cvec"),
-    )
+    ).select("match_id", "cvec", norm(F.col("cvec")).alias("_cn"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         random_projection(F.col(vec_col), planes).alias("qvec"),
-    )
+    ).select("query_id", "qvec", norm(F.col("qvec")).alias("_qn"))
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "score",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("match_id")
@@ -943,6 +1004,7 @@ def ivf_topk_from_assignments(
     c = assignments.select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
         "cluster",
     )
     probe_cells = F.transform(
@@ -956,12 +1018,18 @@ def ivf_topk_from_assignments(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
         F.explode(probe_cells).alias("cluster"),
     )
     scored = (
         c.join(F.broadcast(q), on="cluster")
         .filter(F.col("match_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn(
+            "score",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("match_id")
@@ -1114,19 +1182,33 @@ def semantic_dedup(
     )
     withv = (
         asg.select(id_col, "cluster")
-        .join(spread(corpus).select(id_col, vec_col), id_col)
+        .join(
+            spread(corpus).select(
+                id_col, vec_col, norm(F.col(vec_col)).alias("_nrm")
+            ),
+            id_col,
+        )
         .localCheckpoint()  # 3 consumer branches below
     )
     a = withv.select(
-        F.col(id_col).alias("a_id"), "cluster", F.col(vec_col).alias("avec")
+        F.col(id_col).alias("a_id"),
+        "cluster",
+        F.col(vec_col).alias("avec"),
+        F.col("_nrm").alias("_an"),
     )
     b = withv.select(
-        F.col(id_col).alias("b_id"), "cluster", F.col(vec_col).alias("bvec")
+        F.col(id_col).alias("b_id"),
+        "cluster",
+        F.col(vec_col).alias("bvec"),
+        F.col("_nrm").alias("_bn"),
     )
     drops = (
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine(F.col("avec"), F.col("bvec")) >= threshold)
+        .filter(
+            cosine_pre(F.col("avec"), F.col("bvec"), F.col("_an"), F.col("_bn"))
+            >= threshold
+        )
         .select(F.col("b_id").alias(id_col))
         .distinct()
     )
@@ -1294,14 +1376,21 @@ def quantized_topk_from_table(
     because the whole ranking is integer-exact it reproduces the
     recompute form bit-for-bit. Queries that reference corpus ids fetch
     their q8 from the same table (one broadcast-size join)."""
-    q = queries.join(qz, id_col).select(
-        F.col(id_col).alias("query_id"), F.col("q8").alias("qv")
-    )
-    c = qz.select(F.col(id_col).alias("match_id"), F.col("q8").alias("cv"))
     idot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+    # int64 self-dots are per-ROW facts — once per row, not per pair
+    q = queries.join(qz, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q8").alias("qv"),
+        idot(F.col("q8"), F.col("q8")).alias("_qn"),
+    )
+    c = qz.select(
+        F.col(id_col).alias("match_id"),
+        F.col("q8").alias("cv"),
+        idot(F.col("q8"), F.col("q8")).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q))
@@ -1311,8 +1400,7 @@ def quantized_topk_from_table(
             F.round(
                 idot(F.col("qv"), F.col("cv"))
                 / F.sqrt(
-                    idot(F.col("qv"), F.col("qv")).cast("double")
-                    * idot(F.col("cv"), F.col("cv")).cast("double")
+                    F.col("_qn").cast("double") * F.col("_cn").cast("double")
                 ),
                 4,
             ),
@@ -2596,8 +2684,6 @@ def pair_cosine(
     against the quantized corpus — work scales with |pairs|, never
     all-pairs; the arithmetic is JVM higher-order folds, map-side."""
     q = _quantized(vecs, scale, id_col, vec_col)
-    a = q.select(F.col("vec_id").alias("d1"), F.col("q").alias("q1"))
-    b = q.select(F.col("vec_id").alias("d2"), F.col("q").alias("q2"))
     zero = F.lit(0).cast("long")
 
     def dot(x, y):
@@ -2606,6 +2692,20 @@ def pair_cosine(
             zero,
             lambda acc, v: acc + v,
         )
+
+    # The int64 self-dots are per-ROW facts: compute them once on the
+    # quantized corpus, not once per pair (integer sums — bit-identical
+    # wherever they are evaluated).
+    a = q.select(
+        F.col("vec_id").alias("d1"),
+        F.col("q").alias("q1"),
+        dot("q", "q").alias("n1"),
+    )
+    b = q.select(
+        F.col("vec_id").alias("d2"),
+        F.col("q").alias("q2"),
+        dot("q", "q").alias("n2"),
+    )
 
     cos4 = F.when(
         (F.col("n1") > 0) & (F.col("n2") > 0),
@@ -2620,8 +2720,6 @@ def pair_cosine(
         pairs.join(a, "d1")
         .join(b, "d2")
         .withColumn("dot", dot("q1", "q2"))
-        .withColumn("n1", dot("q1", "q1"))
-        .withColumn("n2", dot("q2", "q2"))
         .withColumn("cos4", cos4)
         .drop("q1", "q2", "dot", "n1", "n2")
     )
@@ -3083,13 +3181,20 @@ def knn_graph_edges(
         .dropDuplicates(["d1", "d2"])
     )
     v1 = corpus.select(
-        F.col(id_col).alias("d1"), F.col(vec_col).alias("v1")
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("v1"),
+        norm(F.col(vec_col)).alias("_n1"),
     )
     v2 = corpus.select(
-        F.col(id_col).alias("d2"), F.col(vec_col).alias("v2")
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("v2"),
+        norm(F.col(vec_col)).alias("_n2"),
     )
     cand = pairs.join(v1, "d1").join(v2, "d2")
-    scored = cand.withColumn("score", cosine(F.col("v1"), F.col("v2")))
+    scored = cand.withColumn(
+        "score",
+        cosine_pre(F.col("v1"), F.col("v2"), F.col("_n1"), F.col("_n2")),
+    )
     w = Window.partitionBy("d1").orderBy(F.desc("score"), F.asc("d2"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
