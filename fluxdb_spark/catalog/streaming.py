@@ -29,6 +29,10 @@ from fluxdb_spark.sources.changelog import (
 from fluxdb_spark.sources.tables import load_table, normalize_event_ts
 from fluxdb_spark.session import spread
 
+import os
+import uuid
+from contextlib import contextmanager
+
 from fluxdb_spark.catalog._core import _q, _t, _td
 from fluxdb_spark.catalog._shared import (
     _BENFORD_PPM,
@@ -63,6 +67,77 @@ from fluxdb_spark.catalog._shared import (
 )
 
 
+# =========================================================================
+# Drain plumbing.  Streaming stateful plans run under IncrementalExecution,
+# which DISABLES AQE — so the post-shuffle / state-store partition count is
+# whatever spark.sql.shuffle.partitions says, a number sized for the batch
+# workload (one per core locally, thousands on a cluster), not for a drain
+# whose standing state is sketch- or vocabulary-bounded.  Each surplus
+# state partition costs a store instance, a per-commit delta file and a
+# task per micro-batch: a trivial drain measured 3.3-4.6 s at 32 state
+# partitions vs 1.6 s at 8 on this machine (batch equivalent 1.3 s).
+# `_drain_shuffle` re-derives the count from the micro-batch input bytes —
+# exactly the sizing AQE's coalescer would pick for a batch shuffle
+# (target bytes per partition, floor 2) — capped at the session default so
+# a cluster-tuned setting still rules at scale.  Env-tunable, not a local
+# constant: FLUX_STREAM_SHUFFLE_TARGET_BYTES.
+# =========================================================================
+
+_DRAIN_TARGET_BYTES = int(
+    os.environ.get("FLUX_STREAM_SHUFFLE_TARGET_BYTES", str(32 * 1024 * 1024))
+)
+
+
+@contextmanager
+def _drain_shuffle(spark, sf_dir, *files):
+    """Scope a drain to an input-derived state/shuffle partition count
+    (the manual analogue of AQE coalescing, which streaming cannot use).
+    The streaming query pins the count at .start(), so only the
+    start/awaitTermination window needs to run inside this scope; batch
+    model-building and serving-side finishers stay on the session
+    default (where AQE does the sizing)."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f)) for f in files
+    )
+    n = max(2, min(default, -(-n_bytes // _DRAIN_TARGET_BYTES)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default))
+
+
+def _drain(spark, sf_dir, df, files, mode="complete", prefix="drain"):
+    """availableNow drain of `df` into a memory sink under
+    `_drain_shuffle` sizing; returns the drained table."""
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with _drain_shuffle(spark, sf_dir, *files):
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+def _sspread(raw):
+    """Streaming analogue of `session.spread()`: fan the micro-batch
+    across the cores BEFORE CPU-heavy per-row work.  A single small
+    parquet file scans as one task (one row group — lowering
+    maxPartitionBytes cannot split it), which serializes
+    expression-heavy per-row operators onto one core; the explicit
+    repartition costs one exchange of the RAW input rows — bytes
+    bounded per micro-batch by the source's maxFilesPerTrigger — and
+    buys a cores-wide map stage.  On a cluster whose micro-batches
+    already arrive in many splits the exchange is balanced-cost noise
+    next to the per-row work it parallelizes; apply it only where that
+    work dominates (the `spread()` contract)."""
+    return raw.repartition(raw.sparkSession.sparkContext.defaultParallelism)
+
 
 @_q("stream_rfm", "streaming", _RFM_SQL)
 def stream_rfm(spark, sf_dir):
@@ -75,8 +150,6 @@ def stream_rfm(spark, sf_dir):
     serving-side on the standing table, exactly as `rfm_segments`
     computes them on a batch scan — and the streaming-maintained result
     hash-matches the same SQL twin."""
-    import uuid
-
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -85,16 +158,11 @@ def stream_rfm(spark, sf_dir):
         .parquet(sf_dir)
     )
     per_user = _rfm_per_user(normalize_event_ts(raw))
-    name = f"stream_rfm_{uuid.uuid4().hex[:8]}"
-    q = (
-        per_user.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _rfm_rollup(
+        _drain(
+            spark, sf_dir, per_user, ["events.parquet"], prefix="stream_rfm"
+        )
     )
-    q.awaitTermination()
-    return _rfm_rollup(spark.table(name))
 
 
 @_q("stream_decontaminate", "streaming", _DECONTAM_SQL)
@@ -113,8 +181,6 @@ def stream_decontaminate(spark, sf_dir):
     already distinct per doc, so a plain count after the one-row-per-
     pool-shingle join equals the batch count(DISTINCT) — the drained
     table hash-matches the batch relation (same oracle constant)."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     d = _t(spark, sf_dir, "documents")
     # frozen eval pool: built batch-side ONCE, broadcast into every
@@ -135,7 +201,7 @@ def stream_decontaminate(spark, sf_dir):
         .parquet(sf_dir)
     )
     hits = (
-        raw.filter(F.col("doc_id") % 10 != 0)
+        _sspread(raw.filter(F.col("doc_id") % 10 != 0))
         .select(
             "doc_id",
             F.explode(
@@ -146,16 +212,9 @@ def stream_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    name = f"stream_decontam_{uuid.uuid4().hex[:8]}"
-    q = (
-        hits.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        spark, sf_dir, hits, ["documents.parquet"], prefix="stream_decontam"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @_q("stream_source_divergence", "streaming", tx.sql_source_divergence())
@@ -168,8 +227,6 @@ def stream_source_divergence(spark, sf_dir):
     divergence rollup runs serving-side on the standing counts exactly
     as `source_divergence` computes it from a batch scan, and the
     streamed result hash-matches the same SQL twin."""
-    import uuid
-
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -178,23 +235,23 @@ def stream_source_divergence(spark, sf_dir):
         .parquet(sf_dir)
     )
     counts = (
-        raw.select(
+        _sspread(raw)
+        .select(
             F.col("source"),
             F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"),
         )
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("obs"))
     )
-    name = f"stream_srcdiv_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return tx.source_divergence_from_counts(
+        _drain(
+            spark,
+            sf_dir,
+            counts,
+            ["documents.parquet"],
+            prefix="stream_srcdiv",
+        )
     )
-    q.awaitTermination()
-    return tx.source_divergence_from_counts(spark.table(name))
 
 
 @_q("stream_collocations", "streaming", tx.sql_collocations())
@@ -206,12 +263,10 @@ def stream_collocations(spark, sf_dir):
     integer-lift finisher runs serving-side on the standing counts
     exactly as the batch `collocations` computes them from a scan, and
     the streamed result hash-matches the same SQL twin."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
 
     def _stream():
-        return (
+        return _sspread(
             spark.readStream.schema(schema)
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir)
@@ -230,16 +285,17 @@ def stream_collocations(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    for df, name in ((bgc, bg_name), (uni, uni_name)):
-        qs.append(
-            df.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-    for q in qs:
-        q.awaitTermination()
+    with _drain_shuffle(spark, sf_dir, "documents.parquet"):
+        for df, name in ((bgc, bg_name), (uni, uni_name)):
+            qs.append(
+                df.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in qs:
+            q.awaitTermination()
     return tx.collocations_from_counts(
         spark.table(bg_name), spark.table(uni_name)
     )
@@ -259,8 +315,6 @@ def stream_join_size(spark, sf_dir):
     inner-product finisher runs serving-side on the standing counters;
     the exact twin is computed batch-side for the parity check only.
     Hash-matches the same oracle as `join_size_estimate`."""
-    import uuid
-
     from fluxdb_spark.functions.text import _cms_bucket, CMS_DEPTH
 
     width = 4096
@@ -269,41 +323,42 @@ def stream_join_size(spark, sf_dir):
     queries = []
     # start BOTH maintenance streams before awaiting either: the two
     # sketch lifecycles overlap instead of paying setup twice in series
-    for table, key in (("events", "user_id"), ("orders", "o_custkey")):
-        schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
-        raw = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", f"{table}.parquet")
-            .parquet(sf_dir)
-        )
-        sk = (
-            raw.select(F.col(key).cast("string").alias("term"))
-            .select(
-                F.explode(
-                    F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
-                ).alias("r"),
-                "term",
+    with _drain_shuffle(spark, sf_dir, "events.parquet", "orders.parquet"):
+        for table, key in (("events", "user_id"), ("orders", "o_custkey")):
+            schema = spark.read.parquet(f"{sf_dir}/{table}.parquet").schema
+            raw = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", f"{table}.parquet")
+                .parquet(sf_dir)
             )
-            .select(
-                "r",
-                _cms_bucket(F.col("term"), F.col("r"), width).alias(
-                    "bucket"
-                ),
+            sk = (
+                _sspread(raw.select(F.col(key).cast("string").alias("term")))
+                .select(
+                    F.explode(
+                        F.array(*[F.lit(r) for r in range(CMS_DEPTH)])
+                    ).alias("r"),
+                    "term",
+                )
+                .select(
+                    "r",
+                    _cms_bucket(F.col("term"), F.col("r"), width).alias(
+                        "bucket"
+                    ),
+                )
+                .groupBy("r", "bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .groupBy("r", "bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        name = f"stream_cms_{table}_{tag}"
-        queries.append(
-            sk.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        names[table] = name
-    for q in queries:
-        q.awaitTermination()
+            name = f"stream_cms_{table}_{tag}"
+            queries.append(
+                sk.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            names[table] = name
+        for q in queries:
+            q.awaitTermination()
     est = (
         spark.table(names["events"])
         .withColumnRenamed("cnt", "ca")
@@ -367,8 +422,6 @@ def stream_benford(spark, sf_dir):
     audit in the engine; the expectation join and ppm math run
     serving-side on the standing counters and hash-match the batch
     twin's oracle. The shape a payments pipeline runs continuously."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -387,16 +440,9 @@ def stream_benford(spark, sf_dir):
     obs = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    name = f"stream_benford_{uuid.uuid4().hex[:8]}"
-    q = (
-        obs.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    table = _drain(
+        spark, sf_dir, obs, ["orders.parquet"], prefix="stream_benford"
     )
-    q.awaitTermination()
-    table = spark.table(name)
     n = table.agg(F.sum("cnt").cast("long").alias("n"))
     expected = spark.createDataFrame(
         [(d + 1, p) for d, p in enumerate(_BENFORD_PPM)],
@@ -443,8 +489,6 @@ def stream_data_expectations(spark, sf_dir):
     batch by design: their truth depends on cross-batch joins, the
     honest boundary every streaming audit has. Counters hash-match the
     batch twin's oracle rows for the same rules."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -465,16 +509,9 @@ def stream_data_expectations(spark, sf_dir):
         F.sum("null_v").cast("long").alias("null_violations"),
         F.count(F.lit(1)).cast("long").alias("checked"),
     )
-    name = f"stream_expect_{uuid.uuid4().hex[:8]}"
-    q = (
-        counters.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).selectExpr(
+    return _drain(
+        spark, sf_dir, counters, ["lineitem.parquet"], prefix="stream_expect"
+    ).selectExpr(
         "stack(2, "
         "'lineitem.l_quantity.in_range', range_violations, checked, "
         "'lineitem.l_orderkey.not_null', null_violations, checked) "
@@ -494,8 +531,6 @@ def stream_kmv_overlap(spark, sf_dir):
     stage as the batch form and hash-match the same SQL twin — the
     fourth streaming sketch beside stream_cms / stream_hll /
     stream_simhash."""
-    import uuid
-
     from fluxdb_spark.streaming.stateful import kmv_stream
 
     raw = (
@@ -505,19 +540,17 @@ def stream_kmv_overlap(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    out = kmv_stream(raw)
-    name = f"stream_kmv_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    out = kmv_stream(_sspread(raw))
     # update-mode sink holds one row per group per micro-batch; the
     # seen-counter is monotone, so max-ver is each group's final sketch.
-    t = spark.table(name)
+    t = _drain(
+        spark,
+        sf_dir,
+        out,
+        ["events.parquet"],
+        mode="update",
+        prefix="stream_kmv",
+    )
     w = Window.partitionBy("g").orderBy(F.desc("ver"))
     sk = (
         t.withColumn("rn", F.row_number().over(w))
@@ -548,8 +581,6 @@ def stream_tumbling(spark, sf_dir):
     """The tumbling-hourly aggregate computed through Structured Streaming
     (file source -> availableNow trigger -> memory sink), oracle-checked
     against the batch SQL answer."""
-    import uuid
-
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -567,16 +598,9 @@ def stream_tumbling(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        spark, sf_dir, agg, ["events.parquet"], prefix="stream_tumbling"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @_q("stream_hll_distinct", "streaming", tx.sql_hll_distinct_grouped())
@@ -592,8 +616,6 @@ def stream_hll_distinct(spark, sf_dir):
     construction and the libm-free estimator are shared with the batch
     `hll_distinct`, and the whole thing — streaming registers included —
     hash-matches the batch SQL twin beside the exact distinct counts."""
-    import uuid
-
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -603,7 +625,8 @@ def stream_hll_distinct(spark, sf_dir):
     )
     reg, rho = tx.hll_register_cols(F.col("user_id").cast("string"))
     agg = (
-        raw.select(
+        _sspread(raw)
+        .select(
             F.col("event_type"),
             reg.alias("register"),
             rho.alias("rho"),
@@ -611,16 +634,12 @@ def stream_hll_distinct(spark, sf_dir):
         .groupBy("event_type", "register")
         .agg(F.max("rho").alias("max_rho"))
     )
-    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    est = tx.hll_estimate(
+        _drain(
+            spark, sf_dir, agg, ["events.parquet"], prefix="stream_hll"
+        ),
+        ["event_type"],
     )
-    q.awaitTermination()
-    est = tx.hll_estimate(spark.table(name), ["event_type"])
     exact = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -644,8 +663,6 @@ def stream_hll_rollup(spark, sf_dir):
     construction, merge, and libm-free estimator are all shared with
     the batch `hll_rollup` — and the streaming-maintained result
     hash-matches the same SQL twin."""
-    import uuid
-
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -653,7 +670,7 @@ def stream_hll_rollup(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    base = raw.select(
+    base = _sspread(raw).select(
         F.col("source").alias("level"),
         F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"),
     )
@@ -663,16 +680,15 @@ def stream_hll_rollup(spark, sf_dir):
         .groupBy("level", "register")
         .agg(F.max("rho").alias("max_rho"))
     )
-    name = f"stream_hll_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return tx.hll_rollup_from_registers(
+        _drain(
+            spark,
+            sf_dir,
+            agg,
+            ["documents.parquet"],
+            prefix="stream_hll_rollup",
+        )
     )
-    q.awaitTermination()
-    return tx.hll_rollup_from_registers(spark.table(name))
 
 
 @_q("stream_cms_heavy_hitters", "streaming", tx.sql_cms_heavy_hitters())
@@ -687,8 +703,6 @@ def stream_cms_heavy_hitters(spark, sf_dir):
     the exact top-20 terms — identical output to the batch
     `cms_heavy_hitters`, whose SQL twin is the oracle, proving the
     streamed sketch is byte-equivalent to the batch-built one."""
-    import uuid
-
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -696,7 +710,7 @@ def stream_cms_heavy_hitters(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    base = raw.select(
+    base = _sspread(raw).select(
         F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
     )
     keyed = base.select(
@@ -711,17 +725,12 @@ def stream_cms_heavy_hitters(spark, sf_dir):
         ),
     )
     agg = keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     return tx.cms_heavy_hitters(
-        _td(spark, sf_dir), k=20, sketch=spark.table(name)
+        _td(spark, sf_dir),
+        k=20,
+        sketch=_drain(
+            spark, sf_dir, agg, ["documents.parquet"], prefix="stream_cms"
+        ),
     )
 
 
@@ -741,8 +750,6 @@ def stream_dedup(spark, sf_dir):
     horizon are evicted), which is what makes exact stream dedup viable at
     100 TB/day; in this availableNow run the single batch sees all data,
     so the result is exactly DISTINCT."""
-    import uuid
-
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -757,16 +764,14 @@ def stream_dedup(spark, sf_dir):
         .dropDuplicates(["event_id"])
         .select("event_id", "event_type")
     )
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        spark,
+        sf_dir,
+        deduped,
+        ["events.parquet"],
+        mode="append",
+        prefix="stream_dedup",
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @_q(
@@ -783,8 +788,6 @@ def stream_simhash_dedup(spark, sf_dir):
     for a continuous deployment. The memory sink must hold each distinct
     fingerprint once — the oracle is DISTINCT over the batch SimHash
     relation (independently derived via the 32-sum form)."""
-    import uuid
-
     raw = (
         spark.readStream.schema(
             spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -792,7 +795,7 @@ def stream_simhash_dedup(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    fp = raw.select(
+    fp = _sspread(raw).select(
         dd.simhash_col(F.col("text")).alias("simhash")
     ).select(
         "simhash",
@@ -817,16 +820,14 @@ def stream_simhash_dedup(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["simhash"])
         .select("simhash")
     )
-    name = f"stream_simhash_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        spark,
+        sf_dir,
+        deduped,
+        ["documents.parquet"],
+        mode="append",
+        prefix="stream_simhash_dedup",
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @_q(
@@ -848,8 +849,6 @@ def stream_stream_join(spark, sf_dir):
     time-range condition is what lets Spark bound the join state — without
     it a stream-stream join buffers forever. Oracle is the equivalent batch
     SQL join."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def stream_side(event_type):
@@ -892,16 +891,14 @@ def stream_stream_join(spark, sf_dir):
         "user_id",
         F.round("p_value", 2).alias("purchase_value"),
     )
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        spark,
+        sf_dir,
+        joined,
+        ["events.parquet"],
+        mode="append",
+        prefix="stream_join",
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @_q(
@@ -915,8 +912,6 @@ def stream_sessionize(spark, sf_dir):
     memory sink), oracle-checked against the same SQL as the batch
     `sessionization` query. This is the §2.6 'stateful ops' surface the
     built-in windowed aggregates can't express."""
-    import uuid
-
     from fluxdb_spark.streaming.stateful import sessionize_stream
 
     raw = (
@@ -928,18 +923,16 @@ def stream_sessionize(spark, sf_dir):
     )
     ev = normalize_event_ts(raw)
     out = sessionize_stream(ev)
-    name = f"stream_sessionize_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     # update-mode sink may hold one row per user per micro-batch; keep the
     # last (cumulative) row per user.
-    t = spark.table(name)
+    t = _drain(
+        spark,
+        sf_dir,
+        out,
+        ["events.parquet"],
+        mode="update",
+        prefix="stream_sessionize",
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_sessions"))
     return (
         t.withColumn("rn", F.row_number().over(w))
@@ -963,8 +956,6 @@ def stream_wor_sample(spark, sf_dir):
     the prepared projection; the pandas fold sorts integers. The
     drained reservoirs hash-match the batch per-source top-k under the
     same key — the sampling twin of stream_kmv_overlap."""
-    import uuid
-
     from fluxdb_spark.streaming.stateful import wor_stream
 
     raw = (
@@ -974,19 +965,18 @@ def stream_wor_sample(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    out = wor_stream(raw, k=10)  # same k as the sql_wor_sample_grouped twin
-    name = f"stream_wor_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # same k as the sql_wor_sample_grouped twin
+    out = wor_stream(_sspread(raw), k=10)
     # update-mode sink holds one row per group per micro-batch; the
     # seen-counter is monotone, so max-ver is each group's final state.
-    t = spark.table(name)
+    t = _drain(
+        spark,
+        sf_dir,
+        out,
+        ["documents.parquet"],
+        mode="update",
+        prefix="stream_wor",
+    )
     w = Window.partitionBy("g").orderBy(F.desc("ver"))
     return (
         t.withColumn("rn", F.row_number().over(w))
@@ -1015,8 +1005,6 @@ def stream_token_spectrum(spark, sf_dir):
     dashboard stays current as the corpus ingests instead of re-scanning
     it per decision; drained counters finish to a table that
     hash-matches the batch entry (shared oracle constant)."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -1024,22 +1012,22 @@ def stream_token_spectrum(spark, sf_dir):
         .parquet(sf_dir)
     )
     c = (
-        raw.select(
+        _sspread(raw)
+        .select(
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
         )
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    name = f"stream_spectrum_{uuid.uuid4().hex[:8]}"
-    q = (
-        c.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _spectrum_finish(
+        _drain(
+            spark,
+            sf_dir,
+            c,
+            ["documents.parquet"],
+            prefix="stream_spectrum",
+        )
     )
-    q.awaitTermination()
-    return _spectrum_finish(spark.table(name))
 
 
 @_q("stream_ivf_balance", "streaming", _IVF_BALANCE_SQL)
@@ -1054,8 +1042,6 @@ def stream_ivf_balance(spark, sf_dir):
     drifts past the latency budget, retraining is a decision made from
     k counters, not a corpus re-scan. Drained counters finish through
     the batch audit's shared finisher and hash-match its oracle."""
-    import uuid
-
     cents = _kcents8(spark, sf_dir)  # frozen, batch-side, memoized
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     raw = (
@@ -1068,16 +1054,12 @@ def stream_ivf_balance(spark, sf_dir):
         .groupBy(F.col("cluster").cast("long").alias("cell"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
     )
-    name = f"stream_ivf_{uuid.uuid4().hex[:8]}"
-    q = (
-        cells.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _ivf_balance_finish(
+        _drain(
+            spark, sf_dir, cells, ["embeddings.parquet"], prefix="stream_ivf"
+        ),
+        k=8,
     )
-    q.awaitTermination()
-    return _ivf_balance_finish(spark.table(name), k=8)
 
 
 @_q("stream_seasonality", "streaming", _SEASONALITY_SQL)
@@ -1093,8 +1075,6 @@ def stream_seasonality(spark, sf_dir):
     hash-matches the batch entry (shared oracle constant); the integer
     pmod calendar math is the shared expression too, so no engine (or
     stream/batch) dow() convention can disagree."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -1110,16 +1090,11 @@ def stream_seasonality(spark, sf_dir):
         .groupBy("dow", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    name = f"stream_season_{uuid.uuid4().hex[:8]}"
-    q = (
-        cells.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _seasonality_finish(
+        _drain(
+            spark, sf_dir, cells, ["events.parquet"], prefix="stream_season"
+        )
     )
-    q.awaitTermination()
-    return _seasonality_finish(spark.table(name))
 
 
 @_q(
@@ -1140,8 +1115,6 @@ def stream_embed_outliers(spark, sf_dir):
     priority = distance): a vector cut from the watchlist can never
     re-enter, so the trim is lossless and the drained state hash-matches
     the batch per-label top-k."""
-    import uuid
-
     from fluxdb_spark.streaming.stateful import topk_stream
 
     gcent = _gcent(spark, sf_dir)
@@ -1160,22 +1133,20 @@ def stream_embed_outliers(spark, sf_dir):
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    prepared = raw.select(
+    prepared = _sspread(raw).select(
         F.col("label").cast("string").alias("g"),
         F.col("vec_id").alias("id"),
         dist.alias("w"),
     ).withColumn("pri", F.col("w"))
     out = topk_stream(prepared, k=10)  # same k as the SQL twin's rn <= 10
-    name = f"stream_outliers_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    t = _drain(
+        spark,
+        sf_dir,
+        out,
+        ["embeddings.parquet"],
+        mode="update",
+        prefix="stream_outliers",
     )
-    q.awaitTermination()
-    t = spark.table(name)
     w = Window.partitionBy("g").orderBy(F.desc("ver"))
     return (
         t.withColumn("rn", F.row_number().over(w))
@@ -1205,8 +1176,6 @@ def stream_lm_score(spark, sf_dir):
     oracle, hash-identical. At 100 TB the standing table is the
     pipeline's scores column, maintained as documents arrive instead of
     recomputed per epoch."""
-    import uuid
-
     from fluxdb_spark.functions.text import bigram_structs, floor4
 
     d = _td(spark, sf_dir)
@@ -1234,7 +1203,7 @@ def stream_lm_score(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    bg_stream = raw.select(
+    bg_stream = _sspread(raw).select(
         "doc_id", F.explode(bigram_structs(F.col("text"))).alias("bg")
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     scored = (
@@ -1245,16 +1214,9 @@ def stream_lm_score(spark, sf_dir):
             floor4(F.avg("logp")).alias("avg_logp"),
         )
     )
-    name = f"stream_lm_{uuid.uuid4().hex[:8]}"
-    q = (
-        scored.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _drain(
+        spark, sf_dir, scored, ["documents.parquet"], prefix="stream_lm"
     )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @_q(
@@ -1271,8 +1233,6 @@ def stream_corpus_fingerprint(spark, sf_dir):
     current instead of a pre-run scan (the `stream_benford` shape
     applied to data versioning); drained state hash-matches the batch
     `corpus_fingerprint` relation, same oracle."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -1280,16 +1240,9 @@ def stream_corpus_fingerprint(spark, sf_dir):
         .parquet(sf_dir)
     )
     per_source = _fingerprint_per_source(raw)
-    name = f"stream_fp_{uuid.uuid4().hex[:8]}"
-    q = (
-        per_source.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    t = _drain(
+        spark, sf_dir, per_source, ["documents.parquet"], prefix="stream_fp"
     )
-    q.awaitTermination()
-    t = spark.table(name)
     return t.unionByName(_fingerprint_all_row(t))
 
 
@@ -1307,8 +1260,6 @@ def stream_key_skew(spark, sf_dir):
     counters finish serving-side through the SAME top-5/share finisher
     the batch audit uses and hash-match its oracle constant — the
     structural form of the twin claim."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -1316,20 +1267,15 @@ def stream_key_skew(spark, sf_dir):
         .parquet(sf_dir)
     )
     per = (
-        changelog_from_events(raw)
+        changelog_from_events(_sspread(raw))
         .groupBy("tablet_id", "primary_key")
         .agg(F.count(F.lit(1)).cast("long").alias("n_versions"))
     )
-    name = f"stream_keyskew_{uuid.uuid4().hex[:8]}"
-    q = (
-        per.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _key_skew_finish(
+        _drain(
+            spark, sf_dir, per, ["events.parquet"], prefix="stream_keyskew"
+        )
     )
-    q.awaitTermination()
-    return _key_skew_finish(spark.table(name))
 
 
 @_q("stream_shingle_df", "streaming", _SHINGLE_DF_SQL)
@@ -1345,8 +1291,6 @@ def stream_shingle_df(spark, sf_dir):
     n-gram order up).  Drained counters finish serving-side through the
     SAME ladder/pricing finisher the batch audit uses and hash-match its
     oracle constant — the structural form of the twin claim."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -1354,22 +1298,22 @@ def stream_shingle_df(spark, sf_dir):
         .parquet(sf_dir)
     )
     df = (
-        raw.select(
+        _sspread(raw)
+        .select(
             F.explode(dd.word_shingles(F.col("text"))).alias("shingle")
         )
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
-    name = f"stream_shingledf_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _shingle_df_finish(
+        _drain(
+            spark,
+            sf_dir,
+            df,
+            ["documents.parquet"],
+            prefix="stream_shingledf",
+        )
     )
-    q.awaitTermination()
-    return _shingle_df_finish(spark.table(name))
 
 
 @_q("stream_pq_distortion", "streaming", sim.sql_pq_distortion())
@@ -1385,8 +1329,6 @@ def stream_pq_distortion(spark, sf_dir):
     serving-side through the SAME rollup finisher the batch audit uses
     and hash-match its oracle — the structural form of the twin
     claim."""
-    import uuid
-
     e = _t(spark, sf_dir, "embeddings")
     books = sim.pq_codebooks(e, m=4, ks=8, iters=2)
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
@@ -1395,17 +1337,16 @@ def stream_pq_distortion(spark, sf_dir):
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(sf_dir)
     )
-    cells = sim.pq_cell_partials(raw, books)
-    name = f"stream_pqdist_{uuid.uuid4().hex[:8]}"
-    q = (
-        cells.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    cells = sim.pq_cell_partials(_sspread(raw), books)
+    return sim.pq_distortion_finish(
+        _drain(
+            spark,
+            sf_dir,
+            cells,
+            ["embeddings.parquet"],
+            prefix="stream_pqdist",
+        )
     )
-    q.awaitTermination()
-    return sim.pq_distortion_finish(spark.table(name))
 
 
 @_q("stream_snapshot_cadence", "streaming", _CADENCE_SQL)
@@ -1421,25 +1362,18 @@ def stream_snapshot_cadence(spark, sf_dir):
     through the SAME closed-form finisher the batch sweep uses and
     hash-match its oracle constant — the structural form of the twin
     claim."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    per = _cadence_profile(changelog_from_events(raw))
-    name = f"stream_cadence_{uuid.uuid4().hex[:8]}"
-    q = (
-        per.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    per = _cadence_profile(changelog_from_events(_sspread(raw)))
+    return _cadence_finish(
+        _drain(
+            spark, sf_dir, per, ["events.parquet"], prefix="stream_cadence"
+        )
     )
-    q.awaitTermination()
-    return _cadence_finish(spark.table(name))
 
 
 @_q("stream_winnow", "streaming", _WINNOW_SQL)
@@ -1455,24 +1389,17 @@ def stream_winnow(spark, sf_dir):
     the stream.  Drained postings finish serving-side through the SAME
     df-cap + pair-join finisher the batch audit uses and hash-match its
     oracle constant — the structural form of the twin claim."""
-    import uuid
-
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    per = _winnow_profile(raw).groupBy("doc_id", "fp").agg(
+    per = _winnow_profile(_sspread(raw)).groupBy("doc_id", "fp").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    name = f"stream_winnow_{uuid.uuid4().hex[:8]}"
-    q = (
-        per.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    return _winnow_finish(
+        _drain(
+            spark, sf_dir, per, ["documents.parquet"], prefix="stream_winnow"
+        ).select("doc_id", "fp")
     )
-    q.awaitTermination()
-    return _winnow_finish(spark.table(name).select("doc_id", "fp"))
