@@ -43,6 +43,7 @@ from fluxdb_spark.catalog._shared import (
     _fingerprint_all_row,
     _fingerprint_per_source,
     _gcent,
+    _ivfpq_models,
     _ivf_balance_finish,
     _kcents8,
     _seasonality_finish,
@@ -2035,9 +2036,9 @@ def embed_recall_eval(spark, sf_dir):
     ref = sim.quantized_topk(e, q.select("vec_id"), k=10).select(
         "query_id", "match_id"
     ).localCheckpoint()
-    pq = sim.pq_topk(e, q, m=4, ks=8, iters=2, k=10).select(
-        "query_id", "match_id"
-    )
+    pq = sim.pq_topk_with_books(
+        e, q, _ivfpq_models(spark, sf_dir)[1], k=10
+    ).select("query_id", "match_id")
     bn = sim.binary_topk(e, q.select("vec_id"), k=10, rerank=40).select(
         "query_id", "match_id"
     )
@@ -3295,8 +3296,15 @@ def embed_topk_pq(spark, sf_dir):
     compression trade-off vs brute force is property-tested separately
     (test_similarity)."""
     e = _t(spark, sf_dir, "embeddings")
-    out = sim.pq_topk(
-        e, e.filter(F.col("vec_id") < 5), m=4, ks=8, iters=2, k=10
+    # codebooks from the per-generation model memo (`_ivfpq_models` —
+    # the _kcents8 pattern): the deterministic integer Lloyd loop trains
+    # the IDENTICAL books from the same corpus, so this is bit-equal to
+    # training in-entry
+    out = sim.pq_topk_with_books(
+        e,
+        e.filter(F.col("vec_id") < 5),
+        _ivfpq_models(spark, sf_dir)[1],
+        k=10,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -5806,7 +5814,8 @@ def embed_pq_distortion(spark, sf_dir):
     (codebooks as plan literals, m errors per row explode map-side to m
     rows); every cell is an exact int64."""
     e = _t(spark, sf_dir, "embeddings")
-    return sim.pq_distortion(e)
+    # books from the per-generation memo — bit-equal to in-entry training
+    return sim.pq_distortion(e, books=_ivfpq_models(spark, sf_dir)[1])
 
 
 # Weighted-Jaccard verify constants (round 14).  Integer IDF proxy:
@@ -6021,30 +6030,9 @@ def embed_knn_graph_audit(spark, sf_dir):
 
 
 # keyed by sf_dir; value = ((mtime_ns, size), (cents, books)) -- the
-# `_kcents8` amortization pattern: the frozen IVF-PQ models for an
-# sf_dir are deterministic corpus functions, so the recompute entry
-# trains them once per data generation instead of 5 kmeans fits per
-# call (6.9 -> ~1.5 s at sf0.1); replaced on generation mismatch.
-_IVFPQ_MODELS_CACHE: dict[str, tuple] = {}
-
-
-def _ivfpq_models(spark, sf_dir):
-    import os
-
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    gen = (st.st_mtime_ns, st.st_size)
-    hit = _IVFPQ_MODELS_CACHE.get(sf_dir)
-    if hit is None or hit[0] != gen:
-        e = _t(spark, sf_dir, "embeddings")
-        hit = (
-            gen,
-            (
-                sim.kmeans_centroids(e, k=8, iters=2),
-                sim.pq_codebooks(e, m=4, ks=8, iters=2),
-            ),
-        )
-        _IVFPQ_MODELS_CACHE[sf_dir] = hit
-    return hit[1]
+# the per-generation IVF-PQ model memo now lives in catalog/_shared.py
+# (`_ivfpq_models`) so the batch and streaming catalogs share one model;
+# imported at the top of this module.
 
 
 @_q("embed_ivfpq_topk", "pipeline", sim.sql_ivfpq_topk())

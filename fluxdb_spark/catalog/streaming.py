@@ -52,6 +52,7 @@ from fluxdb_spark.catalog._shared import (
     _fingerprint_per_source,
     _gcent,
     _ivf_balance_finish,
+    _ivfpq_models,
     _kcents8,
     _key_skew_finish,
     _rfm_per_user,
@@ -1329,8 +1330,10 @@ def stream_pq_distortion(spark, sf_dir):
     serving-side through the SAME rollup finisher the batch audit uses
     and hash-match its oracle — the structural form of the twin
     claim."""
-    e = _t(spark, sf_dir, "embeddings")
-    books = sim.pq_codebooks(e, m=4, ks=8, iters=2)
+    # frozen books from the per-generation model memo (`_ivfpq_models`,
+    # shared with the batch catalog) — deterministic training, so the
+    # memoized model is bit-equal to training here
+    books = _ivfpq_models(spark, sf_dir)[1]
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     raw = (
         spark.readStream.schema(schema)

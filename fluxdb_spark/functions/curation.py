@@ -487,10 +487,21 @@ def dsir_weights(
             "b"
         ),
     )
-    doc_b = fb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("cnt"))
-    stats = fb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+    # ONE evaluation of the feature explode: fold to (doc, bucket)
+    # counters first (is_target is functional on the doc id, so adding
+    # it to the key changes no group), then derive the bucket stats
+    # from those counters — the old form ran the explode+hash twice,
+    # once per groupBy key.  Exact integer sums either way.
+    doc_b = (
+        fb.groupBy(id_col, "is_target", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # consumed by stats AND the weight join
+    )
+    stats = doc_b.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0)).alias(
+            "ct"
+        ),
     )
     tot = stats.agg(
         F.sum("cr").alias("tr"), F.sum("ct").alias("tt")

@@ -124,19 +124,27 @@ def jaccard_pairs(
         # swings); localCheckpoint, not persist, so nothing lingers in the
         # session cache after the consumers finish
     )
+    # one pass over the exploded shingles: df as a count window over
+    # `shingle` (same Exchange a groupBy would need, but no join-back —
+    # the old df-aggregate + equi-join re-evaluated the whole
+    # explode+hash branch a second time), and the per-doc set size from
+    # size(shingles) (word_shingles output is array_distinct, so the
+    # explode emits exactly that many rows — the second window the old
+    # form computed it with is pure overhead)
     sh = with_sh.select(
-        F.col(id_col), F.explode("shingles").alias("s")
-    ).select(F.col(id_col), F.xxhash64("s").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, on="shingle")
+        F.col(id_col),
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    ).select(F.col(id_col), "n", F.xxhash64("s").alias("shingle"))
+    w_df = Window.partitionBy("shingle")
     w_ord = Window.partitionBy(id_col).orderBy("df", "shingle")
-    w_all = Window.partitionBy(id_col)
     prefix = (
-        ranked.select(
+        sh.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .select(
             F.col(id_col),
             "shingle",
             F.row_number().over(w_ord).alias("rn"),
-            F.count(F.lit(1)).over(w_all).alias("n"),
+            "n",
         )
         .filter(
             F.col("rn")
@@ -922,18 +930,22 @@ def containment_pairs(
         )
         .localCheckpoint()  # same branch-race note as jaccard_pairs
     )
+    # single-evaluation df-as-window + size(shingles) as the set size —
+    # same rewrite as jaccard_pairs (the old df-aggregate + join-back
+    # re-evaluated the explode+hash branch twice; shingles are
+    # array_distinct so size() IS the per-doc count)
     sh = with_sh.select(
-        F.col(id_col), F.explode("shingles").alias("s")
-    ).select(F.col(id_col), F.xxhash64("s").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(dfreq, on="shingle")
+        F.col(id_col),
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("s"),
+    ).select(F.col(id_col), "n", F.xxhash64("s").alias("shingle"))
+    w_df = Window.partitionBy("shingle")
     w_ord = Window.partitionBy(id_col).orderBy("df", "shingle")
-    w_all = Window.partitionBy(id_col)
-    sized = ranked.select(
+    sized = sh.withColumn("df", F.count(F.lit(1)).over(w_df)).select(
         F.col(id_col),
         "shingle",
         F.row_number().over(w_ord).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+        "n",
     )
     prefix = sized.filter(
         F.col("rn")
@@ -1302,10 +1314,12 @@ def editdist_pairs(
         .localCheckpoint()  # cut the scan before the multi-branch fan-out
     )
     g = vals.select("val", F.explode("grams").alias("gram"))
-    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # df as a count window over `gram`: one evaluation of the explode,
+    # no aggregate + join-back (the jaccard_pairs rewrite)
+    w_df = Window.partitionBy("gram")
     w = Window.partitionBy("val").orderBy("df", "gram")
     prefix = (
-        g.join(dfreq, on="gram")
+        g.withColumn("df", F.count(F.lit(1)).over(w_df))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= prefix_len)
         .select("val", "gram")

@@ -3010,6 +3010,7 @@ def pq_distortion(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Per-subspace PQ quantization-loss audit — the third leg of the
     ANN tuning tripod (`ivf_balance_audit` prices probe COST,
@@ -3030,10 +3031,13 @@ def pq_distortion(
     Scale shape: training is the bounded kmeans contract; the audit
     pass is ONE map-only corpus scan — the m per-subspace errors ride a
     single explode of an m-literal struct array, folding map-side to m
-    rows; codebooks are plan literals."""
-    books = pq_codebooks(
-        corpus, m, ks, iters, dim, scale, id_col, vec_col
-    )
+    rows; codebooks are plan literals.  Pass `books` to audit FROZEN
+    codebooks (e.g. a per-generation memoized model) — training is
+    deterministic, so memoized books are bit-equal to retraining."""
+    if books is None:
+        books = pq_codebooks(
+            corpus, m, ks, iters, dim, scale, id_col, vec_col
+        )
     return pq_distortion_finish(
         pq_cell_partials(corpus, books, dim, scale, vec_col)
     )
