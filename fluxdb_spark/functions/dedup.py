@@ -762,7 +762,13 @@ def connected_components(
                     < F.col("component")
                 ).alias("_changed"),
             )
-            .localCheckpoint()
+            # LAZY checkpoint: the convergence count below is the first
+            # action, so ONE job materializes the iteration's label
+            # blocks AND answers the convergence probe (the eager form
+            # ran a separate materialization job per iteration); the
+            # next iteration's two consumers then read the stored
+            # blocks, lineage truncated as before
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
