@@ -908,8 +908,18 @@ def dedup_recall_eval(spark, sf_dir):
     verify stage at 100 TB). All overlaps are integer set
     intersections on (d1, d2); hash-matches the composed SQL twin."""
     d = _td(spark, sf_dir)
-    exact = dd.jaccard_pairs(d, 0.8).select("d1", "d2").localCheckpoint()
-    lsh = dd.minhash_lsh_dedup(d, 0.8).select("d1", "d2")
+    # one shingle-assembly pass feeds the exact pipeline AND the
+    # LSH signature+verify path (shingle_relation sharing); the SimHash
+    # path is word-level by design, so it keeps its own scan
+    with_sh = dd.shingle_relation(d)
+    exact = (
+        dd.jaccard_pairs(d, 0.8, shingles_rel=with_sh)
+        .select("d1", "d2")
+        .localCheckpoint()
+    )
+    lsh = dd.minhash_lsh_dedup(d, 0.8, shingles_rel=with_sh).select(
+        "d1", "d2"
+    )
     sim = dd.simhash_pairs(d, max_distance=3).select("d1", "d2")
     ex_n = exact.agg(F.count(F.lit(1)).cast("long").alias("n"))
     sim_n = sim.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -4609,10 +4619,13 @@ def dedup_lsh_tuning(spark, sf_dir):
         .select(F.col("id").cast("long").alias("band"))
         .select("band", F.expr(_LSH_THEORY).alias("theory_ppm"))
     )
-    pairs = dd.jaccard_pairs(d, 0.75)
-    cand = dd.lsh_candidate_pairs(dd.minhash_signatures(d)).withColumn(
-        "caught", F.lit(1)
-    )
+    # one shingle-assembly pass for the exact pipeline AND the
+    # signature map (shingle_relation sharing)
+    with_sh = dd.shingle_relation(d)
+    pairs = dd.jaccard_pairs(d, 0.75, shingles_rel=with_sh)
+    cand = dd.lsh_candidate_pairs(
+        dd.minhash_signatures(d, shingles_rel=with_sh)
+    ).withColumn("caught", F.lit(1))
     emp = (
         pairs.join(cand, ["d1", "d2"], "left")
         .select(
@@ -4691,8 +4704,13 @@ def dedup_minhash_estimator(spark, sf_dir):
     rollup is <= 5 bands."""
     k = dd.MINHASH_K
     d = _td(spark, sf_dir)
-    pairs = dd.jaccard_pairs(d, 0.8)
-    sigs = dd.minhash_signatures(d).localCheckpoint()
+    # one shingle-assembly pass feeds BOTH the exact pair pipeline and
+    # the signature map (shingle_relation sharing)
+    with_sh = dd.shingle_relation(d)
+    pairs = dd.jaccard_pairs(d, 0.8, shingles_rel=with_sh)
+    sigs = dd.minhash_signatures(
+        d, shingles_rel=with_sh
+    ).localCheckpoint()
     a = sigs.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"sig{i}").alias(f"a{i}") for i in range(k)],
@@ -5474,8 +5492,13 @@ def dedup_minhash_k_sweep(spark, sf_dir):
     |pairs|-row relation map-side and folds to |K| rows."""
     k = dd.MINHASH_K
     d = _td(spark, sf_dir)
-    pairs = dd.jaccard_pairs(d, 0.6)
-    sigs = dd.minhash_signatures(d).localCheckpoint()
+    # one shingle-assembly pass for the exact pipeline AND the
+    # signature map (shingle_relation sharing)
+    with_sh = dd.shingle_relation(d)
+    pairs = dd.jaccard_pairs(d, 0.6, shingles_rel=with_sh)
+    sigs = dd.minhash_signatures(
+        d, shingles_rel=with_sh
+    ).localCheckpoint()
     a = sigs.select(
         F.col("doc_id").alias("d1"),
         *[F.col(f"sig{i}").alias(f"a{i}") for i in range(k)],
@@ -5874,7 +5897,10 @@ def dedup_weighted_jaccard(spark, sf_dir):
     d = _td(spark, sf_dir)
     # hashed shingles (the `exploded_shingle_hashes` collision contract):
     # the df groupBy, the weight join and the candidate-bounded shared
-    # join all ship 8-byte hashes instead of shingle strings
+    # join all ship 8-byte hashes instead of shingle strings.  NOT on the
+    # shingle_relation sharing path: sharing means TWO checkpoints of
+    # overlapping shingle data here (measured 2.09 -> 2.52 s at sf0.1),
+    # since this entry needs the exploded-hash relation, not the arrays
     sh = dd.exploded_shingle_hashes(d).localCheckpoint()  # df + dw + pair sides
     cands = dd.lsh_candidate_pairs(dd.minhash_signatures(d))
     w = (

@@ -94,8 +94,27 @@ def exploded_shingle_hashes(
     )
 
 
+def shingle_relation(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Checkpointed (id, shingles) relation — the shingle-assembly corpus
+    pass, materialized ONCE so an entry that feeds several shingle
+    consumers (exact pair pipeline + MinHash signatures + LSH verify)
+    pays for tokenize/slice/concat a single time.  Pass the result as
+    `shingles_rel` to `jaccard_pairs` / `minhash_signatures` /
+    `minhash_lsh_dedup`."""
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col), word_shingles(F.col("text")).alias("shingles")
+        )
+        .localCheckpoint()
+    )
+
+
 def jaccard_pairs(
-    docs: DataFrame, threshold: float, id_col: str = "doc_id"
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    shingles_rel: DataFrame | None = None,
 ) -> DataFrame:
     """All (d1 < d2) pairs with shingle-set Jaccard >= threshold — EXACT,
     via PPJoin-style prefix filtering (Bayardo et al. WWW'07 / Xiao et al.
@@ -122,22 +141,38 @@ def jaccard_pairs(
     intersection count by 1 — and it makes the checkpointed relation and
     the two verify joins ship bigint arrays instead of string arrays
     (profiled 2.5x faster verification at the 0.6-threshold candidate
-    volume)."""
-    with_sh = (
-        spread(docs)
-        .select(F.col(id_col), word_shingles(F.col("text")).alias("shingles"))
-        .select(
+    volume).
+
+    `shingles_rel` (a `shingle_relation` result) skips the shingle-
+    assembly corpus pass when the caller already materialized one for
+    another consumer; the hashed relation is checkpointed itself so the
+    three consumer branches (prefix pipeline + two verify sides) hash
+    each shingle once, exactly as in the self-built path."""
+    if shingles_rel is not None:
+        with_sh = shingles_rel.select(
             F.col(id_col),
             F.array_distinct(
                 F.transform("shingles", lambda s: F.xxhash64(s))
             ).alias("hsh"),
+        ).localCheckpoint()
+    else:
+        with_sh = (
+            spread(docs)
+            .select(
+                F.col(id_col), word_shingles(F.col("text")).alias("shingles")
+            )
+            .select(
+                F.col(id_col),
+                F.array_distinct(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                ).alias("hsh"),
+            )
+            .localCheckpoint()  # materialize BEFORE branching: AQE runs
+            # independent stages as concurrent jobs, and branches racing to
+            # fill an un-built cache each recompute it (observed 2-5x latency
+            # swings); localCheckpoint, not persist, so nothing lingers in the
+            # session cache after the consumers finish
         )
-        .localCheckpoint()  # materialize BEFORE branching: AQE runs
-        # independent stages as concurrent jobs, and branches racing to
-        # fill an un-built cache each recompute it (observed 2-5x latency
-        # swings); localCheckpoint, not persist, so nothing lingers in the
-        # session cache after the consumers finish
-    )
     # one pass over the exploded shingles: df as a count window over
     # `shingle` (same Exchange a groupBy would need, but no join-back —
     # the old df-aggregate + equi-join re-evaluated the whole
@@ -237,15 +272,22 @@ def sql_shingle_hash_chunks(expr: str, k: int = MINHASH_K) -> list[str]:
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    id_col: str = "doc_id",
+    shingles_rel: DataFrame | None = None,
 ) -> DataFrame:
     """k 32-bit min-hashes per doc as columns sig0..sig{k-1}.
 
-    Hashes the corpus's *distinct* shingles once (typically ~10x fewer rows
-    than shingle occurrences), joins back, and min-aggregates with map-side
-    combine — the shuffle carries |docs| signature rows."""
-    with_sh = spread(docs).select(
-        F.col(id_col), word_shingles(F.col("text")).alias("shingles")
+    Entirely map-side (see _signatures_from_arrays).  `shingles_rel`
+    (a `shingle_relation` result) reuses a shingle-assembly pass the
+    caller already materialized for another consumer."""
+    with_sh = (
+        shingles_rel
+        if shingles_rel is not None
+        else spread(docs).select(
+            F.col(id_col), word_shingles(F.col("text")).alias("shingles")
+        )
     )
     return _signatures_from_arrays(with_sh, k, id_col)
 
@@ -350,6 +392,7 @@ def minhash_lsh_dedup(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
+    shingles_rel: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup detection: LSH candidates, then exact-Jaccard
     verification of ONLY those candidates.
@@ -358,11 +401,17 @@ def minhash_lsh_dedup(
     *arrays* and scores with array_intersect/array_union — O(|candidates|)
     work, never the all-pairs shingle join. At scale this is the whole point
     of LSH: the shuffle carries |docs| signatures + |candidates| pairs.
-    """
-    with_sh = spread(docs).select(
-        F.col(id_col), word_shingles(F.col("text")).alias("shingles")
-    ).localCheckpoint()  # materialize before the 4 consumer branches (see
-    # jaccard_pairs: concurrent AQE jobs race on an un-built cache)
+
+    `shingles_rel` (a `shingle_relation` result, already checkpointed)
+    reuses a caller-materialized shingle-assembly pass."""
+    with_sh = (
+        shingles_rel
+        if shingles_rel is not None
+        else spread(docs)
+        .select(F.col(id_col), word_shingles(F.col("text")).alias("shingles"))
+        .localCheckpoint()  # materialize before the 4 consumer branches (see
+        # jaccard_pairs: concurrent AQE jobs race on an un-built cache)
+    )
     sigs = _signatures_from_arrays(with_sh, k, id_col)
     cands = lsh_candidate_pairs(sigs, k, bands, id_col)
     return verify_jaccard_candidates(cands, with_sh, threshold)
