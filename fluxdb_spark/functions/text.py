@@ -178,17 +178,24 @@ def distinct_stopword_count(text: Column) -> Column:
     )
 
 
-def quality_rules(text: Column) -> dict[str, Column]:
-    """The per-document rule columns of `quality_filter`: raw statistics,
-    one boolean per rule, and the conjunctive keep decision. Pure map-side
-    JVM expressions — the filter runs at scan speed on any corpus size."""
-    n = token_count(text)
+def quality_rules_from(toks: Column, dltoks: Column) -> dict[str, Column]:
+    """`quality_rules` over PRE-HOISTED array columns: `toks` =
+    `tokens(text)`, `dltoks` = `array_distinct(tokens(lower(text)))`.
+    A caller that needs several rules at once should project the two
+    arrays in a parent select and build the rules from the columns —
+    the rule expressions reference each array once, where inlining the
+    raw text re-splits it per rule (higher-order lambdas block
+    Catalyst's subexpression elimination; profiled 5.4x on
+    perceptron_features)."""
+    n = F.size(toks)
     # mean word length over the RAW double; floor4 only when emitting
     total_len = F.aggregate(
-        tokens(text), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     mean_len = total_len / n
-    n_stop = distinct_stopword_count(text)
+    n_stop = F.size(
+        F.array_intersect(dltoks, F.array(*[F.lit(w) for w in STOPWORDS]))
+    )
     ok_len = (n >= QF_MIN_WORDS) & (n <= QF_MAX_WORDS)
     ok_mean = (mean_len >= QF_MIN_MEAN_LEN) & (mean_len <= QF_MAX_MEAN_LEN)
     ok_stop = n_stop >= QF_MIN_DISTINCT_STOPWORDS
@@ -201,6 +208,15 @@ def quality_rules(text: Column) -> dict[str, Column]:
         "ok_stopwords": ok_stop,
         "keep": ok_len & ok_mean & ok_stop,
     }
+
+
+def quality_rules(text: Column) -> dict[str, Column]:
+    """The per-document rule columns of `quality_filter`: raw statistics,
+    one boolean per rule, and the conjunctive keep decision. Pure map-side
+    JVM expressions — the filter runs at scan speed on any corpus size."""
+    return quality_rules_from(
+        tokens(text), F.array_distinct(tokens(F.lower(text)))
+    )
 
 
 def sql_quality_rules(expr: str) -> dict[str, str]:
@@ -1976,10 +1992,17 @@ def perceptron_features(docs, id_col: str = "doc_id", text_col: str = "text"):
     not linearly separable in raw counts, and batch updates with
     1000x-scale features overshoot (n_wrong plateaued ~47%); in
     indicator space AND is separable and the batch perceptron reaches
-    ZERO disagreement by epoch ~5. Map-side JVM expressions only."""
+    ZERO disagreement by epoch ~5. Map-side JVM expressions only; the
+    token arrays are hoisted into a parent projection so each is built
+    once per row, not once per rule (quality_rules_from)."""
     t = F.col(text_col)
-    rules = quality_rules(t)
-    return docs.select(
+    hoisted = docs.select(
+        F.col(id_col),
+        tokens(t).alias("_pf_toks"),
+        F.array_distinct(tokens(F.lower(t))).alias("_pf_dlt"),
+    )
+    rules = quality_rules_from(F.col("_pf_toks"), F.col("_pf_dlt"))
+    return hoisted.select(
         F.col(id_col),
         F.when(rules["keep"], F.lit(1)).otherwise(F.lit(-1))
         .cast("long")
@@ -1988,7 +2011,7 @@ def perceptron_features(docs, id_col: str = "doc_id", text_col: str = "text"):
         rules["ok_len"].cast("long").alias("x1"),
         rules["ok_mean_len"].cast("long").alias("x2"),
         rules["ok_stopwords"].cast("long").alias("x3"),
-        F.least(distinct_stopword_count(t), F.lit(8))
+        F.least(rules["n_distinct_stopwords"], F.lit(8))
         .cast("long")
         .alias("x4"),
     )
@@ -2001,7 +2024,16 @@ def quality_perceptron(docs, epochs: int = QP_EPOCHS):
     zero-weight baseline: every margin is 0 and counts as wrong), and
     w0..w4 are the weights AFTER folding the epoch's summed update
     w += sum_{y*(w.x) <= 0} y*x (the batch form — data-parallel where
-    the classic per-sample rule is inherently sequential)."""
+    the classic per-sample rule is inherently sequential).
+
+    Epoch chaining stays a DRIVER LOOP (collect the 1-row epoch
+    aggregate, fold, re-issue with literal weights): unrolling all
+    epochs into one plan — the SQL twin's chained-CTE shape — was tried
+    and is SLOWER in Spark (7.2 vs 4.2 s at sf0.1): each level embeds
+    the whole previous chain and the trajectory union references every
+    level again, so analysis re-pays O(epochs^2) aggregate subplans on
+    every fresh invocation, where the loop's 6 mini-plans are O(1) each
+    and their codegen caches across runs (literals are deterministic)."""
     feats = perceptron_features(docs).localCheckpoint()
     w = [0] * _QP_DIM
     rows = []
