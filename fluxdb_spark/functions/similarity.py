@@ -965,15 +965,20 @@ def assign_to_centroids(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only assignment of vectors to FROZEN centroids (plan literals,
     exact integer distances) — the row-wise half of k-means that an
-    incremental maintainer can apply per append batch."""
+    incremental maintainer can apply per append batch.  `carry` names
+    extra input columns to project through (e.g. the vector itself for
+    a downstream candidate join) — cheaper than re-attaching them with
+    an id equi-join after the fact."""
     near = _nearest_int_centroid(_quantize(F.col(vec_col), scale), cents)
     return vectors.select(
         F.col(id_col),
         near["idx"].alias("cluster"),
         near["dist"].alias("dist"),
+        *[F.col(c) for c in carry],
     )
 
 
