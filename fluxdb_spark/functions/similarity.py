@@ -1167,6 +1167,7 @@ def semantic_dedup(
     scale: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[int]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal over an embedding corpus — cluster with the
@@ -1178,22 +1179,29 @@ def semantic_dedup(
     the candidate space is per-cell pairs — quadratic in the CELL,
     controlled by raising k — never corpus-wide all-pairs; the self-join
     shuffles on cluster. Deterministic and oracle-hashable end to end:
-    the backbone is `kmeans_clusters` (exact integer Lloyd) and the
-    score is the shared round-4 cosine, both replayed by
-    `sql_semantic_dedup`."""
-    asg = kmeans_clusters(
-        corpus, k=k, iters=iters, scale=scale,
-        id_col=id_col, vec_col=vec_col,
-    )
-    withv = (
-        asg.select(id_col, "cluster")
-        .join(
-            spread(corpus).select(
-                id_col, vec_col, norm(F.col(vec_col)).alias("_nrm")
-            ),
-            id_col,
+    the backbone is the exact integer Lloyd model and the score is the
+    shared round-4 cosine, both replayed by `sql_semantic_dedup`.
+
+    `cents` (a `kmeans_centroids` result for the SAME corpus/k/iters)
+    skips in-call training — the frozen-model amortization a caller
+    uses when the model is memoized per data generation; assignment
+    against frozen centroids reproduces `kmeans_clusters` bit-for-bit
+    (pinned in test_similarity)."""
+    if cents is None:
+        cents = kmeans_centroids(
+            corpus, k=k, iters=iters, scale=scale,
+            id_col=id_col, vec_col=vec_col,
         )
-        .localCheckpoint()  # 3 consumer branches below
+    withv = (
+        assign_to_centroids(
+            spread(corpus), cents, scale=scale,
+            id_col=id_col, vec_col=vec_col, carry=(vec_col,),
+        )
+        .select(
+            id_col, "cluster", vec_col, norm(F.col(vec_col)).alias("_nrm")
+        )
+        .localCheckpoint()  # 3 consumer branches below; built map-only
+        # (vector carried through the assignment — no join-back)
     )
     a = withv.select(
         F.col(id_col).alias("a_id"),
