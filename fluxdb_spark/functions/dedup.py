@@ -774,19 +774,29 @@ def connected_components(
     plan size stays constant across iterations.
     """
     pairs = pairs.localCheckpoint()
-    # materialized: both union branches below consume it, and pairs is
-    # typically an expensive similarity pipeline
+    # materialized EAGERLY: the two union branches below and every
+    # iteration's neighbor join consume it, and pairs is typically an
+    # expensive similarity pipeline — lazy here would evaluate that
+    # pipeline once per consumer inside the first job
     edges = (
         pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
         .unionByName(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
-        .distinct()
-        .localCheckpoint()
+        # no distinct: every shipped pair relation is distinct by
+        # construction (pair formation ends in a groupBy(d1, d2)), and
+        # min-label is idempotent under duplicate edges — a distinct
+        # here paid a full shuffle of the edge list per call for pure
+        # defensiveness
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
+        # edges/labels LAZY: iteration 1's convergence probe is the
+        # first action over both, so one job materializes their blocks
+        # (reading pairs' stored blocks, not the pair pipeline) —
+        # the eager form ran one setup job per relation
     )
     for _ in range(max_iterations):
         neighbor_min = (
