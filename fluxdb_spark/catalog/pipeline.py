@@ -5450,11 +5450,25 @@ def embed_ann_recall_curve(spark, sf_dir):
         .localCheckpoint()  # consumed by all recall joins
     )
     n_q = full.select("query_id").distinct().count()
+    # ONE exact-cosine pass over the full-probe candidate set with the
+    # probe depth attached (probe sets nest, so depth p is exactly the
+    # prank <= p subset) — the old per-depth ivf_topk_from_assignments
+    # calls re-read the index and re-scored sum(p)/max(p) = 15/8 of the
+    # candidate space; per-depth top-k over the filtered subset is
+    # bit-identical (same scores, same tie-break — pinned in
+    # tests/test_similarity.py).
+    scored = sim.ivf_probe_scored(assignments, cents, q).localCheckpoint()
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
     per = []
     for p in _ANN_PROBES:
-        t = sim.ivf_topk_from_assignments(
-            assignments, cents, q, k=10, n_probe=p
-        ).select("query_id", "match_id")
+        t = (
+            scored.filter(F.col("prank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "match_id")
+        )
         per.append(
             t.join(full, ["query_id", "match_id"]).agg(
                 F.lit(p).cast("long").alias("n_probe"),

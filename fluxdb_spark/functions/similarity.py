@@ -1046,6 +1046,56 @@ def ivf_topk_from_assignments(
     )
 
 
+def ivf_probe_scored(
+    assignments: DataFrame,
+    cents: list[list[int]],
+    queries: DataFrame,
+    scale: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FULL-probe IVF candidate scoring with the probe DEPTH attached:
+    one exact-cosine pass over the n_probe = len(cents) candidate set,
+    where `prank` is the 1-based rank of the candidate's cell in the
+    query's centroid-distance ordering (the same exact integer ordering
+    `ivf_topk_from_assignments` slices).  Because probe sets NEST —
+    depth p's candidates are exactly the prank <= p subset — a
+    probe-depth sweep filters this one relation per depth instead of
+    re-scoring per depth: sum(p_i)/max(p_i) of the cosine work removed,
+    and the index is read once instead of once per depth.  Per-depth
+    top-k over the filtered subset is bit-identical to calling
+    `ivf_topk_from_assignments(n_probe=p)` (same scores, same
+    tie-break), pinned by tests/test_similarity.py."""
+    c = assignments.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+        "cluster",
+    )
+    ranked_cells = F.transform(
+        _int_centroid_dists(_quantize(F.col(vec_col), scale), cents),
+        lambda s: s["idx"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+        F.posexplode(ranked_cells).alias("_pos", "cluster"),
+    )
+    return (
+        c.join(F.broadcast(q), on="cluster")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("_qn"), F.col("_cn")
+            ).alias("score"),
+            (F.col("_pos") + 1).cast("int").alias("prank"),
+        )
+    )
+
+
 def _kmeans_fit(
     corpus: DataFrame,
     k: int,

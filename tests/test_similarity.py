@@ -264,6 +264,44 @@ class TestKmeansClusters:
         )
         assert a == b
 
+    def test_probe_scored_subset_equals_per_depth_topk(self, spark):
+        # the embed_ann_recall_curve fusion contract: one full-probe
+        # scored relation with prank attached, filtered to prank <= p
+        # and ranked per query, must be bit-identical to calling
+        # ivf_topk_from_assignments(n_probe=p) — probe sets nest
+        from pyspark.sql import Window
+
+        e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        cents = sim.kmeans_centroids(e, k=4, iters=2)
+        assignments = sim.assign_to_centroids(
+            e, cents, carry=("embedding",)
+        ).select("vec_id", "cluster", "embedding")
+        q = e.filter(F.col("vec_id") < 3)
+        scored = sim.ivf_probe_scored(assignments, cents, q)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("match_id")
+        )
+        for p in (1, 2, 4):
+            fused = sorted(
+                map(
+                    tuple,
+                    scored.filter(F.col("prank") <= p)
+                    .withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= 5)
+                    .select("query_id", "match_id", "score", "rank")
+                    .collect(),
+                )
+            )
+            direct = sorted(
+                map(
+                    tuple,
+                    sim.ivf_topk_from_assignments(
+                        assignments, cents, q, k=5, n_probe=p
+                    ).collect(),
+                )
+            )
+            assert fused == direct, f"n_probe={p}"
+
     def test_distances_exact_integers(self, spark):
         # two vectors at a known quantized offset: dist must equal the
         # exact integer square (no float residue)
