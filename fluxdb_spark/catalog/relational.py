@@ -822,7 +822,11 @@ def tpch_q2(spark, sf_dir):
     the one shared `eur` relation — lineitem is scanned and aggregated
     exactly ONCE (the decorrelated join-back alternative would compute the
     whole ps+dims subtree twice). The derived ps relation aggregates
-    lineitem on (partkey, suppkey) with map-side combine; dims broadcast."""
+    lineitem on (partkey, suppkey) with map-side combine; dims broadcast.
+    The broadcast part join sits BELOW the window: the min is per partkey
+    and p_partkey is unique, so restricting first is result-identical while
+    the window exchange carries only the filtered parts' suppliers instead
+    of every European (partkey, supplier) row."""
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
@@ -843,9 +847,9 @@ def tpch_q2(spark, sf_dir):
     )
     w = Window.partitionBy("l_partkey")
     return (
-        eur.withColumn("min_cost", F.min("supply_cost").over(w))
+        eur.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("supply_cost").over(w))
         .filter(F.col("supply_cost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
     )
 
