@@ -2497,6 +2497,30 @@ def _cms_key_sketch(df: DataFrame, key_col: str, depth: int, width: int):
     return keyed.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _cms_count_sketch(
+    counts: DataFrame, key_col: str, cnt_col: str, depth: int, width: int
+):
+    """CMS counters folded from a per-key COUNT relation instead of raw
+    rows: counter(r, bucket) = sum of the counts of the keys hashing
+    there — the same integers `_cms_key_sketch` produces, with the
+    bucket hash evaluated once per (key, row) instead of once per
+    (input row, row)."""
+    keyed = counts.select(
+        F.col(key_col).cast("string").alias("term"), F.col(cnt_col)
+    ).select(
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+        "term",
+        cnt_col,
+    ).select(
+        "r",
+        _cms_bucket(F.col("term"), F.col("r"), width).alias("bucket"),
+        cnt_col,
+    )
+    return keyed.groupBy("r", "bucket").agg(
+        F.sum(cnt_col).alias("cnt")
+    )
+
+
 def cms_join_size(
     a: DataFrame,
     b: DataFrame,
@@ -2509,22 +2533,29 @@ def cms_join_size(
     inner-product estimate. The exact side is computed as the inner
     product of the two per-key count relations (sum cA*cB — the join
     size without materializing the join); the estimate touches only the
-    two depth*width counter tables."""
-    ska = _cms_key_sketch(a, a_key, depth, width)
-    skb = _cms_key_sketch(b, b_key, depth, width)
-    est = (
-        ska.withColumnRenamed("cnt", "ca")
-        .join(skb.withColumnRenamed("cnt", "cb"), ["r", "bucket"])
-        .groupBy("r")
-        .agg(F.sum(F.col("ca") * F.col("cb")).alias("prod"))
-        .agg(F.min("prod").cast("long").alias("n_rows"))
-        .select(F.lit("cms_estimate").alias("method"), "n_rows")
-    )
+    two depth*width counter tables.
+
+    Each input is SCANNED ONCE: the sketches are folded from the per-key
+    count relations the exact side needs anyway (counter(r, bucket) =
+    sum over keys hashing there of that key's count — identical integer
+    sums to hashing every raw row), so the salted md5 bucket hash runs
+    |keys| * depth times instead of |rows| * depth, and the raw-row pass
+    per side disappears."""
     ca = a.groupBy(F.col(a_key).alias("k")).agg(
         F.count(F.lit(1)).alias("ca")
     )
     cb = b.groupBy(F.col(b_key).alias("k")).agg(
         F.count(F.lit(1)).alias("cb")
+    )
+    ska = _cms_count_sketch(ca, "k", "ca", depth, width)
+    skb = _cms_count_sketch(cb, "k", "cb", depth, width)
+    est = (
+        ska.withColumnRenamed("cnt", "sca")
+        .join(skb.withColumnRenamed("cnt", "scb"), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("sca") * F.col("scb")).alias("prod"))
+        .agg(F.min("prod").cast("long").alias("n_rows"))
+        .select(F.lit("cms_estimate").alias("method"), "n_rows")
     )
     exact = (
         ca.join(cb, "k")
