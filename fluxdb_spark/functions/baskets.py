@@ -32,14 +32,18 @@ def basket_rules(
 ) -> DataFrame:
     """Top-k directional rules (antecedent -> consequent) by lift.
 
-    `baskets`: one row per (basket, item) — duplicates tolerated (made
-    distinct here). support = baskets containing both items;
-    confidence_ppm = 10^6 * s_ab / s_a; lift_ppm = 10^6 * s_ab*N /
-    (s_a*s_b). Both directions of every qualifying pair are emitted
-    (confidence is asymmetric). Scale: one distinct + one within-basket
-    self-join (per-basket key, bounded by basket size), then
-    vocabulary-sized relations; item supports join back broadcast; N on
-    a 1-row broadcast; top-k via sort+limit.
+    `baskets`: one row per (basket, item) — duplicates tolerated (the
+    per-basket collect_set makes items distinct). support = baskets
+    containing both items; confidence_ppm = 10^6 * s_ab / s_a;
+    lift_ppm = 10^6 * s_ab*N / (s_a*s_b). Both directions of every
+    qualifying pair are emitted (confidence is asymmetric). Scale: ONE
+    exchange of the (basket, item) rows folds each basket to its sorted
+    distinct item array; within-basket pairs are a per-row array
+    expression over that fold (sort_array uses the same string ordering
+    the old x.item < y.item self-join filtered on, so pairs i < j are
+    the identical set) — no distinct pre-shuffle and no self-join, and
+    everything after runs on vocabulary-sized relations; item supports
+    join back broadcast; N on a 1-row broadcast; top-k via sort+limit.
 
     Returns (antecedent, consequent, support, confidence_ppm, lift_ppm,
     rank).
@@ -48,18 +52,28 @@ def basket_rules(
         baskets.select(
             F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
         )
-        .distinct()
+        .groupBy("bk")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
         .localCheckpoint()  # feeds three branches below
     )
-    n = b.select("bk").distinct().agg(F.count(F.lit(1)).alias("n"))
-    item_sup = b.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
-    pairs = (
-        b.alias("x")
-        .join(b.alias("y"), on="bk")
-        .filter(F.col("x.item") < F.col("y.item"))
-        .groupBy(
-            F.col("x.item").alias("a"), F.col("y.item").alias("b")
+    n = b.agg(F.count(F.lit(1)).alias("n"))
+    item_sup = (
+        b.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size("items")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    pairs = (
+        b.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("s_ab"))
         .filter(F.col("s_ab") >= min_support)
     )
