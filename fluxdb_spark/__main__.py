@@ -542,7 +542,7 @@ def cmd_index_retrieval(args, spark: SparkSession) -> int:
     if args.compact:
         # fold-compaction: one physical row per key (tombstones kept),
         # so standing reads fold only the post-compaction delta
-        fold = {"minhash": ["doc_id"], "lsh": ["vec_id", "tbl"],
+        fold = {"minhash": ["doc_id"], "lsh": ["vec_id"],
                 "kmeans": ["vec_id"], "quantize": ["vec_id"],
                 "pq": ["vec_id"], "binary": ["vec_id"],
                 "bpe": ["doc_id"],

@@ -3519,9 +3519,7 @@ def embed_ann_lsh_materialized(spark, sf_dir):
     rt.refresh(
         spark, str(store.root), dest, rt.lsh_bucket_transform(), ck
     )
-    buckets = rt.lww_latest(
-        rt.read_derived(spark, dest), ["vec_id", "tbl"]
-    )
+    buckets = rt.lsh_live_buckets(rt.read_derived(spark, dest))
     e = _t(spark, sf_dir, "embeddings")
     out = (
         sim.lsh_topk_from_buckets(

@@ -310,11 +310,17 @@ def lsh_bucket_transform(
     dim: int = 64,
     seed: int = 42,
 ):
-    """Transform factory: changelog vector rows -> LSH bucket rows
-    (vec_id, height, is_deletion, tbl, bucket, embedding). The seeded
+    """Transform factory: changelog vector rows -> PACKED LSH bucket rows
+    (vec_id, height, is_deletion, embedding, tbs array<struct<tbl,
+    bucket>>) — ONE row per vector version, not one per (version,
+    table): the 64-float embedding is written to the derived parquet
+    and shipped through the lww fold once instead of n_tables times
+    (guide §2.3/§6 — the exploded form was 4x write amplification on
+    the index's dominant column for pure layout preference; readers
+    explode AFTER the fold via `lsh_live_buckets`). The seeded
     hyperplanes are plan literals, identical to `lsh_topk`'s, so a query
     bucketing its probe vector the same way collides with exactly the
-    candidates the recompute form finds. Map-only (explode is per-row)."""
+    candidates the recompute form finds. Map-only."""
     from fluxdb_spark.functions.similarity import _hyperplanes, _lsh_buckets
 
     tables = [
@@ -328,15 +334,24 @@ def lsh_bucket_transform(
             "height",
             "is_deletion",
             "embedding",
-            F.explode(
-                _lsh_buckets(F.col("embedding"), tables)
-            ).alias("tb"),
-        ).select(
-            "vec_id", "height", "is_deletion", "embedding",
-            "tb.tbl", "tb.bucket",
+            _lsh_buckets(F.col("embedding"), tables).alias("tbs"),
         )
 
     return transform
+
+
+def lsh_live_buckets(derived: DataFrame) -> DataFrame:
+    """Live (vec_id, embedding, tbl, bucket) relation from the packed
+    bucket table: lww fold per vec_id (embedding and buckets ride in one
+    row, so the fold's max_by exchange carries each vector once), then a
+    per-row explode — exactly the relation `lsh_topk_from_buckets`
+    equi-joins on. Explode-after-fold commutes with the old
+    fold-per-(vec_id, tbl): every bucket row of a version shares that
+    version's height and deletion flag."""
+    live = lww_latest(derived, ["vec_id"])
+    return live.select(
+        "vec_id", "embedding", F.explode("tbs").alias("tb")
+    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
 
 
 def centroid_assign_transform(
@@ -969,7 +984,7 @@ class RetrievalService:
         derived = read_derived(self.spark, self.ann_dest)
         if derived is None:
             raise ValueError("ANN index is empty — run index-retrieval")
-        buckets = lww_latest(derived, ["vec_id", "tbl"])
+        buckets = lsh_live_buckets(derived)
         probe = self.spark.createDataFrame(
             [(-1, [float(x) for x in vector])],
             "vec_id long, embedding array<double>",

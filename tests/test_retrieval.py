@@ -333,9 +333,7 @@ class TestMaterializedAnn:
             rt.lsh_bucket_transform(n_planes=4, n_tables=4, dim=8),
             ck,
         )
-        buckets = rt.lww_latest(
-            rt.read_derived(spark, dest), ["vec_id", "tbl"]
-        )
+        buckets = rt.lsh_live_buckets(rt.read_derived(spark, dest))
         corpus = spark.createDataFrame(
             [(i, v) for i, v in sorted(VECS.items())],
             "vec_id long, embedding array<float>",
