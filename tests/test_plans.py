@@ -650,7 +650,31 @@ class TestRound13AdditionPlans:
 
     def test_ann_recall_probe_join_broadcasts(self, spark, specs):
         """The probe join must broadcast the bounded query side into
-        the cell-pruned corpus scan."""
+        the cell-pruned corpus scan.  Since the round-14 fusion the
+        entry scores the full-probe candidate set ONCE (checkpointed;
+        see sim.ivf_probe_scored), so the broadcast lives in the scored
+        relation's own plan and the declared plan is the per-depth
+        prank-filtered windows over the checkpoint."""
+        from fluxdb_spark.functions import similarity as sim
+        from fluxdb_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        e = load_table(spark, SF, "embeddings")
+        cents = sim.kmeans_centroids(e, k=4, iters=1)
+        assignments = sim.assign_to_centroids(
+            e, cents, carry=("embedding",)
+        ).select("vec_id", "cluster", "embedding")
+        scored = sim.ivf_probe_scored(
+            assignments, cents, e.filter(F.col("vec_id") < 5)
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            scored.explain("formatted")
+        sp = buf.getvalue()
+        assert "BroadcastExchange" in sp
+        assert "CartesianProduct" not in sp
+        # the declared plan: one window per probe depth over the shared
+        # scored checkpoint, never a re-scored candidate space
         p = plan_of(spark, specs, "embed_ann_recall_curve")
-        assert "BroadcastExchange" in p
+        assert p.count("windowspecdefinition(query_id") >= 4
         assert "CartesianProduct" not in p
