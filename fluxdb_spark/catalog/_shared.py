@@ -373,63 +373,6 @@ def _kcents8(spark, sf_dir):
     return hit[1]
 
 
-_KCENTS4_CACHE: dict[str, tuple] = {}
-
-
-def _kcents4(spark, sf_dir):
-    """The frozen k=4/iters=3 whole-corpus k-means centroids for an
-    sf_dir — the semantic-bucketing model `embed_kmeans`,
-    `cluster_balanced_sample` and `cluster_quality_matrix` all assign
-    against.  Same `_kcents8` amortization pattern ((mtime, size) key,
-    one entry per sf_dir): the model is a deterministic corpus
-    function, training is the exact fixed-point Lloyd loop, and
-    `assign_to_centroids` over the training corpus reproduces
-    `kmeans_clusters` bit-for-bit (kmeans_centroids docstring; pinned
-    in test_similarity)."""
-    import os
-
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    gen = (st.st_mtime_ns, st.st_size)
-    hit = _KCENTS4_CACHE.get(sf_dir)
-    if hit is None or hit[0] != gen:
-        hit = (
-            gen,
-            sim.kmeans_centroids(
-                _t(spark, sf_dir, "embeddings"), k=4, iters=3
-            ),
-        )
-        _KCENTS4_CACHE[sf_dir] = hit
-    return hit[1]
-
-
-# `_kcents8` amortization pattern: the frozen IVF-PQ models for an
-# sf_dir are deterministic corpus functions, so every recompute entry
-# that needs the m=4/ks=8/iters=2 PQ codebooks (or the k=8/iters=2
-# coarse centroids) trains them once per data generation instead of
-# per call; replaced on generation mismatch.  Lives here so the batch
-# AND streaming catalogs share one model per generation.
-_IVFPQ_MODELS_CACHE: dict[str, tuple] = {}
-
-
-def _ivfpq_models(spark, sf_dir):
-    import os
-
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    gen = (st.st_mtime_ns, st.st_size)
-    hit = _IVFPQ_MODELS_CACHE.get(sf_dir)
-    if hit is None or hit[0] != gen:
-        e = _t(spark, sf_dir, "embeddings")
-        hit = (
-            gen,
-            (
-                sim.kmeans_centroids(e, k=8, iters=2),
-                sim.pq_codebooks(e, m=4, ks=8, iters=2),
-            ),
-        )
-        _IVFPQ_MODELS_CACHE[sf_dir] = hit
-    return hit[1]
-
-
 def _ivf_balance_finish(cells, k: int = 8):
     """share/lift/worst-probe windows over the k-row cell relation —
     shared by the batch audit and the drained streaming counters.  k

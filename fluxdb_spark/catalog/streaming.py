@@ -52,7 +52,6 @@ from fluxdb_spark.catalog._shared import (
     _fingerprint_per_source,
     _gcent,
     _ivf_balance_finish,
-    _ivfpq_models,
     _kcents8,
     _key_skew_finish,
     _rfm_per_user,
@@ -1320,8 +1319,8 @@ def stream_shingle_df(spark, sf_dir):
 @_q("stream_pq_distortion", "streaming", sim.sql_pq_distortion())
 def stream_pq_distortion(spark, sf_dir):
     """STANDING PQ quantization-loss audit: the codebooks are trained
-    batch-side ONCE and frozen as plan literals (the stream_ivf_balance
-    contract), then the vector stream assigns map-side and the
+    batch-side and frozen as plan literals, then the vector stream
+    assigns map-side and the
     per-(subspace, codeword) error partials (n / sum / max — all
     additive) live as streaming state: the CODE-health dashboard an ANN
     service watches BETWEEN retrains, next to the cell-balance one.  A
@@ -1330,10 +1329,12 @@ def stream_pq_distortion(spark, sf_dir):
     serving-side through the SAME rollup finisher the batch audit uses
     and hash-match its oracle — the structural form of the twin
     claim."""
-    # frozen books from the per-generation model memo (`_ivfpq_models`,
-    # shared with the batch catalog) — deterministic training, so the
-    # memoized model is bit-equal to training here
-    books = _ivfpq_models(spark, sf_dir)[1]
+    # train the codebooks unconditionally, batch-side, inside the timed
+    # entry (the bpe_train rule: the declared audit's oracle includes
+    # the trainer CTEs, so the entry pays the Lloyd loop per run)
+    books = sim.pq_codebooks(
+        _t(spark, sf_dir, "embeddings"), m=4, ks=8, iters=2
+    )
     schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     raw = (
         spark.readStream.schema(schema)
