@@ -765,6 +765,12 @@ def connected_components(
     min-label propagation — the step that turns pairwise matches into dedup
     clusters with one canonical survivor (min doc id) each.
 
+    `pairs` is expected DISTINCT by construction (every catalog pair
+    pipeline ends in a groupBy(d1, d2)); no defensive dedup happens
+    here. Duplicate edges stay CORRECT (min-label is idempotent) but a
+    caller shipping heavy duplication pays for it in every iteration's
+    neighbor join — pre-distinct such inputs before calling.
+
     Each iteration is one join + one aggregate: every node adopts the
     smallest label among itself and its neighbors. Converges in
     O(diameter) iterations (near-dup clusters are small and dense, so

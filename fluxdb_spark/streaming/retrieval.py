@@ -51,6 +51,49 @@ from fluxdb_spark.streaming.materialize import (
 )
 
 
+DERIVED_FORMAT = 2
+"""On-disk layout version of the derived tables this module writes,
+stamped into each dest's state file.
+
+2 (round 14): the LSH bucket table is PACKED — one row per vector
+version with `tbs array<struct<tbl,bucket>>`, LWW fold key [vec_id].
+1 (legacy, pre-stamp): one exploded LSH row per (version, table) with
+flat tbl/bucket columns, fold key [vec_id, tbl]. A format-1 LSH dir
+read by format-2 code fails on the missing tbs column only at scan
+time, and fold-compacting it by [vec_id] alone silently keeps one
+arbitrary table's bucket per vector (data loss) — so any stored
+format that does not match this constant is refused loudly up front
+instead."""
+
+
+def _stored_format(dest: str) -> int | None:
+    """The format stamp in dest's state file: None when the dest has
+    no confirmed state yet (fresh dir), 1 when the state predates
+    format stamping."""
+    path = _state_path(dest)
+    if not os.path.exists(path):
+        return None
+    import json
+
+    try:
+        with open(path) as f:
+            return int(json.load(f).get("format", 1))
+    except (ValueError, OSError):
+        return None
+
+
+def _check_format(dest: str) -> None:
+    got = _stored_format(dest)
+    if got is not None and got != DERIVED_FORMAT:
+        raise ValueError(
+            f"derived table at {dest} was written with on-disk format "
+            f"{got}; this code reads and writes format {DERIVED_FORMAT}."
+            " Rebuild the index (delete the directory and re-run "
+            "refresh / index-retrieval) — reading or fold-compacting "
+            "the old layout in place would lose rows silently"
+        )
+
+
 def _confirmed_dirs(dest: str, floor: int) -> list[str]:
     if not os.path.isdir(dest):
         return []
@@ -72,6 +115,7 @@ def read_derived(spark: SparkSession, dest: str) -> DataFrame | None:
     exactly the batch directories the applied-version floor confirms —
     a crashed batch's unconfirmed directory is invisible."""
     _recover(dest)
+    _check_format(dest)
     dirs = _confirmed_dirs(dest, applied_version(dest))
     if not dirs:
         return None
@@ -115,6 +159,9 @@ def _rowwise_processor(spark: SparkSession, src_root: str, dest, transform):
     because the processor (applied_version floor -> delta file read ->
     deterministic transform -> versioned directory write) is the same
     function object in both."""
+    # refuse to append format-N rows into a dest built by a different
+    # layout generation — the caller must rebuild instead
+    _check_format(dest)
     read_schema = T.StructType(
         CHANGELOG_SCHEMA.fields
         + [T.StructField("height_band", T.LongType(), True)]
@@ -149,7 +196,9 @@ def _rowwise_processor(spark: SparkSession, src_root: str, dest, transform):
 
         tmp = _state_path(dest) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"applied_version": version}, f)
+            json.dump(
+                {"applied_version": version, "format": DERIVED_FORMAT}, f
+            )
         os.replace(tmp, _state_path(dest))
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
@@ -187,7 +236,9 @@ def _rowwise_processor(spark: SparkSession, src_root: str, dest, transform):
                 os.path.join(tmp, f"commit_hi={top}")
             )
             with open(_state_path(tmp), "w") as f:
-                json.dump({"applied_version": top}, f)
+                json.dump(
+                    {"applied_version": top, "format": DERIVED_FORMAT}, f
+                )
             old = f"{dest}.old-{uuid.uuid4().hex}"
             if os.path.isdir(dest):
                 os.rename(dest, old)
@@ -873,6 +924,7 @@ def compact_derived(
     import uuid
 
     _recover(dest)
+    _check_format(dest)
     floor = applied_version(dest)
     dirs = _confirmed_dirs(dest, floor)
     if len(dirs) <= 1:
@@ -889,7 +941,7 @@ def compact_derived(
         os.path.join(tmp, f"commit_hi={floor}")
     )
     with open(_state_path(tmp), "w") as f:
-        json.dump({"applied_version": floor}, f)
+        json.dump({"applied_version": floor, "format": DERIVED_FORMAT}, f)
     old = f"{dest}.old-{uuid.uuid4().hex}"
     os.rename(dest, old)
     os.rename(tmp, dest)

@@ -173,7 +173,7 @@ class TestRowwiseMaterializer:
         with open(_state_path(dest)) as f:
             state = _json.load(f)
         with open(_state_path(dest), "w") as f:
-            _json.dump({"applied_version": 1}, f)
+            _json.dump({**state, "applied_version": 1}, f)
         # readers must not see the unconfirmed directory
         assert self._sigs(spark, dest) == _sig_recompute(spark, DOCS1)
         # a fresh checkpoint redelivers everything; the replay converges
@@ -233,6 +233,42 @@ class TestRowwiseMaterializer:
         # already-compact table is a no-op
         rt.compact_derived(spark, dest)
         assert rt.compact_derived(spark, dest) == 0
+
+    def test_legacy_format_refused_on_read_compact_and_append(
+        self, spark, store, tmp_path
+    ):
+        """A derived dir stamped with an older on-disk format (or none
+        at all — pre-stamp legacy) must be refused LOUDLY by every
+        surface that would otherwise misread or silently fold it:
+        read_derived, compact_derived, and the incremental maintainer
+        (refresh)."""
+        import json as _json
+
+        from fluxdb_spark.streaming.materialize import _state_path
+
+        dest, ck = str(tmp_path / "sigs"), str(tmp_path / "ck")
+        store.write_batch(doc_rows(spark, DOCS1))
+        rt.refresh(spark, str(store.root), dest, rt.minhash_transform(), ck)
+        with open(_state_path(dest)) as f:
+            state = _json.load(f)
+        assert state["format"] == rt.DERIVED_FORMAT
+        # simulate a dir written before format stamping existed
+        del state["format"]
+        with open(_state_path(dest), "w") as f:
+            _json.dump(state, f)
+        with pytest.raises(ValueError, match="format 1"):
+            rt.read_derived(spark, dest)
+        with pytest.raises(ValueError, match="format 1"):
+            rt.compact_derived(spark, dest)
+        with pytest.raises(ValueError, match="format 1"):
+            rt.refresh(
+                spark, str(store.root), dest, rt.minhash_transform(), ck
+            )
+        # restoring the stamp restores service
+        state["format"] = rt.DERIVED_FORMAT
+        with open(_state_path(dest), "w") as f:
+            _json.dump(state, f)
+        assert rt.read_derived(spark, dest) is not None
 
 
 class TestFoldCompaction:

@@ -11,6 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fluxdb_spark import get_spark  # noqa: E402
 from fluxdb_spark.catalog import _shared as sh  # noqa: E402
 from fluxdb_spark.catalog import streaming as st  # noqa: E402
+from fluxdb_spark.catalog._core import _td  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -56,7 +57,7 @@ def main():
 
     # batch twin end-to-end for reference
     t0 = time.time()
-    out2 = sh._winnow_finish(sh._winnow_profile(sh._td(spark, sf_dir)))
+    out2 = sh._winnow_finish(sh._winnow_profile(_td(spark, sf_dir)))
     n3 = out2.count()
     t0 = lap(f"batch twin total ({n3} rows)", t0)
     spark.stop()
