@@ -1,7 +1,7 @@
-"""Dump .explain('formatted') for catalog entries to plans/r14/.
+"""Dump .explain('formatted') for catalog entries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> q1 q2 ... [--sf dir]
-Writes plans/r14/<query>_<suffix>.txt
+Writes plans/$FLUX_PLAN_ROUND/<query>_<suffix>.txt (round default: r15)
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("FLUX_PLAN_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump_plans")
