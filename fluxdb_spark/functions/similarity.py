@@ -316,10 +316,20 @@ def lsh_neardup_pairs(
     )
     a = sigs.select(F.col("vid").alias("d1"), "tbl", "bucket")
     b = sigs.select(F.col("vid").alias("d2"), "tbl", "bucket")
+    # The dedup exchange carries 16-byte id pairs, so AQE's byte-based
+    # coalescing shrinks it to a couple of reducers — but every row
+    # downstream costs a 64-dim dot product, so partition count must
+    # follow COMPUTE, not bytes (guide §2.2/§2.5).  An explicit hash
+    # repartition on the dedup keys pins the parallelism (AQE never
+    # coalesces a user repartition) and dropDuplicates reuses the
+    # partitioning instead of adding its own exchange: one shuffle
+    # total, scoring runs one wave across the cluster.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     pairs = (
         a.join(b, on=["tbl", "bucket"])
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
+        .repartition(par, "d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
     v1 = corpus.select(
@@ -3241,10 +3251,29 @@ def knn_graph_edges(
     )
     a = sigs.select(F.col("vid").alias("d1"), "tbl", "bucket")
     b = sigs.select(F.col("vid").alias("d2"), "tbl", "bucket")
+    # Cosine is symmetric (bit-identical under operand swap: the dot
+    # fold multiplies elementwise in index order and na*nb == nb*na)
+    # and the bucket self-join emits BOTH directions of every
+    # co-bucketed pair, so the pair space is deduped, vector-attached
+    # and scored once per UNORDERED pair (d1 < d2) and mirrored by a
+    # map-side explode afterwards: half the dedup-exchange rows, half
+    # the attach-join rows, half the dot products, identical directed
+    # edge relation into the per-node window.
+    #
+    # The dedup exchange carries 16-byte id pairs, so AQE's byte-based
+    # coalescing shrinks it to a couple of reducers — but every row
+    # downstream costs a 64-dim dot product, so partition count must
+    # follow COMPUTE, not bytes (guide §2.2/§2.5).  An explicit hash
+    # repartition on the dedup keys pins the parallelism (AQE never
+    # coalesces a user repartition) and dropDuplicates reuses the
+    # partitioning instead of adding its own exchange: one shuffle
+    # total, scoring runs one wave across the cluster.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     pairs = (
         a.join(b, on=["tbl", "bucket"])
-        .filter(F.col("d1") != F.col("d2"))
+        .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
+        .repartition(par, "d1", "d2")
         .dropDuplicates(["d1", "d2"])
     )
     v1 = corpus.select(
@@ -3258,9 +3287,27 @@ def knn_graph_edges(
         norm(F.col(vec_col)).alias("_n2"),
     )
     cand = pairs.join(v1, "d1").join(v2, "d2")
-    scored = cand.withColumn(
-        "score",
-        cosine_pre(F.col("v1"), F.col("v2"), F.col("_n1"), F.col("_n2")),
+    scored = (
+        cand.withColumn(
+            "score",
+            cosine_pre(F.col("v1"), F.col("v2"), F.col("_n1"), F.col("_n2")),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("d1").alias("s"), F.col("d2").alias("t")
+                    ),
+                    F.struct(
+                        F.col("d2").alias("s"), F.col("d1").alias("t")
+                    ),
+                )
+            ).alias("st"),
+            "score",
+        )
+        .select(
+            F.col("st.s").alias("d1"), F.col("st.t").alias("d2"), "score"
+        )
     )
     w = Window.partitionBy("d1").orderBy(F.desc("score"), F.asc("d2"))
     return (
