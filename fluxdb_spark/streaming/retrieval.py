@@ -733,13 +733,14 @@ def bm25_refresh(
     text). Returns (n_docs, tot_dl)."""
     import json
 
-    refresh(
-        spark, src_root, postings_dest, bm25_postings_transform(),
-        os.path.join(checkpoint_root, "postings"),
-    )
-    doclen = refresh(
-        spark, src_root, doclen_dest, bm25_doclen_transform(),
-        os.path.join(checkpoint_root, "doclen"),
+    del checkpoint_root  # the floor files, not stream offsets, dedup work
+    _, doclen = refresh_many(
+        spark,
+        src_root,
+        [
+            (postings_dest, bm25_postings_transform()),
+            (doclen_dest, bm25_doclen_transform()),
+        ],
     )
     if doclen is None:
         n_docs, tot = 0, 0
@@ -1352,12 +1353,47 @@ def refresh(
     setup per refresh at 32 cores).  `checkpoint_dir` is accepted for
     signature compatibility with the continuous form and unused here."""
     del checkpoint_dir  # the floor file, not stream offsets, dedups work
-    process = _rowwise_processor(spark, src_root, dest, transform)
+    return refresh_many(spark, src_root, [(dest, transform)])[0]
+
+
+def refresh_many(spark: SparkSession, src_root: str, jobs):
+    """One synchronous catch-up pass for SEVERAL derived tables of the
+    SAME store: the commit log is listed, read and collected ONCE and
+    replayed through every table's processor, instead of one log
+    listing + JSON scan per table (at 100 TB the log read is the
+    per-refresh fixed cost; a service maintaining an inverted file AND
+    a codes table — or postings AND doclens — pays it once per catch-up,
+    not once per table).  The per-table catch-ups write to disjoint
+    dests, so they run as CONCURRENT driver jobs (guide §2.6): each is
+    the unchanged single-table processor, concurrency only overlaps
+    their job tails.  `jobs` is a list of (dest, transform); returns
+    the post-catch-up `read_derived` relation per job, in order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    procs = [
+        _rowwise_processor(spark, src_root, dest, tf) for dest, tf in jobs
+    ]
     commits_dir = os.path.join(src_root, "_commits")
     if os.path.isdir(commits_dir):
         from fluxdb_spark.streaming.follow import COMMIT_ENTRY_SCHEMA
 
-        process(
-            spark.read.schema(COMMIT_ENTRY_SCHEMA).json(commits_dir), 0
-        )
-    return read_derived(spark, dest)
+        log = spark.read.schema(COMMIT_ENTRY_SCHEMA).json(commits_dir)
+        if len(procs) == 1:
+            procs[0](log, 0)
+        else:
+            # one scan of the log dir; each processor replays the same
+            # local batch (a tiny collected relation, no re-listing)
+            entries = log.collect()
+            local = spark.createDataFrame(entries, COMMIT_ENTRY_SCHEMA)
+            with ThreadPoolExecutor(max_workers=len(procs)) as pool:
+                futs = [
+                    pool.submit(
+                        inheritable_thread_target(p), local, 0
+                    )
+                    for p in procs
+                ]
+                for f in futs:
+                    f.result()
+    return [read_derived(spark, dest) for dest, _ in jobs]
