@@ -3642,10 +3642,18 @@ def embed_topk_binary_materialized(spark, sf_dir):
 
     store = _mat_store_vecs(spark, sf_dir)
     qroot = tempfile.mkdtemp(prefix="fluxdb-matb-")
-    bdest, ck1 = os.path.join(qroot, "bits"), os.path.join(qroot, "ck1")
-    qdest, ck2 = os.path.join(qroot, "q8"), os.path.join(qroot, "ck2")
-    rt.refresh(spark, str(store.root), bdest, rt.binarize_transform(), ck1)
-    rt.refresh(spark, str(store.root), qdest, rt.quantize_transform(), ck2)
+    bdest = os.path.join(qroot, "bits")
+    qdest = os.path.join(qroot, "q8")
+    # ONE commit-log read catches both standing tables up, and their
+    # independent transform+write jobs overlap (refresh_many)
+    rt.refresh_many(
+        spark,
+        str(store.root),
+        [
+            (bdest, rt.binarize_transform()),
+            (qdest, rt.quantize_transform()),
+        ],
+    )
     bz = rt.lww_latest(rt.read_derived(spark, bdest), ["vec_id"]).select(
         "vec_id", "b0", "b1"
     )
