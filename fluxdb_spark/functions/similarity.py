@@ -914,7 +914,8 @@ def _pq_books_fit(
                 ]
             ).alias("qs"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
+        # lazy: the seed collect is the first action (see _kmeans_fit)
     )
     seeds = base.orderBy(id_col).limit(ks).collect()  # O(ks) rows
     if len(seeds) < ks:
@@ -1123,7 +1124,12 @@ def _kmeans_fit(
     base = (
         spread(corpus)
         .select(F.col(id_col), _quantize(F.col(vec_col), scale).alias("q"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
+        # lazy: the seed collect below is the first action and
+        # materializes the blocks — an eager checkpoint here was one
+        # whole extra job per training call (all consumers are
+        # SEQUENTIAL jobs, so the multi-branch single-plan hazard that
+        # forces eager checkpoints elsewhere does not apply)
     )
     seeds = base.orderBy(id_col).limit(k).collect()  # O(k) rows
     if len(seeds) < k:
