@@ -67,25 +67,74 @@ def _q(name: str, category: str, oracle: str | None):
 # representatives are kept early).  Names not listed keep registration
 # order after the listed ones.
 _PRIORITY: list[str] = [
-    # Round-14 window (driver checks exactly the first 50 entries per
-    # round).  Composition, per VERDICT r13 task 1 (the staged rotation,
-    # now physically applied):
-    #   1-17  the 17 round-13 additions (never driver-checked; each
-    #         locally oracle-matched at three SFs on landing, plus the
-    #         judge's independent check_entry replay in r13);
-    #   18-50 the 33 stalest remaining stamps (the tail of the r08-green
-    #         block, then the r09-green block head) -- after r14 stamps,
-    #         the stalest remaining stamp is r09.
-    #
-    # R15 window plan (positions 51-100): the tail continues in
-    # staleness order -- the rest of the r09 block, then r10, r11, the
-    # r12-stamped block, and the r13-stamped former window LAST
-    # (freshest).  Entries added during round 14 go right after
-    # position 50, so they lead the r15 window.  The next rotation is
-    # again one reorder: move positions 51-100 to the front.
-    # test_catalog_parity enforces that the live window never contains
-    # an entry stamped in the two newest CORRECTNESS rounds.
-    # -- round-13 additions (first driver row in r14) --
+    # Round-15 window (driver checks exactly the first 50 entries per
+    # round).  Composition (one reorder, per the rotation ritual the
+    # test_catalog_parity tripwire enforces):
+    #   1-13  the 13 entries with NO driver stamp in any
+    #         CORRECTNESS_r*.json (round-14 additions; each locally
+    #         oracle-matched at multiple SFs on landing) -- they include
+    #         the entries this round's optimizations touched most
+    #         (embed_knn_graph_audit, embed_ivfpq_topk/_materialized,
+    #         stream_winnow);
+    #   14-33 the r09-stamped block (the stalest remaining stamps);
+    #   34-50 the head of the r10-stamped block.
+    # The tail keeps staleness order (rest of r10, r11, r12, r13, the
+    # r14-stamped former window LAST) so the next rotation is again one
+    # reorder: move positions 51-100 to the front.
+    # -- never driver-stamped (round-14 additions) --
+    "flux_snapshot_cadence_sweep",
+    "stream_snapshot_cadence",
+    "dedup_winnow",
+    "session_gap_sweep",
+    "dedup_weighted_jaccard",
+    "stream_winnow",
+    "embed_knn_graph_audit",
+    "embed_ivfpq_topk",
+    "embed_ivfpq_materialized",
+    "embed_mips_topk",
+    "phrase_search_postings",
+    "flux_retention_sweep",
+    "embed_ann_ivf",
+    # -- r09-stamped block (stalest stamps) --
+    "tpch_q12",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "embed_topk",
+    "embed_neardup",
+    "embed_ann_lsh",
+    "embed_ann_ivf_exact",
+    "text_stats",
+    "text_quality",
+    "quality_filter",
+    "repetition_stats",
+    "pii_scrub",
+    "doc_fingerprint",
+    "decontaminate",
+    "seq_packing",
+    # -- r10-stamped block head --
+    "embed_topk_pq",
+    "embed_topk_pq_materialized",
+    "interval_overlap_join",
+    "event_funnel",
+    "cohort_retention",
+    "purchase_attribution",
+    "flux_state_join",
+    "embed_label_noise",
+    "rfm_segments",
+    "blocklist_audit",
+    "pps_sample",
+    "event_transitions",
+    "table_profile",
+    "dedup_containment",
+    "flux_series_anomalies",
+    "stream_rfm",
+    "stream_cms_heavy_hitters",
+    # ---- end of the 50-entry r15 window ----
     "flux_key_skew",
     "flux_write_amplification",
     "packing_budget_sweep",
@@ -103,13 +152,11 @@ _PRIORITY: list[str] = [
     "embed_pq_distortion",
     "stream_pq_distortion",
     "flux_tombstone_audit",
-    # -- r08-green block (continued, stalest stamps first) --
     "flux_tablet_stats",
     "typed_view_decode",
     "stream_tumbling",
     "stream_dedup",
     "stream_stream_join",
-    # -- r09-green block --
     "dsir_select",
     "perplexity_buckets",
     "cms_heavy_hitters",
@@ -138,59 +185,6 @@ _PRIORITY: list[str] = [
     "token_budget_mix",
     "skew_salted_join",
     "tpch_q1",
-    # ---- position 51+: leads the r15 window ----
-    # -- round-14 additions (each locally oracle-matched at three SFs
-    #    on landing) --
-    "flux_snapshot_cadence_sweep",
-    "stream_snapshot_cadence",
-    "dedup_winnow",
-    "session_gap_sweep",
-    "dedup_weighted_jaccard",
-    "stream_winnow",
-    "embed_knn_graph_audit",
-    "embed_ivfpq_topk",
-    "embed_ivfpq_materialized",
-    "embed_mips_topk",
-    "phrase_search_postings",
-    "flux_retention_sweep",
-    "tpch_q12",
-    "dedup_exact",
-    "dedup_ngram",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "embed_topk",
-    "embed_neardup",
-    "embed_ann_lsh",
-    "embed_ann_ivf_exact",
-    "text_stats",
-    "text_quality",
-    "quality_filter",
-    "repetition_stats",
-    "pii_scrub",
-    "doc_fingerprint",
-    "decontaminate",
-    "seq_packing",
-    # -- r10-green block --
-    "embed_topk_pq",
-    "embed_topk_pq_materialized",
-    "interval_overlap_join",
-    "event_funnel",
-    "cohort_retention",
-    "purchase_attribution",
-    "flux_state_join",
-    "embed_label_noise",
-    "rfm_segments",
-    "blocklist_audit",
-    "pps_sample",
-    "event_transitions",
-    "table_profile",
-    "dedup_containment",
-    "flux_series_anomalies",
-    "stream_rfm",
-    "stream_cms_heavy_hitters",
     "unpivot_pricing",
     "session_windows",
     "flux_state_series",
@@ -224,7 +218,6 @@ _PRIORITY: list[str] = [
     "flux_singlet_history",
     "flux_checkpoint",
     "asof_join",
-    # -- r11-green block --
     "asof_join_generic",
     "range_join_incidents",
     "multimodal_frames",
@@ -275,7 +268,6 @@ _PRIORITY: list[str] = [
     "dedup_recall_eval",
     "flux_series_trend",
     "weekly_growth",
-    # -- r12-stamped former window (freshest driver rows) --
     "funnel_latency",
     "flux_tablet_reconcile",
     "embed_norm_audit",
@@ -326,7 +318,6 @@ _PRIORITY: list[str] = [
     "tpch_q2",
     "tpch_q3",
     "tpch_q4",
-    # -- r13-stamped former window (freshest driver rows) --
     "dedup_threshold_sweep_lsh",
     "corpus_self_overlap",
     "token_freq_spectrum",
@@ -377,10 +368,6 @@ _PRIORITY: list[str] = [
     "flux_shard_assignment",
     "flux_shard_progress",
     "flux_gap_check",
-    # embed_ann_ivf: rows-only by design (oracle=None); kept out
-    # of every correctness window -- see note at the top of this
-    # list.  Its exact twins are the hash-checked forms.
-    "embed_ann_ivf",
 ]
 
 
