@@ -202,15 +202,18 @@ def _rowwise_processor(spark: SparkSession, src_root: str, dest, transform):
         os.replace(tmp, _state_path(dest))
 
     def process(batch_df: DataFrame, _batch_id: int) -> None:
+        process_entries(
+            batch_df.select("version", "action", "kind", "add").collect()
+        )
+
+    def process_entries(rows) -> None:
+        # pre-collected commit entries (refresh_many collects the log
+        # ONCE and replays the same row list through every table's
+        # processor — no per-table log scan, no local-DataFrame round
+        # trip)
         floor = applied_version(dest)
         batch = sorted(
-            (
-                e
-                for e in batch_df.select(
-                    "version", "action", "kind", "add"
-                ).collect()
-                if e.version > floor
-            ),
+            (e for e in rows if e.version > floor),
             key=lambda e: e.version,
         )
         if not batch:
@@ -266,6 +269,7 @@ def _rowwise_processor(spark: SparkSession, src_root: str, dest, transform):
         # the delta already has enough splits
         _commit(transform(spread(rows)), entries[-1].version, floor)
 
+    process.entries = process_entries  # refresh_many's shared-read hook
     return process
 
 
@@ -1383,15 +1387,13 @@ def refresh_many(spark: SparkSession, src_root: str, jobs):
         if len(procs) == 1:
             procs[0](log, 0)
         else:
-            # one scan of the log dir; each processor replays the same
-            # local batch (a tiny collected relation, no re-listing)
-            entries = log.collect()
-            local = spark.createDataFrame(entries, COMMIT_ENTRY_SCHEMA)
+            # one scan of the log dir; the collected row list replays
+            # through every processor directly (no local-DataFrame
+            # round trip — measured slower than the scan it saved)
+            rows = log.select("version", "action", "kind", "add").collect()
             with ThreadPoolExecutor(max_workers=len(procs)) as pool:
                 futs = [
-                    pool.submit(
-                        inheritable_thread_target(p), local, 0
-                    )
+                    pool.submit(inheritable_thread_target(p.entries), rows)
                     for p in procs
                 ]
                 for f in futs:
