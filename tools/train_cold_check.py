@@ -32,6 +32,16 @@ ENTRIES = [
     "cluster_balanced_sample",
     "cluster_quality_matrix",
     "embed_ivfpq_topk",
+    # CONTROLS — entries with no model training and no memo anywhere:
+    # their cold/min3 gap is the GENERIC fresh-session effect (JIT,
+    # codegen cache, parquet footer cache, shuffle machinery).  A
+    # trainer entry whose gap matches the controls' carries no hidden
+    # memo; only a gap well ABOVE the control band would mean training
+    # escaped the timed region.
+    "dedup_simhash",
+    "embed_topk",
+    "bm25_rank",
+    "stream_token_spectrum",
 ]
 
 _CHILD = r"""
